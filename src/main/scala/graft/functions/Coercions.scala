@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.schema.SchemaMapper.ResolvedProperty
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-field scalar coercion layer — the reference's `parse_record_value`
+  * dispatcher and timestamp-repair pass re-expressed as Catalyst `Column`
+  * expressions (reference `target_parquet/sinks.py:72-112,177-208`;
+  * SURVEY.md §2.4 E1–E8).
+  *
+  * Input convention: every raw column is the property's JSON value captured
+  * as TEXT by `from_json` with an all-string struct — scalars arrive as
+  * their JSON literal text (`42`, `3.14`, `true`), nested objects/arrays as
+  * their raw JSON (`{"k":1}`), and JSON `null` as SQL NULL. The coercions
+  * below turn that uniform text layer into the schema-resolved Spark type.
+  *
+  * Whole pipeline = one `select` of these expressions: codegen'd, no UDFs,
+  * no driver-side per-record loop (the reference coerces each record in an
+  * interpreted Python loop, `sinks.py:165-166`).
+  *
+  * Deliberate divergences from the reference (documented, SURVEY.md §7.4):
+  *   - Coercion targets the SCHEMA-resolved type (boolean>string>first
+  *     priority), not `parse_record_value`'s first-element rule, so column
+  *     type and value type always agree — this fixes reference BUG-3 where
+  *     `["number","string"]` resolved to a string column but float values,
+  *     crashing the writer (`sinks.py:56-65` vs `80-81`).
+  *   - A JSON boolean under a string-typed property renders as JSON spelling
+  *     `"true"`/`"false"`, not Python's `str(True) == "True"`.
+  *   - Nested values serialize via Jackson (compact JSON) rather than
+  *     Python's `json.dumps` (spaced separators) — parse-equal, not
+  *     byte-equal.
+  */
+object Coercions {
+
+  /** E2 (`sinks.py:87-88`): empty string under a non-string type → null. */
+  def emptyToNull(c: Column): Column = when(c === lit(""), lit(null)).otherwise(c)
+
+  /** E1 dispatcher: raw text column → schema-typed column, aliased to the
+    * property name.
+    *
+    *   - E3 number: cast to double ("3.14" → 3.14)
+    *   - E4 integer: cast to long ("42" → 42)
+    *   - E5/E8 date-time: `try_to_timestamp` — malformed input becomes null,
+    *     the record survives (DatetimeErrorTreatmentEnum.NULL,
+    *     `sinks.py:141-143`)
+    *   - E6 string: passthrough (already text)
+    *   - E7 nested: passthrough (already raw JSON text)
+    *   - boolean: cast ("true"/"false" → true/false; the reference has no
+    *     boolean branch and relies on Arrow accepting native bools)
+    *   - null type: always-null column
+    */
+  def coerce(raw: Column, p: ResolvedProperty): Column = {
+    val c = if (p.typeId != "string") emptyToNull(raw) else raw
+    val out = p.sparkType match {
+      case NullType      => lit(null)
+      case DoubleType    => c.cast(DoubleType)
+      case LongType      => c.cast(LongType)
+      case BooleanType   => c.cast(BooleanType)
+      case TimestampType => try_to_timestamp(c)
+      case _             => c
+    }
+    out.as(p.name)
+  }
+}
