@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables
+  * (`/root/repo/TESTDATA.md`, `/root/repo/FIXTURES.md` §B).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+  * rejects ([PARQUET_TYPE_ILLEGAL]); sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.builder]]) so
+  * it arrives as long nanos, converted here to a proper µs timestamp.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+}
+
+/** One place to build correctly-configured local sessions: UTC, shuffle
+  * partitions = cores (not the 200 default — at sf0.1 on local[32] the
+  * scheduler overhead of 200 tiny tasks per exchange dominates), AQE on for
+  * runtime coalescing/skew handling, nanos-as-long for the events table.
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import graft.functions.Coercions
+import graft.schema.SchemaMapper
+import graft.schema.SchemaMapper.StreamSchema
+import graft.validate.Validator
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+
+/** Configuration surface of the reference target
+  * (`/root/reference/target_parquet/target.py:16-25`):
+  *
+  * @param outDir           output directory. The reference declares
+  *                         `filepath` but never reads it and writes to CWD
+  *                         (`writers.py:10-11` — dead config); honoring it is
+  *                         a documented improvement (SURVEY.md §7.4).
+  * @param fixedHeaders     per-stream column projection, P1 (`sinks.py:147-153`).
+  * @param strictValidation fail the job on a draft-7 violation, P3
+  *                         (`sinks.py:131-139`).
+  * @param stageByStream    scale path for many interleaved streams: one
+  *                         partitioned staging pass instead of one full input
+  *                         scan per stream (see [[SingerPipeline.run]]).
+  */
+final case class SingerConfig(
+    outDir: String,
+    fixedHeaders: Map[String, Seq[String]] = Map.empty,
+    strictValidation: Boolean = false,
+    stageByStream: Boolean = false)
+
+/** Result of one ingest job: per-stream output paths and record counts
+  * (the reference's `job_metrics.json`, `writers.py:52-74`).
+  */
+final case class IngestResult(
+    paths: Map[String, String],
+    recordCounts: Map[String, Long])
+
+/** The Singer-message ingest pipeline — the reference engine's entire
+  * purpose (hotgluexyz/target-parquet; SURVEY.md §0), re-expressed as
+  * narrow, codegen'd Spark plans.
+  *
+  * Reference flow (406 LoC of single-threaded Python): stdin JSON lines →
+  * dispatch SCHEMA/RECORD/STATE (`target.py:34-35`, SDK `_process_lines`) →
+  * per-record validate + coerce in an interpreted loop (`sinks.py:131-170`)
+  * → 10k-row micro-batches pivoted to Arrow (`sinks.py:172-175`) → one
+  * Parquet file per stream (`writers.py:27-50`).
+  *
+  * Spark flow: `spark.read.text` → SCHEMA lines (tiny, in-band metadata)
+  * collected to the DRIVER to build the per-stream registry; RECORD lines
+  * stay distributed and flow through ONE Catalyst projection per stream
+  * (`from_json` + coercion columns) straight into the parquet writer. No
+  * shuffle anywhere; every stage is a narrow map/filter, so a 1000-executor
+  * cluster scales linearly with input splits.
+  *
+  * Scale design (100 TB input): the naive layout runs one full input scan
+  * per stream (text sources have no predicate pushdown). Fine for a handful
+  * of streams; for many, `stageByStream = true` switches to exactly TWO
+  * passes total: pass 1 writes raw record lines to a parquet staging dir
+  * partitioned by stream (a hash-partitioned shuffle-free write), pass 2
+  * runs each stream's typed projection over only its partition directory —
+  * partition pruning makes each per-stream job read only its own bytes.
+  */
+object SingerPipeline {
+
+  /** S2 dispatch, driver side: collect SCHEMA messages (in-band metadata,
+    * O(streams) not O(records)) into the per-stream registry. A repeated
+    * identical schema is idempotent like the reference (`writers.py:27-29`);
+    * a CHANGED schema takes last-wins — the reference instead crashes at the
+    * next flush (BUG-4, `tests/test_integration.py:232-275`); documented fix.
+    */
+  def parseSchemas(lines: DataFrame, config: SingerConfig): Map[String, StreamSchema] = {
+    val schemaLines = lines
+      .filter(get_json_object(col("value"), "$.type") === "SCHEMA")
+      .collect()
+      .map(_.getString(0))
+    schemaLines.foldLeft(Map.empty[String, StreamSchema]) { (acc, json) =>
+      val ss = SchemaMapper.fromSchemaMessage(json)
+      acc + (ss.stream -> ss.select(config.fixedHeaders.get(ss.stream)))
+    }
+  }
+
+  /** RECORD lines of one stream → typed DataFrame: `from_json` with an
+    * all-string struct (P2: missing fields → null, extra fields dropped —
+    * `sinks.py:165-166`) then the E1–E8 coercion projection
+    * ([[graft.functions.Coercions]]). One codegen'd select; STATE lines are
+    * filtered out here, matching their no-op output semantics
+    * (`tests/test_integration.py:312-336`).
+    */
+  def typedRecords(recordLines: DataFrame, ss: StreamSchema): DataFrame =
+    recordLines
+      .select(from_json(get_json_object(col("value"), "$.record"), ss.parseStruct).as("r"))
+      .select(ss.properties.map(p => Coercions.coerce(col("r").getField(p.name), p)): _*)
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+
+  /** K3 file naming: `{stream}-{YYYYMMDDTHHMMSS}.parquet`
+    * (`writers.py:10-11,31-33`) — here a parquet *directory* of part-files,
+    * the Spark-native equivalent (SURVEY.md §7.4).
+    */
+  def outputPath(config: SingerConfig, stream: String, now: ZonedDateTime): String =
+    s"${config.outDir}/$stream-${tsFmt.format(now)}.parquet"
+
+  /** Full batch ingest: Singer JSON lines → one Parquet dataset per stream +
+    * record-count metrics.
+    *
+    * A1 metrics ride on `Observation` (accumulator-backed, collected by the
+    * write job itself) — zero extra passes, unlike the reference's
+    * per-record read-modify-write of `job_metrics.json` (`writers.py:52-74`,
+    * the O(records) file-I/O hot spot called out in BASELINE.md).
+    *
+    * K4: streams with a SCHEMA but no records produce NO output
+    * (`tests/test_integration.py:278-308`) — detected from the observed
+    * count and the empty directory removed, again without a pre-pass.
+    */
+  def run(spark: SparkSession, inputPath: String, config: SingerConfig): IngestResult =
+    ingest(spark.read.text(inputPath), config)
+
+  def ingest(lines: DataFrame, config: SingerConfig): IngestResult = {
+    val spark = lines.sparkSession
+    val registry = parseSchemas(lines, config)
+    val now = ZonedDateTime.now(ZoneOffset.UTC)
+
+    val recordSource: String => DataFrame =
+      if (config.stageByStream && registry.size > 1) {
+        // Pass 1: stage raw record lines partitioned by stream. One scan of
+        // the input regardless of stream count; per-stream jobs then prune
+        // to their own partition directory.
+        val stagingDir = s"${config.outDir}/.staging-${tsFmt.format(now)}"
+        lines
+          .filter(get_json_object(col("value"), "$.type") === "RECORD")
+          .withColumn("_stream", get_json_object(col("value"), "$.stream"))
+          .write.partitionBy("_stream").parquet(stagingDir)
+        (stream: String) =>
+          spark.read
+            .schema("value STRING, _stream STRING")
+            .parquet(stagingDir)
+            .filter(col("_stream") === stream)
+            .select(col("value"))
+      } else { (stream: String) =>
+        lines.filter(
+          get_json_object(col("value"), "$.type") === "RECORD" &&
+            get_json_object(col("value"), "$.stream") === stream)
+      }
+
+    val results = registry.toSeq.sortBy(_._1).map { case (stream, ss) =>
+      val typed0 = typedRecords(recordSource(stream), ss)
+      val typed = if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
+      val obs = Observation(s"ingest-$stream")
+      val path = outputPath(config, stream, now)
+      typed.observe(obs, count(lit(1)).as("records")).write.parquet(path)
+      val n = obs.get("records").asInstanceOf[Long]
+      if (n == 0L) deleteRecursively(Paths.get(path)) // K4: no records → no file
+      (stream, path, n)
+    }
+
+    IngestResult(
+      paths = results.collect { case (s, p, n) if n > 0 => s -> p }.toMap,
+      recordCounts = results.map { case (s, _, n) => s -> n }.toMap)
+  }
+
+  /** A1: merge record counts into `job_metrics.json`, accumulating onto an
+    * existing file like `writers.py:60-69` — but once per JOB, not once per
+    * record.
+    */
+  def writeJobMetrics(dir: String, counts: Map[String, Long]): Unit = {
+    val path = Paths.get(dir, "job_metrics.json")
+    val existing: Map[String, Long] =
+      if (Files.exists(path)) {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(Files.readString(path)) \ "recordCount" match {
+          case JObject(fields) =>
+            fields.collect {
+              case (k, JInt(v))  => k -> v.toLong
+              case (k, JLong(v)) => k -> v
+            }.toMap
+          case _ => Map.empty
+        }
+      } else Map.empty
+    val merged = (existing.keySet ++ counts.keySet).map { k =>
+      k -> (existing.getOrElse(k, 0L) + counts.getOrElse(k, 0L))
+    }.toSeq.sortBy(_._1)
+    val body = merged
+      .map { case (k, v) => s""""${k.replace("\"", "\\\"")}": $v""" }
+      .mkString("{\"recordCount\": {", ", ", "}}")
+    Files.createDirectories(path.getParent)
+    Files.writeString(path, body)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.pipeline.{SingerConfig, SingerPipeline}
+import graft.schema.SchemaMapper.StreamSchema
+import graft.validate.Validator
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Unbounded variant of the Singer ingest (SURVEY.md §1 "Streams vs batch"):
+  * the reference reads stdin until EOF — logically an unbounded stream
+  * processed in 10k-row micro-batches (`sinks.py:118`). Structured Streaming
+  * is the native Spark expression of exactly that model: micro-batch
+  * triggers replace the SDK's batch drain, checkpointing replaces the
+  * writer-singleton registry (`writers.py:14-33`), and exactly-once file
+  * sinks replace its open-file append.
+  *
+  * Schemas must be registered up front (Singer taps emit SCHEMA before the
+  *   first RECORD of a stream; a driver can pre-scan or pass them in). Each
+  * micro-batch routes records per stream through the same coercion
+  * projection as the batch path and appends to one parquet dataset per
+  * stream — so the batch and streaming paths share all semantics.
+  */
+object SingerStream {
+
+  /** Start the ingest over a directory of growing JSON-line files.
+    *
+    * @param schemas per-stream registry (from
+    *                [[graft.schema.SchemaMapper.fromSchemaMessage]])
+    */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      schemas: Map[String, StreamSchema],
+      config: SingerConfig,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+
+    val registry = schemas.map { case (s, ss) =>
+      s -> ss.select(config.fixedHeaders.get(s))
+    }
+
+    spark.readStream
+      .text(inputDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // One narrow job per stream per micro-batch; records of other
+        // streams are filtered out before from_json runs.
+        registry.toSeq.sortBy(_._1).foreach { case (stream, ss) =>
+          val lines = batch.filter(
+            get_json_object(col("value"), "$.type") === "RECORD" &&
+              get_json_object(col("value"), "$.stream") === stream)
+          val typed0 = SingerPipeline.typedRecords(lines, ss)
+          val typed =
+            if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
+          typed.write.mode("append").parquet(s"${config.outDir}/$stream.parquet")
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,151 @@
+package graft.validate
+
+import graft.schema.SchemaMapper.{ResolvedProperty, StreamSchema}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+/** Draft-7 constraint validation re-expressed as Catalyst `Column`
+  * predicates (reference `target_parquet/validator.py:8-89`; SURVEY.md §2.5
+  * V1–V3).
+  *
+  * The reference assembles a full jsonschema draft-7 validator but its test
+  * suite only exercises `enum` (`tests/test_sinks.py:301`). We map the
+  * SQL-expressible keyword subset to codegen'd predicates — `enum`, numeric
+  * bounds (including the draft-4-style numeric `exclusiveMaximum` /
+  * `exclusiveMinimum` of `validator.py:23-48`), `multipleOf`
+  * (`validator.py:8-20`), `minLength`/`maxLength`, `pattern`, `const`,
+  * `required` — evaluated distributed, per partition, with zero driver
+  * round-trips.
+  *
+  * Modes (`sinks.py:131-139`, P3):
+  *   - lenient (default): validation failures are swallowed; the raw record
+  *     passes through untouched. We additionally expose `violations` so a
+  *     caller can *observe* failures — the reference logs and drops the
+  *     exception (`sinks.py:134-139`).
+  *   - strict: the first violation kills the job (reference: exception
+  *     propagates). Implemented with `raise_error` inside the projection so
+  *     it fails inside the task, not on the driver.
+  */
+object Validator {
+
+  private def jDouble(v: JValue): Option[Double] = v match {
+    case JDouble(d)  => Some(d)
+    case JInt(i)     => Some(i.toDouble)
+    case JLong(l)    => Some(l.toDouble)
+    case JDecimal(d) => Some(d.toDouble)
+    case _           => None
+  }
+
+  private def jInt(v: JValue): Option[Long] = v match {
+    case JInt(i)  => Some(i.toLong)
+    case JLong(l) => Some(l)
+    case _        => None
+  }
+
+  private def literal(v: JValue): Option[Column] = v match {
+    case JString(s)  => Some(lit(s))
+    case JBool(b)    => Some(lit(b))
+    case JInt(i)     => Some(lit(i.toLong))
+    case JLong(l)    => Some(lit(l))
+    case JDouble(d)  => Some(lit(d))
+    case JDecimal(d) => Some(lit(d.toDouble))
+    case _           => None
+  }
+
+  /** All constraint predicates for one property, as (ruleName, isViolated)
+    * pairs over the COERCED column. Null values never violate value
+    * constraints (draft-7 keywords apply per present value; absence is
+    * `required`'s job, handled on the raw record in [[requiredViolation]]).
+    */
+  def constraints(c: Column, p: ResolvedProperty): Seq[(String, Column)] = {
+    val kw: Map[String, JValue] = p.raw.obj.toMap
+    val out = Seq.newBuilder[(String, Column)]
+
+    kw.get("enum").foreach {
+      case JArray(vs) =>
+        val lits = vs.flatMap(literal)
+        if (lits.nonEmpty) out += "enum" -> (c.isNotNull && !c.isin(lits: _*))
+      case _ => ()
+    }
+    kw.get("const").foreach(v =>
+      literal(v).foreach(l => out += "const" -> (c.isNotNull && c =!= l)))
+    // Draft-7 inclusive bounds (validator.py builds on jsonschema draft-7,
+    // validator.py:51-63).
+    kw.get("maximum").foreach(v =>
+      jDouble(v).foreach(m => out += "maximum" -> (c.isNotNull && c > lit(m))))
+    kw.get("minimum").foreach(v =>
+      jDouble(v).foreach(m => out += "minimum" -> (c.isNotNull && c < lit(m))))
+    // Draft-4-style *numeric* exclusive bounds, validator.py:23-48: fail on >= / <=.
+    kw.get("exclusiveMaximum").foreach(v =>
+      jDouble(v).foreach(m => out += "exclusiveMaximum" -> (c.isNotNull && c >= lit(m))))
+    kw.get("exclusiveMinimum").foreach(v =>
+      jDouble(v).foreach(m => out += "exclusiveMinimum" -> (c.isNotNull && c <= lit(m))))
+    // multipleOf, validator.py:8-20. The reference's float branch rounds the
+    // quotient then compares a value to itself — it can never fail (upstream
+    // quirk, SURVEY.md §2.5 V2). Replicated: floats always pass; integer
+    // divisors use an exact modulo.
+    kw.get("multipleOf").foreach { v =>
+      jInt(v) match {
+        case Some(d) if d != 0 =>
+          out += "multipleOf" -> (c.isNotNull && (c % lit(d)) =!= lit(0))
+        case _ => () // float divisor: reference's check is vacuous
+      }
+    }
+    kw.get("maxLength").foreach(v =>
+      jInt(v).foreach(n => out += "maxLength" -> (c.isNotNull && length(c) > lit(n))))
+    kw.get("minLength").foreach(v =>
+      jInt(v).foreach(n => out += "minLength" -> (c.isNotNull && length(c) < lit(n))))
+    kw.get("pattern").foreach {
+      // draft-7 pattern is an unanchored regex search; rlike is also
+      // unanchored — semantics line up.
+      case JString(re) => out += "pattern" -> (c.isNotNull && !c.rlike(re))
+      case _           => ()
+    }
+    out.result()
+  }
+
+  /** `required` applies at the object level: the key must be PRESENT in the
+    * raw record (a JSON `null` satisfies draft-7 `required`). Our raw layer
+    * can't distinguish absent from null after `from_json`, so we follow the
+    * stricter practical reading the reference's strict-mode tests exercise
+    * (`tests/test_integration_types.py:256-283`): null in a required, non-
+    * nullable column is a violation.
+    */
+  def requiredViolation(raw: Column, p: ResolvedProperty): Option[(String, Column)] =
+    if (p.nullable) None else Some("required" -> raw.isNull)
+
+  /** A single violation-description column for a stream: null when the row
+    * is valid, else `"prop: rule"` of the first failing constraint.
+    * Evaluated entirely inside codegen — one pass, no shuffle.
+    */
+  def violationColumn(ss: StreamSchema, colFor: String => Column): Column = {
+    val checks: Seq[(String, Column)] = ss.properties.flatMap { p =>
+      val c = colFor(p.name)
+      constraints(c, p).map { case (rule, bad) => (s"${p.name}: $rule", bad) } ++
+        requiredViolation(c, p).map { case (rule, bad) => (s"${p.name}: $rule", bad) }
+    }
+    checks.foldRight(lit(null).cast("string")) { case ((label, bad), acc) =>
+      when(bad, lit(label)).otherwise(acc)
+    }
+  }
+
+  /** Lenient mode: annotate rows with `_violation` (null = valid). The data
+    * itself passes through untouched, matching `sinks.py:134-139`.
+    */
+  def annotate(df: DataFrame, ss: StreamSchema): DataFrame =
+    df.withColumn("_violation", violationColumn(ss, df.col))
+
+  /** Strict mode: any violating row raises inside the task, killing the job
+    * like the reference's propagated exception (`sinks.py:137-139`). The
+    * raise lives in a filter predicate, so it evaluates per-row inside
+    * codegen; valid rows pass through unchanged.
+    */
+  def enforce(df: DataFrame, ss: StreamSchema): DataFrame = {
+    val v = violationColumn(ss, df.col)
+    df.filter(
+      when(v.isNotNull,
+        raise_error(concat(lit("strict_validation failed — "), v)).isNull)
+        .otherwise(lit(true)))
+  }
+}

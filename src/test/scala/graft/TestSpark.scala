@@ -4,13 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for the whole ScalaTest run. */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession
-    .builder()
-    .master("local[4]")
+  lazy val spark: SparkSession = Sessions
+    .builder("4")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   def init(): SparkSession = {

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+/** End-to-end ingest behavior, mirroring the reference integration suite
+  * (`/root/reference/target_parquet/tests/test_integration.py`,
+  * `test_integration_types.py` — SURVEY.md §5 layers 4–5).
+  */
+class SingerPipelineSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+
+  private def tmp(): String = Files.createTempDirectory("graft-pipe").toString
+
+  private def write(lines: Seq[String]): String = {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/input.jsonl"), lines.mkString("\n"))
+    s"$dir/input.jsonl"
+  }
+
+  private val usersSchema =
+    """{"type": "SCHEMA", "stream": "users", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "name": {"type": ["string", "null"]}}}, "key_properties": ["id"]}"""
+
+  test("multi-stream interleaved demux: records land in their own stream (test_integration.py:339-375)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "SCHEMA", "stream": "orders", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "amount": {"type": ["number", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "alice"}}""",
+      """{"type": "RECORD", "stream": "orders", "record": {"id": "o1", "amount": 10.5}}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u2", "name": "bob"}}""",
+      """{"type": "STATE", "value": {"bookmarks": {}}}""",
+      """{"type": "RECORD", "stream": "orders", "record": {"id": "o2", "amount": 2}}"""))
+    val out = tmp()
+    val res = SingerPipeline.run(spark, input, SingerConfig(out))
+    res.recordCounts shouldBe Map("users" -> 2L, "orders" -> 2L)
+    val users = spark.read.parquet(res.paths("users"))
+    users.columns.toSeq shouldBe Seq("id", "name")
+    users.count() shouldBe 2
+    val orders = spark.read.parquet(res.paths("orders"))
+    orders.schema("amount").dataType.typeName shouldBe "double"
+    orders.select("amount").collect().map(_.getDouble(0)).sorted shouldBe Array(2.0, 10.5)
+  }
+
+  test("missing fields → null, extra fields dropped (test_integration.py:378-405)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1"}}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u2", "name": "bob", "extra": 1}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    val rows = spark.read.parquet(res.paths("users")).orderBy("id").collect()
+    rows.map(_.getString(1)).toSeq shouldBe Seq(null, "bob")
+    rows.head.schema.fieldNames.toSeq shouldBe Seq("id", "name")
+  }
+
+  test("schema-only stream writes no file (K4, test_integration.py:278-308)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "SCHEMA", "stream": "empty", "schema": {"type": "object", "properties": {"x": {"type": ["string", "null"]}}}, "key_properties": []}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "a"}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    res.recordCounts shouldBe Map("users" -> 1L, "empty" -> 0L)
+    res.paths.keySet shouldBe Set("users")
+    Files.exists(java.nio.file.Paths.get(res.paths("users"))) shouldBe true
+  }
+
+  test("fixed_headers prunes listed streams only (P1, test_integration_types.py:221-253)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "alice"}}"""))
+    val res = SingerPipeline.run(
+      spark, input,
+      SingerConfig(tmp(), fixedHeaders = Map("users" -> Seq("id"))))
+    spark.read.parquet(res.paths("users")).columns.toSeq shouldBe Seq("id")
+  }
+
+  test("int record values under string schema are stringified (test_integration.py:34-51)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": 42, "name": "n"}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    spark.read.parquet(res.paths("users")).select("id").head.getString(0) shouldBe "42"
+  }
+
+  test("typed round-trip: falsy values are not nulls (test_integration_types.py:24-141)") {
+    val input = write(Seq(
+      """{"type": "SCHEMA", "stream": "t", "schema": {"type": "object", "properties": {"id": {"type": "integer"}, "active": {"type": ["boolean", "null"]}, "count": {"type": ["integer", "null"]}, "price": {"type": ["number", "null"]}, "created_at": {"type": ["string", "null"], "format": "date-time"}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "t", "record": {"id": 1, "active": false, "count": 0, "price": 0.0, "created_at": "2024-01-15T10:30:00Z"}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"id": 2, "active": null, "count": null, "price": null, "created_at": "NOT A DATE"}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    val rows = spark.read.parquet(res.paths("t")).orderBy("id").collect()
+    rows(0).getBoolean(1) shouldBe false
+    rows(0).getLong(2) shouldBe 0L
+    rows(0).getDouble(3) shouldBe 0.0
+    rows(0).getTimestamp(4).toInstant.toString shouldBe "2024-01-15T10:30:00Z"
+    (1 to 4).foreach(i => rows(1).isNullAt(i) shouldBe true) // E8 repair → null
+  }
+
+  test("strict validation kills the job on enum violation (test_integration_types.py:256-283)") {
+    val schema =
+      """{"type": "SCHEMA", "stream": "ev", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "status": {"type": ["string", "null"], "enum": ["active", "inactive"]}}}, "key_properties": ["id"]}"""
+    val bad = """{"type": "RECORD", "stream": "ev", "record": {"id": "1", "status": "bogus"}}"""
+    // lenient: passes through untouched (sinks.py:134-139)
+    val lenient = SingerPipeline.run(spark, write(Seq(schema, bad)), SingerConfig(tmp()))
+    spark.read.parquet(lenient.paths("ev")).select("status").head.getString(0) shouldBe "bogus"
+    // strict: propagates
+    val e = intercept[Exception] {
+      SingerPipeline.run(spark, write(Seq(schema, bad)),
+        SingerConfig(tmp(), strictValidation = true))
+    }
+    e.getMessage should include("strict_validation")
+  }
+
+  test("staged-by-stream path produces identical output (scale path)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "SCHEMA", "stream": "orders", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "amount": {"type": ["number", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "alice"}}""",
+      """{"type": "RECORD", "stream": "orders", "record": {"id": "o1", "amount": 10.5}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp(), stageByStream = true))
+    res.recordCounts shouldBe Map("users" -> 1L, "orders" -> 1L)
+    spark.read.parquet(res.paths("orders")).select("amount").head.getDouble(0) shouldBe 10.5
+  }
+
+  test("job metrics accumulate across runs (A1, test_writers.py:79-111)") {
+    val dir = tmp()
+    SingerPipeline.writeJobMetrics(dir, Map("users" -> 2L))
+    SingerPipeline.writeJobMetrics(dir, Map("users" -> 3L, "orders" -> 1L))
+    val body = Files.readString(java.nio.file.Paths.get(s"$dir/job_metrics.json"))
+    body shouldBe """{"recordCount": {"orders": 1, "users": 5}}"""
+  }
+
+  test("mid-stream schema change: last wins (BUG-4 documented fix)") {
+    val input = write(Seq(
+      """{"type": "SCHEMA", "stream": "c", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "email": {"type": ["string", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "c", "record": {"id": "1", "email": "a@b.c"}}""",
+      """{"type": "SCHEMA", "stream": "c", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "phone": {"type": ["string", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "c", "record": {"id": "2", "phone": "555"}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    val df = spark.read.parquet(res.paths("c"))
+    df.columns.toSeq shouldBe Seq("id", "phone")
+    df.count() shouldBe 2
+  }
+}

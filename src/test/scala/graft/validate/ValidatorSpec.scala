@@ -1,0 +1,71 @@
+package graft.validate
+
+import graft.TestSpark
+import graft.schema.SchemaMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Constraint predicates (SURVEY.md §2.5 V1–V3;
+  * `/root/reference/target_parquet/validator.py`).
+  */
+class ValidatorSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private def prop(json: String) =
+    SchemaMapper.resolve("x", org.json4s.jackson.JsonMethods.parse(json))
+
+  private def violated(propJson: String, values: Seq[Any]): Seq[Boolean] = {
+    val p = prop(propJson)
+    val df = values.map(v => Option(v).map(_.toString)).toDF("raw")
+    val c = graft.functions.Coercions.coerce($"raw", p)
+    val checks = Validator.constraints(c, p)
+    val combined = checks.map(_._2).reduceOption(_ || _).getOrElse(lit(false))
+    df.select(coalesce(combined, lit(false))).collect().map(_.getBoolean(0)).toSeq
+  }
+
+  test("enum violation (validator exercised path, tests/test_sinks.py:301)") {
+    violated("""{"type": "string", "enum": ["a", "b"]}""",
+      Seq("a", "b", "z", null)) shouldBe Seq(false, false, true, false)
+  }
+
+  test("inclusive maximum / minimum (draft-7)") {
+    violated("""{"type": "integer", "maximum": 10}""",
+      Seq(10L, 11L, 9L)) shouldBe Seq(false, true, false)
+    violated("""{"type": "integer", "minimum": 2}""",
+      Seq(2L, 1L)) shouldBe Seq(false, true)
+  }
+
+  test("exclusive numeric bounds fail on equality (validator.py:23-48)") {
+    violated("""{"type": "number", "exclusiveMaximum": 5}""",
+      Seq(5.0, 4.9)) shouldBe Seq(true, false)
+    violated("""{"type": "number", "exclusiveMinimum": 5}""",
+      Seq(5.0, 5.1)) shouldBe Seq(true, false)
+  }
+
+  test("multipleOf: integer divisor exact; float divisor vacuous (validator.py:8-20)") {
+    violated("""{"type": "integer", "multipleOf": 3}""",
+      Seq(9L, 10L)) shouldBe Seq(false, true)
+    // the reference's float branch compares a value to itself — never fails
+    violated("""{"type": "number", "multipleOf": 0.5}""",
+      Seq(1.3, 1.0)) shouldBe Seq(false, false)
+  }
+
+  test("minLength / maxLength / pattern on strings") {
+    violated("""{"type": "string", "maxLength": 3}""",
+      Seq("abc", "abcd")) shouldBe Seq(false, true)
+    violated("""{"type": "string", "minLength": 2}""",
+      Seq("ab", "a")) shouldBe Seq(false, true)
+    violated("""{"type": "string", "pattern": "^[a-z]+$"}""",
+      Seq("abc", "Abc")) shouldBe Seq(false, true)
+  }
+
+  test("violation column labels the first failing property") {
+    val ss = SchemaMapper.fromSchemaMessage(
+      """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": {"status": {"type": ["string", "null"], "enum": ["on", "off"]}, "n": {"type": ["integer", "null"], "maximum": 5}}}, "key_properties": []}""")
+    val df = Seq(("on", 3L), ("bad", 3L), ("on", 9L)).toDF("status", "n")
+    val out = Validator.annotate(df, ss).select("_violation").collect().map(_.getString(0))
+    out shouldBe Array(null, "status: enum", "n: maximum")
+  }
+}
