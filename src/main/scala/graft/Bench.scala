@@ -1,19 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Force FULL materialization through the noop sink: count() would let
+    // Catalyst prune away the very projections being measured (md5/minhash/
+    // cosine columns don't survive column pruning under a count).
+    def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Warm the JVM/codegen/file-listing paths once with a cheap query, so
+    // measured numbers reflect steady-state execution, not first-job setup.
+    exec("q_stream_counts")
+    val headline = Seq(
+      "q_singer_pipeline", "q1_agg", "q_join_agg", "q_window", "q_topk",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_embed_dups",
+      "q_sim_topk", "q_sim_lsh",
+      "q_text_tokens", "q_text_quality", "q_text_langid", "q_fingerprint",
+      "q_multimodal_meta", "q_multimodal_features")
+    val results = headline.map(n => n -> exec(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

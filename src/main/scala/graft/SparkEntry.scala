@@ -1,13 +1,450 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.SingerPipeline
+import graft.schema.SchemaMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (the reference's ingest/ETL surface)
+  * plus the §7.3 extensions appears as a named query; each SQL-expressible
+  * one has a DuckDB oracle in [[oracleSql]]. Determinism rules:
+  *
+  *   - every oracle'd query is totally ordered (ORDER BY on a unique key);
+  *   - money aggregates are exact decimal sums cast to double at the end;
+  *   - cosine similarity uses quantized-integer dot products
+  *     ([[Similarity.quantize]]) so Spark and DuckDB agree bit-for-bit;
+  *   - timestamps cross the compare boundary as epoch-second longs
+  *     (`events.ts` is parquet TIMESTAMP(NANOS): Spark reads long nanos
+  *     under `nanosAsLong`, DuckDB reads native ns — longs compare clean).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship: the full Singer ingest slice on real data — events rows are
+    * serialized to Singer RECORD lines, then flow through the
+    * SCHEMA-registry → from_json → coercion pipeline (SURVEY.md §3 EP1-EP3)
+    * and come out typed. Driver smoke-checks rows > 0 at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    singerRoundTrip(spark, "/root/testdata/sf0.001")
+
+  private val eventsSchemaMsg =
+    """{"type": "SCHEMA", "stream": "events", "schema": {"type": "object", "properties": {
+      |"event_id": {"type": ["integer", "null"]},
+      |"event_type": {"type": ["string", "null"]},
+      |"value": {"type": ["number", "null"]},
+      |"k": {"type": ["integer", "null"]},
+      |"created_at": {"type": ["string", "null"], "format": "date-time"}
+      |}}, "key_properties": ["event_id"]}""".stripMargin
+
+  /** events → Singer RECORD JSON lines → pipeline → typed rows. */
+  private def singerRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val lines = ev.select(
+      concat(
+        lit("""{"type": "RECORD", "stream": "events", "record": """),
+        to_json(struct(
+          col("event_id"),
+          col("event_type"),
+          col("value"),
+          get_json_object(col("props"), "$.k").as("k"),
+          from_unixtime(unix_timestamp(col("ts"))).as("created_at"))),
+        lit("}")).as("value"))
+    val ss = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
+    SingerPipeline.typedRecords(lines, ss)
+      .select(
+        col("event_id"), col("event_type"), col("value"), col("k"),
+        unix_timestamp(col("created_at")).as("created_epoch"))
+      .orderBy("event_id")
+  }
+
+  /** One per implemented operator from SURVEY.md §2 (+ §7.3 extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── ingest / schema / coercion (SURVEY §2.1–2.4) ──────────────────
+    "q_singer_pipeline" -> ((s, dir) => singerRoundTrip(s, dir)),
+
+    "q_projection" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_text"))
+        .orderBy("event_id")),
+
+    "q_ingest_coerce" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+          get_json_object(col("props"), "$.k").cast("double").as("k_dbl"))
+        .orderBy("event_id")),
+
+    "q_empty_to_null" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          graft.functions.Coercions.emptyToNull(col("event_type")).as("et"))
+        .orderBy("event_id")),
+
+    "q_bool_cast" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          (col("value") > 100).cast("string").cast("boolean").as("flag"))
+        .orderBy("event_id")),
+
+    "q_datetime_parse" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          unix_timestamp(
+            to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")))
+            .as("ship_epoch"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_datetime_repair" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          unix_timestamp(try_to_timestamp(col("event_type"))).as("bad_epoch"),
+          unix_timestamp(try_to_timestamp(from_unixtime(unix_timestamp(col("ts")))))
+            .as("good_epoch"))
+        .orderBy("event_id")),
+
+    "q_nested_to_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("js"))
+        .orderBy("event_id")),
+
+    // ── validation (SURVEY §2.5) ──────────────────────────────────────
+    "q_validation_enum" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(!col("event_type").isin("click", "view", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("violations"))
+        .orderBy("event_type")),
+
+    "q_validation_range" -> ((s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          sum(when(col("value") < 0 || col("value") > 300, 1L).otherwise(0L))
+            .as("out_of_bounds"),
+          sum(when(col("value") <= 0 || col("value") >= 300, 1L).otherwise(0L))
+            .as("out_of_exclusive_bounds"),
+          count(lit(1)).as("n"))),
+
+    // ── aggregation / demux (SURVEY §2.6, §2.1 S3) ────────────────────
+    "q_stream_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type").as("stream"))
+        .agg(count(lit(1)).as("record_count"))
+        .orderBy("stream")),
+
+    "q_key_dedup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min("event_id").as("first_event"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    // ── analytic core (harness extensions: agg/join/topk/window) ──────
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)),
+
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ── dedup ladder (§7.3) ───────────────────────────────────────────
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("content_key")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHash(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = docs.filter(col("doc_id") < 40).select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a_id"))
+        .crossJoin(ids.select(col("doc_id").as("b_id")))
+        .filter(col("a_id") < col("b_id"))
+      Dedup.ngramJaccardPairs(docs, pairs).orderBy("a_id", "b_id")
+    }),
+
+    "q_embed_dups" -> ((s, dir) =>
+      Dedup.embeddingDups(t(s, dir, "embeddings"), threshold = 0.35)
+        .orderBy("label", "a_id", "b_id")),
+
+    // ── similarity search (§7.3) ──────────────────────────────────────
+    "q_sim_topk" -> ((s, dir) =>
+      Similarity.bruteTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
+        .orderBy("query_id", "rank")),
+
+    "q_sim_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
+        .orderBy("query_id", "rank")),
+
+    // ── text analysis (§7.3) ──────────────────────────────────────────
+    "q_text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ── multimodal (§7.3) ─────────────────────────────────────────────
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.payloadMeta(Multimodal.fromDocuments(t(s, dir, "documents")))
+        .orderBy("media_id")),
+
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(t(s, dir, "documents")))
+        .orderBy("media_id"))
+  )
+
+  /** DuckDB oracles. Omitted on purpose (rows-only check): q_dedup_minhash,
+    * q_dedup_simhash, q_sim_lsh (all keyed on Spark's xxhash64, which DuckDB
+    * does not implement) and q_multimodal_features (mapPartitions decode
+    * stub, not SQL).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_singer_pipeline" ->
+      """SELECT event_id, event_type, value,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS created_epoch
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "q_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_text FROM events ORDER BY event_id",
+
+    "q_ingest_coerce" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        | CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_empty_to_null" ->
+      "SELECT event_id, NULLIF(event_type, '') AS et FROM events ORDER BY event_id",
+
+    "q_bool_cast" ->
+      "SELECT event_id, CAST(CAST(value > 100 AS VARCHAR) AS BOOLEAN) AS flag FROM events ORDER BY event_id",
+
+    "q_datetime_parse" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(floor(epoch(CAST(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP))) AS BIGINT) AS ship_epoch
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_datetime_repair" ->
+      """SELECT event_id,
+        | CAST(floor(epoch(TRY_CAST(event_type AS TIMESTAMP))) AS BIGINT) AS bad_epoch,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS good_epoch
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_nested_to_json" ->
+      """SELECT event_id,
+        | to_json(struct_pack(event_id := event_id, event_type := event_type)) AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_validation_enum" ->
+      """SELECT event_type, count(*) AS violations FROM events
+        |WHERE event_type NOT IN ('click', 'view', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_validation_range" ->
+      """SELECT
+        | SUM(CASE WHEN value < 0 OR value > 300 THEN 1 ELSE 0 END) AS out_of_bounds,
+        | SUM(CASE WHEN value <= 0 OR value >= 300 THEN 1 ELSE 0 END) AS out_of_exclusive_bounds,
+        | count(*) AS n
+        |FROM events""".stripMargin,
+
+    "q_stream_counts" ->
+      "SELECT event_type AS stream, count(*) AS record_count FROM events GROUP BY event_type ORDER BY stream",
+
+    "q_key_dedup" ->
+      """SELECT user_id, min(event_id) AS first_event, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        | FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_key,
+        | min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(sh0) AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+        | )
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 40 AND b.doc_id < 40
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_embed_dups" ->
+      """WITH q AS (
+        | SELECT label, vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings
+        |)
+        |SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+        | round(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+        |  / sqrt(CAST(list_sum(list_transform(list_zip(a.qv, a.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |       * CAST(list_sum(list_transform(list_zip(b.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
+        |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+        |  / sqrt(CAST(list_sum(list_transform(list_zip(a.qv, a.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |       * CAST(list_sum(list_transform(list_zip(b.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) >= 0.35
+        |ORDER BY label, a_id, b_id""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings
+        |), scored AS (
+        | SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_sum(list_transform(list_zip(qs.qv, c.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(list_sum(list_transform(list_zip(qs.qv, qs.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |        * CAST(list_sum(list_transform(list_zip(c.qv, c.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
+        | FROM q qs JOIN q c ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id
+        |)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        | length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) AS uniq_ratio,
+        | round(CAST(length(text) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len,
+        | round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+        | round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH c AS (
+        | SELECT doc_id, lang AS actual_lang,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'of', 'and'))) AS en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und'))) AS de,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'les'))) AS fr,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las', 'y'))) AS es
+        | FROM documents
+        |)
+        |SELECT doc_id, actual_lang,
+        | CASE WHEN en >= greatest(de, fr, es) AND en > 0 THEN 'en'
+        |      WHEN de >= greatest(fr, es) AND de > 0 THEN 'de'
+        |      WHEN fr >= es AND fr > 0 THEN 'fr'
+        |      WHEN es > 0 THEN 'es'
+        |      ELSE 'zh' END AS predicted_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        | octet_length(encode(text)) AS n_bytes,
+        | sha256(text) AS digest,
+        | hex(encode(substr(text, 1, 4))) AS magic
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

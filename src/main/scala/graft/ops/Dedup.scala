@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.functions.ColumnOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, over
+  * `documents(doc_id, text, ...)` (FIXTURES.md §B).
+  *
+  * Five tiers, cheapest first — the standard corpus-dedup ladder:
+  *
+  *   1. [[exact]] — hash-groupBy on normalized content. One shuffle on a
+  *      content hash (NOT the full text: at 100 TB shuffling raw documents
+  *      as keys would move the whole corpus; a 128-bit digest moves ~nothing
+  *      and collisions are negligible).
+  *   2. [[minHashLsh]] — MinHash signatures over word shingles + banded LSH
+  *      self-join for near-duplicate *candidates*, verified with exact
+  *      Jaccard. The self-join is on short (band, bucket) keys; candidate
+  *      volume, not corpus², drives cost.
+  *   3. [[simHash]] — 64-bit SimHash fingerprints; near-dups have small
+  *      Hamming distance. Cheapest signal per byte: one long per document.
+  *   4. [[ngramJaccardPairs]] — exact n-gram Jaccard on a candidate pair
+  *      set (use after 2/3 at scale; standalone only for small blocks).
+  *   5. [[embeddingDups]] — semantic near-dups via quantized cosine over a
+  *      blocking key (label/cluster), catching paraphrases the lexical
+  *      tiers miss.
+  *
+  * All operators are built-ins end to end (`xxhash64`, higher-order array
+  * functions, hash aggregates) — codegen'd, no UDFs, deterministic across
+  * runs and cluster sizes.
+  */
+object Dedup {
+
+  private def normText(textCol: Column): Column =
+    lower(regexp_replace(textCol, "\\s+", " "))
+
+  /** Exact dedup: keep the lowest-id representative per identical
+    * (normalized) text. Aggregation key is the md5 digest, so the shuffle
+    * carries (digest, id) pairs only; the text itself stays columnar in
+    * place and is re-read only for the survivors.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("content_key"))
+    keyed
+      .groupBy("content_key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+  }
+
+  /** Word shingles (n-gram windows joined back to strings). The token
+    * array is let-bound ([[ColumnOps.bind]]) so the regex tokenization runs
+    * once per row, not once per reference.
+    */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    ColumnOps.bind(split(normText(textCol), " ")) { toks =>
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(
+          transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => array_join(slice(toks, i, lit(n)), " ")))
+    }
+
+  /** MinHash signature: `numHashes` permutations simulated by seeded
+    * `xxhash64`; signature component h = min hash over the shingle set.
+    */
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shinglesCol, s => xxhash64(s, h))))
+
+  /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * Pipeline: per-doc signature (narrow) → explode `bands` band keys →
+    * self-join on (band, bucket) → distinct candidate pairs → exact Jaccard
+    * on shingle sets → filter ≥ `threshold`.
+    *
+    * With numHashes = bands × rowsPerBand, the usual S-curve applies; the
+    * defaults (32 = 8×4) catch Jaccard ≳ 0.6 with high probability.
+    * Skew note: a degenerate bucket (e.g. empty docs) would quadratically
+    * blow up the self-join; AQE skew-join splitting handles moderate cases,
+    * and upstream length filters should drop degenerate docs first.
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      threshold: Double = 0.6,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // One let-bound expression chain per row — shingles evaluated once,
+    // signature once, then the 8 band buckets sliced off it. Without the
+    // binding, CollapseProject inlines shingles into all 32 seed lambdas
+    // and the signature into all 8 band lambdas: 256× the work (measured
+    // 123 s vs ~2 s on sf0.1).
+    val bandBuckets = ColumnOps.bind(shingles(col("text"), shingleSize)) { sh =>
+      ColumnOps.bind(minHashSignature(sh, numHashes)) { sig =>
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+      }
+    }
+    // Band join carries ONLY (band, bucket, doc_id): shuffling the shingle
+    // arrays themselves would move ~the whole corpus 2 × bands times. The
+    // (typically few) candidate pairs re-join their shingles afterwards.
+    val banded = docs.select(col("doc_id"), posexplode(bandBuckets))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val candidates = banded
+      .join(banded.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
+      .filter(col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val sh = docs.select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard", round(jaccard(col("a_sh"), col("b_sh")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Exact Jaccard over the distinct-element view of two arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** 64-bit SimHash over word tokens: bit b is the sign of the summed
+    * ±1 votes of each token under seed-b `xxhash64` (a per-bit seeded hash
+    * rather than bit-extraction of one hash — same independence guarantees,
+    * and it stays a pure `Column` expression; `shiftright` on a column bit
+    * index is not expressible via the Scala functions API).
+    *
+    * Packed as two 32-bit halves (`simhash_hi` bits 63..32, `simhash_lo`
+    * bits 31..0): packing all 64 into one signed long would overflow under
+    * ANSI arithmetic on the final `acc * 2`. Hamming distance =
+    * popcount(hi ⊕ hi') + popcount(lo ⊕ lo').
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    def bits(toks: Column, from: Int, until: Int) = transform(
+      sequence(lit(from), lit(until)),
+      b =>
+        when(
+          aggregate(
+            toks,
+            lit(0L),
+            (acc, t) => acc + when(xxhash64(t, b) % 2 === 0, 1L).otherwise(-1L))
+            >= 0,
+          lit(1L)).otherwise(lit(0L)))
+    def pack(bs: Column) = aggregate(bs, lit(0L), (acc, bit) => acc * 2 + bit)
+    // Both halves in ONE let-bound struct, surfaced through an explode —
+    // a Generate is a projection-collapse barrier, so tokenization and the
+    // 64 bit-folds run exactly once per row even with two output columns.
+    val packed = ColumnOps.bind(split(normText(col("text")), " ")) { toks =>
+      struct(
+        pack(bits(toks, 0, 31)).as("simhash_hi"),
+        pack(bits(toks, 32, 63)).as("simhash_lo"))
+    }
+    docs.select(col("doc_id"), explode(array(packed)).as("q"))
+      .select(col("doc_id"), col("q.simhash_hi"), col("q.simhash_lo"))
+  }
+
+  /** Exact n-gram Jaccard similarity for an explicit pair set — the
+    * verification stage after candidate generation, or a standalone
+    * all-pairs check within small blocks.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      pairs: DataFrame, // (a_id, b_id)
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
+      .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+      .select(
+        col("a_id"),
+        col("b_id"),
+        round(jaccard(col("a_sh"), col("b_sh")), 6).as("jaccard"))
+  }
+
+  /** Semantic near-dups: quantized cosine over pairs sharing a blocking
+    * key (here `label`, standing in for a cluster id). Blocking bounds the
+    * pair count; at scale the blocking key comes from coarse clustering or
+    * LSH ([[Similarity.rhpSignature]]).
+    */
+  def embeddingDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val q = embeddings.select(
+      col("label"),
+      col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.qdot(col("qv"), col("qv")))
+    val a = q.select(
+      col("label"), col("vec_id").as("a_id"),
+      col("qv").as("a_qv"), col("qn").as("a_qn"))
+    val b = q.select(
+      col("label"), col("vec_id").as("b_id"),
+      col("qv").as("b_qv"), col("qn").as("b_qn"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        Similarity.qcosinePre(
+          Similarity.qdot(col("a_qv"), col("b_qv")), col("a_qn"), col("b_qn")))
+      .filter(col("sim") >= threshold)
+      .select("label", "a_id", "b_id", "sim")
+  }
+}

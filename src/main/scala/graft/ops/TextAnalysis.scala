@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over a
+  * `documents(doc_id, text, lang, source, n_chars)` table (FIXTURES.md §B).
+  *
+  * Everything here is built from codegen'd higher-order `Column` functions —
+  * no UDFs, no driver round-trips — so each operator is one narrow
+  * projection that scales linearly with input splits and keeps whole-stage
+  * codegen intact. At 100 TB these are pure map stages: no shuffle, no
+  * skew sensitivity, parquet column pruning reads only `doc_id, text`.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The synthetic corpus is single-space separated;
+    * real-world use passes a custom pattern.
+    */
+  def tokens(text: Column, pattern: String = " "): Column = split(text, pattern)
+
+  /** Token counting, whitespace + a BPE-ish regex variant: word pieces,
+    * digit runs, or single non-space symbols — the shape GPT-style byte-pair
+    * pretokenizers produce.
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(tokens(col(textCol))).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("n_bpe_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Quality scoring: length, lexical diversity, stopword density,
+    * punctuation ratio — the standard cheap pre-training filters. All
+    * ratios guarded against empty documents (ANSI mode: division by zero
+    * throws).
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val safeTok = greatest(nTok, lit(1)).cast("double")
+    df.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(size(array_distinct(toks)) / safeTok, 6).as("uniq_ratio"),
+      round(length(col(textCol)) / safeTok, 6).as("avg_token_len"),
+      round(
+        size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))) / safeTok,
+        6).as("stopword_ratio"),
+      round(
+        size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          / greatest(length(col(textCol)), lit(1)).cast("double"),
+        6).as("punct_ratio"))
+  }
+
+  /** N-gram-heuristic language ID: score each candidate language by its
+    * marker-token density, take the argmax with a fixed precedence order
+    * (en > de > fr > es > zh default). Deterministic and SQL-expressible,
+    * so DuckDB can replay it as the oracle.
+    */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    def hits(markers: String*): Column =
+      size(filter(toks, t => t.isin(markers.map(_.asInstanceOf[Any]): _*)))
+    val en = hits("the", "of", "and")
+    val de = hits("der", "die", "das", "und")
+    val fr = hits("le", "la", "et", "les")
+    val es = hits("el", "los", "las", "y")
+    df.select(
+      col("doc_id"),
+      col("lang").as("actual_lang"),
+      when(en >= greatest(de, fr, es) && en > 0, "en")
+        .when(de >= greatest(fr, es) && de > 0, "de")
+        .when(fr >= es && fr > 0, "fr")
+        .when(es > 0, "es")
+        .otherwise("zh")
+        .as("predicted_lang"))
+  }
+
+  /** Document fingerprinting.
+    *
+    *   - `fp_md5`: content hash of whitespace-normalized, lowercased text —
+    *     the exact-dedup key.
+    *   - `fp_roll`: 64-bit-safe polynomial rolling hash (base 31, mod 1e9+7)
+    *     over characters, computed as a codegen'd `aggregate` fold. The
+    *     modulus keeps the accumulator < 2^60, so ANSI overflow checking
+    *     never fires, and the fold is sequential → bit-identical in any
+    *     engine that replays it.
+    */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    df.select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      expr(
+        s"aggregate(split(lower(regexp_replace($textCol, '\\\\s+', ' ')), ''), " +
+          "0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007)").as("fp_roll"))
+  }
+}

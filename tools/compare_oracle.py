@@ -25,6 +25,12 @@ def canon(df):
 
 
 def norm(v):
+    try:
+        import pandas as pd
+        if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+            return None
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
         return round(v, 6)
     return v
