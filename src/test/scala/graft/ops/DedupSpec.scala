@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup of 0
+    (3L, "completely different text about spark engines and shuffles"),
+    (4L, "THE  Quick   Brown fox jumps over the lazy dog") // dup after normalize
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keys on normalized content; keeps lowest id") {
+    val out = Dedup.exact(docs).collect()
+    out.length shouldBe 3 // {0,1,4}, {2}, {3}
+    val dupGroup = out.find(_.getAs[Long]("copies") == 3).get
+    dupGroup.getAs[Long]("keep_id") shouldBe 0L
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair and skips unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, threshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 1L)) // identical
+    pairs should contain((0L, 4L)) // identical after normalization
+    // near-dup 0-2 shares most shingles; must be a candidate at jaccard≥0.3
+    pairs should contain((0L, 2L))
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("jaccard is exact set similarity") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+    df.select(Dedup.jaccard(col("a"), col("b"))).head.getDouble(0) shouldBe 0.5 +- 1e-9
+  }
+
+  test("simhash: identical (normalized) docs agree; unrelated docs differ") {
+    val out = Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(0L) shouldBe out(1L)
+    out(0L) shouldBe out(4L)
+    out(0L) should not be out(3L)
+    // near-dup: small hamming distance between doc 0 and doc 2
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    hamming(out(0L), out(2L)) should be < hamming(out(0L), out(3L))
+  }
+
+  test("ngram jaccard pairs verifies an explicit candidate set") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a_id", "b_id")
+    val out = Dedup.ngramJaccardPairs(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out((0L, 1L)) shouldBe 1.0 +- 1e-9
+    out((0L, 3L)) shouldBe 0.0 +- 1e-9
+  }
+
+  test("embedding dups finds same-label near-identical vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.01f, 0.0f), 1),  // same label, near-dup
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),    // same label, orthogonal
+      (3L, Array(1.0f, 0.0f, 0.0f), 2)     // dup of 0 but different label
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingDups(emb, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    out shouldBe Set((0L, 1L))
+  }
+}

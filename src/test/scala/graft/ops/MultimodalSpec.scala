@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class MultimodalSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "abcd", "en", "s", 4L),
+    (2L, "zzzzzzzz", "en", "s", 8L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("media wrapping + payload metadata without decoding") {
+    val meta = Multimodal.payloadMeta(Multimodal.fromDocuments(docs)).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    meta(1L).getAs[Int]("n_bytes") shouldBe 4
+    meta(2L).getAs[Int]("n_bytes") shouldBe 8
+    meta(1L).getAs[String]("magic") shouldBe "61626364" // 'abcd' hex
+    meta(1L).getAs[String]("digest") should have length 64
+  }
+
+  test("feature extraction runs per-partition and is deterministic in the bytes") {
+    val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val feats1 = f(1L).getSeq[Double](f(1L).fieldIndex("features"))
+    feats1.sum shouldBe 1.0 +- 1e-9 // histogram normalized
+    f(1L).getAs[Int]("dec_width") shouldBe 4 // stub: n % 640
+    // 'z' = 0x7a -> bin 3 for all bytes
+    f(2L).getSeq[Double](f(2L).fieldIndex("features"))(3) shouldBe 1.0 +- 1e-9
+  }
+}

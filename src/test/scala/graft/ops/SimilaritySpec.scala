@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SimilaritySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  // small corpus with known geometry
+  private val emb = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.0f, 1.0f), 0),
+    (3L, Array(-1.0f, 0.0f), 0),
+    (4L, Array(0.7f, 0.7f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by exact cosine") {
+    val out = Similarity.bruteTopK(emb, queryMaxId = 1L, k = 4)
+      .select("cand_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    // neighbors of [1,0]: closest 1 (~0.994), then 4 (0.707), then 2 (0), then 3 (-1)
+    out.map(_._1).toSeq shouldBe Seq(1L, 4L, 2L, 3L)
+  }
+
+  test("top-k sim values match hand-computed cosine") {
+    val sims = Similarity.bruteTopK(emb, queryMaxId = 1L, k = 4)
+      .select("cand_id", "sim").as[(Long, Double)].collect().toMap
+    sims(2L) shouldBe 0.0 +- 1e-6
+    sims(3L) shouldBe -1.0 +- 1e-6
+    sims(4L) shouldBe math.sqrt(2.0) / 2 +- 1e-4
+  }
+
+  test("LSH top-k recall vs brute force on the real embeddings table") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // LSH is approximate: require non-trivial overlap with the exact answer
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    recall should be >= 0.2
+    lsh.size shouldBe 25 // 5 queries × k=5 (enough candidates exist)
+  }
+
+  test("signatures are deterministic across evaluations") {
+    val a = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
+    val b = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
+    a shouldBe b
+  }
+}

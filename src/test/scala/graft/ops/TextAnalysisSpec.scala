@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TextAnalysisSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish regex") {
+    val df = Seq((1L, "hello world, 42 times!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df).head
+    r.getAs[Int]("n_ws_tokens") shouldBe 4
+    // hello | world | , | 42 | times | !
+    r.getAs[Int]("n_bpe_tokens") shouldBe 6
+    r.getAs[Int]("n_chars") shouldBe 22
+  }
+
+  test("quality score ratios") {
+    val df = Seq((1L, "the the the the")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df).head
+    r.getAs[Int]("n_tokens") shouldBe 4
+    r.getAs[Double]("uniq_ratio") shouldBe 0.25
+    r.getAs[Double]("stopword_ratio") shouldBe 1.0
+    r.getAs[Double]("punct_ratio") shouldBe 0.0
+  }
+
+  test("language id picks the dominant marker language") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "le chat et la maison et les chiens"),
+      (4L, "el gato y los perros y las casas"),
+      (5L, "no markers here whatsoever")
+    ).toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("?"))
+    val out = TextAnalysis.langId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh")
+  }
+
+  test("fingerprints: md5 matches normalization; rolling hash is stable and order-sensitive") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "world hello")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(1L) shouldBe out(2L) // case+whitespace normalization
+    out(2L)._1 should not be out(3L)._1
+    out(2L)._2 should not be out(3L)._2 // rolling hash sees order
+  }
+}
