@@ -1,0 +1,77 @@
+package graft
+
+import graft.pipeline.{SingerConfig, SingerPipeline}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.nio.file.{Files, Paths}
+
+/** CLI entry — the Spark-native equivalent of `target-parquet --config
+  * c.json < messages.jsonl` (reference `target.py:34-35`,
+  * `pyproject.toml:38-40`).
+  *
+  * Usage:
+  * {{{
+  *   graft.SingerMain --config config.json --input messages.jsonl
+  * }}}
+  *
+  * Config keys (superset of the reference's `target.py:16-25` +
+  * sink-read keys `sinks.py:136,148-150`):
+  *   - `filepath`: output directory. Declared-but-dead in the reference
+  *     (it always wrote to CWD, `writers.py:10-11`); honored here —
+  *     documented improvement (SURVEY.md §7.4).
+  *   - `fixed_headers`: `{stream: [cols]}` projection (P1).
+  *   - `strict_validation`: bool (P3).
+  *   - `stage_by_stream`: bool — two-pass staging for many-stream inputs
+  *     (scale path, see [[graft.pipeline.SingerPipeline]]).
+  *
+  * Input is a file of newline-delimited Singer messages rather than a
+  * stdin pipe: on a cluster the "pipe" is a distributed path (HDFS/S3
+  * prefix), which is exactly what `spark.read.text` takes. For a literal
+  * stdin bridge, write stdin to a temp file and pass it (the reference's
+  * single-process pipe has no distributed analogue).
+  */
+object SingerMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val configJson: JValue = opts.get("config") match {
+      case Some(path) => JsonMethods.parse(Files.readString(Paths.get(path)))
+      case None       => JObject()
+    }
+    val input = opts.getOrElse("input",
+      sys.error("--input <messages.jsonl or directory> is required"))
+
+    def str(key: String): Option[String] =
+      configJson \ key match { case JString(s) => Some(s); case _ => None }
+    def bool(key: String): Boolean =
+      configJson \ key match { case JBool(b) => b; case _ => false }
+    val fixedHeaders: Map[String, Seq[String]] = configJson \ "fixed_headers" match {
+      case JObject(fields) =>
+        fields.collect { case (stream, JArray(cols)) =>
+          stream -> cols.collect { case JString(c) => c }
+        }.toMap
+      case _ => Map.empty
+    }
+
+    val config = SingerConfig(
+      outDir = str("filepath").getOrElse("."),
+      fixedHeaders = fixedHeaders,
+      strictValidation = bool("strict_validation"),
+      stageByStream = bool("stage_by_stream"))
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Sessions.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val result = SingerPipeline.run(spark, input, config)
+      SingerPipeline.writeJobMetrics(config.outDir, result.recordCounts)
+      result.paths.toSeq.sortBy(_._1).foreach { case (stream, path) =>
+        println(s"[target-parquet-spark] $stream -> $path")
+      }
+      println(s"[target-parquet-spark] job_metrics: " +
+        result.recordCounts.toSeq.sortBy(_._1).map { case (s, n) => s"$s=$n" }.mkString(", "))
+    } finally spark.stop()
+  }
+}
