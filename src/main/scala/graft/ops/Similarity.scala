@@ -34,11 +34,21 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 10000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors: a codegen'd
-    * sequential fold, no UDF.
+  /** Exact integer dot product of two quantized vectors.
+    *
+    * Uses the native codegen'd [[graft.plans.LongDotProduct]] when the
+    * session has the graft extensions installed (the default via
+    * [[graft.Sessions.builder]]); falls back to the built-in
+    * `aggregate(zip_with(...))` fold — identical integer semantics, just
+    * interpreted — on vanilla sessions.
     */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  def qdot(a: Column, b: Column): Column = {
+    val viaExtension = org.apache.spark.sql.SparkSession.getActiveSession.exists(
+      _.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qdot")))
+    if (viaExtension) call_function("graft_qdot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  }
 
   /** Cosine similarity on quantized vectors, rounded for stable compares. */
   def qcosine(a: Column, b: Column, scale: Int = 6): Column =

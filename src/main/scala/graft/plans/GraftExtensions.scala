@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the library's native expressions, enabled
+  * with `spark.sql.extensions=graft.plans.GraftExtensions` (wired by
+  * [[graft.Sessions.builder]]). After registration the expressions are
+  * callable from SQL and via `functions.call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type Builder = Seq[Expression] => Expression
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_qdot"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_qdot"),
+      (children: Seq[Expression]) => LongDotProduct(children.head, children(1))))
+}
