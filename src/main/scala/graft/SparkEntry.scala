@@ -194,7 +194,7 @@ object SparkEntry {
     "q_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
         .orderBy("o_custkey", "rn")
@@ -309,8 +309,8 @@ object SparkEntry {
 
     "q_validation_range" ->
       """SELECT
-        | SUM(CASE WHEN value < 0 OR value > 300 THEN 1 ELSE 0 END) AS out_of_bounds,
-        | SUM(CASE WHEN value <= 0 OR value >= 300 THEN 1 ELSE 0 END) AS out_of_exclusive_bounds,
+        | CAST(SUM(CASE WHEN value < 0 OR value > 300 THEN 1 ELSE 0 END) AS BIGINT) AS out_of_bounds,
+        | CAST(SUM(CASE WHEN value <= 0 OR value >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS out_of_exclusive_bounds,
         | count(*) AS n
         |FROM events""".stripMargin,
 

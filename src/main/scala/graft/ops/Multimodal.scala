@@ -54,7 +54,7 @@ object Multimodal {
     media.select(
       col("media_id"),
       col("kind"),
-      length(col("payload")).as("n_bytes"),
+      length(col("payload")).cast("long").as("n_bytes"),
       sha2(col("payload"), 256).as("digest"),
       hex(expr("substring(payload, 1, 4)")).as("magic"))
 

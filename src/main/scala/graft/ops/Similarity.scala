@@ -87,7 +87,7 @@ object Similarity {
         qcosinePre(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "sim", "rank")
   }
@@ -167,7 +167,7 @@ object Similarity {
     cands
       .withColumn("sim",
         qcosinePre(qdot(col("query_qv"), col("qv")), col("query_qn"), col("qn")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "sim", "rank")
   }

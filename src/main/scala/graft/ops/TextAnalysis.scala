@@ -26,10 +26,12 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
     df.select(
       col("doc_id"),
-      size(tokens(col(textCol))).as("n_ws_tokens"),
+      // counts surface as long: `size` is int32 in Spark but every other
+      // engine's len() is int64 — long keeps results schema-portable
+      size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-        .as("n_bpe_tokens"),
-      length(col(textCol)).as("n_chars"))
+        .cast("long").as("n_bpe_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
 
   /** Quality scoring: length, lexical diversity, stopword density,
     * punctuation ratio — the standard cheap pre-training filters. All
@@ -42,7 +44,7 @@ object TextAnalysis {
     val safeTok = greatest(nTok, lit(1)).cast("double")
     df.select(
       col("doc_id"),
-      nTok.as("n_tokens"),
+      nTok.cast("long").as("n_tokens"),
       round(size(array_distinct(toks)) / safeTok, 6).as("uniq_ratio"),
       round(length(col(textCol)) / safeTok, 6).as("avg_token_len"),
       round(

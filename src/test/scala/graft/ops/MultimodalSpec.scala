@@ -16,8 +16,8 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
   test("media wrapping + payload metadata without decoding") {
     val meta = Multimodal.payloadMeta(Multimodal.fromDocuments(docs)).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap
-    meta(1L).getAs[Int]("n_bytes") shouldBe 4
-    meta(2L).getAs[Int]("n_bytes") shouldBe 8
+    meta(1L).getAs[Long]("n_bytes") shouldBe 4L
+    meta(2L).getAs[Long]("n_bytes") shouldBe 8L
     meta(1L).getAs[String]("magic") shouldBe "61626364" // 'abcd' hex
     meta(1L).getAs[String]("digest") should have length 64
   }

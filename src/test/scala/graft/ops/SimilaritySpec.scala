@@ -19,7 +19,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
 
   test("brute-force top-k ranks by exact cosine") {
     val out = Similarity.bruteTopK(emb, queryMaxId = 1L, k = 4)
-      .select("cand_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+      .select("cand_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
     // neighbors of [1,0]: closest 1 (~0.994), then 4 (0.707), then 2 (0), then 3 (-1)
     out.map(_._1).toSeq shouldBe Seq(1L, 4L, 2L, 3L)
   }

@@ -11,16 +11,16 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
   test("token counts: whitespace and BPE-ish regex") {
     val df = Seq((1L, "hello world, 42 times!")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(df).head
-    r.getAs[Int]("n_ws_tokens") shouldBe 4
+    r.getAs[Long]("n_ws_tokens") shouldBe 4L
     // hello | world | , | 42 | times | !
-    r.getAs[Int]("n_bpe_tokens") shouldBe 6
-    r.getAs[Int]("n_chars") shouldBe 22
+    r.getAs[Long]("n_bpe_tokens") shouldBe 6L
+    r.getAs[Long]("n_chars") shouldBe 22L
   }
 
   test("quality score ratios") {
     val df = Seq((1L, "the the the the")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityScore(df).head
-    r.getAs[Int]("n_tokens") shouldBe 4
+    r.getAs[Long]("n_tokens") shouldBe 4L
     r.getAs[Double]("uniq_ratio") shouldBe 0.25
     r.getAs[Double]("stopword_ratio") shouldBe 1.0
     r.getAs[Double]("punct_ratio") shouldBe 0.0

@@ -58,6 +58,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(expect.columns)}")
             n_fail += 1
             continue
+        dt_mismatch = [(c, str(got[c].dtype), str(expect[c].dtype))
+                       for c in expect.columns
+                       if str(got[c].dtype) != str(expect[c].dtype)]
+        if dt_mismatch:
+            print(f"FAIL {name}: dtype mismatch {dt_mismatch}")
+            n_fail += 1
+            continue
         if len(expect) != len(got):
             print(f"FAIL {name}: rows {len(got)} != {len(expect)}")
             n_fail += 1
