@@ -126,37 +126,51 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** 64-bit SimHash over word tokens: bit b is the sign of the summed
-    * ±1 votes of each token under seed-b `xxhash64` (a per-bit seeded hash
-    * rather than bit-extraction of one hash — same independence guarantees,
-    * and it stays a pure `Column` expression; `shiftright` on a column bit
-    * index is not expressible via the Scala functions API).
-    *
-    * Packed as two 32-bit halves (`simhash_hi` bits 63..32, `simhash_lo`
-    * bits 31..0): packing all 64 into one signed long would overflow under
-    * ANSI arithmetic on the final `acc * 2`. Hamming distance =
+  /** 64-bit SimHash over word tokens, packed as two 32-bit halves
+    * (`simhash_hi` = bits 0..31, `simhash_lo` = bits 32..63; one signed
+    * long would overflow ANSI arithmetic). Hamming distance =
     * popcount(hi ⊕ hi') + popcount(lo ⊕ lo').
+    *
+    * Fast path: the native [[graft.plans.SimHash64]] expression — one
+    * `xxhash64` per token, one pass with free bit shifts (registered via
+    * the graft session extensions). Fallback (vanilla sessions): pure
+    * Column formulation voting with 64 separately-SEEDED hashes per token,
+    * because a variable bit shift is not expressible in the lambda API.
+    * The two paths are different (equally valid) hash families — use one
+    * consistently within a corpus.
     */
   def simHash(docs: DataFrame): DataFrame = {
-    def bits(toks: Column, from: Int, until: Int) = transform(
-      sequence(lit(from), lit(until)),
-      b =>
-        when(
-          aggregate(
-            toks,
-            lit(0L),
-            (acc, t) => acc + when(xxhash64(t, b) % 2 === 0, 1L).otherwise(-1L))
-            >= 0,
-          lit(1L)).otherwise(lit(0L)))
-    def pack(bs: Column) = aggregate(bs, lit(0L), (acc, bit) => acc * 2 + bit)
-    // Both halves in ONE let-bound struct, surfaced through an explode —
-    // a Generate is a projection-collapse barrier, so tokenization and the
-    // 64 bit-folds run exactly once per row even with two output columns.
-    val packed = ColumnOps.bind(split(normText(col("text")), " ")) { toks =>
-      struct(
-        pack(bits(toks, 0, 31)).as("simhash_hi"),
-        pack(bits(toks, 32, 63)).as("simhash_lo"))
-    }
+    val native = docs.sparkSession.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"))
+    val packed =
+      if (native)
+        ColumnOps.bind(
+          call_function("graft_simhash",
+            transform(split(normText(col("text")), " "), t => xxhash64(t)))) { s =>
+          struct(
+            element_at(s, 1).as("simhash_hi"),
+            element_at(s, 2).as("simhash_lo"))
+        }
+      else {
+        def bits(toks: Column, from: Int, until: Int) = transform(
+          sequence(lit(from), lit(until)),
+          b =>
+            when(
+              aggregate(
+                toks,
+                lit(0L),
+                (acc, t) => acc + when(xxhash64(t, b) % 2 === 0, 1L).otherwise(-1L))
+                >= 0,
+              lit(1L)).otherwise(lit(0L)))
+        def pack(bs: Column) = aggregate(bs, lit(0L), (acc, bit) => acc * 2 + bit)
+        ColumnOps.bind(split(normText(col("text")), " ")) { toks =>
+          struct(
+            pack(bits(toks, 0, 31)).as("simhash_hi"),
+            pack(bits(toks, 32, 63)).as("simhash_lo"))
+        }
+      }
+    // explode(array(...)) = Generate barrier: both output columns extract
+    // from ONE evaluation of the packed struct.
     docs.select(col("doc_id"), explode(array(packed)).as("q"))
       .select(col("doc_id"), col("q.simhash_hi"), col("q.simhash_lo"))
   }

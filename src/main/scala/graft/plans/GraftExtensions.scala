@@ -20,5 +20,8 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_qdot"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_qdot"),
-      (children: Seq[Expression]) => LongDotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => LongDotProduct(children.head, children(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
 }
