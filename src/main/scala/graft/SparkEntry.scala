@@ -200,9 +200,21 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // ── streaming semantics on batch (windowed agg + sessionization) ──
+    "q_windowed_counts" -> ((s, dir) =>
+      graft.streaming.EventStreamOps.windowedCounts(t(s, dir, "events"))
+        .orderBy("window_start", "event_type")),
+
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStreamOps.sessionizeBatch(t(s, dir, "events"))
+        .orderBy("user_id", "session_id")),
+
     // ── dedup ladder (§7.3) ───────────────────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("content_key")),
+
+    "q_dedup_apply" -> ((s, dir) =>
+      Dedup.dropExactDuplicates(t(s, dir, "documents")).orderBy("doc_id")),
 
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.5)
@@ -253,7 +265,11 @@ object SparkEntry {
 
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fromDocuments(t(s, dir, "documents")))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.fromDocuments(t(s, dir, "documents")))
+        .orderBy("media_id", "frame_no"))
   )
 
   /** DuckDB oracles. Omitted on purpose (rows-only check): q_dedup_minhash,
@@ -345,10 +361,44 @@ object SparkEntry {
         | FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    "q_windowed_counts" ->
+      """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+        | event_type, count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH l AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+        |  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+        | FROM events
+        |), t AS (
+        | SELECT user_id, event_id, epoch,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR epoch - prev > 1800 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY epoch, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM l
+        |)
+        |SELECT user_id, session_id, min(epoch) AS session_start,
+        | max(epoch) AS session_end, count(*) AS n_events
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_key,
         | min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+
+    "q_dedup_apply" ->
+      """SELECT d.* FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents
+        |      GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) k
+        |USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
+        | encode(substr(text, CAST(f * 256 + 1 AS INT), 256)) AS frame_payload
+        |FROM documents, range(0, 4) r(f)
+        |WHERE length(text) >= f * 256 + 1
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (

@@ -48,6 +48,30 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
   }
 
+  /** Apply exact dedup to the corpus: the surviving rows themselves (one
+    * representative per identical normalized text, lowest doc_id wins) —
+    * the operation a pipeline actually runs, with [[exact]] as its group
+    * report. Implemented as min-id-per-digest joined back as a semi-join
+    * filter: the shuffle carries (digest, id), never the documents.
+    */
+  def dropExactDuplicates(docs: DataFrame): DataFrame = {
+    val keep = exact(docs).select(col("keep_id").as("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Apply near-dedup: drop every doc that MinHash-LSH pairs (at ≥
+    * `threshold` verified Jaccard) with a lower-id doc. The pair graph's
+    * "keep lowest endpoint" rule is the standard greedy approximation of
+    * connected-component dedup — one candidate-pair pass, no iterative
+    * driver loop; exact CC (e.g. label propagation to a fixpoint) can be
+    * layered on the same pair output when chains matter.
+    */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val losers = minHashLsh(docs, threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Word shingles (n-gram windows joined back to strings). The token
     * array is let-bound ([[ColumnOps.bind]]) so the regex tokenization runs
     * once per row, not once per reference.

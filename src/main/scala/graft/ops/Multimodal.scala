@@ -81,6 +81,36 @@ object Multimodal {
     StructField("dec_height", IntegerType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
+  /** Resize stub: real deployments re-encode payload bytes; the plumbing
+    * (pruned projection, metadata update, payload passthrough) is the
+    * Spark-side contract. The stub keeps payloads and stamps the target
+    * dimensions so downstream schema/partitioning code paths are real.
+    */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame =
+    media
+      .withColumn("width", lit(width))
+      .withColumn("height", lit(height))
+      .withColumn("mime", lit("image/resized-stub"))
+
+  /** Frame sampling: one row per sampled "frame", `stride` bytes apart —
+    * the exact plumbing shape of video frame extraction (explode to frame
+    * rows carrying (media_id, frame_no, frame payload)). Payload slicing
+    * stands in for codec-level frame decode; `posexplode` keeps the
+    * operation narrow and codegen-planned, with no shuffle.
+    */
+  def frameSample(media: DataFrame, frames: Int = 4, stride: Int = 256): DataFrame =
+    media
+      .select(
+        col("media_id"),
+        col("payload"),
+        explode(sequence(lit(0L), lit(frames - 1L))).as("frame_no"))
+      .select(
+        col("media_id"),
+        col("frame_no"),
+        expr(s"substring(payload, frame_no * $stride + 1, $stride)")
+          .as("frame_payload"))
+      .filter(length(col("frame_payload")) > 0)
+
   /** Feature extraction: per-partition batch decode → feature vectors.
     * `mapPartitions` (not per-row UDF) so a real decoder initializes once
     * per partition/core, mirroring the batch shape of an Arrow/Pandas UDF.

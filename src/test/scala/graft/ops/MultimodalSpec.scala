@@ -22,6 +22,20 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     meta(1L).getAs[String]("digest") should have length 64
   }
 
+  test("frame sampling explodes byte-strided frames and drops empty tails") {
+    val big = Seq((1L, "x" * 600, "en", "s", 600L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.frameSample(Multimodal.fromDocuments(big)).collect()
+    frames.map(_.getLong(1)).toSeq shouldBe Seq(0L, 1L, 2L) // 600 bytes / 256 stride
+    frames(0).getAs[Array[Byte]]("frame_payload").length shouldBe 256
+    frames(2).getAs[Array[Byte]]("frame_payload").length shouldBe 88
+  }
+
+  test("resize stub stamps target dimensions, keeps payload") {
+    val out = Multimodal.resize(Multimodal.fromDocuments(docs), 224, 224).head
+    out.getAs[Int]("width") shouldBe 224
+    out.getAs[Array[Byte]]("payload") should not be null
+  }
+
   test("feature extraction runs per-partition and is deterministic in the bytes") {
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap

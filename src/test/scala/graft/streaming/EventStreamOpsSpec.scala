@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.sql.Timestamp
+
+class EventStreamOpsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val batchEvents = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0),
+    (3L, ts("2024-01-01 10:59:00"), 8L, "view", 3.0),
+    (4L, ts("2024-01-01 12:00:00"), 7L, "click", 4.0) // >30min gap for user 7
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("windowed counts on batch: tumbling 1h buckets") {
+    val out = EventStreamOps.windowedCounts(batchEvents)
+      .orderBy("window_start", "event_type").collect()
+    out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe Seq(
+      (1704103200L, "click", 2L), // 10:00 UTC bucket
+      (1704103200L, "view", 1L),
+      (1704110400L, "click", 1L)) // 12:00 bucket
+    out.head.getDouble(3) shouldBe 3.0 // 1.0 + 2.0
+  }
+
+  test("batch sessionization: gap splits sessions, counts are per session") {
+    val out = EventStreamOps.sessionizeBatch(batchEvents, gapSeconds = 1800)
+      .orderBy("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    out.toSeq shouldBe Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L))
+  }
+
+  test("windowed counts on a stream honor the watermark and emit finals") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreamOps.windowedCounts(df, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 7L, "click", 2.0))
+    q.processAllAvailable()
+    // advance event time far enough to close the 10:00 window
+    mem.addData((3L, ts("2024-01-01 12:00:00"), 8L, "view", 3.0))
+    q.processAllAvailable()
+    val finals = spark.table("wc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    q.stop()
+    finals should contain((1704103200L, "click", 2L))
+  }
+
+  test("streaming sessionization with custom state closes sessions on gap") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreamOps.sessionize(df, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0))
+    q.processAllAvailable()
+    // an event past the gap closes the first session and emits it
+    mem.addData((3L, ts("2024-01-01 12:00:00"), 7L, "click", 3.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess").as[EventStreamOps.Session].collect()
+    q.stop()
+    sessions.map(s => (s.user_id, s.n_events)).toSeq shouldBe Seq((7L, 2L))
+  }
+}

@@ -20,6 +20,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
+    for c in cols:
+        if df[c].map(lambda v: isinstance(v, (bytes, bytearray))).any():
+            df[c] = df[c].map(lambda v: bytes(v) if isinstance(v, (bytes, bytearray)) else v)
     df = df.sort_values(by=cols, ignore_index=True)
     return df
 
