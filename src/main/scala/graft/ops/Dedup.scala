@@ -85,13 +85,27 @@ object Dedup {
             i => array_join(slice(toks, i, lit(n)), " ")))
     }
 
-  /** MinHash signature: `numHashes` permutations simulated by seeded
-    * `xxhash64`; signature component h = min hash over the shingle set.
+  /** MinHash signature: `numHashes` simulated permutations; component i =
+    * min hash over the shingle set.
+    *
+    * Fast path (graft extensions installed): shingles are string-hashed
+    * ONCE, then the native [[graft.plans.MinHashSig]] applies k wrapping
+    * universal-hash mixes per shingle — k× less string hashing. Fallback:
+    * per-seed `xxhash64` over the shingle strings. Different (equally
+    * valid) hash families — use one consistently within a corpus.
     */
-  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shinglesCol, s => xxhash64(s, h))))
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists(
+      _.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash")))
+    if (native)
+      call_function("graft_minhash",
+        transform(shinglesCol, s => xxhash64(s)), lit(numHashes))
+    else
+      transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        h => array_min(transform(shinglesCol, s => xxhash64(s, h))))
+  }
 
   /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
     *

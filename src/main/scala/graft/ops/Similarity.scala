@@ -99,22 +99,28 @@ object Similarity {
     * 100 TB matters: the "model" ships inside the plan.
     */
   def rhpSignature(v: Column, planes: Int): Column = {
-    val sigBits = sequence(lit(0), lit(planes - 1))
-    transform(
-      sigBits,
-      p => {
-        // dot(v, plane_p) where plane_p[j] = ±1 from xxhash64(p, j)
-        val dot = aggregate(
-          zip_with(
-            v,
-            sequence(lit(0), size(v) - 1),
-            (x, j) =>
-              x.cast("double") *
-                when(xxhash64(p, j) % 2 === 0, 1.0).otherwise(-1.0)),
-          lit(0.0d),
-          (acc, x) => acc + x)
-        when(dot >= 0, lit(1)).otherwise(lit(0))
-      })
+    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists(
+      _.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rhp_sig")))
+    if (native) call_function("graft_rhp_sig", v, lit(planes))
+    else {
+      val sigBits = sequence(lit(0), lit(planes - 1))
+      transform(
+        sigBits,
+        p => {
+          // dot(v, plane_p) where plane_p[j] = ±1 from xxhash64(p, j)
+          val dot = aggregate(
+            zip_with(
+              v,
+              sequence(lit(0), size(v) - 1),
+              (x, j) =>
+                x.cast("double") *
+                  when(xxhash64(p, j) % 2 === 0, 1.0).otherwise(-1.0)),
+            lit(0.0d),
+            (acc, x) => acc + x)
+          when(dot >= 0, lit(1L)).otherwise(lit(0L))
+        })
+    }
   }
 
   /** ANN via banded LSH: signature split into `bands` bands; vectors

@@ -23,5 +23,31 @@ object GraftExtensions {
       (children: Seq[Expression]) => LongDotProduct(children.head, children(1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(s"graft_minhash k must be an int literal, got $other")
+          }
+          case _ => sys.error("graft_minhash k must be a literal")
+        }
+        MinHashSig(children.head, k)
+      }),
+    (FunctionIdentifier("graft_rhp_sig"),
+      new ExpressionInfo(classOf[RhpSig].getName, "graft_rhp_sig"),
+      (children: Seq[Expression]) => {
+        val planes = children(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(s"graft_rhp_sig planes must be an int literal, got $other")
+          }
+          case _ => sys.error("graft_rhp_sig planes must be a literal")
+        }
+        RhpSig(children.head, planes)
+      }))
 }
