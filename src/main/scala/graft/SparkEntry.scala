@@ -57,7 +57,7 @@ object SparkEntry {
           from_unixtime(unix_timestamp(col("ts"))).as("created_at"))),
         lit("}")).as("value"))
     val ss = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
-    SingerPipeline.typedRecords(lines, ss)
+    SingerPipeline.typedRecordsFromLines(lines, ss)
       .select(
         col("event_id"), col("event_type"), col("value"), col("k"),
         unix_timestamp(col("created_at")).as("created_epoch"))

@@ -6,6 +6,7 @@ import graft.schema.SchemaMapper.StreamSchema
 import graft.validate.Validator
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import java.nio.file.{Files, Paths}
 import java.time.format.DateTimeFormatter
@@ -94,6 +95,31 @@ object SingerPipeline {
       .select(from_json(get_json_object(col("value"), "$.record"), ss.parseStruct).as("r"))
       .select(ss.properties.map(p => Coercions.coerce(col("r").getField(p.name), p)): _*)
 
+  /** Filter + extract + coerce in ONE JSON parse: the message envelope and
+    * the record body come out of a single `from_json` whose schema embeds
+    * the stream's parse struct. The per-stream alternative — two
+    * `get_json_object` filters plus a record-path extract plus `from_json`
+    * — walks each input line's JSON up to four times; on a 100 TB ingest
+    * the envelope parse IS the job, so one pass per line per stream is the
+    * difference that matters. (Catalyst's JSON expression optimization
+    * keeps the parsed struct an attribute — evaluated once, not once per
+    * projected field.)
+    */
+  def typedRecordsFromLines(lines: DataFrame, ss: StreamSchema): DataFrame = {
+    val envelope = StructType(Seq(
+      StructField("type", StringType, nullable = true),
+      StructField("stream", StringType, nullable = true),
+      StructField("record", ss.parseStruct, nullable = true)))
+    lines
+      // explode(array(...)) = Generate barrier: the filter predicate below
+      // cannot be pushed through it, so the envelope parse runs ONCE per
+      // line instead of once for the predicate and once for the projection.
+      .select(explode(array(from_json(col("value"), envelope))).as("m"))
+      .filter(col("m.type") === "RECORD" && col("m.stream") === ss.stream)
+      .select(ss.properties.map(p =>
+        Coercions.coerce(col("m.record").getField(p.name), p)): _*)
+  }
+
   private val tsFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
 
   /** K3 file naming: `{stream}-{YYYYMMDDTHHMMSS}.parquet`
@@ -123,7 +149,12 @@ object SingerPipeline {
     val registry = parseSchemas(lines, config)
     val now = ZonedDateTime.now(ZoneOffset.UTC)
 
-    val recordSource: String => DataFrame =
+    // Per-stream typed projection. Direct path: ONE single-parse job per
+    // stream over the raw lines ([[typedRecordsFromLines]]). Staged path:
+    // records pre-filtered into per-stream partition directories, so the
+    // type/stream predicates are already satisfied and [[typedRecords]]'s
+    // record-only parse suffices.
+    val typedFor: (String, StreamSchema) => DataFrame =
       if (config.stageByStream && registry.size > 1) {
         // Pass 1: stage raw record lines partitioned by stream. One scan of
         // the input regardless of stream count; per-stream jobs then prune
@@ -133,20 +164,20 @@ object SingerPipeline {
           .filter(get_json_object(col("value"), "$.type") === "RECORD")
           .withColumn("_stream", get_json_object(col("value"), "$.stream"))
           .write.partitionBy("_stream").parquet(stagingDir)
-        (stream: String) =>
-          spark.read
-            .schema("value STRING, _stream STRING")
-            .parquet(stagingDir)
-            .filter(col("_stream") === stream)
-            .select(col("value"))
-      } else { (stream: String) =>
-        lines.filter(
-          get_json_object(col("value"), "$.type") === "RECORD" &&
-            get_json_object(col("value"), "$.stream") === stream)
+        (stream: String, ss: StreamSchema) =>
+          typedRecords(
+            spark.read
+              .schema("value STRING, _stream STRING")
+              .parquet(stagingDir)
+              .filter(col("_stream") === stream)
+              .select(col("value")),
+            ss)
+      } else { (_: String, ss: StreamSchema) =>
+        typedRecordsFromLines(lines, ss)
       }
 
     val results = registry.toSeq.sortBy(_._1).map { case (stream, ss) =>
-      val typed0 = typedRecords(recordSource(stream), ss)
+      val typed0 = typedFor(stream, ss)
       val typed = if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
       val obs = Observation(s"ingest-$stream")
       val path = outputPath(config, stream, now)

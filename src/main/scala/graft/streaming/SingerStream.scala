@@ -46,13 +46,9 @@ object SingerStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        // One narrow job per stream per micro-batch; records of other
-        // streams are filtered out before from_json runs.
+        // One narrow, single-parse job per stream per micro-batch.
         registry.toSeq.sortBy(_._1).foreach { case (stream, ss) =>
-          val lines = batch.filter(
-            get_json_object(col("value"), "$.type") === "RECORD" &&
-              get_json_object(col("value"), "$.stream") === stream)
-          val typed0 = SingerPipeline.typedRecords(lines, ss)
+          val typed0 = SingerPipeline.typedRecordsFromLines(batch, ss)
           val typed =
             if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
           typed.write.mode("append").parquet(s"${config.outDir}/$stream.parquet")
