@@ -21,6 +21,30 @@ object Bench {
     // Warm the JVM/codegen/file-listing paths once with a cheap query, so
     // measured numbers reflect steady-state execution, not first-job setup.
     exec("q_stream_counts")
+    // Full ingest benchmark: events serialized to Singer JSON lines
+    // (setup, untimed), then the COMPLETE pipeline — schema registry,
+    // single-parse demux, coercion, validation wiring, parquet write,
+    // observed metrics — timed end to end.
+    def ingestFull(): Double = {
+      import org.apache.spark.sql.functions._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val ev = Tables.load(spark, sfDir, "events")
+      ev.select(concat(
+        lit("""{"type": "RECORD", "stream": "events", "record": """),
+        to_json(struct(col("event_id"), col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").as("k"))),
+        lit("}")).as("value"))
+        .write.mode("overwrite").text(s"$tmp/in")
+      val schema = graft.schema.SchemaMapper.fromSchemaMessage(
+        """{"type": "SCHEMA", "stream": "events", "schema": {"type": "object", "properties": {"event_id": {"type": ["integer", "null"]}, "event_type": {"type": ["string", "null"]}, "value": {"type": ["number", "null"]}, "k": {"type": ["integer", "null"]}}}, "key_properties": ["event_id"]}""")
+      val t0 = System.nanoTime()
+      val lines = spark.read.text(s"$tmp/in")
+      graft.pipeline.SingerPipeline.typedRecordsFromLines(lines, schema)
+        .write.mode("overwrite").parquet(s"$tmp/out")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ingestSec = try ingestFull() catch { case e: Throwable =>
+      System.err.println(s"[bench] ingest_full failed: ${e.getMessage}"); -1.0 }
     val headline = Seq(
       "q_singer_pipeline", "q1_agg", "q_join_agg", "q_window", "q_topk",
       "q_windowed_counts", "q_sessionize",
@@ -28,7 +52,7 @@ object Bench {
       "q_embed_dups", "q_sim_topk", "q_sim_lsh",
       "q_text_tokens", "q_text_quality", "q_text_langid", "q_fingerprint",
       "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames")
-    val results = headline.map(n => n -> exec(n))
+    val results = ("ingest_full" -> ingestSec) +: headline.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -213,6 +213,46 @@ object Dedup {
       .select(col("doc_id"), col("q.simhash_hi"), col("q.simhash_lo"))
   }
 
+  /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` over the
+    * 64-bit fingerprint, found via banded blocking — the fingerprint is
+    * split into `64 / bandBits` bands; by pigeonhole, any pair within
+    * distance (bands - 1) shares at least one exact band, so the self-join
+    * keys on (band, value) and only candidates pay the popcount check.
+    * With 16-bit bands that guarantees distance ≤ 3; lower `bandBits` to
+    * catch larger distances at higher candidate volume.
+    *
+    * The join carries three longs per row; the verify is two xor+popcounts
+    * — this is the cheapest near-dup join per byte, ideal as a pre-filter
+    * before [[minHashLsh]]'s exact-Jaccard verification at 100 TB.
+    */
+  def simHashDups(docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
+    require(32 % bandBits == 0, "bandBits must divide 32")
+    val fp = simHash(docs)
+    val perHalf = 32 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bands = (0 until 2 * perHalf).map { i =>
+      val half = if (i < perHalf) col("simhash_hi") else col("simhash_lo")
+      val off = (i % perHalf) * bandBits
+      struct(lit(i).as("band"), (shiftrightunsigned(half, off).bitwiseAND(mask)).as("bv"))
+    }
+    val banded = fp.select(
+      col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+      explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+        col("b.band"), col("b.bv"))
+    val other = banded.select(
+      col("band"), col("bv"), col("doc_id").as("b_id"),
+      col("simhash_hi").as("b_hi"), col("simhash_lo").as("b_lo"))
+    banded
+      .join(other, Seq("band", "bv"))
+      .filter(col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        (bit_count(col("simhash_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("simhash_lo").bitwiseXOR(col("b_lo")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** Exact n-gram Jaccard similarity for an explicit pair set — the
     * verification stage after candidate generation, or a standalone
     * all-pairs check within small blocks.

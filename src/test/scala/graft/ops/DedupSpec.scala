@@ -51,6 +51,14 @@ class DedupSpec extends AnyFunSuite with Matchers {
     hamming(out(0L), out(2L)) should be < hamming(out(0L), out(3L))
   }
 
+  test("simhash banded join finds identical and near docs, skips unrelated") {
+    val pairs = Dedup.simHashDups(docs, maxHamming = 16, bandBits = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 1L)) // identical -> hamming 0
+    pairs should contain((0L, 4L))
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
   test("ngram jaccard pairs verifies an explicit candidate set") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a_id", "b_id")
     val out = Dedup.ngramJaccardPairs(docs, pairs).collect()
