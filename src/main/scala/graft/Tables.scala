@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Defensive: a caller-provided session (e.g. the harness smoke test)
+    // may not have come through Sessions.builder; the conf is
+    // runtime-settable and idempotent, and without it the events read
+    // throws [PARQUET_TYPE_ILLEGAL].
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Drives the public entry points from a PLAIN SparkSession — no graft
+  * extensions, no nanosAsLong, default shuffle partitions — to prove the
+  * harness smoke path (which constructs its own session) works: the
+  * events loader self-configures and every op falls back to built-in
+  * formulations when the native expressions aren't registered.
+  */
+object VanillaCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"VANILLA entry rows: $n")
+    require(n > 0, "entry must return rows")
+    for (q <- Seq("q_sim_topk", "q_dedup_simhash", "q_dedup_minhash")) {
+      val c = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      println(s"VANILLA $q rows: $c (fallback path)")
+      require(c > 0, s"$q must return rows without extensions")
+    }
+    spark.stop()
+  }
+}
