@@ -56,11 +56,25 @@ object Coercions {
     val out = p.sparkType match {
       case NullType      => lit(null)
       case DoubleType    => c.cast(DoubleType)
-      case LongType      => c.cast(LongType)
+      case LongType      => integerCast(c)
       case BooleanType   => c.cast(BooleanType)
       case TimestampType => try_to_timestamp(c)
       case _             => c
     }
     out.as(p.name)
   }
+
+  /** E4 with Python `int()` fidelity under ANSI: exact long text casts
+    * directly; booleans map to 0/1 (`int(True) == 1` — Python bool IS an
+    * int); decimal text truncates toward zero (`int(3.9) == 3`); anything
+    * else still raises, like the reference's `int("abc")`
+    * (`sinks.py:93-94`). The exact-long branch comes first so 19-digit ids
+    * never round-trip through a double.
+    */
+  def integerCast(c: Column): Column =
+    when(c.isNull, lit(null).cast(LongType))
+      .when(c === lit("true"), lit(1L))
+      .when(c === lit("false"), lit(0L))
+      .when(c.rlike("^[+-]?[0-9]+$"), c.cast(LongType))
+      .otherwise(c.cast(DoubleType).cast(LongType))
 }
