@@ -132,6 +132,59 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
     body shouldBe """{"recordCount": {"orders": 1, "users": 5}}"""
   }
 
+  test("arrays of primitives and objects degrade to JSON text; null array stays null (E7, test_integration.py:123-177)") {
+    val input = write(Seq(
+      """{"type": "SCHEMA", "stream": "d", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "scores": {"type": ["array", "null"]}, "line_items": {"type": ["array", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "d", "record": {"id": "1", "scores": [1, 2, 3], "line_items": [{"sku": "a", "qty": 2}]}}""",
+      """{"type": "RECORD", "stream": "d", "record": {"id": "2", "scores": null}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    val rows = spark.read.parquet(res.paths("d")).orderBy("id").collect()
+    rows(0).schema("scores").dataType.typeName shouldBe "string"
+    // parse-equal, not byte-equal (SURVEY §7.4): compare parsed JSON
+    org.json4s.jackson.JsonMethods.parse(rows(0).getString(1)) shouldBe
+      org.json4s.jackson.JsonMethods.parse("[1, 2, 3]")
+    org.json4s.jackson.JsonMethods.parse(rows(0).getString(2)) shouldBe
+      org.json4s.jackson.JsonMethods.parse("""[{"sku": "a", "qty": 2}]""")
+    rows(1).isNullAt(1) shouldBe true
+  }
+
+  test("pre-stringified JSON under a string property passes through verbatim (test_integration.py:180-208)") {
+    val payload = """{\"nested\": [1, 2]}"""
+    val input = write(Seq(
+      """{"type": "SCHEMA", "stream": "e", "schema": {"type": "object", "properties": {"payload": {"type": ["string", "null"]}}}, "key_properties": []}""",
+      s"""{"type": "RECORD", "stream": "e", "record": {"payload": "$payload"}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    spark.read.parquet(res.paths("e")).head.getString(0) shouldBe """{"nested": [1, 2]}"""
+  }
+
+  test("repeated identical schema is idempotent (test_integration.py:211-229)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "1", "name": "a"}}""",
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "2", "name": "b"}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    res.recordCounts("users") shouldBe 2L
+    spark.read.parquet(res.paths("users")).count() shouldBe 2
+  }
+
+  test("many records flow through as one job regardless of batch-size semantics (B1, test_integration.py:408-422)") {
+    val records = (1 to 70).map(i =>
+      s"""{"type": "RECORD", "stream": "users", "record": {"id": "$i", "name": "n$i"}}""")
+    val res = SingerPipeline.run(spark, write(usersSchema +: records), SingerConfig(tmp()))
+    res.recordCounts("users") shouldBe 70L
+    spark.read.parquet(res.paths("users")).select("id").distinct().count() shouldBe 70
+  }
+
+  test("output path follows {stream}-{YYYYMMDDTHHMMSS}.parquet naming (K3)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "1", "name": "a"}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    val name = new java.io.File(res.paths("users")).getName
+    name should fullyMatch regex """users-\d{8}T\d{6}\.parquet"""
+  }
+
   test("mid-stream schema change: last wins (BUG-4 documented fix)") {
     val input = write(Seq(
       """{"type": "SCHEMA", "stream": "c", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "email": {"type": ["string", "null"]}}}, "key_properties": ["id"]}""",
