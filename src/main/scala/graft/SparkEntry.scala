@@ -226,6 +226,11 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashDups(t(s, dir, "documents")).orderBy("a_id", "b_id")),
 
+    "q_dedup_groups" -> ((s, dir) =>
+      Dedup.duplicateGroups(
+        Dedup.simHashDups(t(s, dir, "documents"), maxHamming = 8, bandBits = 8))
+        .orderBy("id")),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val ids = docs.filter(col("doc_id") < 40).select(col("doc_id"))

@@ -213,6 +213,44 @@ object Dedup {
       .select(col("doc_id"), col("q.simhash_hi"), col("q.simhash_lo"))
   }
 
+  /** Transitive duplicate groups from a near-dup pair list: smallest-label
+    * propagation to a fixpoint (connected components). Chains a-b, b-c
+    * collapse to one group even when (a, c) was never a candidate pair —
+    * the exactness layer over [[dropNearDuplicates]]'s one-pass greedy rule.
+    *
+    * Scale shape: each iteration is one shuffle keyed on doc_id (edges are
+    * kept symmetric once, labels re-join them); iterations needed =
+    * graph diameter, which for dup clusters is tiny (≤ ~5). Convergence is
+    * checked with a cheap count of label changes; `localCheckpoint`
+    * truncates the growing lineage so iteration N doesn't replay 1..N-1.
+    */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var labels = pairs.select(col("a_id").as("id")).union(pairs.select(col("b_id").as("id")))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b_id").withColumnRenamed("label", "b_label"), "b_id")
+        .groupBy(col("a_id").as("id"))
+        .agg(min("b_label").as("n_label"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "group_id")
+  }
+
   /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` over the
     * 64-bit fingerprint, found via banded blocking — the fingerprint is
     * split into `64 / bandBits` bands; by pigeonhole, any pair within

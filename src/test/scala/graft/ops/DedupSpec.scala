@@ -67,6 +67,17 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out((0L, 3L)) shouldBe 0.0 +- 1e-9
   }
 
+  test("duplicate groups: label propagation closes transitive chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    groups(1L) shouldBe 1L
+    groups(2L) shouldBe 1L
+    groups(3L) shouldBe 1L // transitively via 2, never paired with 1
+    groups(7L) shouldBe 7L
+    groups(9L) shouldBe 7L
+  }
+
   test("embedding dups finds same-label near-identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
