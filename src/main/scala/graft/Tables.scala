@@ -21,7 +21,11 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div` (integer division), NOT `/`: long / long is DOUBLE division
+      // in Spark, and ns-scale epochs (~1.7e18) exceed double's 53-bit
+      // mantissa — the ~100ns error can flip a truncated value across a
+      // unit boundary.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }
