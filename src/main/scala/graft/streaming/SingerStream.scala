@@ -46,13 +46,22 @@ object SingerStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        // One narrow, single-parse job per stream per micro-batch.
-        registry.toSeq.sortBy(_._1).foreach { case (stream, ss) =>
+        // One narrow, single-parse job per stream per micro-batch; record
+        // counts ride the write job via Observation and accumulate into
+        // job_metrics.json (A1's continuous tally, per BATCH not per
+        // record — the reference rewrites the file per record,
+        // writers.py:52-74).
+        val counts = registry.toSeq.sortBy(_._1).map { case (stream, ss) =>
           val typed0 = SingerPipeline.typedRecordsFromLines(batch, ss)
           val typed =
             if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
-          typed.write.mode("append").parquet(s"${config.outDir}/$stream.parquet")
-        }
+          val obs = org.apache.spark.sql.Observation(s"b$batchId-$stream")
+          typed.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("records"))
+            .write.mode("append").parquet(s"${config.outDir}/$stream.parquet")
+          stream -> obs.get("records").asInstanceOf[Long]
+        }.toMap
+        SingerPipeline.writeJobMetrics(config.outDir, counts)
         ()
       }
       .start()

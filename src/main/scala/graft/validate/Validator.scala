@@ -102,6 +102,17 @@ object Validator {
       case JString(re) => out += "pattern" -> (c.isNotNull && !c.rlike(re))
       case _           => ()
     }
+    // Array constraints apply to the E7-degraded JSON text: count elements
+    // without materializing them (json_array_length is null for non-array
+    // text, which correctly skips the check).
+    if (p.isNested) {
+      kw.get("minItems").foreach(v =>
+        jInt(v).foreach(n =>
+          out += "minItems" -> (json_array_length(c) < lit(n))))
+      kw.get("maxItems").foreach(v =>
+        jInt(v).foreach(n =>
+          out += "maxItems" -> (json_array_length(c) > lit(n))))
+    }
     out.result()
   }
 

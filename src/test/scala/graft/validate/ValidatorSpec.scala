@@ -61,6 +61,13 @@ class ValidatorSpec extends AnyFunSuite with Matchers {
       Seq("abc", "Abc")) shouldBe Seq(false, true)
   }
 
+  test("minItems / maxItems count JSON-array elements of nested text (E7 layer)") {
+    violated("""{"type": ["array", "null"], "minItems": 2}""",
+      Seq("[1, 2]", "[1]", null)) shouldBe Seq(false, true, false)
+    violated("""{"type": ["array", "null"], "maxItems": 2}""",
+      Seq("[1, 2]", "[1, 2, 3]")) shouldBe Seq(false, true)
+  }
+
   test("violation column labels the first failing property") {
     val ss = SchemaMapper.fromSchemaMessage(
       """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": {"status": {"type": ["string", "null"], "enum": ["on", "off"]}, "n": {"type": ["integer", "null"], "maximum": 5}}}, "key_properties": []}""")
