@@ -55,11 +55,20 @@ object SingerMain {
       case _ => Map.empty
     }
 
+    // `schema_messages`: full Singer SCHEMA messages embedded in the config
+    // (out-of-band catalog) — skips the schema-discovery scan over the input.
+    val schemaMessages = configJson \ "schema_messages" match {
+      case JArray(msgs) if msgs.nonEmpty =>
+        Some(msgs.map(m => JsonMethods.compact(JsonMethods.render(m))))
+      case _ => None
+    }
+
     val config = SingerConfig(
       outDir = str("filepath").getOrElse("."),
       fixedHeaders = fixedHeaders,
       strictValidation = bool("strict_validation"),
-      stageByStream = bool("stage_by_stream"))
+      stageByStream = bool("stage_by_stream"),
+      schemaMessages = schemaMessages)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()

@@ -25,12 +25,19 @@ import java.time.{ZoneOffset, ZonedDateTime}
   * @param stageByStream    scale path for many interleaved streams: one
   *                         partitioned staging pass instead of one full input
   *                         scan per stream (see [[SingerPipeline.run]]).
+  * @param schemaMessages   pre-supplied Singer SCHEMA message JSONs. When
+  *                         set, the discovery scan is skipped entirely —
+  *                         at 100 TB a full input pass just to find the
+  *                         O(streams) in-band schema lines is the single
+  *                         most wasteful job in the pipeline, and taps can
+  *                         emit their catalog out of band.
   */
 final case class SingerConfig(
     outDir: String,
     fixedHeaders: Map[String, Seq[String]] = Map.empty,
     strictValidation: Boolean = false,
-    stageByStream: Boolean = false)
+    stageByStream: Boolean = false,
+    schemaMessages: Option[Seq[String]] = None)
 
 /** Result of one ingest job: per-stream output paths and record counts
   * (the reference's `job_metrics.json`, `writers.py:52-74`).
@@ -73,10 +80,13 @@ object SingerPipeline {
     * next flush (BUG-4, `tests/test_integration.py:232-275`); documented fix.
     */
   def parseSchemas(lines: DataFrame, config: SingerConfig): Map[String, StreamSchema] = {
-    val schemaLines = lines
-      .filter(get_json_object(col("value"), "$.type") === "SCHEMA")
-      .collect()
-      .map(_.getString(0))
+    val schemaLines = config.schemaMessages.getOrElse {
+      lines
+        .filter(get_json_object(col("value"), "$.type") === "SCHEMA")
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+    }
     schemaLines.foldLeft(Map.empty[String, StreamSchema]) { (acc, json) =>
       val ss = SchemaMapper.fromSchemaMessage(json)
       acc + (ss.stream -> ss.select(config.fixedHeaders.get(ss.stream)))

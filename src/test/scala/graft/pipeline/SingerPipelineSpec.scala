@@ -113,6 +113,16 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("strict_validation")
   }
 
+  test("pre-supplied schemas skip the discovery scan (scale path)") {
+    val input = write(Seq(
+      // no SCHEMA line in the input at all
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "alice"}}"""))
+    val res = SingerPipeline.run(
+      spark, input, SingerConfig(tmp(), schemaMessages = Some(Seq(usersSchema))))
+    res.recordCounts shouldBe Map("users" -> 1L)
+    spark.read.parquet(res.paths("users")).columns.toSeq shouldBe Seq("id", "name")
+  }
+
   test("staged-by-stream path produces identical output (scale path)") {
     val input = write(Seq(
       usersSchema,
