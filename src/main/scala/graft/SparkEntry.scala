@@ -266,6 +266,17 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "q_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(t(s, dir, "documents")).orderBy("lang")),
+
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20))
+        .orderBy("doc_id")
+    }),
+
     // ── multimodal (§7.3) ─────────────────────────────────────────────
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -497,6 +508,35 @@ object SparkEntry {
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+        | CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        | round(CAST(SUM(length(text)) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(sh0) AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+        | )
+        |), cg AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id >= 20),
+        |   bg AS (SELECT doc_id AS bench_id, unnest(sh) AS gram FROM sh WHERE doc_id < 20),
+        |   hits AS (
+        |    SELECT cg.doc_id, bg.bench_id, count(DISTINCT cg.gram) AS overlap
+        |    FROM cg JOIN bg USING (gram)
+        |    GROUP BY cg.doc_id, bg.bench_id
+        |    HAVING count(DISTINCT cg.gram) >= 2
+        |   )
+        |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

@@ -213,6 +213,36 @@ object Dedup {
       .select(col("doc_id"), col("q.simhash_hi"), col("q.simhash_lo"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word n-grams with ANY benchmark document — the
+    * standard eval-set leak check run before pretraining.
+    *
+    * Shape: both sides explode to (ngram, id) pairs and join on the ngram
+    * VALUE (a short string; the shuffle never carries documents), then a
+    * per-(corpus,benchmark) distinct-overlap count filters at the
+    * threshold. The benchmark side is tiny in practice — Spark broadcasts
+    * it — so the corpus side streams through without moving.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minOverlap: Int = 2): DataFrame = {
+    def grams(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(array_distinct(shingles(col("text"), n))).as("gram"))
+    val c = grams(corpus, "doc_id")
+    val b = grams(benchmark, "bench_id")
+    c.join(b, "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct("gram").as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_benchmarks_hit"),
+        max("overlap").as("max_overlap"))
+  }
+
   /** Transitive duplicate groups from a near-dup pair list: smallest-label
     * propagation to a fixpoint (connected components). Chains a-b, b-c
     * collapse to one group even when (a, c) was never a candidate pair —

@@ -80,6 +80,25 @@ object TextAnalysis {
         .as("predicted_lang"))
   }
 
+  /** Corpus-level summary statistics — the sanity dashboard over a
+    * training corpus: one partial-aggregated pass, constant-size output.
+    */
+  def corpusStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val nTok = size(tokens(col(textCol))).cast("long")
+    df.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        sum(nTok).as("total_tokens"),
+        min(nTok).as("min_tokens"),
+        max(nTok).as("max_tokens"))
+      // avg from the exact integer sums, not avg(): engines differ in the
+      // internal accumulation type of avg over integers; sum/count of
+      // exact longs divides identically everywhere
+      .withColumn("avg_chars",
+        round(col("total_chars") / col("n_docs").cast("double"), 4))
+  }
+
   /** Document fingerprinting.
     *
     *   - `fp_md5`: content hash of whitespace-normalized, lowercased text —

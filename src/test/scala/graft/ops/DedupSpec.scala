@@ -67,6 +67,17 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out((0L, 3L)) shouldBe 0.0 +- 1e-9
   }
 
+  test("decontamination flags corpus docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // shares 3-grams with bench 1
+      (101L, "totally unrelated content here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(100L)
+    out.head.getAs[Long]("max_overlap") shouldBe 2L // two shared 3-grams
+  }
+
   test("duplicate groups: label propagation closes transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
     val groups = Dedup.duplicateGroups(pairs).collect()

@@ -39,6 +39,17 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh")
   }
 
+  test("corpus stats aggregate exactly from integer sums") {
+    val df = Seq(
+      (1L, "a b c", "en"), (2L, "d e", "en"), (3L, "x", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.corpusStats(df).orderBy("lang").collect()
+    out(0).getAs[Long]("n_docs") shouldBe 2L
+    out(0).getAs[Long]("total_tokens") shouldBe 5L
+    out(0).getAs[Double]("avg_chars") shouldBe 4.0 // (5 + 3) / 2
+    out(1).getAs[Long]("max_tokens") shouldBe 1L
+  }
+
   test("fingerprints: md5 matches normalization; rolling hash is stable and order-sensitive") {
     val df = Seq(
       (1L, "Hello  World"),
