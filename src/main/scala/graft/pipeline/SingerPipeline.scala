@@ -164,12 +164,14 @@ object SingerPipeline {
     // records pre-filtered into per-stream partition directories, so the
     // type/stream predicates are already satisfied and [[typedRecords]]'s
     // record-only parse suffices.
+    var stagingToClean: Option[java.nio.file.Path] = None
     val typedFor: (String, StreamSchema) => DataFrame =
       if (config.stageByStream && registry.size > 1) {
         // Pass 1: stage raw record lines partitioned by stream. One scan of
         // the input regardless of stream count; per-stream jobs then prune
         // to their own partition directory.
         val stagingDir = s"${config.outDir}/.staging-${tsFmt.format(now)}"
+        stagingToClean = Some(Paths.get(stagingDir))
         lines
           .filter(get_json_object(col("value"), "$.type") === "RECORD")
           .withColumn("_stream", get_json_object(col("value"), "$.stream"))
@@ -196,6 +198,8 @@ object SingerPipeline {
       if (n == 0L) deleteRecursively(Paths.get(path)) // K4: no records → no file
       (stream, path, n)
     }
+
+    stagingToClean.foreach(deleteRecursively) // staging is scratch, not output
 
     IngestResult(
       paths = results.collect { case (s, p, n) if n > 0 => s -> p }.toMap,
