@@ -228,7 +228,7 @@ object SparkEntry {
 
     "q_dedup_groups" -> ((s, dir) =>
       Dedup.duplicateGroups(
-        Dedup.simHashDups(t(s, dir, "documents"), maxHamming = 8, bandBits = 8))
+        Dedup.simHashDups(t(s, dir, "documents"), maxHamming = 7, bandBits = 8))
         .orderBy("id")),
 
     "q_ngram_jaccard" -> ((s, dir) => {

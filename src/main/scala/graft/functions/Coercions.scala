@@ -54,7 +54,10 @@ object Coercions {
   def coerce(raw: Column, p: ResolvedProperty): Column = {
     val c = if (p.typeId != "string") emptyToNull(raw) else raw
     val out = p.sparkType match {
-      case NullType      => lit(null)
+      // physical string, not VOID: parquet rejects NullType columns, and
+      // the reference's pa.null() column is likewise only representable
+      // as an all-null typed column on the Spark side
+      case NullType      => lit(null).cast(StringType)
       case DoubleType    => c.cast(DoubleType)
       case LongType      => integerCast(c)
       case BooleanType   => c.cast(BooleanType)

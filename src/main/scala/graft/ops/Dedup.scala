@@ -94,10 +94,12 @@ object Dedup {
     * per-seed `xxhash64` over the shingle strings. Different (equally
     * valid) hash families — use one consistently within a corpus.
     */
-  def minHashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists(
-      _.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash")))
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+    minHashSignature(shinglesCol, numHashes,
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(graft.plans.GraftExtensions.available))
+
+  def minHashSignature(shinglesCol: Column, numHashes: Int, native: Boolean): Column = {
     if (native)
       call_function("graft_minhash",
         transform(shinglesCol, s => xxhash64(s)), lit(numHashes))
@@ -131,8 +133,9 @@ object Dedup {
     // binding, CollapseProject inlines shingles into all 32 seed lambdas
     // and the signature into all 8 band lambdas: 256× the work (measured
     // 123 s vs ~2 s on sf0.1).
+    val native = graft.plans.GraftExtensions.available(docs.sparkSession)
     val bandBuckets = ColumnOps.bind(shingles(col("text"), shingleSize)) { sh =>
-      ColumnOps.bind(minHashSignature(sh, numHashes)) { sig =>
+      ColumnOps.bind(minHashSignature(sh, numHashes, native)) { sig =>
         transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
@@ -305,6 +308,10 @@ object Dedup {
     */
   def simHashDups(docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
     require(32 % bandBits == 0, "bandBits must divide 32")
+    require(maxHamming <= 64 / bandBits - 1,
+      s"pigeonhole guarantee: ${64 / bandBits} bands of $bandBits bits only " +
+        s"guarantee recall for hamming <= ${64 / bandBits - 1}, got $maxHamming " +
+        "(a qualifying pair could differ in one bit per band and share no key)")
     val fp = simHash(docs)
     val perHalf = 32 / bandBits
     val mask = (1L << bandBits) - 1
@@ -355,11 +362,12 @@ object Dedup {
     * LSH ([[Similarity.rhpSignature]]).
     */
   def embeddingDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     val q = embeddings.select(
       col("label"),
       col("vec_id"),
       Similarity.quantize(col("embedding")).as("qv"))
-      .withColumn("qn", Similarity.qdot(col("qv"), col("qv")))
+      .withColumn("qn", Similarity.qdot(col("qv"), col("qv"), native))
     val a = q.select(
       col("label"), col("vec_id").as("a_id"),
       col("qv").as("a_qv"), col("qn").as("a_qn"))
@@ -370,7 +378,7 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim",
         Similarity.qcosinePre(
-          Similarity.qdot(col("a_qv"), col("b_qv")), col("a_qn"), col("b_qn")))
+          Similarity.qdot(col("a_qv"), col("b_qv"), native), col("a_qn"), col("b_qn")))
       .filter(col("sim") >= threshold)
       .select("label", "a_id", "b_id", "sim")
   }

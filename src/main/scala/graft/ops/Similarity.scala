@@ -42,13 +42,17 @@ object Similarity {
     * `aggregate(zip_with(...))` fold — identical integer semantics, just
     * interpreted — on vanilla sessions.
     */
-  def qdot(a: Column, b: Column): Column = {
-    val viaExtension = org.apache.spark.sql.SparkSession.getActiveSession.exists(
-      _.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qdot")))
-    if (viaExtension) call_function("graft_qdot", a, b)
+  def qdot(a: Column, b: Column): Column =
+    qdot(a, b, org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(graft.plans.GraftExtensions.available))
+
+  /** Variant with explicit dispatch — operators that HAVE a DataFrame must
+    * key on ITS session (`GraftExtensions.available(df.sparkSession)`),
+    * since the thread-active session may be a different one.
+    */
+  def qdot(a: Column, b: Column, native: Boolean): Column =
+    if (native) call_function("graft_qdot", a, b)
     else aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-  }
 
   /** Cosine similarity on quantized vectors, rounded for stable compares. */
   def qcosine(a: Column, b: Column, scale: Int = 6): Column =
@@ -72,19 +76,20 @@ object Similarity {
     * perfectly partition-balanced (equal candidates per query).
     */
   def bruteTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     val q = embeddings
       .filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("qn", qdot(col("qv"), col("qv")))
+      .withColumn("qn", qdot(col("qv"), col("qv"), native))
     val corpus = embeddings
       .select(col("vec_id").as("cand_id"), quantize(col("embedding")).as("cv"))
-      .withColumn("cn", qdot(col("cv"), col("cv")))
+      .withColumn("cn", qdot(col("cv"), col("cv"), native))
     val scored = corpus
       .join(broadcast(q), col("cand_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("cand_id"),
-        qcosinePre(qdot(col("qv"), col("cv")), col("qn"), col("cn")).as("sim"))
+        qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -98,10 +103,11 @@ object Similarity {
     * One codegen'd expression per plane — no stored plane matrix, which at
     * 100 TB matters: the "model" ships inside the plan.
     */
-  def rhpSignature(v: Column, planes: Int): Column = {
-    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists(
-      _.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rhp_sig")))
+  def rhpSignature(v: Column, planes: Int): Column =
+    rhpSignature(v, planes, org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(graft.plans.GraftExtensions.available))
+
+  def rhpSignature(v: Column, planes: Int, native: Boolean): Column = {
     if (native) call_function("graft_rhp_sig", v, lit(planes))
     else {
       val sigBits = sequence(lit(0), lit(planes - 1))
@@ -136,10 +142,11 @@ object Similarity {
       bands: Int = 8,
       bandBits: Int = 4): DataFrame = {
     val planes = bands * bandBits
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     import graft.functions.ColumnOps
     // Let-bind the signature: without it the 16-plane projection would be
     // recomputed inside each of the `bands` bucket lambdas.
-    val buckets = ColumnOps.bind(rhpSignature(col("embedding"), planes)) { s =>
+    val buckets = ColumnOps.bind(rhpSignature(col("embedding"), planes, native)) { s =>
       transform(
         sequence(lit(0), lit(bands - 1)),
         b =>
@@ -153,7 +160,7 @@ object Similarity {
     val banded = embeddings.select(
       col("vec_id"),
       qv.as("qv"),
-      qdot(qv, qv).as("qn"),
+      qdot(qv, qv, native).as("qn"),
       posexplode(buckets))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
@@ -172,7 +179,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
     cands
       .withColumn("sim",
-        qcosinePre(qdot(col("query_qv"), col("qv")), col("query_qn"), col("qn")))
+        qcosinePre(qdot(col("query_qv"), col("qv"), native), col("query_qn"), col("qn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "sim", "rank")

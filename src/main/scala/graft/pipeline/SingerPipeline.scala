@@ -228,11 +228,51 @@ object SingerPipeline {
     val merged = (existing.keySet ++ counts.keySet).map { k =>
       k -> (existing.getOrElse(k, 0L) + counts.getOrElse(k, 0L))
     }.toSeq.sortBy(_._1)
-    val body = merged
-      .map { case (k, v) => s""""${k.replace("\"", "\\\"")}": $v""" }
-      .mkString("{\"recordCount\": {", ", ", "}}")
     Files.createDirectories(path.getParent)
-    Files.writeString(path, body)
+    Files.writeString(path, renderMetrics(merged))
+  }
+
+  /** Proper JSON rendering (json4s) — hand-rolled escaping breaks on
+    * stream names with backslashes/control characters and then poisons
+    * the next run's accumulate-parse.
+    */
+  private def renderMetrics(counts: Seq[(String, Long)]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(
+      "recordCount" -> counts.toList.map { case (k, v) => k -> v }.toMap))
+  }
+
+  /** Streaming metrics: one idempotent file per micro-batch under
+    * `.metrics/`, then totals recomputed from ALL batch files. A replayed
+    * batch OVERWRITES its own file instead of double-accumulating — the
+    * at-least-once-safe counterpart of [[writeJobMetrics]].
+    */
+  def writeBatchMetrics(dir: String, batchId: Long, counts: Map[String, Long]): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val mdir = Paths.get(dir, ".metrics")
+    Files.createDirectories(mdir)
+    Files.writeString(
+      mdir.resolve(s"batch-$batchId.json"),
+      JsonMethods.compact(JsonMethods.render(
+        JObject(counts.toList.sortBy(_._1).map { case (k, v) => k -> (JLong(v): JValue) }))))
+    import scala.jdk.CollectionConverters._
+    val totals = Files.list(mdir).iterator().asScala
+      .filter(_.getFileName.toString.matches("batch-\\d+\\.json"))
+      .flatMap { f =>
+        JsonMethods.parse(Files.readString(f)) match {
+          case JObject(fields) => fields.collect {
+            case (k, JInt(v))  => k -> v.toLong
+            case (k, JLong(v)) => k -> v
+          }
+          case _ => Nil
+        }
+      }
+      .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    Files.writeString(
+      Paths.get(dir, "job_metrics.json"),
+      renderMetrics(totals.toSeq.sortBy(_._1)))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

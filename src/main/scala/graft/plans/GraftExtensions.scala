@@ -17,6 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   type Builder = Seq[Expression] => Expression
 
+  /** Whether the graft functions are registered in THIS session's registry.
+    * Dispatch must key on the session that will analyze the plan (the
+    * DataFrame's own), not `getActiveSession` — with two sessions in one
+    * JVM the thread-active one can differ from the one resolving the query.
+    */
+  def available(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_qdot"))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_qdot"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_qdot"),

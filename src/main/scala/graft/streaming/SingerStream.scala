@@ -12,8 +12,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * processed in 10k-row micro-batches (`sinks.py:118`). Structured Streaming
   * is the native Spark expression of exactly that model: micro-batch
   * triggers replace the SDK's batch drain, checkpointing replaces the
-  * writer-singleton registry (`writers.py:14-33`), and exactly-once file
-  * sinks replace its open-file append.
+  * writer-singleton registry (`writers.py:14-33`), and batchId-idempotent
+  * partition writes replace its open-file append (foreachBatch is
+  * at-least-once; idempotency in batchId makes the pipeline effectively
+  * exactly-once end to end).
   *
   * Schemas must be registered up front (Singer taps emit SCHEMA before the
   *   first RECORD of a stream; a driver can pre-scan or pass them in). Each
@@ -46,11 +48,12 @@ object SingerStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        // One narrow, single-parse job per stream per micro-batch; record
-        // counts ride the write job via Observation and accumulate into
-        // job_metrics.json (A1's continuous tally, per BATCH not per
-        // record — the reference rewrites the file per record,
-        // writers.py:52-74).
+        // foreachBatch is AT-LEAST-ONCE: a batch can replay after a crash
+        // between the write and the checkpoint commit. Both effects here
+        // are therefore idempotent in batchId — data lands in a
+        // per-batch partition directory that a replay OVERWRITES, and
+        // metrics go to a per-batch file with totals recomputed
+        // (writeBatchMetrics), never accumulated twice.
         val counts = registry.toSeq.sortBy(_._1).map { case (stream, ss) =>
           val typed0 = SingerPipeline.typedRecordsFromLines(batch, ss)
           val typed =
@@ -58,10 +61,11 @@ object SingerStream {
           val obs = org.apache.spark.sql.Observation(s"b$batchId-$stream")
           typed.observe(obs, org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("records"))
-            .write.mode("append").parquet(s"${config.outDir}/$stream.parquet")
+            .write.mode("overwrite")
+            .parquet(s"${config.outDir}/$stream.parquet/_batch=$batchId")
           stream -> obs.get("records").asInstanceOf[Long]
         }.toMap
-        SingerPipeline.writeJobMetrics(config.outDir, counts)
+        SingerPipeline.writeBatchMetrics(config.outDir, batchId, counts)
         ()
       }
       .start()

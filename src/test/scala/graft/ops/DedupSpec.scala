@@ -52,11 +52,15 @@ class DedupSpec extends AnyFunSuite with Matchers {
   }
 
   test("simhash banded join finds identical and near docs, skips unrelated") {
-    val pairs = Dedup.simHashDups(docs, maxHamming = 16, bandBits = 8)
+    val pairs = Dedup.simHashDups(docs, maxHamming = 7, bandBits = 8)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     pairs should contain((0L, 1L)) // identical -> hamming 0
     pairs should contain((0L, 4L))
     pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+    // guard: a (maxHamming, bandBits) pair beyond the pigeonhole guarantee
+    // would silently miss qualifying pairs — must be rejected
+    intercept[IllegalArgumentException](
+      Dedup.simHashDups(docs, maxHamming = 16, bandBits = 8))
   }
 
   test("ngram jaccard pairs verifies an explicit candidate set") {

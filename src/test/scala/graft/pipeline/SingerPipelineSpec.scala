@@ -139,7 +139,7 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
     SingerPipeline.writeJobMetrics(dir, Map("users" -> 2L))
     SingerPipeline.writeJobMetrics(dir, Map("users" -> 3L, "orders" -> 1L))
     val body = Files.readString(java.nio.file.Paths.get(s"$dir/job_metrics.json"))
-    body shouldBe """{"recordCount": {"orders": 1, "users": 5}}"""
+    body shouldBe """{"recordCount":{"orders":1,"users":5}}"""
   }
 
   test("arrays of primitives and objects degrade to JSON text; null array stays null (E7, test_integration.py:123-177)") {

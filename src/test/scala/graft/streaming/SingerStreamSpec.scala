@@ -36,8 +36,9 @@ class SingerStreamSpec extends AnyFunSuite with Matchers {
       spark, s"$dir/in", schemas, SingerConfig(s"$dir/out"), s"$dir/chk")
     q2.awaitTermination(60000)
     spark.read.parquet(s"$dir/out/m.parquet").count() shouldBe 3
-    // metrics accumulated across both micro-batch runs (A1)
+    // metrics recomputed from per-batch files across both runs (A1),
+    // idempotent under batch replay
     Files.readString(java.nio.file.Paths.get(s"$dir/out/job_metrics.json")) shouldBe
-      """{"recordCount": {"m": 3}}"""
+      """{"recordCount":{"m":3}}"""
   }
 }
