@@ -226,10 +226,21 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashDups(t(s, dir, "documents")).orderBy("a_id", "b_id")),
 
-    "q_dedup_groups" -> ((s, dir) =>
+    // Transitive groups over an oracle-able pair source: exact n-gram
+    // Jaccard on a bounded all-pairs block (the verification regime), so
+    // DuckDB can replay both the pair list AND the connected components
+    // (recursive CTE). The production path feeds the same operator from
+    // minHashLsh/simHashDups candidates instead.
+    "q_dedup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a_id"))
+        .crossJoin(ids.select(col("doc_id").as("b_id")))
+        .filter(col("a_id") < col("b_id"))
       Dedup.duplicateGroups(
-        Dedup.simHashDups(t(s, dir, "documents"), maxHamming = 7, bandBits = 8))
-        .orderBy("id")),
+        Dedup.ngramJaccardPairs(docs, pairs).filter(col("jaccard") >= 0.5))
+        .orderBy("id")
+    }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -282,19 +293,30 @@ object SparkEntry {
       Multimodal.payloadMeta(Multimodal.fromDocuments(t(s, dir, "documents")))
         .orderBy("media_id")),
 
-    "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.fromDocuments(t(s, dir, "documents")))
-        .orderBy("media_id")),
+    // Feature vector surfaced as per-bin quantized longs (round(x*1e6)):
+    // the driver's pandas compare can't sort raw arrays/binary, and
+    // quantized integers are exact in every engine (same rule as cosine).
+    "q_multimodal_features" -> ((s, dir) => {
+      val f = Multimodal.extractFeatures(Multimodal.fromDocuments(t(s, dir, "documents")))
+      val bins = (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1) * 1e6).cast("long").as(s"f$i"))
+      f.select(Seq(col("media_id"), col("dec_width"), col("dec_height")) ++ bins: _*)
+        .orderBy("media_id")
+    }),
 
+    // Payload crosses the compare boundary as hex text (binary is
+    // unsortable in the driver's pandas compare).
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.fromDocuments(t(s, dir, "documents")))
+        .select(col("media_id"), col("frame_no"),
+          hex(col("frame_payload")).as("frame_hex"))
         .orderBy("media_id", "frame_no"))
   )
 
   /** DuckDB oracles. Omitted on purpose (rows-only check): q_dedup_minhash,
-    * q_dedup_simhash, q_sim_lsh (all keyed on Spark's xxhash64, which DuckDB
-    * does not implement) and q_multimodal_features (mapPartitions decode
-    * stub, not SQL).
+    * q_dedup_simhash, q_dedup_simhash_pairs, q_sim_lsh (keyed on Spark's
+    * xxhash64, which DuckDB does not implement — each has a portable md5-
+    * hashed twin below with a full oracle).
     */
   def oracleSql: Map[String, String] = Map(
     "q_singer_pipeline" ->
@@ -412,12 +434,64 @@ object SparkEntry {
         |      GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) k
         |USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // Byte-exact frame slices via the hex string: substr on hex(blob) is a
+    // byte-level slice regardless of multi-byte characters in the text.
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_no,
-        | encode(substr(text, CAST(f * 256 + 1 AS INT), 256)) AS frame_payload
+        | substr(hex(encode(text)), CAST(f * 512 + 1 AS INT), 512) AS frame_hex
         |FROM documents, range(0, 4) r(f)
-        |WHERE length(text) >= f * 256 + 1
+        |WHERE octet_length(encode(text)) >= f * 256 + 1
         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // FakeDecoder's byte histogram replayed on the hex view of the payload:
+    // parse each byte from its two hex digits, bin by the top 3 bits,
+    // normalize, quantize round(x*1e6) to exact longs.
+    "q_multimodal_features" ->
+      """WITH b AS (
+        | SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+        |), by0 AS (
+        | SELECT doc_id, n, list_transform(range(1, n + 1), i ->
+        |   (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+        |   (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)) AS bs
+        | FROM b
+        |)
+        |SELECT doc_id AS media_id, CAST(n % 640 AS INT) AS dec_width, CAST(n % 480 AS INT) AS dec_height,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 0)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f0,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 1)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f1,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 2)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f2,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 3)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f3,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 4)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f4,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 5)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f5,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 6)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f6,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 7)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f7
+        |FROM by0 ORDER BY media_id""".stripMargin,
+
+    // Connected components replayed with a recursive CTE over the same
+    // exact-Jaccard pair list the Spark side feeds to label propagation.
+    "q_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id, list_distinct(sh0) AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents WHERE doc_id < 500)
+        | )
+        |),
+        |pairs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.5
+        |),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION ALL SELECT b_id AS s, a_id AS d FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+        |)
+        |SELECT id, min(r) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (

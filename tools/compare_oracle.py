@@ -18,11 +18,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df):
+    # No bytes/bytearray coercion on purpose: the driver's compare sorts
+    # raw values, so binary/array columns must not reach this layer at all
+    # (round-1 lesson — queries emit hex/quantized scalars instead).
     cols = sorted(df.columns)
     df = df[cols]
-    for c in cols:
-        if df[c].map(lambda v: isinstance(v, (bytes, bytearray))).any():
-            df[c] = df[c].map(lambda v: bytes(v) if isinstance(v, (bytes, bytearray)) else v)
     df = df.sort_values(by=cols, ignore_index=True)
     return df
 
