@@ -226,6 +226,24 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simHashDups(t(s, dir, "documents")).orderBy("a_id", "b_id")),
 
+    // Portable-hash twins (PortableHash: md5-prefix base + integer mixes):
+    // same banding/verify pipelines as the xxhash64 operators above, on a
+    // hash family DuckDB replays exactly — these carry the full oracle the
+    // fast variants can't.
+    "q_dedup_minhash_portable" -> ((s, dir) =>
+      Dedup.minHashLshPortable(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
+    "q_dedup_simhash_portable" -> ((s, dir) =>
+      Dedup.simHashPortable(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_dedup_simhash_pairs_portable" -> ((s, dir) =>
+      Dedup.simHashDupsPortable(t(s, dir, "documents")).orderBy("a_id", "b_id")),
+
+    "q_sim_lsh_portable" -> ((s, dir) =>
+      Similarity.lshTopKPortable(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
+        .orderBy("query_id", "rank")),
+
     // Transitive groups over an oracle-able pair source: exact n-gram
     // Jaccard on a bounded all-pairs block (the verification regime), so
     // DuckDB can replay both the pair list AND the connected components
@@ -315,8 +333,9 @@ object SparkEntry {
 
   /** DuckDB oracles. Omitted on purpose (rows-only check): q_dedup_minhash,
     * q_dedup_simhash, q_dedup_simhash_pairs, q_sim_lsh (keyed on Spark's
-    * xxhash64, which DuckDB does not implement — each has a portable md5-
-    * hashed twin below with a full oracle).
+    * xxhash64, which DuckDB does not implement — each has a `_portable`
+    * twin above running the SAME pipeline on the PortableHash family, with
+    * the full oracle below).
     */
   def oracleSql: Map[String, String] = Map(
     "q_singer_pipeline" ->
@@ -492,6 +511,128 @@ object SparkEntry {
         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
         |)
         |SELECT id, min(r) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // Portable-hash twins: full replay of the banded pipelines on the
+    // PortableHash family — base hash = ('0x' || substr(md5(s),1,7))::BIGINT,
+    // seed mix = (p*(2i+1) + i*40503) % 268435399 (see PortableHash.scala).
+    "q_dedup_minhash_portable" ->
+      """WITH sh AS (
+        | SELECT doc_id, sh0 AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents)
+        | )
+        |),
+        |hs AS (
+        | SELECT doc_id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh
+        |),
+        |sig AS (
+        | SELECT doc_id, list_transform(range(0, 32), i ->
+        |   list_min(list_transform(hs, p -> (p * (2*i + 1) + i * 40503) % 268435399))) AS sig
+        | FROM hs
+        |),
+        |bands AS (
+        | SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bucket
+        | FROM sig, range(0, 8) r(b)
+        |),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        | FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |),
+        |j AS (
+        | SELECT a_id, b_id,
+        |  round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+        |   ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))) END, 6) AS jaccard
+        | FROM cand JOIN sh x ON cand.a_id = x.doc_id JOIN sh y ON cand.b_id = y.doc_id
+        |)
+        |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_simhash_portable" ->
+      """WITH hs AS (
+        | SELECT doc_id, list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hs
+        | FROM documents
+        |),
+        |bits AS (
+        | SELECT doc_id, list_transform(range(0, 64), b ->
+        |   CASE WHEN list_sum(list_transform(hs, p ->
+        |     CASE WHEN (p * (2*b + 1) + b * 40503) % 268435399 % 2 = 0 THEN 1 ELSE -1 END)) >= 0
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+        | FROM hs
+        |)
+        |SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT), bits[1:32]), (a, x) -> a*2 + x) AS simhash_hi,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT), bits[33:64]), (a, x) -> a*2 + x) AS simhash_lo
+        |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash_pairs_portable" ->
+      """WITH hs AS (
+        | SELECT doc_id, list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hs
+        | FROM documents
+        |),
+        |bits AS (
+        | SELECT doc_id, list_transform(range(0, 64), b ->
+        |   CASE WHEN list_sum(list_transform(hs, p ->
+        |     CASE WHEN (p * (2*b + 1) + b * 40503) % 268435399 % 2 = 0 THEN 1 ELSE -1 END)) >= 0
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+        | FROM hs
+        |),
+        |fp AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), bits[1:32]), (a, x) -> a*2 + x) AS hi,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), bits[33:64]), (a, x) -> a*2 + x) AS lo
+        | FROM bits
+        |),
+        |banded AS (
+        | SELECT doc_id, hi, lo, i AS band,
+        |  CASE WHEN i < 2 THEN (hi >> (i*16)) & 65535 ELSE (lo >> ((i-2)*16)) & 65535 END AS bv
+        | FROM fp, range(0, 4) r(i)
+        |)
+        |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+        | CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hamming
+        |FROM banded x JOIN banded y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_sim_lsh_portable" ->
+      """WITH q AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings
+        |),
+        |sig AS (
+        | SELECT vec_id, qv, list_transform(range(0, 32), p ->
+        |   CASE WHEN list_sum(list_transform(range(0, len(qv)), j ->
+        |     qv[j+1] * (CASE WHEN ('0x' || substr(md5(concat(p, ',', j)), 1, 7))::BIGINT % 2 = 0
+        |                THEN 1 ELSE -1 END))) >= 0
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+        | FROM q
+        |),
+        |bk AS (
+        | SELECT vec_id, qv, b,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), bits[(b*4+1):(b*4+4)]), (a, x) -> a*2 + x) AS bucket
+        | FROM sig, range(0, 8) r(b)
+        |),
+        |cand AS (
+        | SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS cand_id, x.qv AS query_qv, y.qv AS qv
+        | FROM bk x JOIN bk y ON x.b = y.b AND x.bucket = y.bucket
+        | WHERE x.vec_id < 10 AND y.vec_id <> x.vec_id
+        |),
+        |scored AS (
+        | SELECT query_id, cand_id,
+        |  round(list_sum(list_transform(list_zip(query_qv, qv), pr -> pr[1] * pr[2]))
+        |   / sqrt(CAST(list_sum(list_transform(list_zip(query_qv, query_qv), pr -> pr[1] * pr[2])) AS DOUBLE)
+        |        * CAST(list_sum(list_transform(list_zip(qv, qv), pr -> pr[1] * pr[2])) AS DOUBLE)), 6) AS sim
+        | FROM cand
+        |)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (

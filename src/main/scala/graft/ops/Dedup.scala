@@ -146,11 +146,23 @@ object Dedup {
     // (typically few) candidate pairs re-join their shingles afterwards.
     val banded = docs.select(col("doc_id"), posexplode(bandBuckets))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    val candidates = banded
+    jaccardVerify(docs, bandedCandidates(banded), threshold, shingleSize)
+  }
+
+  /** Distinct (a_id, b_id) pairs sharing at least one (band, bucket) key. */
+  private def bandedCandidates(banded: DataFrame): DataFrame =
+    banded
       .join(banded.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
       .filter(col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+
+  /** Exact-Jaccard verification of a candidate pair set at `threshold`. */
+  private def jaccardVerify(
+      docs: DataFrame,
+      candidates: DataFrame,
+      threshold: Double,
+      shingleSize: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
@@ -158,6 +170,43 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("a_sh"), col("b_sh")), 6))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** [[minHashLsh]] on the engine-portable hash family
+    * ([[graft.functions.PortableHash]]): md5-prefix base hash per shingle
+    * (hashed ONCE), `numHashes` cheap universal-hash mixes, band buckets as
+    * the joined signature-slice STRING (no second hash — a few bytes more
+    * per key buys DuckDB replayability). Same banding/verify pipeline and
+    * scale shape as the xxhash64 path; use that one when an external oracle
+    * isn't needed — this family exists so the driver can hash-match the
+    * full candidate-generation + verification pipeline, not just count rows.
+    */
+  def minHashLshPortable(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): trailing signature " +
+        "components outside a full band would silently never join")
+    import graft.functions.PortableHash._
+    val rowsPerBand = numHashes / bands
+    val bandBuckets = ColumnOps.bind(shingles(col("text"), shingleSize)) { sh =>
+      ColumnOps.bind(transform(sh, s => h28(s))) { hs =>
+        ColumnOps.bind(
+          transform(
+            sequence(lit(0), lit(numHashes - 1)),
+            i => array_min(transform(hs, p => mix(p, i))))) { sig =>
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ","))
+        }
+      }
+    }
+    val banded = docs.select(col("doc_id"), posexplode(bandBuckets))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    jaccardVerify(docs, bandedCandidates(banded), threshold, shingleSize)
   }
 
   /** Exact Jaccard over the distinct-element view of two arrays. */
@@ -212,6 +261,34 @@ object Dedup {
       }
     // explode(array(...)) = Generate barrier: both output columns extract
     // from ONE evaluation of the packed struct.
+    docs.select(col("doc_id"), explode(array(packed)).as("q"))
+      .select(col("doc_id"), col("q.simhash_hi"), col("q.simhash_lo"))
+  }
+
+  /** [[simHash]] on the engine-portable hash family: one md5-prefix base
+    * hash per token, 64 cheap seeded mixes vote the bits. Slower than the
+    * native path (md5 vs xxhash64) but exactly replayable in DuckDB —
+    * the oracle twin for the fingerprint and its Hamming-join downstream.
+    */
+  def simHashPortable(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHash._
+    def bits(hs: Column, from: Int, until: Int) = transform(
+      sequence(lit(from), lit(until)),
+      b =>
+        when(
+          aggregate(
+            hs,
+            lit(0L),
+            (acc, p) => acc + when(mix(p, b) % 2 === 0, 1L).otherwise(-1L))
+            >= 0,
+          lit(1L)).otherwise(lit(0L)))
+    def pack(bs: Column) = aggregate(bs, lit(0L), (acc, bit) => acc * 2 + bit)
+    val packed =
+      ColumnOps.bind(transform(split(normText(col("text")), " "), t => h28(t))) { hs =>
+        struct(
+          pack(bits(hs, 0, 31)).as("simhash_hi"),
+          pack(bits(hs, 32, 63)).as("simhash_lo"))
+      }
     docs.select(col("doc_id"), explode(array(packed)).as("q"))
       .select(col("doc_id"), col("q.simhash_hi"), col("q.simhash_lo"))
   }
@@ -306,13 +383,25 @@ object Dedup {
     * — this is the cheapest near-dup join per byte, ideal as a pre-filter
     * before [[minHashLsh]]'s exact-Jaccard verification at 100 TB.
     */
-  def simHashDups(docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
+  def simHashDups(docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame =
+    simHashDupsFrom(simHash(docs), maxHamming, bandBits)
+
+  /** [[simHashDups]] on portable fingerprints ([[simHashPortable]]) — the
+    * DuckDB-replayable twin of the whole banded Hamming join.
+    */
+  def simHashDupsPortable(docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame =
+    simHashDupsFrom(simHashPortable(docs), maxHamming, bandBits)
+
+  /** Banded Hamming self-join over a precomputed fingerprint table
+    * `(doc_id, simhash_hi, simhash_lo)` — see [[simHashDups]] for the
+    * pigeonhole recall argument.
+    */
+  def simHashDupsFrom(fp: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
     require(32 % bandBits == 0, "bandBits must divide 32")
     require(maxHamming <= 64 / bandBits - 1,
       s"pigeonhole guarantee: ${64 / bandBits} bands of $bandBits bits only " +
         s"guarantee recall for hamming <= ${64 / bandBits - 1}, got $maxHamming " +
         "(a qualifying pair could differ in one bit per band and share no key)")
-    val fp = simHash(docs)
     val perHalf = 32 / bandBits
     val mask = (1L << bandBits) - 1
     val bands = (0 until 2 * perHalf).map { i =>

@@ -129,6 +129,84 @@ object Similarity {
     }
   }
 
+  /** Engine-portable random-hyperplane signature over a QUANTIZED vector:
+    * component j of plane p has sign ±1 from the parity of the portable
+    * md5-prefix hash of "p,j" ([[graft.functions.PortableHash.h28]]), and
+    * the projection is an integer dot product — exact in any engine, so
+    * the whole bucketing decision (not just the rerank) is DuckDB-
+    * replayable. Same no-stored-plane-matrix property as [[rhpSignature]].
+    */
+  def rhpSignaturePortable(qv: Column, planes: Int): Column =
+    transform(
+      sequence(lit(0), lit(planes - 1)),
+      p => {
+        val dot = aggregate(
+          zip_with(
+            qv,
+            sequence(lit(0), size(qv) - 1),
+            (x, j) =>
+              x * when(
+                graft.functions.PortableHash.h28(
+                  concat(p.cast("string"), lit(","), j.cast("string"))) % 2 === 0,
+                1L).otherwise(-1L)),
+          lit(0L),
+          (acc, x) => acc + x)
+        when(dot >= 0, lit(1L)).otherwise(lit(0L))
+      })
+
+  /** [[lshTopK]] on the portable hash family: quantized-integer plane
+    * projections ([[rhpSignaturePortable]]) decide the buckets, quantized
+    * cosine reranks — every stage replays exactly in DuckDB. Use the
+    * xxhash64 path for production (cheaper per row); this twin exists so
+    * the driver can hash-match the full ANN pipeline end to end.
+    */
+  def lshTopKPortable(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      bands: Int = 8,
+      bandBits: Int = 4): DataFrame = {
+    val planes = bands * bandBits
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    import graft.functions.ColumnOps
+    val q0 = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val buckets = ColumnOps.bind(rhpSignaturePortable(col("qv"), planes)) { s =>
+      transform(
+        sequence(lit(0), lit(bands - 1)),
+        b =>
+          aggregate(
+            slice(s, b * bandBits + 1, lit(bandBits)),
+            lit(0L),
+            (acc, bit) => acc * 2 + bit))
+    }
+    val banded = q0.select(
+      col("vec_id"),
+      col("qv"),
+      qdot(col("qv"), col("qv"), native).as("qn"),
+      posexplode(buckets))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val q = banded
+      .filter(col("vec_id") < queryMaxId)
+      .select(
+        col("vec_id").as("query_id"), col("qv").as("query_qv"),
+        col("qn").as("query_qn"), col("band"), col("bucket"))
+    val cands = banded
+      .join(q, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("cand_id"),
+        col("query_qv"), col("query_qn"), col("qv"), col("qn"))
+      .dropDuplicates("query_id", "cand_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    cands
+      .withColumn("sim",
+        qcosinePre(qdot(col("query_qv"), col("qv"), native), col("query_qn"), col("qn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** ANN via banded LSH: signature split into `bands` bands; vectors
     * sharing any band bucket become candidates; exact (quantized) cosine
     * re-ranks candidates; top-k per query. Recall is tuned by
