@@ -146,6 +146,36 @@ object SparkEntry {
             .as("out_of_exclusive_bounds"),
           count(lit(1)).as("n"))),
 
+    // Row-level draft-7 fallback (V1 full keyword set): records rebuilt as
+    // JSON text, validated against a schema whose firing keywords —
+    // uniqueItems, oneOf, not — have NO Column encoding. The canonical
+    // violation label (min of the set) is deterministic, so DuckDB replays
+    // it with a CASE over the same predicates.
+    "q_validation_row" -> ((s, dir) => {
+      val rowSchema = org.json4s.jackson.JsonMethods.parse(
+        """{"type": "object",
+          | "properties": {
+          |   "event_id": {"type": "integer"},
+          |   "event_type": {"type": "string"},
+          |   "value": {"oneOf": [{"maximum": 150}, {"minimum": 100}]},
+          |   "tags": {"type": "array", "uniqueItems": true,
+          |            "contains": {"const": "click"}}
+          | },
+          | "dependencies": {"value": ["event_id"]},
+          | "not": {"properties": {"event_type": {"const": "purchase"}},
+          |         "required": ["event_type"]}}""".stripMargin)
+      val ev = t(s, dir, "events")
+      graft.validate.Validator.annotateRows(
+        ev.select(
+          col("event_id"),
+          to_json(struct(
+            col("event_id"), col("event_type"), col("value"),
+            array(col("event_type"), lit("click")).as("tags"))).as("rec")),
+        rowSchema, col("rec"), as = "violation")
+        .select("event_id", "violation")
+        .orderBy("event_id")
+    }),
+
     // ── aggregation / demux (SURVEY §2.6, §2.1 S3) ────────────────────
     "q_stream_counts" -> ((s, dir) =>
       t(s, dir, "events")
@@ -389,6 +419,17 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN value <= 0 OR value >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS out_of_exclusive_bounds,
         | count(*) AS n
         |FROM events""".stripMargin,
+
+    // The row validator's canonical label = min of the violation set:
+    // '$.tags: uniqueItems' < '$.value: oneOf' < '$: not' ('.' < ':'), so
+    // the CASE tests them in exactly that order.
+    "q_validation_row" ->
+      """SELECT event_id,
+        | CASE WHEN event_type = 'click' THEN '$.tags: uniqueItems'
+        |      WHEN value >= 100 AND value <= 150 THEN '$.value: oneOf'
+        |      WHEN event_type = 'purchase' THEN '$: not'
+        |      ELSE NULL END AS violation
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_stream_counts" ->
       "SELECT event_type AS stream, count(*) AS record_count FROM events GROUP BY event_type ORDER BY stream",

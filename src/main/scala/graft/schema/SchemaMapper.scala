@@ -114,11 +114,17 @@ object SchemaMapper {
     ResolvedProperty(key, typeId, format, nullable, obj)
   }
 
-  /** One Singer stream's resolved schema: the driver-side registry entry. */
+  /** One Singer stream's resolved schema: the driver-side registry entry.
+    * `rawSchema` keeps the stream's full original JSON-Schema object so the
+    * row-level validator ([[graft.validate.JsonSchemaValidator]]) can
+    * compile object-level keywords (`dependencies`, `patternProperties`,
+    * `oneOf`, ...) that per-property resolution discards.
+    */
   final case class StreamSchema(
       stream: String,
       properties: Vector[ResolvedProperty],
-      keyProperties: Vector[String]) {
+      keyProperties: Vector[String],
+      rawSchema: JValue = JNothing) {
 
     /** Typed output schema (C4, `sinks.py:152-155`). `key_properties` ride
       * along in field metadata on the key columns (Spark has no schema-level
@@ -163,6 +169,6 @@ object SchemaMapper {
       case JArray(vs) => vs.collect { case JString(s) => s }.toVector
       case _          => Vector.empty[String]
     }
-    StreamSchema(stream, props, keys)
+    StreamSchema(stream, props, keys, msg \ "schema")
   }
 }

@@ -68,6 +68,24 @@ class ValidatorSpec extends AnyFunSuite with Matchers {
       Seq("[1, 2]", "[1, 2, 3]")) shouldBe Seq(false, true)
   }
 
+  test("rowViolation: canonical min label over the full keyword set, null-safe") {
+    val schema = org.json4s.jackson.JsonMethods.parse(
+      """{"type": "object", "properties": {
+        |  "tags": {"type": "array", "uniqueItems": true},
+        |  "value": {"oneOf": [{"maximum": 150}, {"minimum": 100}]}
+        |}}""".stripMargin)
+    val df = Seq(
+      """{"tags": ["a", "b"], "value": 50}""",  // valid
+      """{"tags": ["a", "a"], "value": 120}""", // two violations → min label
+      """{"tags": ["a"], "value": 120}""",      // oneOf only
+      "not json",                                // parse error label
+      null.asInstanceOf[String]                  // null → null
+    ).toDF("rec")
+    val out = Validator.annotateRows(df, schema, $"rec")
+      .select("_violation").collect().map(_.getString(0))
+    out shouldBe Array(null, "$.tags: uniqueItems", "$.value: oneOf", "$: parse-error", null)
+  }
+
   test("violation column labels the first failing property") {
     val ss = SchemaMapper.fromSchemaMessage(
       """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": {"status": {"type": ["string", "null"], "enum": ["on", "off"]}, "n": {"type": ["integer", "null"], "maximum": 5}}}, "key_properties": []}""")
