@@ -24,6 +24,9 @@ import java.nio.file.{Files, Paths}
   *   - `strict_validation`: bool (P3).
   *   - `stage_by_stream`: bool — two-pass staging for many-stream inputs
   *     (scale path, see [[graft.pipeline.SingerPipeline]]).
+  *   - `compression`: parquet codec for all streams (`zstd`, `snappy`,
+  *     `gzip`, `none`, ...).
+  *   - `partition_by`: `{stream: [cols]}` Hive-style output partitioning.
   *
   * Input is a file of newline-delimited Singer messages rather than a
   * stdin pipe: on a cluster the "pipe" is a distributed path (HDFS/S3
@@ -47,13 +50,14 @@ object SingerMain {
       configJson \ key match { case JString(s) => Some(s); case _ => None }
     def bool(key: String): Boolean =
       configJson \ key match { case JBool(b) => b; case _ => false }
-    val fixedHeaders: Map[String, Seq[String]] = configJson \ "fixed_headers" match {
+    def streamCols(key: String): Map[String, Seq[String]] = configJson \ key match {
       case JObject(fields) =>
         fields.collect { case (stream, JArray(cols)) =>
           stream -> cols.collect { case JString(c) => c }
         }.toMap
       case _ => Map.empty
     }
+    val fixedHeaders: Map[String, Seq[String]] = streamCols("fixed_headers")
 
     // `schema_messages`: full Singer SCHEMA messages embedded in the config
     // (out-of-band catalog) — skips the schema-discovery scan over the input.
@@ -68,7 +72,11 @@ object SingerMain {
       fixedHeaders = fixedHeaders,
       strictValidation = bool("strict_validation"),
       stageByStream = bool("stage_by_stream"),
-      schemaMessages = schemaMessages)
+      schemaMessages = schemaMessages,
+      // north-star write options: parquet codec for every stream plus
+      // per-stream Hive-style partition columns ({stream: [cols]})
+      compression = str("compression"),
+      partitionBy = streamCols("partition_by"))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()
@@ -81,6 +89,12 @@ object SingerMain {
       }
       println(s"[target-parquet-spark] job_metrics: " +
         result.recordCounts.toSeq.sortBy(_._1).map { case (s, n) => s"$s=$n" }.mkString(", "))
+      // STATE passthrough: echo the final state AFTER everything is
+      // flushed, as a bare JSON line on stdout (the Singer target
+      // contract taps use for incremental-sync bookmarks; SDK behavior
+      // under target.py:28-31). The bracketed lines above are diagnostics;
+      // this is the machine-readable one.
+      result.lastState.foreach(println)
     } finally spark.stop()
   }
 }

@@ -31,20 +31,39 @@ import java.time.{ZoneOffset, ZonedDateTime}
   *                         O(streams) in-band schema lines is the single
   *                         most wasteful job in the pipeline, and taps can
   *                         emit their catalog out of band.
+  * @param compression      parquet codec for all streams (`snappy`, `zstd`,
+  *                         `gzip`, `none`, ...). None → Spark session
+  *                         default. Extension over the reference's bare
+  *                         config surface (`target.py:16-25`), named by the
+  *                         north-star brief.
+  * @param partitionBy      per-stream output partition columns (Hive-style
+  *                         directory layout). Columns must exist in the
+  *                         stream's schema after `fixedHeaders` pruning.
   */
 final case class SingerConfig(
     outDir: String,
     fixedHeaders: Map[String, Seq[String]] = Map.empty,
     strictValidation: Boolean = false,
     stageByStream: Boolean = false,
-    schemaMessages: Option[Seq[String]] = None)
+    schemaMessages: Option[Seq[String]] = None,
+    compression: Option[String] = None,
+    partitionBy: Map[String, Seq[String]] = Map.empty)
 
 /** Result of one ingest job: per-stream output paths and record counts
-  * (the reference's `job_metrics.json`, `writers.py:52-74`).
+  * (the reference's `job_metrics.json`, `writers.py:52-74`), plus the last
+  * STATE value for passthrough.
+  *
+  * @param lastState the `value` JSON of the final STATE message, if any.
+  *                  Singer taps rely on the target echoing STATE once the
+  *                  records before it are flushed (SDK behavior under
+  *                  `target.py:28-31`; message shape
+  *                  `tests/conftest.py:44-45`) — batch semantics flush
+  *                  everything, so the LAST state is the one to emit.
   */
 final case class IngestResult(
     paths: Map[String, String],
-    recordCounts: Map[String, Long])
+    recordCounts: Map[String, Long],
+    lastState: Option[String] = None)
 
 /** The Singer-message ingest pipeline — the reference engine's entire
   * purpose (hotgluexyz/target-parquet; SURVEY.md §0), re-expressed as
@@ -178,6 +197,30 @@ object SingerPipeline {
         Validator.enforceRows(df, ss.rawSchema, recordText)
       else df
 
+    // STATE passthrough rides an Observation on the FIRST job that scans
+    // the raw lines — zero extra passes (at 100 TB a dedicated state scan
+    // would be a full input read for O(1) bytes of metadata). "Last" is
+    // resolved by monotonically_increasing_id: partition index rides the
+    // high bits and, for a single input file, equal-size splits keep
+    // offset order (stable sort in the file-split packer), so max id =
+    // last line in input order — the canonical stdin-capture layout.
+    // Multi-file inputs order by Spark's size-desc listing; Singer defines
+    // no cross-file order either.
+    val stateObs = Observation(s"state-${tsFmt.format(now)}")
+    var stateObserved = false
+    def observeState(df: DataFrame): DataFrame =
+      if (stateObserved) df
+      else {
+        stateObserved = true
+        df.withColumn("_line_id", monotonically_increasing_id())
+          .observe(stateObs,
+            max_by(
+              col("value"),
+              when(get_json_object(col("value"), "$.type") === "STATE",
+                col("_line_id"))).as("last_state"))
+          .select(col("value"))
+      }
+
     val typedFor: (String, StreamSchema) => DataFrame =
       if (config.stageByStream && registry.size > 1) {
         // Pass 1: stage raw record lines partitioned by stream. One scan of
@@ -185,7 +228,7 @@ object SingerPipeline {
         // to their own partition directory.
         val stagingDir = s"${config.outDir}/.staging-${tsFmt.format(now)}"
         stagingToClean = Some(Paths.get(stagingDir))
-        lines
+        observeState(lines)
           .filter(get_json_object(col("value"), "$.type") === "RECORD")
           .withColumn("_stream", get_json_object(col("value"), "$.stream"))
           .write.partitionBy("_stream").parquet(stagingDir)
@@ -202,7 +245,7 @@ object SingerPipeline {
       } else { (stream: String, ss: StreamSchema) =>
         typedRecordsFromLines(
           rowChecked(
-            lines, ss,
+            observeState(lines), ss,
             when(
               get_json_object(col("value"), "$.type") === "RECORD" &&
                 get_json_object(col("value"), "$.stream") === stream,
@@ -215,7 +258,11 @@ object SingerPipeline {
       val typed = if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
       val obs = Observation(s"ingest-$stream")
       val path = outputPath(config, stream, now)
-      typed.observe(obs, count(lit(1)).as("records")).write.parquet(path)
+      val writer = typed.observe(obs, count(lit(1)).as("records")).write
+      config.compression.foreach(c => writer.option("compression", c))
+      config.partitionBy.get(stream).filter(_.nonEmpty)
+        .foreach(cols => writer.partitionBy(cols: _*))
+      writer.parquet(path)
       val n = obs.get("records").asInstanceOf[Long]
       if (n == 0L) deleteRecursively(Paths.get(path)) // K4: no records → no file
       (stream, path, n)
@@ -223,9 +270,36 @@ object SingerPipeline {
 
     stagingToClean.foreach(deleteRecursively) // staging is scratch, not output
 
+    // No stream jobs ran (empty registry): a STATE-only input still owes
+    // its tap a state echo — dedicated tiny aggregate, nothing else scans.
+    val lastStateLine: Option[String] =
+      if (stateObserved) Option(stateObs.get("last_state")).map(_.toString)
+      else
+        Option(
+          lines
+            .withColumn("_line_id", monotonically_increasing_id())
+            .agg(max_by(
+              col("value"),
+              when(get_json_object(col("value"), "$.type") === "STATE",
+                col("_line_id"))).as("last_state"))
+            .head.getString(0))
+
     IngestResult(
       paths = results.collect { case (s, p, n) if n > 0 => s -> p }.toMap,
-      recordCounts = results.map { case (s, _, n) => s -> n }.toMap)
+      recordCounts = results.map { case (s, _, n) => s -> n }.toMap,
+      lastState = lastStateLine.map(stateValue))
+  }
+
+  /** The `value` payload of a full STATE message line — what a Singer
+    * target writes to stdout (`tests/conftest.py:44-45`: the message is
+    * `{"type": "STATE", "value": <state>}`; the echo is `<state>`).
+    */
+  def stateValue(stateLine: String): String = {
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(stateLine) \ "value" match {
+      case org.json4s.JNothing => "{}"
+      case v                   => JsonMethods.compact(JsonMethods.render(v))
+    }
   }
 
   /** A1: merge record counts into `job_metrics.json`, accumulating onto an
@@ -295,6 +369,28 @@ object SingerPipeline {
     Files.writeString(
       Paths.get(dir, "job_metrics.json"),
       renderMetrics(totals.toSeq.sortBy(_._1)))
+  }
+
+  /** Streaming STATE passthrough: one idempotent state file per
+    * micro-batch under `.state/`, plus `state.json` refreshed to the
+    * HIGHEST batch's state — the streaming analogue of the batch echo
+    * (a replayed batch overwrites its own file, never regresses the
+    * current state).
+    */
+  def writeBatchState(dir: String, batchId: Long, stateJson: String): Unit = {
+    val sdir = Paths.get(dir, ".state")
+    Files.createDirectories(sdir)
+    Files.writeString(sdir.resolve(s"batch-$batchId.json"), stateJson)
+    import scala.jdk.CollectionConverters._
+    val latest = Files.list(sdir).iterator().asScala
+      .flatMap { f =>
+        "batch-(\\d+)\\.json".r.findFirstMatchIn(f.getFileName.toString)
+          .map(m => m.group(1).toLong -> f)
+      }
+      .maxByOption(_._1)
+    latest.foreach { case (_, f) =>
+      Files.writeString(Paths.get(dir, "state.json"), Files.readString(f))
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

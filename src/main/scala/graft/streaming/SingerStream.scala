@@ -54,8 +54,25 @@ object SingerStream {
         // per-batch partition directory that a replay OVERWRITES, and
         // metrics go to a per-batch file with totals recomputed
         // (writeBatchMetrics), never accumulated twice.
+        // STATE passthrough rides an Observation on the first stream's
+        // scan of the batch (same zero-extra-pass trick as the batch
+        // path); the per-batch state file is idempotent in batchId too.
+        val stateObs = org.apache.spark.sql.Observation(s"b$batchId-state")
+        var stateObserved = false
+        def observeState(df: org.apache.spark.sql.DataFrame) =
+          if (stateObserved) df
+          else {
+            stateObserved = true
+            df.withColumn("_line_id", monotonically_increasing_id())
+              .observe(stateObs,
+                max_by(
+                  col("value"),
+                  when(get_json_object(col("value"), "$.type") === "STATE",
+                    col("_line_id"))).as("last_state"))
+              .select(col("value"))
+          }
         val counts = registry.toSeq.sortBy(_._1).map { case (stream, ss) =>
-          val typed0 = SingerPipeline.typedRecordsFromLines(batch, ss)
+          val typed0 = SingerPipeline.typedRecordsFromLines(observeState(batch), ss)
           val typed =
             if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
           val obs = org.apache.spark.sql.Observation(s"b$batchId-$stream")
@@ -66,6 +83,10 @@ object SingerStream {
           stream -> obs.get("records").asInstanceOf[Long]
         }.toMap
         SingerPipeline.writeBatchMetrics(config.outDir, batchId, counts)
+        if (stateObserved)
+          Option(stateObs.get("last_state")).foreach(line =>
+            SingerPipeline.writeBatchState(
+              config.outDir, batchId, SingerPipeline.stateValue(line.toString)))
         ()
       }
       .start()

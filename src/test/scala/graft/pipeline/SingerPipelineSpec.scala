@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -141,6 +142,65 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
         SingerConfig(tmp(), strictValidation = true, stageByStream = true))
     }
     e2.getMessage should include("$.tags: uniqueItems")
+  }
+
+  test("STATE passthrough: last state value echoed after flush (SDK contract, test_integration.py:312-336)") {
+    val input = write(Seq(
+      """{"type": "STATE", "value": {"bookmarks": {}}}""", // before any record
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "a"}}""",
+      """{"type": "STATE", "value": {"bookmarks": {"users": {"id": "u1"}}}}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u2", "name": "b"}}""",
+      """{"type": "STATE", "value": {"bookmarks": {"users": {"id": "u2"}}}}"""))
+    val res = SingerPipeline.run(spark, input, SingerConfig(tmp()))
+    // output unaffected (STATE is a no-op for records)...
+    res.recordCounts shouldBe Map("users" -> 2L)
+    // ...and the LAST state value is surfaced for the echo
+    res.lastState shouldBe Some("""{"bookmarks":{"users":{"id":"u2"}}}""")
+    // staged path agrees
+    val staged = SingerPipeline.run(spark, input,
+      SingerConfig(tmp(), stageByStream = true,
+        schemaMessages = Some(Seq(usersSchema,
+          """{"type": "SCHEMA", "stream": "orders", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}}}, "key_properties": ["id"]}"""))))
+    staged.lastState shouldBe Some("""{"bookmarks":{"users":{"id":"u2"}}}""")
+    // no STATE lines → no echo
+    val none = SingerPipeline.run(
+      spark,
+      write(Seq(usersSchema,
+        """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "a"}}""")),
+      SingerConfig(tmp()))
+    none.lastState shouldBe None
+    // STATE-only input (no streams at all) still echoes
+    val only = SingerPipeline.run(
+      spark,
+      write(Seq("""{"type": "STATE", "value": {"k": 1}}""")),
+      SingerConfig(tmp()))
+    only.lastState shouldBe Some("""{"k":1}""")
+  }
+
+  test("write options: zstd compression + per-stream partitionBy (north-star config)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "alice"}}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u2", "name": "bob"}}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u3", "name": "alice"}}"""))
+    val res = SingerPipeline.run(spark, input,
+      SingerConfig(tmp(), compression = Some("zstd"),
+        partitionBy = Map("users" -> Seq("name"))))
+    val outDir = java.nio.file.Paths.get(res.paths("users"))
+    // Hive-style partition directories, zstd part files inside
+    import scala.jdk.CollectionConverters._
+    val partDirs = Files.list(outDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("name=")).toSeq.sorted
+    partDirs shouldBe Seq("name=alice", "name=bob")
+    val partFiles = Files.walk(outDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("part-") && f.endsWith(".parquet")).toSeq
+    all(partFiles) should include(".zstd.")
+    // read-back restores the partition column
+    val back = spark.read.parquet(res.paths("users"))
+    back.count() shouldBe 3
+    back.filter(col("name") === "alice").count() shouldBe 2
   }
 
   test("pre-supplied schemas skip the discovery scan (scale path)") {

@@ -18,7 +18,7 @@ class SingerStreamSpec extends AnyFunSuite with Matchers {
       java.nio.file.Paths.get(s"$dir/in/batch1.jsonl"),
       """{"type": "RECORD", "stream": "m", "record": {"id": "a", "n": "1"}}
         |{"type": "RECORD", "stream": "m", "record": {"id": "b", "n": 2}}
-        |{"type": "STATE", "value": {}}
+        |{"type": "STATE", "value": {"bookmarks": {"m": {"id": "b"}}}}
         |""".stripMargin)
     val schemas = Map("m" -> SchemaMapper.fromSchemaMessage(
       """{"type": "SCHEMA", "stream": "m", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "n": {"type": ["integer", "null"]}}}, "key_properties": ["id"]}"""))
@@ -28,6 +28,9 @@ class SingerStreamSpec extends AnyFunSuite with Matchers {
     val out = spark.read.parquet(s"$dir/out/m.parquet")
     out.schema("n").dataType.typeName shouldBe "long"
     out.count() shouldBe 2
+    // STATE passthrough: batch's last state value lands in state.json
+    Files.readString(java.nio.file.Paths.get(s"$dir/out/state.json")) shouldBe
+      """{"bookmarks":{"m":{"id":"b"}}}"""
     // second file appears -> next incremental run picks up only the delta
     Files.writeString(
       java.nio.file.Paths.get(s"$dir/in/batch2.jsonl"),
