@@ -358,7 +358,15 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.fromDocuments(t(s, dir, "documents")))
         .select(col("media_id"), col("frame_no"),
           hex(col("frame_payload")).as("frame_hex"))
-        .orderBy("media_id", "frame_no"))
+        .orderBy("media_id", "frame_no")),
+
+    // NN byte resample to 8x4: the index map out(i) = in(i*n/32) replays
+    // exactly on DuckDB's hex view of the payload.
+    "q_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.fromDocuments(t(s, dir, "documents")), 8, 4)
+        .select(col("media_id"), col("width"), col("height"),
+          hex(col("payload")).as("payload_hex"))
+        .orderBy("media_id"))
   )
 
   /** DuckDB oracles. Omitted on purpose (rows-only check): q_dedup_minhash,
@@ -525,6 +533,20 @@ object SparkEntry {
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 6)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f6,
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 7)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f7
         |FROM by0 ORDER BY media_id""".stripMargin,
+
+    // resize's NN index map replayed on the hex view: output byte i is the
+    // two hex digits at input position (i*n)//32.
+    "q_multimodal_resize" ->
+      """WITH b AS (
+        | SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+        |)
+        |SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+        | CASE WHEN hx IS NULL THEN NULL
+        |      WHEN n = 0 THEN repeat('00', 32)
+        |      ELSE array_to_string(list_transform(range(0, 32), i ->
+        |             substr(hx, CAST(((i * n) // 32) * 2 + 1 AS INT), 2)), '')
+        | END AS payload_hex
+        |FROM b ORDER BY media_id""".stripMargin,
 
     // Connected components replayed with a recursive CTE over the same
     // exact-Jaccard pair list the Spark side feeds to label propagation.

@@ -58,7 +58,7 @@ object Coercions {
       // the reference's pa.null() column is likewise only representable
       // as an all-null typed column on the Spark side
       case NullType      => lit(null).cast(StringType)
-      case DoubleType    => c.cast(DoubleType)
+      case DoubleType    => numberCast(c)
       case LongType      => integerCast(c)
       case BooleanType   => c.cast(BooleanType)
       case TimestampType => try_to_timestamp(c)
@@ -66,6 +66,17 @@ object Coercions {
     }
     out.as(p.name)
   }
+
+  /** E3 with Python `float()` fidelity under ANSI: booleans map to
+    * 1.0 / 0.0 first (`float(True) == 1.0` — mirrors [[integerCast]]'s
+    * boolean branch; a bare double cast would throw CAST_INVALID_INPUT on
+    * the JSON literal text), everything else casts, with garbage still
+    * raising like the reference's `float("abc")`.
+    */
+  def numberCast(c: Column): Column =
+    when(c === lit("true"), lit(1.0d))
+      .when(c === lit("false"), lit(0.0d))
+      .otherwise(c.cast(DoubleType))
 
   /** E4 with Python `int()` fidelity under ANSI: exact long text casts
     * directly; booleans map to 0/1 (`int(True) == 1` — Python bool IS an

@@ -93,11 +93,14 @@ object Dedup {
     * universal-hash mixes per shingle — k× less string hashing. Fallback:
     * per-seed `xxhash64` over the shingle strings. Different (equally
     * valid) hash families — use one consistently within a corpus.
+    *
+    * The two-arg form always uses the fallback family: it resolves in ANY
+    * session, so the produced fingerprints never depend on which session
+    * analyzes the plan. Pass `native` explicitly (keyed on the DataFrame's
+    * own session) to opt into the native family.
     */
   def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
-    minHashSignature(shinglesCol, numHashes,
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(graft.plans.GraftExtensions.available))
+    minHashSignature(shinglesCol, numHashes, native = false)
 
   def minHashSignature(shinglesCol: Column, numHashes: Int, native: Boolean): Column = {
     if (native)
@@ -117,23 +120,31 @@ object Dedup {
     *
     * With numHashes = bands × rowsPerBand, the usual S-curve applies; the
     * defaults (32 = 8×4) catch Jaccard ≳ 0.6 with high probability.
-    * Skew note: a degenerate bucket (e.g. empty docs) would quadratically
-    * blow up the self-join; AQE skew-join splitting handles moderate cases,
-    * and upstream length filters should drop degenerate docs first.
+    * Skew note: a degenerate bucket (e.g. thousands of empty or boilerplate
+    * docs) would quadratically blow up the self-join; `maxBucket` drops
+    * (band, bucket) groups above that population before the join — the
+    * standard LSH-dedup guard (oversized buckets are boilerplate, not
+    * near-dup signal) — so one pathological key can never produce
+    * O(bucket²) join rows. AQE skew splitting still smooths moderate skew.
     */
   def minHashLsh(
       docs: DataFrame,
       threshold: Double = 0.6,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): trailing signature " +
+        "components outside a full band would silently never join")
     val rowsPerBand = numHashes / bands
     // One let-bound expression chain per row — shingles evaluated once,
     // signature once, then the 8 band buckets sliced off it. Without the
     // binding, CollapseProject inlines shingles into all 32 seed lambdas
     // and the signature into all 8 band lambdas: 256× the work (measured
     // 123 s vs ~2 s on sf0.1).
-    val native = graft.plans.GraftExtensions.available(docs.sparkSession)
+    val native =
+      graft.plans.GraftExtensions.availableOrWarn(docs.sparkSession, "minHashLsh")
     val bandBuckets = ColumnOps.bind(shingles(col("text"), shingleSize)) { sh =>
       ColumnOps.bind(minHashSignature(sh, numHashes, native)) { sig =>
         transform(
@@ -146,16 +157,40 @@ object Dedup {
     // (typically few) candidate pairs re-join their shingles afterwards.
     val banded = docs.select(col("doc_id"), posexplode(bandBuckets))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    jaccardVerify(docs, bandedCandidates(banded), threshold, shingleSize)
+    jaccardVerify(docs, bandedCandidates(banded, maxBucket), threshold, shingleSize)
   }
 
-  /** Distinct (a_id, b_id) pairs sharing at least one (band, bucket) key. */
-  private def bandedCandidates(banded: DataFrame): DataFrame =
-    banded
-      .join(banded.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
+  /** Drop key groups whose population exceeds `cap` — skew insurance for
+    * LSH-style self-joins, where one degenerate bucket of n members costs
+    * O(n²) join rows. One extra shuffle of the (short-key) banded table;
+    * the join after it can only shrink.
+    */
+  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    require(cap > 0, s"maxBucket must be positive, got $cap")
+    // The OVER-populated key set is tiny by construction (≤ rows/cap keys),
+    // so it broadcasts and the big banded table is anti-joined WITHOUT a
+    // shuffle; the sizing aggregate itself moves only (key, partial-count)
+    // pairs after map-side combine. The common case — no degenerate
+    // buckets — costs one cheap key-only aggregate and an empty broadcast.
+    val over = banded
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") > cap)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(over), keys, "left_anti")
+  }
+
+  /** Distinct (a_id, b_id) pairs sharing at least one (band, bucket) key
+    * with bucket population ≤ `maxBucket` (see [[capBuckets]]).
+    */
+  private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    capped
+      .join(capped.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
       .filter(col("doc_id") < col("b_id"))
       .select(col("doc_id").as("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+  }
 
   /** Exact-Jaccard verification of a candidate pair set at `threshold`. */
   private def jaccardVerify(
@@ -186,7 +221,8 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): trailing signature " +
         "components outside a full band would silently never join")
@@ -206,7 +242,7 @@ object Dedup {
     }
     val banded = docs.select(col("doc_id"), posexplode(bandBuckets))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    jaccardVerify(docs, bandedCandidates(banded), threshold, shingleSize)
+    jaccardVerify(docs, bandedCandidates(banded, maxBucket), threshold, shingleSize)
   }
 
   /** Exact Jaccard over the distinct-element view of two arrays. */
@@ -230,8 +266,8 @@ object Dedup {
     * consistently within a corpus.
     */
   def simHash(docs: DataFrame): DataFrame = {
-    val native = docs.sparkSession.sessionState.functionRegistry
-      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"))
+    val native =
+      graft.plans.GraftExtensions.availableOrWarn(docs.sparkSession, "simHash")
     val packed =
       if (native)
         ColumnOps.bind(
@@ -365,11 +401,28 @@ object Dedup {
         .select("id", "label")
         .localCheckpoint()
       changed = obs.get("changed").asInstanceOf[Long]
+      // `next` is EAGERLY materialized by localCheckpoint, so the previous
+      // iteration's checkpoint blocks are dead — release them now, or at
+      // 100 TB pair graphs the leaked blocks evict useful cache.
+      releaseCheckpoint(labels)
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateGroups stopped at maxIter=$maxIter with $changed labels " +
+          "still changing: group ids are UNCONVERGED (clusters with diameter " +
+          s"> $maxIter are split). Re-run with a larger maxIter.")
     labels.withColumnRenamed("label", "group_id")
   }
+
+  /** Unpersist the checkpointed RDD backing a `localCheckpoint()`ed
+    * DataFrame (the `LogicalRDD` leaf holds it). No-op on other plans.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` over the
     * 64-bit fingerprint, found via banded blocking — the fingerprint is
@@ -383,20 +436,26 @@ object Dedup {
     * — this is the cheapest near-dup join per byte, ideal as a pre-filter
     * before [[minHashLsh]]'s exact-Jaccard verification at 100 TB.
     */
-  def simHashDups(docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame =
-    simHashDupsFrom(simHash(docs), maxHamming, bandBits)
+  def simHashDups(
+      docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16,
+      maxBucket: Int = 100000): DataFrame =
+    simHashDupsFrom(simHash(docs), maxHamming, bandBits, maxBucket)
 
   /** [[simHashDups]] on portable fingerprints ([[simHashPortable]]) — the
     * DuckDB-replayable twin of the whole banded Hamming join.
     */
-  def simHashDupsPortable(docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame =
-    simHashDupsFrom(simHashPortable(docs), maxHamming, bandBits)
+  def simHashDupsPortable(
+      docs: DataFrame, maxHamming: Int = 3, bandBits: Int = 16,
+      maxBucket: Int = 100000): DataFrame =
+    simHashDupsFrom(simHashPortable(docs), maxHamming, bandBits, maxBucket)
 
   /** Banded Hamming self-join over a precomputed fingerprint table
     * `(doc_id, simhash_hi, simhash_lo)` — see [[simHashDups]] for the
     * pigeonhole recall argument.
     */
-  def simHashDupsFrom(fp: DataFrame, maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
+  def simHashDupsFrom(
+      fp: DataFrame, maxHamming: Int = 3, bandBits: Int = 16,
+      maxBucket: Int = 100000): DataFrame = {
     require(32 % bandBits == 0, "bandBits must divide 32")
     require(maxHamming <= 64 / bandBits - 1,
       s"pigeonhole guarantee: ${64 / bandBits} bands of $bandBits bits only " +
@@ -409,11 +468,16 @@ object Dedup {
       val off = (i % perHalf) * bandBits
       struct(lit(i).as("band"), (shiftrightunsigned(half, off).bitwiseAND(mask)).as("bv"))
     }
-    val banded = fp.select(
-      col("doc_id"), col("simhash_hi"), col("simhash_lo"),
-      explode(array(bands: _*)).as("b"))
-      .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
-        col("b.band"), col("b.bv"))
+    // capBuckets: identical-fingerprint floods (boilerplate) would make one
+    // (band, value) key quadratic; dropping over-populated keys bounds the
+    // join. NOTE this also caps recall for such floods — by design.
+    val banded = capBuckets(
+      fp.select(
+        col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+        explode(array(bands: _*)).as("b"))
+        .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
+          col("b.band"), col("b.bv")),
+      Seq("band", "bv"), maxBucket)
     val other = banded.select(
       col("band"), col("bv"), col("doc_id").as("b_id"),
       col("simhash_hi").as("b_hi"), col("simhash_lo").as("b_lo"))

@@ -81,16 +81,57 @@ object Multimodal {
     StructField("dec_height", IntegerType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** Resize stub: real deployments re-encode payload bytes; the plumbing
-    * (pruned projection, metadata update, payload passthrough) is the
-    * Spark-side contract. The stub keeps payloads and stamps the target
-    * dimensions so downstream schema/partitioning code paths are real.
+  /** Deterministic nearest-neighbor byte resample standing in for codec
+    * resize: the payload is treated as a 1-D sample sequence and resampled
+    * to exactly `width × height` bytes (`out(i) = in(⌊i·n/target⌋)` — the
+    * classic NN-interpolation index map, applied to the raw byte stream
+    * since no codec ships in-container). Swapping in a real image resize
+    * changes only [[resampleBytes]]; the Spark contract — per-partition
+    * batch transform, payload bytes never shuffled, metadata restamped —
+    * is the part that must survive at 100 TB and is real here.
     */
-  def resize(media: DataFrame, width: Int, height: Int): DataFrame =
-    media
-      .withColumn("width", lit(width))
-      .withColumn("height", lit(height))
-      .withColumn("mime", lit("image/resized-stub"))
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, s"target dims must be positive: $width x $height")
+    val spark = media.sparkSession
+    val target = width * height
+    val pruned = media.select(
+      col("media_id"), col("kind"), col("payload"), col("duration_ms"))
+    val out = pruned.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { ir =>
+        val payload = if (ir.isNullAt(2)) null else ir.getBinary(2)
+        Row(
+          ir.getLong(0),
+          ir.getUTF8String(1).toString,
+          resampleBytes(payload, target),
+          "application/x-graft-resampled",
+          width,
+          height,
+          if (ir.isNullAt(3)) null else ir.getLong(3))
+      }
+    }
+    spark.createDataFrame(out, mediaSchema.copy(fields = mediaSchema.fields.map {
+      case f @ StructField("mime", _, _, _)             => f.copy(nullable = false)
+      case f @ StructField("width" | "height", _, _, _) => f.copy(nullable = false)
+      case f                                            => f
+    }))
+  }
+
+  /** NN-resample `in` to exactly `target` bytes (null → null; empty pads
+    * with zeros — a decoded frame always has its full pixel count).
+    */
+  def resampleBytes(in: Array[Byte], target: Int): Array[Byte] =
+    if (in == null) null
+    else {
+      val out = new Array[Byte](target)
+      if (in.nonEmpty) {
+        var i = 0
+        while (i < target) {
+          out(i) = in(((i.toLong * in.length) / target).toInt)
+          i += 1
+        }
+      }
+      out
+    }
 
   /** Frame sampling: one row per sampled "frame", `stride` bytes apart —
     * the exact plumbing shape of video frame extraction (explode to frame

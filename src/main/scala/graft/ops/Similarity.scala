@@ -36,19 +36,18 @@ object Similarity {
 
   /** Exact integer dot product of two quantized vectors.
     *
-    * Uses the native codegen'd [[graft.plans.LongDotProduct]] when the
-    * session has the graft extensions installed (the default via
-    * [[graft.Sessions.builder]]); falls back to the built-in
-    * `aggregate(zip_with(...))` fold — identical integer semantics, just
-    * interpreted — on vanilla sessions.
+    * The two-arg form always uses the built-in `aggregate(zip_with(...))`
+    * fold — it resolves in ANY session, so a Column built here can never
+    * fail analysis (or silently change hash family) depending on which
+    * session analyzes it. Operators that HAVE a DataFrame should pass
+    * `native = GraftExtensions.available(df.sparkSession)` explicitly to
+    * opt into the codegen'd [[graft.plans.LongDotProduct]] — identical
+    * integer semantics either way, so this is purely a speed knob.
     */
-  def qdot(a: Column, b: Column): Column =
-    qdot(a, b, org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(graft.plans.GraftExtensions.available))
+  def qdot(a: Column, b: Column): Column = qdot(a, b, native = false)
 
-  /** Variant with explicit dispatch — operators that HAVE a DataFrame must
-    * key on ITS session (`GraftExtensions.available(df.sparkSession)`),
-    * since the thread-active session may be a different one.
+  /** Variant with explicit dispatch — key on the session that will analyze
+    * the plan (the DataFrame's own), never `getActiveSession`.
     */
   def qdot(a: Column, b: Column, native: Boolean): Column =
     if (native) call_function("graft_qdot", a, b)
@@ -104,8 +103,7 @@ object Similarity {
     * 100 TB matters: the "model" ships inside the plan.
     */
   def rhpSignature(v: Column, planes: Int): Column =
-    rhpSignature(v, planes, org.apache.spark.sql.SparkSession.getActiveSession
-      .exists(graft.plans.GraftExtensions.available))
+    rhpSignature(v, planes, native = false) // see qdot: explicit native only
 
   def rhpSignature(v: Column, planes: Int, native: Boolean): Column = {
     if (native) call_function("graft_rhp_sig", v, lit(planes))
@@ -165,8 +163,11 @@ object Similarity {
       queryMaxId: Long,
       k: Int,
       bands: Int = 8,
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
     val planes = bands * bandBits
+    // portable buckets never depend on the native family; native here is
+    // only the qdot speed knob (identical integer semantics)
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     import graft.functions.ColumnOps
     val q0 = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
@@ -179,13 +180,15 @@ object Similarity {
             lit(0L),
             (acc, bit) => acc * 2 + bit))
     }
-    val banded = q0.select(
-      col("vec_id"),
-      col("qv"),
-      qdot(col("qv"), col("qv"), native).as("qn"),
-      posexplode(buckets))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = Dedup.capBuckets(
+      q0.select(
+        col("vec_id"),
+        col("qv"),
+        qdot(col("qv"), col("qv"), native).as("qn"),
+        posexplode(buckets))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucket)
     val q = banded
       .filter(col("vec_id") < queryMaxId)
       .select(
@@ -218,9 +221,11 @@ object Similarity {
       queryMaxId: Long,
       k: Int,
       bands: Int = 8,
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
     val planes = bands * bandBits
-    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val native =
+      graft.plans.GraftExtensions.availableOrWarn(embeddings.sparkSession, "lshTopK")
     import graft.functions.ColumnOps
     // Let-bind the signature: without it the 16-plane projection would be
     // recomputed inside each of the `bands` bucket lambdas.
@@ -234,14 +239,19 @@ object Similarity {
             (acc, bit) => acc * 2 + bit))
     }
     val qv = quantize(col("embedding"))
-    // explode to (band, bucket) keys: bucket = the band's bit-slice
-    val banded = embeddings.select(
-      col("vec_id"),
-      qv.as("qv"),
-      qdot(qv, qv, native).as("qn"),
-      posexplode(buckets))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    // explode to (band, bucket) keys: bucket = the band's bit-slice.
+    // capBuckets drops degenerate over-populated buckets (e.g. a zero-ish
+    // embedding flood) before the candidate join — skew insurance, same
+    // rationale as Dedup.minHashLsh.
+    val banded = Dedup.capBuckets(
+      embeddings.select(
+        col("vec_id"),
+        qv.as("qv"),
+        qdot(qv, qv, native).as("qn"),
+        posexplode(buckets))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucket)
     val q = banded
       .filter(col("vec_id") < queryMaxId)
       .select(

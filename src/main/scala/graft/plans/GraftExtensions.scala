@@ -25,16 +25,47 @@ object GraftExtensions {
   def available(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_qdot"))
 
+  private val fallbackWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** [[available]], but logs ONCE (per JVM) when the answer is `false` for
+    * an operator whose native and fallback paths are different hash
+    * families (simhash / minhash / rhp buckets). Fingerprints persisted
+    * under one family will never match the other — a silent cross-corpus
+    * correctness trap unless the switch is at least loud.
+    */
+  def availableOrWarn(spark: org.apache.spark.sql.SparkSession, op: String): Boolean = {
+    val ok = available(spark)
+    if (!ok && fallbackWarned.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft extensions are not registered in this session: $op falls back " +
+          "to the interpreted xxhash64 hash family. Fingerprints/buckets will " +
+          "NOT match those computed under a graft session " +
+          "(graft.Sessions.builder); do not mix the two within one corpus.")
+    ok
+  }
+
+  private def expectArity(name: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${children.length}")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_qdot"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_qdot"),
-      (children: Seq[Expression]) => LongDotProduct(children.head, children(1))),
+      (children: Seq[Expression]) => {
+        expectArity("graft_qdot", children, 2)
+        LongDotProduct(children.head, children(1))
+      }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash64(children.head)),
+      (children: Seq[Expression]) => {
+        expectArity("graft_simhash", children, 1)
+        SimHash64(children.head)
+      }),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => {
+        expectArity("graft_minhash", children, 2)
         val k = children(1) match {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
@@ -48,6 +79,7 @@ object GraftExtensions {
     (FunctionIdentifier("graft_rhp_sig"),
       new ExpressionInfo(classOf[RhpSig].getName, "graft_rhp_sig"),
       (children: Seq[Expression]) => {
+        expectArity("graft_rhp_sig", children, 2)
         val planes = children(1) match {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i

@@ -52,44 +52,76 @@ object EventStreamOps {
     * (`flatMapGroupsWithState`): per-user state carries (start, last, n);
     * an event past the gap closes the session and emits it. State is
     * O(active users) — the canonical unbounded-stream pattern the SDK's
-    * single-threaded reference loop cannot express. Open sessions flush
-    * when their user's next out-of-gap event arrives (NoTimeout keeps the
-    * micro-batch cadence data-driven; a timeout-based idle flush can be
-    * layered on where stragglers matter more than batch quiescence).
+    * single-threaded reference loop cannot express.
     *
-    * Batch note: `flatMapGroupsWithState` is streaming-only; for the batch
-    * equivalent used by declared queries see [[sessionizeBatch]] (windowed
-    * lag-based gap detection — same session boundaries for ordered input).
+    * Trailing sessions are NOT withheld: on a stream, an event-time
+    * timeout fires once the watermark passes `last + gap`, flushing the
+    * idle session without waiting for that user's next event; on batch
+    * input there is no future data, so the final open session per user is
+    * emitted directly. Output therefore matches [[sessionizeBatch]]'s
+    * boundaries exactly (streams: once the watermark advances past the
+    * final gap).
     */
   def sessionize(
       events: DataFrame,
-      gapSeconds: Long = 1800): Dataset[Session] = {
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events
-      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"))
-      .as[(Long, Long)]
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    // the watermarked column itself must survive the projection feeding
+    // the stateful operator, or the streaming checker rejects the
+    // event-time timeout as "no watermark"
+    val typed = src
+      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     typed
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (user, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { t =>
-            cur match {
-              case Some(s) if t - s.last <= gapSeconds =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                closed += Session(user, s.start, s.last, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+        OutputMode.Append(), timeout) {
+        case (user, rows0, state: GroupState[SessionState]) =>
+          val rows = rows0.map(r => (r._1, r._2))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: the open
+            // session can never be extended — flush it
+            val out = state.getOption.map(s => Session(user, s.start, s.last, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            if (streaming) {
+              cur.foreach { s =>
+                state.update(s)
+                // timeout timestamps must stay ahead of the watermark;
+                // a late straggler session already past it flushes on the
+                // very next watermark advance
+                state.setTimeoutTimestamp(math.max(
+                  (s.last + gapSeconds) * 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
+              }
+            } else {
+              // batch: no future data exists, the trailing session is final
+              cur.foreach(s => closed += Session(user, s.start, s.last, s.n))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

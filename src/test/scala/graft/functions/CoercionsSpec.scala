@@ -40,6 +40,10 @@ class CoercionsSpec extends AnyFunSuite {
   test("integer coercion from string (E4)") {
     assert(coerceOne("42", """{"type": "integer"}""") == 42L)
   }
+  test("boolean under number → 1.0/0.0 like Python float(True) (E3)") {
+    assert(coerceOne("true", """{"type": "number"}""") == 1.0)
+    assert(coerceOne("false", """{"type": "number"}""") == 0.0)
+  }
   test("int value under string schema → text (E6)") {
     assert(coerceOne("42", """{"type": "string"}""") == "42")
   }

@@ -34,6 +34,32 @@ class DedupSpec extends AnyFunSuite with Matchers {
     pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
   }
 
+  test("bucket cap drops degenerate over-populated LSH buckets (skew insurance)") {
+    // 8 identical docs: every (band, bucket) key holds all 8 -> 28 pairs
+    // without the cap, quadratic at scale. Cap 4 drops those buckets whole.
+    val flood = (0L until 8L).map(i => (i, "same boilerplate text everywhere here"))
+      .toDF("doc_id", "text")
+    Dedup.minHashLsh(flood, threshold = 0.3).count() shouldBe 28L
+    Dedup.minHashLsh(flood, threshold = 0.3, maxBucket = 4).count() shouldBe 0L
+    // a mixed corpus keeps its small-bucket pairs under the same cap
+    val mixed = flood.union(docs.filter(col("doc_id").isin(0L, 2L, 3L))
+      .withColumn("doc_id", col("doc_id") + 100L))
+    val capped = Dedup.minHashLsh(mixed, threshold = 0.3, maxBucket = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    capped should contain((100L, 102L)) // near-dup pair survives
+    capped.exists(p => p._1 < 8L) shouldBe false // flood pairs gone
+    // same guard on the simhash hamming join
+    Dedup.simHashDups(flood).count() shouldBe 28L
+    Dedup.simHashDups(flood, maxBucket = 4).count() shouldBe 0L
+  }
+
+  test("minHashLsh requires bands to divide numHashes") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(docs, numHashes = 32, bands = 5)
+    }
+    e.getMessage should include("divide")
+  }
+
   test("jaccard is exact set similarity") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
     df.select(Dedup.jaccard(col("a"), col("b"))).head.getDouble(0) shouldBe 0.5 +- 1e-9

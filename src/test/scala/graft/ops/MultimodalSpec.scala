@@ -30,10 +30,24 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     frames(2).getAs[Array[Byte]]("frame_payload").length shouldBe 88
   }
 
-  test("resize stub stamps target dimensions, keeps payload") {
-    val out = Multimodal.resize(Multimodal.fromDocuments(docs), 224, 224).head
-    out.getAs[Int]("width") shouldBe 224
-    out.getAs[Array[Byte]]("payload") should not be null
+  test("resize: deterministic NN byte resample to exactly width*height bytes") {
+    val out = Multimodal.resize(Multimodal.fromDocuments(docs), 2, 3).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    out(1L).getAs[Int]("width") shouldBe 2
+    out(1L).getAs[Int]("height") shouldBe 3
+    out(1L).getAs[String]("mime") shouldBe "application/x-graft-resampled"
+    // 'abcd' (4 bytes) NN-resampled to 6: index map i*4/6 = 0,0,1,2,2,3
+    out(1L).getAs[Array[Byte]]("payload") shouldBe "aabccd".getBytes("UTF-8")
+    // upscale repeats samples; metadata passthrough keeps kind
+    out(2L).getAs[Array[Byte]]("payload").length shouldBe 6
+    out(2L).getAs[String]("kind") shouldBe "image"
+  }
+
+  test("resampleBytes edge cases: null stays null, empty zero-pads") {
+    Multimodal.resampleBytes(null, 4) shouldBe null
+    Multimodal.resampleBytes(Array.emptyByteArray, 3) shouldBe Array[Byte](0, 0, 0)
+    // identity when target == input length
+    Multimodal.resampleBytes("abcd".getBytes, 4) shouldBe "abcd".getBytes
   }
 
   test("feature extraction runs per-partition and is deterministic in the bytes") {

@@ -178,6 +178,34 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
     only.lastState shouldBe Some("""{"k":1}""")
   }
 
+  test("BUG-4 fixed: mid-stream schema change takes last-wins; all records land (ref crashes, test_integration.py:232-275)") {
+    // added-column case: the reference's open ParquetWriter rejects the
+    // 3-column batch; here the LAST schema wins and both records land
+    val added = SingerPipeline.run(spark, write(Seq(
+      """{"type": "SCHEMA", "stream": "contacts", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "name": {"type": ["string", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "contacts", "record": {"id": "1", "name": "Alice"}}""",
+      """{"type": "SCHEMA", "stream": "contacts", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "name": {"type": ["string", "null"]}, "email": {"type": ["string", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "contacts", "record": {"id": "2", "name": "Bob", "email": "bob@test.com"}}""")),
+      SingerConfig(tmp()))
+    added.recordCounts shouldBe Map("contacts" -> 2L)
+    val addedRows = spark.read.parquet(added.paths("contacts")).orderBy("id").collect()
+    addedRows.head.schema.fieldNames.toSeq shouldBe Seq("id", "name", "email")
+    addedRows.map(_.getAs[String]("email")).toSeq shouldBe Seq(null, "bob@test.com")
+
+    // removed-column case: pre-change records project onto the narrower
+    // last schema (the extra field is dropped like any undeclared field)
+    val removed = SingerPipeline.run(spark, write(Seq(
+      """{"type": "SCHEMA", "stream": "contacts", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "name": {"type": ["string", "null"]}, "phone": {"type": ["string", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "contacts", "record": {"id": "1", "name": "Alice", "phone": "555-0001"}}""",
+      """{"type": "SCHEMA", "stream": "contacts", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "name": {"type": ["string", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "contacts", "record": {"id": "2", "name": "Bob"}}""")),
+      SingerConfig(tmp()))
+    removed.recordCounts shouldBe Map("contacts" -> 2L)
+    val removedRows = spark.read.parquet(removed.paths("contacts")).orderBy("id").collect()
+    removedRows.head.schema.fieldNames.toSeq shouldBe Seq("id", "name")
+    removedRows.map(_.getAs[String]("name")).toSeq shouldBe Seq("Alice", "Bob")
+  }
+
   test("write options: zstd compression + per-stream partitionBy (north-star config)") {
     val input = write(Seq(
       usersSchema,

@@ -33,6 +33,13 @@ class LongDotProductSpec extends AnyFunSuite with Matchers {
       .head.getLong(0) shouldBe 10L
   }
 
+  test("wrong arity raises a descriptive error, not IndexOutOfBounds") {
+    val e = intercept[Exception] { spark.sql("SELECT graft_qdot(array(1L))") }
+    e.getMessage should include("graft_qdot requires exactly 2 argument(s), got 1")
+    val e2 = intercept[Exception] { spark.sql("SELECT graft_rhp_sig(array(1.0))") }
+    e2.getMessage should include("graft_rhp_sig requires exactly 2 argument(s), got 1")
+  }
+
   test("stays inside whole-stage codegen") {
     val df = spark.range(10)
       .select(transform(sequence(lit(0L), lit(9L)), x => x + col("id")).as("v"))

@@ -56,6 +56,35 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
     finals should contain((1704103200L, "click", 2L))
   }
 
+  test("batch sessionize emits trailing sessions: boundaries match sessionizeBatch") {
+    val viaState = EventStreamOps.sessionize(batchEvents, gapSeconds = 1800)
+      .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).sorted
+    val viaWindow = EventStreamOps.sessionizeBatch(batchEvents, gapSeconds = 1800)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    viaState shouldBe viaWindow
+    viaState.length shouldBe 3 // including user 7's trailing 12:00 session and user 8's only session
+  }
+
+  test("streaming sessionization flushes idle sessions once the watermark passes the gap") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreamOps.sessionize(df, gapSeconds = 1800, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sess_idle").outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0))
+    q.processAllAvailable()
+    // ANOTHER user's event advances the watermark past user 7's last+gap;
+    // the event-time timeout flushes user 7's open session with no further
+    // user-7 events
+    mem.addData((2L, ts("2024-01-01 12:00:00"), 9L, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-01 12:00:05"), 9L, "view", 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_idle").as[EventStreamOps.Session].collect()
+    q.stop()
+    sessions.map(s => (s.user_id, s.n_events)).toSeq shouldBe Seq((7L, 1L))
+  }
+
   test("streaming sessionization with custom state closes sessions on gap") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
