@@ -494,19 +494,53 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for an explicit pair set — the
     * verification stage after candidate generation, or a standalone
     * all-pairs check within small blocks.
+    *
+    * Shape: inverted-index join, not array-vs-array. Exploding each doc's
+    * distinct grams once and self-joining on the gram VALUE computes every
+    * co-occurring pair's intersection size with a shuffle that carries
+    * (gram, id) rows — the array-join alternative copies each doc's whole
+    * shingle array into every candidate pair (O(pairs × doc_len) bytes
+    * moved; measured 6 s vs 0.5 s on a 500-doc all-pairs block at sf0.1).
+    * Pairs with empty intersection never meet in the gram join and come
+    * back via the left join at jaccard = 0. Per-doc distinct-gram counts
+    * (one tiny aggregate, broadcast) convert intersections to unions.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       pairs: DataFrame, // (a_id, b_id)
       n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), n)).as("sh"))
+    // only docs the pair set references contribute gram rows
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val grams = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
+    val inter = grams.select(col("doc_id").as("a_id"), col("g"))
+      .join(grams.select(col("doc_id").as("b_id"), col("g")), "g")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_inter"))
+    // pairs referencing a doc absent from `docs` drop (inner-join parity
+    // with the old shape); a null-text doc is PRESENT but contributes no
+    // grams — its pairs surface with jaccard = null, again like the old
+    // array expressions
+    val present = docs.select(col("doc_id"))
     pairs
-      .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
-      .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
+      .join(present.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(present.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_g", "a_n"), Seq("a_id"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_g", "b_n"), Seq("b_id"), "left")
       .select(
         col("a_id"),
         col("b_id"),
-        round(jaccard(col("a_sh"), col("b_sh")), 6).as("jaccard"))
+        when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
+          .otherwise(round(
+            coalesce(col("n_inter"), lit(0L)).cast("double") /
+              (col("a_n") + col("b_n") - coalesce(col("n_inter"), lit(0L))).cast("double"),
+            6)).as("jaccard"))
   }
 
   /** Semantic near-dups: quantized cosine over pairs sharing a blocking

@@ -19,19 +19,35 @@ object TextAnalysis {
     */
   def tokens(text: Column, pattern: String = " "): Column = split(text, pattern)
 
-  /** Token counting, whitespace + a BPE-ish regex variant: word pieces,
-    * digit runs, or single non-space symbols — the shape GPT-style byte-pair
-    * pretokenizers produce.
+  /** BPE-ish token count: word pieces, digit runs, or single non-space
+    * symbols — the shape GPT-style byte-pair pretokenizers produce. Native
+    * [[graft.plans.TokenCount]] (one allocation-free byte scan) when the
+    * graft extensions are registered; `regexp_extract_all` fallback with
+    * IDENTICAL counts otherwise (pure speed knob — 5× on sf0.1).
     */
-  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+  def bpeTokenCount(textCol: Column, native: Boolean): Column =
+    if (native) call_function("graft_token_count", textCol, lit("bpe"))
+    else size(regexp_extract_all(textCol,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Count of `[^A-Za-z0-9\s]` code points — [[bpeTokenCount]]'s sibling
+    * for punctuation density.
+    */
+  def punctCount(textCol: Column, native: Boolean): Column =
+    if (native) call_function("graft_token_count", textCol, lit("punct"))
+    else size(regexp_extract_all(textCol, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Token counting, whitespace + the BPE-ish variant. */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(df.sparkSession)
     df.select(
       col("doc_id"),
       // counts surface as long: `size` is int32 in Spark but every other
       // engine's len() is int64 — long keeps results schema-portable
       size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
-      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-        .cast("long").as("n_bpe_tokens"),
+      bpeTokenCount(col(textCol), native).as("n_bpe_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
+  }
 
   /** Quality scoring: length, lexical diversity, stopword density,
     * punctuation ratio — the standard cheap pre-training filters. All
@@ -39,6 +55,7 @@ object TextAnalysis {
     * throws).
     */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(df.sparkSession)
     val toks = tokens(col(textCol))
     val nTok = size(toks)
     val safeTok = greatest(nTok, lit(1)).cast("double")
@@ -51,7 +68,7 @@ object TextAnalysis {
         size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))) / safeTok,
         6).as("stopword_ratio"),
       round(
-        size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0)))
+        punctCount(col(textCol), native)
           / greatest(length(col(textCol)), lit(1)).cast("double"),
         6).as("punct_ratio"))
   }

@@ -76,6 +76,21 @@ object GraftExtensions {
         }
         MinHashSig(children.head, k)
       }),
+    (FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_token_count", children, 2)
+        val mode = children(1) match {
+          case e if e.foldable => e.eval(null).toString
+          case _ => sys.error("graft_token_count mode must be a literal")
+        }
+        mode match {
+          case "bpe"   => TokenCount(children.head, bpe = true)
+          case "punct" => TokenCount(children.head, bpe = false)
+          case other   => sys.error(
+            s"graft_token_count mode must be 'bpe' or 'punct', got '$other'")
+        }
+      }),
     (FunctionIdentifier("graft_rhp_sig"),
       new ExpressionInfo(classOf[RhpSig].getName, "graft_rhp_sig"),
       (children: Seq[Expression]) => {
