@@ -167,17 +167,19 @@ object Dedup {
     */
   private[ops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     require(cap > 0, s"maxBucket must be positive, got $cap")
-    // The OVER-populated key set is tiny by construction (≤ rows/cap keys),
-    // so it broadcasts and the big banded table is anti-joined WITHOUT a
-    // shuffle; the sizing aggregate itself moves only (key, partial-count)
-    // pairs after map-side combine. The common case — no degenerate
-    // buckets — costs one cheap key-only aggregate and an empty broadcast.
+    // The OVER-populated key set is bounded by rows/cap keys — usually tiny
+    // (or empty), but a small user-chosen cap on a 100 TB corpus could make
+    // it millions of keys, so the broadcast decision is left to Catalyst/AQE:
+    // runtime stats broadcast it when it fits (the common case, shuffle-free
+    // anti-join) and fall back to a shuffled anti-join when it doesn't,
+    // instead of a forced-broadcast OOM. The sizing aggregate itself moves
+    // only (key, partial-count) pairs after map-side combine.
     val over = banded
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bucket_n"))
       .filter(col("_bucket_n") > cap)
       .select(keys.map(col): _*)
-    banded.join(broadcast(over), keys, "left_anti")
+    banded.join(over, keys, "left_anti")
   }
 
   /** Distinct (a_id, b_id) pairs sharing at least one (band, bucket) key
@@ -523,23 +525,34 @@ object Dedup {
     // pairs referencing a doc absent from `docs` drop (inner-join parity
     // with the old shape); a null-text doc is PRESENT but contributes no
     // grams — its pairs surface with jaccard = null, again like the old
-    // array expressions
+    // array expressions. The contract accepts pairs in ANY orientation
+    // (and self-pairs): the inverted index only materializes lo < hi, so
+    // intersections are looked up on (least, greatest) while the caller's
+    // own (a_id, b_id) columns pass through untouched; a self-pair's
+    // intersection is definitionally its own gram count.
     val present = docs.select(col("doc_id"))
     pairs
       .join(present.withColumnRenamed("doc_id", "a_id"), Seq("a_id"), "left_semi")
       .join(present.withColumnRenamed("doc_id", "b_id"), Seq("b_id"), "left_semi")
-      .join(inter, Seq("a_id", "b_id"), "left")
+      .withColumn("_lo", least(col("a_id"), col("b_id")))
+      .withColumn("_hi", greatest(col("a_id"), col("b_id")))
+      .join(
+        inter.select(col("a_id").as("_lo"), col("b_id").as("_hi"), col("n_inter")),
+        Seq("_lo", "_hi"), "left")
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n_g", "a_n"), Seq("a_id"), "left")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("n_g", "b_n"), Seq("b_id"), "left")
+      .withColumn("_ni",
+        when(col("a_id") === col("b_id"), col("a_n"))
+          .otherwise(coalesce(col("n_inter"), lit(0L))))
       .select(
         col("a_id"),
         col("b_id"),
         when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
           .otherwise(round(
-            coalesce(col("n_inter"), lit(0L)).cast("double") /
-              (col("a_n") + col("b_n") - coalesce(col("n_inter"), lit(0L))).cast("double"),
+            col("_ni").cast("double") /
+              (col("a_n") + col("b_n") - col("_ni")).cast("double"),
             6)).as("jaccard"))
   }
 

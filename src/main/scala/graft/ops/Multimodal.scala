@@ -92,6 +92,9 @@ object Multimodal {
     */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
     require(width > 0 && height > 0, s"target dims must be positive: $width x $height")
+    require(width.toLong * height <= Int.MaxValue,
+      s"target payload $width x $height = ${width.toLong * height} bytes " +
+        "overflows a JVM byte array")
     val spark = media.sparkSession
     val target = width * height
     val pruned = media.select(

@@ -382,12 +382,15 @@ object SingerPipeline {
     Files.createDirectories(sdir)
     Files.writeString(sdir.resolve(s"batch-$batchId.json"), stateJson)
     import scala.jdk.CollectionConverters._
-    val latest = Files.list(sdir).iterator().asScala
-      .flatMap { f =>
-        "batch-(\\d+)\\.json".r.findFirstMatchIn(f.getFileName.toString)
-          .map(m => m.group(1).toLong -> f)
-      }
-      .maxByOption(_._1)
+    val listing = Files.list(sdir)
+    val latest =
+      try listing.iterator().asScala
+        .flatMap { f =>
+          "batch-(\\d+)\\.json".r.findFirstMatchIn(f.getFileName.toString)
+            .map(m => m.group(1).toLong -> f)
+        }
+        .maxByOption(_._1)
+      finally listing.close()
     latest.foreach { case (_, f) =>
       Files.writeString(Paths.get(dir, "state.json"), Files.readString(f))
     }

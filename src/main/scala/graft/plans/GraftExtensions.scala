@@ -25,17 +25,20 @@ object GraftExtensions {
   def available(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_qdot"))
 
-  private val fallbackWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val fallbackWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** [[available]], but logs ONCE (per JVM) when the answer is `false` for
-    * an operator whose native and fallback paths are different hash
-    * families (simhash / minhash / rhp buckets). Fingerprints persisted
-    * under one family will never match the other — a silent cross-corpus
-    * correctness trap unless the switch is at least loud.
+  /** [[available]], but logs ONCE per (session, operator) when the answer
+    * is `false` for an operator whose native and fallback paths are
+    * different hash families (simhash / minhash / rhp buckets).
+    * Fingerprints persisted under one family will never match the other —
+    * a silent cross-corpus correctness trap unless the switch is at least
+    * loud. Keyed per session AND op so a later vanilla session mixing
+    * families (the exact trap the warning targets) still gets its warning.
     */
   def availableOrWarn(spark: org.apache.spark.sql.SparkSession, op: String): Boolean = {
     val ok = available(spark)
-    if (!ok && fallbackWarned.compareAndSet(false, true))
+    if (!ok && fallbackWarned.add(s"${System.identityHashCode(spark)}/$op"))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"graft extensions are not registered in this session: $op falls back " +
           "to the interpreted xxhash64 hash family. Fingerprints/buckets will " +

@@ -97,6 +97,18 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out((0L, 3L)) shouldBe 0.0 +- 1e-9
   }
 
+  test("ngram jaccard pairs is orientation-agnostic and handles self-pairs") {
+    // reversed orientation (b_id < a_id) and a self-pair: the contract
+    // states no ordering precondition, so both must score their true
+    // similarity, not a silent 0.0
+    val pairs = Seq((1L, 0L), (3L, 0L), (2L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.ngramJaccardPairs(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out((1L, 0L)) shouldBe 1.0 +- 1e-9 // identical docs, reversed pair
+    out((3L, 0L)) shouldBe 0.0 +- 1e-9
+    out((2L, 2L)) shouldBe 1.0 +- 1e-9 // self-pair
+  }
+
   test("decontamination flags corpus docs overlapping the benchmark set") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"), // shares 3-grams with bench 1

@@ -43,6 +43,15 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(2L).getAs[String]("kind") shouldBe "image"
   }
 
+  test("resize rejects dimensions whose product overflows Int") {
+    // 65536 x 65536 passes the positivity check but overflows Int to 0;
+    // must fail loudly at the driver, not NegativeArraySize on executors
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.resize(Multimodal.fromDocuments(docs), 65536, 65536)
+    }
+    e.getMessage should include("overflows")
+  }
+
   test("resampleBytes edge cases: null stays null, empty zero-pads") {
     Multimodal.resampleBytes(null, 4) shouldBe null
     Multimodal.resampleBytes(Array.emptyByteArray, 3) shouldBe Array[Byte](0, 0, 0)
