@@ -312,6 +312,10 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    "q_sim_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
+        .orderBy("query_id", "rank")),
+
     // ── text analysis (§7.3) ──────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
@@ -690,6 +694,52 @@ object SparkEntry {
         |   / sqrt(CAST(list_sum(list_transform(list_zip(query_qv, query_qv), pr -> pr[1] * pr[2])) AS DOUBLE)
         |        * CAST(list_sum(list_transform(list_zip(qv, qv), pr -> pr[1] * pr[2])) AS DOUBLE)), 6) AS sim
         | FROM cand
+        |)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF replay: centroids = vec_id < 8, assign every vector to its best
+    // cell (cosine desc, cell asc), probe top-2 cells per query (< 10),
+    // rerank candidates in probed cells by quantized cosine, top-5.
+    "q_sim_ivf" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8
+        |),
+        |sims AS (
+        | SELECT n.vec_id, n.qv, n.qn, c.cell_id,
+        |  round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) AS cell_sim
+        | FROM n CROSS JOIN c
+        |),
+        |assign AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT vec_id, cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS rn
+        |  FROM sims) WHERE rn = 1
+        |),
+        |probe AS (
+        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id FROM (
+        |  SELECT vec_id, qv, qn, cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS rn
+        |  FROM sims WHERE vec_id < 10) WHERE rn <= 2
+        |),
+        |scored AS (
+        | SELECT p.query_id, n.vec_id AS cand_id,
+        |  round(list_sum(list_transform(list_zip(p.query_qv, n.qv), pr -> pr[1] * pr[2]))
+        |   / sqrt(CAST(p.query_qn AS DOUBLE) * CAST(n.qn AS DOUBLE)), 6) AS sim
+        | FROM probe p JOIN assign a ON p.cell_id = a.cell_id
+        |  JOIN n ON n.vec_id = a.vec_id
+        | WHERE n.vec_id <> p.query_id
         |)
         |SELECT query_id, cand_id, sim, rank FROM (
         | SELECT query_id, cand_id, sim,

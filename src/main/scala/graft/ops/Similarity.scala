@@ -210,6 +210,81 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN: the clustering-blocked scale path.
+    *
+    * Structure (classic IVF, cf. the FAISS/IVFADC literature):
+    *
+    *   1. A small set of coarse centroids partitions the corpus into
+    *      cells — here the `nCells` lowest-id vectors stand in for an
+    *      offline-trained k-means codebook (deterministic, so the whole
+    *      pipeline is oracle-replayable; swapping in trained centroids
+    *      changes one DataFrame).
+    *   2. ASSIGN: every corpus vector joins the BROADCAST centroid set and
+    *      keeps its single best cell (highest cosine, ties to the lowest
+    *      cell id) — one narrow pass over the corpus; the per-vector argmax
+    *      is a map-side-combinable `max_by` aggregate carrying only
+    *      (vec_id, cell, sim) rows, never the vectors.
+    *   3. PROBE: each query scores the same broadcast centroids and keeps
+    *      its `nProbe` nearest cells.
+    *   4. Candidates = corpus vectors assigned to any probed cell — a join
+    *      keyed on cell_id touching ~nProbe/nCells of the corpus per
+    *      query; exact quantized cosine reranks to top-k.
+    *
+    * Each vector lives in EXACTLY one cell (unlike LSH's multi-band
+    * buckets), so candidates need no dedup. `maxBucket` drops degenerate
+    * over-populated cells ([[Dedup.capBuckets]]) — with a trained codebook
+    * cells are balanced, but an untrained/adversarial corpus could pile
+    * into one cell and make the candidate join quadratic.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      maxBucket: Int = 1000000): DataFrame = {
+    require(nProbe <= nCells, s"nProbe ($nProbe) must be <= nCells ($nCells)")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv"), native))
+    val centroids = vecs
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("qv").as("cv"), col("qn").as("cn"))
+    // (vector × centroid) similarity — reused by ASSIGN and PROBE; the
+    // centroid side broadcasts, so both are narrow corpus passes
+    def cellSims(side: DataFrame): DataFrame = side
+      .join(broadcast(centroids))
+      .withColumn("cell_sim",
+        qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")))
+      .drop("cv", "cn")
+    val assigned = cellSims(vecs)
+      .groupBy("vec_id")
+      .agg(max_by(
+        col("cell_id"),
+        struct(col("cell_sim"), (-col("cell_id")).as("tb"))).as("cell_id"))
+    val probeW = Window.partitionBy("query_id").orderBy(desc("cell_sim"), asc("cell_id"))
+    val probed = cellSims(vecs.filter(col("vec_id") < queryMaxId))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv").as("query_qv"), col("qn").as("query_qn"),
+        col("cell_id"))
+    val cells = Dedup.capBuckets(
+      assigned.join(vecs, "vec_id"), Seq("cell_id"), maxBucket)
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    probed
+      .join(cells, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("cand_id"),
+        qcosinePre(qdot(col("query_qv"), col("qv"), native),
+          col("query_qn"), col("qn")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** ANN via banded LSH: signature split into `bands` bands; vectors
     * sharing any band bucket become candidates; exact (quantized) cosine
     * re-ranks candidates; top-k per query. Recall is tuned by

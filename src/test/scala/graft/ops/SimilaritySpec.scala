@@ -44,6 +44,30 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     lsh.size shouldBe 25 // 5 queries × k=5 (enough candidates exist)
   }
 
+  test("IVF with full probe equals brute force; partial probe is a subset") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet
+    // probing every cell searches the whole corpus -> exact equality
+    val full = Similarity.ivfTopK(real, queryMaxId = 5L, k = 5, nCells = 4, nProbe = 4)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet
+    full shouldBe brute
+    // partial probe: approximate, still k rows per query with decent recall
+    val part = Similarity.ivfTopK(real, queryMaxId = 5L, k = 5, nCells = 8, nProbe = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    part.size shouldBe 25
+    val bruteIds = brute.map(t => (t._1, t._2))
+    ((bruteIds intersect part).size.toDouble / bruteIds.size) should be >= 0.2
+  }
+
+  test("IVF assignment is deterministic and respects nProbe <= nCells") {
+    val a = Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 2).collect().toSeq
+    val b = Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 2).collect().toSeq
+    a shouldBe b
+    intercept[IllegalArgumentException](
+      Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 3))
+  }
+
   test("signatures are deterministic across evaluations") {
     val a = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
     val b = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
