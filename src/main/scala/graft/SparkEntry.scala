@@ -299,6 +299,10 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, pairs).orderBy("a_id", "b_id")
     }),
 
+    "q_embed_dups_cell" -> ((s, dir) =>
+      Dedup.embeddingDupsByCell(t(s, dir, "embeddings"), threshold = 0.35)
+        .orderBy("cell_id", "a_id", "b_id")),
+
     "q_embed_dups" -> ((s, dir) =>
       Dedup.embeddingDups(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy("label", "a_id", "b_id")),
@@ -328,6 +332,20 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // the corpus has no PII, so the query stamps deterministic synthetic
+    // email/URL/number tokens (same expression in the oracle) and redacts
+    "q_text_redact" -> ((s, dir) => {
+      val pii = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via https://ex.org/p/"), col("doc_id").cast("string"),
+          lit(" or call "),
+          (col("doc_id") * 1000000 + 5550100).cast("string")).as("text"))
+      TextAnalysis.redactPii(pii).orderBy("doc_id")
+    }),
 
     "q_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents")).orderBy("lang")),
@@ -764,6 +782,38 @@ object SparkEntry {
         |WHERE a.doc_id < 40 AND b.doc_id < 40
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // same assignment CTEs as q_sim_ivf (centroids = vec_id < 8), then
+    // within-cell pairs at quantized cosine >= 0.35
+    "q_embed_dups_cell" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8
+        |),
+        |assign AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn = 1
+        |),
+        |v AS (
+        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
+        |)
+        |SELECT cell_id, a_id, b_id, sim FROM (
+        | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
+        |  round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) AS sim
+        | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+        |WHERE sim >= 0.35
+        |ORDER BY cell_id, a_id, b_id""".stripMargin,
+
     "q_embed_dups" ->
       """WITH q AS (
         | SELECT label, vec_id,
@@ -836,6 +886,31 @@ object SparkEntry {
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com via https://ex.org/p/' || CAST(doc_id AS VARCHAR)
+        |   || ' or call ' || CAST(doc_id * 1000000 + 5550100 AS VARCHAR) AS text
+        | FROM documents
+        |),
+        |s1 AS (
+        | SELECT doc_id, text,
+        |  regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS no_url
+        | FROM d
+        |),
+        |s2 AS (
+        | SELECT doc_id, text, no_url,
+        |  regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+        | FROM s1
+        |)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(no_email, '[0-9]{7,}')) AS BIGINT) AS n_numbers,
+        | regexp_replace(no_email, '[0-9]{7,}', '<NUM>', 'g') AS redacted
+        |FROM s2 ORDER BY doc_id""".stripMargin,
 
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -582,4 +582,38 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select("label", "a_id", "b_id", "sim")
   }
+
+  /** [[embeddingDups]] with the blocking key DERIVED from the embeddings
+    * themselves — IVF coarse cells ([[Similarity.ivfAssign]]) — instead of
+    * a pre-existing label column. This is the 100 TB shape: no corpus has
+    * ready-made balanced blocks, but a coarse codebook (here the
+    * deterministic lowest-id stand-in; in production a trained k-means)
+    * always exists, and blocking on the cell bounds the pair join to
+    * within-cell pairs. Single-assignment blocking can miss a pair
+    * straddling a cell boundary — the standard recall/cost tradeoff;
+    * `maxBucket` drops degenerate cells ([[capBuckets]]) so one hot cell
+    * can never go quadratic.
+    */
+  def embeddingDupsByCell(
+      embeddings: DataFrame,
+      threshold: Double,
+      nCells: Int = 8,
+      maxBucket: Int = 100000): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val cells = capBuckets(
+      Similarity.ivfAssign(embeddings, nCells), Seq("cell_id"), maxBucket)
+    val a = cells.select(
+      col("cell_id"), col("vec_id").as("a_id"),
+      col("qv").as("a_qv"), col("qn").as("a_qn"))
+    val b = cells.select(
+      col("cell_id"), col("vec_id").as("b_id"),
+      col("qv").as("b_qv"), col("qn").as("b_qn"))
+    a.join(b, Seq("cell_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        Similarity.qcosinePre(
+          Similarity.qdot(col("a_qv"), col("b_qv"), native), col("a_qn"), col("b_qn")))
+      .filter(col("sim") >= threshold)
+      .select("cell_id", "a_id", "b_id", "sim")
+  }
 }

@@ -236,6 +236,42 @@ object Similarity {
     * cells are balanced, but an untrained/adversarial corpus could pile
     * into one cell and make the candidate join quadratic.
     */
+  /** Quantized vectors with precomputed squared norms: `(vec_id, qv, qn)`. */
+  private def quantizedWithNorms(embeddings: DataFrame, native: Boolean): DataFrame =
+    embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv"), native))
+
+  /** (vector × broadcast centroid) cosine — the shared ASSIGN/PROBE pass. */
+  private def withCellSims(
+      side: DataFrame, centroids: DataFrame, native: Boolean): DataFrame = side
+    .join(broadcast(centroids))
+    .withColumn("cell_sim",
+      qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")))
+    .drop("cv", "cn")
+
+  /** IVF cell assignment: every vector keeps its single best coarse cell
+    * (highest cosine against the broadcast centroid set, ties to the
+    * lowest cell id). Centroids are the `nCells` lowest-id vectors — an
+    * offline-trained codebook's deterministic stand-in (see [[ivfTopK]]).
+    * Returns `(vec_id, cell_id, qv, qn)`; the cell id doubles as a
+    * clustering-derived BLOCKING key for semantic dedup
+    * ([[Dedup.embeddingDupsByCell]]).
+    */
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val vecs = quantizedWithNorms(embeddings, native)
+    val centroids = vecs
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("qv").as("cv"), col("qn").as("cn"))
+    withCellSims(vecs, centroids, native)
+      .groupBy("vec_id")
+      .agg(max_by(
+        col("cell_id"),
+        struct(col("cell_sim"), (-col("cell_id")).as("tb"))).as("cell_id"))
+      .join(vecs, "vec_id")
+  }
+
   def ivfTopK(
       embeddings: DataFrame,
       queryMaxId: Long,
@@ -245,33 +281,18 @@ object Similarity {
       maxBucket: Int = 1000000): DataFrame = {
     require(nProbe <= nCells, s"nProbe ($nProbe) must be <= nCells ($nCells)")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
-    val vecs = embeddings
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("qn", qdot(col("qv"), col("qv"), native))
+    val vecs = quantizedWithNorms(embeddings, native)
     val centroids = vecs
       .filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("qv").as("cv"), col("qn").as("cn"))
-    // (vector × centroid) similarity — reused by ASSIGN and PROBE; the
-    // centroid side broadcasts, so both are narrow corpus passes
-    def cellSims(side: DataFrame): DataFrame = side
-      .join(broadcast(centroids))
-      .withColumn("cell_sim",
-        qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")))
-      .drop("cv", "cn")
-    val assigned = cellSims(vecs)
-      .groupBy("vec_id")
-      .agg(max_by(
-        col("cell_id"),
-        struct(col("cell_sim"), (-col("cell_id")).as("tb"))).as("cell_id"))
     val probeW = Window.partitionBy("query_id").orderBy(desc("cell_sim"), asc("cell_id"))
-    val probed = cellSims(vecs.filter(col("vec_id") < queryMaxId))
+    val probed = withCellSims(vecs.filter(col("vec_id") < queryMaxId), centroids, native)
       .withColumnRenamed("vec_id", "query_id")
       .withColumn("probe_rank", row_number().over(probeW))
       .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("qv").as("query_qv"), col("qn").as("query_qn"),
         col("cell_id"))
-    val cells = Dedup.capBuckets(
-      assigned.join(vecs, "vec_id"), Seq("cell_id"), maxBucket)
+    val cells = Dedup.capBuckets(ivfAssign(embeddings, nCells), Seq("cell_id"), maxBucket)
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
     probed
       .join(cells, Seq("cell_id"))

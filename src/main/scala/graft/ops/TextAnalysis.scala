@@ -116,6 +116,44 @@ object TextAnalysis {
         round(col("total_chars") / col("n_docs").cast("double"), 4))
   }
 
+  /** PII redaction: mask emails, URLs, and long digit runs (phone/account
+    * numbers) with typed placeholder tokens, reporting per-document match
+    * counts — the standard scrub pass before pretraining on web text.
+    *
+    * One narrow codegen'd projection (three `regexp_replace` + three
+    * `regexp_extract_all` counts); patterns are RE2-compatible (no
+    * backreferences/lookahead) so the SAME expressions replay in any
+    * engine. Order matters and is fixed: URLs first (emails and digit runs
+    * embed in URLs), then emails, then digit runs of `minDigits`+.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text", minDigits: Int = 7): DataFrame = {
+    val urlPat = "https?://[^\\s]+"
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numPat = s"[0-9]{$minDigits,}"
+    def count(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val t = col(textCol)
+    // explode(array(struct)) Generate barrier: the URL- and email-stripped
+    // intermediates evaluate ONCE per row and feed all four outputs —
+    // without it CollapseProject would re-run the replacement chain per
+    // referencing column (see memory: collapseproject-bind-trick)
+    import graft.functions.ColumnOps
+    val packed = ColumnOps.bind(regexp_replace(t, urlPat, "<URL>")) { noUrl =>
+      ColumnOps.bind(regexp_replace(noUrl, emailPat, "<EMAIL>")) { noEmail =>
+        struct(
+          count(t, urlPat).as("n_urls"),
+          // emails/numbers counted on the stripped text, matching what the
+          // sequential replacement actually redacts
+          count(noUrl, emailPat).as("n_emails"),
+          count(noEmail, numPat).as("n_numbers"),
+          regexp_replace(noEmail, numPat, "<NUM>").as("redacted"))
+      }
+    }
+    df.select(col("doc_id"), explode(array(packed)).as("q"))
+      .select(col("doc_id"), col("q.n_urls"), col("q.n_emails"),
+        col("q.n_numbers"), col("q.redacted"))
+  }
+
   /** Document fingerprinting.
     *
     *   - `fp_md5`: content hash of whitespace-normalized, lowercased text —

@@ -131,6 +131,19 @@ class DedupSpec extends AnyFunSuite with Matchers {
     groups(9L) shouldBe 7L
   }
 
+  test("embedding dups by IVF cell: derived blocking finds co-located near-dups") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid 0
+      (1L, Array(0.0f, 1.0f)),   // centroid 1
+      (2L, Array(0.99f, 0.01f)), // cell 0, near-dup of 0
+      (3L, Array(0.01f, 0.99f)), // cell 1, near-dup of 1
+      (4L, Array(-1.0f, 0.0f))   // cell 1 (orthogonal beats negative), no dup
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDupsByCell(emb, threshold = 0.9, nCells = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    out shouldBe Set((0L, 2L), (1L, 3L))
+  }
+
   test("embedding dups finds same-label near-identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),

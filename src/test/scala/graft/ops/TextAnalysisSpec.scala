@@ -50,6 +50,26 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(1).getAs[Long]("max_tokens") shouldBe 1L
   }
 
+  test("PII redaction masks URLs, emails, and long digit runs with typed tokens") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@test.org or see https://ex.org/p?q=1 id 12345678"),
+      (2L, "digits 123456 stay; https://a.io/x@y.z eats the email inside it"),
+      (3L, "clean text, nothing to redact")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Long]("n_urls") shouldBe 1L
+    out(1L).getAs[Long]("n_emails") shouldBe 1L
+    out(1L).getAs[Long]("n_numbers") shouldBe 1L
+    out(1L).getAs[String]("redacted") shouldBe
+      "mail me at <EMAIL> or see <URL> id <NUM>"
+    // 6 digits < minDigits=7 survives; the in-URL email is consumed by <URL>
+    out(2L).getAs[Long]("n_emails") shouldBe 0L
+    out(2L).getAs[String]("redacted") shouldBe
+      "digits 123456 stay; <URL> eats the email inside it"
+    out(3L).getAs[String]("redacted") shouldBe "clean text, nothing to redact"
+  }
+
   test("fingerprints: md5 matches normalization; rolling hash is stable and order-sensitive") {
     val df = Seq(
       (1L, "Hello  World"),
