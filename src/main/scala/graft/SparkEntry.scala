@@ -320,6 +320,29 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    // purchases matched to the same user's latest prior click within 1h —
+    // the canonical attribution as-of. Time crosses the compare boundary
+    // as integer MICROSECONDS (Spark truncates the parquet ns to µs on
+    // read, DuckDB keeps ns — raw timestamps would order differently
+    // below 1 µs); clicks pre-deduped per (user, ts) so both engines
+    // resolve exact-tie matches identically.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_us")
+        .agg(max_by(
+          struct(col("event_id").as("click_id"), col("value").as("click_value")),
+          col("event_id")).as("c"))
+        .select(col("user_id"), col("ts_us"), col("c.click_id"), col("c.click_value"))
+      graft.ops.AsOfJoin.asOfBackward(
+        purchases, clicks, "ts_us", Seq("user_id"), Seq("click_id", "click_value"),
+        tolerance = Some(lit(3600L * 1000000)))
+        .orderBy("event_id")
+    }),
+
     // ── text analysis (§7.3) ──────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
@@ -491,6 +514,31 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         | FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value
+        | FROM events
+        |),
+        |purchases AS (
+        | SELECT user_id, ts_us, event_id, value FROM ev WHERE event_type = 'purchase'
+        |),
+        |clicks AS (
+        | SELECT user_id, ts_us, max(event_id) AS click_id,
+        |  arg_max(value, event_id) AS click_value
+        | FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+        |),
+        |j AS (
+        | SELECT p.user_id, p.ts_us, p.event_id, p.value,
+        |  c.click_id, c.click_value, c.ts_us AS m_ts
+        | FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |)
+        |SELECT user_id, ts_us, event_id, value,
+        | CASE WHEN m_ts >= ts_us - 3600000000 THEN m_ts END AS asof_ts_us,
+        | CASE WHEN m_ts >= ts_us - 3600000000 THEN click_id END AS click_id,
+        | CASE WHEN m_ts >= ts_us - 3600000000 THEN click_value END AS click_value
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q_windowed_counts" ->
       """SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-series) join — for each left row, the most recent right row
+  * at or before its timestamp with the same key. The reference engine has
+  * no joins at all (SURVEY.md §2.9); this is a harness-mandated extension
+  * operator Spark itself lacks as a primitive.
+  *
+  * Implementation is the UNION + running-carry formulation, not a range
+  * join: both sides are tagged and unioned, sorted within each key
+  * partition by (time, side), and a running `last(..., ignoreNulls)` over
+  * the growing window carries the latest right payload forward onto every
+  * left row. That costs exactly ONE shuffle of both inputs keyed on the
+  * join key plus a per-key time sort — the minimum any as-of algorithm
+  * needs — and never materializes candidate pairs, while a naive
+  * `l.ts >= r.ts` range join explodes to O(left × right-per-key) rows
+  * before its per-row argmax. Equal timestamps match inclusively (the
+  * right row sorts first), the standard backward-as-of convention.
+  *
+  * Scale notes: the shuffle key is the join key, so one pathological key
+  * (a single hot user) serializes its own partition but nothing else;
+  * AQE's skew splitting cannot split a window partition, which is the
+  * known cost of per-key ordered semantics in ANY engine. Payloads ride
+  * the window as one struct column, evaluated once per row.
+  */
+object AsOfJoin {
+
+  /** Backward as-of join.
+    *
+    * @param left         driving rows; ALL its columns pass through
+    * @param right        lookup rows; only `keys`, `timeCol`,
+    *                     `rightPayload` are read
+    * @param timeCol      timestamp/ordering column present in BOTH inputs
+    * @param keys         equality join key(s)
+    * @param rightPayload right columns to surface on matches (must not
+    *                     collide with left column names)
+    * @param tolerance    max lookback as an interval (e.g.
+    *                     `expr("INTERVAL 1 HOUR")`); matches older than
+    *                     `timeCol - tolerance` are nulled out, preserving
+    *                     left-join row count
+    * @return left rows + `rightPayload` columns + `asof_<timeCol>` (the
+    *         matched right timestamp), nulls where no match qualifies
+    */
+  def asOfBackward(
+      left: DataFrame,
+      right: DataFrame,
+      timeCol: String,
+      keys: Seq[String],
+      rightPayload: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equality key")
+    val collisions = rightPayload.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"rightPayload collides with left columns: ${collisions.mkString(", ")} " +
+        "— rename on the right side first")
+    val payload = struct((timeCol +: rightPayload).map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+    val leftRest = left.columns.filterNot(c => keys.contains(c) || c == timeCol)
+    // one unified layout; the right side nulls the left-only columns
+    val lNorm = left.select(
+      (keys :+ timeCol).map(col) ++ leftRest.map(col) ++ Seq(
+        lit(null).cast(payloadType).as("_asof"), lit(1).as("_src")): _*)
+    val rNorm = right.select(
+      (keys :+ timeCol).map(col) ++ leftRest.map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        payload.as("_asof"), lit(0).as("_src")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lNorm.unionByName(rNorm)
+      .withColumn("_match", last(col("_asof"), ignoreNulls = true).over(w))
+      .filter(col("_src") === 1)
+    val inRange = tolerance match {
+      case Some(tol) => col("_match").isNotNull &&
+        col("_match")(timeCol) >= col(timeCol) - tol
+      case None => col("_match").isNotNull
+    }
+    val matchedCols = (timeCol +: rightPayload).map { c =>
+      val out = if (c == timeCol) s"asof_$timeCol" else c
+      when(inRange, col("_match")(c)).as(out)
+    }
+    carried.select(
+      (keys :+ timeCol).map(col) ++ leftRest.map(col) ++ matchedCols: _*)
+  }
+}
