@@ -320,6 +320,23 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    // attribute each error event to the user session containing it —
+    // sessions (from sessionizeBatch) are the intervals, errors the
+    // points; bucketized equi-join, never a nested-loop range join
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = graft.streaming.EventStreamOps.sessionizeBatch(ev)
+        .select("user_id", "session_id", "session_start", "session_end")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("epoch"))
+      graft.ops.RangeJoin.pointInRange(
+        errors, sessions, "epoch", "session_start", "session_end",
+        Seq("user_id"), bucketSize = 1800L)
+        .select("user_id", "event_id", "epoch", "session_id")
+        .orderBy("event_id", "session_id")
+    }),
+
     // purchases matched to the same user's latest prior click within 1h —
     // the canonical attribution as-of. Time crosses the compare boundary
     // as integer MICROSECONDS (Spark truncates the parquet ns to µs on
@@ -514,6 +531,29 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         | FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_range_join" ->
+      """WITH l AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+        |  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+        | FROM events
+        |), t AS (
+        | SELECT user_id, event_id, epoch,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR epoch - prev > 1800 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY epoch, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM l
+        |), sess AS (
+        | SELECT user_id, session_id, min(epoch) AS session_start, max(epoch) AS session_end
+        | FROM t GROUP BY user_id, session_id
+        |), err AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+        | FROM events WHERE event_type = 'error'
+        |)
+        |SELECT e.user_id, e.event_id, e.epoch, s.session_id
+        |FROM err e JOIN sess s
+        | ON e.user_id = s.user_id
+        | AND e.epoch BETWEEN s.session_start AND s.session_end
+        |ORDER BY e.event_id, s.session_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (

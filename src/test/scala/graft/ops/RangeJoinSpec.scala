@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class RangeJoinSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, "u1", 100L),
+    (2L, "u1", 250L),  // inside both of u1's overlapping intervals
+    (3L, "u2", 100L),  // right user, time inside u1's interval only
+    (4L, "u1", 999L)   // no containing interval
+  ).toDF("point_id", "user", "t")
+
+  private val intervals = Seq(
+    ("u1", 50L, 150L, "a"),
+    ("u1", 200L, 300L, "b"),
+    ("u1", 240L, 260L, "c"), // overlaps b — point 2 matches both
+    ("u2", 500L, 600L, "d")
+  ).toDF("user", "s", "e", "tag")
+
+  test("point-in-interval with keys: exact containment, overlaps yield both") {
+    val out = RangeJoin.pointInRange(points, intervals, "t", "s", "e", Seq("user"),
+        bucketSize = 100L)
+      .select("point_id", "tag").as[(Long, String)].collect().toSet
+    out shouldBe Set((1L, "a"), (2L, "b"), (2L, "c"))
+  }
+
+  test("bucket boundaries are inclusive and floor-divided (negative times too)") {
+    val p = Seq((1L, -150L), (2L, 0L), (3L, 100L)).toDF("point_id", "t")
+    val iv = Seq((-200L, -100L, "neg"), (0L, 0L, "zero"), (1L, 100L, "pos"))
+      .toDF("s", "e", "tag")
+    val out = RangeJoin.pointInRange(p, iv, "t", "s", "e", Nil, bucketSize = 60L)
+      .select("point_id", "tag").as[(Long, String)].collect().toSet
+    out shouldBe Set((1L, "neg"), (2L, "zero"), (3L, "pos"))
+  }
+
+  test("no duplicate matches when an interval spans many buckets") {
+    val p = Seq((1L, 500L)).toDF("point_id", "t")
+    val iv = Seq((0L, 1000L, "wide")).toDF("s", "e", "tag")
+    RangeJoin.pointInRange(p, iv, "t", "s", "e", Nil, bucketSize = 10L)
+      .count() shouldBe 1L
+  }
+
+  test("column collisions are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInRange(points, intervals.withColumnRenamed("tag", "t"),
+        "t", "s", "e", Seq("user"))
+    }
+    e.getMessage should include("collide")
+  }
+}
