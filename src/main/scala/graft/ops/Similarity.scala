@@ -264,12 +264,18 @@ object Similarity {
     val centroids = vecs
       .filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("qv").as("cv"), col("qn").as("cn"))
+    // qv/qn ride the argmax as first() (identical across the group — one
+    // row per centroid) instead of a join back to the corpus: saves a
+    // second full embeddings scan + join, and map-side partial
+    // aggregation collapses the nCells copies before the shuffle
     withCellSims(vecs, centroids, native)
       .groupBy("vec_id")
-      .agg(max_by(
-        col("cell_id"),
-        struct(col("cell_sim"), (-col("cell_id")).as("tb"))).as("cell_id"))
-      .join(vecs, "vec_id")
+      .agg(
+        max_by(
+          col("cell_id"),
+          struct(col("cell_sim"), (-col("cell_id")).as("tb"))).as("cell_id"),
+        first("qv").as("qv"),
+        first("qn").as("qn"))
   }
 
   def ivfTopK(
