@@ -320,6 +320,16 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    // IVF over a TRAINED codebook: 2 Lloyd's iterations from the seed —
+    // the full production shape (train, then search) end to end
+    "q_sim_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, k = 8, iters = 2)
+      Similarity.ivfTopK(emb, queryMaxId = 10L, k = 5, nCells = 8, nProbe = 2,
+        centroids = Some(cents))
+        .orderBy("query_id", "rank")
+    }),
+
     // attribute each error event to the user session containing it —
     // sessions (from sessionizeBatch) are the intervals, errors the
     // points; bucketized equi-join, never a nested-loop range join
@@ -389,6 +399,9 @@ object SparkEntry {
 
     "q_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents")).orderBy("lang")),
+
+    "q_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(t(s, dir, "documents")).orderBy("lang", "rank")),
 
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -870,6 +883,90 @@ object SparkEntry {
         |WHERE a.doc_id < 40 AND b.doc_id < 40
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // 2 Lloyd's iterations replayed as chained CTEs: assign vs seed ->
+    // integer per-dimension means -> reassign -> means -> probe/search.
+    // Mean components use positive-only integer division on both sides
+    // so truncation semantics agree exactly.
+    "q_sim_ivf_trained" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c0 AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8
+        |),
+        |a0 AS (
+        | SELECT vec_id, cell_id, qv FROM (
+        |  SELECT n.vec_id, c.cell_id, n.qv,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c0 c) WHERE rn = 1
+        |),
+        |m1 AS (
+        | SELECT cell_id, pos, SUM(v) AS s, COUNT(*) AS cnt
+        | FROM (SELECT cell_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS pos FROM a0)
+        | GROUP BY cell_id, pos
+        |),
+        |c1 AS (
+        | SELECT cell_id, cv,
+        |  list_sum(list_transform(list_zip(cv, cv), p -> p[1] * p[2])) AS cn
+        | FROM (SELECT cell_id,
+        |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS cv
+        |  FROM m1 GROUP BY cell_id)
+        |),
+        |a1 AS (
+        | SELECT vec_id, cell_id, qv FROM (
+        |  SELECT n.vec_id, c.cell_id, n.qv,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c1 c) WHERE rn = 1
+        |),
+        |m2 AS (
+        | SELECT cell_id, pos, SUM(v) AS s, COUNT(*) AS cnt
+        | FROM (SELECT cell_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS pos FROM a1)
+        | GROUP BY cell_id, pos
+        |),
+        |c2 AS (
+        | SELECT cell_id, cv,
+        |  list_sum(list_transform(list_zip(cv, cv), p -> p[1] * p[2])) AS cn
+        | FROM (SELECT cell_id,
+        |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS cv
+        |  FROM m2 GROUP BY cell_id)
+        |),
+        |probe AS (
+        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id FROM (
+        |  SELECT n.vec_id, n.qv, n.qn, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 10) WHERE rn <= 2
+        |),
+        |a2 AS (
+        | SELECT vec_id, cell_id, qv, qn FROM (
+        |  SELECT n.vec_id, c.cell_id, n.qv, n.qn,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c2 c) WHERE rn = 1
+        |),
+        |scored AS (
+        | SELECT p.query_id, a.vec_id AS cand_id,
+        |  round(list_sum(list_transform(list_zip(p.query_qv, a.qv), pr -> pr[1] * pr[2]))
+        |   / sqrt(CAST(p.query_qn AS DOUBLE) * CAST(a.qn AS DOUBLE)), 6) AS sim
+        | FROM probe p JOIN a2 a ON p.cell_id = a.cell_id
+        | WHERE a.vec_id <> p.query_id
+        |)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // same assignment CTEs as q_sim_ivf (centroids = vec_id < 8), then
     // within-cell pairs at quantized cosine >= 0.35
     "q_embed_dups_cell" ->
@@ -974,6 +1071,27 @@ object SparkEntry {
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH sh AS (
+        | SELECT doc_id, lang, list_distinct(sh0) AS sh FROM (
+        |  SELECT doc_id, lang,
+        |   CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, lang, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+        | )
+        |),
+        |counts AS (
+        | SELECT lang, gram, count(*) AS n_docs
+        | FROM (SELECT lang, unnest(sh) AS gram FROM sh)
+        | GROUP BY lang, gram
+        |)
+        |SELECT lang, rank, gram, n_docs FROM (
+        | SELECT lang, gram, n_docs,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs DESC, gram) AS rank
+        | FROM counts)
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
 
     "q_text_redact" ->
       """WITH d AS (

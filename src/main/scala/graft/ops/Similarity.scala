@@ -250,6 +250,29 @@ object Similarity {
       qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")))
     .drop("cv", "cn")
 
+  /** The seed codebook: the `nCells` lowest-id vectors as centroids —
+    * deterministic, so oracle-replayable; [[trainCentroids]] refines it.
+    */
+  private def seedCentroids(vecs: DataFrame, nCells: Int): DataFrame = vecs
+    .filter(col("vec_id") < nCells)
+    .select(col("vec_id").as("cell_id"), col("qv").as("cv"), col("qn").as("cn"))
+
+  /** Argmax cell per vector. qv/qn ride the argmax as first() (identical
+    * across the group — one row per centroid) instead of a join back to
+    * the corpus: saves a second full embeddings scan + join, and map-side
+    * partial aggregation collapses the nCells copies before the shuffle.
+    */
+  private def assignCore(
+      vecs: DataFrame, centroids: DataFrame, native: Boolean): DataFrame =
+    withCellSims(vecs, centroids, native)
+      .groupBy("vec_id")
+      .agg(
+        max_by(
+          col("cell_id"),
+          struct(col("cell_sim"), (-col("cell_id")).as("tb"))).as("cell_id"),
+        first("qv").as("qv"),
+        first("qn").as("qn"))
+
   /** IVF cell assignment: every vector keeps its single best coarse cell
     * (highest cosine against the broadcast centroid set, ties to the
     * lowest cell id). Centroids are the `nCells` lowest-id vectors — an
@@ -261,21 +284,47 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     val vecs = quantizedWithNorms(embeddings, native)
-    val centroids = vecs
-      .filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("qv").as("cv"), col("qn").as("cn"))
-    // qv/qn ride the argmax as first() (identical across the group — one
-    // row per centroid) instead of a join back to the corpus: saves a
-    // second full embeddings scan + join, and map-side partial
-    // aggregation collapses the nCells copies before the shuffle
-    withCellSims(vecs, centroids, native)
-      .groupBy("vec_id")
-      .agg(
-        max_by(
-          col("cell_id"),
-          struct(col("cell_sim"), (-col("cell_id")).as("tb"))).as("cell_id"),
-        first("qv").as("qv"),
-        first("qn").as("qn"))
+    assignCore(vecs, seedCentroids(vecs, nCells), native)
+  }
+
+  /** Lloyd's (spherical) k-means over the quantized vectors: `iters`
+    * fixed refinement passes from the deterministic lowest-id seed.
+    * Assignment is by cosine; the new centroid is the per-dimension
+    * integer mean of its members (`sum div count`, truncation toward
+    * zero via positive-only division so every engine agrees bit-for-bit
+    * — cosine is scale-invariant, so skipping normalization changes
+    * nothing). A cell that loses all members disappears; deterministic.
+    *
+    * Scale shape per iteration: one broadcast-centroid scoring pass over
+    * the corpus (narrow), then the per-dimension means via posexplode +
+    * partial aggregation — the shuffle carries at most
+    * partitions × cells × dims pre-combined (cell, dim, sum, count)
+    * rows, the same communication pattern MLlib's treeAggregate uses.
+    * The k-row centroid table is localCheckpoint'd each pass so
+    * iteration N's plan doesn't replay 1..N-1.
+    */
+  def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val vecs = quantizedWithNorms(embeddings, native)
+    var cents = seedCentroids(vecs, k)
+    for (_ <- 0 until iters) {
+      val assigned = assignCore(vecs, cents, native)
+      val dims = assigned
+        .select(col("cell_id"), posexplode(col("qv")))
+        .groupBy("cell_id", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .withColumn("v",
+          expr("CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END"))
+      cents = dims
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cell_id"), transform(col("pv"), p => p("v")).as("cv"))
+        .withColumn("cn", qdot(col("cv"), col("cv"), native))
+        .localCheckpoint()
+    }
+    cents
   }
 
   def ivfTopK(
@@ -284,21 +333,23 @@ object Similarity {
       k: Int,
       nCells: Int = 8,
       nProbe: Int = 2,
-      maxBucket: Int = 1000000): DataFrame = {
+      maxBucket: Int = 1000000,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(nProbe <= nCells, s"nProbe ($nProbe) must be <= nCells ($nCells)")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     val vecs = quantizedWithNorms(embeddings, native)
-    val centroids = vecs
-      .filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("qv").as("cv"), col("qn").as("cn"))
+    // a trained codebook ([[trainCentroids]], columns (cell_id, cv, cn))
+    // slots in here; the lowest-id seed is the deterministic default
+    val cents = centroids.getOrElse(seedCentroids(vecs, nCells))
     val probeW = Window.partitionBy("query_id").orderBy(desc("cell_sim"), asc("cell_id"))
-    val probed = withCellSims(vecs.filter(col("vec_id") < queryMaxId), centroids, native)
+    val probed = withCellSims(vecs.filter(col("vec_id") < queryMaxId), cents, native)
       .withColumnRenamed("vec_id", "query_id")
       .withColumn("probe_rank", row_number().over(probeW))
       .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("qv").as("query_qv"), col("qn").as("query_qn"),
         col("cell_id"))
-    val cells = Dedup.capBuckets(ivfAssign(embeddings, nCells), Seq("cell_id"), maxBucket)
+    val cells = Dedup.capBuckets(
+      assignCore(vecs, cents, native), Seq("cell_id"), maxBucket)
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
     probed
       .join(cells, Seq("cell_id"))

@@ -116,6 +116,27 @@ object TextAnalysis {
         round(col("total_chars") / col("n_docs").cast("double"), 4))
   }
 
+  /** Corpus-level top-K n-grams per language — the vocabulary/boilerplate
+    * dashboard over a training corpus (and the input to stopword/cliché
+    * filters). Shape: explode each doc's distinct n-grams (distinct per
+    * doc so boilerplate repetition inside one document doesn't dominate),
+    * count per (lang, gram) with map-side combine, then per-language top-K
+    * via `WindowGroupLimit` — the per-partition rank filter prunes before
+    * the final shuffle, so the full gram distribution never sorts
+    * globally. Ties break lexicographically for cross-engine determinism.
+    */
+  def topNgrams(df: DataFrame, n: Int = 2, k: Int = 10, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(desc("n_docs"), asc("gram"))
+    df.select(col("lang"),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+      .groupBy("lang", "gram")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("lang", "rank", "gram", "n_docs")
+  }
+
   /** PII redaction: mask emails, URLs, and long digit runs (phone/account
     * numbers) with typed placeholder tokens, reporting per-document match
     * counts — the standard scrub pass before pretraining on web text.

@@ -60,6 +60,32 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     ((bruteIds intersect part).size.toDouble / bruteIds.size) should be >= 0.2
   }
 
+  test("trained centroids: deterministic, dimension-preserving, exact under full probe") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val c1 = Similarity.trainCentroids(real, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c2 = Similarity.trainCentroids(real, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    c1 shouldBe c2
+    c1.size should be <= 4
+    import org.apache.spark.sql.functions.col
+    val dim = real.head.getSeq[Float](real.schema.fieldIndex("embedding")).length
+    c1.values.forall(_.length == dim) shouldBe true
+    // refinement moves the centroids off the raw seed vectors
+    val seeds = real.filter(col("vec_id") < 4)
+      .select(Similarity.quantize(col("embedding"))).collect()
+      .map(_.getSeq[Long](0)).toSet
+    c1.values.toSet should not be seeds
+    // any codebook probed in full searches the whole corpus -> exact
+    val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val trained = Similarity.ivfTopK(real, queryMaxId = 5L, k = 5,
+      nCells = 4, nProbe = 4,
+      centroids = Some(Similarity.trainCentroids(real, k = 4, iters = 2)))
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet
+    trained shouldBe brute
+  }
+
   test("IVF assignment is deterministic and respects nProbe <= nCells") {
     val a = Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 2).collect().toSeq
     val b = Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 2).collect().toSeq

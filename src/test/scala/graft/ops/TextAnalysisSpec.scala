@@ -50,6 +50,20 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(1).getAs[Long]("max_tokens") shouldBe 1L
   }
 
+  test("top n-grams rank per language by distinct-document frequency") {
+    val df = Seq(
+      (1L, "a b a b", "en"), // distinct bigrams: "a b", "b a"
+      (2L, "a b c", "en"),   // "a b", "b c"
+      (3L, "x", "fr")        // < n tokens -> the whole string
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.topNgrams(df, n = 2, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    out should contain(("en", 1L, "a b", 2L)) // in both en docs
+    out.filter(_._1 == "fr").map(_._3).toSeq shouldBe Seq("x")
+    // per-doc distinct: doc 1's repeated "a b" counts once
+    out.find(t => t._1 == "en" && t._3 == "a b").get._4 shouldBe 2L
+  }
+
   test("PII redaction masks URLs, emails, and long digit runs with typed tokens") {
     val df = Seq(
       (1L, "mail me at a.b+c@test.org or see https://ex.org/p?q=1 id 12345678"),
