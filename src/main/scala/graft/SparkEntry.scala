@@ -370,6 +370,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the forward mirror: each purchase's NEXT click by the same user
+    // within 1h (post-purchase engagement)
+    "q_asof_join_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_us")
+        .agg(max_by(
+          struct(col("event_id").as("click_id"), col("value").as("click_value")),
+          col("event_id")).as("c"))
+        .select(col("user_id"), col("ts_us"), col("c.click_id"), col("c.click_value"))
+      graft.ops.AsOfJoin.asOfForward(
+        purchases, clicks, "ts_us", Seq("user_id"), Seq("click_id", "click_value"),
+        tolerance = Some(lit(3600L * 1000000)))
+        .orderBy("event_id")
+    }),
+
     // ── text analysis (§7.3) ──────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
@@ -402,6 +421,16 @@ object SparkEntry {
 
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(t(s, dir, "documents")).orderBy("lang", "rank")),
+
+    "q_text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    "q_split" -> ((s, dir) =>
+      ops.Sampling.assignSplit(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        valPermille = 100, testPermille = 50)
+        .orderBy("doc_id")),
 
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -544,6 +573,31 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         | FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_asof_join_fwd" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value
+        | FROM events
+        |),
+        |purchases AS (
+        | SELECT user_id, ts_us, event_id, value FROM ev WHERE event_type = 'purchase'
+        |),
+        |clicks AS (
+        | SELECT user_id, ts_us, max(event_id) AS click_id,
+        |  arg_max(value, event_id) AS click_value
+        | FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+        |),
+        |j AS (
+        | SELECT p.user_id, p.ts_us, p.event_id, p.value,
+        |  c.click_id, c.click_value, c.ts_us AS m_ts
+        | FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts_us <= c.ts_us
+        |)
+        |SELECT user_id, ts_us, event_id, value,
+        | CASE WHEN m_ts <= ts_us + 3600000000 THEN m_ts END AS asof_ts_us,
+        | CASE WHEN m_ts <= ts_us + 3600000000 THEN click_id END AS click_id,
+        | CASE WHEN m_ts <= ts_us + 3600000000 THEN click_value END AS click_value
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->
       """WITH l AS (
@@ -1092,6 +1146,29 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs DESC, gram) AS rank
         | FROM counts)
         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH tk AS (
+        | SELECT doc_id, toks, len(toks) AS n FROM (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |),
+        |ex AS (
+        | SELECT doc_id, toks, n,
+        |  unnest(range(0, CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END)) AS i
+        | FROM tk
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        | array_to_string(toks[(i*24+1):(i*24+32)], ' ') AS chunk_text,
+        | CAST(least(32, n - i*24) AS BIGINT) AS n_tokens
+        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_split" ->
+      """SELECT doc_id,
+        | CASE WHEN b < 50 THEN 'test' WHEN b < 150 THEN 'val' ELSE 'train' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS b
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """WITH d AS (

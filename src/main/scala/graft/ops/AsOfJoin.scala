@@ -50,7 +50,32 @@ object AsOfJoin {
       timeCol: String,
       keys: Seq[String],
       rightPayload: Seq[String],
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None): DataFrame =
+    asOf(left, right, timeCol, keys, rightPayload, tolerance, forward = false)
+
+  /** Forward as-of join: the EARLIEST right row at or after each left
+    * row's timestamp — the mirror of [[asOfBackward]] (same plan shape:
+    * one keyed shuffle, per-key sort, running carry over the following
+    * frame). `tolerance` bounds the look-AHEAD: matches beyond
+    * `timeCol + tolerance` are nulled out.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      timeCol: String,
+      keys: Seq[String],
+      rightPayload: Seq[String],
+      tolerance: Option[Column] = None): DataFrame =
+    asOf(left, right, timeCol, keys, rightPayload, tolerance, forward = true)
+
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      timeCol: String,
+      keys: Seq[String],
+      rightPayload: Seq[String],
+      tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equality key")
     val collisions = rightPayload.filter(left.columns.contains)
     require(collisions.isEmpty,
@@ -67,16 +92,28 @@ object AsOfJoin {
       (keys :+ timeCol).map(col) ++ leftRest.map(c =>
         lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         payload.as("_asof"), lit(0).as("_src")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_src").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // equal timestamps are inclusive in BOTH directions: the right row
+    // sorts into the visible side of the frame (before the left row for
+    // backward, after it for forward)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, if (forward) col("_src").desc else col("_src").asc)
+    val carry =
+      if (forward)
+        first(col("_asof"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("_asof"), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val carried = lNorm.unionByName(rNorm)
-      .withColumn("_match", last(col("_asof"), ignoreNulls = true).over(w))
+      .withColumn("_match", carry)
       .filter(col("_src") === 1)
-    val inRange = tolerance match {
-      case Some(tol) => col("_match").isNotNull &&
-        col("_match")(timeCol) >= col(timeCol) - tol
-      case None => col("_match").isNotNull
+    val withinTol = tolerance.map { tol =>
+      if (forward) col("_match")(timeCol) <= col(timeCol) + tol
+      else col("_match")(timeCol) >= col(timeCol) - tol
+    }
+    val inRange = withinTol match {
+      case Some(p) => col("_match").isNotNull && p
+      case None    => col("_match").isNotNull
     }
     val matchedCols = (timeCol +: rightPayload).map { c =>
       val out = if (c == timeCol) s"asof_$timeCol" else c

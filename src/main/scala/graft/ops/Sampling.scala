@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and splitting — keyed on a content hash,
+  * never on randomness or row position, so assignments are reproducible
+  * across runs, engines, partitionings, and cluster sizes, and GROWING the
+  * corpus never reassigns an existing key (the property that keeps a held-
+  * out set held out across dataset versions). The hash is the portable
+  * md5-prefix family ([[graft.functions.PortableHash]]), so any engine can
+  * recompute the same assignment.
+  *
+  * Both operators are pure narrow projections/filters — no shuffle, no
+  * state; a parquet scan with the split filter pushed into it is the whole
+  * plan at any scale.
+  */
+object Sampling {
+
+  private def bucket1000(keyCol: String) =
+    pmod(PortableHash.h28(col(keyCol)), lit(1000L))
+
+  /** Stamp each row with a `split` column (`train` / `val` / `test`) by
+    * hash bucket of `keyCol`: buckets `[0, testPermille)` → test,
+    * `[testPermille, testPermille + valPermille)` → val, rest → train.
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      valPermille: Int = 100,
+      testPermille: Int = 0): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0,
+      s"permilles must be non-negative: val=$valPermille test=$testPermille")
+    require(valPermille + testPermille <= 1000,
+      s"val + test permille must be <= 1000, got ${valPermille + testPermille}")
+    df.withColumn("split",
+      graft.functions.ColumnOps.bind(bucket1000(keyCol)) { b =>
+        when(b < testPermille, "test")
+          .when(b < testPermille + valPermille, "val")
+          .otherwise("train")
+      })
+  }
+
+  /** Keep a deterministic ~`permille`/1000 sample of the rows by hash
+    * bucket of `keyCol` — the "take 1% of the corpus" debug/estimate
+    * operator, stable under reruns and data growth.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0, 1000], got $permille")
+    df.filter(bucket1000(keyCol) < permille)
+  }
+}

@@ -116,6 +116,51 @@ object TextAnalysis {
         round(col("total_chars") / col("n_docs").cast("double"), 4))
   }
 
+  /** Overlapping token-window chunking — the document→training-example
+    * splitter of an embedding/pretraining pipeline: chunk `i` covers
+    * tokens `[i·stride, i·stride + chunkTokens)`, so consecutive chunks
+    * overlap by `chunkTokens - strideTokens` tokens; the final chunk is
+    * whatever remains (≤ chunkTokens). Every document yields ≥ 1 chunk.
+    *
+    * One narrow Generate per document — chunk count is integer arithmetic
+    * on the token count (exact in any engine), the slices index one
+    * let-bound token array, and nothing shuffles: 100 TB chunks exactly
+    * like 100 MB.
+    */
+  def chunk(
+      df: DataFrame,
+      chunkTokens: Int = 64,
+      strideTokens: Int = 48,
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    import graft.functions.ColumnOps
+    // exact integer ceil-div on non-negative operands (no double round-trip)
+    def idivCeil(a: Column, b: Int): Column =
+      ((a + (b - 1)) - pmod(a + (b - 1), lit(b))) / b
+    val pieces = ColumnOps.bind(tokens(col(textCol))) { toks =>
+      ColumnOps.bind(size(toks)) { n =>
+        val nChunks = when(n <= chunkTokens, lit(1))
+          .otherwise(idivCeil(n - chunkTokens, strideTokens) + 1)
+        transform(
+          sequence(lit(0), nChunks.cast("int") - 1),
+          i =>
+            struct(
+              array_join(slice(toks, i * strideTokens + 1, lit(chunkTokens)), " ")
+                .as("chunk_text"),
+              least(lit(chunkTokens), n - i * strideTokens).cast("long")
+                .as("n_tokens")))
+      }
+    }
+    df.select(col("doc_id"), posexplode(pieces))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col.chunk_text"),
+        col("col.n_tokens"))
+  }
+
   /** Corpus-level top-K n-grams per language — the vocabulary/boilerplate
     * dashboard over a training corpus (and the input to stopword/cliché
     * filters). Shape: explode each doc's distinct n-grams (distinct per

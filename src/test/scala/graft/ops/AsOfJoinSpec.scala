@@ -49,6 +49,23 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     out.length shouldBe 4 // left-join row count preserved
   }
 
+  test("forward as-of: earliest at-or-after match per key, tolerance bounds lookahead") {
+    val out = AsOfJoin.asOfForward(trades, quotes, "ts", Seq("key"), Seq("quote"))
+      .orderBy("trade_id")
+      .select("trade_id", "quote").as[(Long, Option[Double])].collect()
+    out shouldBe Array(
+      1L -> Some(100.5), // next A quote at 10:00:10
+      2L -> Some(100.5), // equal timestamp is inclusive forward too
+      3L -> Some(49.0),  // B's later quote now matches
+      4L -> None)
+    val tight = AsOfJoin.asOfForward(trades, quotes, "ts", Seq("key"), Seq("quote"),
+      tolerance = Some(expr("INTERVAL 2 SECONDS")))
+      .orderBy("trade_id")
+      .select("trade_id", "quote").as[(Long, Option[Double])].collect()
+    // trade 1's next quote is 5s ahead -> beyond 2s lookahead; trade 3's is 2s
+    tight.map(_._2) shouldBe Array(None, Some(100.5), Some(49.0), None)
+  }
+
   test("matched right timestamp surfaces as asof_<timeCol>") {
     val row = AsOfJoin.asOfBackward(trades, quotes, "ts", Seq("key"), Seq("quote"))
       .filter(col("trade_id") === 1L).head

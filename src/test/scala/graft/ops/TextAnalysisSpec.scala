@@ -50,6 +50,44 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(1).getAs[Long]("max_tokens") shouldBe 1L
   }
 
+  test("chunking covers every token with the configured overlap") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "short")                                   // 1 token -> 1 chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, chunkTokens = 4, strideTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // starts at 0,3,6,9: ceil((10-4)/3)+1 = 3 chunks... 0,3,6 cover t1..t10
+    out((1L, 0L)) shouldBe ("t1 t2 t3 t4", 4L)
+    out((1L, 1L)) shouldBe ("t4 t5 t6 t7", 4L)
+    out((1L, 2L)) shouldBe ("t7 t8 t9 t10", 4L)
+    out.keys.count(_._1 == 1L) shouldBe 3
+    out((2L, 0L)) shouldBe ("short", 1L)
+    // a final partial chunk keeps its true (shorter) token count
+    val tail = TextAnalysis.chunk(df.filter($"doc_id" === 1L),
+      chunkTokens = 4, strideTokens = 4).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    tail shouldBe Map(0L -> 4L, 1L -> 4L, 2L -> 2L)
+  }
+
+  test("hash split is deterministic, complete, and roughly proportioned") {
+    val df = (1L to 1000L).toDF("doc_id")
+    val a = Sampling.assignSplit(df, "doc_id", valPermille = 100, testPermille = 50)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.values.sum shouldBe 1000L
+    a("val").toDouble shouldBe 100.0 +- 40.0
+    a("test").toDouble shouldBe 50.0 +- 30.0
+    // stability: same assignment on rerun and on a grown corpus
+    val b = Sampling.assignSplit(df, "doc_id", 100, 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = Sampling.assignSplit((1L to 2000L).toDF("doc_id"), "doc_id", 100, 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 1000L).forall(id => grown(id) == b(id)) shouldBe true
+    Sampling.sampleByHash(df, "doc_id", 0).count() shouldBe 0L
+    Sampling.sampleByHash(df, "doc_id", 1000).count() shouldBe 1000L
+  }
+
   test("top n-grams rank per language by distinct-document frequency") {
     val df = Seq(
       (1L, "a b a b", "en"), // distinct bigrams: "a b", "b a"
