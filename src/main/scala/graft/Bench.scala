@@ -47,7 +47,8 @@ object Bench {
       System.err.println(s"[bench] ingest_full failed: ${e.getMessage}"); -1.0 }
     val headline = Seq(
       "q_singer_pipeline", "q1_agg", "q_join_agg", "q_window", "q_topk",
-      "q_windowed_counts", "q_sessionize", "q_asof_join", "q_range_join",
+      "q_windowed_counts", "q_sessionize", "q_attribution",
+      "q_asof_join", "q_range_join",
       "q_dedup_exact", "q_dedup_apply", "q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_groups", "q_decontaminate",
       "q_embed_dups", "q_embed_dups_cell", "q_sim_topk", "q_sim_lsh", "q_sim_ivf",

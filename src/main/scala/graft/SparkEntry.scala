@@ -239,6 +239,16 @@ object SparkEntry {
       graft.streaming.EventStreamOps.sessionizeBatch(t(s, dir, "events"))
         .orderBy("user_id", "session_id")),
 
+    // batch twin of the stream-stream time-interval join (all purchase ×
+    // prior-click pairs in the 1h lookback); µs boundary like q_asof_join
+    "q_attribution" -> ((s, dir) =>
+      graft.streaming.EventStreamOps.attribution(t(s, dir, "events"))
+        .select(col("user_id"), col("purchase_id"),
+          unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+          col("purchase_value"), col("click_id"),
+          unix_micros(col("click_ts")).as("click_ts_us"))
+        .orderBy("purchase_id", "click_id")),
+
     // ── dedup ladder (§7.3) ───────────────────────────────────────────
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("content_key")),
@@ -621,6 +631,19 @@ object SparkEntry {
         | ON e.user_id = s.user_id
         | AND e.epoch BETWEEN s.session_start AND s.session_end
         |ORDER BY e.event_id, s.session_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type, value
+        | FROM events
+        |)
+        |SELECT p.user_id, p.event_id AS purchase_id, p.ts_us AS purchase_ts_us,
+        | p.value AS purchase_value, c.event_id AS click_id, c.ts_us AS click_ts_us
+        |FROM ev p JOIN ev c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (

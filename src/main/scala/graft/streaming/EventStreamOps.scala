@@ -44,6 +44,52 @@ object EventStreamOps {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Exactly-once event dedup on the id column. On a stream this is
+    * `dropDuplicatesWithinWatermark`: state holds only ids younger than
+    * the watermark (bounded), so a replayed/at-least-once source (Kafka,
+    * the Singer stream) collapses to exactly-once downstream — the state
+    * that grows forever under plain `dropDuplicates` on a stream. Batch
+    * input keeps identical semantics through `dropDuplicates`.
+    */
+  def dedupEvents(
+      events: DataFrame,
+      idCol: String = "event_id",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
+
+  /** Click→purchase attribution: every (purchase, prior click) pair by
+    * the same user within `lookbackSeconds` — the stream-stream
+    * time-interval join (vs [[graft.ops.AsOfJoin]]'s single latest
+    * match). On a stream both filtered branches carry the source
+    * watermark and the range condition bounds join state: clicks older
+    * than watermark − lookback can never match a future purchase and are
+    * evicted — state is O(events in the lookback window), not O(history).
+    * Batch input plans the same code as a plain equi-join on user_id with
+    * the range as a residual filter.
+    */
+  def attribution(
+      events: DataFrame,
+      lookbackSeconds: Long = 3600,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val wm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    val purchases = wm.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val clicks = wm.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $lookbackSeconds SECONDS"))
+      .drop("c_user_id")
+  }
+
   /** One user session: ordered activity separated by gaps ≤ the timeout. */
   final case class Session(
       user_id: Long, session_start: Long, session_end: Long, n_events: Long)

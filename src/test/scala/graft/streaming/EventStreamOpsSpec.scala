@@ -56,6 +56,56 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
     finals should contain((1704103200L, "click", 2L))
   }
 
+  test("streaming dedup drops at-least-once replays within the watermark") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreamOps.dedupEvents(df, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_ev").outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0)) // same-batch replay
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 10:01:00"), 7L, "click", 1.0)) // cross-batch replay
+    mem.addData((2L, ts("2024-01-01 10:02:00"), 7L, "view", 2.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_ev").collect().map(_.getLong(0)).sorted
+    q.stop()
+    ids.toSeq shouldBe Seq(1L, 2L)
+    // batch path: same semantics through dropDuplicates
+    EventStreamOps.dedupEvents(batchEvents.union(batchEvents)).count() shouldBe 4L
+  }
+
+  test("attribution joins each purchase to all prior clicks in the lookback") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), 7L, "click", 2.0),
+      (3L, ts("2024-01-01 10:30:00"), 7L, "purchase", 9.0),  // matches clicks 1,2
+      (4L, ts("2024-01-01 09:00:00"), 8L, "click", 1.0),
+      (5L, ts("2024-01-01 12:00:00"), 8L, "purchase", 5.0)   // click 4 too old
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreamOps.attribution(ev, lookbackSeconds = 3600)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    out shouldBe Set((3L, 1L), (3L, 2L))
+  }
+
+  test("streaming attribution emits matched pairs with bounded state") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreamOps.attribution(df, lookbackSeconds = 3600,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 7L, "purchase", 9.0))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-01 13:00:00"), 8L, "view", 0.0)) // advance watermark
+    q.processAllAvailable()
+    val pairs = spark.table("attr").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    q.stop()
+    pairs shouldBe Set((2L, 1L))
+  }
+
   test("batch sessionize emits trailing sessions: boundaries match sessionizeBatch") {
     val viaState = EventStreamOps.sessionize(batchEvents, gapSeconds = 1800)
       .collect().map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).sorted
