@@ -73,6 +73,34 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     row.getAs[Double]("px") shouldBe 100.0 // left payload passthrough
   }
 
+  test("randomized: window-carry result equals the naive argmax join, both directions") {
+    val rnd = new scala.util.Random(7)
+    val ls = (1 to 150).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toString, rnd.nextInt(500).toLong))
+    val rs = (1 to 80).map(i =>
+      ((rnd.nextInt(5) + 1).toString, rnd.nextInt(500).toLong, i.toDouble))
+    // dedup right per (key, t) like the operator contract expects a
+    // deterministic right side: keep max payload
+    val rMap = rs.groupBy(r => (r._1, r._2)).map { case (k, v) =>
+      k -> v.map(_._3).max
+    }
+    val l = ls.toDF("id", "key", "t")
+    val r = rMap.toSeq.map { case ((k, t), p) => (k, t, p) }.toDF("key", "t", "p")
+    def naive(forward: Boolean): Map[Long, Option[Double]] = ls.map { case (id, k, t) =>
+      val cands = rMap.collect {
+        case ((rk, rt), p) if rk == k && (if (forward) rt >= t else rt <= t) => (rt, p)
+      }
+      id -> (if (cands.isEmpty) None
+             else Some((if (forward) cands.minBy(_._1) else cands.maxBy(_._1))._2))
+    }.toMap
+    val back = AsOfJoin.asOfBackward(l, r, "t", Seq("key"), Seq("p"))
+      .select("id", "p").as[(Long, Option[Double])].collect().toMap
+    back shouldBe naive(forward = false)
+    val fwd = AsOfJoin.asOfForward(l, r, "t", Seq("key"), Seq("p"))
+      .select("id", "p").as[(Long, Option[Double])].collect().toMap
+    fwd shouldBe naive(forward = true)
+  }
+
   test("payload name collisions are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asOfBackward(trades, quotes.withColumnRenamed("quote", "px"),

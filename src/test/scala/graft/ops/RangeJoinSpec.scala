@@ -46,6 +46,30 @@ class RangeJoinSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 1L
   }
 
+  test("randomized: bucketized result equals the naive BETWEEN join") {
+    // deterministic pseudo-random corpus (seeded) — compare against the
+    // quadratic reference implementation across bucket sizes, including
+    // sizes much smaller and larger than the interval lengths
+    val rnd = new scala.util.Random(42)
+    val ps = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toString, rnd.nextInt(1000).toLong - 200))
+    val ivs = (1 to 60).map { i =>
+      val s = rnd.nextInt(900).toLong - 200
+      (i.toLong, (rnd.nextInt(4) + 1).toString, s, s + rnd.nextInt(120))
+    }
+    val p = ps.toDF("point_id", "key", "t")
+    val iv = ivs.toDF("iv_id", "key", "s", "e")
+    val naive = p.as("p").join(iv.as("v"),
+        col("p.key") === col("v.key") &&
+          col("p.t") >= col("v.s") && col("p.t") <= col("v.e"))
+      .select(col("point_id"), col("iv_id")).as[(Long, Long)].collect().toSet
+    for (b <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.pointInRange(p, iv, "t", "s", "e", Seq("key"), b)
+        .select("point_id", "iv_id").as[(Long, Long)].collect().toSet
+      got shouldBe naive
+    }
+  }
+
   test("column collisions are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.pointInRange(points, intervals.withColumnRenamed("tag", "t"),
