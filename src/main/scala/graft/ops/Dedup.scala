@@ -194,13 +194,27 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
   }
 
-  /** Exact-Jaccard verification of a candidate pair set at `threshold`. */
+  /** Exact-Jaccard verification of a candidate pair set at `threshold`.
+    * Only documents the candidate set references are (re-)shingled: at
+    * scale candidates are a vanishing fraction of the corpus, so the
+    * semi-join prunes the second tokenization pass from O(corpus) to
+    * O(candidate docs) — and, crucially, keeps the verify join's shuffle
+    * from carrying every document's shingle array. The candidate pairs
+    * are localCheckpoint'd first: the id set and the verify join both
+    * consume them, and without the materialization the whole banded
+    * candidate-generation pipeline would execute twice (pairs are tiny —
+    * the one thing in this pipeline that is ALWAYS cheap to hold).
+    */
   private def jaccardVerify(
       docs: DataFrame,
-      candidates: DataFrame,
+      candidates0: DataFrame,
       threshold: Double,
       shingleSize: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+    val candidates = candidates0.localCheckpoint()
+    val ids = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id"))).distinct()
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")

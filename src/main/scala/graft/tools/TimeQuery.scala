@@ -1,0 +1,30 @@
+package graft.tools
+
+/** Time individual declared queries: `runMain graft.tools.TimeQuery
+  * <reps> <query...>` against `SPARK_GRAFT_SF_DIR` (default sf0.1),
+  * materializing through the noop sink like Bench. Prints per-rep and
+  * best times — the bench-noise antidote for A/B-ing one operator.
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val names = args.drop(1).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Sessions.builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm codegen/file listing
+    graft.SparkEntry.queries("q_stream_counts")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    for (name <- names) {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIME $name best=${times.min}%.2f reps=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
