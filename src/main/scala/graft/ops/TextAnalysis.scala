@@ -231,12 +231,19 @@ object TextAnalysis {
     *     engine that replays it.
     */
   def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(df.sparkSession)
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    // native [[graft.plans.RollHash]] and the HOF fallback compute the
+    // SAME hash (code-point fold; equality proven by RollHashSpec and the
+    // DuckDB oracle) — this is a speed knob, not a hash-family switch
+    val roll =
+      if (native) call_function("graft_roll_hash", norm)
+      else expr(
+        s"aggregate(split(lower(regexp_replace($textCol, '\\\\s+', ' ')), ''), " +
+          "0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007)")
     df.select(
       col("doc_id"),
       md5(norm).as("fp_md5"),
-      expr(
-        s"aggregate(split(lower(regexp_replace($textCol, '\\\\s+', ' ')), ''), " +
-          "0L, (h, c) -> (h * 31 + ascii(c)) % 1000000007)").as("fp_roll"))
+      roll.as("fp_roll"))
   }
 }

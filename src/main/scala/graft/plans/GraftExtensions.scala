@@ -94,6 +94,12 @@ object GraftExtensions {
             s"graft_token_count mode must be 'bpe' or 'punct', got '$other'")
         }
       }),
+    (FunctionIdentifier("graft_roll_hash"),
+      new ExpressionInfo(classOf[RollHash].getName, "graft_roll_hash"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_roll_hash", children, 1)
+        RollHash(children.head)
+      }),
     (FunctionIdentifier("graft_rhp_sig"),
       new ExpressionInfo(classOf[RhpSig].getName, "graft_rhp_sig"),
       (children: Seq[Expression]) => {

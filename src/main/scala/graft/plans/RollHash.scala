@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass polynomial rolling hash over a string's Unicode code points:
+  * `h := (h * 31 + codePoint) % 1_000_000_007`, identical to the Column
+  * fallback `aggregate(split(s, ''), 0L, (h, c) -> (h*31 + ascii(c)) % 1e9+7)`
+  * (split('') yields one code point per element; `ascii` returns its
+  * value) — verified equal by the DuckDB oracle over the corpus and by
+  * the mixed-input equivalence spec.
+  *
+  * Why native: the fallback materializes an O(chars) array of one-char
+  * UTF8Strings and interprets a lambda per element — the dominant cost of
+  * fingerprinting. This is a zero-allocation byte scan that decodes UTF-8
+  * inline; the modulus keeps the accumulator < 2^60 so ANSI overflow
+  * checking never fires (same argument as the fallback's).
+  */
+case class RollHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_roll_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if ((b0 & 0xe0) == 0xc0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); i += 2
+      } else if ((b0 & 0xf0) == 0xe0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); i += 4
+      }
+      h = (h * 31L + cp) % 1000000007L
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val b0 = ctx.freshName("b0")
+      val cp = ctx.freshName("cp")
+      s"""
+         |final byte[] $bytes = $a.getBytes();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $bytes.length) {
+         |  final int $b0 = $bytes[$i] & 0xFF;
+         |  int $cp;
+         |  if ($b0 < 0x80) { $cp = $b0; $i += 1; }
+         |  else if (($b0 & 0xE0) == 0xC0) {
+         |    $cp = (($b0 & 0x1F) << 6) | ($bytes[$i + 1] & 0x3F); $i += 2;
+         |  } else if (($b0 & 0xF0) == 0xE0) {
+         |    $cp = (($b0 & 0x0F) << 12) | (($bytes[$i + 1] & 0x3F) << 6)
+         |      | ($bytes[$i + 2] & 0x3F); $i += 3;
+         |  } else {
+         |    $cp = (($b0 & 0x07) << 18) | (($bytes[$i + 1] & 0x3F) << 12)
+         |      | (($bytes[$i + 2] & 0x3F) << 6) | ($bytes[$i + 3] & 0x3F); $i += 4;
+         |  }
+         |  $h = ($h * 31L + $cp) % 1000000007L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollHash =
+    copy(child = newChild)
+}
