@@ -56,7 +56,8 @@ object Bench {
       "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_redact",
       "q_top_ngrams", "q_text_chunk", "q_split", "q_fingerprint",
       "q_corpus_stats",
-      "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames")
+      "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
+      "q_multimodal_phash")
     val results = ("ingest_full" -> ingestSec) +: headline.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

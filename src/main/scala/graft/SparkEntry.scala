@@ -451,6 +451,25 @@ object SparkEntry {
     }),
 
     // ── multimodal (§7.3) ─────────────────────────────────────────────
+    "q_multimodal_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(Multimodal.fromDocuments(t(s, dir, "documents")))
+        .orderBy("media_id")),
+
+    // media near-dup tier: banded Hamming join over the perceptual hash.
+    // Within the pigeonhole guarantee (7 <= 64/8 - 1) the banded join
+    // finds EVERY qualifying pair, so the oracle is the exact all-pairs
+    // Hamming join — equality, not containment.
+    "q_multimodal_neardup" -> ((s, dir) =>
+      Dedup.simHashDupsFrom(
+        Multimodal.perceptualHash(Multimodal.fromDocuments(t(s, dir, "documents")))
+          .select(
+            col("media_id").as("doc_id"),
+            col("phash_hi").as("simhash_hi"),
+            col("phash_lo").as("simhash_lo")),
+        maxHamming = 7, bandBits = 8)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy("a_id", "b_id")),
+
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(Multimodal.fromDocuments(t(s, dir, "documents")))
         .orderBy("media_id")),
@@ -1246,6 +1265,68 @@ object SparkEntry {
         |   )
         |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_phash" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS n
+        | FROM documents
+        |),
+        |s AS (
+        | SELECT media_id, n,
+        |  list_transform(range(0, 64), i ->
+        |   ('0x' || substr(hx, CAST((i * n) // 64 AS INT) * 2 + 1, 2))::BIGINT) AS samples
+        | FROM m
+        |),
+        |b AS (
+        | SELECT media_id, n, samples, list_sum(samples) AS total FROM s
+        |)
+        |SELECT media_id,
+        | CASE WHEN n = 0 THEN NULL ELSE
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(samples[1:32],
+        |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |   (a, x) -> a * 2 + x) END AS phash_hi,
+        | CASE WHEN n = 0 THEN NULL ELSE
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(samples[33:64],
+        |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |   (a, x) -> a * 2 + x) END AS phash_lo
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_neardup" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS n
+        | FROM documents
+        |),
+        |s AS (
+        | SELECT media_id, n,
+        |  list_transform(range(0, 64), i ->
+        |   ('0x' || substr(hx, CAST((i * n) // 64 AS INT) * 2 + 1, 2))::BIGINT) AS samples
+        | FROM m
+        |),
+        |b AS (
+        | SELECT media_id, n, samples, list_sum(samples) AS total FROM s
+        |),
+        |p AS (
+        | SELECT media_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(samples[1:32],
+        |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |   (a, x) -> a * 2 + x) AS hi,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(samples[33:64],
+        |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |   (a, x) -> a * 2 + x) AS lo
+        | FROM b WHERE n > 0
+        |)
+        |SELECT a_id, b_id, hamming FROM (
+        | SELECT a.media_id AS a_id, b.media_id AS b_id,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        | FROM p a JOIN p b ON a.media_id < b.media_id)
+        |WHERE hamming <= 7
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image' AS kind,

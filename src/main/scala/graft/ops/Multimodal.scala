@@ -136,6 +136,50 @@ object Multimodal {
       out
     }
 
+  /** Perceptual hash (aHash) of the payload: NN-resample the byte stream
+    * to `sampleBytes` samples, threshold each against the scaled mean,
+    * pack the bits. Near-identical payloads (re-encodes, small edits)
+    * land at small Hamming distance, so the hash feeds the same banded
+    * Hamming join as SimHash ([[Dedup.simHashDupsFrom]]) — the image
+    * near-dup tier of the dedup ladder, with byte-resampling standing in
+    * for the decode+downscale a real codec would do.
+    *
+    * Pure `Column` expressions end to end — the resample is an index map
+    * over `substr(payload, ...)`, the threshold is integer-only
+    * (`sampleBytes·bᵢ ≥ Σb`, no division), and the bits pack into two
+    * 32-bit halves (one signed long would overflow ANSI arithmetic).
+    * Runs inside whole-stage codegen, shuffles nothing, and replays
+    * byte-for-byte in any engine with hex/substring.
+    */
+  def perceptualHash(media: DataFrame, sampleBytes: Int = 64): DataFrame = {
+    require(sampleBytes > 0 && sampleBytes % 2 == 0,
+      s"sampleBytes must be positive and even, got $sampleBytes")
+    import graft.functions.ColumnOps
+    val half = sampleBytes / 2
+    def byteAt(idx: org.apache.spark.sql.Column) =
+      conv(hex(substr(col("payload"), idx + 1, lit(1))), 16, 10).cast("long")
+    val packed = ColumnOps.bind(length(col("payload")).cast("long")) { n =>
+      ColumnOps.bind(
+        transform(
+          sequence(lit(0L), lit(sampleBytes - 1L)),
+          // exact floor((i*n)/sampleBytes) in long arithmetic
+          i => byteAt((i * n - pmod(i * n, lit(sampleBytes.toLong))) / sampleBytes))) { samples =>
+        ColumnOps.bind(aggregate(samples, lit(0L), (acc, b) => acc + b)) { total =>
+          def pack(from: Int, until: Int) = aggregate(
+            transform(
+              slice(samples, from + 1, until - from),
+              b => when(b * sampleBytes >= total, 1L).otherwise(0L)),
+            lit(0L),
+            (acc, bit) => acc * 2 + bit)
+          when(n === 0, lit(null)).otherwise(
+            struct(pack(0, half).as("phash_hi"), pack(half, sampleBytes).as("phash_lo")))
+        }
+      }
+    }
+    media.select(col("media_id"), explode(array(packed)).as("q"))
+      .select(col("media_id"), col("q.phash_hi"), col("q.phash_lo"))
+  }
+
   /** Frame sampling: one row per sampled "frame", `stride` bytes apart —
     * the exact plumbing shape of video frame extraction (explode to frame
     * rows carrying (media_id, frame_no, frame payload)). Payload slicing

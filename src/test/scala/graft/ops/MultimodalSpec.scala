@@ -30,6 +30,27 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     frames(2).getAs[Array[Byte]]("frame_payload").length shouldBe 88
   }
 
+  test("perceptual hash: mean-threshold bits over resampled bytes, hand-checked") {
+    // 'abcd' -> 16 samples each of 97,98,99,100; total 6304; threshold
+    // b*64 >= 6304 flips at 99 -> hi = 32 zero bits, lo = 32 one bits
+    val out = Multimodal.perceptualHash(Multimodal.fromDocuments(docs)).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    out(1L).getAs[Long]("phash_hi") shouldBe 0L
+    out(1L).getAs[Long]("phash_lo") shouldBe 4294967295L
+    // constant payload: every byte equals the mean -> all ones
+    out(2L).getAs[Long]("phash_hi") shouldBe 4294967295L
+    // near-identical payloads stay near in Hamming distance
+    val pair = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away", "en", "s", 0L),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val h = Multimodal.perceptualHash(Multimodal.fromDocuments(pair)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dist = java.lang.Long.bitCount(h(1L)._1 ^ h(2L)._1) +
+      java.lang.Long.bitCount(h(1L)._2 ^ h(2L)._2)
+    dist should be <= 12
+  }
+
   test("resize: deterministic NN byte resample to exactly width*height bytes") {
     val out = Multimodal.resize(Multimodal.fromDocuments(docs), 2, 3).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap
