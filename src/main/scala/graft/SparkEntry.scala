@@ -432,6 +432,9 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(t(s, dir, "documents")).orderBy("lang", "rank")),
 
+    "q_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(t(s, dir, "documents")).orderBy("lang")),
+
     "q_text_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_id")),
@@ -1167,6 +1170,13 @@ object SparkEntry {
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_length_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        | quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
+        | quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens,
+        | quantile_cont(len(string_split(text, ' ')), 0.99) AS p99_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH sh AS (

@@ -220,6 +220,24 @@ object TextAnalysis {
         col("q.n_numbers"), col("q.redacted"))
   }
 
+  /** Per-language document-length quantiles — the distribution dashboard
+    * behind length-filter thresholds. EXACT interpolated percentiles
+    * (Spark `percentile`, not `percentile_approx`): both Spark and
+    * standard engines implement the same (n−1)·p linear interpolation,
+    * so the numbers are comparable across systems — approximate sketches
+    * are not. One sort-based aggregate per language; at 100 TB switch the
+    * call to `percentile_approx` for a mergeable sketch, same query shape.
+    */
+  def lengthQuantiles(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val nTok = size(tokens(col(textCol))).cast("long")
+    df.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(nTok, lit(0.5)).as("p50_tokens"),
+        percentile(nTok, lit(0.9)).as("p90_tokens"),
+        percentile(nTok, lit(0.99)).as("p99_tokens"))
+  }
+
   /** Document fingerprinting.
     *
     *   - `fp_md5`: content hash of whitespace-normalized, lowercased text —

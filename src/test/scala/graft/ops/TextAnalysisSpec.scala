@@ -122,6 +122,18 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(3L).getAs[String]("redacted") shouldBe "clean text, nothing to redact"
   }
 
+  test("length quantiles: exact interpolated percentiles per language") {
+    val df = Seq(
+      (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"), (4L, "a b c d", "en"),
+      (5L, "x", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lengthQuantiles(df).orderBy("lang").collect()
+    // en lengths 1,2,3,4 -> p50 at (n-1)*0.5 = 1.5 -> 2.5 interpolated
+    out(0).getAs[Double]("p50_tokens") shouldBe 2.5 +- 1e-9
+    out(0).getAs[Long]("n_docs") shouldBe 4L
+    out(1).getAs[Double]("p50_tokens") shouldBe 1.0 +- 1e-9
+  }
+
   test("fingerprints: md5 matches normalization; rolling hash is stable and order-sensitive") {
     val df = Seq(
       (1L, "Hello  World"),
