@@ -239,6 +239,11 @@ object SparkEntry {
       graft.streaming.EventStreamOps.sessionizeBatch(t(s, dir, "events"))
         .orderBy("user_id", "session_id")),
 
+    // the built-in session_window formulation — same sessions, same oracle
+    "q_sessionize_native" -> ((s, dir) =>
+      graft.streaming.EventStreamOps.sessionizeWindowed(t(s, dir, "events"))
+        .orderBy("user_id", "session_id")),
+
     // batch twin of the stream-stream time-interval join (all purchase ×
     // prior-click pairs in the 1h lookback); µs boundary like q_asof_join
     "q_attribution" -> ((s, dir) =>
@@ -699,6 +704,22 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
+      """WITH l AS (
+        | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+        |  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev
+        | FROM events
+        |), t AS (
+        | SELECT user_id, event_id, epoch,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR epoch - prev > 1800 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY epoch, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM l
+        |)
+        |SELECT user_id, session_id, min(epoch) AS session_start,
+        | max(epoch) AS session_end, count(*) AS n_events
+        |FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // identical sessions to q_sessionize (three formulations, one truth)
+    "q_sessionize_native" ->
       """WITH l AS (
         | SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
         |  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev

@@ -171,6 +171,33 @@ object EventStreamOps {
       }
   }
 
+  /** Sessionization via the BUILT-IN `session_window` — the third
+    * formulation of the same semantics (vs the custom-state
+    * [[sessionize]] and the lag-window [[sessionizeBatch]]), and the one
+    * Spark can merge natively in streaming aggregation state.
+    *
+    * Boundary alignment: `session_window` merges windows that TOUCH
+    * (`next.start <= prev.end`, i.e. `t - prev <= gap` — verified on the
+    * exact-1801s-gap pair in the corpus), which is precisely the
+    * `t - prev <= gap` keep-rule of the other two formulations, so the
+    * same gap value yields identical sessions (hash-checked against the
+    * same oracle as [[sessionizeBatch]]).
+    */
+  def sessionizeWindowed(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byStart = Window.partitionBy("user_id").orderBy("session_start")
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"))
+      .groupBy(col("user_id"),
+        session_window(timestamp_seconds(col("epoch")), s"$gapSeconds seconds"))
+      .agg(
+        min("epoch").as("session_start"),
+        max("epoch").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("session_id", row_number().over(byStart).cast("long"))
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
+  }
+
   /** Batch sessionization with identical boundaries: gap detection via a
     * lag window, session id = running count of gap-starts, then one
     * aggregate per (user, session). Two keyed shuffles, both on user_id —

@@ -56,6 +56,24 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
     finals should contain((1704103200L, "click", 2L))
   }
 
+  test("session_window formulation matches sessionizeBatch, including the exact-gap boundary") {
+    val boundary = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:30:00"), 7L, "click", 1.0), // exactly 1800s -> merges
+      (3L, ts("2024-01-01 11:00:01"), 7L, "click", 1.0)  // 1801s -> new session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    for (df <- Seq(boundary, batchEvents,
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "events"))) {
+      val a = EventStreamOps.sessionizeBatch(df)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      val b = EventStreamOps.sessionizeWindowed(df)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      a shouldBe b
+    }
+  }
+
   test("streaming dedup drops at-least-once replays within the watermark") {
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
     val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
