@@ -26,6 +26,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared (purchases, clicks) sides of the two as-of queries: µs time
+    * domain, clicks pre-deduped per (user, ts) with a max-event-id
+    * tie-break — ONE definition so backward/forward and their oracles
+    * can never drift apart.
+    */
+  private def asofSides(s: SparkSession, dir: String) = {
+    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_us")
+      .agg(max_by(
+        struct(col("event_id").as("click_id"), col("value").as("click_value")),
+        col("event_id")).as("c"))
+      .select(col("user_id"), col("ts_us"), col("c.click_id"), col("c.click_value"))
+    (purchases, clicks)
+  }
+
   /** Flagship: the full Singer ingest slice on real data — events rows are
     * serialized to Singer RECORD lines, then flow through the
     * SCHEMA-registry → from_json → coercion pipeline (SURVEY.md §3 EP1-EP3)
@@ -369,16 +387,7 @@ object SparkEntry {
     // below 1 µs); clicks pre-deduped per (user, ts) so both engines
     // resolve exact-tie matches identically.
     "q_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_us", unix_micros(col("ts")))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy("user_id", "ts_us")
-        .agg(max_by(
-          struct(col("event_id").as("click_id"), col("value").as("click_value")),
-          col("event_id")).as("c"))
-        .select(col("user_id"), col("ts_us"), col("c.click_id"), col("c.click_value"))
+      val (purchases, clicks) = asofSides(s, dir)
       graft.ops.AsOfJoin.asOfBackward(
         purchases, clicks, "ts_us", Seq("user_id"), Seq("click_id", "click_value"),
         tolerance = Some(lit(3600L * 1000000)))
@@ -388,16 +397,7 @@ object SparkEntry {
     // the forward mirror: each purchase's NEXT click by the same user
     // within 1h (post-purchase engagement)
     "q_asof_join_fwd" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts_us", unix_micros(col("ts")))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy("user_id", "ts_us")
-        .agg(max_by(
-          struct(col("event_id").as("click_id"), col("value").as("click_value")),
-          col("event_id")).as("c"))
-        .select(col("user_id"), col("ts_us"), col("c.click_id"), col("c.click_value"))
+      val (purchases, clicks) = asofSides(s, dir)
       graft.ops.AsOfJoin.asOfForward(
         purchases, clicks, "ts_us", Seq("user_id"), Seq("click_id", "click_value"),
         tolerance = Some(lit(3600L * 1000000)))
@@ -1297,6 +1297,10 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // the n = 0 filter must wrap the SAMPLES computation, not just the
+    // final projection: on an empty payload substr yields '' and
+    // ('0x')::BIGINT is a conversion ERROR, not null. Empty-payload rows
+    // re-enter via the left join with null hashes, matching Spark.
     "q_multimodal_phash" ->
       """WITH m AS (
         | SELECT doc_id AS media_id, hex(encode(text)) AS hx,
@@ -1307,23 +1311,26 @@ object SparkEntry {
         | SELECT media_id, n,
         |  list_transform(range(0, 64), i ->
         |   ('0x' || substr(hx, CAST((i * n) // 64 AS INT) * 2 + 1, 2))::BIGINT) AS samples
-        | FROM m
+        | FROM m WHERE n > 0
         |),
         |b AS (
-        | SELECT media_id, n, samples, list_sum(samples) AS total FROM s
-        |)
-        |SELECT media_id,
-        | CASE WHEN n = 0 THEN NULL ELSE
+        | SELECT media_id, samples, list_sum(samples) AS total FROM s
+        |),
+        |p AS (
+        | SELECT media_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |   list_transform(samples[1:32],
         |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-        |   (a, x) -> a * 2 + x) END AS phash_hi,
-        | CASE WHEN n = 0 THEN NULL ELSE
+        |   (a, x) -> a * 2 + x) AS phash_hi,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |   list_transform(samples[33:64],
         |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-        |   (a, x) -> a * 2 + x) END AS phash_lo
-        |FROM b ORDER BY media_id""".stripMargin,
+        |   (a, x) -> a * 2 + x) AS phash_lo
+        | FROM b
+        |)
+        |SELECT m.media_id AS media_id, p.phash_hi, p.phash_lo
+        |FROM m LEFT JOIN p ON m.media_id = p.media_id
+        |ORDER BY m.media_id""".stripMargin,
 
     "q_multimodal_neardup" ->
       """WITH m AS (
@@ -1335,10 +1342,10 @@ object SparkEntry {
         | SELECT media_id, n,
         |  list_transform(range(0, 64), i ->
         |   ('0x' || substr(hx, CAST((i * n) // 64 AS INT) * 2 + 1, 2))::BIGINT) AS samples
-        | FROM m
+        | FROM m WHERE n > 0
         |),
         |b AS (
-        | SELECT media_id, n, samples, list_sum(samples) AS total FROM s
+        | SELECT media_id, samples, list_sum(samples) AS total FROM s
         |),
         |p AS (
         | SELECT media_id,
@@ -1350,7 +1357,7 @@ object SparkEntry {
         |   list_transform(samples[33:64],
         |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
         |   (a, x) -> a * 2 + x) AS lo
-        | FROM b WHERE n > 0
+        | FROM b
         |)
         |SELECT a_id, b_id, hamming FROM (
         | SELECT a.media_id AS a_id, b.media_id AS b_id,

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   * `l.ts >= r.ts` range join explodes to O(left × right-per-key) rows
   * before its per-row argmax. Equal timestamps match inclusively (the
   * right row sorts first), the standard backward-as-of convention.
+  * Several right rows sharing (key, time) resolve deterministically by
+  * payload-struct order (greatest wins backward, least forward) —
+  * pre-aggregate the right side per (key, time) for any other rule.
   *
   * Scale notes: the shuffle key is the join key, so one pathological key
   * (a single hot user) serializes its own partition but nothing else;
@@ -94,9 +97,16 @@ object AsOfJoin {
         payload.as("_asof"), lit(0).as("_src")): _*)
     // equal timestamps are inclusive in BOTH directions: the right row
     // sorts into the visible side of the frame (before the left row for
-    // backward, after it for forward)
+    // backward, after it for forward). The payload struct is the FINAL
+    // sort key so that multiple right rows sharing (key, time) resolve
+    // deterministically (greatest payload wins backward, least forward)
+    // instead of by shuffle order — without it last()/first() over the
+    // tie is run-dependent.
     val base = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, if (forward) col("_src").desc else col("_src").asc)
+      .orderBy(
+        col(timeCol).asc,
+        if (forward) col("_src").desc else col("_src").asc,
+        col("_asof").asc)
     val carry =
       if (forward)
         first(col("_asof"), ignoreNulls = true)

@@ -432,13 +432,21 @@ object Dedup {
     labels.withColumnRenamed("label", "group_id")
   }
 
-  /** Unpersist the checkpointed RDD backing a `localCheckpoint()`ed
-    * DataFrame (the `LogicalRDD` leaf holds it). No-op on other plans.
+  /** Unpersist the checkpointed RDDs backing a `localCheckpoint()`ed
+    * DataFrame (the `LogicalRDD` leaves hold them). No-op on plans
+    * without checkpoints. PUBLIC because several operators return
+    * checkpoint-backed results ([[minHashLsh]]'s verified pairs,
+    * [[duplicateGroups]]' labels, [[Similarity.trainCentroids]]) whose
+    * blocks live until released — long-running sessions that construct
+    * many such queries should call this once a result is consumed, or
+    * the accumulated blocks evict useful cache.
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  def releaseCheckpoints(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  private def releaseCheckpoint(df: DataFrame): Unit = releaseCheckpoints(df)
 
   /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` over the
     * 64-bit fingerprint, found via banded blocking — the fingerprint is

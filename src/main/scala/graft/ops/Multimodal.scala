@@ -162,8 +162,8 @@ object Multimodal {
       ColumnOps.bind(
         transform(
           sequence(lit(0L), lit(sampleBytes - 1L)),
-          // exact floor((i*n)/sampleBytes) in long arithmetic
-          i => byteAt((i * n - pmod(i * n, lit(sampleBytes.toLong))) / sampleBytes))) { samples =>
+          // exact floor((i*n)/sampleBytes) — full-long-range safe
+          i => byteAt(ColumnOps.fdiv(i * n, sampleBytes.toLong)))) { samples =>
         ColumnOps.bind(aggregate(samples, lit(0L), (acc, b) => acc + b)) { total =>
           def pack(from: Int, until: Int) = aggregate(
             transform(

@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   * the explosion factor linearly — cap upstream if intervals are
   * user-supplied.
   *
-  * Bucket ids use floor division implemented in exact long arithmetic
-  * (`(c - pmod(c, b)) / b`): correct for negative epochs too, and never
-  * routes a ~1e18 nanosecond epoch through a 53-bit double mantissa.
+  * Bucket ids use [[graft.functions.ColumnOps.fdiv]] — exact floor
+  * division over the full long range (decimal-routed), correct for
+  * negative epochs and for ~1e18 nanosecond epochs that a double
+  * mantissa would round.
   */
 object RangeJoin {
 
@@ -57,7 +58,7 @@ object RangeJoin {
       s"interval columns collide with point columns: ${collisions.mkString(", ")} " +
         "— rename before joining")
     def bucketOf(c: Column): Column =
-      ((c - pmod(c, lit(bucketSize))) / bucketSize).cast("long")
+      graft.functions.ColumnOps.fdiv(c, bucketSize)
     val burst = intervals.withColumn(
       "_bucket",
       explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))

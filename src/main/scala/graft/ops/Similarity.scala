@@ -310,6 +310,7 @@ object Similarity {
     val vecs = quantizedWithNorms(embeddings, native)
     var cents = seedCentroids(vecs, k)
     for (_ <- 0 until iters) {
+      val prev = cents
       val assigned = assignCore(vecs, cents, native)
       val dims = assigned
         .select(col("cell_id"), posexplode(col("qv")))
@@ -323,6 +324,11 @@ object Similarity {
         .select(col("cell_id"), transform(col("pv"), p => p("v")).as("cv"))
         .withColumn("cn", qdot(col("cv"), col("cv"), native))
         .localCheckpoint()
+      // the new table is eagerly materialized; the superseded iteration's
+      // checkpoint blocks are dead — release them (no-op on the seed).
+      // The FINAL table stays checkpointed: it is the returned codebook;
+      // callers free it with Dedup.releaseCheckpoints when done.
+      Dedup.releaseCheckpoints(prev)
     }
     cents
   }

@@ -137,8 +137,7 @@ object TextAnalysis {
       s"strideTokens must be in [1, chunkTokens], got $strideTokens")
     import graft.functions.ColumnOps
     // exact integer ceil-div on non-negative operands (no double round-trip)
-    def idivCeil(a: Column, b: Int): Column =
-      ((a + (b - 1)) - pmod(a + (b - 1), lit(b))) / b
+    def idivCeil(a: Column, b: Int): Column = ColumnOps.fdiv(a + (b - 1), b.toLong)
     val pieces = ColumnOps.bind(tokens(col(textCol))) { toks =>
       ColumnOps.bind(size(toks)) { n =>
         val nChunks = when(n <= chunkTokens, lit(1))

@@ -173,8 +173,13 @@ object EventStreamOps {
 
   /** Sessionization via the BUILT-IN `session_window` — the third
     * formulation of the same semantics (vs the custom-state
-    * [[sessionize]] and the lag-window [[sessionizeBatch]]), and the one
-    * Spark can merge natively in streaming aggregation state.
+    * [[sessionize]] and the lag-window [[sessionizeBatch]]).
+    *
+    * BATCH-ONLY: the per-user ordinal `session_id` is stamped with a
+    * non-time row_number window, which streaming rejects. (The
+    * session_window AGGREGATE itself is the one Spark merges natively in
+    * streaming state — a streaming variant would emit the window bounds
+    * instead of an ordinal; use [[sessionize]] for streams here.)
     *
     * Boundary alignment: `session_window` merges windows that TOUCH
     * (`next.start <= prev.end`, i.e. `t - prev <= gap` — verified on the
@@ -184,6 +189,9 @@ object EventStreamOps {
     * same oracle as [[sessionizeBatch]]).
     */
   def sessionizeWindowed(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    require(!events.isStreaming,
+      "sessionizeWindowed is batch-only (ordinal session ids need a batch " +
+        "sort); use sessionize() for streaming input")
     import org.apache.spark.sql.expressions.Window
     val byStart = Window.partitionBy("user_id").orderBy("session_start")
     events

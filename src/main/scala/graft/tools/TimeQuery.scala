@@ -7,8 +7,13 @@ package graft.tools
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
-    val names = args.drop(1).toSeq
+    // first arg is the rep count only when numeric; all other args are
+    // query names (so `TimeQuery q_topk` works without a count)
+    val (reps, names) = args.headOption.flatMap(a => a.toIntOption) match {
+      case Some(r) => (r, args.drop(1).toSeq)
+      case None    => (3, args.toSeq)
+    }
+    require(names.nonEmpty, "usage: TimeQuery [reps] <query...>")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.builder(cpus).getOrCreate()

@@ -46,6 +46,26 @@ class RangeJoinSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 1L
   }
 
+  test("nanosecond-scale epochs bucket exactly (beyond double's 53-bit mantissa)") {
+    // regression: (c - pmod(c,b))/b is double division in Spark and
+    // rounds ~1e18 values into the wrong bucket, silently dropping
+    // matches; fdiv must keep them exact
+    val base = 1776000000000000000L // ~2026 in ns
+    val p = (0L until 200L).map(i => (i, base + i * 7919L)).toDF("point_id", "t")
+    val iv = Seq((base, base + 200L * 7919L, "all")).toDF("s", "e", "tag")
+    RangeJoin.pointInRange(p, iv, "t", "s", "e", Nil, bucketSize = 3600L)
+      .count() shouldBe 200L
+    // fdiv itself: exact across the long range, negatives included
+    import graft.functions.ColumnOps
+    val vals = Seq(base, base + 1, -base, Long.MaxValue - 7, 0L, -1L)
+      .toDF("v")
+      .select(col("v"), ColumnOps.fdiv(col("v"), 3600L).as("q"))
+      .collect()
+    vals.foreach { r =>
+      r.getLong(1) shouldBe Math.floorDiv(r.getLong(0), 3600L)
+    }
+  }
+
   test("randomized: bucketized result equals the naive BETWEEN join") {
     // deterministic pseudo-random corpus (seeded) — compare against the
     // quadratic reference implementation across bucket sizes, including
