@@ -293,6 +293,12 @@ object SparkEntry {
     // same banding/verify pipelines as the xxhash64 operators above, on a
     // hash family DuckDB replays exactly — these carry the full oracle the
     // fast variants can't.
+    // the APPLY form of near-dedup with a full oracle: corpus survivors
+    // after dropping every doc that pairs with a lower id at >= 0.5
+    "q_dedup_near_apply" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesPortable(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy("doc_id")),
+
     "q_dedup_minhash_portable" -> ((s, dir) =>
       Dedup.minHashLshPortable(t(s, dir, "documents"), threshold = 0.5)
         .orderBy("a_id", "b_id")),
@@ -821,6 +827,45 @@ object SparkEntry {
     // Portable-hash twins: full replay of the banded pipelines on the
     // PortableHash family — base hash = ('0x' || substr(md5(s),1,7))::BIGINT,
     // seed mix = (p*(2i+1) + i*40503) % 268435399 (see PortableHash.scala).
+    "q_dedup_near_apply" ->
+      """WITH sh AS (
+        | SELECT doc_id, sh0 AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents)
+        | )
+        |),
+        |hs AS (
+        | SELECT doc_id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh
+        |),
+        |sig AS (
+        | SELECT doc_id, list_transform(range(0, 32), i ->
+        |   list_min(list_transform(hs, p -> (p * (2*i + 1) + i * 40503) % 268435399))) AS sig
+        | FROM hs
+        |),
+        |bands AS (
+        | SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bucket
+        | FROM sig, range(0, 8) r(b)
+        |),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        | FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |),
+        |losers AS (
+        | SELECT DISTINCT b_id FROM (
+        |  SELECT a_id, b_id,
+        |   round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))) END, 6) AS jaccard
+        |  FROM cand JOIN sh x ON cand.a_id = x.doc_id JOIN sh y ON cand.b_id = y.doc_id)
+        | WHERE jaccard >= 0.5
+        |)
+        |SELECT d.* FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT b_id FROM losers)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_dedup_minhash_portable" ->
       """WITH sh AS (
         | SELECT doc_id, sh0 AS sh FROM (

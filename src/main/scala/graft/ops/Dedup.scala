@@ -72,6 +72,16 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** [[dropNearDuplicates]] on the portable hash family
+    * ([[minHashLshPortable]]) — the oracle-replayable twin of the APPLY
+    * operator: the survivors themselves, not just the pair report.
+    */
+  def dropNearDuplicatesPortable(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val losers = minHashLshPortable(docs, threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Word shingles (n-gram windows joined back to strings). The token
     * array is let-bound ([[ColumnOps.bind]]) so the regex tokenization runs
     * once per row, not once per reference.
