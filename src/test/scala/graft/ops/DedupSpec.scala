@@ -53,6 +53,14 @@ class DedupSpec extends AnyFunSuite with Matchers {
     Dedup.simHashDups(flood, maxBucket = 4).count() shouldBe 0L
   }
 
+  test("near-dedup apply keeps only the lowest-id representative per near-group") {
+    val out = Dedup.dropNearDuplicatesPortable(docs, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    out should contain(0L) // lowest of the near-group {0,1,2,4}
+    out should contain(3L) // unrelated doc untouched
+    Set(1L, 2L, 4L).intersect(out) shouldBe Set.empty
+  }
+
   test("minHashLsh requires bands to divide numHashes") {
     val e = intercept[IllegalArgumentException] {
       Dedup.minHashLsh(docs, numHashes = 32, bands = 5)
