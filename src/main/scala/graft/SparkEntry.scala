@@ -446,6 +446,10 @@ object SparkEntry {
     "q_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(t(s, dir, "documents")).orderBy("lang")),
 
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(t(s, dir, "documents").filter(col("doc_id") < 100))
+        .orderBy("doc_id", "fingerprint")),
+
     "q_text_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_id")),
@@ -1236,6 +1240,31 @@ object SparkEntry {
         | md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
         | list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), ''), c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_winnow" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |  END AS sh0
+        | FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |       FROM documents WHERE doc_id < 100)
+        |),
+        |hs AS (
+        | SELECT doc_id, list_transform(sh0, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs,
+        |  len(sh0) AS n
+        | FROM sh
+        |),
+        |fp AS (
+        | SELECT doc_id,
+        |  CASE WHEN n <= 4 THEN [list_min(hs)]
+        |       ELSE list_distinct(list_transform(range(1, n - 2), i -> list_min(hs[i:i+3])))
+        |  END AS fps
+        | FROM hs
+        |)
+        |SELECT DISTINCT doc_id, fingerprint FROM (
+        | SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
+        |ORDER BY doc_id, fingerprint""".stripMargin,
 
     "q_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

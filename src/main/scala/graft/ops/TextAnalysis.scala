@@ -237,6 +237,37 @@ object TextAnalysis {
         percentile(nTok, lit(0.99)).as("p99_tokens"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash each k-gram, slide a window of `w` consecutive
+    * hashes, keep each window's minimum — guaranteeing any match of
+    * length ≥ w+k−1 shares a fingerprint while storing only ~2/(w+1) of
+    * the hashes. The robust-to-insertion middle ground between one
+    * whole-document hash and storing every shingle; output is the
+    * exploded (doc_id, fingerprint) set ready for an inverted-index
+    * self-join (same shape as [[Dedup.ngramJaccardPairs]]'s gram join).
+    *
+    * Hashes use the portable md5-prefix family so the whole selection
+    * replays in the oracle; one narrow Generate per document, no shuffle.
+    */
+  def winnow(df: DataFrame, k: Int = 3, w: Int = 4, textCol: String = "text"): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    import graft.functions.{ColumnOps, PortableHash}
+    val fps = ColumnOps.bind(
+      transform(Dedup.shingles(col(textCol), k), s => PortableHash.h28(s))) { hs =>
+      ColumnOps.bind(size(hs)) { n =>
+        // fewer than w windows -> a single window over everything (the
+        // standard small-document degeneration: keep the global min)
+        when(n <= w, array(array_min(hs)))
+          .otherwise(array_distinct(
+            transform(
+              sequence(lit(1), n - (w - 1)),
+              i => array_min(slice(hs, i, lit(w))))))
+      }
+    }
+    df.select(col("doc_id"), explode(fps).as("fingerprint"))
+      .dropDuplicates("doc_id", "fingerprint")
+  }
+
   /** Document fingerprinting.
     *
     *   - `fp_md5`: content hash of whitespace-normalized, lowercased text —

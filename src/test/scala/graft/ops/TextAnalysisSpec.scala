@@ -122,6 +122,24 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(3L).getAs[String]("redacted") shouldBe "clean text, nothing to redact"
   }
 
+  test("winnowing: overlapping docs share fingerprints, unrelated docs none") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, shared),
+      (2L, "unrelated prefix words then " + shared), // contains the full run
+      (3L, "completely different content matching nothing else at all")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    def of(id: Long) = fps.filter(_._1 == id).map(_._2).toSet
+    // guarantee: any shared token run of length >= w + k - 1 = 6 shares
+    // at least one selected fingerprint
+    (of(1L) intersect of(2L)) should not be empty
+    (of(1L) intersect of(3L)) shouldBe empty
+    // winnowing stores fewer fingerprints than raw shingles (8 for doc 1)
+    of(1L).size should be < 8
+  }
+
   test("length quantiles: exact interpolated percentiles per language") {
     val df = Seq(
       (1L, "a", "en"), (2L, "a b", "en"), (3L, "a b c", "en"), (4L, "a b c d", "en"),
