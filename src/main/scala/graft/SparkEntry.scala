@@ -450,6 +450,10 @@ object SparkEntry {
       TextAnalysis.winnow(t(s, dir, "documents").filter(col("doc_id") < 100))
         .orderBy("doc_id", "fingerprint")),
 
+    "q_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(t(s, dir, "documents"))
+        .orderBy("a_id", "b_id")),
+
     "q_text_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_id")),
@@ -1265,6 +1269,38 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, fingerprint FROM (
         | SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
         |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "q_winnow_pairs" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |  END AS sh0
+        | FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |       FROM documents)
+        |),
+        |hs AS (
+        | SELECT doc_id, list_transform(sh0, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs,
+        |  len(sh0) AS n
+        | FROM sh
+        |),
+        |fp AS (
+        | SELECT doc_id,
+        |  CASE WHEN n <= 4 THEN [list_min(hs)]
+        |       ELSE list_distinct(list_transform(range(1, n - 2), i -> list_min(hs[i:i+3])))
+        |  END AS fps
+        | FROM hs
+        |),
+        |flat AS (
+        | SELECT DISTINCT doc_id, fingerprint FROM (
+        |  SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
+        |)
+        |SELECT a_id, b_id, n_shared FROM (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        | FROM flat a JOIN flat b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        | GROUP BY a.doc_id, b.doc_id)
+        |WHERE n_shared >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -268,6 +268,28 @@ object TextAnalysis {
       .dropDuplicates("doc_id", "fingerprint")
   }
 
+  /** Candidate near-dup pairs from [[winnow]] fingerprints: documents
+    * sharing ≥ `minShared` selected fingerprints, with the shared count —
+    * the inverted-index join over the winnowed (not full) gram set, so
+    * the shuffle carries ~2/(w+1) of the rows the full-shingle join
+    * would. Feed survivors to [[Dedup.ngramJaccardPairs]] for exact
+    * verification.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val fps = winnow(df, k, w, textCol)
+    fps.select(col("doc_id").as("a_id"), col("fingerprint"))
+      .join(fps.select(col("doc_id").as("b_id"), col("fingerprint")), "fingerprint")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Document fingerprinting.
     *
     *   - `fp_md5`: content hash of whitespace-normalized, lowercased text —
