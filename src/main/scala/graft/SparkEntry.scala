@@ -464,6 +464,13 @@ object SparkEntry {
         valPermille = 100, testPermille = 50)
         .orderBy("doc_id")),
 
+    // language re-balancing: keep 20% of en, all of zh, 50% elsewhere
+    "q_sample_stratified" -> ((s, dir) =>
+      ops.Sampling.sampleStratified(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+        Map("en" -> 200, "zh" -> 1000), defaultPermille = 500)
+        .orderBy("doc_id")),
+
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.decontaminate(
@@ -1344,6 +1351,14 @@ object SparkEntry {
         | array_to_string(toks[(i*24+1):(i*24+32)], ' ') AS chunk_text,
         | CAST(least(32, n - i*24) AS BIGINT) AS n_tokens
         |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS b
+        | FROM documents)
+        |WHERE b < CASE WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 1000 ELSE 500 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_split" ->
       """SELECT doc_id,

@@ -51,4 +51,27 @@ object Sampling {
       s"permille must be in [0, 1000], got $permille")
     df.filter(bucket1000(keyCol) < permille)
   }
+
+  /** Stratified deterministic sampling: a different permille per value of
+    * `stratumCol` (e.g. re-balance languages: downsample English, keep
+    * all of a rare language), `defaultPermille` for unlisted strata.
+    * Same hash-bucket mechanics as [[sampleByHash]] — per-key stability
+    * and growth-safety hold per stratum — and still a pure narrow filter:
+    * the rate table compiles into the predicate, so nothing shuffles or
+    * broadcasts at any corpus size.
+    */
+  def sampleStratified(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      permilleByStratum: Map[String, Int],
+      defaultPermille: Int = 1000): DataFrame = {
+    (permilleByStratum.values ++ Seq(defaultPermille)).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille must be in [0, 1000], got $p"))
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket1000(keyCol) < rate)
+  }
 }

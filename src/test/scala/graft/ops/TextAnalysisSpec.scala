@@ -88,6 +88,25 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     Sampling.sampleByHash(df, "doc_id", 1000).count() shouldBe 1000L
   }
 
+  test("stratified sampling applies per-stratum rates; full/zero rates are exact") {
+    val df = (1L to 600L).map(i =>
+      (i, if (i <= 200) "en" else if (i <= 400) "fr" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.sampleStratified(df, "doc_id", "lang",
+      Map("en" -> 0, "zh" -> 1000), defaultPermille = 500)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.get("en") shouldBe None       // rate 0 -> dropped entirely
+    out("zh") shouldBe 200L           // rate 1000 -> kept entirely
+    out("fr").toDouble shouldBe 100.0 +- 45.0 // ~half of 200
+    // per-key stability: a kept fr doc stays kept under a wider sample
+    val kept = Sampling.sampleStratified(df, "doc_id", "lang",
+      Map.empty, defaultPermille = 300).select("doc_id").as[Long].collect().toSet
+    val wider = Sampling.sampleStratified(df, "doc_id", "lang",
+      Map.empty, defaultPermille = 700).select("doc_id").as[Long].collect().toSet
+    kept.subsetOf(wider) shouldBe true
+  }
+
   test("top n-grams rank per language by distinct-document frequency") {
     val df = Seq(
       (1L, "a b a b", "en"), // distinct bigrams: "a b", "b a"
