@@ -420,6 +420,13 @@ object SparkEntry {
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // classifier eval over the heuristic: actual × predicted counts
+    "q_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")),
+
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1245,6 +1252,28 @@ object SparkEntry {
         |      WHEN es > 0 THEN 'es'
         |      ELSE 'zh' END AS predicted_lang
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_langid_confusion" ->
+      """WITH c AS (
+        | SELECT doc_id, lang AS actual_lang,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'of', 'and'))) AS en,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und'))) AS de,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'les'))) AS fr,
+        |  len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las', 'y'))) AS es
+        | FROM documents
+        |),
+        |p AS (
+        | SELECT actual_lang,
+        |  CASE WHEN en >= greatest(de, fr, es) AND en > 0 THEN 'en'
+        |       WHEN de >= greatest(fr, es) AND de > 0 THEN 'de'
+        |       WHEN fr >= es AND fr > 0 THEN 'fr'
+        |       WHEN es > 0 THEN 'es'
+        |       ELSE 'zh' END AS predicted_lang
+        | FROM c
+        |)
+        |SELECT actual_lang, predicted_lang, count(*) AS n_docs
+        |FROM p GROUP BY actual_lang, predicted_lang
+        |ORDER BY actual_lang, predicted_lang""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,
