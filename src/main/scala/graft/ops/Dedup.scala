@@ -66,19 +66,22 @@ object Dedup {
     * driver loop; exact CC (e.g. label propagation to a fixpoint) can be
     * layered on the same pair output when chains matter.
     */
-  def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val losers = minHashLsh(docs, threshold)
-      .select(col("b_id").as("doc_id")).distinct()
-    docs.join(losers, Seq("doc_id"), "left_anti")
-  }
+  def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    dropNearDuplicatesFrom(docs, minHashLsh(docs, threshold))
 
   /** [[dropNearDuplicates]] on the portable hash family
     * ([[minHashLshPortable]]) — the oracle-replayable twin of the APPLY
     * operator: the survivors themselves, not just the pair report.
     */
-  def dropNearDuplicatesPortable(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val losers = minHashLshPortable(docs, threshold)
-      .select(col("b_id").as("doc_id")).distinct()
+  def dropNearDuplicatesPortable(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    dropNearDuplicatesFrom(docs, minHashLshPortable(docs, threshold))
+
+  /** The shared survivor rule: drop every doc that pairs with a lower-id
+    * doc — ONE definition so the xxhash64 and portable twins can never
+    * diverge (the simHashDupsFrom pattern).
+    */
+  private def dropNearDuplicatesFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("b_id").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

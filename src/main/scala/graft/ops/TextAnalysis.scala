@@ -264,8 +264,11 @@ object TextAnalysis {
               i => array_min(slice(hs, i, lit(w))))))
       }
     }
+    // both branches already emit per-document-distinct values
+    // (array_distinct / single element), so the exploded set needs no
+    // dedup shuffle — the operator stays one narrow Generate per doc.
+    // Callers with duplicate doc_id rows must dedup upstream.
     df.select(col("doc_id"), explode(fps).as("fingerprint"))
-      .dropDuplicates("doc_id", "fingerprint")
   }
 
   /** Candidate near-dup pairs from [[winnow]] fingerprints: documents
@@ -280,8 +283,13 @@ object TextAnalysis {
       k: Int = 3,
       w: Int = 4,
       minShared: Int = 2,
-      textCol: String = "text"): DataFrame = {
-    val fps = winnow(df, k, w, textCol)
+      textCol: String = "text",
+      maxBucket: Int = 100000): DataFrame = {
+    // capBuckets: a boilerplate fingerprint shared by N docs (headers,
+    // license text) would make that one join key O(N²) — same skew
+    // insurance as every other LSH-style self-join in the library
+    val fps = Dedup.capBuckets(
+      winnow(df, k, w, textCol), Seq("fingerprint"), maxBucket)
     fps.select(col("doc_id").as("a_id"), col("fingerprint"))
       .join(fps.select(col("doc_id").as("b_id"), col("fingerprint")), "fingerprint")
       .filter(col("a_id") < col("b_id"))
