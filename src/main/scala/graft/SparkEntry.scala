@@ -1384,7 +1384,7 @@ object SparkEntry {
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
         | SELECT doc_id, lang,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS b
+        |  ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS b
         | FROM documents)
         |WHERE b < CASE WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 1000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
@@ -1393,7 +1393,7 @@ object SparkEntry {
       """SELECT doc_id,
         | CASE WHEN b < 50 THEN 'test' WHEN b < 150 THEN 'val' ELSE 'train' END AS split
         |FROM (SELECT doc_id,
-        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS b
+        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS b
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -18,8 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private def bucket1000(keyCol: String) =
-    pmod(PortableHash.h28(col(keyCol)), lit(1000L))
+  /** Purpose salts: split assignment and sampling hash DIFFERENT strings,
+    * so the two bucketings are independent — an unsalted shared hash made
+    * `sampleByHash(df, k, 100)` select exactly the test+val buckets of
+    * [[assignSplit]] (a debug sample with zero training rows). Oracle
+    * replay of a bucket: `('0x' || substr(md5('<salt>' || CAST(k AS
+    * VARCHAR)), 1, 7))::BIGINT % 1000`.
+    */
+  val SplitSalt = "split:"
+  val SampleSalt = "sample:"
+
+  private def bucket1000(salt: String, keyCol: String) =
+    pmod(PortableHash.h28(concat(lit(salt), col(keyCol).cast("string"))), lit(1000L))
 
   /** Stamp each row with a `split` column (`train` / `val` / `test`) by
     * hash bucket of `keyCol`: buckets `[0, testPermille)` → test,
@@ -35,7 +45,7 @@ object Sampling {
     require(valPermille + testPermille <= 1000,
       s"val + test permille must be <= 1000, got ${valPermille + testPermille}")
     df.withColumn("split",
-      graft.functions.ColumnOps.bind(bucket1000(keyCol)) { b =>
+      graft.functions.ColumnOps.bind(bucket1000(SplitSalt, keyCol)) { b =>
         when(b < testPermille, "test")
           .when(b < testPermille + valPermille, "val")
           .otherwise("train")
@@ -49,7 +59,7 @@ object Sampling {
   def sampleByHash(df: DataFrame, keyCol: String, permille: Int): DataFrame = {
     require(permille >= 0 && permille <= 1000,
       s"permille must be in [0, 1000], got $permille")
-    df.filter(bucket1000(keyCol) < permille)
+    df.filter(bucket1000(SampleSalt, keyCol) < permille)
   }
 
   /** Stratified deterministic sampling: a different permille per value of
@@ -72,6 +82,6 @@ object Sampling {
       case (acc, (stratum, p)) =>
         when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
     }
-    df.filter(bucket1000(keyCol) < rate)
+    df.filter(bucket1000(SampleSalt, keyCol) < rate)
   }
 }

@@ -25,8 +25,20 @@ object GraftExtensions {
   def available(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_qdot"))
 
+  // Weak keys: the SESSION OBJECT itself keys the warned-ops set, so keying
+  // is identity-exact (an identityHashCode string can collide between two
+  // sessions, silently suppressing a warning that must be loud) and entries
+  // die with their session instead of accumulating across session churn.
   private val fallbackWarned =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.Set[String]]()
+
+  private def warnOnce(spark: org.apache.spark.sql.SparkSession, op: String): Boolean =
+    fallbackWarned.synchronized {
+      fallbackWarned
+        .computeIfAbsent(spark, _ => new java.util.HashSet[String]())
+        .add(op)
+    }
 
   /** [[available]], but logs ONCE per (session, operator) when the answer
     * is `false` for an operator whose native and fallback paths are
@@ -38,7 +50,7 @@ object GraftExtensions {
     */
   def availableOrWarn(spark: org.apache.spark.sql.SparkSession, op: String): Boolean = {
     val ok = available(spark)
-    if (!ok && fallbackWarned.add(s"${System.identityHashCode(spark)}/$op"))
+    if (!ok && warnOnce(spark, op))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"graft extensions are not registered in this session: $op falls back " +
           "to the interpreted xxhash64 hash family. Fingerprints/buckets will " +

@@ -88,6 +88,18 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     Sampling.sampleByHash(df, "doc_id", 1000).count() shouldBe 1000L
   }
 
+  test("hash sampling is independent of split assignment") {
+    // Unsalted, a 150-permille sample would select exactly the test+val
+    // buckets of a 100/50 split — a debug sample with zero training rows.
+    val df = (1L to 1000L).toDF("doc_id")
+    val sampled = Sampling.sampleByHash(df, "doc_id", 150)
+    val bySplit = Sampling.assignSplit(sampled, "doc_id", 100, 50)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySplit.getOrElse("train", 0L).toDouble shouldBe
+      (sampled.count() * 0.85) +- (sampled.count() * 0.10)
+  }
+
   test("stratified sampling applies per-stratum rates; full/zero rates are exact") {
     val df = (1L to 600L).map(i =>
       (i, if (i <= 200) "en" else if (i <= 400) "fr" else "zh"))
