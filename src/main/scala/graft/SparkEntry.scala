@@ -453,6 +453,32 @@ object SparkEntry {
     "q_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(t(s, dir, "documents")).orderBy("lang")),
 
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), n = 2).orderBy("doc_id")),
+
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents"), Seq("dup", "spark", "join"))),
+
+    // distinct 3-gram cardinality per lang by key-space sampling (1/16)
+    "q_distinct_sketch" -> ((s, dir) =>
+      ops.CorpusOps.approxDistinct(
+        t(s, dir, "documents")
+          .select(col("lang"), explode(Dedup.shingles(col("text"), 3)).as("gram")),
+        "gram", Seq("lang"), rate = 16).orderBy("lang")),
+
+    // snapshot merge: "new" = even ids with revised text, "old" = ids
+    // not divisible by 3; new wins on overlap, else longest then source
+    "q_corpus_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val neu = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("n_chars", col("n_chars") + 3)
+      val old = docs.filter(col("doc_id") % 3 =!= 0)
+      ops.CorpusOps.mergeBestVersion(neu, old, "doc_id", "n_chars", "source")
+        .orderBy("doc_id")
+    }),
+
     "q_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(t(s, dir, "documents").filter(col("doc_id") < 100))
         .orderBy("doc_id", "fingerprint")),
@@ -1430,6 +1456,61 @@ object SparkEntry {
         | CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
         | round(CAST(SUM(length(text)) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |  ELSE [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] END) AS gram
+        | FROM toks),
+        |cnts AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, count(*) AS n_distinct,
+        | CAST(max(cnt) AS BIGINT) AS top_count,
+        | round(1.0 - count(*) / sum(cnt), 6) AS dup_fraction,
+        | round(max(cnt) / sum(cnt), 6) AS top_share
+        |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM d),
+        |wd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM wd
+        | WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        | CAST(round(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) * t.tf * 2.2
+        |  / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (s.sum_dl / s.n_docs))) * 1000000.0) AS BIGINT) AS m
+        | FROM tf t JOIN dfq q USING (term) CROSS JOIN stats s)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro FROM sc
+        |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_distinct_sketch" ->
+      """WITH toks AS (
+        | SELECT lang, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        | FROM documents),
+        |grams AS (
+        | SELECT lang, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |  ELSE [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)] END) AS gram
+        | FROM toks)
+        |SELECT lang, CAST(count(DISTINCT gram) * 16 AS BIGINT) AS est_distinct
+        |FROM grams
+        |WHERE ('0x' || substr(md5(gram), 1, 7))::BIGINT % 16 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_corpus_merge" ->
+      """WITH neu AS (
+        | SELECT doc_id, text || ' v2' AS text, lang, source, n_chars + 3 AS n_chars, 1 AS pri
+        | FROM documents WHERE doc_id % 2 = 0),
+        |old AS (
+        | SELECT doc_id, text, lang, source, n_chars, 0 AS pri
+        | FROM documents WHERE doc_id % 3 <> 0),
+        |u AS (SELECT * FROM neu UNION ALL SELECT * FROM old),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY pri DESC, n_chars DESC, source ASC) AS rk FROM u)
+        |SELECT doc_id, text, lang, source, n_chars FROM r WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH sh AS (

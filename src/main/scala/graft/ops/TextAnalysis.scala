@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.ColumnOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -323,5 +324,93 @@ object TextAnalysis {
       col("doc_id"),
       md5(norm).as("fp_md5"),
       roll.as("fp_roll"))
+  }
+
+  /** Per-document n-gram repetition statistics — the Gopher-style quality
+    * signal (Rae et al. 2021 §A1.1: "fraction of duplicate n-grams" /
+    * "fraction in most common n-gram") that catches boilerplate and
+    * degenerate repeated text exact-dedup misses.
+    *
+    *   - `dup_fraction`: 1 − distinct/total n-grams (0 = no repetition).
+    *   - `top_share`: occurrences of the most frequent n-gram / total.
+    *
+    * Two-level hash aggregation — (doc_id, gram) then doc_id — so the
+    * map-side partial combine absorbs per-doc repetition BEFORE the
+    * shuffle: shuffled bytes are O(distinct grams), not O(tokens), and
+    * both keys are fine-grained (no skew: a hot document is still one
+    * doc_id, bounded by document length, not corpus size).
+    */
+  def repetition(df: DataFrame, n: Int = 2, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_count"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct"), col("top_count"),
+        round(lit(1.0) - col("n_distinct") / col("n_grams"), 6).as("dup_fraction"),
+        round(col("top_count") / col("n_grams"), 6).as("top_share"))
+
+  /** BM25 ranking of documents against a bag of query terms (k1/b are the
+    * textbook Robertson defaults) — the lexical-retrieval scorer for
+    * "find the docs most about X" over a pretraining corpus.
+    *
+    * Scores are summed in QUANTIZED micro-units (`round(s·1e6)` per
+    * (doc, term), then an exact long sum) so the total is independent of
+    * float addition order — reproducible across partitionings and
+    * engines (see PortableHash for the same determinism argument).
+    *
+    * Plan shape (the part that matters at 100 TB): term frequencies are
+    * NARROW array ops — `size(filter(toks, _ == t))` per term over one
+    * let-bound token array behind a Generate barrier — so there is no
+    * explode, no posting shuffle, and no join. Corpus N/avgdl AND all
+    * per-term document frequencies fold into ONE single-row aggregate
+    * that cross-joins back as a broadcast; the final top-k is
+    * TakeOrderedAndProject. Two passes over the text column total (the
+    * stats row, then scoring) — the corpus-global constants make a
+    * second pass inherent. Pivoting tf into columns bounds `terms` to
+    * "a query", tens of terms, not thousands.
+    */
+  def bm25(
+      df: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val perDoc = df.select(
+        col("doc_id"),
+        explode(array(ColumnOps.bind(tokens(col(textCol))) { toks =>
+          struct(size(toks).cast("long").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(toks, x => x === t)).cast("double").as(s"tf$i")
+            }: _*)
+        })).as("m"))
+      .select(col("doc_id") +: col("m.dl").as("dl") +:
+        terms.indices.map(i => col(s"m.tf$i").as(s"tf$i")): _*)
+    val stats = perDoc.agg(
+      sum("dl").as("sum_dl"),
+      count(lit(1)).as("n_docs") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val avgdl = col("sum_dl") / col("n_docs")
+    val total = terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val dfq = col(s"df$i")
+      val idf = log(lit(1.0) + (col("n_docs") - dfq + 0.5) / (dfq + 0.5))
+      val s = idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+      when(tf > 0, round(s * 1e6, 0).cast("long")).otherwise(0L)
+    }.reduce(_ + _)
+    perDoc
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), total.as("bm25_micro"))
+      .orderBy(desc("bm25_micro"), asc("doc_id"))
+      .limit(k)
   }
 }

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class CorpusOpsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  test("approxDistinct at rate 1 is the exact distinct count") {
+    val df = Seq.tabulate(300)(i => ("g", s"k${i % 100}")).toDF("g", "k")
+    val out = CorpusOps.approxDistinct(df, "k", Seq("g"), rate = 1).collect()
+    out.length shouldBe 1
+    out.head.getLong(1) shouldBe 100L
+  }
+
+  test("approxDistinct estimates within sampling error and ignores duplicates") {
+    val keys = Seq.tabulate(20000)(i => ("g", s"key-$i"))
+    // every key appears 3 times: the estimator must not count rows
+    val df = (keys ++ keys ++ keys).toDF("g", "k")
+    val est = CorpusOps.approxDistinct(df, "k", Seq("g"), rate = 16)
+      .collect().head.getLong(1)
+    est.toDouble shouldBe 20000.0 +- 2000.0
+  }
+
+  test("mergeBestVersion: preferred wins overlap, score then tie column break ties") {
+    val neu = Seq(
+      (1L, "one-new", 10L, "a"),
+      (2L, "two-new", 5L, "b")).toDF("id", "text", "score", "src")
+    val old = Seq(
+      (1L, "one-old", 99L, "a"),    // loses despite higher score: not preferred
+      (3L, "three-long", 7L, "b"),  // wins within side on score
+      (3L, "three-short", 3L, "a"),
+      (4L, "four-b", 2L, "b"),      // score tie -> smallest src wins
+      (4L, "four-a", 2L, "a")).toDF("id", "text", "score", "src")
+    val out = CorpusOps.mergeBestVersion(neu, old, "id", "score", "src")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1))
+    out shouldBe Array(
+      1L -> "one-new", 2L -> "two-new", 3L -> "three-long", 4L -> "four-a")
+    // schema passes through untouched
+    CorpusOps.mergeBestVersion(neu, old, "id", "score", "src").columns shouldBe
+      Array("id", "text", "score", "src")
+  }
+}

@@ -88,6 +88,38 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     Sampling.sampleByHash(df, "doc_id", 1000).count() shouldBe 1000L
   }
 
+  test("repetition stats: degenerate repeated text scores high, clean text zero") {
+    val df = Seq(
+      (1L, "a b a b a"),   // 2-grams: (a b)x2, (b a)x2
+      (2L, "u v w x y"),   // all distinct
+      (3L, "z")            // shorter than n: one whole-text gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df, n = 2).orderBy("doc_id").collect()
+    val r1 = out(0)
+    r1.getLong(1) shouldBe 4L        // n_grams
+    r1.getLong(2) shouldBe 2L        // n_distinct
+    r1.getLong(3) shouldBe 2L        // top_count
+    r1.getDouble(4) shouldBe 0.5     // dup_fraction
+    r1.getDouble(5) shouldBe 0.5     // top_share
+    out(1).getDouble(4) shouldBe 0.0
+    out(2).getLong(1) shouldBe 1L
+  }
+
+  test("bm25 ranks matching docs; rare terms outweigh common ones") {
+    val df = Seq(
+      (1L, "cat dog bird fish mouse"),        // one 'cat'
+      (2L, "cat cat dog bird fish"),          // two 'cat's -> higher
+      (3L, "dog bird fish mouse mouse"),      // no query term
+      (4L, "rare dog bird fish mouse"),       // 'rare' appears once in corpus
+      (5L, "dog dog dog dog dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, Seq("cat", "rare"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set(1L, 2L, 4L)      // only docs with a query term
+    out(2L) should be > out(1L)              // higher tf wins
+    out(4L) should be > out(1L)              // rarer term carries more idf
+  }
+
   test("hash sampling is independent of split assignment") {
     // Unsalted, a 150-permille sample would select exactly the test+val
     // buckets of a 100/50 split — a debug sample with zero training rows.
