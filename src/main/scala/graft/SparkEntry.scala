@@ -456,6 +456,29 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2).orderBy("doc_id")),
 
+    "q_freq_spectrum" -> ((s, dir) =>
+      TextAnalysis.freqSpectrum(t(s, dir, "documents"), n = 2).orderBy("freq")),
+
+    // markup synthesized around corpus text (same pattern as q_text_redact):
+    // the entity AFTER tag-strip decode order is the tested behavior
+    "q_strip_markup" -> ((s, dir) => {
+      val marked = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("<div class=\"post\"><p>"), col("text"),
+          lit("</p><br/>&amp;copy; footer &lt;tag&gt;</div>")).as("text"))
+      TextAnalysis.stripMarkup(marked).orderBy("doc_id")
+    }),
+
+    // snapshot N+1 dedup: ids >= 200 arrive as the new batch, ids < 250
+    // are already indexed -> batch keeps only content unseen in [0, 250)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Dedup.exact(docs.filter(col("doc_id") < 250))
+        .select("content_key")
+      Dedup.dedupIncremental(docs.filter(col("doc_id") >= 200), index)
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents"), Seq("dup", "spark", "join"))),
 
@@ -1471,6 +1494,47 @@ object SparkEntry {
         | round(1.0 - count(*) / sum(cnt), 6) AS dup_fraction,
         | round(max(cnt) / sum(cnt), 6) AS top_share
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_freq_spectrum" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        | FROM documents),
+        |grams AS (
+        | SELECT unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |  ELSE [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] END) AS gram
+        | FROM toks),
+        |f AS (SELECT gram, count(*) AS freq FROM grams GROUP BY 1)
+        |SELECT freq, count(*) AS n_grams FROM f GROUP BY freq ORDER BY freq""".stripMargin,
+
+    "q_strip_markup" ->
+      """WITH d AS (
+        | SELECT doc_id, '<div class="post"><p>' || text
+        |   || '</p><br/>&amp;copy; footer &lt;tag&gt;</div>' AS text
+        | FROM documents),
+        |s1 AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |  regexp_replace(text, '<[^>]*>', ' ', 'g') AS t
+        | FROM d),
+        |s2 AS (
+        | SELECT doc_id, n_tags,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |   '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
+        | FROM s1)
+        |SELECT doc_id, n_tags, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH keyed AS (
+        | SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS ck
+        | FROM documents),
+        |novel AS (
+        | SELECT doc_id, ck FROM keyed WHERE doc_id >= 200
+        |  AND ck NOT IN (SELECT ck FROM keyed WHERE doc_id < 250)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY ck)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_bm25" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -59,6 +59,27 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** Incremental exact dedup: filter a NEW batch of documents against an
+    * existing fingerprint index (a `content_key` md5 column from previous
+    * snapshots), then dedup within the batch itself (lowest id wins).
+    * This is how dedup actually runs at 100 TB — each crawl snapshot
+    * anti-joins the accumulated index instead of re-deduping the whole
+    * corpus; append the survivors' keys to the index afterwards.
+    *
+    * Both joins key on the digest, so the shuffles carry (digest, id)
+    * pairs — never document text; the index side is a one-column scan.
+    */
+  def dedupIncremental(newDocs: DataFrame, index: DataFrame): DataFrame = {
+    val keyed = newDocs.select(
+      col("doc_id"), md5(normText(col("text"))).as("content_key"))
+    val novel = keyed.join(index, Seq("content_key"), "left_anti")
+    val keep = novel
+      .groupBy("content_key")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    newDocs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** Apply near-dedup: drop every doc that MinHash-LSH pairs (at ≥
     * `threshold` verified Jaccard) with a lower-id doc. The pair graph's
     * "keep lowest endpoint" rule is the standard greedy approximation of

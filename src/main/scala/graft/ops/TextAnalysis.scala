@@ -326,6 +326,45 @@ object TextAnalysis {
       roll.as("fp_roll"))
   }
 
+  /** Token frequency-of-frequencies spectrum — the Zipf health check: for
+    * each occurrence count `freq`, how many distinct n-grams occur exactly
+    * that often. A natural corpus slopes smoothly; template/boilerplate
+    * contamination shows up as spikes at high `freq`.
+    *
+    * Output stays unbucketed because it is SELF-bounding: the number of
+    * distinct frequencies is O(√total-tokens) (frequencies 1..k need
+    * k(k+1)/2 tokens), so even a 100 TB corpus yields only ~millions of
+    * rows. Two hash aggregations, both map-side combined; the gram
+    * shuffle carries (gram, partial count) only.
+    */
+  def freqSpectrum(df: DataFrame, n: Int = 1, textCol: String = "text"): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("freq"))
+      .groupBy("freq")
+      .agg(count(lit(1)).as("n_grams"))
+
+  /** Markup stripping — the boilerplate-removal pass for web-crawl text:
+    * drop HTML/XML tags, decode the common entities, collapse the
+    * whitespace the removals leave behind. One narrow codegen'd
+    * projection (RE2-safe patterns, so any engine replays it); reports
+    * the tag count so a quality filter can drop markup-dominated docs.
+    */
+  def stripMarkup(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tagPat = "<[^>]*>"
+    val noTags = regexp_replace(col(textCol), tagPat, " ")
+    // &amp; decodes LAST so "&amp;lt;" yields the literal "&lt;", not "<"
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(tagPat), lit(0)))
+        .cast("long").as("n_tags"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+  }
+
   /** Per-document n-gram repetition statistics — the Gopher-style quality
     * signal (Rae et al. 2021 §A1.1: "fraction of duplicate n-grams" /
     * "fraction in most common n-gram") that catches boilerplate and

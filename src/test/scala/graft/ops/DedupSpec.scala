@@ -24,6 +24,22 @@ class DedupSpec extends AnyFunSuite with Matchers {
     dupGroup.getAs[Long]("keep_id") shouldBe 0L
   }
 
+  test("incremental dedup: index filters known content, batch self-dedups") {
+    val index = Dedup.exact(docs.filter(col("doc_id") <= 0)).select("content_key")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // already indexed
+      (11L, "brand new content one"),
+      (12L, "brand  NEW content one"),                      // in-batch dup of 11
+      (13L, "brand new content two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(batch, index)
+      .select("doc_id").as[Long].collect().sorted
+    out shouldBe Array(11L, 13L)
+    // empty index: pure in-batch dedup
+    Dedup.dedupIncremental(batch, index.limit(0))
+      .count() shouldBe 3L
+  }
+
   test("minhash LSH surfaces the near-duplicate pair and skips unrelated docs") {
     val pairs = Dedup.minHashLsh(docs, threshold = 0.3)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

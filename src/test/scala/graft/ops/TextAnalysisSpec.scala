@@ -105,6 +105,29 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2).getLong(1) shouldBe 1L
   }
 
+  test("freq spectrum counts distinct grams per occurrence count") {
+    val df = Seq(
+      (1L, "a a a b b c"),   // unigrams: a->3, b->2, c->1
+      (2L, "c d")            // c->+1 => c:2, d:1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.freqSpectrum(df, n = 1).orderBy("freq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    out shouldBe Array(1L -> 1L, 2L -> 2L, 3L -> 1L) // d:1 ; b,c:2 ; a:3
+  }
+
+  test("markup strip removes tags, decodes entities in order, collapses space") {
+    val df = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "x &amp;lt; y &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b"),
+      (3L, "plain text")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkup(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    out(0) shouldBe (4L, "hello world")
+    // &amp; decodes last: "&amp;lt;" is the LITERAL "&lt;", not "<"
+    out(1) shouldBe (0L, "x &lt; y <tag> \"q\" 's' a b")
+    out(2) shouldBe (0L, "plain text")
+  }
+
   test("bm25 ranks matching docs; rare terms outweigh common ones") {
     val df = Seq(
       (1L, "cat dog bird fish mouse"),        // one 'cat'
