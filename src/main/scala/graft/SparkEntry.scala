@@ -239,6 +239,41 @@ object SparkEntry {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(10)),
 
+    // hierarchical totals: revenue by (region, nation) + subtotals + grand
+    // total in ONE pass — rollup adds grouping-set rows to the same
+    // shuffle, not extra scans. Declared through spark.sql: the Dataset
+    // API's rollup trips the ambiguous-self-join detector on the Expand
+    // node's duplicated grouping attributes (Spark 4.1); SQL resolution
+    // builds the identical plan without the dataset-id bookkeeping.
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_rollup_orders")
+      t(s, dir, "customer").createOrReplaceTempView("graft_rollup_customer")
+      t(s, dir, "nation").createOrReplaceTempView("graft_rollup_nation")
+      t(s, dir, "region").createOrReplaceTempView("graft_rollup_region")
+      s.sql(
+        """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+          | count(*) AS n_orders,
+          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM graft_rollup_orders
+          | JOIN graft_rollup_customer ON o_custkey = c_custkey
+          | JOIN graft_rollup_nation ON c_nationkey = n_nationkey
+          | JOIN graft_rollup_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY region, nation""".stripMargin)
+    }),
+
+    // wide activity matrix: one row per epoch day, one count column per
+    // event type (explicit value list -> no driver-side distinct pass)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day",
+          graft.functions.ColumnOps.fdiv(unix_micros(col("ts")), 86400000000L))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
+
     "q_window" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
       t(s, dir, "orders")
@@ -680,6 +715,26 @@ object SparkEntry {
 
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "q_window" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
