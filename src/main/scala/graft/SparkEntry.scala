@@ -262,6 +262,19 @@ object SparkEntry {
           |ORDER BY region, nation""".stripMargin)
     }),
 
+    "q_funnel" -> ((s, dir) =>
+      ops.EventAnalytics.funnel(
+        t(s, dir, "events"), Seq("view", "click", "purchase"))),
+
+    "q_retention" -> ((s, dir) =>
+      ops.EventAnalytics.retentionCohorts(t(s, dir, "events"), maxAgeDays = 30)
+        .orderBy("cohort_day", "age_days")),
+
+    "q_histogram" -> ((s, dir) =>
+      ops.EventAnalytics.histogram(
+        t(s, dir, "events"), "value", lo = 0.0, hi = 500.0, nBins = 25)
+        .orderBy("bin")),
+
     // wide activity matrix: one row per epoch day, one count column per
     // event type (explicit value list -> no driver-side distinct pass)
     "q_pivot" -> ((s, dir) =>
@@ -726,6 +739,41 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')),
+        |pu AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN us END) AS t0,
+        |  min(CASE WHEN event_type = 'click' THEN us END) AS t1,
+        |  min(CASE WHEN event_type = 'purchase' THEN us END) AS t2
+        | FROM e GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        | CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step0_view,
+        | CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS step1_click,
+        | CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |  AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END) AS BIGINT) AS step2_purchase
+        |FROM pu""".stripMargin,
+
+    "q_retention" ->
+      """WITH ad AS (
+        | SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+        | FROM events),
+        |co AS (SELECT user_id, min(day) AS cohort_day FROM ad GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS age_days, count(*) AS n_users
+        |FROM ad JOIN co USING (user_id)
+        |WHERE day - cohort_day <= 30
+        |GROUP BY 1, 2 ORDER BY cohort_day, age_days""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        | SELECT least(greatest(CAST(round(value * 1000000) AS BIGINT) // 20000000, 0), 24) AS bin
+        | FROM events)
+        |SELECT bin, bin * 20000000 AS lo_micro, count(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_pivot" ->
       """SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,

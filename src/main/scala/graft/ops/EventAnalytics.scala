@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.functions.ColumnOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the `events(event_id, ts, user_id, event_type,
+  * value, props)` table: funnel conversion and retention cohorts — the
+  * product-analytics queries an event warehouse answers daily.
+  *
+  * All time arithmetic happens on integer epoch values (µs / days), never
+  * raw timestamps, so results replay bit-identically in any engine (see
+  * SparkEntry's determinism notes).
+  */
+object EventAnalytics {
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Ordered funnel conversion: how many users reached step 1, step 1→2,
+    * 1→2→3 … where each step's event must occur strictly AFTER the
+    * previous step's first occurrence (first-touch semantics — the
+    * standard product-funnel definition).
+    *
+    * One aggregation per user computes the first time of each step with
+    * a conditional `min` — no self-joins, no explode: the per-user state
+    * is |steps| longs regardless of event volume, and the final count is
+    * a single broadcastable row per step. Shuffle carries (user, steps)
+    * only.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = unix_micros(col("ts"))
+    val perUser = events
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === steps.head, us)).as("t0"),
+        steps.indices.tail.map(i =>
+          min(when(col("event_type") === steps(i), us)).as(s"t$i")): _*)
+    // step i reached iff t0 < t1 < ... < ti (strictly increasing firsts)
+    val reached = steps.indices.map { i =>
+      steps.indices.take(i + 1).map(j => col(s"t$j").isNotNull).reduce(_ && _) &&
+        (0 until i).map(j => col(s"t$j") < col(s"t${j + 1}"))
+          .foldLeft(lit(true))(_ && _)
+    }
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      reached.zipWithIndex.map { case (r, i) =>
+        sum(when(r, 1L).otherwise(0L)).as(s"step${i}_${steps(i)}")
+      }: _*)
+  }
+
+  /** Retention cohorts: users grouped by their first-seen epoch day, and
+    * for each (cohort, days-since-signup) cell, how many distinct users
+    * were active that day — the triangle every growth dashboard draws.
+    *
+    * Two aggregations and one join, all keyed on user_id: first-seen day
+    * per user (agg), join back to the user's activity days (dedup'd
+    * agg), then count per (cohort_day, age). The join is user_id ⋈
+    * user_id — co-partitioned by the same shuffle key, no skew beyond a
+    * single user's event count, and the cohort matrix output is
+    * O(days²) regardless of input size.
+    */
+  def retentionCohorts(events: DataFrame, maxAgeDays: Int = 30): DataFrame = {
+    val day = ColumnOps.fdiv(unix_micros(col("ts")), MicrosPerDay)
+    val activeDays = events
+      .select(col("user_id"), day.as("day"))
+      .distinct()
+    val cohorts = activeDays
+      .groupBy("user_id")
+      .agg(min("day").as("cohort_day"))
+    activeDays.join(cohorts, "user_id")
+      .select(
+        col("cohort_day"),
+        (col("day") - col("cohort_day")).as("age_days"))
+      .filter(col("age_days") <= maxAgeDays)
+      .groupBy("cohort_day", "age_days")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Fixed-width histogram of a numeric column: `nBins` equal bins over
+    * [lo, hi), underflow/overflow clamped into the edge bins so every
+    * value lands somewhere. Bin edges are computed in exact integer
+    * µ-units (value quantized at 1e-6) — float bin boundaries are the
+    * classic cross-engine off-by-one — and the whole thing is one narrow
+    * projection plus one aggregation on the bin id.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"bad histogram spec: [$lo, $hi) x $nBins")
+    val loMicro = math.round(lo * 1e6)
+    val width = (math.round(hi * 1e6) - loMicro) / nBins
+    require(width > 0, "bins narrower than 1e-6")
+    val vMicro = round(col(valueCol) * 1e6, 0).cast("long")
+    val rawBin = ColumnOps.fdiv(vMicro - loMicro, width)
+    df.select(
+        least(greatest(rawBin, lit(0L)), lit(nBins - 1L)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bin"),
+        (lit(loMicro) + col("bin") * width).as("lo_micro"),
+        col("n"))
+  }
+}

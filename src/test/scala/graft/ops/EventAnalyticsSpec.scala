@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class EventAnalyticsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+
+  test("funnel: ordered first-touch semantics") {
+    val events = ev(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L), // full
+      (2L, "view", 100L), (2L, "click", 200L),                          // 2 steps
+      (3L, "click", 100L), (3L, "view", 200L),    // out of order: view only
+      (4L, "purchase", 50L), (4L, "view", 100L),  // purchase BEFORE view
+      (5L, "error", 10L))                         // no funnel event at all
+    val r = EventAnalytics.funnel(events, Seq("view", "click", "purchase"))
+      .collect().head
+    r.getAs[Long]("n_users") shouldBe 4L       // user 5 filtered out
+    r.getAs[Long]("step0_view") shouldBe 4L
+    r.getAs[Long]("step1_click") shouldBe 2L   // users 1, 2
+    r.getAs[Long]("step2_purchase") shouldBe 1L
+  }
+
+  test("retention cohorts count distinct active users per (cohort, age)") {
+    val day = 86400000000L
+    val events = ev(
+      (1L, "view", 0L), (1L, "view", day + 1L), (1L, "view", 2 * day), // d0,d1,d2
+      (2L, "view", 0L), (2L, "view", 2 * day),                          // d0,d2
+      (2L, "click", 2 * day + 5L),                // same day: no double count
+      (3L, "view", day))                          // cohort d1
+    val out = EventAnalytics.retentionCohorts(events)
+      .orderBy("cohort_day", "age_days")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L), (1L, 0L, 1L))
+  }
+
+  test("histogram bins values with clamped edges") {
+    val df = Seq(-5.0, 0.0, 0.5, 9.999999, 10.0, 25.0, 99.0, 250.0)
+      .toDF("value")
+    val out = EventAnalytics.histogram(df, "value", lo = 0.0, hi = 100.0, nBins = 10)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(
+      (0L, 0L, 4L),          // -5 clamps in; 0, 0.5, 9.999999
+      (1L, 10000000L, 1L),   // 10.0 -> second bin (left-closed)
+      (2L, 20000000L, 1L),
+      (9L, 90000000L, 2L))   // 99 + clamped overflow 250
+  }
+}
