@@ -407,6 +407,13 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
+        .orderBy("query_id", "rank")),
+
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(t(s, dir, "embeddings"), k = 20)),
+
     // IVF over a TRAINED codebook: 2 Lloyd's iterations from the seed —
     // the full production shape (train, then search) end to end
     "q_sim_ivf_trained" -> ((s, dir) => {
@@ -1226,6 +1233,49 @@ object SparkEntry {
     // integer per-dimension means -> reassign -> means -> probe/search.
     // Mean components use positive-only integer division on both sides
     // so truncation semantics agree exactly.
+    "q_hard_negatives" ->
+      """WITH q AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings
+        |), scored AS (
+        | SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_sum(list_transform(list_zip(qs.qv, c.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(list_sum(list_transform(list_zip(qs.qv, qs.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |        * CAST(list_sum(list_transform(list_zip(c.qv, c.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
+        | FROM q qs JOIN q c ON qs.vec_id < 10 AND c.label <> qs.label
+        |)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH v AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings
+        |),
+        |m AS (
+        | SELECT label, pos, SUM(x) AS s, COUNT(*) AS cnt
+        | FROM (SELECT label, unnest(qv) AS x, unnest(range(1, len(qv) + 1)) AS pos FROM v)
+        | GROUP BY label, pos
+        |),
+        |c AS (
+        | SELECT label, cv,
+        |  list_sum(list_transform(list_zip(cv, cv), p -> p[1] * p[2])) AS cn
+        | FROM (SELECT label,
+        |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS cv
+        |  FROM m GROUP BY label)
+        |)
+        |SELECT v.vec_id, v.label,
+        | round(list_sum(list_transform(list_zip(v.qv, c.cv), p -> p[1] * p[2]))
+        |  / sqrt(CAST(list_sum(list_transform(list_zip(v.qv, v.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |       * CAST(c.cn AS DOUBLE)), 6) AS centroid_sim
+        |FROM v JOIN c USING (label)
+        |ORDER BY centroid_sim ASC, vec_id ASC LIMIT 20""".stripMargin,
+
     "q_sim_ivf_trained" ->
       """WITH n AS (
         | SELECT vec_id, qv,

@@ -431,4 +431,73 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "sim", "rank")
   }
+
+  /** Hard-negative mining: for each query vector, the top-k most-SIMILAR
+    * vectors with a DIFFERENT label — the contrastive-training prep step
+    * (easy negatives are useless; the hard ones sit just across the
+    * class boundary). Same plan as [[bruteTopK]] (corpus scan × broadcast
+    * query side → per-query window top-k) with the label inequality
+    * folded into the join predicate, so same-class candidates are
+    * dropped before the shuffle. At corpus scale the query side is the
+    * broadcast — the O(q×corpus) scoring shards per corpus split.
+    */
+  def hardNegatives(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val q = embeddings
+      .filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv"), native))
+    val corpus = embeddings
+      .select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+        quantize(col("embedding")).as("cv"))
+      .withColumn("cn", qdot(col("cv"), col("cv"), native))
+    val scored = corpus
+      .join(broadcast(q), col("c_label") =!= col("q_label"))
+      .select(
+        col("query_id"), col("cand_id"),
+        qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
+  /** Label-centroid outliers: each vector's cosine against its OWN
+    * label's centroid (per-dimension integer mean, the
+    * [[trainCentroids]] determinism trick), worst `k` first — the
+    * mislabeled/noisy-embedding detector run before contrastive
+    * training.
+    *
+    * One posexplode aggregation builds the per-label centroid table
+    * (tiny — labels × dims), which broadcasts back onto the corpus for
+    * a narrow scoring pass; TakeOrdered keeps the k worst. The
+    * centroid shuffle is pre-combined (label, dim) partials, the same
+    * communication pattern as codebook training.
+    */
+  def labelOutliers(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val vecs = embeddings
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+    val cents = vecs
+      .select(col("label"), posexplode(col("qv")))
+      .groupBy("label", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .withColumn("v",
+        expr("CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("label"), transform(col("pv"), p => p("v")).as("cv"))
+      .withColumn("cn", qdot(col("cv"), col("cv"), native))
+    vecs
+      .join(broadcast(cents), "label")
+      .select(
+        col("vec_id"), col("label"),
+        qcosinePre(
+          qdot(col("qv"), col("cv"), native),
+          qdot(col("qv"), col("qv"), native), col("cn")).as("centroid_sim"))
+      .orderBy(asc("centroid_sim"), asc("vec_id"))
+      .limit(k)
+  }
 }

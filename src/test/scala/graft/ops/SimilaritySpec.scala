@@ -32,6 +32,33 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     sims(4L) shouldBe math.sqrt(2.0) / 2 +- 1e-4
   }
 
+  test("hard negatives: only cross-label candidates, nearest first") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),   // same label: excluded
+      (2L, Array(0.8f, 0.2f), 1),   // hardest negative
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(labeled, queryMaxId = 1L, k = 3)
+      .select("cand_id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    out.map(_._1).toSeq shouldBe Seq(2L, 3L, 4L)
+  }
+
+  test("label outliers: the vector far from its label centroid ranks worst") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(1.0f, 0.1f), 0),
+      (3L, Array(-0.9f, 0.2f), 0),  // flipped: the outlier in label 0
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val worst = Similarity.labelOutliers(labeled, k = 2)
+      .select("vec_id").as[Long].collect()
+    worst.head shouldBe 3L
+  }
+
   test("LSH top-k recall vs brute force on the real embeddings table") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
