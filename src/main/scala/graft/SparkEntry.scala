@@ -1683,8 +1683,9 @@ object SparkEntry {
         | SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS ck
         | FROM documents),
         |novel AS (
-        | SELECT doc_id, ck FROM keyed WHERE doc_id >= 200
-        |  AND ck NOT IN (SELECT ck FROM keyed WHERE doc_id < 250)),
+        | SELECT k.doc_id, k.ck FROM keyed k WHERE k.doc_id >= 200
+        |  AND NOT EXISTS (SELECT 1 FROM keyed i
+        |                  WHERE i.doc_id < 250 AND i.ck = k.ck)),
         |keep AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY ck)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
         |FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin,

@@ -39,8 +39,13 @@ object CorpusOps {
   /** Merge two corpus snapshots, keeping ONE version per key: the
     * `preferred` side's row when the key appears in both, else whichever
     * side has it; ties within a side broken by the greatest `scoreCol`
-    * then the smallest `tieCol` (a total order, so the survivor is
-    * unique and deterministic — the merge replays identically anywhere).
+    * then the smallest `tieCol`.
+    *
+    * The survivor is unique and replay-deterministic only when
+    * (side, `scoreCol`, `tieCol`) is unique per key — pass a per-side
+    * unique id (row id, fetch timestamp) as `tieCol` when a side can
+    * carry duplicate keys; on a full tie `row_number` keeps an arbitrary
+    * row.
     *
     * One shuffle on the key (the window's partitioning); no join — the
     * union is a zero-cost plan node, so cost is a single per-key
@@ -52,6 +57,9 @@ object CorpusOps {
       keyCol: String,
       scoreCol: String,
       tieCol: String): DataFrame = {
+    Seq("_pri", "_rk").foreach(c =>
+      require(!preferred.columns.contains(c) && !other.columns.contains(c),
+        s"mergeBestVersion reserves the working column name '$c'"))
     val u = preferred.withColumn("_pri", lit(1))
       .unionByName(other.withColumn("_pri", lit(0)))
     val w = Window.partitionBy(keyCol)

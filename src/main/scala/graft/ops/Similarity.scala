@@ -74,17 +74,37 @@ object Similarity {
     * only shuffle is the final per-query top-k, keyed on query_id —
     * perfectly partition-balanced (equal candidates per query).
     */
-  def bruteTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+  def bruteTopK(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame =
+    broadcastScoredTopK(
+      embeddings, queryMaxId, k, col("cand_id") =!= col("query_id"))
+
+  /** Shared corpus × broadcast-query scoring shape: quantize + norm both
+    * sides, broadcast-join the query side under `joinPred`, exact
+    * quantized cosine, per-query window top-k. ONE definition so
+    * [[bruteTopK]] and [[hardNegatives]] can never diverge on rank ties
+    * or norm handling; extra query/corpus columns (`q_label`/`c_label`)
+    * ride along for the predicate and are dropped by the final select.
+    */
+  private def broadcastScoredTopK(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      joinPred: Column,
+      withLabels: Boolean = false): DataFrame = {
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val labelsQ = if (withLabels) Seq(col("label").as("q_label")) else Nil
+    val labelsC = if (withLabels) Seq(col("label").as("c_label")) else Nil
     val q = embeddings
       .filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id").as("query_id") +: labelsQ :+
+        quantize(col("embedding")).as("qv"): _*)
       .withColumn("qn", qdot(col("qv"), col("qv"), native))
     val corpus = embeddings
-      .select(col("vec_id").as("cand_id"), quantize(col("embedding")).as("cv"))
+      .select(col("vec_id").as("cand_id") +: labelsC :+
+        quantize(col("embedding")).as("cv"): _*)
       .withColumn("cn", qdot(col("cv"), col("cv"), native))
     val scored = corpus
-      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .join(broadcast(q), joinPred)
       .select(
         col("query_id"),
         col("cand_id"),
@@ -441,28 +461,10 @@ object Similarity {
     * dropped before the shuffle. At corpus scale the query side is the
     * broadcast — the O(q×corpus) scoring shards per corpus split.
     */
-  def hardNegatives(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
-    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
-    val q = embeddings
-      .filter(col("vec_id") < queryMaxId)
-      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
-        quantize(col("embedding")).as("qv"))
-      .withColumn("qn", qdot(col("qv"), col("qv"), native))
-    val corpus = embeddings
-      .select(col("vec_id").as("cand_id"), col("label").as("c_label"),
-        quantize(col("embedding")).as("cv"))
-      .withColumn("cn", qdot(col("cv"), col("cv"), native))
-    val scored = corpus
-      .join(broadcast(q), col("c_label") =!= col("q_label"))
-      .select(
-        col("query_id"), col("cand_id"),
-        qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")).as("sim"))
-    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "sim", "rank")
-  }
+  def hardNegatives(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame =
+    broadcastScoredTopK(
+      embeddings, queryMaxId, k,
+      col("c_label") =!= col("q_label"), withLabels = true)
 
   /** Label-centroid outliers: each vector's cosine against its OWN
     * label's centroid (per-dimension integer mean, the
