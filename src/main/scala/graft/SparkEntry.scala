@@ -514,6 +514,14 @@ object SparkEntry {
     "q_freq_spectrum" -> ((s, dir) =>
       TextAnalysis.freqSpectrum(t(s, dir, "documents"), n = 2).orderBy("freq")),
 
+    "q_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"), seqTokens = 512)
+        .orderBy("lang", "doc_id")),
+
+    "q_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), minDf = 100)
+        .orderBy("gram")),
+
     // markup synthesized around corpus text (same pattern as q_text_redact):
     // the entity AFTER tag-strip decode order is the tested behavior
     "q_strip_markup" -> ((s, dir) => {
@@ -1658,6 +1666,26 @@ object SparkEntry {
         | FROM toks),
         |f AS (SELECT gram, count(*) AS freq FROM grams GROUP BY 1)
         |SELECT freq, count(*) AS n_grams FROM f GROUP BY freq ORDER BY freq""".stripMargin,
+
+    "q_pack" ->
+      """WITH d AS (
+        | SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT lang, doc_id, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        | FROM d)
+        |SELECT lang, doc_id, n_tokens, cb // 512 AS seq_id, cb % 512 AS offset,
+        | (cb % 512) + n_tokens > 512 AS spans_cut
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT gram, count(*) AS df FROM (
+        | SELECT doc_id,
+        |  unnest(list_distinct(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS gram
+        | FROM documents)
+        |GROUP BY gram HAVING count(*) >= 100 ORDER BY gram""".stripMargin,
 
     "q_strip_markup" ->
       """WITH d AS (

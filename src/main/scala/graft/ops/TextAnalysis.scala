@@ -326,6 +326,57 @@ object TextAnalysis {
       roll.as("fp_roll"))
   }
 
+  /** Sequence packing, GPT-pretraining style: concatenate documents in
+    * deterministic (group, doc_id) order and cut every `seqTokens`
+    * tokens. Each document's placement — which training sequence it
+    * starts in, at what offset, whether it spans a cut — falls out of an
+    * exclusive running token sum; no iteration, no driver loop.
+    *
+    * Packing happens WITHIN `groupCol` shards (language here; any
+    * bounded hash-bucket key in production): the window sort is per
+    * shard, so no global single-partition ordering bottleneck exists at
+    * corpus scale — shard sizes bound the sort, and shards pack in
+    * parallel.
+    */
+  def packSequences(
+      df: DataFrame,
+      seqTokens: Int,
+      groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(seqTokens > 0, s"seqTokens must be positive, got $seqTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+        col(groupCol), col("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(
+        col(groupCol), col("doc_id"), col("n_tokens"),
+        ColumnOps.fdiv(col("cum_before"), seqTokens.toLong).as("seq_id"),
+        (col("cum_before") % seqTokens).as("offset"),
+        ((col("cum_before") % seqTokens) + col("n_tokens") > seqTokens)
+          .as("spans_cut"))
+  }
+
+  /** Vocabulary pruning report: the n-grams worth keeping — document
+    * frequency ≥ `minDf` — with their corpus stats. The inverse filter
+    * (df < minDf) is the OOV cut pretraining tokenizer prep applies; at
+    * corpus scale this is one (gram → partial-agg) shuffle, the same
+    * shape as [[topNgrams]] without the per-language window.
+    */
+  def vocabulary(
+      df: DataFrame,
+      minDf: Int = 2,
+      n: Int = 1,
+      textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   /** Token frequency-of-frequencies spectrum — the Zipf health check: for
     * each occurrence count `freq`, how many distinct n-grams occur exactly
     * that often. A natural corpus slopes smoothly; template/boilerplate

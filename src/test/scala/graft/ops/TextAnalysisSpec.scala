@@ -105,6 +105,34 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2).getLong(1) shouldBe 1L
   }
 
+  test("sequence packing: concat-and-cut placement from the running sum") {
+    val df = Seq(
+      (1L, "en", ("w " * 300).trim),   // 300 toks: seq 0, offset 0
+      (2L, "en", ("w " * 300).trim),   // seq 0 @300, spans the 512 cut
+      (3L, "en", ("w " * 100).trim),   // cum 600 -> seq 1 @88
+      (4L, "fr", ("w " * 50).trim)     // own group: seq 0 @0
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.packSequences(df, seqTokens = 512)
+      .orderBy("lang", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    out shouldBe Array(
+      (1L, 0L, 0L, false),
+      (2L, 0L, 300L, true),
+      (3L, 1L, 88L, false),
+      (4L, 0L, 0L, false))
+  }
+
+  test("vocabulary keeps grams at or above the document-frequency cut") {
+    val df = Seq(
+      (1L, "apple banana apple"),   // distinct per doc: apple, banana
+      (2L, "apple cherry"),
+      (3L, "apple banana")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(df, minDf = 2).orderBy("gram")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    out shouldBe Array("apple" -> 3L, "banana" -> 2L) // cherry df=1 pruned
+  }
+
   test("freq spectrum counts distinct grams per occurrence count") {
     val df = Seq(
       (1L, "a a a b b c"),   // unigrams: a->3, b->2, c->1
