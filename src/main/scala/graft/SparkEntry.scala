@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Importance, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.SingerPipeline
 import graft.schema.SchemaMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -521,6 +521,15 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(t(s, dir, "documents"), minDf = 100)
         .orderBy("gram")),
+
+    "q_dsir" -> ((s, dir) =>
+      Importance.importanceWeights(
+        t(s, dir, "documents"), col("lang") === "en")
+        .orderBy("doc_id")),
+
+    "q_quality_model" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(t(s, dir, "documents"))
+        .orderBy("doc_id")),
 
     // markup synthesized around corpus text (same pattern as q_text_redact):
     // the entity AFTER tag-strip decode order is the tested behavior
@@ -1686,6 +1695,60 @@ object SparkEntry {
         |  unnest(list_distinct(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS gram
         | FROM documents)
         |GROUP BY gram HAVING count(*) >= 100 ORDER BY gram""".stripMargin,
+
+    "q_dsir" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        | FROM documents),
+        |grams AS (
+        | SELECT doc_id, lang = 'en' AS is_tgt,
+        |  unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |   ELSE [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] END) AS gram
+        | FROM toks),
+        |feats AS (
+        | SELECT doc_id, is_tgt, ('0x' || substr(md5(gram), 1, 7))::BIGINT % 4096 AS bucket
+        | FROM grams),
+        |stats AS (
+        | SELECT bucket, count(*) AS raw_f,
+        |  CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_f
+        | FROM feats GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(raw_f) AS BIGINT) AS raw_total, CAST(sum(tgt_f) AS BIGINT) AS tgt_total
+        | FROM stats),
+        |lam AS (
+        | SELECT bucket,
+        |  CAST(round((ln((tgt_f + 1.0) / (tgt_total + 4096.0))
+        |            - ln((raw_f + 1.0) / (raw_total + 4096.0))) * 1e6) AS BIGINT) AS lam_micro
+        | FROM stats, tot)
+        |SELECT f.doc_id, count(*) AS n_feats, CAST(sum(l.lam_micro) AS BIGINT) AS score_micro
+        |FROM feats f JOIN lam l USING (bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quality_model" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_tok,
+        |  greatest(CAST(length(text) AS BIGINT), 1) AS n_char,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_tok_chars,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id, n_tokens,
+        |  (1000000 * n_stop) // n_tok AS stop_micro,
+        |  (1000000 * n_sym) // n_char AS sym_micro,
+        |  (1000000 * n_digit) // n_char AS digit_micro,
+        |  (1000000 * sum_tok_chars) // n_tok AS mean_len_micro
+        | FROM f)
+        |SELECT doc_id, n_tokens, stop_micro, sym_micro, digit_micro, mean_len_micro,
+        | 200000 + least(n_tokens, 400) * 1000 + stop_micro * 2 - sym_micro * 3
+        |  - digit_micro * 2 - abs(mean_len_micro - 4500000) // 5 AS score_micro,
+        | (200000 + least(n_tokens, 400) * 1000 + stop_micro * 2 - sym_micro * 3
+        |  - digit_micro * 2 - abs(mean_len_micro - 4500000) // 5) > 300000 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_strip_markup" ->
       """WITH d AS (

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection scoring for pretraining corpora: hashed n-gram
+  * importance weights (DSIR-style — Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling").
+  *
+  * Each document is scored by how much its hashed n-gram distribution
+  * looks like a TARGET slice of the corpus versus the corpus as a
+  * whole: per feature bucket `f`,
+  *
+  *   λ_f = ln((tgt_f + 1)/(tgtTotal + B)) − ln((raw_f + 1)/(rawTotal + B))
+  *
+  * (add-one smoothing over `B` buckets), and a document's score is the
+  * sum of λ over its feature OCCURRENCES. Documents whose score is high
+  * read like the target domain; resampling by this weight tilts a
+  * 100 TB crawl toward it.
+  *
+  * Determinism: buckets come from [[PortableHash.h28]] (md5-prefix, both
+  * engines identical); λ is quantized to micro-units ONCE PER BUCKET
+  * (≤ B roundings total, not per document), and per-doc scores are then
+  * EXACT long sums of those integers — independent of partitioning,
+  * addition order, and engine (same argument as
+  * [[TextAnalysis.bm25]]'s quantized scoring).
+  *
+  * Plan shape at 100 TB: the feature stream is a narrow
+  * explode-project; the λ table is ONE aggregate over at most `B`
+  * buckets (map-side partials make the shuffle `O(partitions × B)`),
+  * broadcast back onto the feature stream — so the only data-sized
+  * shuffle is the final per-doc sum, keyed on `doc_id`. Two passes over
+  * the text, inherent to corpus-global statistics.
+  */
+object Importance {
+
+  /** Per-document importance score against `targetPred` (e.g.
+    * `col("lang") === "en"`: score every document by how English-like
+    * its hashed bigram profile is).
+    *
+    * Output: `doc_id, n_feats, score_micro` — `score_micro` is the
+    * exact long sum of micro-quantized λ over the document's n-gram
+    * occurrences.
+    */
+  def importanceWeights(
+      df: DataFrame,
+      targetPred: Column,
+      buckets: Int = 4096,
+      n: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val feats = df.select(
+        col("doc_id"), targetPred.as("is_tgt"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(
+        col("doc_id"), col("is_tgt"),
+        pmod(PortableHash.h28(col("gram")), lit(buckets.toLong)).as("bucket"))
+    val stats = feats.groupBy("bucket").agg(
+      count(lit(1)).as("raw_f"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_f"))
+    val tot = stats.agg(
+      sum("raw_f").as("raw_total"), sum("tgt_f").as("tgt_total"))
+    val b = lit(buckets.toDouble)
+    val lam = stats.crossJoin(broadcast(tot)).select(
+      col("bucket"),
+      round(
+        (log((col("tgt_f") + lit(1.0)) / (col("tgt_total") + b))
+          - log((col("raw_f") + lit(1.0)) / (col("raw_total") + b))) * 1e6)
+        .cast("long").as("lam_micro"))
+    feats.join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum("lam_micro").as("score_micro"))
+  }
+}

@@ -74,6 +74,73 @@ object TextAnalysis {
         6).as("punct_ratio"))
   }
 
+  /** Exact floor division of two non-negative long columns. The double
+    * quotient is exact here: numerators are micro-scaled counts ≤ ~1e13,
+    * inside a double's 53-bit mantissa.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Model-based quality filter: a fixed-weight linear classifier over
+    * cheap lexical features — the distributed-inference half of a
+    * fasttext-style quality gate (weights here are hand-set stand-ins;
+    * production swaps in trained ones, the plan is identical).
+    *
+    * Every feature is an EXACT integer in micro-units (ratios via
+    * floor-division of micro-scaled counts), and the score is integer
+    * arithmetic over them — zero floating point anywhere, so the result
+    * is bit-identical across engines, partitionings, and replays.
+    * Features: token count (capped length credit), stopword density
+    * (natural-language signal), symbol and digit density (boilerplate /
+    * data-dump penalty), deviation of mean token length from the
+    * English-typical ~4.5 chars.
+    *
+    * One narrow codegen'd projection per row: no shuffle, no UDF; at
+    * 100 TB this is a pure map stage pruned to `doc_id, text`.
+    */
+  def qualityClassifier(
+      df: DataFrame,
+      threshold: Long = 300000L,
+      textCol: String = "text"): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(df.sparkSession)
+    val t = col(textCol)
+    val packed = ColumnOps.bind(tokens(t)) { toks =>
+      val nTokRaw = size(toks).cast("long")
+      val nTok = greatest(nTokRaw, lit(1L))
+      val nChar = greatest(length(t), lit(1)).cast("long")
+      val m = lit(1000000L)
+      val sumTokChars = aggregate(
+        toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+      val stopMicro = idiv(
+        m * size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
+          .cast("long"), nTok)
+      val symMicro = idiv(m * punctCount(t, native), nChar)
+      val digitMicro = idiv(
+        m * size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long"),
+        nChar)
+      val meanLenMicro = idiv(m * sumTokChars, nTok)
+      struct(
+        nTokRaw.as("n_tokens"),
+        stopMicro.as("stop_micro"),
+        symMicro.as("sym_micro"),
+        digitMicro.as("digit_micro"),
+        meanLenMicro.as("mean_len_micro"))
+    }
+    df.select(col("doc_id"), explode(array(packed)).as("f"))
+      .select(
+        col("doc_id"),
+        col("f.n_tokens"), col("f.stop_micro"), col("f.sym_micro"),
+        col("f.digit_micro"), col("f.mean_len_micro"),
+        (lit(200000L)
+          + least(col("f.n_tokens"), lit(400L)) * 1000L
+          + col("f.stop_micro") * 2L
+          - col("f.sym_micro") * 3L
+          - col("f.digit_micro") * 2L
+          - idiv(abs(col("f.mean_len_micro") - 4500000L), lit(5L)))
+          .as("score_micro"))
+      .withColumn("keep", col("score_micro") > threshold)
+  }
+
   /** N-gram-heuristic language ID: score each candidate language by its
     * marker-token density, take the argmax with a fixed precedence order
     * (en > de > fr > es > zh default). Deterministic and SQL-expressible,

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class ImportanceSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  test("importance weights favor documents that look like the target slice") {
+    // target (en) talks about cats; off-target (de) about stocks; the
+    // probe docs each use one vocabulary exclusively
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat with the cat"),
+      (2L, "en", "a cat and the mat and a cat again"),
+      (3L, "de", "stock price index fund yield curve"),
+      (4L, "de", "bond yield stock fund price index"),
+      (5L, "zz", "the cat sat on the mat"), // cat-like: should score high
+      (6L, "zz", "stock fund yield price")  // stock-like: should score low
+    ).toDF("doc_id", "lang", "text")
+    val out = Importance.importanceWeights(docs, col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // absolute signs depend on corpus-size smoothing; the ORDER is the
+    // contract: cat-flavored probe above stock-flavored probe, and the
+    // in-target docs above the off-target docs
+    out(5L) should be > out(6L)
+    out(1L) should be > out(3L)
+    out(2L) should be > out(4L)
+  }
+
+  test("n_feats counts bigram occurrences (tokens - 1)") {
+    val docs = Seq((1L, "en", "a b c d"), (2L, "en", "x")).toDF("doc_id", "lang", "text")
+    val out = Importance.importanceWeights(docs, col("lang") === "en")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 3L  // 4 tokens -> 3 bigrams
+    out(2L) shouldBe 1L  // short doc degrades to the whole-text shingle
+  }
+
+  test("scores are an exact sum: doubling a document's features doubles nothing unseen") {
+    // one doc repeated twice under different ids must get IDENTICAL scores
+    val docs = Seq(
+      (1L, "en", "the cat sat"), (2L, "en", "the cat sat"),
+      (3L, "de", "stock fund yield")
+    ).toDF("doc_id", "lang", "text")
+    val out = Importance.importanceWeights(docs, col("lang") === "en")
+      .orderBy("doc_id").collect().map(r => r.getLong(2))
+    out(0) shouldBe out(1)
+  }
+}

@@ -133,6 +133,23 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out shouldBe Array("apple" -> 3L, "banana" -> 2L) // cherry df=1 pruned
   }
 
+  test("quality classifier: integer features and threshold label") {
+    val df = Seq(
+      (1L, "the cat and the dog ran to a tree"),  // natural text
+      (2L, "$$ ## !! %% ^^ && ** (( )) @@"),      // symbol soup
+      (3L, "123456 789012 345678 901234")         // digit dump
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(df).orderBy("doc_id").collect()
+    val r1 = out(0)
+    r1.getAs[Long]("n_tokens") shouldBe 9L
+    // 5 stopwords (the, and, the, to, a) of 9 tokens
+    r1.getAs[Long]("stop_micro") shouldBe (1000000L * 5 - (1000000L * 5) % 9) / 9
+    r1.getAs[Long]("sym_micro") shouldBe 0L
+    r1.getAs[Boolean]("keep") shouldBe true
+    out(1).getAs[Boolean]("keep") shouldBe false  // symbol penalty dominates
+    out(2).getAs[Boolean]("keep") shouldBe false  // digit penalty dominates
+  }
+
   test("freq spectrum counts distinct grams per occurrence count") {
     val df = Seq(
       (1L, "a a a b b c"),   // unigrams: a->3, b->2, c->1
