@@ -531,6 +531,14 @@ object SparkEntry {
       TextAnalysis.qualityClassifier(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
+        .orderBy("doc_id", "rank")),
+
+    "q_tfidf_pairs" -> ((s, dir) =>
+      TextAnalysis.tfidfPairs(t(s, dir, "documents"), maxDf = 50L, minSim = 0.2)
+        .orderBy("a_id", "b_id")),
+
     // markup synthesized around corpus text (same pattern as q_text_redact):
     // the entity AFTER tag-strip decode order is the tested behavior
     "q_strip_markup" -> ((s, dir) => {
@@ -1749,6 +1757,44 @@ object SparkEntry {
         | (200000 + least(n_tokens, 400) * 1000 + stop_micro * 2 - sym_micro * 3
         |  - digit_micro * 2 - abs(mean_len_micro - 4500000) // 5) > 300000 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+        | FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df_t FROM tfc GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        | SELECT doc_id, term, tf, df_t,
+        |  tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df_t) * 1000) AS BIGINT) AS w_milli
+        | FROM tfc JOIN dfc USING (term), n),
+        |r AS (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w_milli DESC, term) AS BIGINT) AS "rank"
+        | FROM w)
+        |SELECT doc_id, "rank", term, tf, df_t, w_milli FROM r
+        |WHERE "rank" <= 5 ORDER BY doc_id, "rank"""".stripMargin,
+
+    "q_tfidf_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+        | FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df_t FROM tfc GROUP BY 1 HAVING count(*) <= 50),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        | SELECT doc_id, term,
+        |  tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df_t) * 1000) AS BIGINT) AS w_milli
+        | FROM tfc JOIN dfc USING (term), n),
+        |norms AS (SELECT doc_id, CAST(sum(w_milli * w_milli) AS BIGINT) AS n2 FROM w GROUP BY 1),
+        |dots AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(sum(a.w_milli * b.w_milli) AS BIGINT) AS dot
+        | FROM w a JOIN w b USING (term) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT * FROM (
+        | SELECT a_id, b_id, round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS sim
+        | FROM dots JOIN norms na ON na.doc_id = a_id JOIN norms nb ON nb.doc_id = b_id)
+        |WHERE sim >= 0.2 ORDER BY a_id, b_id""".stripMargin,
 
     "q_strip_markup" ->
       """WITH d AS (

@@ -444,6 +444,107 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Per-(document, term) TF-IDF weights in exact integer milli-units.
+    *
+    * `w = tf · round(ln(N/df)·1000)`: the idf factor is quantized ONCE
+    * PER TERM (vocab-sized rounding count), after which every weight,
+    * norm, and dot product downstream is exact long arithmetic —
+    * engine- and partitioning-independent. Milli (not micro) keeps the
+    * worst case inside a long: `tf ≤ 10^6, idf_milli < 2·10^4` →
+    * `w < 2·10^10`, `w² < 4·10^20`... so callers that square (see
+    * [[tfidfPairs]]) prune with `maxDf` first, which also bounds tf
+    * in practice.
+    *
+    * Plan shape: explode → (doc, term) partial-agg [the one data-sized
+    * shuffle] → vocab-sized df agg → join back ON TERM. The df side is
+    * vocab-sized, not corpus-sized — far smaller than the tf stream but
+    * not broadcastable at web scale, so it stays a shuffle join keyed on
+    * the term; N folds in as a broadcast single-row aggregate.
+    *
+    * `maxDf` drops terms appearing in more than that many documents —
+    * stopword-class terms carry ~zero idf signal and produce the
+    * quadratic posting lists, so capping df is both the relevance AND
+    * the scale knob (classic impact-ordered index pruning).
+    */
+  def tfidfWeights(
+      df: DataFrame,
+      maxDf: Long = Long.MaxValue,
+      textCol: String = "text"): DataFrame = {
+    val tf = df.select(
+        col("doc_id"),
+        explode(split(lower(regexp_replace(col(textCol), "\\s+", " ")), " "))
+          .as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+      .filter(col("df_t") <= maxDf)
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("df_t"),
+        (col("tf") *
+          round(log(col("n_docs").cast("double") / col("df_t")) * 1000)
+            .cast("long")).as("w_milli"))
+  }
+
+  /** Top-`k` most characteristic terms per document by TF-IDF weight,
+    * ties broken lexicographically — the "what is this document about"
+    * extractor. One ranking window per doc on top of [[tfidfWeights]].
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      k: Int = 5,
+      maxDf: Long = Long.MaxValue,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("w_milli").desc, col("term"))
+    tfidfWeights(df, maxDf, textCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df_t"), col("w_milli"))
+  }
+
+  /** Lexical near-duplicate / related-document pairs: cosine similarity
+    * over TF-IDF vectors, computed SPARSELY through the inverted index —
+    * a self-join on the term, never on documents, so only pairs that
+    * SHARE a term are ever materialized (document-at-a-time sparse
+    * retrieval, the textbook scale-out for pairwise text similarity).
+    *
+    * `maxDf` caps posting-list length: join fan-out is Σ_term df², so
+    * the cap turns a quadratic blow-up on stopwords into a bounded
+    * cost — at 100 TB you'd set it so the hottest surviving posting
+    * list still fits a partition. Norms are computed over the SAME
+    * pruned vectors, keeping cosine internally consistent.
+    *
+    * Dot products and norms are exact long sums of milli-unit weights;
+    * the only floating point is the final `dot/(√na·√nb)` (sqrt is
+    * IEEE-correctly-rounded in both engines), rounded to 6 places —
+    * the [[graft.ops.Similarity.qcosine]] determinism argument.
+    */
+  def tfidfPairs(
+      df: DataFrame,
+      maxDf: Long = 50L,
+      minSim: Double = 0.2,
+      textCol: String = "text"): DataFrame = {
+    val w = tfidfWeights(df, maxDf, textCol)
+      .select(col("doc_id"), col("term"), col("w_milli"))
+    val norms = w.groupBy("doc_id")
+      .agg(sum(col("w_milli") * col("w_milli")).as("n2"))
+    val dots = w.as("a").join(w.as("b"), Seq("term"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.w_milli") * col("b.w_milli")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Token frequency-of-frequencies spectrum — the Zipf health check: for
     * each occurrence count `freq`, how many distinct n-grams occur exactly
     * that often. A natural corpus slopes smoothly; template/boilerplate

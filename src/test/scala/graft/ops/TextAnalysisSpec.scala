@@ -150,6 +150,33 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2).getAs[Boolean]("keep") shouldBe false  // digit penalty dominates
   }
 
+  test("tfidf: rare terms outrank common ones; weights are exact integers") {
+    val df = Seq(
+      (1L, "alpha alpha shared"),
+      (2L, "beta shared"),
+      (3L, "gamma shared"),
+      (4L, "delta other")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, k = 1).orderBy("doc_id").collect()
+    // per doc the unique term wins; 'shared' (df=3) carries less idf
+    top.map(_.getString(2)) shouldBe Array("alpha", "beta", "gamma", "delta")
+    // alpha: tf=2, idf_milli = round(ln(4/1)*1000) = 1386 -> 2772
+    top(0).getAs[Long]("w_milli") shouldBe 2L * 1386L
+  }
+
+  test("tfidf pairs: only term-sharing docs appear, self/reverse pairs don't") {
+    val df = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana durian"),
+      (3L, "xylophone zebra")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.tfidfPairs(df, maxDf = 50L, minSim = 0.0).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+    val sim = pairs(0).getDouble(2)
+    sim should be > 0.0
+    sim should be < 1.0
+  }
+
   test("freq spectrum counts distinct grams per occurrence count") {
     val df = Seq(
       (1L, "a a a b b c"),   // unigrams: a->3, b->2, c->1
