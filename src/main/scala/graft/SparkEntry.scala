@@ -539,6 +539,13 @@ object SparkEntry {
       TextAnalysis.tfidfPairs(t(s, dir, "documents"), maxDf = 50L, minSim = 0.2)
         .orderBy("a_id", "b_id")),
 
+    // integer-exact PageRank over the part co-purchase graph: the whole
+    // 3-superstep iteration is deterministic, so DuckDB replays it as
+    // unrolled CTEs — an ORACLE-CHECKED iterative graph computation
+    "q_pagerank" -> ((s, dir) =>
+      ops.Graph.pageRank(ops.Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+        .orderBy("node")),
+
     // markup synthesized around corpus text (same pattern as q_text_redact):
     // the entity AFTER tag-strip decode order is the tested behavior
     "q_strip_markup" -> ((s, dir) => {
@@ -1795,6 +1802,37 @@ object SparkEntry {
         | SELECT a_id, b_id, round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS sim
         | FROM dots JOIN norms na ON na.doc_id = a_id JOIN norms nb ON nb.doc_id = b_id)
         |WHERE sim >= 0.2 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        | SELECT DISTINCT a.pk AS src, b.pk AS dst
+        | FROM li a JOIN li b USING (ok) WHERE a.pk <> b.pk),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+        |c1 AS (
+        | SELECT e.dst AS node, CAST(sum(r.rank_micro // d.outdeg) AS BIGINT) AS in_sum
+        | FROM edges e JOIN deg d USING (src) JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r1 AS (
+        | SELECT n.node,
+        |  CAST(150000 + (850000 * coalesce(c.in_sum, 0)) // 1000000 AS BIGINT) AS rank_micro
+        | FROM nodes n LEFT JOIN c1 c USING (node)),
+        |c2 AS (
+        | SELECT e.dst AS node, CAST(sum(r.rank_micro // d.outdeg) AS BIGINT) AS in_sum
+        | FROM edges e JOIN deg d USING (src) JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (
+        | SELECT n.node,
+        |  CAST(150000 + (850000 * coalesce(c.in_sum, 0)) // 1000000 AS BIGINT) AS rank_micro
+        | FROM nodes n LEFT JOIN c2 c USING (node)),
+        |c3 AS (
+        | SELECT e.dst AS node, CAST(sum(r.rank_micro // d.outdeg) AS BIGINT) AS in_sum
+        | FROM edges e JOIN deg d USING (src) JOIN r2 r ON r.node = e.src GROUP BY 1),
+        |r3 AS (
+        | SELECT n.node,
+        |  CAST(150000 + (850000 * coalesce(c.in_sum, 0)) // 1000000 AS BIGINT) AS rank_micro
+        | FROM nodes n LEFT JOIN c3 c USING (node))
+        |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin,
 
     "q_strip_markup" ->
       """WITH d AS (

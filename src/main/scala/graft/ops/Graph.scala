@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bulk-synchronous graph analytics over edge lists — the Pregel-on-
+  * DataFrames shape: one shuffle-keyed join per superstep, no driver
+  * loops over data, state materialized between supersteps.
+  */
+object Graph {
+
+  /** Co-purchase edge list from an order-lines table: parts are linked
+    * when some order contains both. Both directions are emitted (the
+    * graph is undirected), deduplicated to simple edges.
+    *
+    * Plan shape: a self-join ON THE ORDER KEY — fan-out is Σ_order
+    * lines², bounded by per-order basket size (TPC-H ≤ 7), never by
+    * catalog size — then a distinct keyed on (src, dst). At 100 TB both
+    * shuffles are on uniformly distributed keys; a pathological
+    * mega-basket would need a per-order line cap upstream.
+    */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(
+      col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+  }
+
+  /** Exact floor division of non-negative longs by a positive long
+    * column, routed through decimal so ~1e18 numerators (damping × a
+    * hub's inbound sum) never hit double mantissa loss — the
+    * column-divisor sibling of [[graft.functions.ColumnOps.fdiv]].
+    */
+  private def idivCol(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+
+  /** PageRank with a FIXED iteration count, entirely in integer
+    * micro-units — every engine and partitioning produces bit-identical
+    * ranks, so the whole iterative computation is DuckDB-replayable
+    * (unrolled CTEs) for the correctness gate:
+    *
+    *   contrib(e: u→v) = rank_u // outdeg_u
+    *   rank'_v = (1e6 − d) + (d · Σ contrib) // 1e6,   d = 850000
+    *
+    * Floor-division error is < 1 micro-unit per term — irrelevant for
+    * ranking, decisive for determinism (float PageRank differs by
+    * partition-sum order).
+    *
+    * Scale shape: each superstep is ONE join keyed on `src` (edges ⋈
+    * ranks; outdeg pre-joined once) and ONE aggregation keyed on `dst`
+    * — the canonical Pregel message pattern. Edges and degrees are
+    * checkpoint-pinned once and reused every superstep ([[Dedup
+    * .duplicateGroups]]'s measured pattern); each superstep's ranks are
+    * pinned and the previous generation released, keeping block-manager
+    * footprint at O(nodes), not O(nodes × iterations). Dangling mass is
+    * not redistributed (nodes with no inbound sit at 150000) — fine for
+    * relative ranking, documented divergence from normalized PageRank.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iterations: Int = 3,
+      dampingMicro: Long = 850000L): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(dampingMicro > 0 && dampingMicro < 1000000L,
+      s"dampingMicro must be in (0, 1e6), got $dampingMicro")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var rank = nodes.withColumn("rank_micro", lit(1000000L))
+    // only PINNED generations may be released — rank₀'s plan reaches into
+    // nodes' checkpoint, which later supersteps still need
+    var pinned: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          idivCol(col("rank_micro"), col("outdeg")).as("contrib"))
+        .groupBy("node")
+        .agg(sum("contrib").as("in_sum"))
+      rank = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1000000L - dampingMicro) +
+            graft.functions.ColumnOps.fdiv(
+              lit(dampingMicro) * coalesce(col("in_sum"), lit(0L)),
+              1000000L)).as("rank_micro"))
+        .localCheckpoint()
+      // previous generation's blocks are dead once the new one is pinned
+      pinned.foreach(Dedup.releaseCheckpoints)
+      pinned = Some(rank)
+    }
+    // the returned frame is its own (final) checkpoint; the graph pins are dead
+    Seq(e, withDeg, nodes).foreach(Dedup.releaseCheckpoints)
+    rank
+  }
+}
