@@ -546,6 +546,34 @@ object SparkEntry {
       ops.Graph.pageRank(ops.Graph.coPurchaseEdges(t(s, dir, "lineitem")))
         .orderBy("node")),
 
+    // PII synthesized around corpus text (q_text_redact pattern): phone +
+    // IP + a doc_id-derived 16-digit card whose Luhn validity falls where
+    // it falls — BOTH engines must agree on the checksum, not just the regex
+    "q_pii_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" call "),
+          format_string("+1-555-%03d-%04d",
+            pmod(col("doc_id"), lit(900L)) + 100L,
+            pmod(col("doc_id") * 37L, lit(10000L))),
+          lit(" ip "),
+          concat_ws(".",
+            (pmod(col("doc_id"), lit(200L)) + 10L).cast("string"),
+            pmod(col("doc_id"), lit(256L)).cast("string"),
+            pmod(col("doc_id") * 3L, lit(256L)).cast("string"),
+            pmod(col("doc_id") * 7L, lit(256L)).cast("string")),
+          lit(" card "),
+          lpad(pmod(col("doc_id") * col("doc_id") * 31L,
+            lit(10000000000000000L)).cast("string"), 16, "0")).as("text"))
+      TextAnalysis.piiScan(docs).orderBy("doc_id")
+    }),
+
+    "q_rate_anomaly" -> ((s, dir) =>
+      graft.ops.EventAnalytics.rateAnomalies(t(s, dir, "events"))
+        .orderBy("event_type", "bucket")),
+
     // markup synthesized around corpus text (same pattern as q_text_redact):
     // the entity AFTER tag-strip decode order is the tested behavior
     "q_strip_markup" -> ((s, dir) => {
@@ -1833,6 +1861,43 @@ object SparkEntry {
         |  CAST(150000 + (850000 * coalesce(c.in_sum, 0)) // 1000000 AS BIGINT) AS rank_micro
         | FROM nodes n LEFT JOIN c3 c USING (node))
         |SELECT node, rank_micro FROM r3 ORDER BY node""".stripMargin,
+
+    "q_pii_scan" ->
+      """WITH d AS (
+        | SELECT doc_id, text || ' call '
+        |  || printf('+1-555-%03d-%04d', doc_id % 900 + 100, doc_id * 37 % 10000)
+        |  || ' ip ' || (doc_id % 200 + 10) || '.' || (doc_id % 256) || '.'
+        |  || (doc_id * 3 % 256) || '.' || (doc_id * 7 % 256)
+        |  || ' card ' || lpad((doc_id * doc_id * 31 % 10000000000000000)::VARCHAR, 16, '0') AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(t, '[0-9]{16}')) AS BIGINT) AS n_cards,
+        | CAST(coalesce(list_sum([CASE WHEN
+        |   list_sum([CASE WHEN i % 2 = 1 THEN
+        |     CASE WHEN 2*(ascii(substr(reverse(c), i+1, 1)) - 48) > 9
+        |      THEN 2*(ascii(substr(reverse(c), i+1, 1)) - 48) - 9
+        |      ELSE 2*(ascii(substr(reverse(c), i+1, 1)) - 48) END
+        |     ELSE ascii(substr(reverse(c), i+1, 1)) - 48 END
+        |    for i in range(0, length(c))]) % 10 = 0
+        |  THEN 1 ELSE 0 END for c in regexp_extract_all(t, '[0-9]{16}')]), 0) AS BIGINT) AS n_valid
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_rate_anomaly" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS bucket, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |s AS (
+        | SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS sx,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+        | FROM c GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT event_type, bucket, cnt,
+        | round((cnt - sx / n) / sqrt((sxx - sx * (sx / n)) / (n - 1)), 6) AS z,
+        | abs(round((cnt - sx / n) / sqrt((sxx - sx * (sx / n)) / (n - 1)), 6)) > 3.0 AS is_anomaly
+        |FROM c JOIN s USING (event_type)
+        |WHERE (sxx - sx * (sx / n)) / (n - 1) > 0
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "q_strip_markup" ->
       """WITH d AS (

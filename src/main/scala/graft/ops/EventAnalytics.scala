@@ -106,4 +106,46 @@ object EventAnalytics {
         (lit(loMicro) + col("bin") * width).as("lo_micro"),
         col("n"))
   }
+
+  /** Volume-anomaly detection: z-score each (event_type, time-bucket)
+    * count against that event type's own rate distribution — the
+    * monitoring query behind "error volume spiked 4σ this hour".
+    *
+    * Determinism across engines: the count moments (`n, Σx, Σx²`) are
+    * EXACT longs, and the z-score is one fixed double expression over
+    * them — `(x − Σx/n) / sqrt((Σx² − Σx·(Σx/n)) / (n−1))` evaluated in
+    * exactly this operation order in both Spark and the DuckDB oracle,
+    * so every intermediate is the same IEEE double; `round(z, 6)` is
+    * then bit-identical. (A distributed `stddev` would NOT replay:
+    * partial-aggregate merge order changes the float result.)
+    *
+    * Scale shape: one data-sized shuffle groups counts by (type,
+    * bucket); the per-type moments are a SECOND aggregation over the
+    * already-tiny bucket counts and come back as a broadcast (event-type
+    * cardinality is small by construction). Constant-degenerate types
+    * (zero variance) are excluded — no z-score exists for them.
+    */
+  def rateAnomalies(
+      events: DataFrame,
+      bucketUs: Long = 3600000000L,
+      zThreshold: Double = 3.0): DataFrame = {
+    val cnts = events
+      .select(col("event_type"),
+        ColumnOps.fdiv(unix_micros(col("ts")), bucketUs).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = cnts.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("cnt").as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .filter(col("n") >= 2)
+    val mean = col("sx") / col("n")
+    val variance = (col("sxx") - col("sx") * mean) / (col("n") - 1)
+    cnts.join(broadcast(stats), "event_type")
+      .filter(variance > 0)
+      .select(col("event_type"), col("bucket"), col("cnt"),
+        round((col("cnt") - mean) / sqrt(variance), 6).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+  }
 }

@@ -287,6 +287,38 @@ object TextAnalysis {
         col("q.n_numbers"), col("q.redacted"))
   }
 
+  /** Structured PII scan — the detection half of a redaction pipeline,
+    * with CHECKSUM validation: phone numbers, IPv4 addresses, and
+    * 16-digit card candidates, where candidates are verified with the
+    * Luhn algorithm (Spark's codegen'd `luhn_check`) so that random
+    * digit runs don't count as card exposure. The valid/seen split is
+    * what a compliance dashboard needs — raw pattern hits overcount
+    * wildly on numeric data.
+    *
+    * One narrow projection; the Luhn filter runs inside a higher-order
+    * `filter` over the extracted candidates — no explode, no UDF.
+    */
+  def piiScan(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val cardPat = "[0-9]{16}"
+    val t = col(textCol)
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(phonePat), lit(0))).cast("long")
+        .as("n_phones"),
+      size(regexp_extract_all(t, lit(ipPat), lit(0))).cast("long")
+        .as("n_ips"),
+      ColumnOps.bind(regexp_extract_all(t, lit(cardPat), lit(0))) { cards =>
+        struct(
+          size(cards).cast("long").as("n_cards"),
+          size(filter(cards, c => call_function("luhn_check", c)))
+            .cast("long").as("n_valid"))
+      }.as("c"))
+      .select(col("doc_id"), col("n_phones"), col("n_ips"),
+        col("c.n_cards").as("n_cards"), col("c.n_valid").as("n_valid"))
+  }
+
   /** Per-language document-length quantiles — the distribution dashboard
     * behind length-filter thresholds. EXACT interpolated percentiles
     * (Spark `percentile`, not `percentile_approx`): both Spark and

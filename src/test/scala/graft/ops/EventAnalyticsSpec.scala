@@ -29,6 +29,28 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     r.getAs[Long]("step2_purchase") shouldBe 1L
   }
 
+  test("rate anomalies: exact z on integer moments; degenerate types excluded") {
+    val hour = 3600000000L
+    val rows = Seq.newBuilder[(Long, String, Long)]
+    // type a: hours 0..18 at 10 events, hour 19 spikes to 40
+    for (h <- 0 until 19; i <- 0 until 10) rows += ((i.toLong, "a", h * hour + i))
+    for (i <- 0 until 40) rows += ((i.toLong, "a", 19 * hour + i))
+    rows += ((1L, "b", 0L))                      // single bucket: n < 2, dropped
+    rows += ((1L, "c", 0L)); rows += ((1L, "c", hour)) // zero variance, dropped
+    val out = EventAnalytics.rateAnomalies(ev(rows.result(): _*))
+      .orderBy("event_type", "bucket").collect()
+    out.map(_.getString(0)).distinct shouldBe Array("a")
+    out.length shouldBe 20
+    val spike = out.last
+    spike.getAs[Long]("cnt") shouldBe 40L
+    spike.getAs[Boolean]("is_anomaly") shouldBe true
+    spike.getAs[Double]("z") should be > 4.0
+    // n=20, sx=230, sxx=3500 -> mean 11.5, var 45: z = -1.5/sqrt(45) for the 10s
+    out.head.getAs[Double]("z") shouldBe
+      BigDecimal((10 - 11.5) / math.sqrt(45.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("retention cohorts count distinct active users per (cohort, age)") {
     val day = 86400000000L
     val events = ev(

@@ -177,6 +177,25 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     sim should be < 1.0
   }
 
+  test("pii scan: luhn separates valid cards from random digit runs") {
+    val df = Seq(
+      // 4532015112830366 passes Luhn; 1234567812345678 does not
+      (1L, "call +1-555-123-4567 from 10.0.0.1 card 4532015112830366"),
+      (2L, "fake card 1234567812345678 and ip 192.168.1.100"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScan(df).orderBy("doc_id").collect()
+    out(0).getAs[Long]("n_phones") shouldBe 1L
+    out(0).getAs[Long]("n_ips") shouldBe 1L
+    out(0).getAs[Long]("n_cards") shouldBe 1L
+    out(0).getAs[Long]("n_valid") shouldBe 1L
+    out(1).getAs[Long]("n_cards") shouldBe 1L
+    out(1).getAs[Long]("n_valid") shouldBe 0L
+    out(1).getAs[Long]("n_ips") shouldBe 1L
+    out(2).getAs[Long]("n_phones") shouldBe 0L
+    out(2).getAs[Long]("n_cards") shouldBe 0L
+  }
+
   test("freq spectrum counts distinct grams per occurrence count") {
     val df = Seq(
       (1L, "a a a b b c"),   // unigrams: a->3, b->2, c->1
