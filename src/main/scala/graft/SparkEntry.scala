@@ -574,6 +574,13 @@ object SparkEntry {
       graft.ops.EventAnalytics.rateAnomalies(t(s, dir, "events"))
         .orderBy("event_type", "bucket")),
 
+    "q_mixture" -> ((s, dir) =>
+      ops.CorpusOps.mixturePlan(t(s, dir, "documents"), budgetTokens = 1000000000L)
+        .orderBy("lang")),
+
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5L, k = 50)),
+
     // markup synthesized around corpus text (same pattern as q_text_redact):
     // the entity AFTER tag-strip decode order is the tested behavior
     "q_strip_markup" -> ((s, dir) => {
@@ -1898,6 +1905,44 @@ object SparkEntry {
         |FROM c JOIN s USING (event_type)
         |WHERE (sxx - sx * (sx / n)) / (n - 1) > 0
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "q_mixture" ->
+      """WITH t AS (
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY 1),
+        |s AS (
+        | SELECT lang, n_docs, tokens,
+        |  CAST(round(pow(tokens, 0.3) * 1e6) AS BIGINT) AS pw FROM t),
+        |tot AS (
+        | SELECT CAST(sum(tokens) AS BIGINT) AS tok_total, CAST(sum(pw) AS BIGINT) AS pw_total
+        | FROM s)
+        |SELECT lang, n_docs, tokens,
+        | (1000000 * tokens) // tok_total AS share_micro,
+        | (1000000 * pw) // pw_total AS weight_micro,
+        | round((1000000 * pw) // pw_total / 1e6 * 1000000000 / tokens, 6) AS epochs
+        |FROM s, tot ORDER BY lang""".stripMargin,
+
+    "q_collocations" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        | FROM documents),
+        |pairs AS (
+        | SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+        |  SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS p
+        |  FROM toks)),
+        |bi AS (
+        | SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (
+        | SELECT w, count(*) AS c FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        |tot AS (
+        | SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_bi,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni)
+        |SELECT w1, w2, c_ab,
+        | CAST(round(ln(CAST(c_ab AS DOUBLE) * n_uni * n_uni
+        |  / (CAST(n_bi AS DOUBLE) * ca.c * cb.c)) * 1000) AS BIGINT) AS pmi_milli
+        |FROM bi JOIN uni ca ON ca.w = bi.w1 JOIN uni cb ON cb.w = bi.w2, tot
+        |ORDER BY pmi_milli DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q_strip_markup" ->
       """WITH d AS (

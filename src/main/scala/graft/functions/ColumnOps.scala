@@ -41,4 +41,12 @@ object ColumnOps {
     require(b > 0, s"fdiv divisor must be positive, got $b")
     ((c - pmod(c, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
   }
+
+  /** [[fdiv]] with a POSITIVE COLUMN divisor (caller guarantees
+    * positivity — pmod/division semantics shift on non-positive
+    * divisors): exact floor division of non-negative longs, decimal-
+    * routed for the same full-range exactness argument.
+    */
+  def fdivCol(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
 }

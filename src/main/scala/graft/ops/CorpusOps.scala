@@ -68,4 +68,47 @@ object CorpusOps {
       .filter(col("_rk") === 1)
       .drop("_pri", "_rk")
   }
+
+  /** Training-mixture plan: α-scaled sampling weights and per-domain
+    * epoch counts for a token budget — the "how often do we repeat each
+    * language/source" table every multilingual pretraining run starts
+    * from (α < 1 upsamples the tail, α = 1 is natural sampling).
+    *
+    * Per domain `l` with `T_l` tokens: weight ∝ `T_l^α`, epochs =
+    * `weight · budget / T_l`. The α-power is quantized to micro-units
+    * ONCE per domain, after which shares and weights are exact integer
+    * floor-divisions; only `epochs` is a double, computed by one fixed
+    * expression over exact integers (cross-engine identical — the
+    * [[graft.ops.EventAnalytics.rateAnomalies]] argument).
+    *
+    * One data-sized aggregation (domain token counts); everything after
+    * operates on a domain-cardinality table.
+    */
+  def mixturePlan(
+      df: DataFrame,
+      budgetTokens: Long,
+      alpha: Double = 0.3,
+      groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val t = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("tokens"))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        round(pow(col("tokens"), alpha) * 1e6).cast("long").as("pw"))
+    val tot = t.agg(
+      sum("tokens").as("tok_total"), sum("pw").as("pw_total"))
+    t.crossJoin(broadcast(tot))
+      .select(
+        col(groupCol), col("n_docs"), col("tokens"),
+        graft.functions.ColumnOps
+          .fdivCol(lit(1000000L) * col("tokens"), col("tok_total"))
+          .as("share_micro"),
+        graft.functions.ColumnOps
+          .fdivCol(lit(1000000L) * col("pw"), col("pw_total"))
+          .as("weight_micro"))
+      .withColumn("epochs",
+        round(col("weight_micro") / 1e6 * budgetTokens / col("tokens"), 6))
+  }
 }

@@ -29,12 +29,11 @@ object Graph {
   }
 
   /** Exact floor division of non-negative longs by a positive long
-    * column, routed through decimal so ~1e18 numerators (damping × a
-    * hub's inbound sum) never hit double mantissa loss — the
-    * column-divisor sibling of [[graft.functions.ColumnOps.fdiv]].
+    * column — ~1e18 numerators (damping × a hub's inbound sum) would
+    * hit double mantissa loss under plain division.
     */
   private def idivCol(a: Column, b: Column): Column =
-    ((a - pmod(a, b)).cast("decimal(38,0)") / b).cast("long")
+    graft.functions.ColumnOps.fdivCol(a, b)
 
   /** PageRank with a FIXED iteration count, entirely in integer
     * micro-units — every engine and partitioning produces bit-identical

@@ -577,6 +577,58 @@ object TextAnalysis {
       .filter(col("sim") >= minSim)
   }
 
+  /** Top collocations by pointwise mutual information — which word
+    * pairs co-occur far beyond chance ("hong kong", "machine learning").
+    * The corpus-linguistics tool for finding multi-word units worth
+    * treating as single tokens.
+    *
+    *   pmi = ln( (c_ab · N_uni²) / (N_bi · c_a · c_b) )
+    *
+    * quantized to milli-units per surviving bigram. All counts are exact
+    * longs; the one double expression is written in the same operation
+    * order in the DuckDB oracle. `minCount` kills the hapax noise PMI
+    * is notorious for (a pair seen twice in a 100 TB crawl is not a
+    * collocation — it's a typo).
+    *
+    * Plan: two counting shuffles (bigrams, unigrams) + two joins of the
+    * `minCount`-pruned bigram table against the vocab-sized unigram
+    * table, then a TakeOrderedAndProject for the top-k — nothing is
+    * ever corpus-sized after the first aggregation.
+    */
+  def collocations(
+      df: DataFrame,
+      minCount: Long = 5L,
+      k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val toks = split(lower(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val pairs = df.select(explode(ColumnOps.bind(toks) { tk =>
+        when(size(tk) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(
+            sequence(lit(1), size(tk) - 1),
+            i => struct(
+              element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+      }).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = pairs.agg(count(lit(1)).as("n_bi"))
+      .crossJoin(uni.agg(sum("c").as("n_uni")))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(
+          col("c_ab").cast("double") * col("n_uni") * col("n_uni")
+            / (col("n_bi").cast("double") * col("c_a") * col("c_b"))) * 1000)
+          .cast("long").as("pmi_milli"))
+      .orderBy(col("pmi_milli").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Token frequency-of-frequencies spectrum — the Zipf health check: for
     * each occurrence count `freq`, how many distinct n-grams occur exactly
     * that often. A natural corpus slopes smoothly; template/boilerplate

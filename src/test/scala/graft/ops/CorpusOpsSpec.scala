@@ -43,4 +43,24 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     CorpusOps.mergeBestVersion(neu, old, "id", "score", "src").columns shouldBe
       Array("id", "text", "score", "src")
   }
+
+  test("mixturePlan: alpha < 1 upsamples the low-resource domain") {
+    val docs = Seq(
+      (1L, "en", ("w " * 900).trim),   // 900 tokens
+      (2L, "is", ("w " * 100).trim)    // 100 tokens: the tail language
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusOps.mixturePlan(docs, budgetTokens = 1000L, alpha = 0.3)
+      .orderBy("lang").collect()
+    val en = out(0); val is = out(1)
+    en.getAs[Long]("tokens") shouldBe 900L
+    en.getAs[Long]("share_micro") shouldBe 900000L
+    // alpha flattens: en natural share 90% -> weight well below 90%
+    en.getAs[Long]("weight_micro") should be < 700000L
+    is.getAs[Long]("weight_micro") should be > 300000L
+    // epochs: the tail domain is repeated more per its size
+    is.getAs[Double]("epochs") should be > en.getAs[Double]("epochs")
+    // weights sum to ~1e6 (floor-division remainder only)
+    (en.getAs[Long]("weight_micro") + is.getAs[Long]("weight_micro")) should
+      be >= 999998L
+  }
 }

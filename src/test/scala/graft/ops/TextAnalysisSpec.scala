@@ -196,6 +196,18 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2).getAs[Long]("n_cards") shouldBe 0L
   }
 
+  test("collocations: PMI in milli-units with min-count pruning") {
+    val df = Seq((1L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(df, minCount = 5L, k = 10).collect()
+    out.length shouldBe 1  // (b,a) occurs only 4 times -> pruned
+    val r = out.head
+    (r.getString(0), r.getString(1), r.getLong(2)) shouldBe ("a", "b", 5L)
+    // N_bi=9, c_a=c_b=5, N_uni=10: pmi = ln(5*10*10 / (9*5*5))
+    r.getLong(3) shouldBe
+      BigDecimal(math.log(5.0 * 10 * 10 / (9.0 * 5 * 5)) * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
   test("freq spectrum counts distinct grams per occurrence count") {
     val df = Seq(
       (1L, "a a a b b c"),   // unigrams: a->3, b->2, c->1
