@@ -581,6 +581,25 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5L, k = 50)),
 
+    // two-phase salted aggregation — result must be EXACTLY the plain
+    // GROUP BY (the oracle is the unsalted query)
+    "q_salted_agg" -> ((s, dir) =>
+      ops.SkewAgg.saltedStats(
+        t(s, dir, "events"), "event_type", "value", col("event_id"))
+        .orderBy("event_type")),
+
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), k = 50)),
+
+    // streaming anomaly scorer on its batch twin: moments trained by
+    // EventAnalytics.rateMoments, scoring identical to q_rate_anomaly
+    "q_rate_anomaly_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreamOps.rateAnomalyStream(
+        ev, ops.EventAnalytics.rateMoments(ev))
+        .orderBy("event_type", "window_start")
+    }),
+
     // markup synthesized around corpus text (same pattern as q_text_redact):
     // the entity AFTER tag-strip decode order is the tested behavior
     "q_strip_markup" -> ((s, dir) => {
@@ -1943,6 +1962,38 @@ object SparkEntry {
         |  / (CAST(n_bi AS DOUBLE) * ca.c * cb.c)) * 1000) AS BIGINT) AS pmi_milli
         |FROM bi JOIN uni ca ON ca.w = bi.w1 JOIN uni cb ON cb.w = bi.w2, tot
         |ORDER BY pmi_milli DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH wd AS (
+        | SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        | FROM documents),
+        |p AS (
+        | SELECT p.a AS a, p.b AS b FROM (
+        |  SELECT unnest([{'a': substr(w, i, 1), 'b': substr(w, i+1, 1)}
+        |   for i in range(1, length(w))]) AS p
+        |  FROM wd WHERE length(w) >= 2))
+        |SELECT a, b, count(*) AS cnt FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+
+    "q_rate_anomaly_stream" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS b, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |s AS (
+        | SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS sx,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+        | FROM c GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT b * 3600 AS window_start, event_type, cnt,
+        | round((cnt - sx / n) / sqrt((sxx - sx * (sx / n)) / (n - 1)), 6) AS z,
+        | abs(round((cnt - sx / n) / sqrt((sxx - sx * (sx / n)) / (n - 1)), 6)) > 3.0 AS is_anomaly
+        |FROM c JOIN s USING (event_type)
+        |WHERE (sxx - sx * (sx / n)) / (n - 1) > 0
+        |ORDER BY event_type, window_start""".stripMargin,
 
     "q_strip_markup" ->
       """WITH d AS (

@@ -134,18 +134,42 @@ object EventAnalytics {
         ColumnOps.fdiv(unix_micros(col("ts")), bucketUs).as("bucket"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("cnt"))
-    val stats = cnts.groupBy("event_type")
+    cnts.join(broadcast(rateMoments(events, bucketUs)), "event_type")
+      .filter(rateVariance > 0)
+      .select(col("event_type"), col("bucket"), col("cnt"),
+        rateZ(col("cnt")).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+  }
+
+  /** The per-type rate moments `(event_type, n, Σx, Σx²)` behind
+    * [[rateAnomalies]] — exposed so a STREAMING scorer can join the
+    * batch-trained table against live windows
+    * ([[graft.streaming.EventStreamOps.rateAnomalyStream]]): train
+    * offline, score online, one definition of "normal".
+    */
+  def rateMoments(events: DataFrame, bucketUs: Long = 3600000000L): DataFrame =
+    events
+      .select(col("event_type"),
+        ColumnOps.fdiv(unix_micros(col("ts")), bucketUs).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
         sum("cnt").as("sx"),
         sum(col("cnt") * col("cnt")).as("sxx"))
       .filter(col("n") >= 2)
-    val mean = col("sx") / col("n")
-    val variance = (col("sxx") - col("sx") * mean) / (col("n") - 1)
-    cnts.join(broadcast(stats), "event_type")
-      .filter(variance > 0)
-      .select(col("event_type"), col("bucket"), col("cnt"),
-        round((col("cnt") - mean) / sqrt(variance), 6).as("z"))
-      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
-  }
+
+  /** Sample variance over the moment columns, in the FIXED operation
+    * order both engines replay (see [[rateAnomalies]]'s determinism
+    * note).
+    */
+  def rateVariance: org.apache.spark.sql.Column =
+    (col("sxx") - col("sx") * (col("sx") / col("n"))) / (col("n") - 1)
+
+  /** Rounded z-score of a count against the moment columns — same fixed
+    * operation order.
+    */
+  def rateZ(cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round((cnt - col("sx") / col("n")) / sqrt(rateVariance), 6)
 }

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-proof aggregation: the two-phase salted groupBy.
+  *
+  * A plain `groupBy(key)` over a hot-keyed table (one event type = 40%
+  * of a 100 TB stream) lands the hot key's entire volume on one reducer.
+  * Salting splits each key into `buckets` sub-keys for a partial
+  * aggregate — every reducer gets ≤ 1/buckets of the hot key — then a
+  * second, tiny aggregation over (keys × buckets) rows folds the
+  * partials. Spark's map-side partial aggregation already does this
+  * WITHIN a task; salting does it ACROSS reducers, which is what matters
+  * when one key exceeds a single reducer's capacity.
+  *
+  * Results are EXACTLY those of the direct aggregation — counts are
+  * integers, sums run in decimal (associative, no float reorder drift) —
+  * so the DuckDB oracle is simply the unsalted GROUP BY.
+  */
+object SkewAgg {
+
+  /** Count + exact decimal sum of `valueCol` per `keyCol`, salted on a
+    * unique id column (NEVER a random: replays must land each row in the
+    * same bucket).
+    */
+  def saltedStats(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      saltFrom: Column,
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    df
+      .groupBy(col(keyCol), pmod(xxhash64(saltFrom), lit(buckets.toLong)).as("_salt"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("_s"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum("_n").as("n"),
+        sum("_s").cast("double").as("sum_value"))
+  }
+}

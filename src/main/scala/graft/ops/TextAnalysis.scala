@@ -561,8 +561,12 @@ object TextAnalysis {
       maxDf: Long = 50L,
       minSim: Double = 0.2,
       textCol: String = "text"): DataFrame = {
+    // the pruned weight stream feeds BOTH self-join sides and the norms:
+    // pin it once (Dedup.duplicateGroups' measured pattern) or the whole
+    // tokenize→tf→df→join pipeline replays three times
     val w = tfidfWeights(df, maxDf, textCol)
       .select(col("doc_id"), col("term"), col("w_milli"))
+      .localCheckpoint()
     val norms = w.groupBy("doc_id")
       .agg(sum(col("w_milli") * col("w_milli")).as("n2"))
     val dots = w.as("a").join(w.as("b"), Seq("term"))
@@ -575,6 +579,35 @@ object TextAnalysis {
       .select(col("a_id"), col("b_id"),
         round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("sim"))
       .filter(col("sim") >= minSim)
+  }
+
+  /** Adjacent-character pair frequencies within words — the statistic a
+    * BPE tokenizer trainer computes for its FIRST merge decision (and,
+    * iterated with merges applied, every one after). Distributed pair
+    * counting is the scalable half of BPE training; the merge loop
+    * itself is a driver-side fold over this table's top rows.
+    *
+    * Plan: explode words → explode in-word char pairs → one counting
+    * shuffle keyed on the pair → TakeOrderedAndProject. Pair cardinality
+    * is alphabet², so the aggregation output is tiny no matter the
+    * corpus.
+    */
+  def bpePairStats(
+      df: DataFrame,
+      k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val words = split(lower(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    df.select(explode(words).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => struct(
+          col("w").substr(i, lit(1)).as("a"),
+          col("w").substr(i + 1, lit(1)).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(k)
   }
 
   /** Top collocations by pointwise mutual information — which word

@@ -228,4 +228,38 @@ object EventStreamOps {
         max("epoch").as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Online anomaly scoring: z-score each live (window, event_type)
+    * count against BATCH-TRAINED rate moments — the train-offline /
+    * score-online split. `stats` is
+    * [[graft.ops.EventAnalytics.rateMoments]] output (computed on
+    * history, small: one row per event type); on a stream the join is
+    * stream-static — Spark broadcasts the static side into every
+    * micro-batch, no stateful join, and the windowed count's state is
+    * watermark-bounded exactly as in [[windowedCounts]].
+    *
+    * Batch input gives the identical DataFrame (the batch-twin test
+    * pins streaming semantics to [[graft.ops.EventAnalytics
+    * .rateAnomalies]]'s oracle-checked scoring).
+    */
+  def rateAnomalyStream(
+      events: DataFrame,
+      stats: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      zThreshold: Double = 3.0): DataFrame = {
+    import graft.ops.EventAnalytics
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(stats), "event_type")
+      .filter(EventAnalytics.rateVariance > 0)
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("cnt"),
+        EventAnalytics.rateZ(col("cnt")).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > zThreshold)
+  }
 }

@@ -1,0 +1,30 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SkewAggSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  test("salted aggregation equals the direct groupBy exactly") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val salted = SkewAgg.saltedStats(ev, "event_type", "value", col("event_id"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    salted shouldBe direct
+  }
+
+  test("buckets=1 degrades to the plain two-step aggregation") {
+    val df = Seq(("a", 1.5, 1L), ("a", 2.5, 2L), ("b", 3.0, 3L))
+      .toDF("k", "v", "id")
+    val out = SkewAgg.saltedStats(df, "k", "v", col("id"), buckets = 1)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array(("a", 2L, 4.0), ("b", 1L, 3.0))
+  }
+}

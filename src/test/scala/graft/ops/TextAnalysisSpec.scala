@@ -208,6 +208,14 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
   }
 
+  test("bpe pair stats count in-word adjacent char pairs") {
+    val df = Seq((1L, "aab ab x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(df, k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // 'aab' -> aa, ab; 'ab' -> ab; 'x' too short
+    out shouldBe Map(("a", "b") -> 2L, ("a", "a") -> 1L)
+  }
+
   test("freq spectrum counts distinct grams per occurrence count") {
     val df = Seq(
       (1L, "a a a b b c"),   // unigrams: a->3, b->2, c->1

@@ -169,4 +169,42 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
     q.stop()
     sessions.map(s => (s.user_id, s.n_events)).toSeq shouldBe Seq((7L, 2L))
   }
+
+  test("rate anomaly stream on batch input matches the batch scorer") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val stats = graft.ops.EventAnalytics.rateMoments(ev)
+    // window_start/3600 is exactly the batch scorer's epoch-hour bucket
+    val twin = EventStreamOps.rateAnomalyStream(ev, stats)
+      .select(col("event_type"), (col("window_start") / 3600).cast("long").as("bucket"),
+        col("cnt"), col("z"), col("is_anomaly"))
+      .collect().map(_.toSeq).toSet
+    val batchSet = graft.ops.EventAnalytics.rateAnomalies(ev)
+      .collect().map(_.toSeq).toSet
+    twin shouldBe batchSet
+  }
+
+  test("rate anomaly stream scores live windows against static moments") {
+    // 1 event on even hours, 3 on odd: nonzero variance, mean 2/hour
+    val history = (0 until 20).flatMap { h =>
+      Seq.tabulate(if (h % 2 == 0) 1 else 3)(i =>
+        ((h * 10 + i).toLong, ts(f"2024-01-01 $h%02d:00:10"), 7L, "click", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val stats = graft.ops.EventAnalytics.rateMoments(history)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreamOps.rateAnomalyStream(df, stats, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("ranom").outputMode("append").start()
+    // one live hour with a 30-event burst, then advance the watermark
+    mem.addData(Seq.tabulate(30)(i =>
+      (100L + i, ts("2024-02-01 10:00:30"), 7L, "click", 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData((999L, ts("2024-02-01 13:00:00"), 8L, "view", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("ranom").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt"),
+        r.getAs[Boolean]("is_anomaly")))
+    q.stop()
+    // history: 2/hour for 20 hours -> a 30-event hour is a huge spike
+    rows should contain(("click", 30L, true))
+  }
 }
