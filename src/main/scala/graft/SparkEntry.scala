@@ -233,6 +233,48 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q3 shape: selective dim filter broadcast into the fact join,
+    // exact decimal revenue, TakeOrderedAndProject top-10
+    "q3_shipping" -> ((s, dir) => {
+      val cut = to_timestamp(lit("1998-01-01"))
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue by nation — two fact-sized
+    // shuffle joins, every dimension broadcast
+    "q5_region" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(asiaNations), col("n_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
@@ -821,6 +863,28 @@ object SparkEntry {
 
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        | JOIN nation ON n_nationkey = c_nationkey
+        | JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
