@@ -79,7 +79,12 @@ object CorpusOps {
     * ONCE per domain, after which shares and weights are exact integer
     * floor-divisions; only `epochs` is a double, computed by one fixed
     * expression over exact integers (cross-engine identical — the
-    * [[graft.ops.EventAnalytics.rateAnomalies]] argument).
+    * [[graft.ops.EventAnalytics.rateAnomalies]] argument). Residual
+    * risk, as with every `ln`-quantized operator here: `pow` is only
+    * 1-ulp-accurate in Java, so a domain whose `T^α·1e6` sits within
+    * ~1e-10 of a .5 boundary could round differently across engines —
+    * one rounding per DOMAIN (a handful), not per row, which is why the
+    * quantize-once-then-integer design bounds the exposure.
     *
     * One data-sized aggregation (domain token counts); everything after
     * operates on a domain-cardinality table.

@@ -129,17 +129,30 @@ object EventAnalytics {
       events: DataFrame,
       bucketUs: Long = 3600000000L,
       zThreshold: Double = 3.0): DataFrame = {
-    val cnts = events
-      .select(col("event_type"),
-        ColumnOps.fdiv(unix_micros(col("ts")), bucketUs).as("bucket"))
-      .groupBy("event_type", "bucket")
-      .agg(count(lit(1)).as("cnt"))
-    cnts.join(broadcast(rateMoments(events, bucketUs)), "event_type")
+    val cnts = bucketCounts(events, bucketUs)
+    cnts.join(broadcast(momentsOf(cnts)), "event_type")
       .filter(rateVariance > 0)
       .select(col("event_type"), col("bucket"), col("cnt"),
         rateZ(col("cnt")).as("z"))
       .withColumn("is_anomaly", abs(col("z")) > zThreshold)
   }
+
+  private def bucketCounts(events: DataFrame, bucketUs: Long): DataFrame =
+    events
+      .select(col("event_type"),
+        ColumnOps.fdiv(unix_micros(col("ts")), bucketUs).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  // the SECOND aggregation: input is the already-tiny bucket-count table,
+  // so moments never rescan the raw events when the caller shares `cnts`
+  private def momentsOf(cnts: DataFrame): DataFrame =
+    cnts.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("cnt").as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+      .filter(col("n") >= 2)
 
   /** The per-type rate moments `(event_type, n, Σx, Σx²)` behind
     * [[rateAnomalies]] — exposed so a STREAMING scorer can join the
@@ -148,17 +161,7 @@ object EventAnalytics {
     * offline, score online, one definition of "normal".
     */
   def rateMoments(events: DataFrame, bucketUs: Long = 3600000000L): DataFrame =
-    events
-      .select(col("event_type"),
-        ColumnOps.fdiv(unix_micros(col("ts")), bucketUs).as("bucket"))
-      .groupBy("event_type", "bucket")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        sum("cnt").as("sx"),
-        sum(col("cnt") * col("cnt")).as("sxx"))
-      .filter(col("n") >= 2)
+    momentsOf(bucketCounts(events, bucketUs))
 
   /** Sample variance over the moment columns, in the FIXED operation
     * order both engines replay (see [[rateAnomalies]]'s determinism

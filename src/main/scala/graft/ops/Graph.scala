@@ -28,12 +28,6 @@ object Graph {
       .distinct()
   }
 
-  /** Exact floor division of non-negative longs by a positive long
-    * column — ~1e18 numerators (damping × a hub's inbound sum) would
-    * hit double mantissa loss under plain division.
-    */
-  private def idivCol(a: Column, b: Column): Column =
-    graft.functions.ColumnOps.fdivCol(a, b)
 
   /** PageRank with a FIXED iteration count, entirely in integer
     * micro-units — every engine and partitioning produces bit-identical
@@ -80,7 +74,8 @@ object Graph {
       val contribs = withDeg
         .join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
-          idivCol(col("rank_micro"), col("outdeg")).as("contrib"))
+          graft.functions.ColumnOps.fdivCol(col("rank_micro"), col("outdeg"))
+            .as("contrib"))
         .groupBy("node")
         .agg(sum("contrib").as("in_sum"))
       rank = nodes.join(contribs, Seq("node"), "left")

@@ -303,20 +303,23 @@ object TextAnalysis {
     val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
     val cardPat = "[0-9]{16}"
     val t = col(textCol)
-    df.select(
-      col("doc_id"),
-      size(regexp_extract_all(t, lit(phonePat), lit(0))).cast("long")
-        .as("n_phones"),
-      size(regexp_extract_all(t, lit(ipPat), lit(0))).cast("long")
-        .as("n_ips"),
-      ColumnOps.bind(regexp_extract_all(t, lit(cardPat), lit(0))) { cards =>
+    // explode(array(struct)) Generate barrier: without it CollapseProject
+    // inlines the card extraction + Luhn filter into EACH referencing
+    // output column (see memory: collapseproject-bind-trick)
+    val packed = ColumnOps.bind(regexp_extract_all(t, lit(cardPat), lit(0))) {
+      cards =>
         struct(
+          size(regexp_extract_all(t, lit(phonePat), lit(0))).cast("long")
+            .as("n_phones"),
+          size(regexp_extract_all(t, lit(ipPat), lit(0))).cast("long")
+            .as("n_ips"),
           size(cards).cast("long").as("n_cards"),
           size(filter(cards, c => call_function("luhn_check", c)))
             .cast("long").as("n_valid"))
-      }.as("c"))
-      .select(col("doc_id"), col("n_phones"), col("n_ips"),
-        col("c.n_cards").as("n_cards"), col("c.n_valid").as("n_valid"))
+    }
+    df.select(col("doc_id"), explode(array(packed)).as("p"))
+      .select(col("doc_id"), col("p.n_phones"), col("p.n_ips"),
+        col("p.n_cards"), col("p.n_valid"))
   }
 
   /** Per-language document-length quantiles — the distribution dashboard
@@ -643,11 +646,13 @@ object TextAnalysis {
               element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
       }).as("p"))
       .select(col("p.w1"), col("p.w2"))
-    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minCount)
+    // n_bi folds out of the UNFILTERED bigram counts — recounting the
+    // corpus-sized pair explode for one scalar would be a second pass
+    val biAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val bi = biAll.filter(col("c_ab") >= minCount)
     val uni = df.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = pairs.agg(count(lit(1)).as("n_bi"))
+    val tot = biAll.agg(sum("c_ab").as("n_bi"))
       .crossJoin(uni.agg(sum("c").as("n_uni")))
     bi
       .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")

@@ -1,11 +1,11 @@
 package graft.tools
 
-import graft.{Sessions, SparkEntry}
-import java.nio.file.{Files, Paths}
+import graft.{Sessions, SparkEntry, Verify}
 
 /** Iteration twin of [[graft.Verify]]: dump only the NAMED queries (plus
   * their oracle SQL) so a new operator can be oracle-checked in seconds
-  * instead of re-running all of them.
+  * instead of re-running all of them. Same dump path as the driver run —
+  * [[graft.Verify.dump]] — so the two can never drift.
   *
   * Usage: runMain graft.tools.VerifySome <sfDir> <outDir> <name...>
   */
@@ -20,24 +20,8 @@ object VerifySome {
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
-      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      println(s"[verifysome] dumped $name")
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.dump(spark, sfDir, outDir, names)
+    names.toSeq.sorted.foreach(n => println(s"[verifysome] dumped $n"))
     spark.stop()
   }
 }
