@@ -620,6 +620,11 @@ object SparkEntry {
       ops.CorpusOps.mixturePlan(t(s, dir, "documents"), budgetTokens = 1000000000L)
         .orderBy("lang")),
 
+    "q_profile" -> ((s, dir) =>
+      ops.CorpusOps.profileNumeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")),
+
     "q_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5L, k = 50)),
 
@@ -632,6 +637,14 @@ object SparkEntry {
 
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(t(s, dir, "documents"), k = 50)),
+
+    // exact-substring tier: winnow candidates -> longest shared token span
+    "q_overlap_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.overlapSpans(docs,
+        TextAnalysis.winnowPairs(docs, k = 3, w = 4, minShared = 2))
+        .orderBy("a_id", "b_id")
+    }),
 
     // streaming anomaly scorer on its batch twin: moments trained by
     // EventAnalytics.rateMoments, scoring identical to q_rate_anomaly
@@ -1690,6 +1703,60 @@ object SparkEntry {
         |WHERE n_shared >= 2
         |ORDER BY a_id, b_id""".stripMargin,
 
+    "q_overlap_spans" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |  END AS sh0
+        | FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |       FROM documents)
+        |),
+        |hs AS (
+        | SELECT doc_id, list_transform(sh0, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs,
+        |  len(sh0) AS n
+        | FROM sh
+        |),
+        |fp AS (
+        | SELECT doc_id,
+        |  CASE WHEN n <= 4 THEN [list_min(hs)]
+        |       ELSE list_distinct(list_transform(range(1, n - 2), i -> list_min(hs[i:i+3])))
+        |  END AS fps
+        | FROM hs
+        |),
+        |flat AS (
+        | SELECT DISTINCT doc_id, fingerprint FROM (
+        |  SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
+        |),
+        |pairs AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |  FROM flat a JOIN flat b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE n_shared >= 2
+        |),
+        |pos AS (
+        | SELECT doc_id, p.i AS pos, p.g AS gram FROM (
+        |  SELECT doc_id, unnest([{'i': i, 'g': sh0[i]} for i in range(1, len(sh0) + 1)]) AS p
+        |  FROM sh)
+        |),
+        |m AS (
+        | SELECT p.a_id, p.b_id, a.pos AS pa, b.pos AS pb
+        | FROM pairs p
+        | JOIN pos a ON a.doc_id = p.a_id
+        | JOIN pos b ON b.doc_id = p.b_id AND b.gram = a.gram
+        |),
+        |runs AS (
+        | SELECT a_id, b_id, count(*) AS run FROM (
+        |  SELECT a_id, b_id, pa - pb AS diag,
+        |   pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS island
+        |  FROM m)
+        | GROUP BY a_id, b_id, diag, island
+        |)
+        |SELECT a_id, b_id, CAST(max(run) + 2 AS BIGINT) AS max_span_tokens,
+        | CAST(sum(run) AS BIGINT) AS n_shared_positions
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
         | quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_tokens,
@@ -2005,6 +2072,33 @@ object SparkEntry {
         | (1000000 * pw) // pw_total AS weight_micro,
         | round((1000000 * pw) // pw_total / 1e6 * 1000000000 / tokens, 6) AS epochs
         |FROM s, tot ORDER BY lang""".stripMargin,
+
+    "q_profile" ->
+      """WITH p AS (
+        | SELECT 'l_quantity' AS col_name, count(*) AS n_rows, count(l_quantity) AS n_present,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  CAST(min(l_quantity) AS DOUBLE) AS min_val, CAST(max(l_quantity) AS DOUBLE) AS max_val
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_extendedprice),
+        |  CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'l_discount', count(*), count(l_discount),
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_discount),
+        |  CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'l_tax', count(*), count(l_tax),
+        |  CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_tax),
+        |  CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+        | FROM lineitem)
+        |SELECT * FROM p ORDER BY col_name""".stripMargin,
 
     "q_collocations" ->
       """WITH toks AS (

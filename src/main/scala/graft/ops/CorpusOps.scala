@@ -89,6 +89,36 @@ object CorpusOps {
     * One data-sized aggregation (domain token counts); everything after
     * operates on a domain-cardinality table.
     */
+  /** Exact numeric column profile — count / nulls / distincts / min /
+    * max per column, the data-quality dashboard a warehouse runs after
+    * every load. ONE aggregation pass over the table (per-column
+    * aggregates computed side by side, then unpivoted to rows with a
+    * Generate — no per-column rescans; `countDistinct` expands to a
+    * single multi-distinct aggregate).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__cnt"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__dist"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"${c}__cnt").as("n_present"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__dist").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_present"),
+        col("p.n_null"), col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+
   def mixturePlan(
       df: DataFrame,
       budgetTokens: Long,

@@ -584,6 +584,56 @@ object TextAnalysis {
       .filter(col("sim") >= minSim)
   }
 
+  /** Exact shared-substring spans for candidate document pairs — the
+    * exact tier of substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for each candidate
+    * pair, the LONGEST run of consecutive shared `n`-gram positions,
+    * i.e. the longest common token substring, found with the
+    * gaps-and-islands window trick instead of suffix arrays:
+    *
+    * matching n-gram occurrences (posA, posB) that belong to one
+    * contiguous shared span all lie on one DIAGONAL (posA − posB
+    * constant) at consecutive posA — so island id = posA − row_number
+    * per (pair, diagonal), and the longest island's length `L` gives a
+    * shared span of `L + n − 1` tokens. Pure integer window arithmetic:
+    * replayed exactly by the oracle.
+    *
+    * Scale shape: candidates come from a BANDED generator
+    * ([[winnowPairs]] / MinHash) — never all pairs; the position join
+    * touches only candidate documents (semi-join pruned) and joins on
+    * the GRAM VALUE, so each pair's cost is its shared-gram count, not
+    * its length product.
+    */
+  def overlapSpans(
+      df: DataFrame,
+      pairs: DataFrame,
+      n: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+    val g = df.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "gram")))
+    val matches = pairs.select(col("a_id"), col("b_id"))
+      .join(g.select(col("doc_id").as("a_id"), col("pos").as("pa"),
+        col("gram")), "a_id")
+      .join(g.select(col("doc_id").as("b_id"), col("pos").as("pb"),
+        col("gram")), Seq("b_id", "gram"))
+    matches
+      .withColumn("island", col("pa") - row_number().over(
+        Window.partitionBy(col("a_id"), col("b_id"), col("pa") - col("pb"))
+          .orderBy("pa")))
+      .groupBy(col("a_id"), col("b_id"),
+        (col("pa") - col("pb")).as("diag"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy("a_id", "b_id")
+      .agg(
+        (max("run") + (n - 1)).as("max_span_tokens"),
+        sum("run").as("n_shared_positions"))
+  }
+
   /** Adjacent-character pair frequencies within words — the statistic a
     * BPE tokenizer trainer computes for its FIRST merge decision (and,
     * iterated with merges applied, every one after). Distributed pair

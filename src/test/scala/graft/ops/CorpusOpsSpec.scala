@@ -44,6 +44,22 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
       Array("id", "text", "score", "src")
   }
 
+  test("profileNumeric: exact per-column stats in one pass, nulls counted") {
+    val df = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.0), None), (Some(2.0), Some(30.0))
+    ).toDF("a", "b")
+    val out = CorpusOps.profileNumeric(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+    val a = out(0); val b = out(1)
+    a.getAs[Long]("n_rows") shouldBe 3L
+    a.getAs[Long]("n_present") shouldBe 3L
+    a.getAs[Long]("n_distinct") shouldBe 2L
+    a.getAs[Double]("min_val") shouldBe 1.0
+    b.getAs[Long]("n_null") shouldBe 1L
+    b.getAs[Long]("n_present") shouldBe 2L
+    b.getAs[Double]("max_val") shouldBe 30.0
+  }
+
   test("mixturePlan: alpha < 1 upsamples the low-resource domain") {
     val docs = Seq(
       (1L, "en", ("w " * 900).trim),   // 900 tokens

@@ -216,6 +216,22 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(("a", "b") -> 2L, ("a", "a") -> 1L)
   }
 
+  test("overlap spans: longest shared token run via the diagonal-island trick") {
+    val docs = Seq(
+      (1L, "x1 x2 c1 c2 c3 c4 c5 y1"),
+      (2L, "z1 c1 c2 c3 c4 c5 z2 z3 z4"),
+      (3L, "unrelated words only here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val out = TextAnalysis.overlapSpans(docs, pairs, n = 3)
+      .orderBy("a_id", "b_id").collect()
+    // pair (1,2): shared run c1..c5 = 3 consecutive trigrams -> 5 tokens
+    out.length shouldBe 1 // (1,3) shares no trigram at all -> no row
+    (out(0).getLong(0), out(0).getLong(1)) shouldBe (1L, 2L)
+    out(0).getAs[Long]("max_span_tokens") shouldBe 5L
+    out(0).getAs[Long]("n_shared_positions") shouldBe 3L
+  }
+
   test("freq spectrum counts distinct grams per occurrence count") {
     val df = Seq(
       (1L, "a a a b b c"),   // unigrams: a->3, b->2, c->1
