@@ -646,6 +646,17 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // salted fact⋈dim join — oracle is the plain unsalted join
+    "q_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ops.SkewAgg.saltedJoin(
+        ev.select("event_id", "event_type"),
+        ops.EventAnalytics.rateMoments(ev).select("event_type", "n"),
+        "event_type", col("event_id"))
+        .select("event_id", "event_type", "n")
+        .orderBy("event_id")
+    }),
+
     // streaming anomaly scorer on its batch twin: moments trained by
     // EventAnalytics.rateMoments, scoring identical to q_rate_anomaly
     "q_rate_anomaly_stream" -> ((s, dir) => {
@@ -2137,6 +2148,16 @@ object SparkEntry {
         |  FROM wd WHERE length(w) >= 2))
         |SELECT a, b, count(*) AS cnt FROM p GROUP BY 1, 2
         |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS b, count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |s AS (
+        | SELECT event_type, count(*) AS n
+        | FROM c GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT e.event_id, e.event_type, s.n
+        |FROM events e JOIN s USING (event_type) ORDER BY e.event_id""".stripMargin,
 
     "q_rate_anomaly_stream" ->
       """WITH c AS (

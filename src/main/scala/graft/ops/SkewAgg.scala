@@ -41,4 +41,27 @@ object SkewAgg {
         sum("_n").as("n"),
         sum("_s").cast("double").as("sum_value"))
   }
+
+  /** Skew-proof equi-join: the fact side's hot key no longer lands on
+    * one reducer — each fact row picks a deterministic salt bucket, the
+    * dim side is replicated `buckets`× (explode, one row per bucket),
+    * and the join runs on (key, salt). Use when the dim side is too big
+    * to broadcast but small enough that `buckets`× replication is cheap
+    * — the standard middle ground between broadcast and a skew-limited
+    * shuffle join. Output equals the plain join exactly (the oracle IS
+    * the unsalted join).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFrom: Column,
+      buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    fact
+      .withColumn("_salt", pmod(xxhash64(saltFrom), lit(buckets.toLong)))
+      .join(dim.withColumn("_salt",
+        explode(sequence(lit(0L), lit(buckets - 1L)))), Seq(key, "_salt"))
+      .drop("_salt")
+  }
 }

@@ -20,6 +20,18 @@ class SkewAggSpec extends AnyFunSuite with Matchers {
     salted shouldBe direct
   }
 
+  test("salted join equals the plain join exactly") {
+    val fact = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "k")
+    val dim = Seq(("a", 10L), ("b", 20L)).toDF("k", "v")
+    val salted = SkewAgg.saltedJoin(fact, dim, "k", col("id"), buckets = 4)
+      .select("id", "k", "v").orderBy("id").collect().map(_.toSeq)
+    val plain = fact.join(dim, "k")
+      .select("id", "k", "v").orderBy("id").collect().map(_.toSeq)
+    salted shouldBe plain
+    salted.length shouldBe 3  // 'c' has no dim row: inner join drops it
+  }
+
   test("buckets=1 degrades to the plain two-step aggregation") {
     val df = Seq(("a", 1.5, 1L), ("a", 2.5, 2L), ("b", 3.0, 3L))
       .toDF("k", "v", "id")
