@@ -437,6 +437,12 @@ object SparkEntry {
         .orderBy("label", "a_id", "b_id")),
 
     // ── similarity search (§7.3) ──────────────────────────────────────
+    // PQ-ADC ANN: encode -> lookup-table scoring -> exact rerank, all in
+    // exact integers, so even the compressed-domain path is oracle-checked
+    "q_sim_pq" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), queryMaxId = 10, k = 5)
+        .orderBy("query_id", "rank")),
+
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -1577,6 +1583,49 @@ object SparkEntry {
         |  / sqrt(CAST(list_sum(list_transform(list_zip(a.qv, a.qv), p -> p[1] * p[2])) AS DOUBLE)
         |       * CAST(list_sum(list_transform(list_zip(b.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) >= 0.35
         |ORDER BY label, a_id, b_id""".stripMargin,
+
+    "q_sim_pq" ->
+      """WITH v AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |sub AS (
+        | SELECT vec_id, s, qv[s*16+1 : s*16+16] AS xv
+        | FROM v, range(0, 4) t(s)),
+        |cb AS (SELECT vec_id AS code_id, s, xv AS cw FROM sub WHERE vec_id < 16),
+        |enc AS (
+        | SELECT vec_id, s, code_id FROM (
+        |  SELECT sub.vec_id, sub.s, cb.code_id,
+        |   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+        |    ORDER BY list_sum(list_transform(list_zip(sub.xv, cb.cw), p -> p[1] * p[2])) DESC,
+        |     cb.code_id) AS rn
+        |  FROM sub JOIN cb ON cb.s = sub.s)
+        | WHERE rn = 1),
+        |lut AS (
+        | SELECT sub.vec_id AS query_id, sub.s, cb.code_id,
+        |  CAST(list_sum(list_transform(list_zip(sub.xv, cb.cw), p -> p[1] * p[2])) AS BIGINT) AS pd
+        | FROM sub JOIN cb ON cb.s = sub.s WHERE sub.vec_id < 10),
+        |adc AS (
+        | SELECT l.query_id, e.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc
+        | FROM enc e JOIN lut l ON l.s = e.s AND l.code_id = e.code_id
+        | WHERE e.vec_id <> l.query_id
+        | GROUP BY 1, 2),
+        |cand AS (
+        | SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS r
+        |  FROM adc) WHERE r <= 50),
+        |scored AS (
+        | SELECT c.query_id, c.vec_id AS cand_id,
+        |  round(list_sum(list_transform(list_zip(q.qv, x.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(list_sum(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |        * CAST(list_sum(list_transform(list_zip(x.qv, x.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
+        | FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v x ON x.vec_id = c.vec_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_sim_topk" ->
       """WITH q AS (

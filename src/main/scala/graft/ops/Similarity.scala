@@ -389,6 +389,86 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
+  /** Product-quantization ANN (ADC variant): the COMPRESSED-DOMAIN scale
+    * path — each corpus vector is reduced to `m` small integer codes
+    * (here 4 codes for a 64-dim vector: 16× compression), queries stay
+    * exact, and candidate scoring reads only codes + a per-query lookup
+    * table, never the corpus vectors. At 100 TB of embeddings this is
+    * the difference between scanning vectors and scanning bytes; the
+    * full-precision vectors are touched only for the final `rerank`
+    * candidates per query.
+    *
+    * Pipeline (each stage one narrow shuffle or broadcast):
+    *   1. codebook: per subspace, the sub-vectors of the `codebookSize`
+    *      lowest-id vectors — the same deterministic offline-training
+    *      stand-in as [[ivfTopK]]'s seed centroids;
+    *   2. encode: corpus × broadcast codebook, argmax integer dot per
+    *      (vector, subspace) — ties to the lowest code id;
+    *   3. ADC: per-query lookup table (query-subspace × codeword dots,
+    *      `m·codebookSize` integers per query, broadcast), joined to the
+    *      codes and summed — EXACT long arithmetic end to end;
+    *   4. rerank: top-`rerank` by approximate dot (ties on cand_id) get
+    *      exact quantized cosine; final top-`k` on that.
+    *
+    * Every stage is integer-deterministic, so the whole
+    * encode→LUT→ADC→rerank cascade replays in DuckDB — an
+    * oracle-checked PQ index.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      rerank: Int = 50): DataFrame = {
+    require(m >= 1 && codebookSize >= 1 && rerank >= k,
+      s"bad PQ spec: m=$m codebookSize=$codebookSize rerank=$rerank k=$k")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val vecs = quantizedWithNorms(embeddings, native)
+    // subspace s of a quantized vector: components [s·L+1, (s+1)·L],
+    // L derived from the vector itself so any dim divisible by m works
+    def subs(v: Column): Column = {
+      val len = (size(v) / m).cast("int")
+      array((0 until m).map(s => slice(v, lit(s) * len + 1, len)): _*)
+    }
+    val cb = vecs.filter(col("vec_id") < codebookSize)
+      .select(col("vec_id").as("code_id"),
+        posexplode(subs(col("qv"))).as(Seq("s", "cw")))
+    val codes = vecs
+      .select(col("vec_id"), posexplode(subs(col("qv"))).as(Seq("s", "xv")))
+      .join(broadcast(cb), Seq("s"))
+      .groupBy("vec_id", "s")
+      .agg(max_by(col("code_id"),
+        struct(qdot(col("xv"), col("cw"), native).as("d"),
+          (-col("code_id")).as("tb"))).as("code_id"))
+    val lut = vecs.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"),
+        posexplode(subs(col("qv"))).as(Seq("s", "qs")))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code_id"),
+        qdot(col("qs"), col("cw"), native).as("pd"))
+    val wAdc = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+    val cands = codes.join(broadcast(lut), Seq("s", "code_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pd").as("adc"))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    cands
+      .join(broadcast(vecs.select(col("vec_id").as("query_id"),
+        col("qv").as("qqv"), col("qn").as("qqn"))), "query_id")
+      .join(vecs.select(col("vec_id"), col("qv").as("cqv"), col("qn").as("cqn")),
+        "vec_id")
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        qcosinePre(qdot(col("qqv"), col("cqv"), native),
+          col("qqn"), col("cqn")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** ANN via banded LSH: signature split into `bands` bands; vectors
     * sharing any band bucket become candidates; exact (quantized) cosine
     * re-ranks candidates; top-k per query. Recall is tuned by

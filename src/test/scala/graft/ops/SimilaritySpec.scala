@@ -71,6 +71,24 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     lsh.size shouldBe 25 // 5 queries × k=5 (enough candidates exist)
   }
 
+  test("PQ-ADC top-k: recall vs brute force; full-corpus rerank equals brute") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    pq.size shouldBe 25
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    recall should be >= 0.4  // compressed-domain candidates, exact rerank
+    // rerank >= corpus size: PQ candidates cover everything -> exact answer
+    val n = real.count().toInt
+    val pqFull = Similarity.pqTopK(real, queryMaxId = 5L, k = 5, rerank = n)
+      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    val bruteFull = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    pqFull shouldBe bruteFull
+  }
+
   test("IVF with full probe equals brute force; partial probe is a subset") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
