@@ -579,6 +579,10 @@ object SparkEntry {
       TextAnalysis.qualityClassifier(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    "q_unigram_ppl" -> ((s, dir) =>
+      Importance.unigramSurprisal(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
         .orderBy("doc_id", "rank")),
@@ -2009,6 +2013,21 @@ object SparkEntry {
         | (200000 + least(n_tokens, 400) * 1000 + stop_micro * 2 - sym_micro * 3
         |  - digit_micro * 2 - abs(mean_len_micro - 4500000) // 5) > 300000 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_ppl" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        | FROM documents),
+        |vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+        |scored AS (
+        | SELECT w, CAST(round(ln(CAST(n_total AS DOUBLE) / c) * 1e6) AS BIGINT) AS s_micro
+        | FROM vocab, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(s_micro) AS BIGINT) AS sum_micro,
+        | CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
+        |FROM toks JOIN scored USING (w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

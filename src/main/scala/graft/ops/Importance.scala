@@ -74,4 +74,41 @@ object Importance {
         count(lit(1)).as("n_feats"),
         sum("lam_micro").as("score_micro"))
   }
+
+  /** Unigram language-model surprisal — the perplexity PROXY the CCNet
+    * pipeline uses to split a crawl into head/middle/tail quality
+    * buckets: score each document by the mean negative log-probability
+    * of its tokens under the corpus's own unigram distribution. Low
+    * surprisal = common, fluent text; high = rare-token soup (OCR junk,
+    * code dumps, other languages).
+    *
+    * Per vocabulary word `w`: `s_w = round(ln(N/c_w)·1e6)` — quantized
+    * ONCE per word (the [[importanceWeights]] / bm25 argument), then
+    * document totals are exact long sums and the mean is an exact floor
+    * division. Replays bit-for-bit in the oracle.
+    *
+    * Plan: one token-counting shuffle builds the vocab table; the token
+    * stream joins it ON THE WORD (vocab-sized build side, data-sized
+    * stream side) and folds per document. Same two-pass shape as
+    * [[graft.ops.TextAnalysis.tfidfWeights]].
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = df.select(col("doc_id"),
+      explode(split(lower(regexp_replace(col(textCol), "\\s+", " ")), " "))
+        .as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum("c").as("n_total"))
+    val scored = vocab.crossJoin(broadcast(tot)).select(
+      col("w"),
+      round(log(col("n_total").cast("double") / col("c")) * 1e6)
+        .cast("long").as("s_micro"))
+    toks.join(scored, Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("s_micro").as("sum_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_micro"),
+        graft.functions.ColumnOps.fdivCol(col("sum_micro"), col("n_tokens"))
+          .as("avg_micro"))
+  }
 }

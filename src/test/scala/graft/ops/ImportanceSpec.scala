@@ -39,6 +39,23 @@ class ImportanceSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe 1L  // short doc degrades to the whole-text shingle
   }
 
+  test("unigram surprisal: rare-token docs score higher; exact integer mean") {
+    val docs = Seq(
+      (1L, "the the the the"),          // all common tokens
+      (2L, "the zyzzyva qoph xylyl")    // three hapaxes
+    ).toDF("doc_id", "text")
+    val out = Importance.unigramSurprisal(docs)
+      .orderBy("doc_id").collect()
+    val common = out(0); val rare = out(1)
+    common.getAs[Long]("n_tokens") shouldBe 4L
+    rare.getAs[Long]("avg_micro") should be > common.getAs[Long]("avg_micro")
+    // 'the' occurs 5 times of 8 total: s = round(ln(8/5) * 1e6); doc1 = 4 of them
+    val sThe = BigDecimal(math.log(8.0 / 5.0) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    common.getAs[Long]("sum_micro") shouldBe 4L * sThe
+    common.getAs[Long]("avg_micro") shouldBe sThe
+  }
+
   test("scores are an exact sum: doubling a document's features doubles nothing unseen") {
     // one doc repeated twice under different ids must get IDENTICAL scores
     val docs = Seq(
