@@ -630,6 +630,26 @@ object SparkEntry {
       ops.CorpusOps.mixturePlan(t(s, dir, "documents"), budgetTokens = 1000000000L)
         .orderBy("lang")),
 
+    // crawl URL hygiene: synthesized messy URLs (q_pii_scan pattern) ->
+    // canonicalize, blocklist anti-join, crawl-order dedup
+    "q_url_canon" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("HTTP://Example"), pmod(col("doc_id"), lit(7L)),
+          lit(".COM"),
+          when(pmod(col("doc_id"), lit(2L)) === 0L, lit(":80")).otherwise(lit("")),
+          lit("/p"), pmod(col("doc_id"), lit(20L)),
+          lit("?q="), pmod(col("doc_id"), lit(10L)),
+          when(pmod(col("doc_id"), lit(3L)) === 0L, lit("&utm_source=x"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0L, lit("#frag"))
+            .otherwise(lit(""))).as("url"))
+      val blocked = Seq("example0.com", "example1.com").toDF("host")
+      ops.CorpusOps.canonicalizeUrls(urls, blocked).orderBy("canonical_url")
+    }),
+
     "q_profile" -> ((s, dir) =>
       ops.CorpusOps.profileNumeric(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
@@ -2151,6 +2171,34 @@ object SparkEntry {
         | (1000000 * pw) // pw_total AS weight_micro,
         | round((1000000 * pw) // pw_total / 1e6 * 1000000000 / tokens, 6) AS epochs
         |FROM s, tot ORDER BY lang""".stripMargin,
+
+    "q_url_canon" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  'HTTP://Example' || (doc_id % 7) || '.COM' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+        |  '/p' || (doc_id % 20) || '?q=' || (doc_id % 10) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '&utm_source=x' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   lower(regexp_extract(url, '^[^/]*//[^/]*', 0)) || regexp_extract(url, '^[^/]*//[^/]*(.*)$', 1),
+        |   '#.*$', '', 'g'),
+        |   '[?&](utm_[a-z]+|ref|fbclid)=[^&#]*', '', 'g'),
+        |   '\?$', '', 'g'),
+        |   ':(80|443)/', '/', 'g'),
+        |   '/$', '', 'g') AS canonical_url
+        | FROM u),
+        |h AS (
+        | SELECT doc_id, canonical_url,
+        |  regexp_extract(canonical_url, '^[a-z]+://([^/:]+)', 1) AS host
+        | FROM c)
+        |SELECT canonical_url, min(doc_id) AS doc_id, min(host) AS host,
+        | count(*) AS n_dupes
+        |FROM h WHERE host NOT IN ('example0.com', 'example1.com')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_profile" ->
       """WITH p AS (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.PortableHash
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,6 +117,50 @@ object CorpusOps {
         col(s"${c}__max").as("max_val"))): _*)).as("p"))
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_present"),
         col("p.n_null"), col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+
+  /** Crawl-frontier URL hygiene in one operator: canonicalize (lowercase
+    * scheme+host, strip fragment, strip tracking params, drop default
+    * ports, trim trailing slash), drop blocklisted hosts (broadcast
+    * anti-join — the robots/spam list), and keep ONE doc per canonical
+    * URL (lowest doc_id wins — crawl-order dedup).
+    *
+    * Canonicalization is pure sequenced regex rewrites (RE2-safe, so the
+    * oracle replays them identically); the dedup is one shuffle keyed on
+    * the canonical URL; the blocklist is a broadcast anti-join, never a
+    * filter scan per pattern.
+    */
+  def canonicalizeUrls(
+      df: DataFrame,
+      blockedHosts: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val canon =
+      // order matters; each step feeds the next
+      Seq[Column => Column](
+        u => regexp_replace(u, "#.*$", ""),                 // fragment
+        u => regexp_replace(u, "[?&](utm_[a-z]+|ref|fbclid)=[^&#]*", ""), // tracking
+        u => regexp_replace(u, "\\?$", ""),                 // bare '?'
+        u => regexp_replace(u, ":(80|443)/", "/"),          // default ports
+        u => regexp_replace(u, "/$", "")                    // trailing slash
+      ).foldLeft[Column](
+        // lowercase scheme+host only: split at the first path slash
+        concat(
+          lower(regexp_extract(col(urlCol), "^[^/]*//[^/]*", 0)),
+          regexp_extract(col(urlCol), "^[^/]*//[^/]*(.*)$", 1))
+      )((acc, f) => f(acc))
+    val withCanon = df
+      .withColumn("canonical_url", canon)
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^[a-z]+://([^/:]+)", 1))
+    withCanon
+      .join(broadcast(blockedHosts), Seq("host"), "left_anti")
+      .groupBy("canonical_url")
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        // host is a pure function of canonical_url; min = deterministic
+        // spelling of "the" host in any engine
+        min(col("host")).as("host"),
+        count(lit(1)).as("n_dupes"))
   }
 
   def mixturePlan(

@@ -60,6 +60,27 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     b.getAs[Double]("max_val") shouldBe 30.0
   }
 
+  test("url canonicalization: case, ports, tracking params, fragments; blocklist; dedup") {
+    val urls = Seq(
+      (1L, "HTTP://Site.COM:80/a?utm_source=x"),
+      (2L, "http://site.com/a"),                  // same canonical as 1
+      (3L, "http://site.com/a#section"),          // same again
+      (4L, "https://other.com:443/b?q=1&ref=tw"), // keeps q, drops ref
+      (5L, "http://blocked.com/spam")             // blocklisted host
+    ).toDF("doc_id", "url")
+    val blocked = Seq("blocked.com").toDF("host")
+    val out = CorpusOps.canonicalizeUrls(urls, blocked)
+      .orderBy("canonical_url").collect()
+    out.length shouldBe 2
+    val a = out(0)
+    a.getAs[String]("canonical_url") shouldBe "http://site.com/a"
+    a.getAs[Long]("doc_id") shouldBe 1L      // crawl-order winner
+    a.getAs[Long]("n_dupes") shouldBe 3L
+    val b = out(1)
+    b.getAs[String]("canonical_url") shouldBe "https://other.com/b?q=1"
+    b.getAs[String]("host") shouldBe "other.com"
+  }
+
   test("mixturePlan: alpha < 1 upsamples the low-resource domain") {
     val docs = Seq(
       (1L, "en", ("w " * 900).trim),   // 900 tokens
