@@ -677,6 +677,12 @@ object SparkEntry {
     }),
 
     // salted fact⋈dim join — oracle is the plain unsalted join
+    // greedy subsequence CEP: view -> click -> purchase, any interleaving
+    "q_seq_match" -> ((s, dir) =>
+      ops.EventAnalytics.matchSequence(
+        t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
     "q_salted_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       ops.SkewAgg.saltedJoin(
@@ -2264,6 +2270,26 @@ object SparkEntry {
         |  FROM wd WHERE length(w) >= 2))
         |SELECT a, b, count(*) AS cnt FROM p GROUP BY 1, 2
         |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+
+    "q_seq_match" ->
+      """WITH s0 AS (
+        | SELECT user_id, min(event_id) AS k0 FROM events
+        | WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        | SELECT e.user_id, max(s0.k0) AS k0,
+        |  min(CASE WHEN e.event_type = 'click' AND e.event_id > s0.k0
+        |   THEN e.event_id END) AS k1
+        | FROM events e JOIN s0 USING (user_id) GROUP BY 1),
+        |s2 AS (
+        | SELECT e.user_id, max(s1.k0) AS k0, max(s1.k1) AS k1,
+        |  min(CASE WHEN e.event_type = 'purchase' AND e.event_id > s1.k1
+        |   THEN e.event_id END) AS k2
+        | FROM events e JOIN s1 USING (user_id) GROUP BY 1)
+        |SELECT user_id, k0, k1, k2,
+        | CAST(CASE WHEN k2 IS NOT NULL THEN 3 WHEN k1 IS NOT NULL THEN 2
+        |  WHEN k0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_matched,
+        | k2 IS NOT NULL AS matched
+        |FROM s2 ORDER BY user_id""".stripMargin,
 
     "q_salted_join" ->
       """WITH c AS (

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.ColumnOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch analytics over the `events(event_id, ts, user_id, event_type,
@@ -105,6 +105,45 @@ object EventAnalytics {
         col("bin"),
         (lit(loMicro) + col("bin") * width).as("lo_micro"),
         col("n"))
+  }
+
+  /** Ordered-subsequence match (MATCH_RECOGNIZE-lite): per user, the
+    * greedy earliest-occurrence scan for `steps` as a SUBSEQUENCE of
+    * their event stream — "did this user view, then (any time later)
+    * click, then later purchase", interleaved events allowed. Differs
+    * from [[funnel]]'s first-touch rule: greedy matching finds a valid
+    * chain whenever one exists (first-touch can miss a later re-try).
+    *
+    * Stream order is the `event_id` (globally unique arrival sequence —
+    * the deterministic total order the synthetic stream guarantees).
+    * One aggregation round per step, every round keyed on `user_id`, so
+    * rounds after the first reuse the same partitioning (AQE no-op
+    * exchanges) — m supersteps of the same Pregel shape as
+    * [[graft.ops.Graph.pageRank]]. Per-user state is m longs.
+    */
+  def matchSequence(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one step")
+    val ev = events.select(col("user_id"), col("event_type"),
+      col("event_id").as("k"))
+    var cur = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("k")).as("k0"))
+    for (i <- 1 until steps.length) {
+      val prevCols = (0 until i).map(j => max(col(s"k$j")).as(s"k$j"))
+      cur = ev.join(cur, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(prevCols.head, prevCols.tail :+
+          min(when(col("event_type") === steps(i) &&
+            col("k") > col(s"k${i - 1}"), col("k"))).as(s"k$i"): _*)
+    }
+    // ascending fold → the OUTERMOST when checks the deepest step, so the
+    // longest matched prefix wins
+    val matchedCount = steps.indices.foldLeft[Column](lit(0L)) {
+      (acc, i) => when(col(s"k$i").isNotNull, lit(i + 1L)).otherwise(acc)
+    }
+    cur.select(col("user_id") +:
+      steps.indices.map(i => col(s"k$i")) :+
+      matchedCount.as("steps_matched") :+
+      col(s"k${steps.length - 1}").isNotNull.as("matched"): _*)
   }
 
   /** Volume-anomaly detection: z-score each (event_type, time-bucket)

@@ -29,6 +29,27 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     r.getAs[Long]("step2_purchase") shouldBe 1L
   }
 
+  test("sequence match: greedy subsequence beats first-touch; partial prefixes scored") {
+    val events = Seq(
+      // user 1: full chain with interleaving noise
+      (1L, 10L, "view"), (1L, 11L, "error"), (1L, 12L, "click"), (1L, 13L, "purchase"),
+      // user 2: purchase BEFORE click -> only 2 steps
+      (2L, 20L, "view"), (2L, 21L, "purchase"), (2L, 22L, "click"),
+      // user 3: funnel's first-touch would fail (click before first view
+      // has a later retry); greedy finds view(31) -> click(33) -> purchase(34)
+      (3L, 30L, "click"), (3L, 31L, "view"), (3L, 33L, "click"), (3L, 34L, "purchase"),
+      // user 4: never views -> absent from output
+      (4L, 40L, "click"), (4L, 41L, "purchase")
+    ).map { case (u, id, t) => (id, new java.sql.Timestamp(id * 1000), u, t, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.matchSequence(events, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    out.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L)
+    out.map(_.getAs[Long]("steps_matched")) shouldBe Array(3L, 2L, 3L)
+    out.map(_.getAs[Boolean]("matched")) shouldBe Array(true, false, true)
+    out(2).getAs[Long]("k1") shouldBe 33L  // the RETRY click, after the view
+  }
+
   test("rate anomalies: exact z on integer moments; degenerate types excluded") {
     val hour = 3600000000L
     val rows = Seq.newBuilder[(Long, String, Long)]
