@@ -677,6 +677,11 @@ object SparkEntry {
     }),
 
     // salted fact⋈dim join — oracle is the plain unsalted join
+    // transformWithState's batch twin: per-user running stats
+    "q_user_running" -> ((s, dir) =>
+      graft.streaming.EventStreamOps.runningUserStats(t(s, dir, "events"))
+        .toDF().orderBy("user_id")),
+
     // greedy subsequence CEP: view -> click -> purchase, any interleaving
     "q_seq_match" -> ((s, dir) =>
       ops.EventAnalytics.matchSequence(
@@ -2270,6 +2275,11 @@ object SparkEntry {
         |  FROM wd WHERE length(w) >= 2))
         |SELECT a, b, count(*) AS cnt FROM p GROUP BY 1, 2
         |ORDER BY cnt DESC, a, b LIMIT 50""".stripMargin,
+
+    "q_user_running" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_seq_match" ->
       """WITH s0 AS (

@@ -21,6 +21,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class SessionState(start: Long, last: Long, n: Long)
 
+/** Running per-user aggregate row (top-level for Catalyst encoders). */
+final case class UserRunning(user_id: Long, n_events: Long, value_micro: Long)
+
+/** Spark-4 `transformWithState` processor: per-user running (count,
+  * micro-quantized value sum) in a `ValueState`, emitting the refreshed
+  * row each micro-batch (Update mode) — the always-current feature-store
+  * row. State per user is two longs; no TTL (a production deployment
+  * passes a `TTLConfig` to age out dormant users).
+  */
+final class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), UserRunning] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("running",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[UserRunning] = {
+    var (n, tot) = if (state.exists()) state.get() else (0L, 0L)
+    rows.foreach { case (_, v) => n += 1; tot += v }
+    state.update((n, tot))
+    Iterator.single(UserRunning(key, n, tot))
+  }
+}
+
 object EventStreamOps {
 
   /** Tumbling-window event counts per type. On a stream the watermark
@@ -242,6 +275,36 @@ object EventStreamOps {
     * pins streaming semantics to [[graft.ops.EventAnalytics
     * .rateAnomalies]]'s oracle-checked scoring).
     */
+  /** Per-user running stats through the MODERN stateful API
+    * (`transformWithState`, Spark 4): on a stream each micro-batch
+    * updates the user's `ValueState` and emits the refreshed row
+    * (Update mode; requires the RocksDB state store). On batch input the
+    * IDENTICAL result comes from one aggregation — the oracle-checked
+    * twin. Values are micro-quantized per row before summing, so both
+    * paths and the oracle are exact-integer equal.
+    */
+  def runningUserStats(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+        col("user_id"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+      .as[(Long, Long)]
+    if (events.isStreaming)
+      typed.groupByKey(_._1)
+        .transformWithState(new RunningStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+    else
+      // batch twin as a DataFrame aggregate — partial aggregation before
+      // the shuffle, unlike a typed mapGroups which would move raw rows
+      typed.toDF("user_id", "value_micro")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("value_micro").as("value_micro"))
+        .select(col("user_id"), col("n_events"), col("value_micro"))
+        .as[UserRunning]
+  }
+
   def rateAnomalyStream(
       events: DataFrame,
       stats: DataFrame,

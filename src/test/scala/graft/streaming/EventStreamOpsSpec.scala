@@ -170,6 +170,42 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
     sessions.map(s => (s.user_id, s.n_events)).toSeq shouldBe Seq((7L, 2L))
   }
 
+  test("transformWithState running stats: state carries across micro-batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+      val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = EventStreamOps.runningUserStats(df)
+        .writeStream.format("memory").queryName("running")
+        .outputMode("update").start()
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.5))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, ts("2024-01-01 10:01:00"), 7L, "view", 2.0),
+        (3L, ts("2024-01-01 10:02:00"), 8L, "view", 4.25))
+      q.processAllAvailable()
+      val rows = spark.table("running").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      q.stop()
+      // update mode: user 7 appears once per batch, second emission cumulative
+      rows should contain((7L, 1L, 1500000L))
+      rows should contain((7L, 2L, 3500000L))   // 1.5 + 2.0, state carried
+      rows should contain((8L, 1L, 4250000L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("running stats batch twin equals the direct aggregation") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val twin = EventStreamOps.runningUserStats(ev).collect()
+      .map(u => (u.user_id, u.n_events, u.value_micro)).sorted
+    val direct = ev.groupBy("user_id")
+      .agg(count(lit(1)), sum(round(col("value") * 1e6).cast("long")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    twin shouldBe direct
+  }
+
   test("rate anomaly stream on batch input matches the batch scorer") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val stats = graft.ops.EventAnalytics.rateMoments(ev)
