@@ -587,6 +587,12 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
         .orderBy("doc_id", "rank")),
 
+    // text -> hashed vector -> the embedding ANN stack, end to end
+    "q_text_ann" -> ((s, dir) =>
+      Similarity.bruteTopK(
+        TextAnalysis.hashEmbed(t(s, dir, "documents")), queryMaxId = 10, k = 5)
+        .orderBy("query_id", "rank")),
+
     "q_tfidf_pairs" -> ((s, dir) =>
       TextAnalysis.tfidfPairs(t(s, dir, "documents"), maxDf = 50L, minSim = 0.2)
         .orderBy("a_id", "b_id")),
@@ -1618,6 +1624,28 @@ object SparkEntry {
         |  / sqrt(CAST(list_sum(list_transform(list_zip(a.qv, a.qv), p -> p[1] * p[2])) AS DOUBLE)
         |       * CAST(list_sum(list_transform(list_zip(b.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) >= 0.35
         |ORDER BY label, a_id, b_id""".stripMargin,
+
+    "q_text_ann" ->
+      """WITH hs AS (
+        | SELECT doc_id,
+        |  list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT % 64) AS hs
+        | FROM documents),
+        |v AS (
+        | SELECT doc_id AS vec_id,
+        |  [CAST(len(list_filter(hs, h -> h = i)) AS BIGINT) * 10000 for i in range(0, 64)] AS qv
+        | FROM hs),
+        |scored AS (
+        | SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+        |  round(list_sum(list_transform(list_zip(qs.qv, c.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(list_sum(list_transform(list_zip(qs.qv, qs.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |        * CAST(list_sum(list_transform(list_zip(c.qv, c.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
+        | FROM v qs JOIN v c ON qs.vec_id < 10 AND c.vec_id <> qs.vec_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_sim_pq" ->
       """WITH v AS (

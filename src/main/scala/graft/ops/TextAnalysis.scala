@@ -663,6 +663,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Feature-hashed bag-of-words embedding (the hashing trick): tokens
+    * hash into `dim` buckets, the per-bucket counts ARE the vector. No
+    * model, no vocabulary table — the canonical "text → fixed-width
+    * vector" step that plugs documents straight into every embedding
+    * operator in the library ([[graft.ops.Similarity.bruteTopK]] /
+    * `ivfTopK` / `pqTopK`, [[graft.ops.Dedup.embeddingDups]]), and the
+    * portable hash makes the whole downstream ANN stack oracle-checkable
+    * on TEXT input.
+    *
+    * One narrow codegen'd projection; assembly is O(dim·tokens) per row
+    * via a counting `filter` per bucket — right for small dims (the
+    * hashing-trick sweet spot). A 10k-dim variant would explode tokens
+    * and pivot through a (doc, bucket) aggregation instead.
+    */
+  def hashEmbed(
+      df: DataFrame,
+      dim: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    df.select(
+      col("doc_id").as("vec_id"),
+      ColumnOps.bind(
+        transform(
+          split(lower(regexp_replace(col(textCol), "\\s+", " ")), " "),
+          t => pmod(graft.functions.PortableHash.h28(t), lit(dim.toLong)))) {
+        hs =>
+          transform(sequence(lit(0L), lit(dim - 1L)),
+            i => size(filter(hs, h => h === i)).cast("float"))
+      }.as("embedding"))
+  }
+
   /** Top collocations by pointwise mutual information — which word
     * pairs co-occur far beyond chance ("hong kong", "machine learning").
     * The corpus-linguistics tool for finding multi-word units worth

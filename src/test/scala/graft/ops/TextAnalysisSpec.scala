@@ -196,6 +196,21 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2).getAs[Long]("n_cards") shouldBe 0L
   }
 
+  test("hash embedding: bucket counts, identical texts identical vectors") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple banana apple"),
+      (3L, "zebra xylophone")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashEmbed(df, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    out(1L) shouldBe out(2L)                      // deterministic
+    out(1L).map(_.toDouble).sum shouldBe 3.0      // one count per token
+    out(3L).map(_.toDouble).sum shouldBe 2.0
+    out(1L) should not be out(3L)
+    out(1L).length shouldBe 16
+  }
+
   test("collocations: PMI in milli-units with min-count pruning") {
     val df = Seq((1L, "a b a b a b a b a b")).toDF("doc_id", "text")
     val out = TextAnalysis.collocations(df, minCount = 5L, k = 10).collect()
