@@ -682,7 +682,6 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
-    // salted fact⋈dim join — oracle is the plain unsalted join
     // transformWithState's batch twin: per-user running stats
     "q_user_running" -> ((s, dir) =>
       graft.streaming.EventStreamOps.runningUserStats(t(s, dir, "events"))
@@ -694,6 +693,7 @@ object SparkEntry {
         t(s, dir, "events"), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // salted fact⋈dim join — oracle is the plain unsalted join
     "q_salted_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       ops.SkewAgg.saltedJoin(
@@ -2222,12 +2222,15 @@ object SparkEntry {
         | FROM documents),
         |c AS (
         | SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |   lower(regexp_extract(url, '^[^/]*//[^/]*', 0)) || regexp_extract(url, '^[^/]*//[^/]*(.*)$', 1),
         |   '#.*$', '', 'g'),
-        |   '[?&](utm_[a-z]+|ref|fbclid)=[^&#]*', '', 'g'),
+        |   '&(utm_[a-z]+|ref|fbclid)=[^&#]*', '', 'g'),
+        |   '\?(utm_[a-z]+|ref|fbclid)=[^&#]*&', '?', 'g'),
+        |   '\?(utm_[a-z]+|ref|fbclid)=[^&#]*$', '', 'g'),
         |   '\?$', '', 'g'),
-        |   ':(80|443)/', '/', 'g'),
+        |   '^(http://[^/:]+):80(/|$)', '\1\2', 'g'),
+        |   '^(https://[^/:]+):443(/|$)', '\1\2', 'g'),
         |   '/$', '', 'g') AS canonical_url
         | FROM u),
         |h AS (

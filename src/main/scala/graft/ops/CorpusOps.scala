@@ -135,12 +135,20 @@ object CorpusOps {
       blockedHosts: DataFrame,
       urlCol: String = "url"): DataFrame = {
     val canon =
-      // order matters; each step feeds the next
+      // order matters; each step feeds the next. Tracking params strip in
+      // three forms so the '?' survives when real params follow: interior
+      // '&p=v' first, then a leading '?p=v&' (keeping '?'), then a sole
+      // '?p=v'. Default ports strip scheme-AWARE and anchored to the
+      // authority (':80' is only default for http, ':443' for https; a
+      // global ':80/' rewrite would also mangle path/query content).
       Seq[Column => Column](
         u => regexp_replace(u, "#.*$", ""),                 // fragment
-        u => regexp_replace(u, "[?&](utm_[a-z]+|ref|fbclid)=[^&#]*", ""), // tracking
+        u => regexp_replace(u, "&(utm_[a-z]+|ref|fbclid)=[^&#]*", ""),
+        u => regexp_replace(u, "\\?(utm_[a-z]+|ref|fbclid)=[^&#]*&", "?"),
+        u => regexp_replace(u, "\\?(utm_[a-z]+|ref|fbclid)=[^&#]*$", ""),
         u => regexp_replace(u, "\\?$", ""),                 // bare '?'
-        u => regexp_replace(u, ":(80|443)/", "/"),          // default ports
+        u => regexp_replace(u, "^(http://[^/:]+):80(/|$)", "$1$2"),
+        u => regexp_replace(u, "^(https://[^/:]+):443(/|$)", "$1$2"),
         u => regexp_replace(u, "/$", "")                    // trailing slash
       ).foldLeft[Column](
         // lowercase scheme+host only: split at the first path slash

@@ -123,8 +123,10 @@ object EventAnalytics {
     */
   def matchSequence(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "need at least one step")
-    val ev = events.select(col("user_id"), col("event_type"),
-      col("event_id").as("k"))
+    // non-step events can never satisfy a when-condition: drop them ONCE
+    // so every superstep joins/aggregates only the relevant slice
+    val ev = events.filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"), col("event_id").as("k"))
     var cur = ev.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min(col("k")).as("k0"))
     for (i <- 1 until steps.length) {

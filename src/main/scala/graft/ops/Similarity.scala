@@ -424,12 +424,18 @@ object Similarity {
     require(m >= 1 && codebookSize >= 1 && rerank >= k,
       s"bad PQ spec: m=$m codebookSize=$codebookSize rerank=$rerank k=$k")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
-    val vecs = quantizedWithNorms(embeddings, native)
-    // subspace s of a quantized vector: components [s·L+1, (s+1)·L],
-    // L derived from the vector itself so any dim divisible by m works
+    // the quantized stream feeds FIVE stages (codebook, encode, LUT, both
+    // rerank sides): pin it once — the tfidfPairs lesson
+    val vecs = quantizedWithNorms(embeddings, native).localCheckpoint()
+    // subspace s of a quantized vector: components [s·L+1, (s+1)·L] with
+    // L = floor(dim/m); the LAST subspace absorbs the remainder, so no
+    // component is silently dropped when dim is not divisible by m
     def subs(v: Column): Column = {
       val len = (size(v) / m).cast("int")
-      array((0 until m).map(s => slice(v, lit(s) * len + 1, len)): _*)
+      array((0 until m).map { s =>
+        if (s < m - 1) slice(v, lit(s) * len + 1, len)
+        else slice(v, lit(s) * len + 1, size(v) - lit(s) * len)
+      }: _*)
     }
     val cb = vecs.filter(col("vec_id") < codebookSize)
       .select(col("vec_id").as("code_id"),

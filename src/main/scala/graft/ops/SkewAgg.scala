@@ -31,6 +31,8 @@ object SkewAgg {
       saltFrom: Column,
       buckets: Int = 32): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(!df.columns.exists(Set("_salt", "_n", "_s")),
+      "input already has a _salt/_n/_s working column")
     df
       .groupBy(col(keyCol), pmod(xxhash64(saltFrom), lit(buckets.toLong)).as("_salt"))
       .agg(
@@ -58,6 +60,8 @@ object SkewAgg {
       saltFrom: Column,
       buckets: Int = 8): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "input already has a _salt working column")
     fact
       .withColumn("_salt", pmod(xxhash64(saltFrom), lit(buckets.toLong)))
       .join(dim.withColumn("_salt",

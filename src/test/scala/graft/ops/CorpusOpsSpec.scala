@@ -66,19 +66,22 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
       (2L, "http://site.com/a"),                  // same canonical as 1
       (3L, "http://site.com/a#section"),          // same again
       (4L, "https://other.com:443/b?q=1&ref=tw"), // keeps q, drops ref
-      (5L, "http://blocked.com/spam")             // blocklisted host
+      (5L, "http://blocked.com/spam"),            // blocklisted host
+      (6L, "http://site.com/c?utm_source=x&q=1"), // LEADING tracking param
+      (7L, "http://site.com/c?q=1"),              // same canonical as 6
+      (8L, "https://odd.com:80/x")                // :80 NOT default for https
     ).toDF("doc_id", "url")
     val blocked = Seq("blocked.com").toDF("host")
     val out = CorpusOps.canonicalizeUrls(urls, blocked)
       .orderBy("canonical_url").collect()
-    out.length shouldBe 2
+    out.map(_.getAs[String]("canonical_url")) shouldBe Array(
+      "http://site.com/a", "http://site.com/c?q=1",
+      "https://odd.com:80/x", "https://other.com/b?q=1")
     val a = out(0)
-    a.getAs[String]("canonical_url") shouldBe "http://site.com/a"
     a.getAs[Long]("doc_id") shouldBe 1L      // crawl-order winner
     a.getAs[Long]("n_dupes") shouldBe 3L
-    val b = out(1)
-    b.getAs[String]("canonical_url") shouldBe "https://other.com/b?q=1"
-    b.getAs[String]("host") shouldBe "other.com"
+    out(1).getAs[Long]("n_dupes") shouldBe 2L // '?utm=..&q=1' merged with '?q=1'
+    out(3).getAs[String]("host") shouldBe "other.com"
   }
 
   test("mixturePlan: alpha < 1 upsamples the low-resource domain") {
