@@ -656,6 +656,27 @@ object SparkEntry {
       ops.CorpusOps.canonicalizeUrls(urls, blocked).orderBy("canonical_url")
     }),
 
+    // mergeable count-min sketch + point estimates, fully portable-hashed
+    "q_count_min" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ops.CorpusOps.cmsEstimate(
+        ops.CorpusOps.countMinSketch(ev, "user_id"),
+        ev.select("user_id").distinct(), "user_id")
+        .orderBy("user_id")
+    }),
+
+    // curriculum staging: quality-score quartiles per language
+    "q_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.Sampling.curriculumStages(
+        TextAnalysis.qualityClassifier(docs)
+          .select(col("doc_id"), col("score_micro"))
+          .join(docs.select("doc_id", "lang"), "doc_id"),
+        stages = 4, scoreCol = "score_micro", groupCol = "lang")
+        .select("doc_id", "lang", "score_micro", "stage")
+        .orderBy("doc_id")
+    }),
+
     "q_profile" -> ((s, dir) =>
       ops.CorpusOps.profileNumeric(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
@@ -2241,6 +2262,46 @@ object SparkEntry {
         | count(*) AS n_dupes
         |FROM h WHERE host NOT IN ('example0.com', 'example1.com')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_count_min" ->
+      """WITH cells AS (
+        | SELECT r AS "row",
+        |  ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT * (2*r + 1)
+        |    + r * 40503) % 268435399) % 256 AS bucket
+        | FROM events, range(0, 4) t(r)),
+        |sk AS (SELECT "row", bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT user_id FROM events),
+        |kc AS (
+        | SELECT user_id, r AS "row",
+        |  ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT * (2*r + 1)
+        |    + r * 40503) % 268435399) % 256 AS bucket
+        | FROM k, range(0, 4) t(r))
+        |SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |FROM kc LEFT JOIN sk USING ("row", bucket) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_tok,
+        |  greatest(CAST(length(text) AS BIGINT), 1) AS n_char,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_tok_chars,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  200000 + least(n_tokens, 400) * 1000
+        |   + ((1000000 * n_stop) // n_tok) * 2
+        |   - ((1000000 * n_sym) // n_char) * 3
+        |   - ((1000000 * n_digit) // n_char) * 2
+        |   - abs((1000000 * sum_tok_chars) // n_tok - 4500000) // 5 AS score_micro
+        | FROM f)
+        |SELECT d.doc_id, d.lang, m.score_micro,
+        | CAST(ntile(4) OVER (PARTITION BY d.lang ORDER BY m.score_micro DESC, d.doc_id) AS BIGINT) AS stage
+        |FROM m JOIN documents d USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q_profile" ->
       """WITH p AS (

@@ -119,6 +119,50 @@ object CorpusOps {
         col("p.n_null"), col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
 
+  /** Count-min sketch over a key column: `d` hash rows × `w` buckets of
+    * EXACT counter sums — the mergeable fixed-size summary for "how
+    * often does any key occur" over a stream too big to count exactly.
+    * Mergeability is the scale point: sketches of two corpus shards add
+    * cell-wise (they're just counts), so a 1000-executor pipeline folds
+    * per-shard sketches into one d×w table no matter the data size.
+    *
+    * Deterministic: rows are [[PortableHash.mix]] seeds over the
+    * portable base hash, so the sketch — and any estimate read from it —
+    * replays exactly in the DuckDB oracle. Estimates carry the standard
+    * CMS guarantee (overestimate only, ε ≈ e/w at δ ≈ e^-d).
+    */
+  def countMinSketch(
+      df: DataFrame,
+      keyCol: String,
+      w: Int = 256,
+      d: Int = 4): DataFrame = {
+    require(w >= 1 && d >= 1, s"bad sketch shape: $w x $d")
+    df.select(PortableHash.h28(col(keyCol)).as("h"))
+      .select(posexplode(array((0 until d).map(r =>
+        pmod(PortableHash.mix(col("h"), r), lit(w.toLong))): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimate for `keys` against a [[countMinSketch]]: min over
+    * the key's `d` cells (absent cell = 0). The sketch side is d×w rows
+    * — always broadcastable.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      w: Int = 256,
+      d: Int = 4): DataFrame =
+    keys.select(col(keyCol), PortableHash.h28(col(keyCol)).as("h"))
+      .select(col(keyCol), posexplode(array((0 until d).map(r =>
+        pmod(PortableHash.mix(col("h"), r), lit(w.toLong))): _*))
+        .as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
   /** Crawl-frontier URL hygiene in one operator: canonicalize (lowercase
     * scheme+host, strip fragment, strip tracking params, drop default
     * ports, trim trailing slash), drop blocklisted hosts (broadcast

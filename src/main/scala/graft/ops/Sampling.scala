@@ -84,4 +84,27 @@ object Sampling {
     }
     df.filter(bucket1000(SampleSalt, keyCol) < rate)
   }
+
+  /** Curriculum staging: split each group's documents into `stages`
+    * equal-ish buckets by descending score (stage 1 = highest quality) —
+    * the "train on clean data first" ordering. `ntile` over a TOTAL
+    * order (score desc, then id) is deterministic and ANSI-standard, so
+    * the oracle replays stage boundaries exactly.
+    *
+    * The window partitions by `groupCol` (language/source shard), never
+    * globally — per-shard sorts bound the work exactly as in
+    * [[graft.ops.TextAnalysis.packSequences]].
+    */
+  def curriculumStages(
+      df: DataFrame,
+      stages: Int,
+      scoreCol: String,
+      groupCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(stages >= 1, s"stages must be >= 1, got $stages")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("stage",
+      ntile(stages).over(Window.partitionBy(groupCol)
+        .orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+  }
 }

@@ -84,6 +84,20 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     out(3).getAs[String]("host") shouldBe "other.com"
   }
 
+  test("count-min sketch: estimates are exact-or-over, exact when collision-free") {
+    val df = (Seq.fill(10)("hot") ++ Seq("a", "b", "b")).map(Tuple1(_)).toDF("k")
+    val sketch = CorpusOps.countMinSketch(df, "k", w = 256, d = 4)
+    sketch.agg(sum("cnt")).head.getLong(0) shouldBe 13L * 4 // each row counts all keys
+    val est = CorpusOps.cmsEstimate(sketch, df.select("k").distinct(), "k", w = 256, d = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 keys in 256 buckets x 4 rows: no collisions, estimates exact
+    est shouldBe Map("hot" -> 10L, "a" -> 1L, "b" -> 2L)
+    // never-seen key: estimate only collides upward, never below zero
+    val cold = CorpusOps.cmsEstimate(sketch, Seq(Tuple1("zzz")).toDF("k"), "k")
+      .head.getLong(1)
+    cold should be >= 0L
+  }
+
   test("mixturePlan: alpha < 1 upsamples the low-resource domain") {
     val docs = Seq(
       (1L, "en", ("w " * 900).trim),   // 900 tokens
