@@ -810,6 +810,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered twin: exact-join confirmation makes the output
+    // bit-identical to q_decontaminate, so it shares that oracle's SQL.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20))
+        .orderBy("doc_id")
+    }),
+
     // ── multimodal (§7.3) ─────────────────────────────────────────────
     "q_multimodal_phash" -> ((s, dir) =>
       Multimodal.perceptualHash(Multimodal.fromDocuments(t(s, dir, "documents")))
@@ -2490,6 +2500,28 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(sh0) AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+        | )
+        |), cg AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id >= 20),
+        |   bg AS (SELECT doc_id AS bench_id, unnest(sh) AS gram FROM sh WHERE doc_id < 20),
+        |   hits AS (
+        |    SELECT cg.doc_id, bg.bench_id, count(DISTINCT cg.gram) AS overlap
+        |    FROM cg JOIN bg USING (gram)
+        |    GROUP BY cg.doc_id, bg.bench_id
+        |    HAVING count(DISTINCT cg.gram) >= 2
+        |   )
+        |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bloom prefilter + exact confirm ≡ exact decontamination, so the
+    // oracle is the same statement as q_decontaminate.
+    "q_decontaminate_bloom" ->
       """WITH sh AS (
         | SELECT doc_id, list_distinct(sh0) AS sh FROM (
         |  SELECT doc_id,

@@ -409,6 +409,74 @@ object Dedup {
         max("overlap").as("max_overlap"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape.
+    *
+    * Plain decontamination shuffles EVERY corpus n-gram into the join,
+    * but almost none of them occur in the benchmark: at scale the shuffle
+    * of (gram, doc_id) pairs for a 100 TB corpus dominates the job while
+    * contributing ~nothing to the answer. Here the benchmark's gram set
+    * is first folded into a Bloom filter (one tiny aggregate — the
+    * benchmark side is MBs), which ships to every task as a plan literal;
+    * corpus grams that can't be in the benchmark die inside the scan
+    * stage, before any exchange. The surviving sliver (true matches +
+    * `fpp` false positives) flows into the SAME exact join as
+    * [[decontaminate]], so false positives are eliminated and the result
+    * is bit-identical — the oracle for both is one SQL statement.
+    *
+    * This is the same BloomFilterAggregate / might_contain machinery
+    * Spark's own AQE runtime-filter injection uses (exposed as
+    * `graft_bloom_agg` / `graft_bloom_mc` by
+    * [[graft.plans.GraftExtensions]]), applied where the optimizer can't
+    * see it: the join key is generated by an explode. The filter is sized
+    * from the benchmark's ACTUAL distinct-gram count (one cheap count
+    * over the small side — sizing by guess either bloats a literal that
+    * ships with every task or blows the false-positive rate), via
+    * `m = -n·ln p / ln²2`; the aggregate enforces the session's
+    * runtime-filter caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `maxNumBits`). In a session without the graft extensions this falls
+    * back to plain [[decontaminate]] — same rows either way, just without
+    * the scan-stage kill.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minOverlap: Int = 2,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    if (!graft.plans.GraftExtensions.available(corpus.sparkSession))
+      return decontaminate(corpus, benchmark, n, minOverlap)
+
+    def grams(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(array_distinct(shingles(col("text"), n))).as("gram"))
+    val b = grams(benchmark, "bench_id")
+
+    val items = math.max(b.select(countDistinct("gram")).head.getLong(0), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = b.select(
+        call_function("graft_bloom_agg",
+          xxhash64(col("gram")), lit(items), lit(numBits)))
+      .head.getAs[Array[Byte]](0)
+
+    val c = grams(corpus, "doc_id")
+    // Null bloom = empty benchmark: nothing can be contaminated.
+    val prefiltered =
+      if (bloomBytes == null) c.filter(lit(false))
+      else c.filter(call_function("graft_bloom_mc",
+        lit(bloomBytes), xxhash64(col("gram"))))
+    prefiltered.join(b, "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct("gram").as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_benchmarks_hit"),
+        max("overlap").as("max_overlap"))
+  }
+
   /** Transitive duplicate groups from a near-dup pair list: smallest-label
     * propagation to a fixpoint (connected components). Chains a-b, b-c
     * collapse to one group even when (a, c) was never a candidate pair —

@@ -112,6 +112,30 @@ object GraftExtensions {
         expectArity("graft_roll_hash", children, 1)
         RollHash(children.head)
       }),
+    // Spark's own runtime-filter machinery (BloomFilterAggregate /
+    // BloomFilterMightContain), surfaced as callable functions so library
+    // code can apply it where the optimizer can't inject it itself (join
+    // keys produced by an explode — see Dedup.decontaminateBloom). Both
+    // take ALREADY-HASHED longs (`xxhash64(value)`), exactly as the
+    // injected runtime filters do.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_bloom_agg", children, 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }),
+    (FunctionIdentifier("graft_bloom_mc"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_mc"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_bloom_mc", children, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }),
     (FunctionIdentifier("graft_rhp_sig"),
       new ExpressionInfo(classOf[RhpSig].getName, "graft_rhp_sig"),
       (children: Seq[Expression]) => {

@@ -20,7 +20,8 @@ object VanillaCheck {
     println(s"VANILLA entry rows: $n")
     require(n > 0, "entry must return rows")
     for (q <- Seq("q_sim_topk", "q_dedup_simhash", "q_dedup_minhash",
-      "q_sim_ivf", "q_sim_ivf_trained", "q_asof_join", "q_range_join")) {
+      "q_sim_ivf", "q_sim_ivf_trained", "q_asof_join", "q_range_join",
+      "q_decontaminate_bloom")) {
       val c = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"VANILLA $q rows: $c (fallback path)")
       require(c > 0, s"$q must return rows without extensions")

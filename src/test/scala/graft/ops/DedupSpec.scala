@@ -144,6 +144,29 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out.head.getAs[Long]("max_overlap") shouldBe 2L // two shared 3-grams
   }
 
+  test("bloom decontamination is bit-identical to the exact join") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "totally unrelated content here now"),
+      (102L, "alpha beta gamma something else entirely different")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "another benchmark prompt with words")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.decontaminateBloom(corpus, bench)
+      .orderBy("doc_id").collect().toSeq
+    bloom shouldBe exact
+    bloom.map(_.getLong(0)) shouldBe Seq(100L)
+  }
+
+  test("bloom decontamination with an empty benchmark flags nothing") {
+    val corpus = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bench = corpus.limit(0)
+    Dedup.decontaminateBloom(corpus, bench).count() shouldBe 0L
+  }
+
   test("duplicate groups: label propagation closes transitive chains") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
     val groups = Dedup.duplicateGroups(pairs).collect()
