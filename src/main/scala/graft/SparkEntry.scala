@@ -802,6 +802,19 @@ object SparkEntry {
         Map("en" -> 200, "zh" -> 1000), defaultPermille = 500)
         .orderBy("doc_id")),
 
+    // deterministic corpus shuffle: stable global training order
+    "q_shuffle" -> ((s, dir) =>
+      ops.Sampling.shuffleOrder(
+        t(s, dir, "documents").select("doc_id"), "doc_id", buckets = 32)
+        .orderBy("doc_id")),
+
+    // per-source quota: no domain dominates; prefer longer docs
+    "q_source_cap" -> ((s, dir) =>
+      ops.CorpusOps.capPerGroup(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        groupCol = "source", scoreCol = "n_chars", cap = 10)
+        .orderBy("doc_id")),
+
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.decontaminate(
@@ -1969,6 +1982,23 @@ object SparkEntry {
         |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS b
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // global order realized by the bucketed design = (bucket, hash, key)
+    "q_shuffle" ->
+      """SELECT doc_id,
+        | CAST(row_number() OVER (ORDER BY h % 32, h, doc_id) AS BIGINT) AS shuffle_pos
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // two-phase cap ≡ the single-window formulation, which is the oracle
+    "q_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        | SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """WITH d AS (

@@ -69,6 +69,45 @@ object CorpusOps {
       .drop("_pri", "_rk")
   }
 
+  /** Per-group quota capping: keep at most `cap` rows per value of
+    * `groupCol`, preferring high `scoreCol` (ties to low `idCol`) — the
+    * per-domain document cap every crawl pipeline applies so no single
+    * domain dominates the corpus.
+    *
+    * Two-phase, because a plain `row_number` window ranks EVERY group:
+    * at 100 TB almost all domains are under the cap, yet each would pay
+    * a full partition-and-sort. Here a count aggregate (partial map-side
+    * combine, (group, count) pairs only) first finds the over-cap groups;
+    * under-cap rows pass through with NO sort, and only the over-cap
+    * slice — the skewed head, a small fraction of rows — is ranked. AQE
+    * broadcasts the over-cap group list when it is small (the usual
+    * case: ≤ rows/cap groups can exceed the cap). The output equals the
+    * single-window formulation row for row, which is the oracle.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      cap: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    Seq("_over", "_rk").foreach(c =>
+      require(!df.columns.contains(c),
+        s"capPerGroup reserves the working column name '$c'"))
+    val over = df.groupBy(groupCol).count()
+      .filter(col("count") > cap)
+      .select(col(groupCol), lit(true).as("_over"))
+    val flagged = df.join(over, Seq(groupCol), "left")
+    val under = flagged.filter(col("_over").isNull).drop("_over")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(desc(scoreCol), asc(idCol))
+    val capped = flagged.filter(col("_over").isNotNull).drop("_over")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+    under.unionByName(capped)
+  }
+
   /** Training-mixture plan: α-scaled sampling weights and per-domain
     * epoch counts for a token budget — the "how often do we repeat each
     * language/source" table every multilingual pretraining run starts

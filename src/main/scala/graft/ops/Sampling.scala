@@ -27,6 +27,7 @@ object Sampling {
     */
   val SplitSalt = "split:"
   val SampleSalt = "sample:"
+  val ShuffleSalt = "shuffle:"
 
   private def bucket1000(salt: String, keyCol: String) =
     pmod(PortableHash.h28(concat(lit(salt), col(keyCol).cast("string"))), lit(1000L))
@@ -83,6 +84,54 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
     }
     df.filter(bucket1000(SampleSalt, keyCol) < rate)
+  }
+
+  /** Deterministic global shuffle: stamp each row with `shuffle_pos`, its
+    * 1-based position in a pseudorandom — but fully reproducible — total
+    * order of the corpus (order by salted key hash). This is the "shuffle
+    * the training data" step run before [[graft.ops.TextAnalysis.packSequences]]:
+    * hash order decorrelates neighboring documents, and because it is
+    * keyed (not random), every rerun, engine, and cluster size produces
+    * the SAME permutation.
+    *
+    * A naive `row_number() OVER (ORDER BY hash)` is a single-partition
+    * global sort — the one plan shape that cannot scale. Instead the
+    * order is bucketized: rows rank within `buckets` hash buckets in
+    * parallel (one partitioned window), bucket offsets come from a
+    * bucket-count aggregate (`buckets` rows — window over that is free),
+    * and `shuffle_pos = offset(bucket) + rank`. The global order realized
+    * is (bucket, hash, key) — exactly what the oracle replays.
+    *
+    * `keyCol` must be unique per row (a doc id): duplicate keys hash to
+    * the same sort position and their relative order would be
+    * tie-broken arbitrarily.
+    */
+  def shuffleOrder(
+      df: DataFrame,
+      keyCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    Seq("_h", "_b", "_rk", "_off").foreach(c =>
+      require(!df.columns.contains(c),
+        s"shuffleOrder reserves the working column name '$c'"))
+    import org.apache.spark.sql.expressions.Window
+    val withB = df
+      .withColumn("_h", PortableHash.h28(
+        concat(lit(ShuffleSalt), col(keyCol).cast("string"))))
+      .withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
+    val ranked = withB.withColumn("_rk",
+      row_number().over(
+        Window.partitionBy("_b").orderBy(col("_h"), col(keyCol))))
+    val offsets = withB.groupBy("_b").agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(
+          sum("_n").over(Window.orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_b", "_off")
+    ranked.join(broadcast(offsets), "_b")
+      .withColumn("shuffle_pos", col("_off") + col("_rk"))
+      .drop("_h", "_b", "_rk", "_off")
   }
 
   /** Curriculum staging: split each group's documents into `stages`

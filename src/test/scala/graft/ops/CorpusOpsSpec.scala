@@ -117,4 +117,26 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     (en.getAs[Long]("weight_micro") + is.getAs[Long]("weight_micro")) should
       be >= 999998L
   }
+
+  test("capPerGroup keeps top-cap by score (ties to low id); under-cap groups untouched") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 50L), (5L, "a", 5L),
+      (6L, "b", 1L), (7L, "b", 2L)
+    ).toDF("doc_id", "source", "n_chars")
+    val kept = CorpusOps.capPerGroup(df, "source", "n_chars", cap = 3)
+      .select("doc_id").as[Long].collect().sorted
+    // a: 4 (50), 2 (30, lower id wins tie), 3 (30) survive; b entirely under cap
+    kept shouldBe Array(2L, 3L, 4L, 6L, 7L)
+  }
+
+  test("capPerGroup equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 120L).map(i => (i, s"s${i % 5}", i * 7 % 31)).toDF("doc_id", "source", "n_chars")
+    val twoPhase = CorpusOps.capPerGroup(df, "source", "n_chars", cap = 10)
+      .select("doc_id").as[Long].collect().sorted
+    val oneWindow = df.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))))
+      .filter(col("rk") <= 10).select("doc_id").as[Long].collect().sorted
+    twoPhase shouldBe oneWindow
+  }
 }

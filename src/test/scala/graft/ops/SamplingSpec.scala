@@ -8,6 +8,32 @@ class SamplingSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 
+  test("shuffleOrder stamps a deterministic permutation of 1..N") {
+    val df = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = Sampling.shuffleOrder(df, "doc_id", buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_pos")).toMap
+    out.values.toSeq.sorted shouldBe (1L to 200L)
+    // keyed, not random: a second run is the identical permutation
+    val again = Sampling.shuffleOrder(df, "doc_id", buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shuffle_pos")).toMap
+    again shouldBe out
+    // hash order, not key order: the permutation is not the identity
+    out.count { case (k, v) => k == v } should be < 20
+  }
+
+  test("shuffleOrder realizes the (bucket, hash, key) total order") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 100L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Sampling.shuffleOrder(df, "doc_id", buckets = 4)
+      .orderBy("shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    val expected = df
+      .withColumn("h", graft.functions.PortableHash.h28(
+        concat(lit(Sampling.ShuffleSalt), col("doc_id").cast("string"))))
+      .orderBy(pmod(col("h"), lit(4L)), col("h"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    got shouldBe expected
+  }
+
   test("curriculum stages: quartiles per group by descending score") {
     val df = (1 to 8).map(i => (i.toLong, "en", (100 - i) * 1000L)) ++
       Seq((9L, "fr", 5L), (10L, "fr", 3L))
