@@ -51,6 +51,7 @@ object Bench {
       "q_asof_join", "q_range_join",
       "q_dedup_exact", "q_dedup_apply", "q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_groups", "q_decontaminate", "q_decontaminate_bloom",
+      "q_pipeline_e2e",
       "q_embed_dups", "q_embed_dups_cell", "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
       "q_sim_ivf_trained",
       "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_redact",

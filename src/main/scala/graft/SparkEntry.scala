@@ -815,6 +815,31 @@ object SparkEntry {
         groupCol = "source", scoreCol = "n_chars", cap = 10)
         .orderBy("doc_id")),
 
+    // ── the whole preprocessing pipeline, one query, one oracle ───────
+    // quality gate → exact dedup → decontaminate (bloom) → split →
+    // deterministic shuffle. Proves the operators COMPOSE: each stage's
+    // output feeds the next with no materialization seams, and DuckDB
+    // replays the entire chain for a bit-exact compare.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 20)
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val kept = corpus.join(
+        TextAnalysis.qualityClassifier(corpus)
+          .filter(col("keep")).select("doc_id"),
+        "doc_id")
+      val deduped = Dedup.dropExactDuplicates(kept)
+      val contaminated = Dedup.decontaminateBloom(deduped, bench)
+        .select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val split = ops.Sampling.assignSplit(
+        clean.select("doc_id", "lang"), "doc_id",
+        valPermille = 100, testPermille = 50)
+      ops.Sampling.shuffleOrder(split, "doc_id", buckets = 32)
+        .select("doc_id", "lang", "split", "shuffle_pos")
+        .orderBy("doc_id")
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.decontaminate(
@@ -2548,6 +2573,67 @@ object SparkEntry {
         |   )
         |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Every stage replayed in one statement: classifier keep-gate,
+    // md5-keyed exact dedup, n-gram decontamination, salted split,
+    // bucketed shuffle order — each fragment is its own proven oracle
+    // (q_quality_model / q_dedup_apply / q_decontaminate / q_split /
+    // q_shuffle) composed over the survivors of the previous stage.
+    "q_pipeline_e2e" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_tok,
+        |  greatest(CAST(length(text) AS BIGINT), 1) AS n_char,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_tok_chars,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        | FROM documents WHERE doc_id >= 20),
+        |m AS (
+        | SELECT doc_id,
+        |  200000 + least(n_tokens, 400) * 1000
+        |   + ((1000000 * n_stop) // n_tok) * 2
+        |   - ((1000000 * n_sym) // n_char) * 3
+        |   - ((1000000 * n_digit) // n_char) * 2
+        |   - abs((1000000 * sum_tok_chars) // n_tok - 4500000) // 5 AS score_micro
+        | FROM f),
+        |kept AS (
+        | SELECT d.* FROM documents d JOIN m USING (doc_id)
+        | WHERE m.score_micro > 300000),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM kept
+        |       GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))),
+        |dk AS (SELECT k.* FROM kept k JOIN dd USING (doc_id)),
+        |sh AS (
+        | SELECT doc_id, list_distinct(sh0) AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+        | )
+        |), cg AS (SELECT s.doc_id, unnest(s.sh) AS gram FROM sh s JOIN dk USING (doc_id)),
+        |   bg AS (SELECT doc_id AS bench_id, unnest(sh) AS gram FROM sh WHERE doc_id < 20),
+        |   cont AS (
+        |    SELECT DISTINCT doc_id FROM (
+        |     SELECT cg.doc_id, bg.bench_id
+        |     FROM cg JOIN bg USING (gram)
+        |     GROUP BY cg.doc_id, bg.bench_id
+        |     HAVING count(DISTINCT cg.gram) >= 2)),
+        |clean AS (SELECT * FROM dk WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |spl AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN b < 50 THEN 'test' WHEN b < 150 THEN 'val' ELSE 'train' END AS split
+        | FROM (SELECT doc_id, lang,
+        |   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS b
+        |  FROM clean)),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+        | FROM clean)
+        |SELECT s.doc_id, s.lang, s.split,
+        | CAST(row_number() OVER (ORDER BY h.h % 32, h.h, s.doc_id) AS BIGINT) AS shuffle_pos
+        |FROM spl s JOIN h USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
     // Bloom prefilter + exact confirm ≡ exact decontamination, so the
     // oracle is the same statement as q_decontaminate.
