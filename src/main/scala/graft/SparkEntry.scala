@@ -808,6 +808,19 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id", buckets = 32)
         .orderBy("doc_id")),
 
+    // snapshot diff: previous = ids < 450, current = ids >= 50 with every
+    // 7th doc edited -> removed / added / changed / unchanged all occur
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val previous = docs.filter(col("doc_id") < 450)
+      val current = docs.filter(col("doc_id") >= 50)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text")))
+      ops.CorpusOps.snapshotDiff(current, previous)
+        .orderBy("doc_id")
+    }),
+
     // per-source quota: no domain dominates; prefer longer docs
     "q_source_cap" -> ((s, dir) =>
       ops.CorpusOps.capPerGroup(
@@ -2015,6 +2028,19 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |  ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
         | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH p AS (SELECT doc_id, md5(text) AS pd FROM documents WHERE doc_id < 450),
+        |c AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS cd
+        | FROM documents WHERE doc_id >= 50)
+        |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+        | CASE WHEN p.doc_id IS NULL THEN 'added'
+        |      WHEN c.doc_id IS NULL THEN 'removed'
+        |      WHEN c.cd = p.pd THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |FROM c FULL OUTER JOIN p ON c.doc_id = p.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // two-phase cap ≡ the single-window formulation, which is the oracle

@@ -69,6 +69,39 @@ object CorpusOps {
       .drop("_pri", "_rk")
   }
 
+  /** Snapshot diff: classify every key across two corpus snapshots as
+    * `added` / `removed` / `changed` / `unchanged` — the bookkeeping step
+    * between crawls that decides what re-enters the pipeline (only
+    * `added`+`changed` need re-processing; `removed` tombstones
+    * downstream artifacts).
+    *
+    * One full-outer join keyed on `keyCol`, carrying md5 digests instead
+    * of documents — at 100 TB the shuffle moves 16-byte hashes, the texts
+    * never leave their scans. Raw-content digest (no normalization): a
+    * whitespace edit IS a change at this layer; near-dup tolerance
+    * belongs to [[graft.ops.Dedup]].
+    */
+  def snapshotDiff(
+      current: DataFrame,
+      previous: DataFrame,
+      keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // Presence is a flag, not digest-null: a present row with NULL text
+    // must not read as an absent key (and <=> keeps null = null text
+    // "unchanged" instead of a spurious "changed").
+    val c = current.select(
+      col(keyCol), md5(col(textCol)).as("_cd"), lit(true).as("_cp"))
+    val p = previous.select(
+      col(keyCol), md5(col(textCol)).as("_pd"), lit(true).as("_pp"))
+    c.join(p, Seq(keyCol), "full_outer")
+      .select(
+        col(keyCol),
+        when(col("_pp").isNull, "added")
+          .when(col("_cp").isNull, "removed")
+          .when(col("_cd") <=> col("_pd"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Per-group quota capping: keep at most `cap` rows per value of
     * `groupCol`, preferring high `scoreCol` (ties to low `idCol`) — the
     * per-domain document cap every crawl pipeline applies so no single

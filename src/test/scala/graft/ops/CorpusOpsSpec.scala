@@ -118,6 +118,20 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
       be >= 999998L
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged; null text handled") {
+    val prev = Seq(
+      (1L, "same"), (2L, "old"), (3L, "gone"), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "same"), (2L, "new"), (5L, "fresh"), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.snapshotDiff(cur, prev)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added")
+  }
+
   test("capPerGroup keeps top-cap by score (ties to low id); under-cap groups untouched") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 50L), (5L, "a", 5L),
