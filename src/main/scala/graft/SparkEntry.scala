@@ -451,6 +451,11 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    // all-corpus neighbor graph (vs. the query-set searches below)
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, nCells = 8)
+        .orderBy("vec_id", "rank")),
+
     "q_sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -1472,6 +1477,42 @@ object SparkEntry {
     // IVF replay: centroids = vec_id < 8, assign every vector to its best
     // cell (cosine desc, cell asc), probe top-2 cells per query (< 10),
     // rerank candidates in probed cells by quantized cosine, top-5.
+    // same assignment replay as q_sim_ivf, then a within-cell self-join
+    "q_knn_graph" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8
+        |),
+        |sims AS (
+        | SELECT n.vec_id, n.qv, n.qn, c.cell_id,
+        |  round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) AS cell_sim
+        | FROM n CROSS JOIN c
+        |),
+        |assign AS (
+        | SELECT vec_id, qv, qn, cell_id FROM (
+        |  SELECT vec_id, qv, qn, cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS rn
+        |  FROM sims) WHERE rn = 1
+        |),
+        |scored AS (
+        | SELECT a.vec_id, b.vec_id AS nbr_id,
+        |  round(list_sum(list_transform(list_zip(a.qv, b.qv), pr -> pr[1] * pr[2]))
+        |   / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE)), 6) AS sim
+        | FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+        |)
+        |SELECT vec_id, nbr_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT vec_id, nbr_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     "q_sim_ivf" ->
       """WITH n AS (
         | SELECT vec_id, qv,

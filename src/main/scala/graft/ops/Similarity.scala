@@ -547,6 +547,49 @@ object Similarity {
     * dropped before the shuffle. At corpus scale the query side is the
     * broadcast — the O(q×corpus) scoring shards per corpus split.
     */
+  /** Approximate kNN GRAPH: every vector's top-`k` neighbors by quantized
+    * cosine, candidates limited to the vector's own IVF cell — the
+    * all-corpus neighbor structure behind SemDeDup-style semantic
+    * pruning, graph-based cluster diagnostics, and connectivity filters.
+    * (Contrast [[bruteTopK]]/[[ivfTopK]]: those answer a small QUERY SET;
+    * this materializes neighbors for EVERYONE, so brute force is corpus²
+    * and blocking is mandatory.)
+    *
+    * Shape: one [[ivfAssign]] pass (broadcast centroids, narrow), then a
+    * self-join keyed on `cell_id` and a per-vector top-k window. Cost is
+    * Σ cell² — bounded because [[graft.ops.Dedup.capBuckets]] drops
+    * degenerate cells past `maxBucket`, so a hot cell can never go
+    * quadratic. Boundary vectors may miss cross-cell neighbors: the
+    * standard recall/cost trade, tunable with `nCells` (more, smaller
+    * cells = cheaper + lower recall).
+    *
+    * `rank` breaks similarity ties toward the lower neighbor id —
+    * total-ordered, so the graph is deterministic and oracle-replayable.
+    */
+  def knnGraph(
+      embeddings: DataFrame,
+      k: Int,
+      nCells: Int = 8,
+      maxBucket: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val cells = Dedup.capBuckets(
+      ivfAssign(embeddings, nCells), Seq("cell_id"), maxBucket)
+    val nbrs = cells.select(
+      col("cell_id"), col("vec_id").as("nbr_id"),
+      col("qv").as("n_qv"), col("qn").as("n_qn"))
+    cells.join(nbrs, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim",
+        qcosinePre(qdot(col("qv"), col("n_qv"), native), col("qn"), col("n_qn")))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("sim"), asc("nbr_id")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "nbr_id", "sim", "rank")
+  }
+
   def hardNegatives(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame =
     broadcastScoredTopK(
       embeddings, queryMaxId, k,

@@ -139,6 +139,23 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 3))
   }
 
+  test("knnGraph: every vector gets up to k within-cell neighbors, symmetric edges agree") {
+    // nCells = 2 -> centroids are vecs 0 and 1 (nearly parallel). By
+    // cosine, vec 0 wins only itself; 1..4 all assign to cell 1 — so
+    // vec 0 is a singleton cell with NO neighbors (the documented
+    // recall trade), and the rest draw neighbors from {1,2,3,4}.
+    val g = Similarity.knnGraph(emb, k = 2, nCells = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    g.keys.map(_._1).toSet shouldBe Set(1L, 2L, 3L, 4L)
+    g.keys.map(_._2).toSet should not contain 0L
+    // an edge present in both directions carries the same similarity
+    for (((a, b), s) <- g; sBa <- g.get((b, a))) sBa shouldBe s +- 1e-9
+    // no self-edges, ranks bounded by k
+    g.keys.foreach { case (a, b) => a should not be b }
+    val counts = g.keys.groupBy(_._1).view.mapValues(_.size)
+    counts.values.foreach(_ should be <= 2)
+  }
+
   test("signatures are deterministic across evaluations") {
     val a = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
     val b = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
