@@ -275,6 +275,19 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q4 shape: EXISTS decorrelated to a left-semi join — the
+    // orders side streams through one shuffle, lineitem is pre-filtered
+    // and pruned to the join key before it moves
+    "q4_order_priority" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
@@ -1031,6 +1044,13 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         | AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q5_region" ->
       """SELECT n_name,
