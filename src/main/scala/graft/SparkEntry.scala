@@ -445,6 +445,12 @@ object SparkEntry {
       Dedup.embeddingDupsByCell(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy("cell_id", "a_id", "b_id")),
 
+    // the APPLY step of the semantic tier: survivors, lowest id wins
+    "q_dedup_semantic_apply" -> ((s, dir) =>
+      Dedup.dropSemanticDuplicates(t(s, dir, "embeddings"), threshold = 0.35)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
+
     "q_embed_dups" -> ((s, dir) =>
       Dedup.embeddingDups(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy("label", "a_id", "b_id")),
@@ -1751,6 +1757,39 @@ object SparkEntry {
         | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         |WHERE sim >= 0.35
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
+
+    // survivors = embeddings minus the b_id side of the pair report
+    "q_dedup_semantic_apply" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8
+        |),
+        |assign AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn = 1
+        |),
+        |v AS (
+        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
+        |),
+        |losers AS (
+        | SELECT DISTINCT y.vec_id FROM v x JOIN v y
+        |  ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35
+        |)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_embed_dups" ->
       """WITH q AS (

@@ -718,6 +718,22 @@ object Dedup {
     * `maxBucket` drops degenerate cells ([[capBuckets]]) so one hot cell
     * can never go quadratic.
     */
+  /** SemDeDup-style APPLY: the embeddings that SURVIVE semantic pruning —
+    * every vector pairing above `threshold` with a lower-id vector in its
+    * IVF cell is dropped (same lowest-id-wins survivor rule as
+    * [[dropNearDuplicates]], same anti-join shape, so the whole dedup
+    * ladder — exact, lexical-near, semantic — applies identically).
+    */
+  def dropSemanticDuplicates(
+      embeddings: DataFrame,
+      threshold: Double,
+      nCells: Int = 8,
+      maxBucket: Int = 100000): DataFrame = {
+    val losers = embeddingDupsByCell(embeddings, threshold, nCells, maxBucket)
+      .select(col("b_id").as("vec_id")).distinct()
+    embeddings.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   def embeddingDupsByCell(
       embeddings: DataFrame,
       threshold: Double,

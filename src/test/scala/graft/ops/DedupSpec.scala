@@ -189,6 +189,9 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val out = Dedup.embeddingDupsByCell(emb, threshold = 0.9, nCells = 2)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     out shouldBe Set((0L, 2L), (1L, 3L))
+    // APPLY: the b-side of each pair is dropped, lowest id survives
+    Dedup.dropSemanticDuplicates(emb, threshold = 0.9, nCells = 2)
+      .select("vec_id").as[Long].collect().sorted shouldBe Array(0L, 1L, 4L)
   }
 
   test("embedding dups finds same-label near-identical vectors") {
