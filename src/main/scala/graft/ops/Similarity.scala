@@ -573,15 +573,22 @@ object Similarity {
       maxBucket: Int = 100000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // Materialize the assignment ONCE: a self-join references the subtree
+    // twice, and the two sides' renames defeat static exchange reuse — so
+    // without the checkpoint the full scan→assign→cap pipeline executes
+    // twice (same reasoning as duplicateGroups' edge checkpoint).
     val cells = Dedup.capBuckets(
       ivfAssign(embeddings, nCells), Seq("cell_id"), maxBucket)
-    val nbrs = cells.select(
-      col("cell_id"), col("vec_id").as("nbr_id"),
-      col("qv").as("n_qv"), col("qn").as("n_qn"))
-    cells.join(nbrs, Seq("cell_id"))
-      .filter(col("vec_id") =!= col("nbr_id"))
-      .withColumn("sim",
-        qcosinePre(qdot(col("qv"), col("n_qv"), native), col("qn"), col("n_qn")))
+      .localCheckpoint()
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        qcosinePre(
+          qdot(col("a.qv"), col("b.qv"), native),
+          col("a.qn"), col("b.qn")).as("sim"))
       .withColumn("rank",
         row_number().over(
           Window.partitionBy("vec_id").orderBy(desc("sim"), asc("nbr_id")))
