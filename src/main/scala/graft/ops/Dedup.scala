@@ -740,8 +740,12 @@ object Dedup {
       nCells: Int = 8,
       maxBucket: Int = 100000): DataFrame = {
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // Checkpoint before the self-join: the renamed a/b projections defeat
+    // static exchange reuse, so without it the scan→assign→cap pipeline
+    // executes once per side (see Similarity.knnGraph).
     val cells = capBuckets(
       Similarity.ivfAssign(embeddings, nCells), Seq("cell_id"), maxBucket)
+      .localCheckpoint()
     val a = cells.select(
       col("cell_id"), col("vec_id").as("a_id"),
       col("qv").as("a_qv"), col("qn").as("a_qn"))
