@@ -445,6 +445,22 @@ object SparkEntry {
       Dedup.embeddingDupsByCell(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy("cell_id", "a_id", "b_id")),
 
+    // C4-style line dedup over synthesized multi-line docs: every doc
+    // carries its own body line, a GLOBAL footer (survives once, in the
+    // lowest doc), and a per-(doc_id % 10) section header (survives once
+    // per residue class) — plus the corpus's real exact-dup texts, whose
+    // body lines dedup too
+    "q_dedup_lines" -> ((s, dir) =>
+      Dedup.dedupLines(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          concat_ws("\n",
+            col("text"),
+            lit("copyright standard footer"),
+            concat(lit("section "), (col("doc_id") % 10).cast("string")))
+            .as("text")))
+        .orderBy("doc_id")),
+
     // the APPLY step of the semantic tier: survivors, lowest id wins
     "q_dedup_semantic_apply" -> ((s, dir) =>
       Dedup.dropSemanticDuplicates(t(s, dir, "embeddings"), threshold = 0.35)
@@ -1757,6 +1773,27 @@ object SparkEntry {
         | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         |WHERE sim >= 0.35
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  text || chr(10) || 'copyright standard footer' || chr(10)
+        |   || 'section ' || CAST(doc_id % 10 AS VARCHAR) AS text
+        | FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        |l AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |   i -> {'line_no': i - 1, 'line': arr[i]})) AS e
+        | FROM ls),
+        |lx AS (SELECT doc_id, e.line_no AS line_no, e.line AS line FROM l),
+        |w AS (
+        | SELECT doc_id, line_no, line,
+        |  row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rk
+        | FROM lx)
+        |SELECT doc_id,
+        | string_agg(line, chr(10) ORDER BY line_no) AS text,
+        | count(*) AS n_lines
+        |FROM w WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // survivors = embeddings minus the b_id side of the pair report
     "q_dedup_semantic_apply" ->

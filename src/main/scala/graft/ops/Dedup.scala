@@ -106,6 +106,43 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** C4-style LINE-level dedup: each distinct line survives only at its
+    * first occurrence corpus-wide (lowest doc_id, then line position) —
+    * the rule that strips boilerplate headers/footers/navigation repeated
+    * across pages. Documents are reassembled from their surviving lines
+    * in original order; documents whose every line was seen earlier
+    * disappear (C4's behavior).
+    *
+    * Scale shape, two keyed exchanges — neither carries text through the
+    * dedup decision: (1) lines rank by `row_number` over md5(line) — the
+    * shuffle moves (16-byte digest, doc_id, line_no); (2) winning
+    * (doc_id, line_no) pairs semi-join back to the exploded lines and
+    * reassemble with an ordered collect per doc. The per-doc collect is
+    * bounded by document size, not corpus size.
+    */
+  def dedupLines(docs: DataFrame, delimiter: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(
+      col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(delimiter)))
+        .as(Seq("line_no", "line")))
+    val winners = lines
+      .select(col("doc_id"), col("line_no"), md5(col("line")).as("_lk"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("_lk").orderBy("doc_id", "line_no")))
+      .filter(col("_rk") === 1)
+      .select("doc_id", "line_no")
+    lines.join(winners, Seq("doc_id", "line_no"), "left_semi")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")),
+          delimiter).as("text"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Word shingles (n-gram windows joined back to strings). The token
     * array is let-bound ([[ColumnOps.bind]]) so the regex tokenization runs
     * once per row, not once per reference.

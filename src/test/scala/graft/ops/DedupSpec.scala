@@ -144,6 +144,21 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out.head.getAs[Long]("max_overlap") shouldBe 2L // two shared 3-grams
   }
 
+  test("line dedup: first occurrence survives, docs reassemble in order, empty docs vanish") {
+    val multi = Seq(
+      (1L, "alpha\nfooter\nbeta"),
+      (2L, "gamma\nfooter"),   // footer already seen in doc 1
+      (3L, "footer"),          // ONLY line already seen -> doc disappears
+      (4L, "alpha\ndelta")     // alpha seen in doc 1; delta survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(multi).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(1L) shouldBe ("alpha\nfooter\nbeta", 3L)
+    out(2L) shouldBe ("gamma", 1L)
+    out(4L) shouldBe ("delta", 1L)
+    out.keySet shouldBe Set(1L, 2L, 4L)
+  }
+
   test("bloom decontamination is bit-identical to the exact join") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
