@@ -34,6 +34,13 @@ object Dedup {
   private def normText(textCol: Column): Column =
     lower(regexp_replace(textCol, "\\s+", " "))
 
+  /** The content digest every exact-dedup operator keys on (md5 of
+    * whitespace-normalized lowercased text) — shared so the batch and
+    * streaming incremental paths can never diverge on what "identical
+    * content" means.
+    */
+  def contentKey(textCol: Column): Column = md5(normText(textCol))
+
   /** Exact dedup: keep the lowest-id representative per identical
     * (normalized) text. Aggregation key is the md5 digest, so the shuffle
     * carries (digest, id) pairs only; the text itself stays columnar in
@@ -42,7 +49,7 @@ object Dedup {
   def exact(docs: DataFrame): DataFrame = {
     val keyed = docs.select(
       col("doc_id"),
-      md5(normText(col("text"))).as("content_key"))
+      contentKey(col("text")).as("content_key"))
     keyed
       .groupBy("content_key")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
@@ -71,7 +78,7 @@ object Dedup {
     */
   def dedupIncremental(newDocs: DataFrame, index: DataFrame): DataFrame = {
     val keyed = newDocs.select(
-      col("doc_id"), md5(normText(col("text"))).as("content_key"))
+      col("doc_id"), contentKey(col("text")).as("content_key"))
     val novel = keyed.join(index, Seq("content_key"), "left_anti")
     val keep = novel
       .groupBy("content_key")
