@@ -264,7 +264,11 @@ object Dedup {
     * with bucket population ≤ `maxBucket` (see [[capBuckets]]).
     */
   private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
+    // Materialize before the self-join: the renamed side defeats static
+    // exchange reuse, so without this the whole tokenize→sign→band
+    // pipeline — the dominant cost of MinHash dedup — executes twice.
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+      .localCheckpoint()
     capped
       .join(capped.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
       .filter(col("doc_id") < col("b_id"))
@@ -648,6 +652,9 @@ object Dedup {
         .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
           col("b.band"), col("b.bv")),
       Seq("band", "bv"), maxBucket)
+      // one fingerprint pass, not one per self-join side (see
+      // bandedCandidates)
+      .localCheckpoint()
     val other = banded.select(
       col("band"), col("bv"), col("doc_id").as("b_id"),
       col("simhash_hi").as("b_hi"), col("simhash_lo").as("b_lo"))
