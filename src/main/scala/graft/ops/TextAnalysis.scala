@@ -391,8 +391,11 @@ object TextAnalysis {
     // capBuckets: a boilerplate fingerprint shared by N docs (headers,
     // license text) would make that one join key O(N²) — same skew
     // insurance as every other LSH-style self-join in the library
+    // pin before the self-join: the renamed sides defeat static exchange
+    // reuse, so the whole winnow pipeline would otherwise run twice
     val fps = Dedup.capBuckets(
       winnow(df, k, w, textCol), Seq("fingerprint"), maxBucket)
+      .localCheckpoint()
     fps.select(col("doc_id").as("a_id"), col("fingerprint"))
       .join(fps.select(col("doc_id").as("b_id"), col("fingerprint")), "fingerprint")
       .filter(col("a_id") < col("b_id"))
