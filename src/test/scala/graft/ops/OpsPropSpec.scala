@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Property tests over randomized corpora for the operators whose
+  * correctness is an INVARIANT, not a point case: permutation-ness of the
+  * deterministic shuffle, two-phase-vs-window equality of quota capping,
+  * line conservation of line dedup, and bloom/exact decontamination
+  * equality. ScalaCheck `Gen` is driven with deterministic seeds (the
+  * scalatest-scalacheck bridge isn't on the offline classpath), so every
+  * run sees the same corpora.
+  */
+class OpsPropSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private def samples[T](gen: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default, Seed(seed + i)))
+
+  private val word = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+  private val sentence = Gen.chooseNum(1, 8)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("shuffleOrder is a permutation of 1..N for arbitrary key sets and bucket counts") {
+    for (buckets <- Seq(1, 7, 64); seed <- Seq(11L, 42L)) {
+      val keys = samples(Gen.chooseNum(0L, 100000L), 150, seed).distinct
+      val df = keys.map(Tuple1(_)).toDF("doc_id")
+      val pos = Sampling.shuffleOrder(df, "doc_id", buckets)
+        .select("shuffle_pos").as[Long].collect().sorted
+      withClue(s"buckets=$buckets seed=$seed: ")(
+        pos.toSeq shouldBe (1L to keys.length))
+    }
+  }
+
+  test("capPerGroup equals the single-window formulation on random skewed data") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = samples(
+      Gen.zip(Gen.chooseNum(1L, 400L), Gen.oneOf("a", "b", "c", "hot"),
+        Gen.chooseNum(0L, 50L)),
+      250, 7L).distinctBy(_._1)
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    for (cap <- Seq(1, 5, 40)) {
+      val twoPhase = CorpusOps.capPerGroup(df, "source", "n_chars", cap)
+        .select("doc_id").as[Long].collect().sorted
+      val oneWindow = df.withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))))
+        .filter(col("rk") <= cap).select("doc_id").as[Long].collect().sorted
+      withClue(s"cap=$cap: ")(twoPhase shouldBe oneWindow)
+    }
+  }
+
+  test("dedupLines conserves lines: each distinct line survives exactly once, none invented") {
+    val docs = samples(sentence, 40, 3L).zipWithIndex
+      .map { case (s, i) => (i.toLong, Seq(s, "shared footer", s"sec ${i % 3}").mkString("\n")) }
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs).collect()
+    val inLines = docs.select("text").as[String].collect()
+      .flatMap(_.split("\n")).toSet
+    val outLines = out.flatMap(_.getString(1).split("\n"))
+    // exactly once each, and only lines that existed in the input
+    outLines.toSet shouldBe inLines
+    outLines.length shouldBe outLines.distinct.length
+    // n_lines bookkeeping agrees with the reassembled text
+    out.foreach(r => r.getLong(2) shouldBe r.getString(1).split("\n").length.toLong)
+  }
+
+  test("bloom decontamination equals exact decontamination on random corpora") {
+    for (seed <- Seq(5L, 23L)) {
+      val texts = samples(sentence, 60, seed)
+      val corpus = texts.zipWithIndex.map { case (s, i) => (100L + i, s) }
+        .toDF("doc_id", "text")
+      val bench = texts.take(8).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val exact = Dedup.decontaminate(corpus, bench)
+        .orderBy("doc_id").collect().toSeq
+      val bloom = Dedup.decontaminateBloom(corpus, bench)
+        .orderBy("doc_id").collect().toSeq
+      withClue(s"seed=$seed: ")(bloom shouldBe exact)
+    }
+  }
+}
