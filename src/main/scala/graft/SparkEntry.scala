@@ -275,6 +275,37 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q6 shape: pure filter+aggregate — every predicate pushes to
+    // the parquet scan, no join, no shuffle beyond the final 1-row agg
+    "q6_forecast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("decimal(28,4)"))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    // decorrelated to an aggregate + equi-join back to the fact. The
+    // "qty < avg/2" test is integer-exact — `2·qty·cnt < sum` over long
+    // counts (quantities are integral) — so no engine can disagree on a
+    // boundary row the way a double average could.
+    "q17_small_order" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgQty = l.groupBy(col("l_partkey").as("p_key"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+      l.join(avgQty, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity").cast("long") * 2 * col("cnt") < col("sum_qty"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("total_price"))
+    }),
+
     // TPC-H Q4 shape: EXISTS decorrelated to a left-semi join — the
     // orders side streams through one shuffle, lineitem is pre-filtered
     // and pruned to the join key before it moves
@@ -1066,6 +1097,23 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         | AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q17_small_order" ->
+      """WITH pa AS (
+        | SELECT l_partkey AS p_key,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS cnt
+        | FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN pa ON l_partkey = p_key
+        |WHERE CAST(l_quantity AS BIGINT) * 2 * cnt < sum_qty""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
