@@ -594,6 +594,12 @@ object SparkEntry {
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // C4-style bad-words gate: hits counted, keep flag at the threshold
+    "q_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(
+        t(s, dir, "documents"), Seq("slow", "stale", "spam"), maxHits = 2)
+        .orderBy("doc_id")),
+
     // classifier eval over the heuristic: actual × predicted counts
     "q_langid_confusion" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))
@@ -2235,6 +2241,14 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         | FROM documents)
         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    "q_blocklist" ->
+      """SELECT doc_id, blocked_hits, blocked_hits <= 2 AS keep FROM (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |   t -> t IN ('slow', 'stale', 'spam'))) AS BIGINT) AS blocked_hits
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """WITH d AS (

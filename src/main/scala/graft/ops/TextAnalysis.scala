@@ -298,6 +298,35 @@ object TextAnalysis {
     * One narrow projection; the Luhn filter runs inside a higher-order
     * `filter` over the extracted candidates — no explode, no UDF.
     */
+  /** C4-style blocklist gate: per-document count of tokens on a blocked
+    * word list (case-insensitive) and a keep flag at `maxHits` — the
+    * "bad words" filter every public crawl pipeline applies before
+    * training. The list compiles into the plan as an `isin` literal set
+    * (hash-set probe per token in codegen), so the filter is one narrow
+    * pass: no join, no broadcast, nothing at any corpus size. Use a
+    * broadcast join instead only if the list outgrows a plan literal
+    * (~thousands of entries).
+    */
+  def blocklistFilter(
+      df: DataFrame,
+      blocked: Seq[String],
+      maxHits: Int = 0,
+      textCol: String = "text"): DataFrame = {
+    require(blocked.nonEmpty, "blocked word list must not be empty")
+    require(maxHits >= 0, s"maxHits must be >= 0, got $maxHits")
+    val lowered = blocked.map(_.toLowerCase)
+    df.select(
+      col("doc_id"),
+      ColumnOps.bind(
+        size(filter(tokens(lower(col(textCol))), t => t.isin(lowered: _*)))
+          .cast("long")) { hits =>
+        struct(
+          hits.as("blocked_hits"),
+          (hits <= maxHits).as("keep"))
+      }.as("_b"))
+      .select(col("doc_id"), col("_b.blocked_hits"), col("_b.keep"))
+  }
+
   def piiScan(df: DataFrame, textCol: String = "text"): DataFrame = {
     val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
     val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"

@@ -391,4 +391,16 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2L)._1 should not be out(3L)._1
     out(2L)._2 should not be out(3L)._2 // rolling hash sees order
   }
+
+  test("blocklist gate: case-insensitive token hits, keep flag at threshold") {
+    val df = Seq(
+      (1L, "clean text here"),
+      (2L, "SPAM and more Spam spam"),
+      (3L, "one spam only")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(df, Seq("spam"), maxHits = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    out(1L) shouldBe (0L, true)
+    out(2L) shouldBe (3L, false)
+    out(3L) shouldBe (1L, true)
+  }
 }
