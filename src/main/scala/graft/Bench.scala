@@ -5,7 +5,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Force FULL materialization through the noop sink: count() would let
     // Catalyst prune away the very projections being measured (md5/minhash/
     // cosine columns don't survive column pruning under a count).
@@ -60,10 +60,14 @@ object Bench {
       "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
       "q_multimodal_phash")
     val results = ("ingest_full" -> ingestSec) +: headline.map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the single JSON line short: the invoking
+    // harness captures a bounded output tail, and full-precision doubles ×
+    // 38 queries pushed the line past the capture window (unparseable).
+    def fmt(v: Double): String = f"$v%.3f".replace(",", ".")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
