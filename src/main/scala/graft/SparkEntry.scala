@@ -325,6 +325,56 @@ object SparkEntry {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(10)),
 
+    // z-order clustering proof: bucket lineitem by the top 6 bits of the
+    // interleaved (partkey, suppkey) address — 64 "files" — and show each
+    // bucket confines BOTH dimensions to a 128-wide window out of 1024,
+    // i.e. min/max stats prune on either column (a lexicographic sort
+    // narrows only the leading one). The address itself is the unrolled
+    // shift/mask/or chain of Layout.zorderAddress, replayed bit-for-bit
+    // by the oracle.
+    "q_zorder" -> ((s, dir) => {
+      val px = pmod(col("l_partkey"), lit(1024L))
+      val sx = pmod(col("l_suppkey"), lit(1024L))
+      t(s, dir, "lineitem")
+        .select(px.as("px"), sx.as("sx"),
+          ops.Layout.zorderAddress(Seq(px, sx), 10).as("zaddr"))
+        .withColumn("bucket", shiftright(col("zaddr"), 14))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("px").as("px_min"), max("px").as("px_max"),
+          min("sx").as("sx_min"), max("sx").as("sx_max"))
+        .orderBy("bucket")
+    }),
+
+    // one-pass mergeable histogram quantiles (exact to ±binWidth) — the
+    // scale alternative to q_length_quantiles' exact global sort
+    "q_hist_quantile" -> ((s, dir) =>
+      ops.CorpusOps.histogramQuantiles(
+        t(s, dir, "documents"), "n_chars", binWidth = 16L,
+        permilles = Seq(500, 900, 990))),
+
+    // small-file compaction plan over a synthetic per-source file listing
+    // (one "file" per document, n_chars as its size), summarized per bin
+    "q_compaction" -> ((s, dir) =>
+      ops.Layout.planCompaction(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          col("n_chars")),
+        groupCol = "source", orderCol = "doc_id", bytesCol = "n_chars",
+        targetBytes = 4096L)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_files"), sum("n_chars").as("bytes"))
+        .orderBy("source", "bin")),
+
+    // k-anonymity audit: (lang, source, length-bucket) combos carried by
+    // fewer than 3 documents — potential re-identification handles
+    "q_kanon" -> ((s, dir) =>
+      ops.CorpusOps.kAnonymityViolations(
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            floor(col("n_chars").cast("double") / 32d).cast("long").as("len_bucket")),
+        quasiCols = Seq("lang", "source", "len_bucket"), k = 3L)
+        .orderBy("lang", "source", "len_bucket")),
+
     // hierarchical totals: revenue by (region, nation) + subtotals + grand
     // total in ONE pass — rollup adds grouping-set rows to the same
     // shuffle, not extra scans. Declared through spark.sql: the Dataset
@@ -1000,6 +1050,17 @@ object SparkEntry {
         .orderBy("media_id"))
   )
 
+  /** The z-order bit-interleave as portable SQL — the same
+    * `((dim >> i) & 1) << (i * D + d)` unroll as
+    * [[graft.ops.Layout.zorderAddress]], so Spark and DuckDB compute the
+    * identical address.
+    */
+  private def zorderSqlExpr(dims: Seq[String], bits: Int): String =
+    (for {
+      i <- 0 until bits
+      (e, d) <- dims.zipWithIndex
+    } yield s"((($e >> $i) & 1) << ${i * dims.size + d})").mkString(" | ")
+
   /** DuckDB oracles. Omitted on purpose (rows-only check): q_dedup_minhash,
     * q_dedup_simhash, q_dedup_simhash_pairs, q_sim_lsh (keyed on Spark's
     * xxhash64, which DuckDB does not implement — each has a `_portable`
@@ -1093,6 +1154,40 @@ object SparkEntry {
 
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q_zorder" ->
+      s"""WITH z AS (SELECT (l_partkey % 1024) AS px, (l_suppkey % 1024) AS sx FROM lineitem),
+        |b AS (SELECT px, sx, (${zorderSqlExpr(Seq("px", "sx"), 10)}) AS zaddr FROM z)
+        |SELECT (zaddr >> 14) AS bucket, count(*) AS n,
+        | min(px) AS px_min, max(px) AS px_max,
+        | min(sx) AS sx_min, max(sx) AS sx_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hist_quantile" ->
+      """WITH b AS (SELECT CAST(floor(n_chars / 16.0) AS BIGINT) AS bin, count(*) AS c
+        | FROM documents GROUP BY 1),
+        |cm AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b),
+        |p AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS permille)
+        |SELECT permille, min(bin) * 16 AS q_lo, (min(bin) + 1) * 16 - 1 AS q_hi
+        |FROM cm CROSS JOIN t CROSS JOIN p
+        |WHERE cum * 1000 >= permille * n
+        |GROUP BY permille ORDER BY permille""".stripMargin,
+
+    "q_compaction" ->
+      """WITH s AS (SELECT source, doc_id, n_chars,
+        |  coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        | FROM documents)
+        |SELECT source, CAST(floor(st / 4096.0) AS BIGINT) AS bin,
+        | count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_kanon" ->
+      """SELECT lang, source, CAST(floor(n_chars / 32.0) AS BIGINT) AS len_bucket,
+        | count(*) AS n
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,

@@ -191,6 +191,64 @@ object CorpusOps {
         col("p.n_null"), col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
 
+  /** One-pass approximate quantiles by fixed-width binning: count rows
+    * per `floor(value / binWidth)` bin, then read each requested
+    * permille off the cumulative bin histogram. The answer is exact to
+    * ±`binWidth` (reported as the `[q_lo, q_hi]` bin bounds), which is
+    * the right trade at 100 TB: ONE narrow aggregation whose state is
+    * O(value_range / binWidth) and MERGEABLE across shards (bins are
+    * just counts that add), vs an exact percentile's global sort. The
+    * cumulative window runs over the already-aggregated bin table —
+    * hundreds of rows — never over data.
+    *
+    * Deterministic: the threshold test is the integer cross-multiply
+    * `1000 * cum >= permille * n` (no float ceil), so any engine picks
+    * the identical bin.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      binWidth: Long,
+      permilles: Seq[Int]): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive, got $binWidth")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000], got $permilles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df
+      .select(floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val cum = bins.withColumn("cum",
+      sum("c").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = bins.agg(sum("c").as("n"))
+    val ps = permilles.map(_.toLong).toDF("permille")
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(ps))
+      .filter(col("cum") * 1000L >= col("permille") * col("n"))
+      .groupBy("permille").agg(min("bin").as("qbin"))
+      .select(col("permille"),
+        (col("qbin") * binWidth).as("q_lo"),
+        ((col("qbin") + 1L) * binWidth - 1L).as("q_hi"))
+      .orderBy("permille")
+  }
+
+  /** Quasi-identifier combinations shared by fewer than `k` rows — the
+    * k-anonymity audit a governed training corpus runs before release:
+    * any surviving combo is a potential re-identification handle. One
+    * hash aggregation on the quasi columns, then a count filter; the
+    * output is the (tiny) violation list, never the data.
+    */
+  def kAnonymityViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 to be a constraint, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
   /** Count-min sketch over a key column: `d` hash rows × `w` buckets of
     * EXACT counter sums — the mergeable fixed-size summary for "how
     * often does any key occur" over a stream too big to count exactly.

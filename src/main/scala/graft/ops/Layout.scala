@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{coalesce, col, floor, lit, shiftleft, shiftright, sum}
 
 /** Storage-layout operators: how a 100 TB table gets WRITTEN decides
   * every downstream scan's cost. One clustered write buys partition
@@ -39,6 +40,86 @@ object Layout {
       .sortWithinPartitions(keys: _*)
       .write
       .partitionBy(partCols: _*)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Small-file compaction plan: assign each file to a rewrite bin of
+    * ~`targetBytes` by its cumulative byte offset within its group
+    * (`bin = floor(start_offset / targetBytes)` over files ordered by
+    * `orderCol`) — the table-maintenance pass every long-lived 100 TB
+    * table needs, because streaming/append writers accrete kilobyte
+    * files until listing + open overhead dominates scans.
+    *
+    * Deterministic (pure function of the listing, no bin-packing
+    * heuristics), so the plan is oracle-replayable; each bin's size is
+    * bounded by `targetBytes + max_file_bytes`. The window is sequential
+    * per GROUP (partition dir) but parallel across groups — and it runs
+    * over the file LISTING, which is metadata-sized (one row per file,
+    * millions at most), never over table data.
+    */
+  def planCompaction(
+      files: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be positive, got $targetBytes")
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("_start", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("bin",
+        floor(col("_start").cast("double") / targetBytes).cast("long"))
+      .drop("_start")
+  }
+
+  /** Z-order (Morton) address: interleaves the low `bits` bits of each
+    * dimension — bit `i` of dimension `d` lands at position
+    * `i * dims.size + d` — so sorting by the address clusters rows that
+    * are close in EVERY dimension, not just the leading sort key.
+    *
+    * That is the multi-dimensional analogue of [[writeClustered]]'s
+    * lexicographic sort: a lexicographic (a, b) sort gives parquet
+    * min/max pruning on `a` only (each file spans all of `b`), while a
+    * z-address range confines every dimension to a power-of-two window —
+    * a filter on ANY clustered column skips files. The standard layout
+    * trick for 100 TB tables queried along several independent axes.
+    *
+    * Dimensions are masked to `bits` (callers bucket values into
+    * `[0, 2^bits)` first — e.g. `pmod(key, 1 << bits)`); the unrolled
+    * shift/mask/or chain is plain codegen'd built-ins, no UDF.
+    */
+  def zorderAddress(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "zorderAddress needs at least one dimension")
+    require(bits >= 1 && dims.size * bits <= 63,
+      s"dims * bits must fit a signed long: ${dims.size} * $bits")
+    val d = dims.size
+    val terms = for {
+      (dim, di) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(dim.cast("long"), i).bitwiseAND(lit(1L)), i * d + di)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-order-clustered on `dimCols` (each already bucketed to
+    * `[0, 2^bits)`): range-distribute then sort by the interleaved
+    * address, so each output file owns a contiguous z-range — a bounded
+    * min/max window on EVERY dimension at once.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      dimCols: Seq[String],
+      bits: Int = 16,
+      targetFiles: Int = 8): Unit = {
+    require(dimCols.nonEmpty, "nothing to cluster on")
+    df.withColumn("_zaddr", zorderAddress(dimCols.map(col), bits))
+      .repartitionByRange(targetFiles, col("_zaddr"))
+      .sortWithinPartitions(col("_zaddr"))
+      .drop("_zaddr")
+      .write
       .mode(SaveMode.Overwrite)
       .parquet(path)
   }

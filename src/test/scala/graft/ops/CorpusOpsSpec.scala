@@ -143,6 +143,36 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     kept shouldBe Array(2L, 3L, 4L, 6L, 7L)
   }
 
+  test("histogramQuantiles brackets the exact quantile within one bin") {
+    val df = (0L until 100L).toDF("v")
+    val qs = CorpusOps.histogramQuantiles(df, "v", binWidth = 10L,
+        permilles = Seq(500, 1000))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // p500: cum reaches 50 at bin 4 (values 40-49); exact median 49.5
+    qs(500L) shouldBe (40L, 49L)
+    // p1000: the last non-empty bin
+    qs(1000L) shouldBe (90L, 99L)
+  }
+
+  test("histogramQuantiles integer threshold: no float-ceil drift") {
+    // 3 rows: p334 needs cum*1000 >= 334*3 = 1002 -> cum >= 2 (not 1)
+    val df = Seq(10L, 20L, 30L).toDF("v")
+    val q = CorpusOps.histogramQuantiles(df, "v", 10L, Seq(334))
+      .head()
+    q.getLong(1) shouldBe 20L
+  }
+
+  test("kAnonymityViolations reports only under-k combos") {
+    val df = Seq(
+      ("en", "s0"), ("en", "s0"), ("en", "s0"), // 3 -> safe at k=3
+      ("en", "s1"), ("en", "s1"),               // 2 -> violation
+      ("de", "s0")                              // 1 -> violation
+    ).toDF("lang", "source")
+    val out = CorpusOps.kAnonymityViolations(df, Seq("lang", "source"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    out shouldBe Set(("en", "s1", 2L), ("de", "s0", 1L))
+  }
+
   test("capPerGroup equals the single-window formulation") {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 120L).map(i => (i, s"s${i % 5}", i * 7 % 31)).toDF("doc_id", "source", "n_chars")

@@ -36,4 +36,71 @@ class LayoutSpec extends AnyFunSuite with Matchers {
       .listFiles().count(_.getName.endsWith(".parquet"))
     clickFiles should be <= 8
   }
+
+  test("planCompaction bins by start offset, independent per group") {
+    import spark.implicits._
+    val files = Seq(
+      ("a", 1L, 3000L), ("a", 2L, 3000L), ("a", 3L, 3000L),
+      ("b", 1L, 5000L), ("b", 2L, 100L)
+    ).toDF("grp", "path", "bytes")
+    val plan = Layout.planCompaction(files, "grp", "path", "bytes", 4096L)
+      .select("grp", "path", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a: starts 0, 3000, 6000 -> bins 0, 0, 1;  b: starts 0, 5000 -> 0, 1
+    plan shouldBe Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("b", 1L) -> 0L, ("b", 2L) -> 1L)
+  }
+
+  test("zorderAddress matches a reference bit-interleave") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L),
+      (512L, 7L), (1024L + 3L, 2048L + 5L)) // out-of-range bits masked off
+    val got = cases.toDF("x", "y")
+      .select(Layout.zorderAddress(Seq(col("x"), col("y")), 10).as("z"))
+      .as[Long].collect()
+    got.toSeq shouldBe cases.map { case (x, y) => ref(x & 1023, y & 1023, 10) }
+  }
+
+  test("z-order buckets confine every dimension to a narrow window") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(pmod(col("l_partkey"), lit(1024L)).as("px"),
+        pmod(col("l_suppkey"), lit(1024L)).as("sx"))
+    val spans = li
+      .withColumn("z", Layout.zorderAddress(Seq(col("px"), col("sx")), 10))
+      .groupBy(shiftright(col("z"), 14).as("bucket"))
+      .agg((max("px") - min("px")).as("pspan"), (max("sx") - min("sx")).as("sspan"))
+      .agg(max("pspan"), max("sspan"))
+      .head()
+    // top-6 z-bits fix 3 high bits of EACH dim: span <= 127 of 1023.
+    // a lexicographic (px, sx) bucketing would leave sspan ~ 1023.
+    spans.getLong(0) should be <= 127L
+    spans.getLong(1) should be <= 127L
+  }
+
+  test("z-ordered write: files own contiguous z-ranges on both dims") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey"),
+        pmod(col("l_partkey"), lit(1024L)).as("px"),
+        pmod(col("l_suppkey"), lit(1024L)).as("sx"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/li"
+    Layout.writeZOrdered(li, dir, Seq("px", "sx"), bits = 10, targetFiles = 8)
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe li.count()
+    // per-file min/max of the z-address do not overlap across files
+    // (== contiguous ranges): that is exactly what row-group pruning uses
+    val ranges = back
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .withColumn("z", Layout.zorderAddress(Seq(col("px"), col("sx")), 10))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("lo")
+      .collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) => a.getAs[Long]("hi") should be <= b.getAs[Long]("lo")
+      case _           =>
+    }
+  }
 }
