@@ -884,6 +884,13 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents"), Seq("dup", "spark", "join"))),
 
+    // hybrid retrieval: the BM25 ranking above + a dense hash-embedding
+    // cosine ranking of the same query, reciprocal-rank-fused in integer
+    // micro-points — both legs and the fusion replayed by the oracle
+    "q_hybrid_rrf" -> ((s, dir) =>
+      ops.Retrieval.hybridRrf(
+        t(s, dir, "documents"), Seq("dup", "spark", "join"))),
+
     // distinct 3-gram cardinality per lang by key-space sampling (1/16)
     "q_distinct_sketch" -> ((s, dir) =>
       ops.CorpusOps.approxDistinct(
@@ -1049,6 +1056,23 @@ object SparkEntry {
           hex(col("payload")).as("payload_hex"))
         .orderBy("media_id"))
   )
+
+  /** BM25 oracle, shared verbatim by `q_bm25` and (as the lexical leg)
+    * `q_hybrid_rrf`, so the two can never drift.
+    */
+  private val bm25OracleSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM d),
+      |wd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM d),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM wd
+      | WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT t.doc_id,
+      | CAST(round(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) * t.tf * 2.2
+      |  / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (s.sum_dl / s.n_docs))) * 1000000.0) AS BIGINT) AS m
+      | FROM tf t JOIN dfq q USING (term) CROSS JOIN stats s)
+      |SELECT doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro FROM sc
+      |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
 
   /** The z-order bit-interleave as portable SQL — the same
     * `((dim >> i) & 1) << (i * D + d)` unroll as
@@ -2834,19 +2858,37 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
         |FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "q_bm25" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM d),
-        |wd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM d),
-        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM wd
-        | WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT t.doc_id,
-        | CAST(round(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) * t.tf * 2.2
-        |  / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (s.sum_dl / s.n_docs))) * 1000000.0) AS BIGINT) AS m
-        | FROM tf t JOIN dfq q USING (term) CROSS JOIN stats s)
-        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro FROM sc
-        |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25" -> bm25OracleSql,
+
+    "q_hybrid_rrf" ->
+      s"""WITH lexr AS (
+        | SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rank
+        | FROM ($bm25OracleSql)),
+        |den AS (
+        | WITH hs AS (SELECT doc_id,
+        |   list_transform(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+        |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT % 64) AS hs
+        |  FROM documents),
+        | v AS (SELECT doc_id,
+        |  [CAST(len(list_filter(hs, h -> h = i)) AS BIGINT) * 10000 for i in range(0, 64)] AS qv
+        |  FROM hs),
+        | qh AS (SELECT list_transform(string_split('dup spark join', ' '),
+        |   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT % 64) AS hs),
+        | qv AS (SELECT
+        |  [CAST(len(list_filter(hs, h -> h = i)) AS BIGINT) * 10000 for i in range(0, 64)] AS qv
+        |  FROM qh),
+        | sc AS (SELECT c.doc_id,
+        |  round(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(list_sum(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |        * CAST(list_sum(list_transform(list_zip(c.qv, c.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
+        |  FROM v c CROSS JOIN qv q)
+        | SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+        | FROM sc ORDER BY sim DESC, doc_id LIMIT 20)
+        |SELECT doc_id,
+        | CAST(sum(CAST(floor(1000000.0 / (rank + 60)) AS BIGINT)) AS BIGINT) AS rrf_micro,
+        | count(*) AS lists
+        |FROM (SELECT doc_id, rank FROM lexr UNION ALL SELECT doc_id, rank FROM den)
+        |GROUP BY doc_id ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_distinct_sketch" ->
       """WITH toks AS (

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class RetrievalSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.init()
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("rrfFuse sums integer micro-points across lists") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), rrfK = 60, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 2: floor(1e6/62) + floor(1e6/61) = 16129 + 16393 = 32522 from 2 lists
+    out.head shouldBe ((2L, 32522L, 2L))
+    // docs 1 and 3 each have one list; rank-1 doc 1 beats rank-2 doc 3
+    out(1) shouldBe ((1L, 16393L, 1L))
+    out(2) shouldBe ((3L, 16129L, 1L))
+  }
+
+  test("denseTopK is deterministic and ranked by descending cosine") {
+    val out = Retrieval.denseTopK(docs, "dup spark join", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    out.length shouldBe 10
+    out.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(x, y) => x should be >= y
+      case _         =>
+    }
+    val again = Retrieval.denseTopK(docs, "dup spark join", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    again.toSeq shouldBe out.toSeq
+  }
+
+  test("hybridRrf fuses both legs: scores non-increasing, lists in {1,2}") {
+    val out = Retrieval.hybridRrf(docs, Seq("dup", "spark", "join"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.length shouldBe 20
+    out.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(x, y) => x should be >= y
+      case _         =>
+    }
+    all(out.map(_._3)) should (be(1L) or be(2L))
+    // at least one document should be found by both retrievers
+    out.map(_._3) should contain(2L)
+  }
+}
