@@ -686,6 +686,15 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2).orderBy("doc_id")),
 
+    // character-distribution entropy (gibberish / base64 / run detector)
+    "q_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // seed-derived ±1 JL projection, 64 -> 16 dims, integer-exact
+    "q_rand_proj" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"), outDim = 16)
+        .orderBy("vec_id", "j")),
+
     "q_freq_spectrum" -> ((s, dir) =>
       TextAnalysis.freqSpectrum(t(s, dir, "documents"), n = 2).orderBy("freq")),
 
@@ -2417,6 +2426,29 @@ object SparkEntry {
         | round(1.0 - count(*) / sum(cnt), 6) AS dup_fraction,
         | round(max(cnt) / sum(cnt), 6) AS top_share
         |FROM cnts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH c AS (SELECT doc_id, string_split(text, '') AS chars FROM documents),
+        |u AS (SELECT doc_id, chars, list_sort(list_distinct(chars)) AS uniq FROM c)
+        |SELECT doc_id, CAST(len(chars) AS BIGINT) AS len,
+        | CAST(len(uniq) AS BIGINT) AS n_uniq,
+        | CAST(round(-list_sum(list_transform(uniq, ch ->
+        |   (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)) *
+        |   log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))))
+        |  * 1000) AS BIGINT) AS entropy_milli
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_rand_proj" ->
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |sg AS (SELECT j, list_transform(range(0, 64), i ->
+        |  CASE WHEN ('0x' || substr(md5('rp:' || i || ':' || j), 1, 7))::BIGINT % 2 = 0
+        |   THEN 1 ELSE -1 END) AS s
+        | FROM range(0, 16) t(j))
+        |SELECT vec_id, j,
+        | CAST(list_sum(list_transform(list_zip(qv, s), z -> z[1] * z[2])) AS BIGINT) AS proj
+        |FROM v CROSS JOIN sg ORDER BY vec_id, j""".stripMargin,
 
     "q_freq_spectrum" ->
       """WITH toks AS (

@@ -638,4 +638,46 @@ object Similarity {
       .orderBy(asc("centroid_sim"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Deterministic ±1 sign for component `i` of projection row `j`:
+    * parity of the 28-bit md5 prefix of `"seed:i:j"` — the same
+    * portable base hash as [[graft.functions.PortableHash.h28]], so any
+    * engine regenerates the identical matrix from the seed string alone.
+    */
+  private def rpSign(seed: String, i: Int, j: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 7)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Johnson-Lindenstrauss-style random projection: `outDim` components,
+    * each the signed sum `Σ_i qv[i] · s(i,j)` of the quantized input
+    * under a deterministic ±1 matrix (Achlioptas' database-friendly
+    * construction — no Gaussians needed for the distance-preservation
+    * guarantee). The matrix is DERIVED from a seed, never stored or
+    * shipped: at 100 TB the "model" is 0 bytes and every executor —
+    * and the DuckDB oracle — regenerates it identically.
+    *
+    * Output is long format `(vec_id, j, proj)` — pure integer, so the
+    * check is hash-exact, and the projected table feeds clustering /
+    * ANN stages at `outDim/inDim` of the original width and cost.
+    */
+  def randomProjection(
+      embeddings: DataFrame,
+      outDim: Int,
+      inDim: Int = 64,
+      seed: String = "rp"): DataFrame = {
+    require(outDim >= 1 && inDim >= 1, s"dims must be positive: $inDim -> $outDim")
+    val signs = lit((0 until outDim).flatMap(j =>
+      (0 until inDim).map(i => rpSign(seed, i, j))).toArray)
+    embeddings.select(col("vec_id"),
+      posexplode(graft.functions.ColumnOps.bind(quantize(col("embedding"))) { qv =>
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          aggregate(
+            zip_with(qv, slice(signs, j * inDim + 1, lit(inDim)), (x, sg) => x * sg),
+            lit(0L), (acc, x) => acc + x))
+      }))
+      .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("proj"))
+  }
 }

@@ -833,6 +833,31 @@ object TextAnalysis {
     * both keys are fine-grained (no skew: a hot document is still one
     * doc_id, bounded by document length, not corpus size).
     */
+  /** Character-distribution Shannon entropy per document, in milli-bits
+    * — the classic gibberish/boilerplate detector: natural prose sits
+    * near 4 bits/char, base64 blobs and `aaaa…` runs far off it. Whole
+    * computation is ONE narrow codegen'd projection (distinct-char loop
+    * over a ~30-symbol alphabet inside the row, no explode/shuffle);
+    * the distinct list is SORTED before the fold so Spark and the
+    * oracle accumulate the float sum in the same order.
+    */
+  def charEntropy(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+      ColumnOps.bind(split(col(textCol), "")) { chars =>
+        ColumnOps.bind(array_sort(array_distinct(chars))) { uniq =>
+          struct(
+            size(chars).cast("long").as("len"),
+            size(uniq).cast("long").as("n_uniq"),
+            round(aggregate(uniq, lit(0.0d), (acc, c) =>
+              acc - ColumnOps.bind(
+                size(filter(chars, x => x === c)).cast("double") /
+                  size(chars).cast("double")) { p => p * log2(p) })
+              * 1000d, 0).cast("long").as("entropy_milli"))
+        }
+      }.as("m"))
+      .select(col("doc_id"), col("m.len").as("len"),
+        col("m.n_uniq").as("n_uniq"), col("m.entropy_milli").as("entropy_milli"))
+
   def repetition(df: DataFrame, n: Int = 2, textCol: String = "text"): DataFrame =
     df.select(col("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .groupBy("doc_id", "gram")

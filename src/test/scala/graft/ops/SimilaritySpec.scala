@@ -161,4 +161,25 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     val b = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
     a shouldBe b
   }
+
+  test("randomProjection: seed-derived, linear, deterministic") {
+    import spark.implicits._
+    // basis vector e_0 scaled: proj(j) = 10000 * s(0, j), so the doubled
+    // vector projects to exactly 2x — linearity pins the sign matrix use
+    val one = Seq((1L, Array(1.0f) ++ Array.fill(63)(0.0f)),
+      (2L, Array(2.0f) ++ Array.fill(63)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProjection(one, outDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    p.size shouldBe 16
+    (0L until 8L).foreach { j =>
+      math.abs(p((1L, j))) shouldBe 10000L
+      p((2L, j)) shouldBe 2L * p((1L, j))
+    }
+    // not all signs equal (the matrix actually varies with j)
+    (0L until 8L).map(j => p((1L, j))).toSet.size shouldBe 2
+    val again = Similarity.randomProjection(one, outDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    again shouldBe p
+  }
 }

@@ -392,6 +392,21 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2L)._2 should not be out(3L)._2 // rolling hash sees order
   }
 
+  test("charEntropy: zero for runs, exact bits for uniform alphabets") {
+    val df = Seq(
+      (1L, "aaaa"),     // one symbol -> 0 bits
+      (2L, "ab"),       // two equiprobable -> 1 bit
+      (3L, "abcd"),     // four equiprobable -> 2 bits
+      (4L, "aab")       // H = -(2/3 log 2/3 + 1/3 log 1/3) = 0.9183
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out(1L) shouldBe (4L, 1L, 0L)
+    out(2L) shouldBe (2L, 2L, 1000L)
+    out(3L) shouldBe (4L, 4L, 2000L)
+    out(4L) shouldBe (3L, 2L, 918L)
+  }
+
   test("blocklist gate: case-insensitive token hits, keep flag at threshold") {
     val df = Seq(
       (1L, "clean text here"),
