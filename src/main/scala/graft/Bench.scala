@@ -58,7 +58,8 @@ object Bench {
       "q_top_ngrams", "q_text_chunk", "q_split", "q_fingerprint",
       "q_corpus_stats",
       "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
-      "q_multimodal_phash")
+      "q_multimodal_phash",
+      "q_zorder", "q_hist_quantile", "q_hybrid_rrf", "q_rand_proj")
     val results = ("ingest_full" -> ingestSec) +: headline.map(n => n -> exec(n))
     // Millisecond precision keeps the single JSON line short: the invoking
     // harness captures a bounded output tail, and full-precision doubles ×
