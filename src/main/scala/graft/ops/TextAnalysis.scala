@@ -836,27 +836,39 @@ object TextAnalysis {
   /** Character-distribution Shannon entropy per document, in milli-bits
     * — the classic gibberish/boilerplate detector: natural prose sits
     * near 4 bits/char, base64 blobs and `aaaa…` runs far off it. Whole
-    * computation is ONE narrow codegen'd projection (distinct-char loop
-    * over a ~30-symbol alphabet inside the row, no explode/shuffle);
-    * the distinct list is SORTED before the fold so Spark and the
-    * oracle accumulate the float sum in the same order.
+    * computation is ONE narrow codegen'd projection (no explode/shuffle).
+    *
+    * Under a graft session the native one-pass
+    * [[graft.plans.CharEntropyPacked]] does the work (single UTF-8 byte
+    * scan); the Column fallback is bit-compatible — its distinct list is
+    * SORTED before the fold so both paths and the oracle accumulate the
+    * float sum in the same (code-point) order. Packed transport:
+    * `(n_uniq << 20) | entropy_milli`, unpacked here.
     */
-  def charEntropy(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.select(col("doc_id"),
-      ColumnOps.bind(split(col(textCol), "")) { chars =>
-        ColumnOps.bind(array_sort(array_distinct(chars))) { uniq =>
-          struct(
-            size(chars).cast("long").as("len"),
-            size(uniq).cast("long").as("n_uniq"),
-            round(aggregate(uniq, lit(0.0d), (acc, c) =>
-              acc - ColumnOps.bind(
-                size(filter(chars, x => x === c)).cast("double") /
-                  size(chars).cast("double")) { p => p * log2(p) })
-              * 1000d, 0).cast("long").as("entropy_milli"))
+  def charEntropy(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val packed: Column =
+      if (graft.plans.GraftExtensions.available(df.sparkSession))
+        call_function("graft_char_entropy", col(textCol))
+      else
+        ColumnOps.bind(split(col(textCol), "")) { chars =>
+          ColumnOps.bind(array_sort(array_distinct(chars))) { uniq =>
+            shiftleft(size(uniq).cast("long"), 20).bitwiseOR(
+              round(aggregate(uniq, lit(0.0d), (acc, c) =>
+                acc - ColumnOps.bind(
+                  size(filter(chars, x => x === c)).cast("double") /
+                    size(chars).cast("double")) { p => p * log2(p) })
+                * 1000d, 0).cast("long"))
+          }
         }
+    df.select(col("doc_id"), length(col(textCol)).cast("long").as("len"),
+      ColumnOps.bind(packed) { pk =>
+        struct(
+          shiftright(pk, 20).as("n_uniq"),
+          pk.bitwiseAND(lit((1L << 20) - 1L)).as("entropy_milli"))
       }.as("m"))
-      .select(col("doc_id"), col("m.len").as("len"),
+      .select(col("doc_id"), col("len"),
         col("m.n_uniq").as("n_uniq"), col("m.entropy_milli").as("entropy_milli"))
+  }
 
   def repetition(df: DataFrame, n: Int = 2, textCol: String = "text"): DataFrame =
     df.select(col("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))

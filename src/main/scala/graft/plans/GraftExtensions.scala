@@ -112,6 +112,12 @@ object GraftExtensions {
         expectArity("graft_roll_hash", children, 1)
         RollHash(children.head)
       }),
+    (FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropyPacked].getName, "graft_char_entropy"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_char_entropy", children, 1)
+        CharEntropyPacked(children.head)
+      }),
     // Spark's own runtime-filter machinery (BloomFilterAggregate /
     // BloomFilterMightContain), surfaced as callable functions so library
     // code can apply it where the optimizer can't inject it itself (join

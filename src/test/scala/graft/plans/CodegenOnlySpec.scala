@@ -59,6 +59,10 @@ class CodegenOnlySpec extends AnyFunSuite with Matchers {
     check(s => textDf(s).select(call_function("graft_roll_hash", col("s"))))
   }
 
+  test("graft_char_entropy compiles and matches interpreted eval") {
+    check(s => textDf(s).select(call_function("graft_char_entropy", col("s"))))
+  }
+
   test("graft_token_count (both modes) compiles and matches interpreted eval") {
     check(s => textDf(s).select(
       call_function("graft_token_count", col("s"), lit("bpe")),
