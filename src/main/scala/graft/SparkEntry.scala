@@ -253,6 +253,26 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q18 shape: large-volume orders. One lineitem aggregation
+    // produces the (tiny) big-order keys WITH their quantity sums, so —
+    // unlike the textbook plan — lineitem is scanned once, never
+    // re-joined for the display sum; orders joins the small side, the
+    // customer lookup rides on top, TakeOrdered finishes it.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 250d)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q5 shape: local-supplier revenue by nation — two fact-sized
     // shuffle joins, every dimension broadcast
     "q5_region" -> ((s, dir) => {
@@ -1231,6 +1251,15 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         | AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        | GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q6_forecast" ->
       """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
