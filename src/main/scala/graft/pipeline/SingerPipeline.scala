@@ -108,7 +108,19 @@ object SingerPipeline {
     }
     schemaLines.foldLeft(Map.empty[String, StreamSchema]) { (acc, json) =>
       val ss = SchemaMapper.fromSchemaMessage(json)
-      acc + (ss.stream -> ss.select(config.fixedHeaders.get(ss.stream)))
+      val pruned = ss.select(config.fixedHeaders.get(ss.stream))
+      // Last-wins is deliberate (the reference CRASHES here, BUG-4) but
+      // must never be silent: log exactly what drifted.
+      acc.get(ss.stream).foreach { prev =>
+        val drift = SchemaMapper.schemaDiff(prev, pruned)
+        if (drift.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"stream '${ss.stream}': mid-stream schema change (last-wins): " +
+              drift.map(c => s"${c.field} ${c.kind} " +
+                s"${c.before.getOrElse("-")}->${c.after.getOrElse("-")}")
+                .mkString("; "))
+      }
+      acc + (ss.stream -> pruned)
     }
   }
 

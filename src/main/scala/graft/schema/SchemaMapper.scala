@@ -154,6 +154,50 @@ object SchemaMapper {
     }
   }
 
+  /** One field's change between two SCHEMA messages of a stream. `kind`
+    * is `added` / `removed` / `retyped` / `nullability`; for `retyped`
+    * the before/after carry the resolved Spark type names.
+    */
+  final case class FieldChange(
+      field: String,
+      kind: String,
+      before: Option[String],
+      after: Option[String])
+
+  /** Mid-stream schema drift report: what changed between consecutive
+    * SCHEMA messages for a stream. The reference CRASHES on any change
+    * at the second flush (BUG-4, `writers.py:27-29`,
+    * `tests/test_integration.py:232-275`); this pipeline resolves
+    * last-wins — the report is what an operator alerts/logs on so that
+    * resolution is never silent. Type comparison runs AFTER the C3
+    * resolution rules, so two raw schemas that resolve identically
+    * (e.g. `["null","string"]` vs `anyOf` order shuffles) report clean.
+    */
+  def schemaDiff(before: StreamSchema, after: StreamSchema): Vector[FieldChange] = {
+    val b = before.properties.map(p => p.name -> p).toMap
+    val a = after.properties.map(p => p.name -> p).toMap
+    val added = after.properties.filterNot(p => b.contains(p.name)).map(p =>
+      FieldChange(p.name, "added", None, Some(p.sparkType.catalogString)))
+    val removed = before.properties.filterNot(p => a.contains(p.name)).map(p =>
+      FieldChange(p.name, "removed", Some(p.sparkType.catalogString), None))
+    val common = before.properties.flatMap { bp =>
+      a.get(bp.name).toSeq.flatMap { ap =>
+        val retyped =
+          if (bp.sparkType != ap.sparkType)
+            Seq(FieldChange(bp.name, "retyped",
+              Some(bp.sparkType.catalogString), Some(ap.sparkType.catalogString)))
+          else Nil
+        val renull =
+          if (bp.nullable != ap.nullable)
+            Seq(FieldChange(bp.name, "nullability",
+              Some(bp.nullable.toString), Some(ap.nullable.toString)))
+          else Nil
+        retyped ++ renull
+      }
+    }
+    (added ++ removed ++ common).sortBy(c => (c.field, c.kind))
+  }
+
   /** Parse a Singer SCHEMA message (driver side, one per stream). */
   def fromSchemaMessage(json: String): StreamSchema = {
     val msg = JsonMethods.parse(json)

@@ -124,4 +124,37 @@ class SchemaMapperSpec extends AnyFunSuite {
     assert(ss.select(Some(Seq("id"))).struct.fieldNames.toSeq == Seq("id"))
     assert(ss.select(None).struct.fieldNames.toSeq == Seq("id", "name"))
   }
+
+  test("schemaDiff reports added/removed/retyped/nullability after resolution") {
+    def msg(props: String) = fromSchemaMessage(
+      s"""{"type": "SCHEMA", "stream": "s",
+          "schema": {"type": "object", "properties": {$props}},
+          "key_properties": []}""")
+    val before = msg(
+      """"id": {"type": ["integer", "null"]},
+         "gone": {"type": ["string", "null"]},
+         "price": {"type": ["number", "null"]},
+         "flag": {"type": ["boolean", "null"]}""")
+    val after = msg(
+      """"id": {"type": ["string", "null"]},
+         "fresh": {"type": ["string", "null"]},
+         "price": {"type": ["number", "null"]},
+         "flag": {"type": "boolean"}""")
+    val diff = SchemaMapper.schemaDiff(before, after)
+    assert(diff == Vector(
+      SchemaMapper.FieldChange("flag", "nullability", Some("true"), Some("false")),
+      SchemaMapper.FieldChange("fresh", "added", None, Some("string")),
+      SchemaMapper.FieldChange("gone", "removed", Some("string"), None),
+      SchemaMapper.FieldChange("id", "retyped", Some("bigint"), Some("string"))))
+  }
+
+  test("schemaDiff is clean when raw forms differ but resolve identically") {
+    def msg(props: String) = fromSchemaMessage(
+      s"""{"type": "SCHEMA", "stream": "s",
+          "schema": {"type": "object", "properties": {$props}},
+          "key_properties": []}""")
+    val a = msg(""""v": {"type": ["null", "string"]}""")
+    val b = msg(""""v": {"anyOf": [{"type": ["string", "null"]}]}""")
+    assert(SchemaMapper.schemaDiff(a, b).isEmpty)
+  }
 }
