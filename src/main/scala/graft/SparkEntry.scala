@@ -507,6 +507,37 @@ object SparkEntry {
       Dedup.minHashLshPortable(t(s, dir, "documents"), threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
+    // LSH quality measurement: recall of the banded MinHash pipeline
+    // against the exact all-pairs Jaccard truth on a bounded doc block —
+    // the check you run before trusting the bands/rows trade-off on the
+    // full corpus. Both sides replay in the oracle (same CTE chain as
+    // q_dedup_minhash_portable).
+    "q_minhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200L)
+      val found = Dedup.minHashLshPortable(docs, threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val ids = docs.select(col("doc_id"))
+      val allPairs = ids.select(col("doc_id").as("a_id"))
+        .crossJoin(ids.select(col("doc_id").as("b_id")))
+        .filter(col("a_id") < col("b_id"))
+      val truth = Dedup.ngramJaccardPairs(docs, allPairs)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
+    // hot-key profile: keys carrying > 1.2x the median key load — the
+    // diagnosis pass that decides which keys the salted ops must split
+    "q_skew_keys" -> ((s, dir) =>
+      ops.SkewAgg.skewKeys(t(s, dir, "events"), "user_id", factor = 1.2)
+        .orderBy("user_id")),
+
     "q_dedup_simhash_portable" -> ((s, dir) =>
       Dedup.simHashPortable(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1103,6 +1134,47 @@ object SparkEntry {
       |SELECT doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro FROM sc
       |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin
 
+  /** The portable-MinHash LSH pipeline (shingle → h28 → 32-seed min-mix
+    * signature → 8 banded buckets → candidate self-join → exact Jaccard)
+    * as a reusable DuckDB CTE chain, shared verbatim by
+    * `q_dedup_minhash_portable` and `q_minhash_recall` so the measured
+    * pipeline can never drift from the verified one. `docWhere` bounds
+    * the corpus (e.g. `"WHERE doc_id < 200"`; empty for all).
+    */
+  private def minhashPortableCtes(docWhere: String): String =
+    s"""sh AS (
+      | SELECT doc_id, sh0 AS sh FROM (
+      |  SELECT doc_id,
+      |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |   END AS sh0
+      |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      |        FROM documents $docWhere)
+      | )
+      |),
+      |hs AS (
+      | SELECT doc_id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh
+      |),
+      |sig AS (
+      | SELECT doc_id, list_transform(range(0, 32), i ->
+      |   list_min(list_transform(hs, p -> (p * (2*i + 1) + i * 40503) % 268435399))) AS sig
+      | FROM hs
+      |),
+      |bands AS (
+      | SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bucket
+      | FROM sig, range(0, 8) r(b)
+      |),
+      |cand AS (
+      | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      | FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      |),
+      |j AS (
+      | SELECT a_id, b_id,
+      |  round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+      |   ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))) END, 6) AS jaccard
+      | FROM cand JOIN sh x ON cand.a_id = x.doc_id JOIN sh y ON cand.b_id = y.doc_id
+      |)""".stripMargin
+
   /** The z-order bit-interleave as portable SQL — the same
     * `((dim >> i) & 1) << (i * D + d)` unroll as
     * [[graft.ops.Layout.zorderAddress]], so Spark and DuckDB compute the
@@ -1609,39 +1681,32 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_minhash_portable" ->
-      """WITH sh AS (
-        | SELECT doc_id, sh0 AS sh FROM (
-        |  SELECT doc_id,
-        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-        |   END AS sh0
-        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
-        |        FROM documents)
-        | )
-        |),
-        |hs AS (
-        | SELECT doc_id, sh, list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh
-        |),
-        |sig AS (
-        | SELECT doc_id, list_transform(range(0, 32), i ->
-        |   list_min(list_transform(hs, p -> (p * (2*i + 1) + i * 40503) % 268435399))) AS sig
-        | FROM hs
-        |),
-        |bands AS (
-        | SELECT doc_id, b, array_to_string(sig[(b*4+1):(b*4+4)], ',') AS bucket
-        | FROM sig, range(0, 8) r(b)
-        |),
-        |cand AS (
-        | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        | FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-        |),
-        |j AS (
-        | SELECT a_id, b_id,
-        |  round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
-        |   ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))) END, 6) AS jaccard
-        | FROM cand JOIN sh x ON cand.a_id = x.doc_id JOIN sh y ON cand.b_id = y.doc_id
-        |)
+      s"""WITH ${minhashPortableCtes("")}
         |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_minhash_recall" ->
+      s"""WITH ${minhashPortableCtes("WHERE doc_id < 200")},
+        |found AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.5),
+        |truth AS (
+        | SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        | FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        | WHERE round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
+        |  ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(x.sh, y.sh))) END, 6) >= 0.5),
+        |n AS (SELECT
+        | (SELECT count(*) FROM truth) AS n_true,
+        | (SELECT count(*) FROM found) AS n_found,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+        |SELECT n_true, n_found, n_hit,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+        |FROM n""".stripMargin,
+
+    "q_skew_keys" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(cnt, 0.5) AS med FROM c)
+        |SELECT user_id, cnt, CAST(floor(1000.0 * cnt / med) AS BIGINT) AS ratio_milli
+        |FROM c CROSS JOIN m WHERE cnt > med * 1.2 ORDER BY user_id""".stripMargin,
 
     "q_dedup_simhash_portable" ->
       """WITH hs AS (

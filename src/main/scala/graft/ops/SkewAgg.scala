@@ -68,4 +68,21 @@ object SkewAgg {
         explode(sequence(lit(0L), lit(buckets - 1L)))), Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** Hot-key detector — the diagnosis step BEFORE [[saltedStats]] /
+    * [[saltedJoin]]: keys whose row count exceeds `factor` × the median
+    * key count, with their load ratio in milli-units. One counting
+    * aggregation plus a one-row median broadcast back onto the (already
+    * key-sized) count table; at 100 TB this is the cheap profiling pass
+    * that tells you WHICH keys need salting and how many buckets.
+    */
+  def skewKeys(df: DataFrame, keyCol: String, factor: Double): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val med = counts.agg(percentile(col("cnt"), lit(0.5)).as("med"))
+    counts.crossJoin(broadcast(med))
+      .filter(col("cnt") > col("med") * factor)
+      .select(col(keyCol), col("cnt"),
+        floor(lit(1000.0) * col("cnt") / col("med")).cast("long").as("ratio_milli"))
+  }
 }

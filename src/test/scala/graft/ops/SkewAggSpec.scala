@@ -39,4 +39,13 @@ class SkewAggSpec extends AnyFunSuite with Matchers {
       .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     out shouldBe Array(("a", 2L, 4.0), ("b", 1L, 3.0))
   }
+
+  test("skewKeys flags only keys above factor x median") {
+    // counts: a=1, b=2, c=3, hot=10 -> median 2.5; factor 2 -> cutoff 5
+    val rows = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(10)("hot")
+    val out = SkewAgg.skewKeys(rows.toDF("k"), "k", factor = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(("hot", 10L, 4000L)) // 1000*10/2.5
+  }
 }
