@@ -395,6 +395,38 @@ object SparkEntry {
         quasiCols = Seq("lang", "source", "len_bucket"), k = 3L)
         .orderBy("lang", "source", "len_bucket")),
 
+    // deequ-style constraint suite: 5 rules, ONE lineitem pass
+    "q_dq_report" -> ((s, dir) =>
+      ops.CorpusOps.dqReport(t(s, dir, "lineitem"), Seq(
+        "discount_range" -> (col("l_discount") >= 0d && col("l_discount") <= 0.1),
+        "price_positive" -> (col("l_extendedprice") > 0d),
+        "quantity_le_40" -> (col("l_quantity") <= 40d),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_present" -> col("l_shipdate").isNotNull))
+        .orderBy("rule")),
+
+    // CDC apply: delete doc_id%10==0, update %10==1 (+1000 chars),
+    // insert %10==2 under shifted keys — one MERGE-shaped fold
+    "q_cdc_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val dels = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          lit("delete").as("op"), lit(1L).as("seq"))
+      val ups = docs.filter(pmod(col("doc_id"), lit(10L)) === 1L)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") + 1000L).as("n_chars"),
+          lit("upsert").as("op"), lit(1L).as("seq"))
+      val ins = docs.filter(pmod(col("doc_id"), lit(10L)) === 2L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
+          col("source"), col("n_chars"),
+          lit("upsert").as("op"), lit(1L).as("seq"))
+      ops.CorpusOps.applyChanges(
+        docs, dels.unionByName(ups).unionByName(ins),
+        keyCols = Seq("doc_id"), seqCol = "seq")
+        .orderBy("doc_id")
+    }),
+
     // hierarchical totals: revenue by (region, nation) + subtotals + grand
     // total in ONE pass — rollup adds grouping-set rows to the same
     // shuffle, not extra scans. Declared through spark.sql: the Dataset
@@ -1313,6 +1345,35 @@ object SparkEntry {
         | count(*) AS n
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 3
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_dq_report" ->
+      """WITH s AS (SELECT count(*) AS n,
+        | sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE) THEN 0 ELSE 1 END) AS v0,
+        | sum(CASE WHEN coalesce(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS v1,
+        | sum(CASE WHEN coalesce(l_quantity <= 40, FALSE) THEN 0 ELSE 1 END) AS v2,
+        | sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 0 ELSE 1 END) AS v3,
+        | sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v4
+        | FROM lineitem)
+        |SELECT rule, n AS n_rows, CAST(v AS BIGINT) AS n_violations FROM (
+        | SELECT 'discount_range' AS rule, n, v0 AS v FROM s
+        | UNION ALL SELECT 'price_positive', n, v1 FROM s
+        | UNION ALL SELECT 'quantity_le_40', n, v2 FROM s
+        | UNION ALL SELECT 'returnflag_domain', n, v3 FROM s
+        | UNION ALL SELECT 'shipdate_present', n, v4 FROM s)
+        |ORDER BY rule""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |touched AS (SELECT doc_id FROM base WHERE doc_id % 10 IN (0, 1)),
+        |up AS (SELECT doc_id, lang, source, n_chars + 1000 AS n_chars FROM base
+        |       WHERE doc_id % 10 = 1),
+        |ins AS (SELECT doc_id + 100000 AS doc_id, lang, source, n_chars FROM base
+        |        WHERE doc_id % 10 = 2)
+        |SELECT * FROM (
+        | SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM touched)
+        | UNION ALL SELECT * FROM up
+        | UNION ALL SELECT * FROM ins)
+        |ORDER BY doc_id""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,

@@ -249,6 +249,57 @@ object CorpusOps {
       .filter(col("n") < k)
   }
 
+  /** Declarative data-quality report: each rule is `(name, predicate a
+    * GOOD row satisfies)`; a null predicate result counts as a violation
+    * (unknown is not good). ALL rules evaluate in ONE scan — one
+    * conditional sum per rule inside a single aggregate — so a 50-rule
+    * suite over 100 TB costs exactly one pass, not 50. Output is the
+    * long-format `(rule, n_rows, n_violations)` audit table.
+    */
+  def dqReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "dqReport needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    val aggs = count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col("__n").as("n_rows"),
+          col(s"__v$i").as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"))
+  }
+
+  /** CDC snapshot apply — the lakehouse MERGE shape: fold a changelog of
+    * `upsert` / `delete` rows into a base snapshot. `changes` carries the
+    * base columns plus `opCol` and `seqCol`; the highest `seqCol` wins
+    * per key (callers must make it unique per key — a change stream's
+    * offset/LSN is), deletes drop the key, upserts replace or insert.
+    *
+    * Plan shape: one window over the CHANGELOG (change-sized, not
+    * table-sized), one anti-join of base against the touched keys, one
+    * union — base rows that aren't touched stream through untouched,
+    * which is what makes incremental maintenance of a 100 TB snapshot
+    * cheaper than rebuilding it.
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val untouched = base.join(
+      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    untouched.unionByName(
+      latest.filter(col(opCol) =!= "delete").drop("_rn", opCol, seqCol))
+  }
+
   /** Count-min sketch over a key column: `d` hash rows × `w` buckets of
     * EXACT counter sums — the mergeable fixed-size summary for "how
     * often does any key occur" over a stream too big to count exactly.

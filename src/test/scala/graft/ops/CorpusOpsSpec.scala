@@ -173,6 +173,39 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     out shouldBe Set(("en", "s1", 2L), ("de", "s0", 1L))
   }
 
+  test("dqReport: one row per rule, nulls count as violations") {
+    val df = Seq[(java.lang.Long, String)]((1L, "ok"), (60L, "ok"), (null, "bad"))
+      .toDF("v", "tag")
+    val out = CorpusOps.dqReport(df, Seq(
+      "v_small" -> (col("v") <= 50L),
+      "tag_ok" -> (col("tag") === "ok")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out("v_small") shouldBe (3L, 2L) // 60 fails, null is unknown -> violation
+    out("tag_ok") shouldBe (3L, 1L)
+  }
+
+  test("applyChanges: last-wins upserts, deletes drop, untouched stream through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "b2", "upsert", 1L), (2L, "b3", "upsert", 2L), // later seq wins
+      (3L, "c", "delete", 1L),
+      (4L, "d", "upsert", 1L)
+    ).toDF("id", "v", "op", "seq")
+    val out = CorpusOps.applyChanges(base, changes, Seq("id"), "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "a", 2L -> "b3", 4L -> "d")
+  }
+
+  test("applyChanges: delete then later re-insert resurrects the key") {
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val changes = Seq(
+      (1L, "a", "delete", 1L), (1L, "a2", "upsert", 2L)
+    ).toDF("id", "v", "op", "seq")
+    val out = CorpusOps.applyChanges(base, changes, Seq("id"), "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "a2")
+  }
+
   test("capPerGroup equals the single-window formulation") {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 120L).map(i => (i, s"s${i % 5}", i * 7 % 31)).toDF("doc_id", "source", "n_chars")
