@@ -983,6 +983,17 @@ object SparkEntry {
       ops.Retrieval.hybridRrf(
         t(s, dir, "documents"), Seq("dup", "spark", "join"))),
 
+    // boolean AND retrieval: one narrow conjunction filter, no explode
+    "q_bool_search" -> ((s, dir) =>
+      ops.Retrieval.booleanSearch(
+        t(s, dir, "documents"), Seq("dup", "spark", "join"))
+        .orderBy("doc_id")),
+
+    // exact triangle count on the co-purchase graph, hub-capped
+    "q_triangles" -> ((s, dir) =>
+      ops.Graph.triangleCount(
+        ops.Graph.coPurchaseEdges(t(s, dir, "lineitem")), maxDegree = 100L)),
+
     // distinct 3-gram cardinality per lang by key-space sampling (1/16)
     "q_distinct_sketch" -> ((s, dir) =>
       ops.CorpusOps.approxDistinct(
@@ -3046,6 +3057,30 @@ object SparkEntry {
         |FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_bm25" -> bm25OracleSql,
+
+    "q_bool_search" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        | FROM documents)
+        |SELECT doc_id FROM d
+        |WHERE list_contains(tk, 'dup') AND list_contains(tk, 'spark')
+        | AND list_contains(tk, 'join')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM li x JOIN li y USING (ok)
+        |       WHERE x.pk < y.pk),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |keep AS (SELECT v FROM deg WHERE d <= 100),
+        |e AS (SELECT a, b FROM e0
+        |      WHERE a IN (SELECT v FROM keep) AND b IN (SELECT v FROM keep)),
+        |tri AS (SELECT count(*) AS n FROM e e1
+        |        JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
 
     "q_hybrid_rrf" ->
       s"""WITH lexr AS (

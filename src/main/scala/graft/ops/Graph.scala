@@ -93,4 +93,41 @@ object Graph {
     Seq(e, withDeg, nodes).foreach(Dedup.releaseCheckpoints)
     rank
   }
+
+  /** Exact triangle count over an undirected edge list, with the
+    * standard hub cap: vertices above `maxDegree` are dropped first
+    * (a single degree-1000 hub alone contributes ~half a million
+    * wedges — capping is what keeps the join volume Σ deg² bounded at
+    * scale; set 0 to disable). Edges are canonicalized to `a < b`, so
+    * each triangle is counted exactly once as the ordered path
+    * `a < b < c` closed by the `(a, c)` edge — two joins over the
+    * capped edge list, no explosion beyond wedge count.
+    */
+  def triangleCount(edges: DataFrame, maxDegree: Long = 0L): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val kept = if (maxDegree > 0) {
+      val ok = canon.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") <= maxDegree).select("v")
+      canon
+        .join(ok.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(ok.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+    } else canon
+    // pin once: the edge list feeds three consumers (two join sides and
+    // the edge count) — without the checkpoint the degree-cap pipeline
+    // would recompute per consumer
+    val pinned = kept.localCheckpoint()
+    val wedges = pinned.as("e1")
+      .join(pinned.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e2.b").as("z"))
+    val tris = wedges
+      .join(pinned.select(col("a").as("x"), col("b").as("z")),
+        Seq("x", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    pinned.agg(count(lit(1)).as("n_edges")).crossJoin(tris)
+  }
 }

@@ -73,6 +73,23 @@ object Retrieval {
       .limit(topN)
   }
 
+  /** Boolean AND retrieval: documents whose token set contains EVERY
+    * query term. ONE narrow codegen'd filter (an `array_contains` per
+    * term over the tokenized text — no explode, no shuffle), so the
+    * plan is a pruned scan with the conjunction pushed against it; at
+    * 100 TB this is the cheap pre-filter in front of BM25/RRF ranking.
+    */
+  def booleanSearch(
+      docs: DataFrame,
+      terms: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "booleanSearch needs at least one term")
+    val toks = split(lower(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    docs
+      .filter(terms.map(t => array_contains(toks, t)).reduce(_ && _))
+      .select(col("doc_id"))
+  }
+
   /** BM25 + dense-cosine hybrid for a term query, RRF-fused. The dense
     * leg embeds the query terms joined as one text. Both legs rank with
     * ties broken on doc_id, so the fused list is fully deterministic.

@@ -46,4 +46,21 @@ class GraphSpec extends AnyFunSuite with Matchers {
     r(2L) should be > r(4L)   // triangle peers above the pendant
     r.values.sum.toDouble shouldBe (4e6 +- 4e5)  // mass roughly conserved
   }
+
+  test("triangleCount: 4-clique has 4 triangles; hub cap removes them") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (C(4,3) = 4 triangles) + pendant 4-5; edges in
+    // mixed orientation with a duplicate to exercise canonicalization
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)
+    ).toDF("src", "dst")
+    val out = Graph.triangleCount(edges).head()
+    out.getLong(0) shouldBe 7L // canonical simple edges
+    out.getLong(1) shouldBe 4L
+    // every clique vertex has degree >= 3: a cap of 2 leaves only an
+    // empty/pendant graph -> no triangles
+    val capped = Graph.triangleCount(edges, maxDegree = 2L).head()
+    capped.getLong(1) shouldBe 0L
+  }
 }

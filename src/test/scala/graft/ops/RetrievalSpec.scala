@@ -36,6 +36,17 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     again.toSeq shouldBe out.toSeq
   }
 
+  test("booleanSearch keeps only docs containing every term") {
+    val df = Seq(
+      (1L, "spark join dup here"),
+      (2L, "spark only"),
+      (3L, "dup and join but no s-word"),
+      (4L, "Dup Spark Join upper case")).toDF("doc_id", "text")
+    val out = Retrieval.booleanSearch(df, Seq("dup", "spark", "join"))
+      .collect().map(_.getLong(0)).sorted
+    out.toSeq shouldBe Seq(1L, 4L) // tokens are lowercased first
+  }
+
   test("hybridRrf fuses both legs: scores non-increasing, lists in {1,2}") {
     val out = Retrieval.hybridRrf(docs, Seq("dup", "spark", "join"), k = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
