@@ -570,6 +570,30 @@ object SparkEntry {
       ops.SkewAgg.skewKeys(t(s, dir, "events"), "user_id", factor = 1.2)
         .orderBy("user_id")),
 
+    // deterministic weighted sampling: inclusion odds proportional to
+    // document length, zero RNG — the oracle draws the SAME sample
+    "q_weighted_sample" -> ((s, dir) =>
+      ops.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"), col("priority"))),
+
+    // train/val leakage audit: near-dup pairs that CROSS the split
+    // boundary on a bounded doc block — the check that keeps a held-out
+    // set actually held out (both the split rule and the LSH pipeline
+    // replay in the oracle)
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val splits = ops.Sampling.assignSplit(docs, "doc_id", valPermille = 500)
+        .select(col("doc_id"), col("split"))
+      Dedup.minHashLshPortable(docs, threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+        .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), "a_id")
+        .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), "b_id")
+        .filter(col("a_split") =!= col("b_split"))
+        .select("a_id", "b_id", "a_split", "b_split")
+        .orderBy("a_id", "b_id")
+    }),
+
     "q_dedup_simhash_portable" -> ((s, dir) =>
       Dedup.simHashPortable(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1779,6 +1803,27 @@ object SparkEntry {
         |m AS (SELECT quantile_cont(cnt, 0.5) AS med FROM c)
         |SELECT user_id, cnt, CAST(floor(1000.0 * cnt / med) AS BIGINT) AS ratio_milli
         |FROM c CROSS JOIN m WHERE cnt > med * 1.2 ORDER BY user_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |  ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)
+        |     / 268435456.0) / n_chars AS pr
+        | FROM documents)
+        |SELECT doc_id, n_chars, round(pr, 6) AS priority
+        |FROM p ORDER BY pr DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH ${minhashPortableCtes("")},
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |        % 1000 < 500 THEN 'val' ELSE 'train' END AS split
+        | FROM documents)
+        |SELECT a_id, b_id, sa.split AS a_split, sb.split AS b_split
+        |FROM (SELECT a_id, b_id FROM j WHERE jaccard >= 0.5) f
+        |JOIN sp sa ON f.a_id = sa.doc_id
+        |JOIN sp sb ON f.b_id = sb.doc_id
+        |WHERE sa.split <> sb.split
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_dedup_simhash_portable" ->
       """WITH hs AS (

@@ -63,6 +63,31 @@ object Sampling {
     df.filter(bucket1000(SampleSalt, keyCol) < permille)
   }
 
+  val WeightedSalt = "wsample:"
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-Res): each row gets priority `ln(u) / w` with a
+    * hash-derived uniform `u = (h28(salt‖key) + 1) / 2^28 ∈ (0, 1]`, and
+    * the top-k priorities are the sample — inclusion probability
+    * proportional to the row's weight (e.g. sample documents
+    * length-proportionally), yet fully replayable: no RNG, so any
+    * engine draws the SAME sample. Plan is a narrow projection plus a
+    * TakeOrdered — no shuffle beyond the k-row top-k.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val u = (PortableHash.h28(concat(lit(WeightedSalt),
+      col(keyCol).cast("string"))) + 1L) / lit(268435456.0d) // 2^28
+    df.withColumn("priority", log(u) / col(weightCol))
+      .orderBy(desc("priority"), col(keyCol))
+      .limit(k)
+      .withColumn("priority", round(col("priority"), 6))
+  }
+
   /** Stratified deterministic sampling: a different permille per value of
     * `stratumCol` (e.g. re-balance languages: downsample English, keep
     * all of a rare language), `defaultPermille` for unlisted strata.

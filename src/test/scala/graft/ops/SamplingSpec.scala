@@ -49,4 +49,19 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     out(9L) shouldBe 1L
     out(10L) shouldBe 2L
   }
+
+  test("weightedSample: deterministic, k rows, heavy rows overrepresented") {
+    import spark.implicits._
+    // weight 1000 vs 1: ln(u)/1000 is ~1000x closer to zero, so heavy
+    // keys should dominate the top-k
+    val df = (1L to 400L).map(i => (i, if (i <= 200) 1000L else 1L))
+      .toDF("k", "w")
+    val got = Sampling.weightedSample(df, "k", "w", k = 50)
+      .select("k").as[Long].collect()
+    got.length shouldBe 50
+    got.count(_ <= 200L) should be >= 45
+    val again = Sampling.weightedSample(df, "k", "w", k = 50)
+      .select("k").as[Long].collect()
+    again.toSeq shouldBe got.toSeq
+  }
 }
