@@ -273,6 +273,51 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // TPC-H Q7 shape: cross-nation trade volume by year — the classic
+    // double-nation-role join (supplier nation ≠ customer nation), both
+    // nation lookups broadcast, decimal-exact revenue
+    "q7_nation_volume" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      l.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .join(broadcast(t(s, dir, "nation").select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue by customer for a quarter
+    "q10_returns" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q5 shape: local-supplier revenue by nation — two fact-sized
     // shuffle joins, every dimension broadcast
     "q5_region" -> ((s, dir) => {
@@ -1419,6 +1464,33 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         | AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        | AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        | AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem

@@ -84,4 +84,57 @@ class OpsPropSpec extends AnyFunSuite with Matchers {
       withClue(s"seed=$seed: ")(bloom shouldBe exact)
     }
   }
+
+  test("zorder: a shared z-prefix confines every dimension on random points") {
+    for (seed <- Seq(3L, 19L)) {
+      val pts = samples(
+        Gen.zip(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L)), 300, seed)
+      val spans = pts.toDF("x", "y")
+        .withColumn("z", Layout.zorderAddress(Seq(col("x"), col("y")), 10))
+        .groupBy(shiftright(col("z"), 12).as("bucket"))
+        .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+        .agg(max("xs"), max("ys")).head()
+      // top-8 z-bits fix 4 high bits per dim: spans <= 63 of 1023
+      withClue(s"seed=$seed: ") {
+        spans.getLong(0) should be <= 63L
+        spans.getLong(1) should be <= 63L
+      }
+    }
+  }
+
+  test("histogramQuantiles brackets the exact quantile on random data") {
+    for (seed <- Seq(13L, 77L); w <- Seq(5L, 32L)) {
+      val vals = samples(Gen.chooseNum(0L, 5000L), 400, seed)
+      val qs = CorpusOps.histogramQuantiles(
+        vals.map(Tuple1(_)).toDF("v"), "v", w, Seq(250, 500, 900))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val sorted = vals.sorted
+      for ((p, (lo, hi)) <- qs) {
+        // the exact p-quantile (ceil rank definition) falls inside the bin
+        val exact = sorted((p * sorted.size + 999).toInt / 1000 - 1)
+        withClue(s"seed=$seed w=$w p=$p exact=$exact: ") {
+          exact should be >= lo
+          exact should be <= hi
+        }
+      }
+    }
+  }
+
+  test("applyChanges is idempotent: re-applying the same changelog is a no-op") {
+    for (seed <- Seq(9L, 31L)) {
+      val base = samples(Gen.zip(Gen.chooseNum(1L, 60L), Gen.chooseNum(0L, 999L)),
+        80, seed).distinctBy(_._1).toDF("id", "v")
+      val changes = samples(
+        Gen.zip(Gen.chooseNum(1L, 80L), Gen.chooseNum(0L, 999L),
+          Gen.oneOf("upsert", "delete")),
+        50, seed + 1).zipWithIndex
+        .map { case ((id, v, op), i) => (id, v, op, i.toLong) } // unique seq
+        .toDF("id", "v", "op", "seq")
+      val once = CorpusOps.applyChanges(base, changes, Seq("id"), "seq")
+      val twice = CorpusOps.applyChanges(once, changes, Seq("id"), "seq")
+      val a = once.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = twice.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      withClue(s"seed=$seed: ")(b shouldBe a)
+    }
+  }
 }
