@@ -64,7 +64,9 @@ object Bench {
     // Millisecond precision keeps the single JSON line short: the invoking
     // harness captures a bounded output tail, and full-precision doubles ×
     // 38 queries pushed the line past the capture window (unparseable).
-    def fmt(v: Double): String = f"$v%.3f".replace(",", ".")
+    // Locale.ROOT: the default locale may use non-ASCII decimal digits.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1444,11 +1444,12 @@ object SparkEntry {
 
     "q_cdc_apply" ->
       """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
-        |touched AS (SELECT doc_id FROM base WHERE doc_id % 10 IN (0, 1)),
         |up AS (SELECT doc_id, lang, source, n_chars + 1000 AS n_chars FROM base
         |       WHERE doc_id % 10 = 1),
         |ins AS (SELECT doc_id + 100000 AS doc_id, lang, source, n_chars FROM base
-        |        WHERE doc_id % 10 = 2)
+        |        WHERE doc_id % 10 = 2),
+        |touched AS (SELECT doc_id FROM base WHERE doc_id % 10 IN (0, 1)
+        |            UNION SELECT doc_id FROM ins)
         |SELECT * FROM (
         | SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM touched)
         | UNION ALL SELECT * FROM up
@@ -1880,7 +1881,7 @@ object SparkEntry {
       """WITH p AS (SELECT doc_id, n_chars,
         |  ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)
         |     / 268435456.0) / n_chars AS pr
-        | FROM documents)
+        | FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, round(pr, 6) AS priority
         |FROM p ORDER BY pr DESC, doc_id LIMIT 50""".stripMargin,
 
@@ -2715,9 +2716,9 @@ object SparkEntry {
         |u AS (SELECT doc_id, chars, list_sort(list_distinct(chars)) AS uniq FROM c)
         |SELECT doc_id, CAST(len(chars) AS BIGINT) AS len,
         | CAST(len(uniq) AS BIGINT) AS n_uniq,
-        | CAST(round(-list_sum(list_transform(uniq, ch ->
+        | CAST(round(-coalesce(list_sum(list_transform(uniq, ch ->
         |   (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)) *
-        |   log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))))
+        |   log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)))), 0)
         |  * 1000) AS BIGINT) AS entropy_milli
         |FROM u ORDER BY doc_id""".stripMargin,
 

@@ -84,9 +84,13 @@ object Retrieval {
       terms: Seq[String],
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "booleanSearch needs at least one term")
+    // normalize terms like the tokens (a raw "Spark" would match nothing)
+    val normed = terms.map(_.trim.toLowerCase)
+    require(normed.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"terms must be single non-empty words, got $terms")
     val toks = split(lower(regexp_replace(col(textCol), "\\s+", " ")), " ")
     docs
-      .filter(terms.map(t => array_contains(toks, t)).reduce(_ && _))
+      .filter(normed.map(t => array_contains(toks, t)).reduce(_ && _))
       .select(col("doc_id"))
   }
 

@@ -82,7 +82,11 @@ object Sampling {
     require(k >= 1, s"k must be positive, got $k")
     val u = (PortableHash.h28(concat(lit(WeightedSalt),
       col(keyCol).cast("string"))) + 1L) / lit(268435456.0d) // 2^28
-    df.withColumn("priority", log(u) / col(weightCol))
+    // A-Res is defined for w > 0 only: a negative weight would flip
+    // ln(u) positive and deterministically crowd out every valid row,
+    // and w = 0 can reach NaN (sorts FIRST under desc) — drop both.
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", log(u) / col(weightCol))
       .orderBy(desc("priority"), col(keyCol))
       .limit(k)
       .withColumn("priority", round(col("priority"), 6))

@@ -846,7 +846,7 @@ object TextAnalysis {
     * `(n_uniq << 20) | entropy_milli`, unpacked here.
     */
   def charEntropy(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val packed: Column =
+    val packedInner: Column =
       if (graft.plans.GraftExtensions.available(df.sparkSession))
         call_function("graft_char_entropy", col(textCol))
       else
@@ -860,6 +860,11 @@ object TextAnalysis {
                 * 1000d, 0).cast("long"))
           }
         }
+    // Empty text is pinned to packed 0 (no distinct chars, zero entropy)
+    // OUTSIDE the dispatch: Spark's split('', '') yields [""] (one bogus
+    // element) while the native scan and DuckDB's string_split see zero
+    // — without the guard the three paths would disagree.
+    val packed = when(length(col(textCol)) === 0, lit(0L)).otherwise(packedInner)
     df.select(col("doc_id"), length(col(textCol)).cast("long").as("len"),
       ColumnOps.bind(packed) { pk =>
         struct(

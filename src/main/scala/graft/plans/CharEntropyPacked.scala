@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Packing bounds: entropy ≤ log2(2^31) bits → < 2^15 milli-bits, far
   * under the 2^20 field; distinct ≤ 2^31 keeps the packed value < 2^52.
-  * Sole divergence from the fallback: the empty string packs to 0 (the
-  * fallback's `split('','')` yields one empty element → n_uniq 1).
+  * Empty string packs to 0; the Column fallback's `split('','')` would
+  * yield one empty element (n_uniq 1), so `TextAnalysis.charEntropy`
+  * pins empty input to 0 OUTSIDE the dispatch — both paths agree.
   *
   * Why native: the fallback materializes an O(chars) array of one-char
   * UTF8Strings, sorts its distinct set, then COUNTS EACH DISTINCT CHAR

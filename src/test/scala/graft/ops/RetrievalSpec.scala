@@ -45,6 +45,10 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     val out = Retrieval.booleanSearch(df, Seq("dup", "spark", "join"))
       .collect().map(_.getLong(0)).sorted
     out.toSeq shouldBe Seq(1L, 4L) // tokens are lowercased first
+    // query terms normalize too: "Spark" must not silently match nothing
+    val mixed = Retrieval.booleanSearch(df, Seq("Dup", "SPARK", " join "))
+      .collect().map(_.getLong(0)).sorted
+    mixed.toSeq shouldBe Seq(1L, 4L)
   }
 
   test("hybridRrf fuses both legs: scores non-increasing, lists in {1,2}") {

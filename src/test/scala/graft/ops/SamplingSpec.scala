@@ -64,4 +64,12 @@ class SamplingSpec extends AnyFunSuite with Matchers {
       .select("k").as[Long].collect()
     again.toSeq shouldBe got.toSeq
   }
+
+  test("weightedSample drops non-positive weights instead of letting them dominate") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, -5L), (3L, 0L), (4L, 10L)).toDF("k", "w")
+    val got = Sampling.weightedSample(df, "k", "w", k = 4)
+      .select("k").as[Long].collect().sorted
+    got.toSeq shouldBe Seq(1L, 4L)
+  }
 }

@@ -405,6 +405,10 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe (2L, 2L, 1000L)
     out(3L) shouldBe (4L, 4L, 2000L)
     out(4L) shouldBe (3L, 2L, 918L)
+    // empty text is pinned to (0, 0, 0) regardless of dispatch path
+    val empty = TextAnalysis.charEntropy(Seq((9L, "")).toDF("doc_id", "text"))
+      .head()
+    (empty.getLong(1), empty.getLong(2), empty.getLong(3)) shouldBe ((0L, 0L, 0L))
   }
 
   test("blocklist gate: case-insensitive token hits, keep flag at threshold") {
