@@ -1070,6 +1070,14 @@ object SparkEntry {
           .select(col("lang"), explode(Dedup.shingles(col("text"), 3)).as("gram")),
         "gram", Seq("lang"), rate = 16).orderBy("lang")),
 
+    // HyperLogLog twin of the sketch above: same per-lang 3-gram
+    // cardinality, 64-register fixed-size state, integer register sum
+    "q_hll_distinct" -> ((s, dir) =>
+      ops.CorpusOps.hllEstimate(
+        t(s, dir, "documents")
+          .select(col("lang"), explode(Dedup.shingles(col("text"), 3)).as("gram")),
+        "gram", Seq("lang")).orderBy("lang")),
+
     // snapshot merge: "new" = even ids with revised text, "old" = ids
     // not divisible by 3; new wins on overlap, else longest then source
     "q_corpus_merge" -> ((s, dir) => {
@@ -3242,6 +3250,34 @@ object SparkEntry {
         |FROM grams
         |WHERE ('0x' || substr(md5(gram), 1, 7))::BIGINT % 16 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_hll_distinct" ->
+      """WITH toks AS (
+        | SELECT lang, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        | FROM documents),
+        |grams AS (
+        | SELECT lang, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |  ELSE [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)] END) AS gram
+        | FROM toks),
+        |hashed AS (
+        | SELECT lang, ('0x' || substr(md5(gram), 1, 7))::BIGINT AS h FROM grams),
+        |rho AS (
+        | SELECT lang, h >> 22 AS bucket,
+        |  CASE WHEN (h & 4194303) = 0 THEN 23
+        |       ELSE 22 - CAST(floor(log2(h & 4194303)) AS BIGINT) END AS r
+        | FROM hashed),
+        |reg AS (SELECT lang, bucket, max(r) AS m FROM rho GROUP BY 1, 2),
+        |agg AS (
+        | SELECT lang,
+        |  CAST(sum(CAST(power(2, 23 - m) AS BIGINT)) AS BIGINT)
+        |    + (64 - count(*)) * 8388608 AS s,
+        |  64 - count(*) AS v
+        | FROM reg GROUP BY lang)
+        |SELECT lang,
+        | round(CASE WHEN (0.709 * 64 * 64 * 8388608) / s <= 160 AND v > 0
+        |   THEN 64 * ln(64 / CAST(v AS DOUBLE))
+        |   ELSE (0.709 * 64 * 64 * 8388608) / s END, 3) AS est_distinct
+        |FROM agg ORDER BY lang""".stripMargin,
 
     "q_corpus_merge" ->
       """WITH neu AS (

@@ -36,6 +36,54 @@ object CorpusOps {
       .agg((countDistinct(col(keyCol)) * rate).as("est_distinct"))
   }
 
+  /** HyperLogLog distinct-count estimate per group — the canonical
+    * fixed-size mergeable cardinality sketch (Flajolet et al.), on the
+    * portable hash so the whole computation replays in any engine:
+    *
+    *   - 64 registers from the top 6 bits of `h28(key)`; register value
+    *     ρ = leading-zero count of the remaining 22 bits + 1 (a
+    *     `max` per bucket — registers of two shards merge by max, which
+    *     is what makes the sketch shard-foldable at 100 TB);
+    *   - the indicator sum is kept in INTEGERS: Σ 2^(23−ρ) over the 64
+    *     registers (empty register → 2^23), so the only float op is the
+    *     final `α·m²·2^23 / S` division — no summation-order drift;
+    *   - standard small-range correction: linear counting `m·ln(m/V)`
+    *     when the raw estimate ≤ 2.5m and V registers are empty.
+    *
+    * Relative error ≈ 1.04/√64 ≈ 13% — the trade for 64 longs of state
+    * per group vs an exact distinct's full shuffle of every key.
+    */
+  def hllEstimate(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val h = PortableHash.h28(col(keyCol))
+    val registers = df
+      .select(groupCols.map(col) :+ h.as("_h"): _*)
+      .withColumn("_bucket", shiftright(col("_h"), 22))
+      .withColumn("_w", col("_h").bitwiseAND(lit((1L << 22) - 1L)))
+      .withColumn("_rho",
+        when(col("_w") === 0L, lit(23L))
+          .otherwise(lit(22L) - floor(log2(col("_w"))).cast("long")))
+      .groupBy(groupCols.map(col) :+ col("_bucket"): _*)
+      .agg(max("_rho").as("_m"))
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(pow(lit(2.0d), lit(23L) - col("_m")).cast("long")).as("_s_present"),
+        count(lit(1)).as("_nb"))
+      .withColumn("_s",
+        col("_s_present") + (lit(64L) - col("_nb")) * lit(1L << 23))
+      .withColumn("_v", lit(64L) - col("_nb"))
+      .withColumn("_raw",
+        lit(0.709d * 64d * 64d * 8388608d) / col("_s").cast("double"))
+      .withColumn("est_distinct",
+        round(when(col("_raw") <= 160d && col("_v") > 0L,
+          lit(64d) * log(lit(64d) / col("_v").cast("double")))
+          .otherwise(col("_raw")), 3))
+      .select(groupCols.map(col) :+ col("est_distinct"): _*)
+  }
+
   /** Merge two corpus snapshots, keeping ONE version per key: the
     * `preferred` side's row when the key appears in both, else whichever
     * side has it; ties within a side broken by the greatest `scoreCol`

@@ -173,6 +173,22 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     out shouldBe Set(("en", "s1", 2L), ("de", "s0", 1L))
   }
 
+  test("hllEstimate lands within the sketch's error band; small sets use linear counting") {
+    val big = (1L to 2000L).map(i => ("g", s"key-$i")).toDF("grp", "k")
+    val est = CorpusOps.hllEstimate(big, "k", Seq("grp")).head().getDouble(1)
+    // 64 registers -> ~13% relative error; allow 3 sigma
+    est should be > 2000.0 * 0.6
+    est should be < 2000.0 * 1.4
+    // small cardinality triggers the linear-counting branch: m*ln(m/V)
+    val small = (1L to 10L).map(i => ("g", s"key-$i")).toDF("grp", "k")
+    val estSmall = CorpusOps.hllEstimate(small, "k", Seq("grp")).head().getDouble(1)
+    estSmall should be > 5.0
+    estSmall should be < 20.0
+    // duplicates must not move the estimate (cardinality, not count)
+    val dup = big.union(big).union(big)
+    CorpusOps.hllEstimate(dup, "k", Seq("grp")).head().getDouble(1) shouldBe est
+  }
+
   test("dqReport: one row per rule, nulls count as violations") {
     val df = Seq[(java.lang.Long, String)]((1L, "ok"), (60L, "ok"), (null, "bad"))
       .toDF("v", "tag")
