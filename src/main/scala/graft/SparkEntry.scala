@@ -418,6 +418,12 @@ object SparkEntry {
         t(s, dir, "documents"), "n_chars", binWidth = 16L,
         permilles = Seq(500, 900, 990))),
 
+    // the per-group production shape: p50/p90/p99 length PER language
+    "q_hist_quantile_lang" -> ((s, dir) =>
+      ops.CorpusOps.histogramQuantiles(
+        t(s, dir, "documents"), "n_chars", binWidth = 16L,
+        permilles = Seq(500, 900, 990), groupCols = Seq("lang"))),
+
     // small-file compaction plan over a synthetic per-source file listing
     // (one "file" per document, n_chars as its size), summarized per bin
     "q_compaction" -> ((s, dir) =>
@@ -1418,6 +1424,18 @@ object SparkEntry {
         |FROM cm CROSS JOIN t CROSS JOIN p
         |WHERE cum * 1000 >= permille * n
         |GROUP BY permille ORDER BY permille""".stripMargin,
+
+    "q_hist_quantile_lang" ->
+      """WITH b AS (SELECT lang, CAST(floor(n_chars / 16.0) AS BIGINT) AS bin, count(*) AS c
+        | FROM documents GROUP BY 1, 2),
+        |cm AS (SELECT lang, bin,
+        |  CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum FROM b),
+        |t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+        |p AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS permille)
+        |SELECT cm.lang, permille, min(bin) * 16 AS q_lo, (min(bin) + 1) * 16 - 1 AS q_hi
+        |FROM cm JOIN t ON cm.lang = t.lang CROSS JOIN p
+        |WHERE cum * 1000 >= permille * n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_compaction" ->
       """WITH s AS (SELECT source, doc_id, n_chars,

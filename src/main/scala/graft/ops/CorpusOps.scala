@@ -56,10 +56,21 @@ object CorpusOps {
   def hllEstimate(
       df: DataFrame,
       keyCol: String,
+      groupCols: Seq[String]): DataFrame =
+    hllFromRegisters(hllRegisters(df, keyCol, groupCols), groupCols)
+
+  /** The HLL register table `(group…, _bucket, _m)` — the PERSISTED form
+    * of the sketch: 64 rows per group, register = max ρ per bucket.
+    * Registers of any number of shards merge by `groupBy(bucket).max(_m)`
+    * over their union — the shard-fold a 1000-executor pipeline does —
+    * and [[hllFromRegisters]] reads the estimate off any merged table.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      keyCol: String,
       groupCols: Seq[String]): DataFrame = {
     val h = PortableHash.h28(col(keyCol))
-    val registers = df
-      .select(groupCols.map(col) :+ h.as("_h"): _*)
+    df.select(groupCols.map(col) :+ h.as("_h"): _*)
       .withColumn("_bucket", shiftright(col("_h"), 22))
       .withColumn("_w", col("_h").bitwiseAND(lit((1L << 22) - 1L)))
       .withColumn("_rho",
@@ -67,6 +78,14 @@ object CorpusOps {
           .otherwise(lit(22L) - floor(log2(col("_w"))).cast("long")))
       .groupBy(groupCols.map(col) :+ col("_bucket"): _*)
       .agg(max("_rho").as("_m"))
+  }
+
+  /** Estimate from a register table ([[hllRegisters]] output or any
+    * max-merge of such tables).
+    */
+  def hllFromRegisters(
+      registers: DataFrame,
+      groupCols: Seq[String]): DataFrame =
     registers
       .groupBy(groupCols.map(col): _*)
       .agg(
@@ -82,7 +101,6 @@ object CorpusOps {
           lit(64d) * log(lit(64d) / col("_v").cast("double")))
           .otherwise(col("_raw")), 3))
       .select(groupCols.map(col) :+ col("est_distinct"): _*)
-  }
 
   /** Merge two corpus snapshots, keeping ONE version per key: the
     * `preferred` side's row when the key appears in both, else whichever
@@ -257,27 +275,47 @@ object CorpusOps {
       df: DataFrame,
       valueCol: String,
       binWidth: Long,
-      permilles: Seq[Int]): DataFrame = {
+      permilles: Seq[Int]): DataFrame =
+    histogramQuantiles(df, valueCol, binWidth, permilles, Nil)
+      .drop("__g")
+
+  /** Per-group variant — the production shape (p50/p99 document length
+    * PER language/source): bins keyed on (group, bin), the cumulative
+    * window per group (parallel across groups), totals joined back on
+    * the group key. Empty `groupCols` degrades to the global form.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      binWidth: Long,
+      permilles: Seq[Int],
+      groupCols: Seq[String]): DataFrame = {
     require(binWidth >= 1, s"binWidth must be positive, got $binWidth")
     require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
       s"permilles must be in [1, 1000], got $permilles")
     val spark = df.sparkSession
     import spark.implicits._
-    val bins = df
-      .select(floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("c"))
+    // a constant pseudo-group keeps the grouped and global forms ONE
+    // code path (the window just has a single partition value)
+    val gcols = if (groupCols.nonEmpty) groupCols else Seq("__g")
+    val base = if (groupCols.nonEmpty) df else df.withColumn("__g", lit(0L))
+    val bins = base
+      .select(gcols.map(col) :+
+        floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"): _*)
+      .groupBy(gcols.map(col) :+ col("bin"): _*).agg(count(lit(1)).as("c"))
     val cum = bins.withColumn("cum",
-      sum("c").over(Window.orderBy("bin")
+      sum("c").over(Window.partitionBy(gcols.map(col): _*).orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = bins.agg(sum("c").as("n"))
+    val total = bins.groupBy(gcols.map(col): _*).agg(sum("c").as("n"))
     val ps = permilles.map(_.toLong).toDF("permille")
-    cum.crossJoin(broadcast(total)).crossJoin(broadcast(ps))
+    cum.join(broadcast(total), gcols)
+      .crossJoin(broadcast(ps))
       .filter(col("cum") * 1000L >= col("permille") * col("n"))
-      .groupBy("permille").agg(min("bin").as("qbin"))
-      .select(col("permille"),
+      .groupBy(gcols.map(col) :+ col("permille"): _*).agg(min("bin").as("qbin"))
+      .select(gcols.map(col) ++ Seq(col("permille"),
         (col("qbin") * binWidth).as("q_lo"),
-        ((col("qbin") + 1L) * binWidth - 1L).as("q_hi"))
-      .orderBy("permille")
+        ((col("qbin") + 1L) * binWidth - 1L).as("q_hi")): _*)
+      .orderBy(gcols.map(col) :+ col("permille"): _*)
   }
 
   /** Quasi-identifier combinations shared by fewer than `k` rows — the

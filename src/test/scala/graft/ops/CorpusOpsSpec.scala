@@ -189,6 +189,35 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     CorpusOps.hllEstimate(dup, "k", Seq("grp")).head().getDouble(1) shouldBe est
   }
 
+  test("hll registers merge by max: shard-fold equals the whole corpus") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(lit("g").as("grp"), col("text").as("k"))
+    val shardA = docs.filter(crc32(col("k")) % 2 === 0)
+    val shardB = docs.filter(crc32(col("k")) % 2 =!= 0)
+    val merged = CorpusOps.hllRegisters(shardA, "k", Seq("grp"))
+      .unionByName(CorpusOps.hllRegisters(shardB, "k", Seq("grp")))
+      .groupBy("grp", "_bucket").agg(max("_m").as("_m"))
+    val foldEst = CorpusOps.hllFromRegisters(merged, Seq("grp")).head().getDouble(1)
+    val wholeEst = CorpusOps.hllEstimate(docs, "k", Seq("grp")).head().getDouble(1)
+    foldEst shouldBe wholeEst
+  }
+
+  test("grouped histogramQuantiles equals the global form per group") {
+    val df = (0L until 300L).map(i => (s"g${i % 3}", i * 7 % 500)).toDF("g", "v")
+    val grouped = CorpusOps.histogramQuantiles(df, "v", 10L, Seq(500, 900), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = CorpusOps.histogramQuantiles(
+        df.filter(col("g") === g), "v", 10L, Seq(500, 900))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      withClue(s"group $g: ") {
+        grouped((g, 500L)) shouldBe solo(500L)
+        grouped((g, 900L)) shouldBe solo(900L)
+      }
+    }
+  }
+
   test("dqReport: one row per rule, nulls count as violations") {
     val df = Seq[(java.lang.Long, String)]((1L, "ok"), (60L, "ok"), (null, "bad"))
       .toDF("v", "tag")
