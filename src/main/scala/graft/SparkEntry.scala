@@ -590,6 +590,18 @@ object SparkEntry {
       Dedup.minHashLshPortable(t(s, dir, "documents"), threshold = 0.5)
         .orderBy("a_id", "b_id")),
 
+    // verified incremental near-dedup: new docs (id >= 250) against the
+    // corpus band index (id < 250) — only collisions are Jaccard-verified
+    "q_dedup_incr_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropNearDuplicatesIncrementalPortable(
+        newDocs = docs.filter(col("doc_id") >= 250L),
+        corpus = docs.filter(col("doc_id") < 250L),
+        threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // LSH quality measurement: recall of the banded MinHash pipeline
     // against the exact all-pairs Jaccard truth on a bounded doc block —
     // the check you run before trusting the bands/rows trade-off on the
@@ -1878,6 +1890,14 @@ object SparkEntry {
     "q_dedup_minhash_portable" ->
       s"""WITH ${minhashPortableCtes("")}
         |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_incr_near" ->
+      s"""WITH ${minhashPortableCtes("")}
+        |SELECT doc_id FROM documents WHERE doc_id >= 250
+        | AND doc_id NOT IN (
+        |  SELECT b_id FROM j
+        |  WHERE jaccard >= 0.5 AND a_id < 250 AND b_id >= 250)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_minhash_recall" ->
       s"""WITH ${minhashPortableCtes("WHERE doc_id < 200")},

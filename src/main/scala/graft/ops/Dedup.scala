@@ -320,7 +320,23 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000): DataFrame =
+    jaccardVerify(docs,
+      bandedCandidates(
+        minHashBandsPortable(docs, numHashes, bands, shingleSize), maxBucket),
+      threshold, shingleSize)
+
+  /** The portable banded signatures `(doc_id, band, bucket)` — the
+    * PERSISTED index form of portable MinHash LSH: store this table for
+    * a corpus snapshot and incremental runs join new documents' bands
+    * against it instead of re-signing the corpus
+    * ([[dropNearDuplicatesIncrementalPortable]]).
+    */
+  def minHashBandsPortable(
+      docs: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): trailing signature " +
         "components outside a full band would silently never join")
@@ -338,9 +354,47 @@ object Dedup {
         }
       }
     }
-    val banded = docs.select(col("doc_id"), posexplode(bandBuckets))
+    docs.select(col("doc_id"), posexplode(bandBuckets))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    jaccardVerify(docs, bandedCandidates(banded, maxBucket), threshold, shingleSize)
+  }
+
+  /** Verified incremental NEAR-dedup — the continuous-ingest production
+    * shape: only `newDocs` are signed and banded; their buckets join the
+    * (precomputable, persisted) corpus band index, collisions are
+    * verified with exact Jaccard against the colliding corpus documents
+    * only, and new documents with a verified near-duplicate in the
+    * corpus are dropped. Doc ids must be disjoint across the two sides.
+    *
+    * Scale shape: per increment the cost is O(new) signing + a join
+    * keyed on (band, bucket) + verification shingling of collision
+    * participants — the corpus is never re-signed, never re-shingled
+    * beyond verified candidates. Exact twin of what
+    * [[minHashLshPortable]] + [[dropNearDuplicatesPortable]] would
+    * decide given the full union, restricted to cross-side pairs.
+    */
+  def dropNearDuplicatesIncrementalPortable(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    val newB = capBuckets(
+      minHashBandsPortable(newDocs, numHashes, bands, shingleSize),
+      Seq("band", "bucket"), maxBucket)
+    val oldB = capBuckets(
+      minHashBandsPortable(corpus, numHashes, bands, shingleSize),
+      Seq("band", "bucket"), maxBucket)
+    val cand = newB
+      .join(oldB.withColumnRenamed("doc_id", "a_id"), Seq("band", "bucket"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val verified =
+      jaccardVerify(corpus.unionByName(newDocs), cand, threshold, shingleSize)
+    newDocs.join(
+      verified.select(col("b_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Exact Jaccard over the distinct-element view of two arrays. */

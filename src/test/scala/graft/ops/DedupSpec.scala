@@ -209,6 +209,25 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .select("vec_id").as[Long].collect().sorted shouldBe Array(0L, 1L, 4L)
   }
 
+  test("incremental near-dedup equals the full-union cross-pair decision") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") < 250L)
+    val fresh = docs.filter(col("doc_id") >= 250L)
+    val inc = Dedup.dropNearDuplicatesIncrementalPortable(fresh, corpus)
+      .select("doc_id").as[Long].collect().sorted
+    // reference decision: run the WHOLE union through the batch pipeline
+    // and drop new docs with a verified cross-side pair
+    val crossHit = Dedup.minHashLshPortable(docs, threshold = 0.5)
+      .filter(col("a_id") < 250L && col("b_id") >= 250L)
+      .select(col("b_id")).distinct().as[Long].collect().toSet
+    val expect = fresh.select("doc_id").as[Long].collect()
+      .filterNot(crossHit).sorted
+    inc.toSeq shouldBe expect.toSeq
+    // and at least one near-dup must actually have been dropped for the
+    // test to mean anything
+    expect.length should be < fresh.count().toInt
+  }
+
   test("embedding dups finds same-label near-identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
