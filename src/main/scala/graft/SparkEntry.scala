@@ -253,6 +253,25 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q14 shape: promo revenue share for one month — conditional
+    // aggregation over a broadcast part join, decimal-exact both legs
+    "q14_promo" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")
+      l.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(zero))
+            .cast("double").as("promo"),
+          sum(rev).cast("double").as("total"))
+        .select(round(lit(100.0d) * col("promo") / col("total"), 6)
+          .as("promo_share"))
+    }),
+
     // TPC-H Q18 shape: large-volume orders. One lineitem aggregation
     // produces the (tiny) big-order keys WITH their quantity sums, so —
     // unlike the textbook plan — lineitem is scanned once, never
@@ -1530,6 +1549,17 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         | AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |  THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))
+        |  ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+        | / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE),
+        | 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
