@@ -253,6 +253,26 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q15 shape: top supplier(s) by quarter revenue — the scalar
+    // max subquery decorrelated into a one-row broadcast; the equality
+    // test runs on EXACT decimals (a double max could miss ties)
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+          .as("total_revenue"))
+      val top = rev.agg(max("total_revenue").as("max_revenue"))
+      rev.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q14 shape: promo revenue share for one month — conditional
     // aggregation over a broadcast part join, decimal-exact both legs
     "q14_promo" -> ((s, dir) => {
@@ -1549,6 +1569,19 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         | AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q14_promo" ->
       """SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
