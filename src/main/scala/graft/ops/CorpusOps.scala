@@ -190,13 +190,17 @@ object CorpusOps {
       cap: Int,
       idCol: String = "doc_id"): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    Seq("_over", "_rk").foreach(c =>
+    Seq("_over", "_ogrp", "_rk").foreach(c =>
       require(!df.columns.contains(c),
         s"capPerGroup reserves the working column name '$c'"))
     val over = df.groupBy(groupCol).count()
       .filter(col("count") > cap)
-      .select(col(groupCol), lit(true).as("_over"))
-    val flagged = df.join(over, Seq(groupCol), "left")
+      .select(col(groupCol).as("_ogrp"), lit(true).as("_over"))
+    // null-safe match: a NULL group is a group like any other (the window
+    // formulation puts nulls in one partition); a plain equi-join would
+    // let an over-cap null group slip through uncapped
+    val flagged = df.join(over, col(groupCol) <=> col("_ogrp"), "left")
+      .drop("_ogrp")
     val under = flagged.filter(col("_over").isNull).drop("_over")
     val w = Window.partitionBy(groupCol)
       .orderBy(desc(scoreCol), asc(idCol))
@@ -445,6 +449,12 @@ object CorpusOps {
       df: DataFrame,
       blockedHosts: DataFrame,
       urlCol: String = "url"): DataFrame = {
+    // Schemeless input (crawl frontiers carry plenty) gets a scheme
+    // BEFORE canonicalization — otherwise both extraction regexes fail
+    // and every schemeless URL collapses to the same empty canonical
+    // string (silent corpus-wide data loss).
+    val u0 = when(col(urlCol).contains("://"), col(urlCol))
+      .otherwise(concat(lit("http://"), col(urlCol)))
     val canon =
       // order matters; each step feeds the next. Tracking params strip in
       // three forms so the '?' survives when real params follow: interior
@@ -464,8 +474,8 @@ object CorpusOps {
       ).foldLeft[Column](
         // lowercase scheme+host only: split at the first path slash
         concat(
-          lower(regexp_extract(col(urlCol), "^[^/]*//[^/]*", 0)),
-          regexp_extract(col(urlCol), "^[^/]*//[^/]*(.*)$", 1))
+          lower(regexp_extract(u0, "^[^/]*//[^/]*", 0)),
+          regexp_extract(u0, "^[^/]*//[^/]*(.*)$", 1))
       )((acc, f) => f(acc))
     val withCanon = df
       .withColumn("canonical_url", canon)

@@ -380,12 +380,20 @@ object Dedup {
       bands: Int = 8,
       shingleSize: Int = 3,
       maxBucket: Int = 100000): DataFrame = {
-    val newB = capBuckets(
-      minHashBandsPortable(newDocs, numHashes, bands, shingleSize),
+    // the bucket-frequency cap counts the COMBINED population, exactly as
+    // the full-union batch pipeline would — capping each side separately
+    // could keep a bucket that is over cap only jointly, making the
+    // incremental decision diverge from the batch twin
+    val bandsAll = capBuckets(
+      minHashBandsPortable(newDocs, numHashes, bands, shingleSize)
+        .withColumn("_new", lit(true))
+        .unionByName(
+          minHashBandsPortable(corpus, numHashes, bands, shingleSize)
+            .withColumn("_new", lit(false))),
       Seq("band", "bucket"), maxBucket)
-    val oldB = capBuckets(
-      minHashBandsPortable(corpus, numHashes, bands, shingleSize),
-      Seq("band", "bucket"), maxBucket)
+      .localCheckpoint()
+    val newB = bandsAll.filter(col("_new")).drop("_new")
+    val oldB = bandsAll.filter(!col("_new")).drop("_new")
     val cand = newB
       .join(oldB.withColumnRenamed("doc_id", "a_id"), Seq("band", "bucket"))
       .select(col("a_id"), col("doc_id").as("b_id"))

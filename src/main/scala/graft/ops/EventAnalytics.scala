@@ -93,8 +93,13 @@ object EventAnalytics {
       nBins: Int): DataFrame = {
     require(nBins > 0 && hi > lo, s"bad histogram spec: [$lo, $hi) x $nBins")
     val loMicro = math.round(lo * 1e6)
+    // Integer bin width: floor(span / nBins) micro-units. Edges are exact
+    // multiples of this width (what `lo_micro` reports); the ≤ nBins-µ
+    // division residue folds into the TOP bin via the clamp below, so
+    // bins are equal at micro precision, not at real precision.
     val width = (math.round(hi * 1e6) - loMicro) / nBins
-    require(width > 0, "bins narrower than 1e-6")
+    require(width > 0,
+      s"span/nBins must be at least 1 micro-unit: span=${math.round(hi * 1e6) - loMicro}µ, nBins=$nBins")
     val vMicro = round(col(valueCol) * 1e6, 0).cast("long")
     val rawBin = ColumnOps.fdiv(vMicro - loMicro, width)
     df.select(

@@ -463,8 +463,11 @@ object Similarity {
       .select("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
     cands
-      .join(broadcast(vecs.select(col("vec_id").as("query_id"),
-        col("qv").as("qqv"), col("qn").as("qqn"))), "query_id")
+      // query side only — broadcasting the unfiltered corpus would ship
+      // every vector for a join that can only match query_ids
+      .join(broadcast(vecs.filter(col("vec_id") < queryMaxId)
+        .select(col("vec_id").as("query_id"),
+          col("qv").as("qqv"), col("qn").as("qqn"))), "query_id")
       .join(vecs.select(col("vec_id"), col("qv").as("cqv"), col("qn").as("cqn")),
         "vec_id")
       .select(col("query_id"), col("vec_id").as("cand_id"),

@@ -602,17 +602,25 @@ object TextAnalysis {
     val w = tfidfWeights(df, maxDf, textCol)
       .select(col("doc_id"), col("term"), col("w_milli"))
       .localCheckpoint()
+    // Products route through decimal: w_milli is bounded by PER-DOCUMENT
+    // term frequency (maxDf bounds document frequency, not tf), so a
+    // degenerate repeated-term doc can push w² past Long.MaxValue —
+    // ANSI overflow — while decimal(38,0) sums stay exact.
+    def dprod(a: Column, b: Column): Column =
+      (a.cast("decimal(18,0)") * b.cast("decimal(18,0)")).cast("decimal(38,0)")
     val norms = w.groupBy("doc_id")
-      .agg(sum(col("w_milli") * col("w_milli")).as("n2"))
+      .agg(sum(dprod(col("w_milli"), col("w_milli"))).as("n2"))
     val dots = w.as("a").join(w.as("b"), Seq("term"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(sum(col("a.w_milli") * col("b.w_milli")).as("dot"))
+      .agg(sum(dprod(col("a.w_milli"), col("b.w_milli"))).as("dot"))
     dots
       .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na2")), "a_id")
       .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb2")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("sim"))
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6)
+          .as("sim"))
       .filter(col("sim") >= minSim)
   }
 

@@ -152,6 +152,14 @@ object SchemaMapper {
       case None       => this
       case Some(keep) => copy(properties = properties.filter(p => keep.contains(p.name)))
     }
+
+    /** The draft-7 object-level `required` list (empty when absent) —
+      * what the validation layer's required check keys on.
+      */
+    def requiredFields: Set[String] = rawSchema \ "required" match {
+      case JArray(vs) => vs.collect { case JString(s) => s }.toSet
+      case _          => Set.empty
+    }
   }
 
   /** One field's change between two SCHEMA messages of a stream. `kind`

@@ -192,12 +192,12 @@ object JsonSchemaValidator {
     }
   }
 
-  /** Object keywords. `required` is the draft-7 reading — the key must be
-    * PRESENT (a JSON null satisfies it); the Column-layer
-    * [[Validator.requiredViolation]] keeps its stricter post-parse reading,
-    * documented there. `dependencies` supports both the property-list and
-    * schema forms. Pattern text compiles lazily per JVM like
-    * [[StringChecks]].
+  /** Object keywords. `required` is the exact draft-7 reading — the key
+    * must be PRESENT (a JSON null satisfies it); the Column-layer
+    * [[Validator.requiredViolation]] also keys on the `required` list but
+    * checks post-parse null (it cannot see raw presence), documented
+    * there. `dependencies` supports both the property-list and schema
+    * forms. Pattern text compiles lazily per JVM like [[StringChecks]].
     */
   final case class ObjectChecks(
       properties: Map[String, Check],

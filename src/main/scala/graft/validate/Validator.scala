@@ -116,25 +116,32 @@ object Validator {
     out.result()
   }
 
-  /** `required` applies at the object level: the key must be PRESENT in the
-    * raw record (a JSON `null` satisfies draft-7 `required`). Our raw layer
-    * can't distinguish absent from null after `from_json`, so we follow the
-    * stricter practical reading the reference's strict-mode tests exercise
-    * (`tests/test_integration_types.py:256-283`): null in a required, non-
-    * nullable column is a violation.
+  /** `required` applies at the object level and ONLY to fields the
+    * schema's `required` array lists — draft-7 (and the reference's
+    * jsonschema validator) accept a record that merely omits an optional
+    * non-nullable field, so flagging every non-nullable property would
+    * reject records the reference passes. Our raw layer can't
+    * distinguish absent from JSON null after `from_json` (draft-7
+    * `required` is satisfied by an explicit null), so the practical
+    * reading is: a listed field that parsed null violates.
     */
-  def requiredViolation(raw: Column, p: ResolvedProperty): Option[(String, Column)] =
-    if (p.nullable) None else Some("required" -> raw.isNull)
+  def requiredViolation(
+      raw: Column,
+      p: ResolvedProperty,
+      required: Set[String]): Option[(String, Column)] =
+    if (required.contains(p.name)) Some("required" -> raw.isNull) else None
 
   /** A single violation-description column for a stream: null when the row
     * is valid, else `"prop: rule"` of the first failing constraint.
     * Evaluated entirely inside codegen — one pass, no shuffle.
     */
   def violationColumn(ss: StreamSchema, colFor: String => Column): Column = {
+    val required = ss.requiredFields
     val checks: Seq[(String, Column)] = ss.properties.flatMap { p =>
       val c = colFor(p.name)
       constraints(c, p).map { case (rule, bad) => (s"${p.name}: $rule", bad) } ++
-        requiredViolation(c, p).map { case (rule, bad) => (s"${p.name}: $rule", bad) }
+        requiredViolation(c, p, required)
+          .map { case (rule, bad) => (s"${p.name}: $rule", bad) }
     }
     checks.foldRight(lit(null).cast("string")) { case ((label, bad), acc) =>
       when(bad, lit(label)).otherwise(acc)

@@ -86,6 +86,26 @@ class ValidatorSpec extends AnyFunSuite with Matchers {
     out shouldBe Array(null, "$.tags: uniqueItems", "$.value: oneOf", "$: parse-error", null)
   }
 
+  test("required fires only for schema-listed fields, not every non-nullable one") {
+    val ss = SchemaMapper.fromSchemaMessage(
+      """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object",
+        | "required": ["id"],
+        | "properties": {
+        |   "id": {"type": "integer"},
+        |   "age": {"type": "integer"}}}, "key_properties": []}""".stripMargin)
+    // age is non-nullable but NOT required: omitting it must pass
+    // (draft-7 + the reference's jsonschema validator accept it)
+    val df = Seq(
+      (Some(1L), Some(30L)), // valid
+      (Some(2L), None),      // optional age missing -> still valid
+      (None, Some(40L))      // required id missing -> violation
+    ).map { case (a, b) =>
+      (a.map(Long.box).orNull, b.map(Long.box).orNull)
+    }.toDF("id", "age")
+    val out = Validator.annotate(df, ss).select("_violation").collect().map(_.getString(0))
+    out shouldBe Array(null, null, "id: required")
+  }
+
   test("violation column labels the first failing property") {
     val ss = SchemaMapper.fromSchemaMessage(
       """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": {"status": {"type": ["string", "null"], "enum": ["on", "off"]}, "n": {"type": ["integer", "null"], "maximum": 5}}}, "key_properties": []}""")
