@@ -132,6 +132,25 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
       4L -> "unchanged", 5L -> "added")
   }
 
+  test("capPerGroup caps a NULL group key like any other group") {
+    val df = (1L to 20L).map(i => (i, null.asInstanceOf[String], i))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = CorpusOps.capPerGroup(df, "source", "n_chars", cap = 10)
+      .select("doc_id").as[Long].collect().sorted
+    kept.toSeq shouldBe (11L to 20L) // top-10 by score, not all 20
+  }
+
+  test("canonicalizeUrls does not collapse schemeless urls to one key") {
+    val urls = Seq(
+      (1L, "example.com/a"), (2L, "other.org/b"),
+      (3L, "http://example.com/a")).toDF("doc_id", "url")
+    val out = CorpusOps.canonicalizeUrls(urls, Seq.empty[String].toDF("host"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // schemeless rows canonicalize under an assumed scheme; 1 and 3 unify
+    out.keySet shouldBe Set("http://example.com/a", "http://other.org/b")
+    out("http://example.com/a") shouldBe 2L
+  }
+
   test("capPerGroup keeps top-cap by score (ties to low id); under-cap groups untouched") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 50L), (5L, "a", 5L),

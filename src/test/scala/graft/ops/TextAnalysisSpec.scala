@@ -392,6 +392,24 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2L)._2 should not be out(3L)._2 // rolling hash sees order
   }
 
+  test("tfidfPairs survives a degenerate repeated-term document (no ANSI overflow)") {
+    // rare term repeated massively: tf 3e6 × idf_milli ~1099 gives
+    // w_milli ~ 3.3e9, so w² ~ 1.1e19 > Long.MaxValue — squared in longs
+    // this ARITHMETIC_OVERFLOWs under ANSI; the decimal route stays exact
+    val blob = Seq.fill(3000000)("rareterm").mkString(" ")
+    val df = Seq(
+      (1L, blob + " shared"),
+      (2L, "shared words here"),
+      (3L, "other shared words")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfPairs(df, maxDf = 3L, minSim = 0.0)
+      .collect()
+    out.foreach { r =>
+      val s = r.getDouble(2)
+      s should be >= 0.0
+      s should be <= 1.000001
+    }
+  }
+
   test("charEntropy: zero for runs, exact bits for uniform alphabets") {
     val df = Seq(
       (1L, "aaaa"),     // one symbol -> 0 bits
