@@ -253,6 +253,35 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q8 shape: one supplier nation's market share of a region's
+    // purchases by year — conditional share over the same star join
+    "q8_market_share" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")
+      val custNation = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val suppNation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", rev).otherwise(zero))
+            .cast("double").as("nation_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .select(col("o_year"),
+          round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     // TPC-H Q15 shape: top supplier(s) by quarter revenue — the scalar
     // max subquery decorrelated into a one-row broadcast; the equality
     // test runs on EXACT decimals (a double max could miss ties)
@@ -523,6 +552,21 @@ object SparkEntry {
     // API's rollup trips the ambiguous-self-join detector on the Expand
     // node's duplicated grouping attributes (Spark 4.1); SQL resolution
     // builds the identical plan without the dataset-id bookkeeping.
+    // full grouping-set lattice: corpus counts by (lang, source), per
+    // lang, per source, and grand total in ONE shuffle (CUBE adds the
+    // grouping-set rows to the same Expand, not extra scans). SQL-routed
+    // like q_rollup (the Dataset cube hits the same ambiguous-self-join
+    // detector quirk on Expand's duplicated attributes)
+    "q_cube_stats" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_cube_docs")
+      s.sql(
+        """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+          | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM graft_cube_docs
+          |GROUP BY CUBE(lang, source)
+          |ORDER BY lang, source""".stripMargin)
+    }),
+
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("graft_rollup_orders")
       t(s, dir, "customer").createOrReplaceTempView("graft_rollup_customer")
@@ -1569,6 +1613,31 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         | AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_cube_stats" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | round(
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+        |   THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))
+        |   ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE),
+        |  6) AS mkt_share
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (
