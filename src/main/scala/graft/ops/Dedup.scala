@@ -606,9 +606,12 @@ object Dedup {
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
-    var labels = edges.select(col("a_id").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
+    // Seed with the FIRST propagation step folded into one aggregation:
+    // label₀ = min(id, min neighbor). Identical to initializing label = id
+    // and running an iteration, but costs a groupBy instead of a
+    // join + checkpoint cycle — hash-min converges from any upper bound.
+    var labels = edges.groupBy(col("a_id").as("id"))
+      .agg(least(col("a_id"), min("b_id")).as("label"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
