@@ -282,6 +282,41 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
+    // TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    // zero-order customers — the left-join-then-histogram pattern
+    "q13_custdist" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))),
+
+    // TPC-H Q22 shape: wealthy customers with no RECENT orders, per
+    // nation —
+    // the mean is an EXACT decimal (a double average would be
+    // summation-order-dependent across engines), the no-orders test a
+    // left anti join
+    "q22_idle_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.agg(
+        (sum(col("c_acctbal").cast("decimal(18,2)")) /
+          count(lit(1))).cast("decimal(24,8)").as("avg_bal"))
+      c.join(broadcast(avgBal),
+          col("c_acctbal").cast("decimal(18,2)") > col("avg_bal"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy("n_name")
+    }),
+
     // TPC-H Q15 shape: top supplier(s) by quarter revenue — the scalar
     // max subquery decorrelated into a one-row broadcast; the equality
     // test runs on EXACT decimals (a double max could miss ties)
@@ -1638,6 +1673,25 @@ object SparkEntry {
         | JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation sn ON s_nationkey = sn.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / count(*) AS DECIMAL(24,8)) AS avg_bal
+        | FROM customer)
+        |SELECT n_name, count(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer CROSS JOIN a
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) > avg_bal
+        | AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                       WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (
