@@ -549,6 +549,20 @@ object SparkEntry {
         quasiCols = Seq("lang", "source", "len_bucket"), k = 3L)
         .orderBy("lang", "source", "len_bucket")),
 
+    // per-source duplication pressure: docs, distinct contents, and the
+    // dup share in milli — the corpus-card number that decides which
+    // source needs dedup attention first (same content-digest rule as
+    // every exact-dedup operator, so the shares can't drift from them)
+    "q_dup_rate" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(Dedup.contentKey(col("text"))).as("n_distinct"))
+        .withColumn("dup_milli",
+          floor(lit(1000.0) * (col("n_docs") - col("n_distinct")) / col("n_docs"))
+            .cast("long"))
+        .orderBy("source")),
+
     // deequ-style constraint suite: 5 rules, ONE lineitem pass
     "q_dq_report" -> ((s, dir) =>
       ops.CorpusOps.dqReport(t(s, dir, "lineitem"), Seq(
@@ -1581,6 +1595,13 @@ object SparkEntry {
         | count(*) AS n
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 3
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_distinct,
+        | CAST(floor(1000.0 * (count(*) - count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))))
+        |  / count(*)) AS BIGINT) AS dup_milli
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dq_report" ->
       """WITH s AS (SELECT count(*) AS n,
