@@ -1577,7 +1577,7 @@ object SparkEntry {
         |t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
         |p AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS permille)
         |SELECT cm.lang, permille, min(bin) * 16 AS q_lo, (min(bin) + 1) * 16 - 1 AS q_hi
-        |FROM cm JOIN t ON cm.lang = t.lang CROSS JOIN p
+        |FROM cm JOIN t ON cm.lang IS NOT DISTINCT FROM t.lang CROSS JOIN p
         |WHERE cum * 1000 >= permille * n
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -1628,7 +1628,8 @@ object SparkEntry {
         |touched AS (SELECT doc_id FROM base WHERE doc_id % 10 IN (0, 1)
         |            UNION SELECT doc_id FROM ins)
         |SELECT * FROM (
-        | SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM touched)
+        | SELECT * FROM base b WHERE NOT EXISTS (
+        |  SELECT 1 FROM touched t WHERE t.doc_id IS NOT DISTINCT FROM b.doc_id)
         | UNION ALL SELECT * FROM up
         | UNION ALL SELECT * FROM ins)
         |ORDER BY doc_id""".stripMargin,
@@ -2512,7 +2513,8 @@ object SparkEntry {
         |SELECT doc_id,
         | string_agg(line, chr(10) ORDER BY line_no) AS text,
         | count(*) AS n_lines
-        |FROM w WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM w WHERE rk = 1 OR trim(line) = ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // survivors = embeddings minus the b_id side of the pair report
     "q_dedup_semantic_apply" ->

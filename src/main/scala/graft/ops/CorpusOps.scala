@@ -312,7 +312,13 @@ object CorpusOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val total = bins.groupBy(gcols.map(col): _*).agg(sum("c").as("n"))
     val ps = permilles.map(_.toLong).toDF("permille")
-    cum.join(broadcast(total), gcols)
+    // null-safe join back to totals: a NULL-valued group (common in crawl
+    // lang/source columns) must keep its quantile rows, matching the
+    // window side where partitionBy groups NULL keys together
+    val totalR = gcols.foldLeft(total)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
+    val joinCond = gcols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    cum.join(broadcast(totalR), joinCond)
+      .drop(gcols.map(c => s"__t_$c"): _*)
       .crossJoin(broadcast(ps))
       .filter(col("cum") * 1000L >= col("permille") * col("n"))
       .groupBy(gcols.map(col) :+ col("permille"): _*).agg(min("bin").as("qbin"))
@@ -384,8 +390,12 @@ object CorpusOps {
     val latest = changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-    val untouched = base.join(
-      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    // null-safe anti-join: a NULL-keyed changelog row must still claim the
+    // NULL-keyed base row (the window side already groups NULL keys
+    // together — <=> keeps both halves of the operator consistent)
+    val touched = latest.select(keyCols.map(c => col(c).as(s"__k_$c")): _*)
+    val antiCond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    val untouched = base.join(touched, antiCond, "left_anti")
     untouched.unionByName(
       latest.filter(col(opCol) =!= "delete").drop("_rn", opCol, seqCol))
   }

@@ -126,6 +126,12 @@ object Dedup {
     * (doc_id, line_no) pairs semi-join back to the exploded lines and
     * reassemble with an ordered collect per doc. The per-doc collect is
     * bounded by document size, not corpus size.
+    *
+    * Blank (whitespace-only) lines are EXEMPT from the dedup decision and
+    * kept unconditionally: they are paragraph structure, not boilerplate
+    * content, and collapsing every empty line corpus-wide to its first
+    * occurrence would strip separators from every other document (C4
+    * itself only dedups lines with real content).
     */
   def dedupLines(docs: DataFrame, delimiter: String = "\n"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -134,12 +140,14 @@ object Dedup {
       posexplode(split(col("text"), java.util.regex.Pattern.quote(delimiter)))
         .as(Seq("line_no", "line")))
     val winners = lines
+      .filter(trim(col("line")) =!= "")
       .select(col("doc_id"), col("line_no"), md5(col("line")).as("_lk"))
       .withColumn("_rk", row_number().over(
         Window.partitionBy("_lk").orderBy("doc_id", "line_no")))
       .filter(col("_rk") === 1)
       .select("doc_id", "line_no")
     lines.join(winners, Seq("doc_id", "line_no"), "left_semi")
+      .unionByName(lines.filter(trim(col("line")) === ""))
       .groupBy("doc_id")
       .agg(
         array_join(

@@ -237,6 +237,32 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("grouped histogramQuantiles keeps a NULL group key like any other group") {
+    val df = ((0L until 100L).map(i => (null.asInstanceOf[String], i)) ++
+      (0L until 100L).map(i => ("en", i))).toDF("g", "v")
+    val out = CorpusOps.histogramQuantiles(df, "v", 10L, Seq(500), Seq("g"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(2), r.getLong(3))).toMap
+    // both groups hold 0..99, so both medians land in the same bin
+    out(None) shouldBe (40L, 49L)
+    out(Some("en")) shouldBe (40L, 49L)
+  }
+
+  test("applyChanges treats a NULL key null-safely: upsert replaces, delete removes") {
+    val base = Seq[(java.lang.Long, Long)]((1L, 10L), (null, 20L), (3L, 30L))
+      .toDF("k", "v")
+    val upsert = Seq[(java.lang.Long, Long, String, Long)](
+      (null, 99L, "upsert", 1L)).toDF("k", "v", "op", "seq")
+    val up = CorpusOps.applyChanges(base, upsert, Seq("k"), "seq")
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    // the NULL-keyed base row is replaced, not duplicated
+    up shouldBe Map(Some(1L) -> 10L, None -> 99L, Some(3L) -> 30L)
+    val del = Seq[(java.lang.Long, Long, String, Long)](
+      (null, 0L, "delete", 1L)).toDF("k", "v", "op", "seq")
+    val after = CorpusOps.applyChanges(base, del, Seq("k"), "seq")
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    after shouldBe Map(Some(1L) -> 10L, Some(3L) -> 30L)
+  }
+
   test("dqReport: one row per rule, nulls count as violations") {
     val df = Seq[(java.lang.Long, String)]((1L, "ok"), (60L, "ok"), (null, "bad"))
       .toDF("v", "tag")

@@ -159,6 +159,19 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out.keySet shouldBe Set(1L, 2L, 4L)
   }
 
+  test("line dedup keeps blank separator lines unconditionally") {
+    val multi = Seq(
+      (1L, "alpha\n\nbeta"),   // blank paragraph separator
+      (2L, "gamma\n\ndelta"),  // its own blank must NOT collapse into doc 1's
+      (3L, "alpha\n\nepsilon") // alpha dedups away; blank + epsilon survive
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(multi).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(1L) shouldBe ("alpha\n\nbeta", 3L)
+    out(2L) shouldBe ("gamma\n\ndelta", 3L)
+    out(3L) shouldBe ("\nepsilon", 2L)
+  }
+
   test("bloom decontamination is bit-identical to the exact join") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
