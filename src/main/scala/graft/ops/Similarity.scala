@@ -327,7 +327,11 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // the quantized corpus feeds EVERY iteration's assign pass — persist it
+    // for the duration of training (MLlib caches its training input the
+    // same way; MEMORY_AND_DISK spills rather than recomputing at scale)
     val vecs = quantizedWithNorms(embeddings, native)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = seedCentroids(vecs, k)
     for (_ <- 0 until iters) {
       val prev = cents
@@ -350,6 +354,10 @@ object Similarity {
       // callers free it with Dedup.releaseCheckpoints when done.
       Dedup.releaseCheckpoints(prev)
     }
+    // the final codebook is checkpointed (iters > 0), so the training
+    // cache is dead weight from here — release it; with iters == 0 the
+    // seed still reads through vecs, so keep the (lazy, evictable) cache
+    if (iters > 0) vecs.unpersist(blocking = false)
     cents
   }
 

@@ -57,21 +57,26 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val native = graft.plans.GraftExtensions.available(df.sparkSession)
-    val toks = tokens(col(textCol))
-    val nTok = size(toks)
-    val safeTok = greatest(nTok, lit(1)).cast("double")
-    df.select(
-      col("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      round(size(array_distinct(toks)) / safeTok, 6).as("uniq_ratio"),
-      round(length(col(textCol)) / safeTok, 6).as("avg_token_len"),
-      round(
-        size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))) / safeTok,
-        6).as("stopword_ratio"),
-      round(
-        punctCount(col(textCol), native)
-          / greatest(length(col(textCol)), lit(1)).cast("double"),
-        6).as("punct_ratio"))
+    // let-bind the token array: five outputs reference it, and without the
+    // binding CollapseProject re-runs the split per reference
+    val packed = ColumnOps.bind(tokens(col(textCol))) { toks =>
+      val nTok = size(toks)
+      val safeTok = greatest(nTok, lit(1)).cast("double")
+      struct(
+        nTok.cast("long").as("n_tokens"),
+        round(size(array_distinct(toks)) / safeTok, 6).as("uniq_ratio"),
+        round(length(col(textCol)) / safeTok, 6).as("avg_token_len"),
+        round(
+          size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))) / safeTok,
+          6).as("stopword_ratio"),
+        round(
+          punctCount(col(textCol), native)
+            / greatest(length(col(textCol)), lit(1)).cast("double"),
+          6).as("punct_ratio"))
+    }
+    df.select(col("doc_id"), explode(array(packed)).as("q"))
+      .select(col("doc_id"), col("q.n_tokens"), col("q.uniq_ratio"),
+        col("q.avg_token_len"), col("q.stopword_ratio"), col("q.punct_ratio"))
   }
 
   /** Exact floor division of two non-negative long columns. The double
@@ -147,22 +152,27 @@ object TextAnalysis {
     * so DuckDB can replay it as the oracle.
     */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    def hits(markers: String*): Column =
-      size(filter(toks, t => t.isin(markers.map(_.asInstanceOf[Any]): _*)))
-    val en = hits("the", "of", "and")
-    val de = hits("der", "die", "das", "und")
-    val fr = hits("le", "la", "et", "les")
-    val es = hits("el", "los", "las", "y")
+    // double let-binding: the split feeds four marker counts, and each
+    // count is referenced twice in the decision chain — unbound, the
+    // split would re-run per reference (8×)
+    val predicted = ColumnOps.bind(tokens(col(textCol))) { toks =>
+      def hits(markers: String*): Column =
+        size(filter(toks, t => t.isin(markers.map(_.asInstanceOf[Any]): _*)))
+      ColumnOps.bind(array(
+        hits("the", "of", "and"), hits("der", "die", "das", "und"),
+        hits("le", "la", "et", "les"), hits("el", "los", "las", "y"))) { h =>
+        val Seq(en, de, fr, es) = (1 to 4).map(i => element_at(h, i))
+        when(en >= greatest(de, fr, es) && en > 0, "en")
+          .when(de >= greatest(fr, es) && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("zh")
+      }
+    }
     df.select(
       col("doc_id"),
       col("lang").as("actual_lang"),
-      when(en >= greatest(de, fr, es) && en > 0, "en")
-        .when(de >= greatest(fr, es) && de > 0, "de")
-        .when(fr >= es && fr > 0, "fr")
-        .when(es > 0, "es")
-        .otherwise("zh")
-        .as("predicted_lang"))
+      predicted.as("predicted_lang"))
   }
 
   /** Corpus-level summary statistics — the sanity dashboard over a
