@@ -337,6 +337,79 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q12 shape (no l_shipmode column in the fixture, so
+    // l_returnflag stands in for the mode): lineitems shipped in one
+    // year, counted high/low by order priority — one shuffle join
+    // (both sides large) into one conditional aggregation
+    "q12_ship_priority" -> ((s, dir) => {
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A") &&
+          col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_returnflag")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q19 shape (no p_container/l_shipinstruct in the fixture):
+    // disjunctive brand × quantity-band × size-band predicates — the OR
+    // of conjunctions evaluates AFTER the equi-join (only the partkey
+    // equality is a join key; Catalyst still pushes the per-side halves
+    // of each disjunct down to the scans), decimal-exact revenue
+    "q19_disjunct_revenue" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q21 shape (no l_commitdate/l_receiptdate: "late" = shipped
+    // > 90 days after the order date): suppliers whose line was the ONLY
+    // late one in a multi-supplier finished order. The exists/not-exists
+    // pair is decorrelated into ONE per-order aggregation (distinct
+    // supplier count + distinct late-supplier count) joined back to the
+    // late lines — two shuffles total, supplier dimension broadcast
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .cast("int"))
+        .select("l_orderkey", "l_suppkey", "late")
+      val perOrder = l.groupBy("l_orderkey").agg(
+        countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late"))
+      l.filter(col("late") === 1)
+        .join(perOrder, Seq("l_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(100)
+    }),
+
     // TPC-H Q14 shape: promo revenue share for one month — conditional
     // aggregation over a broadcast part join, decimal-exact both legs
     "q14_promo" -> ((s, dir) => {
@@ -1714,6 +1787,40 @@ object SparkEntry {
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                       WHERE o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q12_ship_priority" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('R','A')
+        | AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_disjunct_revenue" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH l AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INT) AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'),
+        |f AS (
+        | SELECT l_orderkey,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+        | FROM l GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM (SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM l JOIN f ON l.l_orderkey = f.l_orderkey
+        |      WHERE l.late = 1 AND f.n_supp >= 2 AND f.n_late = 1) w
+        |JOIN supplier ON s_suppkey = w.l_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (
