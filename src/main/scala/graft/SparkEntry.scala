@@ -26,6 +26,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Fixed demo vocabulary for the tokenizer-application query: common
+    * English pieces + frequent letters + space, id = position. Mirrored
+    * verbatim in the q_tokenize_greedy oracle's VALUES list.
+    */
+  private[graft] val demoVocab: Seq[String] = Seq(
+    "the", "of", "and", "ing", "er",
+    "a", "e", "i", "o", "u", "t", "n", "s", "r", "h", "l", "d", " ")
+
   /** Shared (purchases, clicks) sides of the two as-of queries: µs time
     * domain, clicks pre-deduped per (user, ts) with a max-event-id
     * tie-break — ONE definition so backward/forward and their oracles
@@ -1018,6 +1026,15 @@ object SparkEntry {
 
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // tokenizer APPLICATION (greedy longest-match over a fixed demo
+    // vocab): text -> model token ids, the inference half of a trained
+    // BPE/WordPiece tokenizer — native trie pass under the graft session,
+    // byte-identical Column fallback elsewhere
+    "q_tokenize_greedy" -> ((s, dir) =>
+      TextAnalysis.greedyTokenize(
+        t(s, dir, "documents"), SparkEntry.demoVocab, maxChars = 80)
+        .orderBy("doc_id")),
 
     // C4-style bad-words gate: hits counted, keep flag at the threshold
     "q_blocklist" -> ((s, dir) =>
@@ -2770,6 +2787,34 @@ object SparkEntry {
         | round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
         | round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // greedy longest-match tokenization replayed as a recursive CTE over
+    // (doc, position) states; the LATERAL picks the longest vocab entry
+    // matching at the cursor, ties broken by id (unreachable: entries
+    // are distinct), falling back to unknown (-1, advance one char)
+    "q_tokenize_greedy" ->
+      """WITH RECURSIVE v(id, tok, len) AS (
+        | SELECT * FROM (VALUES (0,'the',3),(1,'of',2),(2,'and',3),(3,'ing',3),(4,'er',2),
+        |  (5,'a',1),(6,'e',1),(7,'i',1),(8,'o',1),(9,'u',1),(10,'t',1),(11,'n',1),
+        |  (12,'s',1),(13,'r',1),(14,'h',1),(15,'l',1),(16,'d',1),(17,' ',1))),
+        |d AS (SELECT doc_id, substring(text, 1, 80) AS s FROM documents),
+        |step(doc_id, pos, ids) AS (
+        | SELECT doc_id, 1, CAST([] AS INT[]) FROM d
+        | UNION ALL
+        | SELECT s.doc_id, s.pos + coalesce(b.blen, 1), list_append(s.ids, coalesce(b.bid, -1))
+        | FROM step s JOIN d ON d.doc_id = s.doc_id
+        | LEFT JOIN LATERAL (
+        |   SELECT v.id AS bid, v.len AS blen FROM v
+        |   WHERE substring(d.s, s.pos, v.len) = v.tok
+        |   ORDER BY v.len DESC, v.id LIMIT 1) b ON true
+        | WHERE s.pos <= length(d.s))
+        |SELECT doc_id,
+        | CAST(len(ids) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(ids, x -> x = -1)) AS BIGINT) AS n_unk,
+        | array_to_string(ids, ' ') AS ids_str
+        |FROM (SELECT s.doc_id, s.ids FROM step s JOIN d ON d.doc_id = s.doc_id
+        |      WHERE s.pos > length(d.s))
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH c AS (

@@ -175,6 +175,83 @@ object TextAnalysis {
       predicted.as("predicted_lang"))
   }
 
+  /** Greedy leftmost-longest tokenizer application (WordPiece/BPE
+    * inference): per position emit the vocab index of the longest matching
+    * entry, or -1 and advance one code point. Native
+    * [[graft.plans.GreedyTokenize]] (one prebuilt-trie pass) when the
+    * graft extensions are registered; a pure-Column `aggregate` loop with
+    * IDENTICAL ids otherwise — greedy matching has no hash family, so the
+    * two paths are a speed knob, not a semantics switch, and the result
+    * replays exactly in any engine.
+    *
+    * The fallback costs O(len × vocab) lambda steps per row — fine for
+    * bounded probes; the native trie is the 100 TB path.
+    */
+  def greedyTokenizeIds(textCol: Column, vocab: Seq[String], native: Boolean): Column =
+    if (native)
+      call_function("graft_greedy_tokenize", textCol, array(vocab.map(lit): _*))
+    else {
+      require(vocab.nonEmpty && vocab.forall(_.nonEmpty) &&
+        vocab.distinct.size == vocab.size,
+        "vocab entries must be non-empty and distinct")
+      val varr = array(vocab.map(lit): _*)
+      // longest entry matching at pos (ties impossible: entries distinct);
+      // scanning ids ascending with a strict > keeps the lowest id among
+      // equal lengths, matching the ORDER BY len DESC, id LIMIT 1 replay
+      def bestAt(text: Column, pos: Column): Column =
+        aggregate(
+          sequence(lit(0), lit(vocab.size - 1)),
+          struct(lit(0).as("bl"), lit(-1).as("bi")),
+          (acc, i) => ColumnOps.bind(element_at(varr, i + 1)) { v =>
+            when(length(v) > acc.getField("bl") &&
+                text.substr(pos, length(v)) === v,
+              struct(length(v).as("bl"), i.cast("int").as("bi")))
+              .otherwise(acc)
+          })
+      ColumnOps.bind(textCol) { text =>
+        aggregate(
+          // each step advances >= 1 code point, so length(text) steps
+          // always reach the end; surplus steps pass the state through
+          sequence(lit(1), greatest(length(text), lit(1))),
+          struct(lit(1).as("pos"), lit(Array.empty[Int]).as("ids")),
+          (st, _) =>
+            when(st.getField("pos") > length(text), st)
+              .otherwise(ColumnOps.bind(bestAt(text, st.getField("pos"))) { b =>
+                when(b.getField("bi") >= 0,
+                  struct(
+                    (st.getField("pos") + b.getField("bl")).as("pos"),
+                    concat(st.getField("ids"), array(b.getField("bi"))).as("ids")))
+                  .otherwise(struct(
+                    (st.getField("pos") + lit(1)).as("pos"),
+                    concat(st.getField("ids"), array(lit(-1))).as("ids")))
+              }),
+          st => st.getField("ids"))
+      }
+    }
+
+  /** [[greedyTokenizeIds]] over a documents table, summarized to scalars
+    * (token count, unknown count, the id sequence as text) so the result
+    * is engine-comparable. `maxChars` bounds the per-document work — the
+    * inference shape tokenizes chunks, not whole documents, anyway.
+    */
+  def greedyTokenize(
+      df: DataFrame,
+      vocab: Seq[String],
+      maxChars: Int = 80,
+      textCol: String = "text"): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(df.sparkSession)
+    val s = col(textCol).substr(lit(1), lit(maxChars))
+    df.select(
+      col("doc_id"),
+      ColumnOps.bind(greedyTokenizeIds(s, vocab, native)) { ids =>
+        struct(
+          size(ids).cast("long").as("n_tokens"),
+          size(filter(ids, x => x === -1)).cast("long").as("n_unk"),
+          array_join(transform(ids, x => x.cast("string")), " ").as("ids_str"))
+      }.as("q"))
+      .select(col("doc_id"), col("q.n_tokens"), col("q.n_unk"), col("q.ids_str"))
+  }
+
   /** Corpus-level summary statistics — the sanity dashboard over a
     * training corpus: one partial-aggregated pass, constant-size output.
     */

@@ -106,6 +106,20 @@ object GraftExtensions {
             s"graft_token_count mode must be 'bpe' or 'punct', got '$other'")
         }
       }),
+    (FunctionIdentifier("graft_greedy_tokenize"),
+      new ExpressionInfo(classOf[GreedyTokenize].getName, "graft_greedy_tokenize"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_greedy_tokenize", children, 2)
+        val vocab = children(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+            e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+              .toSeq
+          case _ => sys.error("graft_greedy_tokenize vocab must be an array<string> literal")
+        }
+        GreedyTokenize(children.head, vocab)
+      }),
     (FunctionIdentifier("graft_roll_hash"),
       new ExpressionInfo(classOf[RollHash].getName, "graft_roll_hash"),
       (children: Seq[Expression]) => {

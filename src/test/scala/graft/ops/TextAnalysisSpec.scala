@@ -39,6 +39,38 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh")
   }
 
+  test("greedy tokenize: native trie and Column fallback agree exactly") {
+    import org.apache.spark.sql.functions.col
+    val vocab = Seq("the", "of", "ing", "er", "th", "a", "e", "i", "t", "n", " ")
+    val df = Seq(
+      (1L, "the thing"),        // longest match beats prefixes: the > th > t
+      (2L, ""),                 // empty -> zero tokens
+      (3L, "xyz"),              // nothing matches -> all unknown
+      (4L, "therther"),         // greedy: the+r(unk) then th+er
+      (5L, "café 😀 ok") // multi-byte + astral code point
+    ).toDF("doc_id", "text")
+    def ids(native: Boolean) = df.select(col("doc_id"),
+      TextAnalysis.greedyTokenizeIds(col("text"), vocab, native).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val nat = ids(native = true)
+    val fb = ids(native = false)
+    nat shouldBe fb
+    nat(1L) shouldBe Seq(0, 10, 4, 2)   // the | ' ' | th | ing
+    nat(2L) shouldBe Seq()
+    nat(3L) shouldBe Seq(-1, -1, -1)
+    nat(4L) shouldBe Seq(0, -1, 0, -1)  // the | r? | the | r?
+    nat(5L) shouldBe Seq(-1, 5, -1, -1, 10, -1, 10, -1, -1) // only a + spaces known
+  }
+
+  test("greedy tokenize query shape summarizes to scalars") {
+    val df = Seq((7L, "the end")).toDF("doc_id", "text")
+    val r = TextAnalysis.greedyTokenize(df, Seq("the", "e", "n", "d", " ")).head
+    // the | ' ' | e | n | d -> 5 tokens, 0 unknown
+    r.getAs[Long]("n_tokens") shouldBe 5L
+    r.getAs[Long]("n_unk") shouldBe 0L
+    r.getAs[String]("ids_str") shouldBe "0 4 1 2 3"
+  }
+
   test("corpus stats aggregate exactly from integer sums") {
     val df = Seq(
       (1L, "a b c", "en"), (2L, "d e", "en"), (3L, "x", "fr")
