@@ -50,12 +50,13 @@ object Bench {
       "q_windowed_counts", "q_sessionize", "q_attribution",
       "q_asof_join", "q_range_join",
       "q_dedup_exact", "q_dedup_apply", "q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_groups", "q_decontaminate", "q_decontaminate_bloom",
+      "q_dedup_groups", "q_dedup_groups_contract",
+      "q_decontaminate", "q_decontaminate_bloom",
       "q_pipeline_e2e",
       "q_embed_dups", "q_embed_dups_cell", "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
       "q_sim_ivf_trained",
       "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_redact",
-      "q_top_ngrams", "q_text_chunk", "q_split", "q_fingerprint",
+      "q_top_ngrams", "q_text_chunk", "q_tokenize_greedy", "q_split", "q_fingerprint",
       "q_corpus_stats",
       "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
       "q_multimodal_phash",

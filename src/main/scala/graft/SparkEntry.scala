@@ -26,6 +26,36 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Connected-components ground truth over the bounded ngram-Jaccard
+    * pair graph — shared by q_dedup_groups (label propagation) and
+    * q_dedup_groups_contract (star contraction): both must produce the
+    * identical (id, smallest-id-in-component) labeling.
+    */
+  private val dupGroupsOracle: String =
+    """WITH RECURSIVE sh AS (
+      | SELECT doc_id, list_distinct(sh0) AS sh FROM (
+      |  SELECT doc_id,
+      |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+      |   END AS sh0
+      |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+      |        FROM documents WHERE doc_id < 500)
+      | )
+      |),
+      |pairs AS (
+      | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      | WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+      |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.5
+      |),
+      |edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION ALL SELECT b_id AS s, a_id AS d FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+      |)
+      |SELECT id, min(r) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   /** Fixed demo vocabulary for the tokenizer-application query: common
     * English pieces + frequent letters + space, id = position. Mirrored
     * verbatim in the q_tokenize_greedy oracle's VALUES list.
@@ -892,6 +922,20 @@ object SparkEntry {
         .crossJoin(ids.select(col("doc_id").as("b_id")))
         .filter(col("a_id") < col("b_id"))
       Dedup.duplicateGroups(
+        Dedup.ngramJaccardPairs(docs, pairs).filter(col("jaccard") >= 0.5))
+        .orderBy("id")
+    }),
+
+    // star-contraction twin of q_dedup_groups: same bounded pair graph,
+    // same labeling contract, O(log n)-round edge rewriting instead of
+    // O(diameter) label shuffles — the CC the 100 TB path runs
+    "q_dedup_groups_contract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a_id"))
+        .crossJoin(ids.select(col("doc_id").as("b_id")))
+        .filter(col("a_id") < col("b_id"))
+      Dedup.duplicateGroupsContract(
         Dedup.ngramJaccardPairs(docs, pairs).filter(col("jaccard") >= 0.5))
         .orderBy("id")
     }),
@@ -2152,30 +2196,11 @@ object SparkEntry {
 
     // Connected components replayed with a recursive CTE over the same
     // exact-Jaccard pair list the Spark side feeds to label propagation.
-    "q_dedup_groups" ->
-      """WITH RECURSIVE sh AS (
-        | SELECT doc_id, list_distinct(sh0) AS sh FROM (
-        |  SELECT doc_id,
-        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-        |   END AS sh0
-        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
-        |        FROM documents WHERE doc_id < 500)
-        | )
-        |),
-        |pairs AS (
-        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-        |  ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) >= 0.5
-        |),
-        |edges AS (SELECT a_id AS s, b_id AS d FROM pairs UNION ALL SELECT b_id AS s, a_id AS d FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT s, s FROM edges
-        |  UNION
-        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
-        |)
-        |SELECT id, min(r) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_groups" -> dupGroupsOracle,
+
+    // the star-contraction twin computes the SAME components from the
+    // same pair graph — one oracle text serves both declared queries
+    "q_dedup_groups_contract" -> dupGroupsOracle,
 
     // Portable-hash twins: full replay of the banded pipelines on the
     // PortableHash family — base hash = ('0x' || substr(md5(s),1,7))::BIGINT,

@@ -655,6 +655,86 @@ object Dedup {
     labels.withColumnRenamed("label", "group_id")
   }
 
+  /** [[duplicateGroups]] by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the O(log n)-round scale
+    * path. Label propagation shuffles the FULL label table once per
+    * graph-diameter hop; star contraction instead rewrites the EDGE set,
+    * which both converges in logarithmically many rounds on long chains
+    * and SHRINKS as components collapse toward stars — at a 100 TB pair
+    * graph the per-round shuffle gets cheaper as it proceeds.
+    *
+    *   - large-star: every node links its larger neighbors to the min of
+    *     its closed neighborhood;
+    *   - small-star: every node links its smaller neighbors (and itself)
+    *     to that min.
+    *
+    * Fixpoint = the edge set is a stable star forest (child → component
+    * min). Output contract is identical to [[duplicateGroups]]: one
+    * `(id, group_id)` row per node appearing in `pairs`, `group_id` =
+    * the component's smallest id ([[DedupSpec]] proves equality on
+    * chain/clique/random graphs).
+    */
+  def duplicateGroupsContract(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val nodes = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct()
+    var edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = both.groupBy("src")
+        .agg(least(min("dst"), col("src")).as("m"))
+      both.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      oriented.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mins.select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    // convergence = stable (count, order-invariant xor-fold) signature —
+    // edges are distinct, so the xor is a set fingerprint (and, unlike a
+    // sum, cannot overflow under ANSI mode); both aggregates run on the
+    // just-checkpointed (materialized) table: one tiny job, no replay
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      releaseCheckpoint(edges)
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateGroupsContract stopped at maxIter=$maxIter without a " +
+          "stable star forest: group ids may be UNCONVERGED.")
+    nodes.join(edges.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("dst"), col("id")).as("group_id"))
+  }
+
   /** Unpersist the checkpointed RDDs backing a `localCheckpoint()`ed
     * DataFrame (the `LogicalRDD` leaves hold them). No-op on plans
     * without checkpoints. PUBLIC because several operators return

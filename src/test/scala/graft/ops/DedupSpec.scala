@@ -189,6 +189,30 @@ class DedupSpec extends AnyFunSuite with Matchers {
     bloom.map(_.getLong(0)) shouldBe Seq(100L)
   }
 
+  test("star-contraction components equal label propagation on chains, cliques, random graphs") {
+    def labels(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.duplicateGroupsContract(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def propag(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Dedup.duplicateGroups(pairs, maxIter = 30).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // long chain (diameter 19 — the propagation worst case)
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    labels(chain) shouldBe propag(chain)
+    labels(chain).values.toSet shouldBe Set(1L)
+    // two cliques + an isolated pair + a self-pair
+    val cliques = ((10L to 13L).combinations(2).map(s => (s(0), s(1))) ++
+      (20L to 24L).combinations(2).map(s => (s(0), s(1))) ++
+      Seq((30L, 31L), (40L, 40L))).toSeq.toDF("a_id", "b_id")
+    labels(cliques) shouldBe propag(cliques)
+    labels(cliques)(40L) shouldBe 40L
+    // seeded random graph, reversed orientations included
+    val rnd = new scala.util.Random(7)
+    val rand = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .toDF("a_id", "b_id")
+    labels(rand) shouldBe propag(rand)
+  }
+
   test("bloom decontamination with an empty benchmark flags nothing") {
     val corpus = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val bench = corpus.limit(0)
