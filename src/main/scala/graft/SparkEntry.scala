@@ -26,6 +26,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The bounded ngram-Jaccard pair graph both CC queries run on — ONE
+    * builder so the label-propagation and star-contraction twins can
+    * never drift onto different inputs while sharing one oracle.
+    */
+  private def boundedDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("a_id"))
+      .crossJoin(ids.select(col("doc_id").as("b_id")))
+      .filter(col("a_id") < col("b_id"))
+    Dedup.ngramJaccardPairs(docs, pairs).filter(col("jaccard") >= 0.5)
+  }
+
   /** Connected-components ground truth over the bounded ngram-Jaccard
     * pair graph — shared by q_dedup_groups (label propagation) and
     * q_dedup_groups_contract (star contraction): both must produce the
@@ -915,30 +928,14 @@ object SparkEntry {
     // DuckDB can replay both the pair list AND the connected components
     // (recursive CTE). The production path feeds the same operator from
     // minHashLsh/simHashDups candidates instead.
-    "q_dedup_groups" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
-      val ids = docs.select(col("doc_id"))
-      val pairs = ids.select(col("doc_id").as("a_id"))
-        .crossJoin(ids.select(col("doc_id").as("b_id")))
-        .filter(col("a_id") < col("b_id"))
-      Dedup.duplicateGroups(
-        Dedup.ngramJaccardPairs(docs, pairs).filter(col("jaccard") >= 0.5))
-        .orderBy("id")
-    }),
+    "q_dedup_groups" -> ((s, dir) =>
+      Dedup.duplicateGroups(boundedDupPairs(s, dir)).orderBy("id")),
 
     // star-contraction twin of q_dedup_groups: same bounded pair graph,
     // same labeling contract, O(log n)-round edge rewriting instead of
     // O(diameter) label shuffles — the CC the 100 TB path runs
-    "q_dedup_groups_contract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
-      val ids = docs.select(col("doc_id"))
-      val pairs = ids.select(col("doc_id").as("a_id"))
-        .crossJoin(ids.select(col("doc_id").as("b_id")))
-        .filter(col("a_id") < col("b_id"))
-      Dedup.duplicateGroupsContract(
-        Dedup.ngramJaccardPairs(docs, pairs).filter(col("jaccard") >= 0.5))
-        .orderBy("id")
-    }),
+    "q_dedup_groups_contract" -> ((s, dir) =>
+      Dedup.duplicateGroupsContract(boundedDupPairs(s, dir)).orderBy("id")),
 
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

@@ -731,8 +731,12 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"duplicateGroupsContract stopped at maxIter=$maxIter without a " +
           "stable star forest: group ids may be UNCONVERGED.")
+    // groupBy(min) preserves the one-row-per-node contract even when the
+    // loop hit maxIter with a node still holding several outgoing edges
+    // (converged runs have exactly one, so the aggregate is a no-op)
     nodes.join(edges.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("dst"), col("id")).as("group_id"))
+      .groupBy("id")
+      .agg(min(coalesce(col("dst"), col("id"))).as("group_id"))
   }
 
   /** Unpersist the checkpointed RDDs backing a `localCheckpoint()`ed

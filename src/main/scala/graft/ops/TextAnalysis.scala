@@ -208,25 +208,29 @@ object TextAnalysis {
               struct(length(v).as("bl"), i.cast("int").as("bi")))
               .otherwise(acc)
           })
-      ColumnOps.bind(textCol) { text =>
-        aggregate(
-          // each step advances >= 1 code point, so length(text) steps
-          // always reach the end; surplus steps pass the state through
-          sequence(lit(1), greatest(length(text), lit(1))),
-          struct(lit(1).as("pos"), lit(Array.empty[Int]).as("ids")),
-          (st, _) =>
-            when(st.getField("pos") > length(text), st)
-              .otherwise(ColumnOps.bind(bestAt(text, st.getField("pos"))) { b =>
-                when(b.getField("bi") >= 0,
-                  struct(
-                    (st.getField("pos") + b.getField("bl")).as("pos"),
-                    concat(st.getField("ids"), array(b.getField("bi"))).as("ids")))
-                  .otherwise(struct(
-                    (st.getField("pos") + lit(1)).as("pos"),
-                    concat(st.getField("ids"), array(lit(-1))).as("ids")))
-              }),
-          st => st.getField("ids"))
-      }
+      // NULL text -> NULL ids, matching the native expression's
+      // null-safe eval (without the guard the aggregate loop would run
+      // one vacuous step and emit [-1] for a NULL row)
+      when(textCol.isNull, lit(null).cast("array<int>")).otherwise(
+        ColumnOps.bind(textCol) { text =>
+          aggregate(
+            // each step advances >= 1 code point, so length(text) steps
+            // always reach the end; surplus steps pass the state through
+            sequence(lit(1), greatest(length(text), lit(1))),
+            struct(lit(1).as("pos"), lit(Array.empty[Int]).as("ids")),
+            (st, _) =>
+              when(st.getField("pos") > length(text), st)
+                .otherwise(ColumnOps.bind(bestAt(text, st.getField("pos"))) { b =>
+                  when(b.getField("bi") >= 0,
+                    struct(
+                      (st.getField("pos") + b.getField("bl")).as("pos"),
+                      concat(st.getField("ids"), array(b.getField("bi"))).as("ids")))
+                    .otherwise(struct(
+                      (st.getField("pos") + lit(1)).as("pos"),
+                      concat(st.getField("ids"), array(lit(-1))).as("ids")))
+                }),
+            st => st.getField("ids"))
+        })
     }
 
   /** [[greedyTokenizeIds]] over a documents table, summarized to scalars

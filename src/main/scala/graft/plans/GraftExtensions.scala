@@ -111,11 +111,18 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         expectArity("graft_greedy_tokenize", children, 2)
         val vocab = children(1) match {
-          case e if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
-            e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          case e if e.foldable &&
+              (e.dataType match {
+                case org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.StringType, _) => true
+                case _ => false
+              }) =>
+            val arr = e.eval(null)
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
               .toObjectArray(org.apache.spark.sql.types.StringType)
-              .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-              .toSeq
+            if (arr.exists(_ == null))
+              sys.error("graft_greedy_tokenize vocab must not contain NULL entries")
+            arr.map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
           case _ => sys.error("graft_greedy_tokenize vocab must be an array<string> literal")
         }
         GreedyTokenize(children.head, vocab)

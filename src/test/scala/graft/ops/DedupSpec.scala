@@ -211,6 +211,10 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val rand = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
       .toDF("a_id", "b_id")
     labels(rand) shouldBe propag(rand)
+    // one row per node even UNCONVERGED (maxIter = 0 leaves raw edges):
+    // the contract holds, only the labels may be wrong
+    val raw = Dedup.duplicateGroupsContract(chain, maxIter = 0).collect()
+    raw.map(_.getLong(0)).toSeq.sorted shouldBe (1L to 20L)
   }
 
   test("bloom decontamination with an empty benchmark flags nothing") {

@@ -47,19 +47,21 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       (2L, ""),                 // empty -> zero tokens
       (3L, "xyz"),              // nothing matches -> all unknown
       (4L, "therther"),         // greedy: the+r(unk) then th+er
-      (5L, "café 😀 ok") // multi-byte + astral code point
+      (5L, "café 😀 ok"), // multi-byte + astral code point
+      (6L, null.asInstanceOf[String]) // NULL text -> NULL ids on BOTH paths
     ).toDF("doc_id", "text")
     def ids(native: Boolean) = df.select(col("doc_id"),
       TextAnalysis.greedyTokenizeIds(col("text"), vocab, native).as("ids"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Int](1))).toMap
     val nat = ids(native = true)
     val fb = ids(native = false)
     nat shouldBe fb
-    nat(1L) shouldBe Seq(0, 10, 4, 2)   // the | ' ' | th | ing
-    nat(2L) shouldBe Seq()
-    nat(3L) shouldBe Seq(-1, -1, -1)
-    nat(4L) shouldBe Seq(0, -1, 0, -1)  // the | r? | the | r?
-    nat(5L) shouldBe Seq(-1, 5, -1, -1, 10, -1, 10, -1, -1) // only a + spaces known
+    nat(1L) shouldBe Some(Seq(0, 10, 4, 2))   // the | ' ' | th | ing
+    nat(2L) shouldBe Some(Seq())
+    nat(3L) shouldBe Some(Seq(-1, -1, -1))
+    nat(4L) shouldBe Some(Seq(0, -1, 0, -1))  // the | r? | the | r?
+    nat(5L) shouldBe Some(Seq(-1, 5, -1, -1, 10, -1, 10, -1, -1)) // only a + spaces known
+    nat(6L) shouldBe None
   }
 
   test("greedy tokenize query shape summarizes to scalars") {
