@@ -678,9 +678,7 @@ object Dedup {
   def duplicateGroupsContract(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val nodes = pairs.select(col("a_id").as("id"))
       .union(pairs.select(col("b_id").as("id"))).distinct()
-    var edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
+    var edges: DataFrame = null
 
     def largeStar(e: DataFrame): DataFrame = {
       val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -706,21 +704,28 @@ object Dedup {
 
     // convergence = stable (count, order-invariant xor-fold) signature —
     // edges are distinct, so the xor is a set fingerprint (and, unlike a
-    // sum, cannot overflow under ANSI mode); both aggregates run on the
-    // just-checkpointed (materialized) table: one tiny job, no replay
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(
-        count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
+    // sum, cannot overflow under ANSI mode). The signature RIDES the
+    // checkpoint's materialization job via Observation (the
+    // duplicateGroups trick): no separate aggregate job per round.
+    val sigCols = Seq(
+      count(lit(1)).as("cnt"),
+      coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("sig"))
+    def observedCheckpoint(e: DataFrame, name: String): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation(name)
+      val out = e.observe(obs, sigCols.head, sigCols.tail: _*).localCheckpoint()
+      (out, (obs.get("cnt").asInstanceOf[Long], obs.get("sig").asInstanceOf[Long]))
     }
 
-    var sig = signature(edges)
+    val (edges0, sig0) = observedCheckpoint(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .filter(col("src") =!= col("dst")), "cc-sig-init")
+    edges = edges0
+    var sig = sig0
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextSig = signature(next)
+      val (next, nextSig) =
+        observedCheckpoint(smallStar(largeStar(edges)), s"cc-sig-$iter")
       releaseCheckpoint(edges)
       edges = next
       converged = nextSig == sig
