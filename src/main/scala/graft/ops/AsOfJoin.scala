@@ -91,10 +91,16 @@ object AsOfJoin {
     val lNorm = left.select(
       (keys :+ timeCol).map(col) ++ leftRest.map(col) ++ Seq(
         lit(null).cast(payloadType).as("_asof"), lit(1).as("_src")): _*)
-    val rNorm = right.select(
-      (keys :+ timeCol).map(col) ++ leftRest.map(c =>
-        lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
-        payload.as("_asof"), lit(0).as("_src")): _*)
+    // SQL join semantics on dirty data: a NULL key or NULL timestamp can
+    // never match. Window.partitionBy groups NULL keys together and NULL
+    // times sort to the frame's visible edge, so unfiltered right rows
+    // would produce matches an equi/as-of join must not emit.
+    val rNorm = right
+      .filter((keys :+ timeCol).map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        (keys :+ timeCol).map(col) ++ leftRest.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+          payload.as("_asof"), lit(0).as("_src")): _*)
     // equal timestamps are inclusive in BOTH directions: the right row
     // sorts into the visible side of the frame (before the left row for
     // backward, after it for forward). The payload struct is the FINAL
@@ -121,9 +127,11 @@ object AsOfJoin {
       if (forward) col("_match")(timeCol) <= col(timeCol) + tol
       else col("_match")(timeCol) >= col(timeCol) - tol
     }
+    // a NULL-timestamped LEFT row has no position on the time axis: it
+    // keeps its row (left-join contract) but matches nothing
     val inRange = withinTol match {
-      case Some(p) => col("_match").isNotNull && p
-      case None    => col("_match").isNotNull
+      case Some(p) => col("_match").isNotNull && col(timeCol).isNotNull && p
+      case None    => col("_match").isNotNull && col(timeCol).isNotNull
     }
     val matchedCols = (timeCol +: rightPayload).map { c =>
       val out = if (c == timeCol) s"asof_$timeCol" else c

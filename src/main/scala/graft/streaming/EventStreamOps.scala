@@ -177,7 +177,15 @@ object EventStreamOps {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.last <= gapSeconds =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                  // min/max, not assignment: an in-watermark late event
+                  // from a PREVIOUS micro-batch may be older than the
+                  // open session's last (sorting above only orders within
+                  // this batch) — writing last = t would regress the
+                  // session end and split it on the next on-time event
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t),
+                    last = math.max(s.last, t),
+                    n = s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start, s.last, s.n)
                   cur = Some(SessionState(t, t, 1))

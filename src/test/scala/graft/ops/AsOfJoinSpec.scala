@@ -101,6 +101,28 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     fwd shouldBe naive(forward = true)
   }
 
+  test("NULL keys and NULL timestamps follow SQL join semantics: never match, left rows kept") {
+    val l = Seq(
+      (10L, null.asInstanceOf[String], ts("2024-01-01 10:00:05"), 1.0), // NULL key
+      (11L, "A", null.asInstanceOf[Timestamp], 2.0),                    // NULL left ts
+      (12L, "A", ts("2024-01-01 10:00:06"), 3.0)
+    ).toDF("trade_id", "key", "ts", "px")
+    val r = Seq(
+      (null.asInstanceOf[String], ts("2024-01-01 10:00:01"), 9.0), // NULL key: matches nothing
+      ("A", null.asInstanceOf[Timestamp], 8.0),                    // NULL right ts: matches nothing
+      ("A", ts("2024-01-01 10:00:02"), 99.5)
+    ).toDF("key", "ts", "quote")
+    val back = AsOfJoin.asOfBackward(l, r, "ts", Seq("key"), Seq("quote"))
+      .orderBy("trade_id").select("trade_id", "quote")
+      .as[(Long, Option[Double])].collect()
+    back shouldBe Array(10L -> None, 11L -> None, 12L -> Some(99.5))
+    val fwd = AsOfJoin.asOfForward(l, r, "ts", Seq("key"), Seq("quote"))
+      .orderBy("trade_id").select("trade_id", "quote")
+      .as[(Long, Option[Double])].collect()
+    // forward: only non-null A row at 10:00:06 has no later quote
+    fwd shouldBe Array(10L -> None, 11L -> None, 12L -> None)
+  }
+
   test("payload name collisions are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.asOfBackward(trades, quotes.withColumnRenamed("quote", "px"),

@@ -13,6 +13,7 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
   import spark.implicits._
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def tsEpoch(s: String): Long = ts(s).toInstant.getEpochSecond
 
   private val batchEvents = Seq(
     (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
@@ -168,6 +169,31 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
     val sessions = spark.table("sess").as[EventStreamOps.Session].collect()
     q.stop()
     sessions.map(s => (s.user_id, s.n_events)).toSeq shouldBe Seq((7L, 2L))
+  }
+
+  test("in-watermark late event does not regress the open session's end") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreamOps.sessionize(df, gapSeconds = 1800, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 7L, "click", 2.0))
+    q.processAllAvailable()
+    // late but within the 10-min watermark: older than the session's last
+    mem.addData((3L, ts("2024-01-01 10:02:00"), 7L, "click", 3.0))
+    q.processAllAvailable()
+    // 29 min after the TRUE last (10:05) but 32 min after the late event:
+    // if last regressed to 10:02 this would wrongly open a new session
+    mem.addData((4L, ts("2024-01-01 10:34:00"), 7L, "click", 4.0))
+    q.processAllAvailable()
+    mem.addData((5L, ts("2024-01-01 13:00:00"), 8L, "view", 0.0)) // close it
+    q.processAllAvailable()
+    val sessions = spark.table("sess_late").as[EventStreamOps.Session]
+      .collect().filter(_.user_id == 7L)
+    q.stop()
+    sessions.map(s => (s.session_start, s.session_end, s.n_events)).toSeq shouldBe
+      Seq((tsEpoch("2024-01-01 10:00:00"), tsEpoch("2024-01-01 10:34:00"), 4L))
   }
 
   test("transformWithState running stats: state carries across micro-batches") {
