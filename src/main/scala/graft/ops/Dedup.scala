@@ -676,18 +676,27 @@ object Dedup {
     * chain/clique/random graphs).
     */
   def duplicateGroupsContract(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val nodes = pairs.select(col("a_id").as("id"))
-      .union(pairs.select(col("b_id").as("id"))).distinct()
+    // checkpoint the RAW pair list first: `nodes` (consumed by the final
+    // join, AFTER the loop) must not replay the entire upstream
+    // candidate-generation pipeline a second time — at bench scale that
+    // recompute cost more than the contraction rounds themselves
+    val raw = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint()
+    val nodes = raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id"))).distinct()
     var edges: DataFrame = null
 
     def largeStar(e: DataFrame): DataFrame = {
       val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = both.groupBy("src")
         .agg(least(min("dst"), col("src")).as("m"))
+      // no distinct here: output multiplicity is bounded by |both| = 2|E|
+      // (one row per directed edge), min() in smallStar is multiplicity-
+      // blind, and smallStar's own distinct restores the set invariant the
+      // xor signature needs — dropping it saves a shuffle per round
       both.join(mins, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -717,8 +726,7 @@ object Dedup {
     }
 
     val (edges0, sig0) = observedCheckpoint(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .filter(col("src") =!= col("dst")), "cc-sig-init")
+      raw.filter(col("src") =!= col("dst")).distinct(), "cc-sig-init")
     edges = edges0
     var sig = sig0
     var iter = 0
