@@ -946,6 +946,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, pairs).orderBy("a_id", "b_id")
     }),
 
+    // asymmetric containment on the same bounded block: the signal that
+    // separates "B quotes all of A" (containment_a ~ 1) from "A and B
+    // merely overlap" (both small) — symmetric Jaccard can't tell
+    "q_ngram_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = docs.filter(col("doc_id") < 40).select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a_id"))
+        .crossJoin(ids.select(col("doc_id").as("b_id")))
+        .filter(col("a_id") < col("b_id"))
+      Dedup.ngramContainmentPairs(docs, pairs).orderBy("a_id", "b_id")
+    }),
+
     "q_embed_dups_cell" -> ((s, dir) =>
       Dedup.embeddingDupsByCell(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy("cell_id", "a_id", "b_id")),
@@ -964,6 +976,23 @@ object SparkEntry {
             lit("copyright standard footer"),
             concat(lit("section "), (col("doc_id") % 10).cast("string")))
             .as("text")))
+        .orderBy("doc_id")),
+
+    // C4's actual regime: only lines with >= 3 words participate in the
+    // dedup decision — "Home" (1 word) and "section N" (2 words) are
+    // navigation/structure and survive in every document, while the
+    // 3-word copyright footer still dedups corpus-wide
+    "q_dedup_paragraphs" -> ((s, dir) =>
+      Dedup.dedupLines(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          concat_ws("\n",
+            col("text"),
+            lit("Home"),
+            lit("copyright standard footer"),
+            concat(lit("section "), (col("doc_id") % 10).cast("string")))
+            .as("text")),
+        minWords = 3)
         .orderBy("doc_id")),
 
     // the APPLY step of the semantic tier: survivors, lowest id wins
@@ -2481,6 +2510,23 @@ object SparkEntry {
         |WHERE a.doc_id < 40 AND b.doc_id < 40
         |ORDER BY a_id, b_id""".stripMargin,
 
+    "q_ngram_containment" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(sh0) AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+        | )
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment_a,
+        | round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS containment_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 40 AND b.doc_id < 40
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // 2 Lloyd's iterations replayed as chained CTEs: assign vs seed ->
     // integer per-dimension means -> reassign -> means -> probe/search.
     // Mean components use positive-only integer division on both sides
@@ -2660,6 +2706,29 @@ object SparkEntry {
         | string_agg(line, chr(10) ORDER BY line_no) AS text,
         | count(*) AS n_lines
         |FROM w WHERE rk = 1 OR trim(line) = ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_paragraphs" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  text || chr(10) || 'Home' || chr(10) || 'copyright standard footer'
+        |   || chr(10) || 'section ' || CAST(doc_id % 10 AS VARCHAR) AS text
+        | FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        |l AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |   i -> {'line_no': i - 1, 'line': arr[i]})) AS e
+        | FROM ls),
+        |lx AS (SELECT doc_id, e.line_no AS line_no, e.line AS line FROM l),
+        |w AS (
+        | SELECT doc_id, line_no, line,
+        |  row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rk
+        | FROM lx)
+        |SELECT doc_id,
+        | string_agg(line, chr(10) ORDER BY line_no) AS text,
+        | count(*) AS n_lines
+        |FROM w WHERE rk = 1 OR trim(line) = ''
+        |   OR len(string_split_regex(trim(line), '\s+')) < 3
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // survivors = embeddings minus the b_id side of the pair report

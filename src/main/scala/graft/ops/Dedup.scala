@@ -132,22 +132,37 @@ object Dedup {
     * content, and collapsing every empty line corpus-wide to its first
     * occurrence would strip separators from every other document (C4
     * itself only dedups lines with real content).
+    *
+    * `minWords` widens that exemption to C4's actual rule — C4 dedups
+    * only "three-sentence spans" of real content: a line with fewer than
+    * `minWords` whitespace-separated words ("Home", "1.", a date) is
+    * structure/navigation, not quotable content, and deduping it
+    * corpus-wide would delete legitimate short lines from every document
+    * but one. Exemption is content-determined, so identical lines are
+    * either all deduped or all kept — the decision stays deterministic.
+    * Default 0 preserves the blank-only exemption.
     */
-  def dedupLines(docs: DataFrame, delimiter: String = "\n"): DataFrame = {
+  def dedupLines(
+      docs: DataFrame,
+      delimiter: String = "\n",
+      minWords: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = docs.select(
       col("doc_id"),
       posexplode(split(col("text"), java.util.regex.Pattern.quote(delimiter)))
         .as(Seq("line_no", "line")))
+    def exempt(line: Column): Column =
+      if (minWords <= 0) trim(line) === ""
+      else trim(line) === "" || size(split(trim(line), "\\s+")) < minWords
     val winners = lines
-      .filter(trim(col("line")) =!= "")
+      .filter(!exempt(col("line")))
       .select(col("doc_id"), col("line_no"), md5(col("line")).as("_lk"))
       .withColumn("_rk", row_number().over(
         Window.partitionBy("_lk").orderBy("doc_id", "line_no")))
       .filter(col("_rk") === 1)
       .select("doc_id", "line_no")
     lines.join(winners, Seq("doc_id", "line_no"), "left_semi")
-      .unionByName(lines.filter(trim(col("line")) === ""))
+      .unionByName(lines.filter(exempt(col("line"))))
       .groupBy("doc_id")
       .agg(
         array_join(
@@ -855,7 +870,50 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame,
       pairs: DataFrame, // (a_id, b_id)
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    pairGramOverlap(docs, pairs, n).select(
+      col("a_id"),
+      col("b_id"),
+      when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
+        .otherwise(round(
+          col("_ni").cast("double") /
+            (col("a_n") + col("b_n") - col("_ni")).cast("double"),
+          6)).as("jaccard"))
+
+  /** Asymmetric n-gram CONTAINMENT for an explicit pair set:
+    * `containment_a` = |A∩B| / |A| (how much of A is inside B) and the
+    * mirror `containment_b`. The near-dup signal symmetric Jaccard
+    * misses: a short document quoted whole inside a much longer one has
+    * tiny Jaccard (the union is dominated by the long doc) but
+    * containment ≈ 1 on the short side — the decision rule for "drop the
+    * contained copy" dedup tiers (Broder's resemblance/containment
+    * distinction). Same inverted-index shape and NULL semantics as
+    * [[ngramJaccardPairs]]; both are final projections over one shared
+    * overlap computation, so a pipeline computing both pays one pass.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      pairs: DataFrame, // (a_id, b_id)
+      n: Int = 3): DataFrame =
+    pairGramOverlap(docs, pairs, n).select(
+      col("a_id"),
+      col("b_id"),
+      when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
+        .otherwise(round(col("_ni").cast("double") / col("a_n").cast("double"), 6))
+        .as("containment_a"),
+      when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
+        .otherwise(round(col("_ni").cast("double") / col("b_n").cast("double"), 6))
+        .as("containment_b"))
+
+  /** Shared overlap core of [[ngramJaccardPairs]] / [[ngramContainmentPairs]]:
+    * per-pair `(a_n, b_n, _ni)` = distinct-gram counts and intersection
+    * size, computed via the inverted-index join documented on
+    * [[ngramJaccardPairs]].
+    */
+  private def pairGramOverlap(
+      docs: DataFrame,
+      pairs: DataFrame,
+      n: Int): DataFrame = {
     // only docs the pair set references contribute gram rows
     val ids = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id"))).distinct()
@@ -891,14 +949,6 @@ object Dedup {
       .withColumn("_ni",
         when(col("a_id") === col("b_id"), col("a_n"))
           .otherwise(coalesce(col("n_inter"), lit(0L))))
-      .select(
-        col("a_id"),
-        col("b_id"),
-        when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
-          .otherwise(round(
-            col("_ni").cast("double") /
-              (col("a_n") + col("b_n") - col("_ni")).cast("double"),
-            6)).as("jaccard"))
   }
 
   /** Semantic near-dups: quantized cosine over pairs sharing a blocking

@@ -172,6 +172,39 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out(3L) shouldBe ("\nepsilon", 2L)
   }
 
+  test("minWords exempts short lines from dedup but still dedups real content") {
+    val multi = Seq(
+      (1L, "Home\nthe quick brown fox\nSection 1"),
+      (2L, "Home\nthe quick brown fox\nSection 1"), // fox line dedups away
+      (3L, "Home\nunique content line here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(multi, minWords = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(1L) shouldBe ("Home\nthe quick brown fox\nSection 1", 3L)
+    // 2-word "Section 1" and 1-word "Home" survive everywhere; only the
+    // 4-word content line participates in the corpus-wide decision
+    out(2L) shouldBe ("Home\nSection 1", 2L)
+    out(3L) shouldBe ("Home\nunique content line here", 2L)
+  }
+
+  test("containment separates doc-inside-doc from mere overlap") {
+    val cdocs = Seq(
+      (0L, "a b c d e"),                 // 3 shingles: abc bcd cde
+      (1L, "a b c d e x y z w q"),       // contains all of doc 0's shingles
+      (2L, "completely different words") // no overlap
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.ngramContainmentPairs(cdocs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    out((0L, 1L))._1 shouldBe 1.0 +- 1e-9           // all of A inside B
+    out((0L, 1L))._2 shouldBe (3.0 / 8.0) +- 1e-9   // B is mostly new
+    out((0L, 2L)) shouldBe ((0.0, 0.0))
+    // jaccard on the same pair is small: containment sees what it misses
+    val j = Dedup.ngramJaccardPairs(cdocs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    j((0L, 1L)) shouldBe (3.0 / 8.0) +- 1e-9
+  }
+
   test("bloom decontamination is bit-identical to the exact join") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
