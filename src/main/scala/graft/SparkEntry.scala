@@ -39,6 +39,18 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(docs, pairs).filter(col("jaccard") >= 0.5)
   }
 
+  /** The bounded all-pairs block (doc_id < `bound`, a < b) shared by the
+    * exact-overlap verification queries — ONE definition so the block
+    * size and pair orientation can never desynchronize between the
+    * jaccard and containment twins (or their SQL oracles' WHERE clause).
+    */
+  private def boundedBlockPairs(s: SparkSession, dir: String, bound: Long = 40): DataFrame = {
+    val ids = t(s, dir, "documents").filter(col("doc_id") < bound).select(col("doc_id"))
+    ids.select(col("doc_id").as("a_id"))
+      .crossJoin(ids.select(col("doc_id").as("b_id")))
+      .filter(col("a_id") < col("b_id"))
+  }
+
   /** Connected-components ground truth over the bounded ngram-Jaccard
     * pair graph — shared by q_dedup_groups (label propagation) and
     * q_dedup_groups_contract (star contraction): both must produce the
@@ -937,26 +949,16 @@ object SparkEntry {
     "q_dedup_groups_contract" -> ((s, dir) =>
       Dedup.duplicateGroupsContract(boundedDupPairs(s, dir)).orderBy("id")),
 
-    "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val ids = docs.filter(col("doc_id") < 40).select(col("doc_id"))
-      val pairs = ids.select(col("doc_id").as("a_id"))
-        .crossJoin(ids.select(col("doc_id").as("b_id")))
-        .filter(col("a_id") < col("b_id"))
-      Dedup.ngramJaccardPairs(docs, pairs).orderBy("a_id", "b_id")
-    }),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), boundedBlockPairs(s, dir))
+        .orderBy("a_id", "b_id")),
 
     // asymmetric containment on the same bounded block: the signal that
     // separates "B quotes all of A" (containment_a ~ 1) from "A and B
     // merely overlap" (both small) — symmetric Jaccard can't tell
-    "q_ngram_containment" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val ids = docs.filter(col("doc_id") < 40).select(col("doc_id"))
-      val pairs = ids.select(col("doc_id").as("a_id"))
-        .crossJoin(ids.select(col("doc_id").as("b_id")))
-        .filter(col("a_id") < col("b_id"))
-      Dedup.ngramContainmentPairs(docs, pairs).orderBy("a_id", "b_id")
-    }),
+    "q_ngram_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), boundedBlockPairs(s, dir))
+        .orderBy("a_id", "b_id")),
 
     "q_embed_dups_cell" -> ((s, dir) =>
       Dedup.embeddingDupsByCell(t(s, dir, "embeddings"), threshold = 0.35)
@@ -971,8 +973,11 @@ object SparkEntry {
       Dedup.dedupLines(
         t(s, dir, "documents").select(
           col("doc_id"),
+          // coalesce keeps parity with the oracle's `||` concatenation: a
+          // NULL text must yield an empty first line on BOTH sides, not
+          // concat_ws's skip-the-null vs SQL's null-propagation
           concat_ws("\n",
-            col("text"),
+            coalesce(col("text"), lit("")),
             lit("copyright standard footer"),
             concat(lit("section "), (col("doc_id") % 10).cast("string")))
             .as("text")))
@@ -987,7 +992,7 @@ object SparkEntry {
         t(s, dir, "documents").select(
           col("doc_id"),
           concat_ws("\n",
-            col("text"),
+            coalesce(col("text"), lit("")), // NULL parity — see q_dedup_lines
             lit("Home"),
             lit("copyright standard footer"),
             concat(lit("section "), (col("doc_id") % 10).cast("string")))
@@ -2689,7 +2694,7 @@ object SparkEntry {
     "q_dedup_lines" ->
       """WITH d AS (
         | SELECT doc_id,
-        |  text || chr(10) || 'copyright standard footer' || chr(10)
+        |  coalesce(text, '') || chr(10) || 'copyright standard footer' || chr(10)
         |   || 'section ' || CAST(doc_id % 10 AS VARCHAR) AS text
         | FROM documents),
         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
@@ -2711,7 +2716,7 @@ object SparkEntry {
     "q_dedup_paragraphs" ->
       """WITH d AS (
         | SELECT doc_id,
-        |  text || chr(10) || 'Home' || chr(10) || 'copyright standard footer'
+        |  coalesce(text, '') || chr(10) || 'Home' || chr(10) || 'copyright standard footer'
         |   || chr(10) || 'section ' || CAST(doc_id % 10 AS VARCHAR) AS text
         | FROM documents),
         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),

@@ -871,14 +871,7 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame, // (a_id, b_id)
       n: Int = 3): DataFrame =
-    pairGramOverlap(docs, pairs, n).select(
-      col("a_id"),
-      col("b_id"),
-      when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
-        .otherwise(round(
-          col("_ni").cast("double") /
-            (col("a_n") + col("b_n") - col("_ni")).cast("double"),
-          6)).as("jaccard"))
+    ngramOverlapPairs(docs, pairs, n).select("a_id", "b_id", "jaccard")
 
   /** Asymmetric n-gram CONTAINMENT for an explicit pair set:
     * `containment_a` = |A∩B| / |A| (how much of A is inside B) and the
@@ -888,22 +881,37 @@ object Dedup {
     * containment ≈ 1 on the short side — the decision rule for "drop the
     * contained copy" dedup tiers (Broder's resemblance/containment
     * distinction). Same inverted-index shape and NULL semantics as
-    * [[ngramJaccardPairs]]; both are final projections over one shared
-    * overlap computation, so a pipeline computing both pays one pass.
+    * [[ngramJaccardPairs]].
     */
   def ngramContainmentPairs(
       docs: DataFrame,
       pairs: DataFrame, // (a_id, b_id)
       n: Int = 3): DataFrame =
+    ngramOverlapPairs(docs, pairs, n)
+      .select("a_id", "b_id", "containment_a", "containment_b")
+
+  /** All three overlap metrics — `jaccard`, `containment_a`,
+    * `containment_b` — from ONE inverted-index pass. This is the entry
+    * point for pipelines that want more than one metric:
+    * [[ngramJaccardPairs]] and [[ngramContainmentPairs]] are thin
+    * projections of it, so calling THEM separately builds the overlap
+    * plan twice, while a single call here pays the gram join once and
+    * Catalyst prunes whichever metric columns go unused.
+    */
+  def ngramOverlapPairs(
+      docs: DataFrame,
+      pairs: DataFrame, // (a_id, b_id)
+      n: Int = 3): DataFrame = {
+    def metric(d: Column): Column =
+      when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
+        .otherwise(round(col("_ni").cast("double") / d, 6))
     pairGramOverlap(docs, pairs, n).select(
       col("a_id"),
       col("b_id"),
-      when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
-        .otherwise(round(col("_ni").cast("double") / col("a_n").cast("double"), 6))
-        .as("containment_a"),
-      when(col("a_n").isNull || col("b_n").isNull, lit(null).cast("double"))
-        .otherwise(round(col("_ni").cast("double") / col("b_n").cast("double"), 6))
-        .as("containment_b"))
+      metric((col("a_n") + col("b_n") - col("_ni")).cast("double")).as("jaccard"),
+      metric(col("a_n").cast("double")).as("containment_a"),
+      metric(col("b_n").cast("double")).as("containment_b"))
+  }
 
   /** Shared overlap core of [[ngramJaccardPairs]] / [[ngramContainmentPairs]]:
     * per-pair `(a_n, b_n, _ni)` = distinct-gram counts and intersection

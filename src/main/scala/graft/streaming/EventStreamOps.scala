@@ -171,26 +171,34 @@ object EventStreamOps {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.map(_._2).toSeq.sorted
-            var cur = state.getOption
+            // interval-merge, with the carried state as one more interval:
+            // each event is [t, t] and the open session is [start, last];
+            // sorting by interval start and merging whenever the next
+            // interval starts within gapSeconds of the current one's end
+            // is EXACTLY batch gap-sessionization over the information
+            // this group has. This handles in-watermark late events from
+            // previous micro-batches uniformly: one older than the open
+            // session merges only if it truly chains within the gap
+            // (possibly extending session_start backward), and one more
+            // than a gap earlier closes as its own session instead of
+            // being glued across the silent gap. (An event arriving after
+            // such an early session was already emitted still fragments —
+            // the price of single-interval state; the watermark bounds it.)
+            val items = (rows.map(r => SessionState(r._2, r._2, 1)).toSeq ++
+              state.getOption.toSeq).sortBy(s => (s.start, s.last))
+            var cur: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
-            sorted.foreach { t =>
+            items.foreach { it =>
               cur match {
-                case Some(s) if t - s.last <= gapSeconds =>
-                  // min/max, not assignment: an in-watermark late event
-                  // from a PREVIOUS micro-batch may be older than the
-                  // open session's last (sorting above only orders within
-                  // this batch) — writing last = t would regress the
-                  // session end and split it on the next on-time event
-                  cur = Some(s.copy(
-                    start = math.min(s.start, t),
-                    last = math.max(s.last, t),
-                    n = s.n + 1))
-                case Some(s) =>
-                  closed += Session(user, s.start, s.last, s.n)
-                  cur = Some(SessionState(t, t, 1))
+                case Some(c) if it.start - c.last <= gapSeconds =>
+                  // sorted by start, so c.start is already the minimum
+                  cur = Some(SessionState(
+                    c.start, math.max(c.last, it.last), c.n + it.n))
+                case Some(c) =>
+                  closed += Session(user, c.start, c.last, c.n)
+                  cur = Some(it)
                 case None =>
-                  cur = Some(SessionState(t, t, 1))
+                  cur = Some(it)
               }
             }
             if (streaming) {

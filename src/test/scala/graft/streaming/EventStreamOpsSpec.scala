@@ -196,6 +196,30 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
       Seq((tsEpoch("2024-01-01 10:00:00"), tsEpoch("2024-01-01 10:34:00"), 4L))
   }
 
+  test("in-watermark late event a full gap earlier closes as its own session, not a merge") {
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreamOps.sessionize(df, gapSeconds = 600, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("sess_gap").outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 10:00:50"), 7L, "click", 2.0))
+    q.processAllAvailable()
+    // 50 min earlier than the open session with a 10-min gap: in-watermark
+    // but unjoinable — gluing it in would span a silent 50-min hole
+    mem.addData((3L, ts("2024-01-01 09:10:00"), 7L, "click", 3.0))
+    q.processAllAvailable()
+    mem.addData((4L, ts("2024-01-01 14:00:00"), 8L, "view", 0.0)) // flush
+    q.processAllAvailable()
+    val sessions = spark.table("sess_gap").as[EventStreamOps.Session]
+      .collect().filter(_.user_id == 7L)
+      .map(s => (s.session_start, s.session_end, s.n_events)).sortBy(_._1)
+    q.stop()
+    sessions.toSeq shouldBe Seq(
+      (tsEpoch("2024-01-01 09:10:00"), tsEpoch("2024-01-01 09:10:00"), 1L),
+      (tsEpoch("2024-01-01 10:00:00"), tsEpoch("2024-01-01 10:00:50"), 2L))
+  }
+
   test("transformWithState running stats: state carries across micro-batches") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
