@@ -650,6 +650,30 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // bucketed-layout co-located join: both sides hash-bucketed on the
+    // join key at WRITE time, so the join and the keyed aggregation plan
+    // with zero Exchanges (LayoutSpec asserts the plan shape; this query
+    // oracle-checks the result the shuffle-free plan produces)
+    "q_bucket_join" -> ((s, dir) => {
+      ops.Layout.writeBucketed(
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        "graft_bucket_customer", Seq("c_custkey"), numBuckets = 8,
+        sortCols = Seq("c_custkey"))
+      ops.Layout.writeBucketed(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+        "graft_bucket_orders", Seq("o_custkey"), numBuckets = 8,
+        sortCols = Seq("o_custkey"))
+      s.table("graft_bucket_customer")
+        .join(s.table("graft_bucket_orders"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
     // one-pass mergeable histogram quantiles (exact to ±binWidth) — the
     // scale alternative to q_length_quantiles' exact global sort
     "q_hist_quantile" -> ((s, dir) =>
@@ -1722,6 +1746,13 @@ object SparkEntry {
         | min(px) AS px_min, max(px) AS px_max,
         | min(sx) AS sx_min, max(sx) AS sx_max
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT c.c_custkey, c.c_name,
+        | CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        | count(*) AS n_orders
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_hist_quantile" ->
       """WITH b AS (SELECT CAST(floor(n_chars / 16.0) AS BIGINT) AS bin, count(*) AS c

@@ -103,6 +103,35 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Write `df` as a BUCKETED table: rows hash-distribute into
+    * `numBuckets` file groups by `bucketCols` (sorted within each bucket
+    * on `sortCols`), and the layout is recorded in the catalog — which
+    * is why this is `saveAsTable`, not a path write: bucket metadata
+    * lives in the table catalog, not the parquet footers.
+    *
+    * This is the "pay the shuffle once" layout decision: every later
+    * equi-join between two tables bucketed the same way (same columns,
+    * same count) plans WITHOUT an Exchange on either side, and an
+    * aggregation keyed on the bucket columns skips its exchange too
+    * ([[graft.ops.LayoutSpec]] asserts both executed plans are
+    * Exchange-free). At 100 TB the repeated join shuffle is the
+    * dominant cost a fact table pays; bucketing moves it to write time,
+    * once, amortized over every downstream query.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int = 8,
+      sortCols: Seq[String] = Seq.empty): Unit = {
+    require(bucketCols.nonEmpty, "nothing to bucket on")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Write `df` z-order-clustered on `dimCols` (each already bucketed to
     * `[0, 2^bits)`): range-distribute then sort by the interleaved
     * address, so each output file owns a contiguous z-range — a bounded

@@ -103,4 +103,37 @@ class LayoutSpec extends AnyFunSuite with Matchers {
       case _           =>
     }
   }
+
+  test("bucketed tables join and aggregate with zero Exchanges, result intact") {
+    import spark.implicits._
+    val cust = (1L to 200L).map(i => (i, s"cust_$i")).toDF("c_custkey", "c_name")
+    val ord = (1L to 2000L).map(i => (i % 180 + 1, i.toDouble)).toDF("o_custkey", "o_totalprice")
+    Layout.writeBucketed(cust, "spec_bucket_customer", Seq("c_custkey"),
+      numBuckets = 4, sortCols = Seq("c_custkey"))
+    Layout.writeBucketed(ord, "spec_bucket_orders", Seq("o_custkey"),
+      numBuckets = 4, sortCols = Seq("o_custkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      // disable broadcast so a shuffle-free plan can only come from the
+      // bucketed layout, not from a broadcast join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("spec_bucket_customer")
+        .join(spark.table("spec_bucket_orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(sum("o_totalprice").as("spent"), count(lit(1)).as("n"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+      // same result as the un-bucketed formulation
+      val plain = cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(sum("o_totalprice").as("spent"), count(lit(1)).as("n"))
+        .collect()
+      rows.map(_.toSeq).toSet shouldBe plain.map(_.toSeq).toSet
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS spec_bucket_customer")
+      spark.sql("DROP TABLE IF EXISTS spec_bucket_orders")
+    }
+  }
 }
