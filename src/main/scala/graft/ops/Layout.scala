@@ -126,6 +126,18 @@ object Layout {
       sortCols: Seq[String] = Seq.empty): Unit = {
     require(bucketCols.nonEmpty, "nothing to bucket on")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = df.sparkSession
+    // the session catalog is in-memory (fresh every JVM) but the managed
+    // location on disk is not: SaveMode.Overwrite only replaces a table
+    // the CATALOG knows about, so an orphaned directory from a previous
+    // session fails CREATE with LOCATION_ALREADY_EXISTS — drop both the
+    // entry and any leftover location before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.format("parquet").mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
