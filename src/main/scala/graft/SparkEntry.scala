@@ -1580,7 +1580,9 @@ object SparkEntry {
     * `q_hybrid_rrf`, so the two can never drift.
     */
   private val bm25OracleSql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    """WITH d AS (SELECT doc_id,
+      |  string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      | FROM documents),
       |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM d),
       |wd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM d),
       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM wd
@@ -2055,8 +2057,8 @@ object SparkEntry {
 
     "q_histogram" ->
       """WITH b AS (
-        | SELECT least(greatest(CAST(round(value * 1000000) AS BIGINT) // 20000000, 0), 24) AS bin
-        | FROM events)
+        | SELECT least(greatest(CAST(round(least(greatest(value, 0.0), 500.0) * 1000000) AS BIGINT) // 20000000, 0), 24) AS bin
+        | FROM events WHERE value IS NOT NULL)
         |SELECT bin, bin * 20000000 AS lo_micro, count(*) AS n
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
@@ -3163,7 +3165,7 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(row_number() OVER (ORDER BY h % 32, h, doc_id) AS BIGINT) AS shuffle_pos
         |FROM (SELECT doc_id,
-        |  ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+        |  ('0x' || substr(md5('shuffle:' || coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null')), 1, 7))::BIGINT AS h
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
@@ -3301,7 +3303,7 @@ object SparkEntry {
 
     "q_dsir" ->
       """WITH toks AS (
-        | SELECT doc_id, lang, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        | SELECT doc_id, lang, string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS tk
         | FROM documents),
         |grams AS (
         | SELECT doc_id, lang = 'en' AS is_tgt,
@@ -3355,7 +3357,7 @@ object SparkEntry {
 
     "q_unigram_ppl" ->
       """WITH toks AS (
-        | SELECT doc_id, unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+        | SELECT doc_id, unnest(string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ')) AS w
         | FROM documents),
         |vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),

@@ -29,6 +29,13 @@ object EventAnalytics {
     */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // first-touch semantics key on min(ts) PER TYPE: a repeated step name
+    // would compare a timestamp with itself (t_i < t_i is false) and
+    // count zero conversions forever — reject loudly; matchSequence
+    // handles repeated steps via its ordered-subsequence scan
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct (got $steps); use matchSequence " +
+        "for funnels with repeated steps")
     val us = unix_micros(col("ts"))
     val perUser = events
       .filter(col("event_type").isin(steps: _*))
@@ -100,9 +107,18 @@ object EventAnalytics {
     val width = (math.round(hi * 1e6) - loMicro) / nBins
     require(width > 0,
       s"span/nBins must be at least 1 micro-unit: span=${math.round(hi * 1e6) - loMicro}µ, nBins=$nBins")
-    val vMicro = round(col(valueCol) * 1e6, 0).cast("long")
+    // clamp in DOUBLE space BEFORE the micro cast: an extreme value
+    // (|v| ≳ 9.2e12) would overflow the long cast — ANSI would throw on
+    // data the doc promises to clamp into an edge bin. After the clamp
+    // vMicro is provably in [loMicro, hiMicro], so the cast is safe and
+    // in-range values bin exactly as before. NULL is not a value and
+    // lands in NO bin (greatest/least skip NULL args, which would
+    // otherwise silently fold every NULL into bin 0).
+    val vClamped = least(greatest(col(valueCol).cast("double"), lit(lo)), lit(hi))
+    val vMicro = round(vClamped * 1e6, 0).cast("long")
     val rawBin = ColumnOps.fdiv(vMicro - loMicro, width)
-    df.select(
+    df.filter(col(valueCol).isNotNull)
+      .select(
         least(greatest(rawBin, lit(0L)), lit(nBins - 1L)).as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
@@ -136,11 +152,16 @@ object EventAnalytics {
       .groupBy("user_id").agg(min(col("k")).as("k0"))
     for (i <- 1 until steps.length) {
       val prevCols = (0 until i).map(j => max(col(s"k$j")).as(s"k$j"))
-      cur = ev.join(cur, Seq("user_id"))
+      // superstep i only needs events of type steps(i): joining the full
+      // multi-type slice every round would shuffle m× the useful rows.
+      // LEFT join so a user with no steps(i) events keeps their row
+      // (k_i = null), preserving the one-row-per-step0-user contract.
+      cur = cur.join(
+          ev.filter(col("event_type") === steps(i)).drop("event_type"),
+          Seq("user_id"), "left")
         .groupBy("user_id")
         .agg(prevCols.head, prevCols.tail :+
-          min(when(col("event_type") === steps(i) &&
-            col("k") > col(s"k${i - 1}"), col("k"))).as(s"k$i"): _*)
+          min(when(col("k") > col(s"k${i - 1}"), col("k"))).as(s"k$i"): _*)
     }
     // ascending fold → the OUTERMOST when checks the deepest step, so the
     // longest matched prefix wins
@@ -192,6 +213,10 @@ object EventAnalytics {
 
   // the SECOND aggregation: input is the already-tiny bucket-count table,
   // so moments never rescan the raw events when the caller shares `cnts`
+  // Σx² stays a long deliberately: under ANSI mode (on in every graft
+  // session) cnt*cnt and its sum FAIL LOUDLY on overflow rather than
+  // wrapping, which mirrors the oracle's CAST(sum(...) AS BIGINT) erroring
+  // out of hugeint — consistent fail-loud parity for >2^31 events/bucket
   private def momentsOf(cnts: DataFrame): DataFrame =
     cnts.groupBy("event_type")
       .agg(

@@ -52,7 +52,9 @@ object Importance {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val feats = df.select(
         col("doc_id"), targetPred.as("is_tgt"),
-        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+        // coalesce: NULL text keeps its row via the empty shingle, same
+        // contract as unigramSurprisal
+        explode(Dedup.shingles(coalesce(col(textCol), lit("")), n)).as("gram"))
       .select(
         col("doc_id"), col("is_tgt"),
         pmod(PortableHash.h28(col("gram")), lit(buckets.toLong)).as("bucket"))
@@ -93,8 +95,11 @@ object Importance {
     * [[graft.ops.TextAnalysis.tfidfWeights]].
     */
   def unigramSurprisal(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // coalesce: a NULL-text doc must keep its row (as the empty-string
+    // token) like an empty-text doc does — explode(NULL) would silently
+    // drop it from the output, violating the one-row-per-doc contract
     val toks = df.select(col("doc_id"),
-      explode(split(lower(regexp_replace(col(textCol), "\\s+", " ")), " "))
+      explode(TextAnalysis.normTokens(coalesce(col(textCol), lit(""))))
         .as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = vocab.agg(sum("c").as("n_total"))

@@ -84,11 +84,13 @@ object Retrieval {
       terms: Seq[String],
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "booleanSearch needs at least one term")
-    // normalize terms like the tokens (a raw "Spark" would match nothing)
-    val normed = terms.map(_.trim.toLowerCase)
+    // normalize terms like the tokens (a raw "Spark" would match
+    // nothing); Locale.ROOT so a tr_TR JVM's dotless-i lowering can't
+    // diverge from Spark's locale-independent lower()
+    val normed = terms.map(_.trim.toLowerCase(java.util.Locale.ROOT))
     require(normed.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       s"terms must be single non-empty words, got $terms")
-    val toks = split(lower(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val toks = TextAnalysis.normTokens(col(textCol))
     docs
       .filter(normed.map(t => array_contains(toks, t)).reduce(_ && _))
       .select(col("doc_id"))

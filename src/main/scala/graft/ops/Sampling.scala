@@ -145,8 +145,14 @@ object Sampling {
         s"shuffleOrder reserves the working column name '$c'"))
     import org.apache.spark.sql.expressions.Window
     val withB = df
+      // coalesce: a NULL key must still get a position — concat(…, NULL)
+      // is NULL, NULL _b never matches the offsets equi-join, and the row
+      // would silently vanish from an operator whose contract is "stamp
+      // EACH row". The NUL-prefixed sentinel (chr(0) || 'null' in the
+      // oracle side) cannot collide with any realistic cast key string.
       .withColumn("_h", PortableHash.h28(
-        concat(lit(ShuffleSalt), col(keyCol).cast("string"))))
+        concat(lit(ShuffleSalt),
+          coalesce(col(keyCol).cast("string"), lit("\u0000null")))))
       .withColumn("_b", pmod(col("_h"), lit(buckets.toLong)))
     val ranked = withB.withColumn("_rk",
       row_number().over(

@@ -20,6 +20,18 @@ object TextAnalysis {
     */
   def tokens(text: Column, pattern: String = " "): Column = split(text, pattern)
 
+  /** THE shared normalized tokenizer — whitespace collapsed, lowercased,
+    * single-space split. One definition so retrieval ([[bm25]],
+    * [[graft.ops.Retrieval.booleanSearch]], [[hashEmbed]]) and the
+    * surprisal/importance features can never diverge on tokenization;
+    * [[graft.ops.Dedup]]'s `normText` is the same normalization pre-split
+    * (shingles need the joined form). A tweak here must be mirrored in
+    * every dependent DuckDB oracle
+    * (`string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')`).
+    */
+  def normTokens(text: Column): Column =
+    split(lower(regexp_replace(text, "\\s+", " ")), " ")
+
   /** BPE-ish token count: word pieces, digit runs, or single non-space
     * symbols — the shape GPT-style byte-pair pretokenizers produce. Native
     * [[graft.plans.TokenCount]] (one allocation-free byte scan) when the
@@ -817,7 +829,7 @@ object TextAnalysis {
       col("doc_id").as("vec_id"),
       ColumnOps.bind(
         transform(
-          split(lower(regexp_replace(col(textCol), "\\s+", " ")), " "),
+          normTokens(col(textCol)),
           t => pmod(graft.functions.PortableHash.h28(t), lit(dim.toLong)))) {
         hs =>
           transform(sequence(lit(0L), lit(dim - 1L)),
@@ -1016,11 +1028,16 @@ object TextAnalysis {
       b: Double = 0.75,
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // normalize terms AND tokenize with the shared normalized tokenizer
+    // (normTokens): the dense leg of hybrid retrieval lowercases via
+    // hashEmbed, and an unnormalized lexical leg would silently score 0
+    // for every mixed-case term, degrading "hybrid" to dense-only
+    val normed = terms.map(_.trim.toLowerCase(java.util.Locale.ROOT))
     val perDoc = df.select(
         col("doc_id"),
-        explode(array(ColumnOps.bind(tokens(col(textCol))) { toks =>
+        explode(array(ColumnOps.bind(normTokens(col(textCol))) { toks =>
           struct(size(toks).cast("long").as("dl") +:
-            terms.zipWithIndex.map { case (t, i) =>
+            normed.zipWithIndex.map { case (t, i) =>
               size(filter(toks, x => x === t)).cast("double").as(s"tf$i")
             }: _*)
         })).as("m"))

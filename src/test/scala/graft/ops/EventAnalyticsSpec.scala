@@ -98,4 +98,24 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
       (2L, 20000000L, 1L),
       (9L, 90000000L, 2L))   // 99 + clamped overflow 250
   }
+
+  test("histogram: NULLs land in no bin, extremes clamp to the correct edge") {
+    val df = Seq[java.lang.Double](null, null, 5.0, -1e13, 1e13, Double.NaN)
+      .toDF("value")
+    val out = EventAnalytics.histogram(df, "value", lo = 0.0, hi = 100.0, nBins = 10)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // NULL is not a value: excluded entirely (not silently bin 0);
+    // -1e13 would overflow the micro cast — the double-space clamp puts
+    // it in bin 0 (underflow), +1e13 and NaN in the top bin
+    out shouldBe Array((0L, 2L), (9L, 2L))
+  }
+
+  test("funnel rejects repeated step names loudly") {
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(ev((1L, "view", 100L)),
+        Seq("view", "purchase", "purchase"))
+    }
+    e.getMessage should include("distinct")
+  }
 }

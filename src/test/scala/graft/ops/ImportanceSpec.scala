@@ -66,4 +66,18 @@ class ImportanceSpec extends AnyFunSuite with Matchers {
       .orderBy("doc_id").collect().map(r => r.getLong(2))
     out(0) shouldBe out(1)
   }
+
+  test("NULL-text docs keep their row like empty-text docs (no silent drop)") {
+    val docs = Seq(
+      (1L, "en", "the cat sat"),
+      (2L, "en", null.asInstanceOf[String]),
+      (3L, "en", "")
+    ).toDF("doc_id", "lang", "text")
+    Importance.importanceWeights(docs, col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L)
+    Importance.unigramSurprisal(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L)
+  }
 }

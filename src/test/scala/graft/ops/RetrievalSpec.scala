@@ -51,6 +51,19 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
     mixed.toSeq shouldBe Seq(1L, 4L)
   }
 
+  test("bm25 normalizes case on both corpus and terms: the lexical leg can't silently go empty") {
+    val df = Seq(
+      (1L, "Spark joins the Data"),
+      (2L, "spark spark spark"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val lower = TextAnalysis.bm25(df, Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mixed = TextAnalysis.bm25(df, Seq("SPARK"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    lower.map(_._1).sorted.toSeq shouldBe Seq(1L, 2L) // "Spark" doc matches
+    mixed.toSeq shouldBe lower.toSeq                  // term case is irrelevant
+  }
+
   test("hybridRrf fuses both legs: scores non-increasing, lists in {1,2}") {
     val out = Retrieval.hybridRrf(docs, Seq("dup", "spark", "join"), k = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

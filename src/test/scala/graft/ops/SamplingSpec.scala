@@ -34,6 +34,14 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("shuffleOrder stamps NULL-keyed rows instead of dropping them") {
+    val df = (Seq[java.lang.Long](null, null) ++ (1L to 48L).map(Long.box))
+      .map(Tuple1(_)).toDF("doc_id")
+    val out = Sampling.shuffleOrder(df, "doc_id", buckets = 8).collect()
+    out.length shouldBe 50 // the contract: EVERY row gets a position
+    out.map(_.getAs[Long]("shuffle_pos")).sorted shouldBe (1L to 50L)
+  }
+
   test("curriculum stages: quartiles per group by descending score") {
     val df = (1 to 8).map(i => (i.toLong, "en", (100 - i) * 1000L)) ++
       Seq((9L, "fr", 5L), (10L, "fr", 3L))
