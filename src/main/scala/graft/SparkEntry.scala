@@ -2821,7 +2821,7 @@ object SparkEntry {
     "q_text_ann" ->
       """WITH hs AS (
         | SELECT doc_id,
-        |  list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |  list_transform(string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' '),
         |   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT % 64) AS hs
         | FROM documents),
         |v AS (
@@ -2913,7 +2913,7 @@ object SparkEntry {
         | len(string_split(text, ' ')) AS n_tokens,
         | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) AS uniq_ratio,
         | round(CAST(length(text) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len,
-        | round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+        | round(CAST(len(list_filter(string_split(text, ' '), t -> lower(t) IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
         | round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -2947,15 +2947,16 @@ object SparkEntry {
 
     "q_text_langid" ->
       """WITH c AS (
-        | SELECT doc_id, lang AS actual_lang,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'of', 'and'))) AS en,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und'))) AS de,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'les'))) AS fr,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las', 'y'))) AS es
+        | SELECT doc_id, lang AS actual_lang, text IS NULL AS no_text,
+        |  len(list_filter(string_split(text, ' '), t -> lower(t) IN ('the', 'of', 'and'))) AS en,
+        |  len(list_filter(string_split(text, ' '), t -> lower(t) IN ('der', 'die', 'das', 'und'))) AS de,
+        |  len(list_filter(string_split(text, ' '), t -> lower(t) IN ('le', 'la', 'et', 'les'))) AS fr,
+        |  len(list_filter(string_split(text, ' '), t -> lower(t) IN ('el', 'los', 'las', 'y'))) AS es
         | FROM documents
         |)
         |SELECT doc_id, actual_lang,
-        | CASE WHEN en >= greatest(de, fr, es) AND en > 0 THEN 'en'
+        | CASE WHEN no_text THEN NULL
+        |      WHEN en >= greatest(de, fr, es) AND en > 0 THEN 'en'
         |      WHEN de >= greatest(fr, es) AND de > 0 THEN 'de'
         |      WHEN fr >= es AND fr > 0 THEN 'fr'
         |      WHEN es > 0 THEN 'es'
@@ -2964,16 +2965,17 @@ object SparkEntry {
 
     "q_langid_confusion" ->
       """WITH c AS (
-        | SELECT doc_id, lang AS actual_lang,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('the', 'of', 'and'))) AS en,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das', 'und'))) AS de,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'les'))) AS fr,
-        |  len(list_filter(string_split(text, ' '), t -> t IN ('el', 'los', 'las', 'y'))) AS es
+        | SELECT doc_id, lang AS actual_lang, text IS NULL AS no_text,
+        |  len(list_filter(string_split(text, ' '), t -> lower(t) IN ('the', 'of', 'and'))) AS en,
+        |  len(list_filter(string_split(text, ' '), t -> lower(t) IN ('der', 'die', 'das', 'und'))) AS de,
+        |  len(list_filter(string_split(text, ' '), t -> lower(t) IN ('le', 'la', 'et', 'les'))) AS fr,
+        |  len(list_filter(string_split(text, ' '), t -> lower(t) IN ('el', 'los', 'las', 'y'))) AS es
         | FROM documents
         |),
         |p AS (
         | SELECT actual_lang,
-        |  CASE WHEN en >= greatest(de, fr, es) AND en > 0 THEN 'en'
+        |  CASE WHEN no_text THEN NULL
+        |      WHEN en >= greatest(de, fr, es) AND en > 0 THEN 'en'
         |       WHEN de >= greatest(fr, es) AND de > 0 THEN 'de'
         |       WHEN fr >= es AND fr > 0 THEN 'fr'
         |       WHEN es > 0 THEN 'es'
@@ -3132,7 +3134,7 @@ object SparkEntry {
     "q_text_chunk" ->
       """WITH tk AS (
         | SELECT doc_id, toks, len(toks) AS n FROM (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents)
         |),
         |ex AS (
         | SELECT doc_id, toks, n,
@@ -3337,7 +3339,7 @@ object SparkEntry {
         |  greatest(CAST(length(text) AS BIGINT), 1) AS n_char,
         |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_tok_chars,
         |  CAST(len(list_filter(string_split(text, ' '),
-        |   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+        |   x -> lower(x) IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym,
         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
         | FROM documents),
@@ -3548,7 +3550,7 @@ object SparkEntry {
         |  greatest(CAST(length(text) AS BIGINT), 1) AS n_char,
         |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_tok_chars,
         |  CAST(len(list_filter(string_split(text, ' '),
-        |   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+        |   x -> lower(x) IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym,
         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
         | FROM documents),
@@ -3742,7 +3744,7 @@ object SparkEntry {
         | FROM ($bm25OracleSql)),
         |den AS (
         | WITH hs AS (SELECT doc_id,
-        |   list_transform(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+        |   list_transform(string_split(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' '),
         |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT % 64) AS hs
         |  FROM documents),
         | v AS (SELECT doc_id,
@@ -3853,7 +3855,7 @@ object SparkEntry {
         |  greatest(CAST(length(text) AS BIGINT), 1) AS n_char,
         |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_tok_chars,
         |  CAST(len(list_filter(string_split(text, ' '),
-        |   x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+        |   x -> lower(x) IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_sym,
         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
         | FROM documents WHERE doc_id >= 20),

@@ -171,7 +171,11 @@ object Multimodal {
               b => when(b * sampleBytes >= total, 1L).otherwise(0L)),
             lit(0L),
             (acc, bit) => acc * 2 + bit)
-          when(n === 0, lit(null)).otherwise(
+          // isNull guard: a NULL payload's NULL condition would fall to
+          // otherwise, where every NULL bit-vote resolves to 0 — hashing
+          // every NULL payload to (0, 0) and making them mutual
+          // hamming-0 "near-duplicates" downstream
+          when(n.isNull || n === 0, lit(null)).otherwise(
             struct(pack(0, half).as("phash_hi"), pack(half, sampleBytes).as("phash_lo")))
         }
       }
@@ -186,7 +190,13 @@ object Multimodal {
     * stands in for codec-level frame decode; `posexplode` keeps the
     * operation narrow and codegen-planned, with no shuffle.
     */
-  def frameSample(media: DataFrame, frames: Int = 4, stride: Int = 256): DataFrame =
+  def frameSample(media: DataFrame, frames: Int = 4, stride: Int = 256): DataFrame = {
+    // guard like every sibling op: frames = 0 would make sequence(0, -1)
+    // step BACKWARD (emitting frame_no -1, whose negative substring
+    // offset counts from the payload END), and stride <= 0 would emit
+    // overlapping/negative slices
+    require(frames >= 1, s"frames must be positive, got $frames")
+    require(stride >= 1, s"stride must be positive, got $stride")
     media
       .select(
         col("media_id"),
@@ -198,6 +208,7 @@ object Multimodal {
         expr(s"substring(payload, frame_no * $stride + 1, $stride)")
           .as("frame_payload"))
       .filter(length(col("frame_payload")) > 0)
+  }
 
   /** Feature extraction: per-partition batch decode → feature vectors.
     * `mapPartitions` (not per-row UDF) so a real decoder initializes once

@@ -79,7 +79,7 @@ object TextAnalysis {
         round(size(array_distinct(toks)) / safeTok, 6).as("uniq_ratio"),
         round(length(col(textCol)) / safeTok, 6).as("avg_token_len"),
         round(
-          size(filter(toks, t => t.isin("the", "a", "of", "and", "to"))) / safeTok,
+          size(filter(toks, t => lower(t).isin("the", "a", "of", "and", "to"))) / safeTok,
           6).as("stopword_ratio"),
         round(
           punctCount(col(textCol), native)
@@ -91,12 +91,13 @@ object TextAnalysis {
         col("q.avg_token_len"), col("q.stopword_ratio"), col("q.punct_ratio"))
   }
 
-  /** Exact floor division of two non-negative long columns. The double
-    * quotient is exact here: numerators are micro-scaled counts ≤ ~1e13,
-    * inside a double's 53-bit mantissa.
+  /** Exact floor division of two non-negative long columns — delegates
+    * to the decimal-routed [[graft.functions.ColumnOps.fdivCol]] so
+    * exactness holds for ANY magnitude, not just numerators inside a
+    * double's 53-bit mantissa (the weaker double-division form was only
+    * correct under a per-call-site magnitude argument).
     */
-  private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+  private def idiv(a: Column, b: Column): Column = ColumnOps.fdivCol(a, b)
 
   /** Model-based quality filter: a fixed-weight linear classifier over
     * cheap lexical features — the distributed-inference half of a
@@ -129,7 +130,7 @@ object TextAnalysis {
       val sumTokChars = aggregate(
         toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
       val stopMicro = idiv(
-        m * size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
+        m * size(filter(toks, x => lower(x).isin("the", "a", "of", "and", "to")))
           .cast("long"), nTok)
       val symMicro = idiv(m * punctCount(t, native), nChar)
       val digitMicro = idiv(
@@ -169,7 +170,7 @@ object TextAnalysis {
     // split would re-run per reference (8×)
     val predicted = ColumnOps.bind(tokens(col(textCol))) { toks =>
       def hits(markers: String*): Column =
-        size(filter(toks, t => t.isin(markers.map(_.asInstanceOf[Any]): _*)))
+        size(filter(toks, t => lower(t).isin(markers.map(_.asInstanceOf[Any]): _*)))
       ColumnOps.bind(array(
         hits("the", "of", "and"), hits("der", "die", "das", "und"),
         hits("le", "la", "et", "les"), hits("el", "los", "las", "y"))) { h =>
@@ -184,7 +185,11 @@ object TextAnalysis {
     df.select(
       col("doc_id"),
       col("lang").as("actual_lang"),
-      predicted.as("predicted_lang"))
+      // NULL in → NULL out: without the guard every marker count is NULL,
+      // the whole decision chain's conditions are NULL, and a NULL
+      // document would be confidently "classified" as the fallback 'zh'
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(predicted).as("predicted_lang"))
   }
 
   /** Greedy leftmost-longest tokenizer application (WordPiece/BPE
@@ -309,7 +314,10 @@ object TextAnalysis {
     import graft.functions.ColumnOps
     // exact integer ceil-div on non-negative operands (no double round-trip)
     def idivCeil(a: Column, b: Int): Column = ColumnOps.fdiv(a + (b - 1), b.toLong)
-    val pieces = ColumnOps.bind(tokens(col(textCol))) { toks =>
+    // coalesce: the documented contract is "every document yields >= 1
+    // chunk" — transform(NULL tokens) would posexplode to zero rows and
+    // silently drop NULL-text doc_ids; NULL behaves like empty text
+    val pieces = ColumnOps.bind(tokens(coalesce(col(textCol), lit("")))) { toks =>
       ColumnOps.bind(size(toks)) { n =>
         val nChunks = when(n <= chunkTokens, lit(1))
           .otherwise(idivCeil(n - chunkTokens, strideTokens) + 1)
@@ -390,17 +398,6 @@ object TextAnalysis {
         col("q.n_numbers"), col("q.redacted"))
   }
 
-  /** Structured PII scan — the detection half of a redaction pipeline,
-    * with CHECKSUM validation: phone numbers, IPv4 addresses, and
-    * 16-digit card candidates, where candidates are verified with the
-    * Luhn algorithm (Spark's codegen'd `luhn_check`) so that random
-    * digit runs don't count as card exposure. The valid/seen split is
-    * what a compliance dashboard needs — raw pattern hits overcount
-    * wildly on numeric data.
-    *
-    * One narrow projection; the Luhn filter runs inside a higher-order
-    * `filter` over the extracted candidates — no explode, no UDF.
-    */
   /** C4-style blocklist gate: per-document count of tokens on a blocked
     * word list (case-insensitive) and a keep flag at `maxHits` — the
     * "bad words" filter every public crawl pipeline applies before
@@ -430,6 +427,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("_b.blocked_hits"), col("_b.keep"))
   }
 
+  /** Structured PII scan — the detection half of a redaction pipeline,
+    * with CHECKSUM validation: phone numbers, IPv4 addresses, and
+    * 16-digit card candidates, where candidates are verified with the
+    * Luhn algorithm (Spark's codegen'd `luhn_check`) so that random
+    * digit runs don't count as card exposure. The valid/seen split is
+    * what a compliance dashboard needs — raw pattern hits overcount
+    * wildly on numeric data.
+    *
+    * One narrow projection; the Luhn filter runs inside a higher-order
+    * `filter` over the extracted candidates — no explode, no UDF.
+    */
   def piiScan(df: DataFrame, textCol: String = "text"): DataFrame = {
     val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
     val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
@@ -642,7 +650,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val tf = df.select(
         col("doc_id"),
-        explode(split(lower(regexp_replace(col(textCol), "\\s+", " ")), " "))
+        explode(normTokens(col(textCol)))
           .as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -792,7 +800,7 @@ object TextAnalysis {
       df: DataFrame,
       k: Int = 50,
       textCol: String = "text"): DataFrame = {
-    val words = split(lower(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val words = normTokens(col(textCol))
     df.select(explode(words).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode(transform(
@@ -829,7 +837,11 @@ object TextAnalysis {
       col("doc_id").as("vec_id"),
       ColumnOps.bind(
         transform(
-          normTokens(col(textCol)),
+          // coalesce: NULL text must embed like empty text (one count at
+          // bucket h28("")) — a dim-length array of NULL floats would
+          // violate LongDotProduct's non-null element contract and make
+          // the native and fallback qdot paths diverge (NaN vs NULL sim)
+          normTokens(coalesce(col(textCol), lit(""))),
           t => pmod(graft.functions.PortableHash.h28(t), lit(dim.toLong)))) {
         hs =>
           transform(sequence(lit(0L), lit(dim - 1L)),
@@ -860,7 +872,7 @@ object TextAnalysis {
       minCount: Long = 5L,
       k: Int = 50,
       textCol: String = "text"): DataFrame = {
-    val toks = split(lower(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val toks = normTokens(col(textCol))
     val pairs = df.select(explode(ColumnOps.bind(toks) { tk =>
         when(size(tk) < 2,
           array().cast("array<struct<w1:string,w2:string>>"))

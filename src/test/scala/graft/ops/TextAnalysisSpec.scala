@@ -39,6 +39,33 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "zh")
   }
 
+  test("language id: sentence-initial capitals count, NULL text stays NULL") {
+    val df = Seq(
+      (1L, "The cat And The dog Of the house"), // capitalized markers vote
+      (2L, null.asInstanceOf[String])           // NULL in -> NULL out, not 'zh'
+    ).toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("?"))
+    val out = TextAnalysis.langId(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    out shouldBe Map(1L -> Some("en"), 2L -> None)
+  }
+
+  test("chunk keeps its >=1-chunk contract for NULL-text documents") {
+    val df = Seq((1L, "some real text right here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val ids = TextAnalysis.chunk(df, chunkTokens = 4, strideTokens = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    ids shouldBe Set(1L, 2L)
+  }
+
+  test("hashEmbed: NULL text embeds like empty text (no NULL vector slots)") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashEmbed(df, dim = 8).collect()
+    val vecs = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs(1L) shouldBe vecs(2L)                // identical embeddings
+    vecs(1L).forall(_ != null) shouldBe true  // no NULL slots
+    vecs(1L).map(_.toDouble).sum shouldBe 1.0 // the single "" token counted
+  }
+
   test("greedy tokenize: native trie and Column fallback agree exactly") {
     import org.apache.spark.sql.functions.col
     val vocab = Seq("the", "of", "ing", "er", "th", "a", "e", "i", "t", "n", " ")
