@@ -89,6 +89,11 @@ object Coercions {
     when(c.isNull, lit(null).cast(LongType))
       .when(c === lit("true"), lit(1L))
       .when(c === lit("false"), lit(0L))
+      // integer text wider than 64 bits throws CAST_OVERFLOW under ANSI —
+      // deliberate parity: the reference parses Python bignums fine but
+      // dies identically at the parquet write (pyarrow int64 conversion
+      // raises OverflowError, writers.py:44-50), so both engines fail the
+      // job loudly rather than silently truncating an oversized id
       .when(c.rlike("^[+-]?[0-9]+$"), c.cast(LongType))
       .otherwise(c.cast(DoubleType).cast(LongType))
 }
