@@ -82,7 +82,12 @@ object Graph {
         .select(col("node"),
           (lit(1000000L - dampingMicro) +
             graft.functions.ColumnOps.fdiv(
-              lit(dampingMicro) * coalesce(col("in_sum"), lit(0L)),
+              // decimal BEFORE the multiply: damping * in_sum as Long*Long
+              // overflows once a hub holds ~1e13 micro-units of in-mass
+              // (~1% of a 1e9-node graph) — ANSI would kill the job on
+              // exactly the graphs the 100 TB path exists for
+              lit(dampingMicro).cast("decimal(38,0)") *
+                coalesce(col("in_sum"), lit(0L)),
               1000000L)).as("rank_micro"))
         .localCheckpoint()
       // previous generation's blocks are dead once the new one is pinned

@@ -127,14 +127,43 @@ object SingerPipeline {
   /** RECORD lines of one stream → typed DataFrame: `from_json` with an
     * all-string struct (P2: missing fields → null, extra fields dropped —
     * `sinks.py:165-166`) then the E1–E8 coercion projection
-    * ([[graft.functions.Coercions]]). One codegen'd select; STATE lines are
-    * filtered out here, matching their no-op output semantics
-    * (`tests/test_integration.py:312-336`).
+    * ([[graft.functions.Coercions]]).
+    *
+    * PRECONDITION: `recordLines` must already contain only this stream's
+    * RECORD lines (the staged ingest path guarantees it by partition
+    * filter) — a SCHEMA/STATE line has no `$.record` and would emit an
+    * all-null row, not be skipped. Use [[typedRecordsFromLines]] for
+    * unfiltered Singer input.
+    *
+    * `keepRawNulls`: also emit `_raw_null_<prop>` for required fields —
+    * the PRE-coercion nullness [[graft.validate.Validator]] needs so a
+    * present-but-coercion-nulled value (malformed timestamp) isn't
+    * misflagged as a `required` violation. Dropped by enforce/annotate.
     */
-  def typedRecords(recordLines: DataFrame, ss: StreamSchema): DataFrame =
+  def typedRecords(
+      recordLines: DataFrame,
+      ss: StreamSchema,
+      keepRawNulls: Boolean = false): DataFrame =
     recordLines
       .select(from_json(get_json_object(col("value"), "$.record"), ss.parseStruct).as("r"))
-      .select(ss.properties.map(p => Coercions.coerce(col("r").getField(p.name), p)): _*)
+      .select(coerceProjection(ss, col("r"), keepRawNulls): _*)
+
+  /** The shared coercion projection (+ optional raw-null flags) over the
+    * parsed all-string record struct — ONE definition for both ingest
+    * shapes so validation semantics can never diverge between them.
+    */
+  private def coerceProjection(
+      ss: StreamSchema,
+      rec: Column,
+      keepRawNulls: Boolean): Seq[Column] = {
+    val coerced = ss.properties.map(p => Coercions.coerce(rec.getField(p.name), p))
+    val rawNulls =
+      if (!keepRawNulls) Seq.empty
+      else ss.properties.filter(p => ss.requiredFields.contains(p.name)).map(p =>
+        rec.getField(p.name).isNull
+          .as(s"${graft.validate.Validator.RawNullPrefix}${p.name}"))
+    coerced ++ rawNulls
+  }
 
   /** Filter + extract + coerce in ONE JSON parse: the message envelope and
     * the record body come out of a single `from_json` whose schema embeds
@@ -146,7 +175,10 @@ object SingerPipeline {
     * keeps the parsed struct an attribute — evaluated once, not once per
     * projected field.)
     */
-  def typedRecordsFromLines(lines: DataFrame, ss: StreamSchema): DataFrame = {
+  def typedRecordsFromLines(
+      lines: DataFrame,
+      ss: StreamSchema,
+      keepRawNulls: Boolean = false): DataFrame = {
     val envelope = StructType(Seq(
       StructField("type", StringType, nullable = true),
       StructField("stream", StringType, nullable = true),
@@ -157,9 +189,24 @@ object SingerPipeline {
       // line instead of once for the predicate and once for the projection.
       .select(explode(array(from_json(col("value"), envelope))).as("m"))
       .filter(col("m.type") === "RECORD" && col("m.stream") === ss.stream)
-      .select(ss.properties.map(p =>
-        Coercions.coerce(col("m.record").getField(p.name), p)): _*)
+      .select(coerceProjection(ss, col("m.record"), keepRawNulls): _*)
   }
+
+  /** The last-STATE capture, shared by the batch observe, the
+    * empty-registry fallback, and the streaming per-batch observe — ONE
+    * definition because the `monotonically_increasing_id` ordering
+    * subtlety (documented at [[ingest]]'s observeState) is load-bearing
+    * in all three: stamp `_line_id`, then `max_by` the line whose type is
+    * STATE. A fix to the ordering or the STATE predicate propagates
+    * everywhere by construction.
+    */
+  private[graft] def withLineId(df: DataFrame): DataFrame =
+    df.withColumn("_line_id", monotonically_increasing_id())
+
+  private[graft] def lastStateAgg: Column =
+    max_by(
+      col("value"),
+      when(get_json_object(col("value"), "$.type") === "STATE", col("_line_id")))
 
   private val tsFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
 
@@ -204,10 +251,22 @@ object SingerPipeline {
     // missing feature). Costs extra `get_json_object` walks on exactly the
     // streams that need it; schemas in the SQL subset keep the single-parse
     // fast path untouched.
-    def rowChecked(df: DataFrame, ss: StreamSchema, recordText: Column): DataFrame =
-      if (config.strictValidation && Validator.needsRowValidator(ss.rawSchema))
+    def rowChecked(df: DataFrame, ss: StreamSchema, recordText: Column): DataFrame = {
+      // the reference validates the FULL record BEFORE fixed_headers
+      // projection (sinks.py:131-153): if pruning dropped properties, the
+      // Column layer can no longer see their constraints — the row-level
+      // validator (which reads the raw record against the full original
+      // schema) must take over, keyword set notwithstanding
+      lazy val prunedAway = (ss.rawSchema \ "properties") match {
+        case org.json4s.JObject(fs) =>
+          fs.map(_._1).toSet -- ss.properties.map(_.name).toSet
+        case _ => Set.empty[String]
+      }
+      if (config.strictValidation &&
+          (Validator.needsRowValidator(ss.rawSchema) || prunedAway.nonEmpty))
         Validator.enforceRows(df, ss.rawSchema, recordText)
       else df
+    }
 
     // STATE passthrough rides an Observation on the FIRST job that scans
     // the raw lines — zero extra passes (at 100 TB a dedicated state scan
@@ -224,12 +283,8 @@ object SingerPipeline {
       if (stateObserved) df
       else {
         stateObserved = true
-        df.withColumn("_line_id", monotonically_increasing_id())
-          .observe(stateObs,
-            max_by(
-              col("value"),
-              when(get_json_object(col("value"), "$.type") === "STATE",
-                col("_line_id"))).as("last_state"))
+        withLineId(df)
+          .observe(stateObs, lastStateAgg.as("last_state"))
           .select(col("value"))
       }
 
@@ -252,7 +307,7 @@ object SingerPipeline {
             .select(col("value"))
           typedRecords(
             rowChecked(pruned, ss, get_json_object(col("value"), "$.record")),
-            ss)
+            ss, keepRawNulls = config.strictValidation)
         }
       } else { (stream: String, ss: StreamSchema) =>
         typedRecordsFromLines(
@@ -262,25 +317,28 @@ object SingerPipeline {
               get_json_object(col("value"), "$.type") === "RECORD" &&
                 get_json_object(col("value"), "$.stream") === stream,
               get_json_object(col("value"), "$.record"))),
-          ss)
+          ss, keepRawNulls = config.strictValidation)
       }
 
-    val results = registry.toSeq.sortBy(_._1).map { case (stream, ss) =>
-      val typed0 = typedFor(stream, ss)
-      val typed = if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
-      val obs = Observation(s"ingest-$stream")
-      val path = outputPath(config, stream, now)
-      val writer = typed.observe(obs, count(lit(1)).as("records")).write
-      config.compression.foreach(c => writer.option("compression", c))
-      config.partitionBy.get(stream).filter(_.nonEmpty)
-        .foreach(cols => writer.partitionBy(cols: _*))
-      writer.parquet(path)
-      val n = obs.get("records").asInstanceOf[Long]
-      if (n == 0L) deleteRecursively(Paths.get(path)) // K4: no records → no file
-      (stream, path, n)
-    }
-
-    stagingToClean.foreach(deleteRecursively) // staging is scratch, not output
+    // staging is scratch, never output: clean it up in finally — a strict-
+    // validation raise (or any write failure) must not orphan a full copy
+    // of the record input under outDir, accumulating per retry
+    val results =
+      try registry.toSeq.sortBy(_._1).map { case (stream, ss) =>
+        val typed0 = typedFor(stream, ss)
+        val typed = if (config.strictValidation) Validator.enforce(typed0, ss) else typed0
+        val obs = Observation(s"ingest-$stream")
+        val path = outputPath(config, stream, now)
+        val writer = typed.observe(obs, count(lit(1)).as("records")).write
+        config.compression.foreach(c => writer.option("compression", c))
+        config.partitionBy.get(stream).filter(_.nonEmpty)
+          .foreach(cols => writer.partitionBy(cols: _*))
+        writer.parquet(path)
+        val n = obs.get("records").asInstanceOf[Long]
+        if (n == 0L) deleteRecursively(Paths.get(path)) // K4: no records → no file
+        (stream, path, n)
+      }
+      finally stagingToClean.foreach(deleteRecursively)
 
     // No stream jobs ran (empty registry): a STATE-only input still owes
     // its tap a state echo — dedicated tiny aggregate, nothing else scans.
@@ -288,12 +346,8 @@ object SingerPipeline {
       if (stateObserved) Option(stateObs.get("last_state")).map(_.toString)
       else
         Option(
-          lines
-            .withColumn("_line_id", monotonically_increasing_id())
-            .agg(max_by(
-              col("value"),
-              when(get_json_object(col("value"), "$.type") === "STATE",
-                col("_line_id"))).as("last_state"))
+          withLineId(lines)
+            .agg(lastStateAgg.as("last_state"))
             .head.getString(0))
 
     IngestResult(
@@ -345,10 +399,12 @@ object SingerPipeline {
     * the next run's accumulate-parse.
     */
   private def renderMetrics(counts: Seq[(String, Long)]): String = {
-    import org.json4s.JsonDSL._
+    import org.json4s._
     import org.json4s.jackson.JsonMethods
-    JsonMethods.compact(JsonMethods.render(
-      "recordCount" -> counts.toList.map { case (k, v) => k -> v }.toMap))
+    // render from the ordered list (callers sort by key) — .toMap would
+    // discard that order and make the JSON byte-nondeterministic per run
+    JsonMethods.compact(JsonMethods.render(JObject("recordCount" ->
+      JObject(counts.toList.map { case (k, v) => k -> (JLong(v): JValue) }))))
   }
 
   /** Streaming metrics: one idempotent file per micro-batch under
@@ -366,18 +422,23 @@ object SingerPipeline {
       JsonMethods.compact(JsonMethods.render(
         JObject(counts.toList.sortBy(_._1).map { case (k, v) => k -> (JLong(v): JValue) }))))
     import scala.jdk.CollectionConverters._
-    val totals = Files.list(mdir).iterator().asScala
-      .filter(_.getFileName.toString.matches("batch-\\d+\\.json"))
-      .flatMap { f =>
-        JsonMethods.parse(Files.readString(f)) match {
-          case JObject(fields) => fields.collect {
-            case (k, JInt(v))  => k -> v.toLong
-            case (k, JLong(v)) => k -> v
+    // close the directory stream (one leaked fd per micro-batch kills a
+    // long-running query at ulimit); materialize INSIDE the try
+    val listing = Files.list(mdir)
+    val totals =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.matches("batch-\\d+\\.json"))
+        .flatMap { f =>
+          JsonMethods.parse(Files.readString(f)) match {
+            case JObject(fields) => fields.collect {
+              case (k, JInt(v))  => k -> v.toLong
+              case (k, JLong(v)) => k -> v
+            }
+            case _ => Nil
           }
-          case _ => Nil
         }
-      }
-      .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        .toList.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      finally listing.close()
     Files.writeString(
       Paths.get(dir, "job_metrics.json"),
       renderMetrics(totals.toSeq.sortBy(_._1)))

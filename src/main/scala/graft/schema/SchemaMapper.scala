@@ -34,13 +34,18 @@ object SchemaMapper {
     * `typeId` is the resolved JSON-Schema type id; `raw` keeps the
     * (post-anyOf) property object so the validation layer can read draft-7
     * constraint keywords (`enum`, `maximum`, `pattern`, ...).
+    * `fromAnyOf` records that `raw` is only branch 0 of an `anyOf` — the
+    * reference RESOLVES types from anyOf[0] but VALIDATES against the full
+    * schema, so branch-0 keywords must not be enforced unconditionally
+    * (the row-level validator owns anyOf semantics).
     */
   final case class ResolvedProperty(
       name: String,
       typeId: String,
       format: Option[String],
       nullable: Boolean,
-      raw: JObject) {
+      raw: JObject,
+      fromAnyOf: Boolean = false) {
 
     def sparkType: DataType = SchemaMapper.sparkType(typeId, format)
 
@@ -75,6 +80,10 @@ object SchemaMapper {
       case _          => JObject()
     }
     // anyOf[0] wins (sinks.py:47-48).
+    val fromAnyOf = (obj0 \ "anyOf") match {
+      case JArray(_ :: _) => true
+      case _              => false
+    }
     val obj: JObject = obj0 \ "anyOf" match {
       case JArray(head :: _) =>
         head match { case o: JObject => o; case _ => JObject() }
@@ -111,7 +120,7 @@ object SchemaMapper {
       case many if many.contains("string")      => "string"
       case head :: _                            => head
     }
-    ResolvedProperty(key, typeId, format, nullable, obj)
+    ResolvedProperty(key, typeId, format, nullable, obj, fromAnyOf)
   }
 
   /** One Singer stream's resolved schema: the driver-side registry entry.

@@ -63,12 +63,8 @@ object SingerStream {
           if (stateObserved) df
           else {
             stateObserved = true
-            df.withColumn("_line_id", monotonically_increasing_id())
-              .observe(stateObs,
-                max_by(
-                  col("value"),
-                  when(get_json_object(col("value"), "$.type") === "STATE",
-                    col("_line_id"))).as("last_state"))
+            SingerPipeline.withLineId(df)
+              .observe(stateObs, SingerPipeline.lastStateAgg.as("last_state"))
               .select(col("value"))
           }
         val counts = registry.toSeq.sortBy(_._1).map { case (stream, ss) =>

@@ -59,6 +59,12 @@ object Validator {
     * `required`'s job, handled on the raw record in [[requiredViolation]]).
     */
   def constraints(c: Column, p: ResolvedProperty): Seq[(String, Column)] = {
+    // anyOf resolution keeps only branch 0 in p.raw, but the reference
+    // validates against the FULL schema: enforcing branch-0 keywords here
+    // would reject values another branch accepts (e.g. anyOf[integer
+    // max=10, number] with value 50). The row-level fallback owns anyOf
+    // (it is in rowOnlyKeywords, so strict mode engages enforceRows).
+    if (p.fromAnyOf) return Seq.empty
     val kw: Map[String, JValue] = p.raw.obj.toMap
     val out = Seq.newBuilder[(String, Column)]
 
@@ -126,21 +132,31 @@ object Validator {
     * reading is: a listed field that parsed null violates.
     */
   def requiredViolation(
-      raw: Column,
+      rawIsNull: Column,
       p: ResolvedProperty,
       required: Set[String]): Option[(String, Column)] =
-    if (required.contains(p.name)) Some("required" -> raw.isNull) else None
+    if (required.contains(p.name)) Some("required" -> rawIsNull) else None
 
   /** A single violation-description column for a stream: null when the row
     * is valid, else `"prop: rule"` of the first failing constraint.
     * Evaluated entirely inside codegen — one pass, no shuffle.
     */
-  def violationColumn(ss: StreamSchema, colFor: String => Column): Column = {
+  def violationColumn(
+      ss: StreamSchema,
+      colFor: String => Column,
+      rawNullFor: String => Option[Column] = _ => None): Column = {
     val required = ss.requiredFields
     val checks: Seq[(String, Column)] = ss.properties.flatMap { p =>
       val c = colFor(p.name)
+      // `required` must key on the PRE-coercion parse when available: a
+      // present value that coercion deliberately nulls (malformed
+      // date-time via try_to_timestamp, empty-string→null) satisfies
+      // draft-7 `required` — flagging it would kill records the
+      // reference accepts. Callers without raw info fall back to the
+      // coerced column (the documented absent-vs-null approximation).
+      val rawNull = rawNullFor(p.name).getOrElse(c.isNull)
       constraints(c, p).map { case (rule, bad) => (s"${p.name}: $rule", bad) } ++
-        requiredViolation(c, p, required)
+        requiredViolation(rawNull, p, required)
           .map { case (rule, bad) => (s"${p.name}: $rule", bad) }
     }
     checks.foldRight(lit(null).cast("string")) { case ((label, bad), acc) =>
@@ -151,8 +167,26 @@ object Validator {
   /** Lenient mode: annotate rows with `_violation` (null = valid). The data
     * itself passes through untouched, matching `sinks.py:134-139`.
     */
+  /** Accessor for the raw-parse nullness columns
+    * ([[graft.pipeline.SingerPipeline]]'s typed projections emit them as
+    * `_raw_null_<prop>` when validation will run); absent → None and the
+    * caller falls back to coerced-null semantics.
+    */
+  private def rawNullAccessor(df: DataFrame): String => Option[Column] = {
+    val present = df.columns.filter(_.startsWith(RawNullPrefix)).toSet
+    name =>
+      if (present.contains(s"$RawNullPrefix$name")) Some(df.col(s"$RawNullPrefix$name"))
+      else None
+  }
+
+  val RawNullPrefix = "_raw_null_"
+
+  private def dropRawNulls(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith(RawNullPrefix)): _*)
+
   def annotate(df: DataFrame, ss: StreamSchema): DataFrame =
-    df.withColumn("_violation", violationColumn(ss, df.col))
+    dropRawNulls(
+      df.withColumn("_violation", violationColumn(ss, df.col, rawNullAccessor(df))))
 
   /** Strict mode: any violating row raises inside the task, killing the job
     * like the reference's propagated exception (`sinks.py:137-139`). The
@@ -160,11 +194,12 @@ object Validator {
     * codegen; valid rows pass through unchanged.
     */
   def enforce(df: DataFrame, ss: StreamSchema): DataFrame = {
-    val v = violationColumn(ss, df.col)
-    df.filter(
-      when(v.isNotNull,
-        raise_error(concat(lit("strict_validation failed — "), v)).isNull)
-        .otherwise(lit(true)))
+    val v = violationColumn(ss, df.col, rawNullAccessor(df))
+    dropRawNulls(
+      df.filter(
+        when(v.isNotNull,
+          raise_error(concat(lit("strict_validation failed — "), v)).isNull)
+          .otherwise(lit(true))))
   }
 
   // ── row-level draft-7 fallback (keywords with no Column encoding) ─────
@@ -191,10 +226,18 @@ object Validator {
     */
   def needsRowValidator(schema: JValue): Boolean = schema match {
     case JObject(fields) =>
-      fields.exists { case (k, v) =>
-        rowOnlyKeywords.contains(k) ||
-          (k == "items" && v.isInstanceOf[JArray]) ||
-          needsRowValidator(v)
+      fields.exists {
+        // `properties` maps DATA-SIDE property names to subschemas: a
+        // property literally named "anyOf"/"not"/... is a column name,
+        // not a keyword — recurse into the subschema VALUES only, or a
+        // harmless column name would drag the whole stream off the
+        // codegen'd fast path onto per-row JSON re-parsing
+        case ("properties", JObject(props)) =>
+          props.exists { case (_, sub) => needsRowValidator(sub) }
+        case (k, v) =>
+          rowOnlyKeywords.contains(k) ||
+            (k == "items" && v.isInstanceOf[JArray]) ||
+            needsRowValidator(v)
       }
     case JArray(vs) => vs.exists(needsRowValidator)
     case _          => false

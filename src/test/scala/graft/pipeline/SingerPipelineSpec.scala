@@ -324,4 +324,41 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
     df.columns.toSeq shouldBe Seq("id", "phone")
     df.count() shouldBe 2
   }
+
+  test("strict + required date-time: a present-but-malformed value is E8-repaired, not a required violation") {
+    val schema =
+      """{"type": "SCHEMA", "stream": "dt", "schema": {"type": "object", "required": ["ts"], "properties": {"id": {"type": ["string", "null"]}, "ts": {"type": "string", "format": "date-time"}}}, "key_properties": ["id"]}"""
+    val malformed = """{"type": "RECORD", "stream": "dt", "record": {"id": "1", "ts": "not-a-date"}}"""
+    val absent = """{"type": "RECORD", "stream": "dt", "record": {"id": "2"}}"""
+    // present-but-malformed: coercion nulls it (E5/E8) and the record
+    // SURVIVES strict mode — draft-7 `required` is about presence
+    val ok = SingerPipeline.run(spark, write(Seq(schema, malformed)),
+      SingerConfig(tmp(), strictValidation = true))
+    ok.recordCounts shouldBe Map("dt" -> 1L)
+    spark.read.parquet(ok.paths("dt")).select("ts").head.isNullAt(0) shouldBe true
+    // truly absent: still a required violation
+    val e = intercept[Exception] {
+      SingerPipeline.run(spark, write(Seq(schema, absent)),
+        SingerConfig(tmp(), strictValidation = true))
+    }
+    e.getMessage should include("required")
+  }
+
+  test("strict + fixedHeaders: constraints on pruned-out fields still validate (reference validates pre-projection)") {
+    val schema =
+      """{"type": "SCHEMA", "stream": "fh", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "status": {"type": ["string", "null"], "enum": ["on", "off"]}}}, "key_properties": ["id"]}"""
+    val bad = """{"type": "RECORD", "stream": "fh", "record": {"id": "1", "status": "bogus"}}"""
+    val good = """{"type": "RECORD", "stream": "fh", "record": {"id": "2", "status": "on"}}"""
+    val cfg = SingerConfig(tmp(), strictValidation = true,
+      fixedHeaders = Map("fh" -> Seq("id")))
+    // the pruned column's enum violation must still kill the job
+    val e = intercept[Exception] {
+      SingerPipeline.run(spark, write(Seq(schema, bad)), cfg)
+    }
+    e.getMessage should include("strict_validation")
+    // valid records pass and the projection still applies
+    val ok = SingerPipeline.run(spark, write(Seq(schema, good)),
+      SingerConfig(tmp(), strictValidation = true, fixedHeaders = Map("fh" -> Seq("id"))))
+    spark.read.parquet(ok.paths("fh")).columns.toSeq shouldBe Seq("id")
+  }
 }

@@ -166,5 +166,11 @@ class JsonSchemaValidatorSpec extends AnyFunSuite with Matchers {
     needs("""{"properties": {"v": {"oneOf": [{"type": "string"}]}}}""") shouldBe true
     needs("""{"properties": {"p": {"items": [{"type": "integer"}]}}}""") shouldBe true
     needs("""{"properties": {"p": {"items": {"type": "integer"}}}}""") shouldBe false
+    // a DATA-SIDE property literally named like a keyword is a column
+    // name, not a keyword — must not drag the stream off the fast path
+    needs("""{"properties": {"anyOf": {"type": "string"}}}""") shouldBe false
+    needs("""{"properties": {"not": {"type": "integer"}, "if": {"type": "string"}}}""") shouldBe false
+    // but a real keyword nested INSIDE such a property's schema still counts
+    needs("""{"properties": {"anyOf": {"type": "array", "uniqueItems": true}}}""") shouldBe true
   }
 }

@@ -106,6 +106,47 @@ class ValidatorSpec extends AnyFunSuite with Matchers {
     out shouldBe Array(null, null, "id: required")
   }
 
+  test("anyOf branch-0 keywords are NOT enforced by the column layer") {
+    // anyOf[integer max=10, number]: 50 violates branch 0 but satisfies
+    // branch 1 — the reference validates the full schema and accepts it;
+    // the row-level fallback owns anyOf, so the column layer must emit
+    // no constraints at all for this property
+    val p = prop("""{"anyOf": [{"type": "integer", "maximum": 10}, {"type": "number"}]}""")
+    p.fromAnyOf shouldBe true
+    Validator.constraints(lit(50L), p) shouldBe empty
+    // and the row validator does accept the branch-1 value
+    import org.json4s.jackson.JsonMethods
+    val schema = JsonMethods.parse(
+      """{"properties": {"x": {"anyOf": [{"type": "integer", "maximum": 10}, {"type": "number"}]}}}""")
+    JsonSchemaValidator.compile(schema)(
+      JsonMethods.parse("""{"x": 50.5}"""), "$") shouldBe Nil
+  }
+
+  test("required keys on the PRE-coercion parse when raw-null columns are present") {
+    val ss = SchemaMapper.fromSchemaMessage(
+      """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object",
+        | "required": ["ts"],
+        | "properties": {"ts": {"type": "string", "format": "date-time"}}},
+        | "key_properties": []}""".stripMargin)
+    // "garbage" is PRESENT: coercion nulls it (E8 repair) but draft-7
+    // required is satisfied — only the truly-absent row violates
+    val df = Seq(
+      ("2024-01-01 10:00:00", false),
+      ("garbage", false),
+      (null.asInstanceOf[String], true)
+    ).toDF("raw", "absent")
+      .select(
+        graft.functions.Coercions.coerce(col("raw"), ss.properties.head).as("ts"),
+        col("absent").as(s"${Validator.RawNullPrefix}ts"))
+    val out = Validator.annotate(df, ss).select("_violation").collect().map(_.getString(0))
+    out shouldBe Array(null, null, "ts: required")
+    // without the raw-null column the old approximation still applies
+    val noRaw = Seq(("garbage", 0)).toDF("raw", "ignore")
+      .select(graft.functions.Coercions.coerce(col("raw"), ss.properties.head).as("ts"))
+    Validator.annotate(noRaw, ss).select("_violation").collect()
+      .map(_.getString(0)) shouldBe Array("ts: required")
+  }
+
   test("violation column labels the first failing property") {
     val ss = SchemaMapper.fromSchemaMessage(
       """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": {"status": {"type": ["string", "null"], "enum": ["on", "off"]}, "n": {"type": ["integer", "null"], "maximum": 5}}}, "key_properties": []}""")
