@@ -2579,7 +2579,7 @@ object SparkEntry {
         |  round(list_sum(list_transform(list_zip(qs.qv, c.qv), p -> p[1] * p[2]))
         |   / sqrt(CAST(list_sum(list_transform(list_zip(qs.qv, qs.qv), p -> p[1] * p[2])) AS DOUBLE)
         |        * CAST(list_sum(list_transform(list_zip(c.qv, c.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
-        | FROM q qs JOIN q c ON qs.vec_id < 10 AND c.label <> qs.label
+        | FROM q qs JOIN q c ON qs.vec_id < 10 AND c.label IS DISTINCT FROM qs.label
         |)
         |SELECT query_id, cand_id, sim, rank FROM (
         | SELECT query_id, cand_id, sim,
@@ -2609,7 +2609,7 @@ object SparkEntry {
         | round(list_sum(list_transform(list_zip(v.qv, c.cv), p -> p[1] * p[2]))
         |  / sqrt(CAST(list_sum(list_transform(list_zip(v.qv, v.qv), p -> p[1] * p[2])) AS DOUBLE)
         |       * CAST(c.cn AS DOUBLE)), 6) AS centroid_sim
-        |FROM v JOIN c USING (label)
+        |FROM v JOIN c ON v.label IS NOT DISTINCT FROM c.label
         |ORDER BY centroid_sim ASC, vec_id ASC LIMIT 20""".stripMargin,
 
     "q_sim_ivf_trained" ->
@@ -3172,16 +3172,17 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_snapshot_diff" ->
-      """WITH p AS (SELECT doc_id, md5(text) AS pd FROM documents WHERE doc_id < 450),
+      """WITH p AS (SELECT doc_id, md5(text) AS pd, true AS pp FROM documents WHERE doc_id < 450),
         |c AS (SELECT doc_id,
-        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS cd
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS cd,
+        |  true AS cp
         | FROM documents WHERE doc_id >= 50)
         |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
-        | CASE WHEN p.doc_id IS NULL THEN 'added'
-        |      WHEN c.doc_id IS NULL THEN 'removed'
-        |      WHEN c.cd = p.pd THEN 'unchanged'
+        | CASE WHEN pp IS NULL THEN 'added'
+        |      WHEN cp IS NULL THEN 'removed'
+        |      WHEN c.cd IS NOT DISTINCT FROM p.pd THEN 'unchanged'
         |      ELSE 'changed' END AS status
-        |FROM c FULL OUTER JOIN p ON c.doc_id = p.doc_id
+        |FROM c FULL OUTER JOIN p ON c.doc_id IS NOT DISTINCT FROM p.doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // two-phase cap ≡ the single-window formulation, which is the oracle
@@ -3481,7 +3482,7 @@ object SparkEntry {
     "q_mixture" ->
       """WITH t AS (
         | SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS tokens
         | FROM documents GROUP BY 1),
         |s AS (
         | SELECT lang, n_docs, tokens,

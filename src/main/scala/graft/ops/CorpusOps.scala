@@ -159,9 +159,13 @@ object CorpusOps {
       col(keyCol), md5(col(textCol)).as("_cd"), lit(true).as("_cp"))
     val p = previous.select(
       col(keyCol), md5(col(textCol)).as("_pd"), lit(true).as("_pp"))
-    c.join(p, Seq(keyCol), "full_outer")
+    // <=> on the key: a NULL-keyed doc present in both snapshots must
+    // read as one matched row (unchanged/changed), not a spurious
+    // added+removed pair — same NULL-key discipline as applyChanges
+    val pR = p.withColumnRenamed(keyCol, "__p_key")
+    c.join(pR, col(keyCol) <=> col("__p_key"), "full_outer")
       .select(
-        col(keyCol),
+        coalesce(col(keyCol), col("__p_key")).as(keyCol),
         when(col("_pp").isNull, "added")
           .when(col("_cp").isNull, "removed")
           .when(col("_cd") <=> col("_pd"), "unchanged")
@@ -304,8 +308,14 @@ object CorpusOps {
     val gcols = if (groupCols.nonEmpty) groupCols else Seq("__g")
     val base = if (groupCols.nonEmpty) df else df.withColumn("__g", lit(0L))
     val bins = base
+      // NULLs are not values: unfiltered they'd form a bin that sorts
+      // first, inflating every cumulative count and dragging all
+      // quantiles toward the minimum. fdiv (not double floor-div) keeps
+      // bins exact past 2^53 (ns-epoch inputs).
+      .filter(col(valueCol).isNotNull)
       .select(gcols.map(col) :+
-        floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"): _*)
+        graft.functions.ColumnOps.fdiv(col(valueCol).cast("long"), binWidth)
+          .as("bin"): _*)
       .groupBy(gcols.map(col) :+ col("bin"): _*).agg(count(lit(1)).as("c"))
     val cum = bins.withColumn("cum",
       sum("c").over(Window.partitionBy(gcols.map(col): _*).orderBy("bin")
@@ -396,8 +406,13 @@ object CorpusOps {
     val touched = latest.select(keyCols.map(c => col(c).as(s"__k_$c")): _*)
     val antiCond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
     val untouched = base.join(touched, antiCond, "left_anti")
+    // anything not literally 'delete' re-inserts as an upsert — a NULL
+    // or misspelled op must NOT silently delete the key (the anti-join
+    // above already removed the base row; dropping the change row too
+    // would be indistinguishable from an intentional delete)
     untouched.unionByName(
-      latest.filter(col(opCol) =!= "delete").drop("_rn", opCol, seqCol))
+      latest.filter(coalesce(col(opCol) =!= "delete", lit(true)))
+        .drop("_rn", opCol, seqCol))
   }
 
   /** Count-min sketch over a key column: `d` hash rows × `w` buckets of
@@ -512,7 +527,11 @@ object CorpusOps {
     val t = df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), " ")).cast("long")).as("tokens"))
+        // coalesce: NULL text counts as empty (the repo-wide NULL-text
+        // parity rule) — an all-NULL group would otherwise emit NULL
+        // weights AND silently shift every other group's share
+        sum(size(split(coalesce(col(textCol), lit("")), " ")).cast("long"))
+          .as("tokens"))
       .select(col(groupCol), col("n_docs"), col("tokens"),
         round(pow(col("tokens"), alpha) * 1e6).cast("long").as("pw"))
     val tot = t.agg(
@@ -520,11 +539,17 @@ object CorpusOps {
     t.crossJoin(broadcast(tot))
       .select(
         col(groupCol), col("n_docs"), col("tokens"),
+        // decimal BEFORE the multiply: 1e6 * tokens as Long*Long passes
+        // Long.MaxValue at ~9.2e12 tokens — a 100 TB corpus is ~25e12,
+        // so the design-point input would die on ANSI overflow (fdivCol's
+        // decimal cast happens only after the product)
         graft.functions.ColumnOps
-          .fdivCol(lit(1000000L) * col("tokens"), col("tok_total"))
+          .fdivCol(lit(1000000L).cast("decimal(38,0)") * col("tokens"),
+            col("tok_total"))
           .as("share_micro"),
         graft.functions.ColumnOps
-          .fdivCol(lit(1000000L) * col("pw"), col("pw_total"))
+          .fdivCol(lit(1000000L).cast("decimal(38,0)") * col("pw"),
+            col("pw_total"))
           .as("weight_micro"))
       .withColumn("epochs",
         round(col("weight_micro") / 1e6 * budgetTokens / col("tokens"), 6))

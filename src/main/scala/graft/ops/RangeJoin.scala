@@ -57,6 +57,11 @@ object RangeJoin {
     require(collisions.isEmpty,
       s"interval columns collide with point columns: ${collisions.mkString(", ")} " +
         "— rename before joining")
+    // reserve the working column like SkewAgg/capPerGroup do: a
+    // one-sided _bucket would be silently clobbered and then dropped
+    Seq(points, intervals).foreach(df =>
+      require(!df.columns.contains("_bucket"),
+        "pointInRange reserves the working column name '_bucket'"))
     def bucketOf(c: Column): Column =
       graft.functions.ColumnOps.fdiv(c, bucketSize)
     val burst = intervals.withColumn(

@@ -371,7 +371,12 @@ object Similarity {
       centroids: Option[DataFrame] = None): DataFrame = {
     require(nProbe <= nCells, s"nProbe ($nProbe) must be <= nCells ($nCells)")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
-    val vecs = quantizedWithNorms(embeddings, native)
+    // pin the quantized corpus: it feeds the seed-centroid build, the
+    // probe side, and the cell-assignment side — without the checkpoint
+    // the renamed subtrees defeat exchange reuse and the full embeddings
+    // scan + quantize runs up to three times (the tfidfPairs lesson,
+    // same as pqTopK)
+    val vecs = quantizedWithNorms(embeddings, native).localCheckpoint()
     // a trained codebook ([[trainCentroids]], columns (cell_id, cv, cn))
     // slots in here; the lowest-id seed is the deterministic default
     val cents = centroids.getOrElse(seedCentroids(vecs, nCells))
@@ -611,7 +616,9 @@ object Similarity {
   def hardNegatives(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame =
     broadcastScoredTopK(
       embeddings, queryMaxId, k,
-      col("c_label") =!= col("q_label"), withLabels = true)
+      // null-safe: an unlabeled (NULL-label) vector IS a different-label
+      // candidate — =!= would evaluate NULL and silently drop it
+      !(col("c_label") <=> col("q_label")), withLabels = true)
 
   /** Label-centroid outliers: each vector's cosine against its OWN
     * label's centroid (per-dimension integer mean, the
@@ -640,7 +647,11 @@ object Similarity {
       .select(col("label"), transform(col("pv"), p => p("v")).as("cv"))
       .withColumn("cn", qdot(col("cv"), col("cv"), native))
     vecs
-      .join(broadcast(cents), "label")
+      // <=> join: NULL-labeled vectors form their own centroid group in
+      // the aggregation above — the equi-join would silently drop them
+      // from the very operator meant to surface labeling problems
+      .join(broadcast(cents.withColumnRenamed("label", "__c_label")),
+        col("label") <=> col("__c_label"))
       .select(
         col("vec_id"), col("label"),
         qcosinePre(
@@ -685,9 +696,16 @@ object Similarity {
     embeddings.select(col("vec_id"),
       posexplode(graft.functions.ColumnOps.bind(quantize(col("embedding"))) { qv =>
         transform(sequence(lit(0), lit(outDim - 1)), j =>
-          aggregate(
-            zip_with(qv, slice(signs, j * inDim + 1, lit(inDim)), (x, sg) => x * sg),
-            lit(0L), (acc, x) => acc + x))
+          // dimension guard: zip_with pads the shorter side with NULLs,
+          // so an embedding whose length != inDim would fold to an
+          // all-NULL projection — corrupt silently; fail loudly instead
+          when(size(qv) =!= inDim,
+            raise_error(concat(
+              lit(s"randomProjection: embedding dim "), size(qv).cast("string"),
+              lit(s" != inDim $inDim"))))
+            .otherwise(aggregate(
+              zip_with(qv, slice(signs, j * inDim + 1, lit(inDim)), (x, sg) => x * sg),
+              lit(0L), (acc, x) => acc + x)))
       }))
       .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("proj"))
   }

@@ -247,6 +247,26 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     out(Some("en")) shouldBe (40L, 49L)
   }
 
+  test("histogramQuantiles ignores NULL values instead of dragging quantiles to the minimum") {
+    val df = ((0L until 50L).map(i => Some(i)) ++ Seq.fill(50)(None))
+      .map(v => Tuple1(v.map(Long.box).orNull)).toDF("v")
+    val out = CorpusOps.histogramQuantiles(df, "v", 10L, Seq(500), Seq.empty)
+      .select("q_lo", "q_hi").collect().map(r => (r.getLong(0), r.getLong(1))).head
+    // median of the 50 REAL values (0..49) is ~25 -> bin [20, 29]
+    out shouldBe (20L, 29L)
+  }
+
+  test("applyChanges: a NULL/unknown op re-inserts as upsert, never a silent delete") {
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val changes = Seq(
+      (1L, 11L, null.asInstanceOf[String], 1L), // malformed op: must not delete key 1
+      (2L, 22L, "delete", 1L)
+    ).toDF("k", "v", "op", "seq")
+    val out = CorpusOps.applyChanges(base, changes, Seq("k"), "seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 11L) // key 1 upserted, key 2 deleted
+  }
+
   test("applyChanges treats a NULL key null-safely: upsert replaces, delete removes") {
     val base = Seq[(java.lang.Long, Long)]((1L, 10L), (null, 20L), (3L, 30L))
       .toDF("k", "v")

@@ -45,6 +45,21 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     out.map(_._1).toSeq shouldBe Seq(2L, 3L, 4L)
   }
 
+  test("NULL-labeled vectors participate: different-label negatives and their own outlier group") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), Some(0)),
+      (1L, Array(0.9f, 0.2f), None), // unlabeled: still a valid negative for label-0 queries
+      (2L, Array(0.0f, 1.0f), Some(1))
+    ).map { case (id, e, l) => (id, e, l.map(Int.box).orNull) }
+      .toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(labeled, queryMaxId = 1L, k = 5)
+      .select("cand_id").as[Long].collect().toSet
+    negs shouldBe Set(1L, 2L) // the NULL-labeled vector is NOT silently dropped
+    val outl = Similarity.labelOutliers(labeled, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    outl shouldBe Set(0L, 1L, 2L) // NULL label scores against its own centroid
+  }
+
   test("label outliers: the vector far from its label centroid ranks worst") {
     val labeled = Seq(
       (0L, Array(1.0f, 0.0f), 0),
