@@ -3634,7 +3634,7 @@ object SparkEntry {
 
     "q_user_running" ->
       """SELECT user_id, count(*) AS n_events,
-        | CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
+        | CAST(sum(coalesce(CAST(round(value * 1e6) AS BIGINT), 0)) AS BIGINT) AS value_micro
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_seq_match" ->

@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Whitespace-collapsed lowercased text — the pre-split form of
+    * [[graft.ops.TextAnalysis.normTokens]]. DELIBERATELY not trimmed:
+    * every persisted fingerprint (content keys, MinHash/SimHash
+    * signatures) and every DuckDB oracle replays this exact expression,
+    * so adding trim() would invalidate all of them at once. Callers with
+    * edge-whitespace-dirty corpora should strip leading/trailing
+    * whitespace upstream (a leading/trailing blank shifts shingles and
+    * produces a distinct content key).
+    */
   private def normText(textCol: Column): Column =
     lower(regexp_replace(textCol, "\\s+", " "))
 
@@ -79,7 +88,13 @@ object Dedup {
   def dedupIncremental(newDocs: DataFrame, index: DataFrame): DataFrame = {
     val keyed = newDocs.select(
       col("doc_id"), contentKey(col("text")).as("content_key"))
-    val novel = keyed.join(index, Seq("content_key"), "left_anti")
+    // <=> anti-join: a NULL digest (NULL-text doc) in the index must
+    // still match a NULL-digest newcomer — the equi-join's NULL = NULL
+    // would let one null-text doc through EVERY snapshot, diverging from
+    // the batch twin whose groupBy treats NULL keys as one group
+    val novel = keyed.join(
+      index.select(col("content_key").as("__idx_key")),
+      col("content_key") <=> col("__idx_key"), "left_anti")
     val keep = novel
       .groupBy("content_key")
       .agg(min("doc_id").as("doc_id"))
@@ -287,10 +302,14 @@ object Dedup {
     * with bucket population ≤ `maxBucket` (see [[capBuckets]]).
     */
   private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    // Materialize before the self-join: the renamed side defeats static
-    // exchange reuse, so without this the whole tokenize→sign→band
-    // pipeline — the dominant cost of MinHash dedup — executes twice.
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    // Materialize BEFORE capBuckets AND before the self-join: the cap
+    // consumes its input twice (sizing aggregate + anti-join probe) and
+    // the renamed self-join side defeats static exchange reuse — either
+    // alone re-runs the tokenize→sign→band pipeline, the dominant cost
+    // of MinHash dedup. Both checkpoints hold only narrow (id, band,
+    // bucket) rows.
+    val mat = banded.localCheckpoint()
+    val capped = capBuckets(mat, Seq("band", "bucket"), maxBucket)
       .localCheckpoint()
     capped
       .join(capped.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
@@ -386,7 +405,7 @@ object Dedup {
     * (precomputable, persisted) corpus band index, collisions are
     * verified with exact Jaccard against the colliding corpus documents
     * only, and new documents with a verified near-duplicate in the
-    * corpus are dropped. Doc ids must be disjoint across the two sides.
+    * corpus are dropped. New-side doc ids must be STRICTLY GREATER than every corpus id (ids disjoint is not enough: the survivor rule keeps the lower id, and this path always drops the NEW member of a cross pair — with interleaved ids the batch twin could keep the new doc instead).
     *
     * Scale shape: per increment the cost is O(new) signing + a join
     * keyed on (band, bucket) + verification shingling of collision
@@ -412,7 +431,10 @@ object Dedup {
         .withColumn("_new", lit(true))
         .unionByName(
           minHashBandsPortable(corpus, numHashes, bands, shingleSize)
-            .withColumn("_new", lit(false))),
+            .withColumn("_new", lit(false)))
+        // materialize before the cap: its sizing aggregate + anti-join
+        // probe would otherwise run BOTH signature pipelines twice
+        .localCheckpoint(),
       Seq("band", "bucket"), maxBucket)
       .localCheckpoint()
     val newB = bandsAll.filter(col("_new")).drop("_new")
@@ -522,17 +544,21 @@ object Dedup {
     * threshold. The benchmark side is tiny in practice — Spark broadcasts
     * it — so the corpus side streams through without moving.
     */
-  def decontaminate(
-      corpus: DataFrame,
-      benchmark: DataFrame,
-      n: Int = 3,
-      minOverlap: Int = 2): DataFrame = {
-    def grams(df: DataFrame, idAs: String) = df.select(
+  /** Shared gram projection + overlap scoring of the decontamination
+    * twins — ONE definition so [[decontaminate]] and
+    * [[decontaminateBloom]] (documented as bit-identical, sharing one
+    * oracle) can never drift on the gram rule or the overlap threshold.
+    */
+  private def contaminationGrams(df: DataFrame, idAs: String, n: Int): DataFrame =
+    df.select(
       col("doc_id").as(idAs),
       explode(array_distinct(shingles(col("text"), n))).as("gram"))
-    val c = grams(corpus, "doc_id")
-    val b = grams(benchmark, "bench_id")
-    c.join(b, "gram")
+
+  private def contaminationReport(
+      corpusGrams: DataFrame,
+      benchGrams: DataFrame,
+      minOverlap: Int): DataFrame =
+    corpusGrams.join(benchGrams, "gram")
       .groupBy("doc_id", "bench_id")
       .agg(countDistinct("gram").as("overlap"))
       .filter(col("overlap") >= minOverlap)
@@ -540,7 +566,16 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_benchmarks_hit"),
         max("overlap").as("max_overlap"))
-  }
+
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minOverlap: Int = 2): DataFrame =
+    contaminationReport(
+      contaminationGrams(corpus, "doc_id", n),
+      contaminationGrams(benchmark, "bench_id", n),
+      minOverlap)
 
   /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape.
     *
@@ -581,10 +616,7 @@ object Dedup {
     if (!graft.plans.GraftExtensions.available(corpus.sparkSession))
       return decontaminate(corpus, benchmark, n, minOverlap)
 
-    def grams(df: DataFrame, idAs: String) = df.select(
-      col("doc_id").as(idAs),
-      explode(array_distinct(shingles(col("text"), n))).as("gram"))
-    val b = grams(benchmark, "bench_id")
+    val b = contaminationGrams(benchmark, "bench_id", n)
 
     val items = math.max(b.select(countDistinct("gram")).head.getLong(0), 1L)
     val numBits = math.max(64L,
@@ -594,20 +626,13 @@ object Dedup {
           xxhash64(col("gram")), lit(items), lit(numBits)))
       .head.getAs[Array[Byte]](0)
 
-    val c = grams(corpus, "doc_id")
+    val c = contaminationGrams(corpus, "doc_id", n)
     // Null bloom = empty benchmark: nothing can be contaminated.
     val prefiltered =
       if (bloomBytes == null) c.filter(lit(false))
       else c.filter(call_function("graft_bloom_mc",
         lit(bloomBytes), xxhash64(col("gram"))))
-    prefiltered.join(b, "gram")
-      .groupBy("doc_id", "bench_id")
-      .agg(countDistinct("gram").as("overlap"))
-      .filter(col("overlap") >= minOverlap)
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_benchmarks_hit"),
-        max("overlap").as("max_overlap"))
+    contaminationReport(prefiltered, b, minOverlap)
   }
 
   /** Transitive duplicate groups from a near-dup pair list: smallest-label
@@ -667,6 +692,11 @@ object Dedup {
         s"duplicateGroups stopped at maxIter=$maxIter with $changed labels " +
           "still changing: group ids are UNCONVERGED (clusters with diameter " +
           s"> $maxIter are split). Re-run with a larger maxIter.")
+    // edges' checkpoint is unreachable from the returned plan (labels is
+    // its own materialized checkpoint), so the caller's releaseCheckpoints
+    // protocol can never free it — release here or the blocks leak for
+    // the session lifetime
+    releaseCheckpoint(edges)
     labels.withColumnRenamed("label", "group_id")
   }
 
@@ -835,10 +865,12 @@ object Dedup {
         col("doc_id"), col("simhash_hi"), col("simhash_lo"),
         explode(array(bands: _*)).as("b"))
         .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
-          col("b.band"), col("b.bv")),
+          col("b.band"), col("b.bv"))
+        // materialize before the cap (its sizing aggregate + anti-join
+        // probe are two consumers) — one fingerprint pass total
+        .localCheckpoint(),
       Seq("band", "bv"), maxBucket)
-      // one fingerprint pass, not one per self-join side (see
-      // bandedCandidates)
+      // reused by both self-join sides (see bandedCandidates)
       .localCheckpoint()
     val other = banded.select(
       col("band"), col("bv"), col("doc_id").as("b_id"),
@@ -986,17 +1018,6 @@ object Dedup {
       .select("label", "a_id", "b_id", "sim")
   }
 
-  /** [[embeddingDups]] with the blocking key DERIVED from the embeddings
-    * themselves — IVF coarse cells ([[Similarity.ivfAssign]]) — instead of
-    * a pre-existing label column. This is the 100 TB shape: no corpus has
-    * ready-made balanced blocks, but a coarse codebook (here the
-    * deterministic lowest-id stand-in; in production a trained k-means)
-    * always exists, and blocking on the cell bounds the pair join to
-    * within-cell pairs. Single-assignment blocking can miss a pair
-    * straddling a cell boundary — the standard recall/cost tradeoff;
-    * `maxBucket` drops degenerate cells ([[capBuckets]]) so one hot cell
-    * can never go quadratic.
-    */
   /** SemDeDup-style APPLY: the embeddings that SURVIVE semantic pruning —
     * every vector pairing above `threshold` with a lower-id vector in its
     * IVF cell is dropped (same lowest-id-wins survivor rule as
@@ -1013,6 +1034,17 @@ object Dedup {
     embeddings.join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** [[embeddingDups]] with the blocking key DERIVED from the embeddings
+    * themselves — IVF coarse cells ([[Similarity.ivfAssign]]) — instead of
+    * a pre-existing label column. This is the 100 TB shape: no corpus has
+    * ready-made balanced blocks, but a coarse codebook (here the
+    * deterministic lowest-id stand-in; in production a trained k-means)
+    * always exists, and blocking on the cell bounds the pair join to
+    * within-cell pairs. Single-assignment blocking can miss a pair
+    * straddling a cell boundary — the standard recall/cost tradeoff;
+    * `maxBucket` drops degenerate cells ([[capBuckets]]) so one hot cell
+    * can never go quadratic.
+    */
   def embeddingDupsByCell(
       embeddings: DataFrame,
       threshold: Double,

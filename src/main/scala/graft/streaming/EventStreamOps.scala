@@ -278,19 +278,6 @@ object EventStreamOps {
         count(lit(1)).as("n_events"))
   }
 
-  /** Online anomaly scoring: z-score each live (window, event_type)
-    * count against BATCH-TRAINED rate moments — the train-offline /
-    * score-online split. `stats` is
-    * [[graft.ops.EventAnalytics.rateMoments]] output (computed on
-    * history, small: one row per event type); on a stream the join is
-    * stream-static — Spark broadcasts the static side into every
-    * micro-batch, no stateful join, and the windowed count's state is
-    * watermark-bounded exactly as in [[windowedCounts]].
-    *
-    * Batch input gives the identical DataFrame (the batch-twin test
-    * pins streaming semantics to [[graft.ops.EventAnalytics
-    * .rateAnomalies]]'s oracle-checked scoring).
-    */
   /** Per-user running stats through the MODERN stateful API
     * (`transformWithState`, Spark 4): on a stream each micro-batch
     * updates the user's `ValueState` and emits the refreshed row
@@ -302,9 +289,15 @@ object EventStreamOps {
   def runningUserStats(events: DataFrame): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // coalesce: a NULL value contributes 0 to the sum (sum() skipping
+    // NULLs is arithmetically the same) but the row still counts — and
+    // the streaming path's primitive (Long, Long) tuple encoder would
+    // otherwise CRASH on deserialization ('Null value appeared in
+    // non-nullable field') while the batch twin silently counted it
     val typed = events.select(
         col("user_id"),
-        round(col("value") * 1e6).cast("long").as("value_micro"))
+        coalesce(round(col("value") * 1e6).cast("long"), lit(0L))
+          .as("value_micro"))
       .as[(Long, Long)]
     if (events.isStreaming)
       typed.groupByKey(_._1)
@@ -321,6 +314,19 @@ object EventStreamOps {
         .as[UserRunning]
   }
 
+  /** Online anomaly scoring: z-score each live (window, event_type)
+    * count against BATCH-TRAINED rate moments — the train-offline /
+    * score-online split. `stats` is
+    * [[graft.ops.EventAnalytics.rateMoments]] output (computed on
+    * history, small: one row per event type); on a stream the join is
+    * stream-static — Spark broadcasts the static side into every
+    * micro-batch, no stateful join, and the windowed count's state is
+    * watermark-bounded exactly as in [[windowedCounts]].
+    *
+    * Batch input gives the identical DataFrame (the batch-twin test
+    * pins streaming semantics to [[graft.ops.EventAnalytics
+    * .rateAnomalies]]'s oracle-checked scoring).
+    */
   def rateAnomalyStream(
       events: DataFrame,
       stats: DataFrame,

@@ -24,6 +24,16 @@ class DedupSpec extends AnyFunSuite with Matchers {
     dupGroup.getAs[Long]("keep_id") shouldBe 0L
   }
 
+  test("incremental dedup: a NULL-digest (NULL-text) index entry blocks NULL-text newcomers") {
+    val index = Seq(Tuple1(null.asInstanceOf[String])).toDF("content_key")
+    val batch = Seq(
+      (20L, null.asInstanceOf[String]), // digest NULL: already indexed
+      (21L, "real content here")
+    ).toDF("doc_id", "text")
+    Dedup.dedupIncremental(batch, index)
+      .select("doc_id").as[Long].collect().toSeq shouldBe Seq(21L)
+  }
+
   test("incremental dedup: index filters known content, batch self-dedups") {
     val index = Dedup.exact(docs.filter(col("doc_id") <= 0)).select("content_key")
     val batch = Seq(

@@ -256,6 +256,33 @@ class EventStreamOpsSpec extends AnyFunSuite with Matchers {
     twin shouldBe direct
   }
 
+  test("running stats: NULL value counts as an event contributing 0, stream does not crash") {
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", Some(2.0)),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "click", None) // NULL value
+    ).map { case (a, b, c, d, e) => (a, b, c, d, e.map(Double.box).orNull) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val twin = EventStreamOps.runningUserStats(batch).collect().head
+    (twin.n_events, twin.value_micro) shouldBe ((2L, 2000000L))
+    // streaming path: the primitive tuple encoder previously died with
+    // 'Null value appeared in non-nullable field' on the NULL value
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, java.lang.Double)](spark)
+      val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val q = EventStreamOps.runningUserStats(df)
+        .writeStream.format("memory").queryName("run_null").outputMode("update").start()
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 7L, "click", 2.0),
+        (2L, ts("2024-01-01 10:01:00"), 7L, "click", null.asInstanceOf[java.lang.Double]))
+      q.processAllAvailable()
+      val rows = spark.table("run_null").as[UserRunning].collect()
+      q.stop()
+      rows.map(u => (u.n_events, u.value_micro)).toSeq shouldBe Seq((2L, 2000000L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("rate anomaly stream on batch input matches the batch scorer") {
     val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val stats = graft.ops.EventAnalytics.rateMoments(ev)
