@@ -41,7 +41,13 @@ object Bench {
       val lines = spark.read.text(s"$tmp/in")
       graft.pipeline.SingerPipeline.typedRecordsFromLines(lines, schema)
         .write.mode("overwrite").parquet(s"$tmp/out")
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // scratch cleanup: the full events table as text + parquet would
+      // otherwise accumulate in /tmp per bench run
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.delete)
+      sec
     }
     val ingestSec = try ingestFull() catch { case e: Throwable =>
       System.err.println(s"[bench] ingest_full failed: ${e.getMessage}"); -1.0 }

@@ -29,6 +29,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any STALE output from a previous run into the same dir:
+        // a plan-time failure throws BEFORE overwrite clears the target,
+        // and a leftover good result would make the compare report a
+        // false PASS for a query that no longer runs
+        deleteRecursively(Paths.get(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,4 +52,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
 }

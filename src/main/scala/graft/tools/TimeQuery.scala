@@ -14,6 +14,7 @@ object TimeQuery {
       case None    => (3, args.toSeq)
     }
     require(names.nonEmpty, "usage: TimeQuery [reps] <query...>")
+    require(reps > 0, s"reps must be positive, got $reps")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.builder(cpus).getOrCreate()

@@ -21,7 +21,12 @@ object VerifySome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Verify.dump(spark, sfDir, outDir, names)
-    names.toSeq.sorted.foreach(n => println(s"[verifysome] dumped $n"))
+    // report honestly: dump() deletes the output dir of a failed query
+    // (stale-result protection), so existence == success
+    names.toSeq.sorted.foreach { n =>
+      val ok = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/$n"))
+      println(s"[verifysome] ${if (ok) "dumped" else "FAILED"} $n")
+    }
     spark.stop()
   }
 }

@@ -82,13 +82,27 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
     import os
-    dumped = {d for d in os.listdir(out_dir) if not d.endswith(".json")}
+    # only DIRECTORIES count (stray files like .crc are not dumps), and a
+    # broken/partial dump must FAIL, not crash the summary away
+    dumped = {d for d in os.listdir(out_dir)
+              if not d.endswith(".json") and os.path.isdir(os.path.join(out_dir, d))}
     rows_only = dumped - set(oracle)
+    if rows_only - set(oracle):
+        # a dir with no oracle entry is either a deliberate rows-only query
+        # or a STALE leftover from a previous run (renamed/removed query, or
+        # a VerifySome subset overwrote oracle_sql.json) — flag loudly so a
+        # rows-only PASS can't silently stand in for an oracle check
+        print(f"note: rows-only dirs (no oracle entry): {sorted(rows_only)}")
     for name in sorted(rows_only):
-        n = con.sql(
-            f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
-        ok = n > 0
-        print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only: {n} rows)")
+        try:
+            n = con.sql(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+            ok = n > 0
+            print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only: {n} rows)")
+        except Exception as e:
+            n_fail += 1
+            print(f"FAIL {name} (rows-only: unreadable dump: {e})")
+            continue
         n_pass += ok
         n_fail += not ok
     print(f"== {n_pass} pass, {n_fail} fail")
