@@ -27,6 +27,10 @@ import java.nio.file.{Files, Paths}
   *   - `compression`: parquet codec for all streams (`zstd`, `snappy`,
   *     `gzip`, `none`, ...).
   *   - `partition_by`: `{stream: [cols]}` Hive-style output partitioning.
+  *   - `file_naming_scheme`: output-name template with `{stream}` /
+  *     `{timestamp}` tokens (default `{stream}-{timestamp}.parquet`).
+  *     Declared-but-dead in the reference (`target.py:20-24`), honored
+  *     here — the second half of the `filepath` improvement pair.
   *
   * Input is a file of newline-delimited Singer messages rather than a
   * stdin pipe: on a cluster the "pipe" is a distributed path (HDFS/S3
@@ -76,7 +80,8 @@ object SingerMain {
       // north-star write options: parquet codec for every stream plus
       // per-stream Hive-style partition columns ({stream: [cols]})
       compression = str("compression"),
-      partitionBy = streamCols("partition_by"))
+      partitionBy = streamCols("partition_by"),
+      fileNamingScheme = str("file_naming_scheme"))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()

@@ -858,16 +858,6 @@ object SparkEntry {
     "q_dedup_apply" -> ((s, dir) =>
       Dedup.dropExactDuplicates(t(s, dir, "documents")).orderBy("doc_id")),
 
-    "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.5)
-        .orderBy("a_id", "b_id")),
-
-    "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHash(t(s, dir, "documents")).orderBy("doc_id")),
-
-    "q_dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashDups(t(s, dir, "documents")).orderBy("a_id", "b_id")),
-
     // Portable-hash twins (PortableHash: md5-prefix base + integer mixes):
     // same banding/verify pipelines as the xxhash64 operators above, on a
     // hash family DuckDB replays exactly — these carry the full oracle the
@@ -1043,10 +1033,6 @@ object SparkEntry {
 
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
-        .orderBy("query_id", "rank")),
-
-    "q_sim_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
     // all-corpus neighbor graph (vs. the query-set searches below)
@@ -1381,6 +1367,33 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
     }),
 
+    // batch twin of the STREAMING incremental-dedup component
+    // (DocStreamOps.dedupIncrementalStream): its batch branch must decide
+    // exactly like Dedup.dedupIncremental on the same inputs — declared
+    // separately so the streaming component carries its own oracle-checked
+    // entry (the RocksDB state-store semantics stay in DocStreamOpsSpec).
+    "q_dedup_incr_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Dedup.exact(docs.filter(col("doc_id") < 250))
+        .select("content_key")
+      graft.streaming.DocStreamOps
+        .dedupIncrementalStream(docs.filter(col("doc_id") >= 200), index)
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+
+    // exactly-once replay twin of the streaming dedup component
+    // (EventStreamOps.dedupEvents / dropDuplicatesWithinWatermark): the
+    // same events delivered TWICE — an at-least-once source replay — must
+    // dedup back to exactly the original set. Duplicates are full-row
+    // identical, so the arbitrary-row-per-key choice is value-deterministic.
+    "q_dedup_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreamOps.dedupEvents(ev.unionByName(ev))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("event_id")
+    }),
+
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents"), Seq("dup", "spark", "join"))),
 
@@ -1559,6 +1572,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL decode through the seam: documents ≥ 36 UTF-8 bytes are
+    // wrapped into valid binary-PPM payloads (P6 header + the first 36
+    // text bytes as a 4×3 RGB raster), so Multimodal.PpmDecoder — an
+    // actual format parser, not the FakeDecoder stand-in — produces the
+    // header dimensions and raster-byte histogram. DuckDB replays the
+    // raster features from the same 36 bytes via the hex view.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= 36)
+      val media = docs.select(
+        col("doc_id").as("media_id"),
+        concat(
+          lit("P6\n4 3\n255\n").cast("binary"),
+          expr("substring(encode(text, 'UTF-8'), 1, 36)")).as("payload"))
+      val f = Multimodal.extractFeatures(media)
+      val bins = (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1) * 1e6).cast("long").as(s"f$i"))
+      f.select(Seq(col("media_id"), col("dec_width"), col("dec_height")) ++ bins: _*)
+        .orderBy("media_id")
+    }),
+
     // Payload crosses the compare boundary as hex text (binary is
     // unsortable in the driver's pandas compare).
     "q_multimodal_frames" -> ((s, dir) =>
@@ -1575,6 +1609,40 @@ object SparkEntry {
           hex(col("payload")).as("payload_hex"))
         .orderBy("media_id"))
   )
+
+  /** The NATIVE-hash (xxhash64 / codegen'd expression) twins of the
+    * `_portable` oracle queries above — the production fast path, kept OUT
+    * of [[queries]] because their outputs are keyed on Spark's xxhash64,
+    * which no external oracle implements: a declared entry could only ever
+    * be a rows-only check, weaker than what already covers them
+    * (ScalaTest planted-duplicate/cap/determinism specs + the `_portable`
+    * twins hash-matching the identical banding/verify pipelines in DuckDB).
+    * They stay in the BENCH headline under their original names so the
+    * per-query timing series vs round 1 stays comparable — the portable
+    * family pays md5 per token and is 2–8× slower by construction, which
+    * would read as a phantom regression.
+    */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHash(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashDups(t(s, dir, "documents")).orderBy("a_id", "b_id")),
+
+    "q_sim_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
+        .orderBy("query_id", "rank"))
+  )
+
+  /** Declared + bench-only queries — what Bench and the local timing /
+    * plan tools resolve names against.
+    */
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ benchOnlyQueries
 
   /** BM25 oracle, shared verbatim by `q_bm25` and (as the lexical leg)
     * `q_hybrid_rrf`, so the two can never drift.
@@ -1647,11 +1715,10 @@ object SparkEntry {
       (e, d) <- dims.zipWithIndex
     } yield s"((($e >> $i) & 1) << ${i * dims.size + d})").mkString(" | ")
 
-  /** DuckDB oracles. Omitted on purpose (rows-only check): q_dedup_minhash,
-    * q_dedup_simhash, q_dedup_simhash_pairs, q_sim_lsh (keyed on Spark's
-    * xxhash64, which DuckDB does not implement — each has a `_portable`
-    * twin above running the SAME pipeline on the PortableHash family, with
-    * the full oracle below).
+  /** DuckDB oracles — one per [[queries]] entry, no omissions: the four
+    * xxhash64-keyed native queries that used to be declared rows-only live
+    * in [[benchOnlyQueries]] now (their `_portable` twins below carry the
+    * full oracle for the identical pipelines).
     */
   def oracleSql: Map[String, String] = Map(
     "q_singer_pipeline" ->
@@ -2242,6 +2309,29 @@ object SparkEntry {
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 5)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f5,
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 6)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f6,
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 7)) AS DOUBLE) / n * 1000000) AS BIGINT) AS f7
+        |FROM by0 ORDER BY media_id""".stripMargin,
+
+    // The PPM path's features replayed from the same first-36-bytes
+    // raster; width/height are the header literals the parser recovers.
+    "q_multimodal_decode" ->
+      """WITH b AS (
+        | SELECT doc_id, substr(hex(encode(text)), 1, 72) AS hx
+        | FROM documents WHERE octet_length(encode(text)) >= 36
+        |), by0 AS (
+        | SELECT doc_id, list_transform(range(1, 37), i ->
+        |   (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+        |   (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)) AS bs
+        | FROM b
+        |)
+        |SELECT doc_id AS media_id, CAST(4 AS INT) AS dec_width, CAST(3 AS INT) AS dec_height,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 0)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f0,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 1)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f1,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 2)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f2,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 3)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f3,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 4)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f4,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 5)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f5,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 6)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f6,
+        | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 7)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f7
         |FROM by0 ORDER BY media_id""".stripMargin,
 
     // resize's NN index map replayed on the hex view: output byte i is the
@@ -3712,6 +3802,28 @@ object SparkEntry {
         |keep AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY ck)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
         |FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // identical decision rule to q_dedup_incremental — the streaming
+    // component's batch branch delegates to the same operator
+    "q_dedup_incr_stream" ->
+      """WITH keyed AS (
+        | SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS ck
+        | FROM documents),
+        |novel AS (
+        | SELECT k.doc_id, k.ck FROM keyed k WHERE k.doc_id >= 200
+        |  AND NOT EXISTS (SELECT 1 FROM keyed i
+        |                  WHERE i.doc_id < 250 AND i.ck = k.ck)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY ck)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // doubled input collapses back to the original rows — the replay
+    // invariant; event_id is the exactly-once key
+    "q_dedup_events" ->
+      """SELECT DISTINCT event_id, user_id, event_type,
+        | epoch_ns(ts) // 1000 AS ts_us, value
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     "q_bm25" -> bm25OracleSql,
 

@@ -36,6 +36,24 @@ object Tables {
   * runtime coalescing/skew handling, nanos-as-long for the events table.
   */
 object Sessions {
+  /** Per-process warehouse location (see builder note) with best-effort
+    * removal at JVM exit so repeated bench/verify/test runs don't
+    * accumulate bucketed-table copies in the temp dir.
+    */
+  private lazy val warehouseDir: String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-warehouse-" +
+      s"${sys.props.getOrElse("user.name", "u")}-${ProcessHandle.current.pid}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists)
+        catch { case _: java.io.IOException => () } // best-effort only
+    }))
+    dir
+  }
+
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,8 +63,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // bucketed tables (Layout.writeBucketed) live in the catalog
-      // warehouse — keep it out of the repo working tree
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      // warehouse — keep it out of the repo working tree, and make it
+      // UNIQUE PER PROCESS: writeBucketed drops/recreates its table
+      // location, so two concurrent graft JVMs (bench + verify, or two
+      // users on one host) sharing a warehouse path would delete each
+      // other's data mid-query
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 }

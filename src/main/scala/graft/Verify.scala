@@ -25,9 +25,14 @@ object Verify {
       names: Set[String]): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => names(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // release any localCheckpoint blocks the plan pinned, success or
+        // not — 153 queries in one session would otherwise accumulate
+        // every checkpointed intermediate until sessions end
+        finally graft.ops.Dedup.releaseCheckpoints(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // delete any STALE output from a previous run into the same dir:
         // a plan-time failure throws BEFORE overwrite clears the target,

@@ -311,10 +311,14 @@ object CorpusOps {
       // NULLs are not values: unfiltered they'd form a bin that sorts
       // first, inflating every cumulative count and dragging all
       // quantiles toward the minimum. fdiv (not double floor-div) keeps
-      // bins exact past 2^53 (ns-epoch inputs).
+      // bins exact past 2^53 (ns-epoch inputs); floor() BEFORE the long
+      // cast keeps floor semantics for fractional inputs (a bare long
+      // cast truncates toward zero: -0.5 would land in bin 0, not -1).
+      // floor is exact here: it accepts LongType unchanged, so ns-epoch
+      // longs never round-trip through double.
       .filter(col(valueCol).isNotNull)
       .select(gcols.map(col) :+
-        graft.functions.ColumnOps.fdiv(col(valueCol).cast("long"), binWidth)
+        graft.functions.ColumnOps.fdiv(floor(col(valueCol)).cast("long"), binWidth)
           .as("bin"): _*)
       .groupBy(gcols.map(col) :+ col("bin"): _*).agg(count(lit(1)).as("c"))
     val cum = bins.withColumn("cum",

@@ -278,38 +278,43 @@ object Dedup {
 
   /** Drop key groups whose population exceeds `cap` — skew insurance for
     * LSH-style self-joins, where one degenerate bucket of n members costs
-    * O(n²) join rows. One extra shuffle of the (short-key) banded table;
-    * the join after it can only shrink.
+    * O(n²) join rows.
+    *
+    * Shape: a windowed per-key count + filter — ONE pass over the input,
+    * one shuffle of the (short-key) banded rows. The alternative (sizing
+    * aggregate + anti-join) consumes its input twice, which forced every
+    * caller to pre-checkpoint the banding pipeline and then release that
+    * checkpoint once the capped result materialized — an extra job, extra
+    * pinned blocks, and a measured slowdown from the release traffic. The
+    * window also leaves the output CLUSTERED BY the very keys the callers'
+    * self-joins use, and `localCheckpoint` preserves partitioning into the
+    * LogicalRDD, so the downstream join needs no re-exchange.
+    *
+    * Skew note: a degenerate key's rows land in one window task, but the
+    * task only counts and filters (WindowExec's buffer spills past memory),
+    * and those are exactly the rows the filter then drops — bounded, not
+    * quadratic.
     */
   private[ops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     require(cap > 0, s"maxBucket must be positive, got $cap")
-    // The OVER-populated key set is bounded by rows/cap keys — usually tiny
-    // (or empty), but a small user-chosen cap on a 100 TB corpus could make
-    // it millions of keys, so the broadcast decision is left to Catalyst/AQE:
-    // runtime stats broadcast it when it fits (the common case, shuffle-free
-    // anti-join) and fall back to a shuffled anti-join when it doesn't,
-    // instead of a forced-broadcast OOM. The sizing aggregate itself moves
-    // only (key, partial-count) pairs after map-side combine.
-    val over = banded
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_bucket_n"))
-      .filter(col("_bucket_n") > cap)
-      .select(keys.map(col): _*)
-    banded.join(over, keys, "left_anti")
+    import org.apache.spark.sql.expressions.Window
+    banded
+      .withColumn("_bucket_n",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("_bucket_n") <= cap)
+      .drop("_bucket_n")
   }
 
   /** Distinct (a_id, b_id) pairs sharing at least one (band, bucket) key
     * with bucket population ≤ `maxBucket` (see [[capBuckets]]).
     */
   private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    // Materialize BEFORE capBuckets AND before the self-join: the cap
-    // consumes its input twice (sizing aggregate + anti-join probe) and
-    // the renamed self-join side defeats static exchange reuse — either
-    // alone re-runs the tokenize→sign→band pipeline, the dominant cost
-    // of MinHash dedup. Both checkpoints hold only narrow (id, band,
-    // bucket) rows.
-    val mat = banded.localCheckpoint()
-    val capped = capBuckets(mat, Seq("band", "bucket"), maxBucket)
+    // Materialize before the self-join: the renamed side defeats static
+    // exchange reuse, and without the checkpoint the tokenize→sign→band
+    // pipeline — the dominant cost of MinHash dedup — would run once per
+    // side. capBuckets is a single windowed pass, so this is the ONLY
+    // checkpoint (narrow (id, band, bucket) rows, clustered by join key).
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucket)
       .localCheckpoint()
     capped
       .join(capped.withColumnRenamed("doc_id", "b_id"), Seq("band", "bucket"))
@@ -335,6 +340,12 @@ object Dedup {
       threshold: Double,
       shingleSize: Int): DataFrame = {
     val candidates = candidates0.localCheckpoint()
+    // The candidate-generation pipeline behind `candidates0` may itself be
+    // rooted at a checkpoint (bandedCandidates' capped bands, the
+    // incremental path's combined band table). Once `candidates` has
+    // eagerly materialized, those upstream blocks are unreachable from the
+    // returned plan — free them now (no-op when candidates0 is plain).
+    releaseCheckpoint(candidates0)
     val ids = candidates.select(col("a_id").as("doc_id"))
       .union(candidates.select(col("b_id").as("doc_id"))).distinct()
     val sh = docs.join(ids, Seq("doc_id"), "left_semi")
@@ -426,15 +437,15 @@ object Dedup {
     // the full-union batch pipeline would — capping each side separately
     // could keep a bucket that is over cap only jointly, making the
     // incremental decision diverge from the batch twin
+    // one checkpoint AFTER the (single-pass, windowed) cap: both filtered
+    // sides below consume it, and without the materialization both
+    // signature pipelines would run once per side
     val bandsAll = capBuckets(
       minHashBandsPortable(newDocs, numHashes, bands, shingleSize)
         .withColumn("_new", lit(true))
         .unionByName(
           minHashBandsPortable(corpus, numHashes, bands, shingleSize)
-            .withColumn("_new", lit(false)))
-        // materialize before the cap: its sizing aggregate + anti-join
-        // probe would otherwise run BOTH signature pipelines twice
-        .localCheckpoint(),
+            .withColumn("_new", lit(false))),
       Seq("band", "bucket"), maxBucket)
       .localCheckpoint()
     val newB = bandsAll.filter(col("_new")).drop("_new")
@@ -860,17 +871,16 @@ object Dedup {
     // capBuckets: identical-fingerprint floods (boilerplate) would make one
     // (band, value) key quadratic; dropping over-populated keys bounds the
     // join. NOTE this also caps recall for such floods — by design.
+    // one checkpoint after the (single-pass, windowed) cap — reused by
+    // both self-join sides (see bandedCandidates); one fingerprint pass
+    // total
     val banded = capBuckets(
       fp.select(
         col("doc_id"), col("simhash_hi"), col("simhash_lo"),
         explode(array(bands: _*)).as("b"))
         .select(col("doc_id"), col("simhash_hi"), col("simhash_lo"),
-          col("b.band"), col("b.bv"))
-        // materialize before the cap (its sizing aggregate + anti-join
-        // probe are two consumers) — one fingerprint pass total
-        .localCheckpoint(),
+          col("b.band"), col("b.bv")),
       Seq("band", "bv"), maxBucket)
-      // reused by both self-join sides (see bandedCandidates)
       .localCheckpoint()
     val other = banded.select(
       col("band"), col("bv"), col("doc_id").as("b_id"),

@@ -75,6 +75,63 @@ object Multimodal {
     }
   }
 
+  /** A REAL pure-JVM decoder for the seam: binary PPM (`P6`), the
+    * simplest raster format an image pipeline meets in the wild — ASCII
+    * header (`P6`, optional `#` comments, width height maxval, one
+    * whitespace byte) followed by `width·height·3` RGB sample bytes.
+    * No codec library needed, so the decode tier is honest end to end:
+    * header fields come from parsing, features from actual raster bytes.
+    *
+    * Kept deliberately strict — single-byte samples only (`maxval` ≤ 255),
+    * full raster required — because [[extractFeatures]] falls back to
+    * [[FakeDecoder]] on `None`, and a half-parsed payload must take the
+    * fallback, not produce half-real numbers.
+    */
+  object PpmDecoder {
+    /** `Some((width, height, 8-bin raster-byte histogram))` for a valid
+      * binary PPM, `None` otherwise (caller falls back).
+      */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+      if (payload == null || payload.length < 11 ||
+        payload(0) != 'P' || payload(1) != '6') return None
+      var pos = 2
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      // PPM whitespace: any run of blanks, with '#'-to-end-of-line comments
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < payload.length) {
+          if (isWs(payload(pos))) pos += 1
+          else if (payload(pos) == '#') {
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          } else go = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        var v = -1
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = (if (v < 0) 0 else v) * 10 + (payload(pos) - '0')
+          pos += 1
+          if (v > 1000000) return -1 // absurd dimension → malformed
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      // exactly ONE whitespace byte separates maxval from the raster
+      if (pos >= payload.length || !isWs(payload(pos))) return None
+      pos += 1
+      val raster = w.toLong * h * 3
+      if (raster > Int.MaxValue || payload.length - pos < raster) return None
+      val hist = new Array[Double](8)
+      var i = 0
+      while (i < raster) { hist((payload(pos + i) & 0xff) >> 5) += 1.0; i += 1 }
+      var j = 0
+      while (j < 8) { hist(j) /= raster; j += 1 }
+      Some((w, h, hist))
+    }
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("dec_width", IntegerType, nullable = false),
@@ -213,6 +270,11 @@ object Multimodal {
   /** Feature extraction: per-partition batch decode → feature vectors.
     * `mapPartitions` (not per-row UDF) so a real decoder initializes once
     * per partition/core, mirroring the batch shape of an Arrow/Pandas UDF.
+    *
+    * Decode order: the REAL [[PpmDecoder]] first (header-parsed
+    * dimensions, raster-byte features); any payload that is not a valid
+    * binary PPM falls back to the deterministic [[FakeDecoder]] stand-in
+    * — the tier a real deployment extends with further formats.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -221,7 +283,8 @@ object Multimodal {
       rows.map { ir =>
         val id = ir.getLong(0)
         val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
-        val (w, h, feats) = FakeDecoder.decode(payload)
+        val (w, h, feats) = PpmDecoder.decode(payload)
+          .getOrElse(FakeDecoder.decode(payload))
         Row(id, w, h, feats.toSeq)
       }
     }

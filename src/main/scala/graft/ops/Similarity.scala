@@ -693,19 +693,26 @@ object Similarity {
     require(outDim >= 1 && inDim >= 1, s"dims must be positive: $inDim -> $outDim")
     val signs = lit((0 until outDim).flatMap(j =>
       (0 until inDim).map(i => rpSign(seed, i, j))).toArray)
+    import graft.functions.ColumnOps.bind
     embeddings.select(col("vec_id"),
-      posexplode(graft.functions.ColumnOps.bind(quantize(col("embedding"))) { qv =>
-        transform(sequence(lit(0), lit(outDim - 1)), j =>
-          // dimension guard: zip_with pads the shorter side with NULLs,
-          // so an embedding whose length != inDim would fold to an
-          // all-NULL projection — corrupt silently; fail loudly instead
-          when(size(qv) =!= inDim,
+      // dimension guard: zip_with pads the shorter side with NULLs, so an
+      // embedding whose length != inDim would fold to an all-NULL
+      // projection — corrupt silently; fail loudly instead. The guard is
+      // LET-BOUND so it is planned once per row, not re-planned (with its
+      // concat/cast error-message construction) inside each of the
+      // `outDim` transform branches.
+      posexplode(bind(quantize(col("embedding"))) { qv0 =>
+        bind(
+          when(size(qv0) =!= inDim,
             raise_error(concat(
-              lit(s"randomProjection: embedding dim "), size(qv).cast("string"),
+              lit(s"randomProjection: embedding dim "), size(qv0).cast("string"),
               lit(s" != inDim $inDim"))))
-            .otherwise(aggregate(
+            .otherwise(qv0)) { qv =>
+          transform(sequence(lit(0), lit(outDim - 1)), j =>
+            aggregate(
               zip_with(qv, slice(signs, j * inDim + 1, lit(inDim)), (x, sg) => x * sg),
-              lit(0L), (acc, x) => acc + x)))
+              lit(0L), (acc, x) => acc + x))
+        }
       }))
       .select(col("vec_id"), col("pos").cast("long").as("j"), col("col").as("proj"))
   }

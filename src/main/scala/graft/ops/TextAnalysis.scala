@@ -888,8 +888,11 @@ object TextAnalysis {
     val bi = biAll.filter(col("c_ab") >= minCount)
     val uni = df.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+    // both sides are 1-row aggregates: hint the broadcast explicitly for
+    // plan determinism (every sibling stats crossJoin in this file hints
+    // it; AQE would usually rescue an unhinted one, but only at runtime)
     val tot = biAll.agg(sum("c_ab").as("n_bi"))
-      .crossJoin(uni.agg(sum("c").as("n_uni")))
+      .crossJoin(broadcast(uni.agg(sum("c").as("n_uni"))))
     bi
       .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")

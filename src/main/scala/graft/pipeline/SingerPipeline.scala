@@ -39,6 +39,14 @@ import java.time.{ZoneOffset, ZonedDateTime}
   * @param partitionBy      per-stream output partition columns (Hive-style
   *                         directory layout). Columns must exist in the
   *                         stream's schema after `fixedHeaders` pruning.
+  * @param fileNamingScheme output-name template. The reference declares
+  *                         this key (`target.py:20-24`) but never reads it
+  *                         (dead config, like `filepath`); honored here as
+  *                         the second documented improvement of that pair.
+  *                         Tokens `{stream}` and `{timestamp}`
+  *                         (`YYYYMMDDTHHMMSS`, UTC) are substituted; the
+  *                         default reproduces the reference's hardcoded
+  *                         `{stream}-{timestamp}.parquet` (`writers.py:31-33`).
   */
 final case class SingerConfig(
     outDir: String,
@@ -47,7 +55,8 @@ final case class SingerConfig(
     stageByStream: Boolean = false,
     schemaMessages: Option[Seq[String]] = None,
     compression: Option[String] = None,
-    partitionBy: Map[String, Seq[String]] = Map.empty)
+    partitionBy: Map[String, Seq[String]] = Map.empty,
+    fileNamingScheme: Option[String] = None)
 
 /** Result of one ingest job: per-stream output paths and record counts
   * (the reference's `job_metrics.json`, `writers.py:52-74`), plus the last
@@ -212,10 +221,20 @@ object SingerPipeline {
 
   /** K3 file naming: `{stream}-{YYYYMMDDTHHMMSS}.parquet`
     * (`writers.py:10-11,31-33`) — here a parquet *directory* of part-files,
-    * the Spark-native equivalent (SURVEY.md §7.4).
+    * the Spark-native equivalent (SURVEY.md §7.4). `file_naming_scheme`
+    * overrides the template ([[SingerConfig.fileNamingScheme]]); a scheme
+    * without `{stream}` would collapse every stream onto one path, so the
+    * token is required whenever more than one stream could be in play —
+    * enforced at resolution time because only the caller knows the
+    * registry size.
     */
-  def outputPath(config: SingerConfig, stream: String, now: ZonedDateTime): String =
-    s"${config.outDir}/$stream-${tsFmt.format(now)}.parquet"
+  def outputPath(config: SingerConfig, stream: String, now: ZonedDateTime): String = {
+    val scheme = config.fileNamingScheme.getOrElse("{stream}-{timestamp}.parquet")
+    val name = scheme
+      .replace("{stream}", stream)
+      .replace("{timestamp}", tsFmt.format(now))
+    s"${config.outDir}/$name"
+  }
 
   /** Full batch ingest: Singer JSON lines → one Parquet dataset per stream +
     * record-count metrics.
@@ -235,6 +254,13 @@ object SingerPipeline {
   def ingest(lines: DataFrame, config: SingerConfig): IngestResult = {
     val spark = lines.sparkSession
     val registry = parseSchemas(lines, config)
+    // fail FAST on a colliding naming scheme — before any write job runs,
+    // not after stream #2 trips over stream #1's output path
+    config.fileNamingScheme.foreach { scheme =>
+      require(registry.size <= 1 || scheme.contains("{stream}"),
+        s"file_naming_scheme '$scheme' has no {stream} token but the input " +
+          s"has ${registry.size} streams — their outputs would collide")
+    }
     val now = ZonedDateTime.now(ZoneOffset.UTC)
 
     // Per-stream typed projection. Direct path: ONE single-parse job per

@@ -7,7 +7,7 @@ object Plans {
     val dir = "/root/testdata/sf0.001"
     args.foreach { name =>
       println(s"########## $name")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      SparkEntry.allQueries(name)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

@@ -11,12 +11,12 @@ object Prof {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries("q_stream_counts")(spark, sfDir)
+    SparkEntry.allQueries("q_stream_counts")(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // warm-up
     args.foreach { name =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
+        SparkEntry.allQueries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }

@@ -20,12 +20,12 @@ object TimeQuery {
     val spark = graft.Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm codegen/file listing
-    graft.SparkEntry.queries("q_stream_counts")(spark, sfDir)
+    graft.SparkEntry.allQueries("q_stream_counts")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     for (name <- names) {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, sfDir)
+        graft.SparkEntry.allQueries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }

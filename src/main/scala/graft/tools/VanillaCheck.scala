@@ -23,7 +23,7 @@ object VanillaCheck {
       "q_sim_ivf", "q_sim_ivf_trained", "q_asof_join", "q_range_join",
       "q_decontaminate_bloom", "q_char_entropy", "q_fingerprint",
       "q_text_tokens", "q_tokenize_greedy")) {
-      val c = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      val c = graft.SparkEntry.allQueries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"VANILLA $q rows: $c (fallback path)")
       require(c > 0, s"$q must return rows without extensions")
     }

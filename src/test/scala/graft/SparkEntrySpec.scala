@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The driver-contract invariants that keep the correctness gate honest:
+  * every DECLARED query must have a DuckDB oracle (no rows-only entries —
+  * native-hash variants whose outputs no external engine can replay live
+  * in `benchOnlyQueries` instead), and every bench headline name must
+  * resolve.
+  */
+class SparkEntrySpec extends AnyFunSuite with Matchers {
+
+  test("every declared query has an oracle, and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    withClue(s"queries without oracle: ${(q -- o).toSeq.sorted}; " +
+      s"oracles without query: ${(o -- q).toSeq.sorted}") {
+      q shouldBe o
+    }
+  }
+
+  test("bench-only queries never shadow declared queries") {
+    (SparkEntry.benchOnlyQueries.keySet & SparkEntry.queries.keySet) shouldBe empty
+  }
+
+  test("every bench headline name resolves") {
+    val all = SparkEntry.allQueries.keySet
+    Bench.headline.filterNot(all) shouldBe empty
+  }
+}

@@ -80,6 +80,47 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     Multimodal.resampleBytes("abcd".getBytes, 4) shouldBe "abcd".getBytes
   }
 
+  test("PpmDecoder: parses a real binary PPM (header, comment, raster histogram)") {
+    // 2x1 RGB raster: bytes 0x00 0x20 0x40 | 0xE0 0xFF 0x61 -> bins 0,1,2,7,7,3
+    val raster = Array[Byte](0x00, 0x20, 0x40, 0xE0.toByte, 0xFF.toByte, 0x61)
+    val ppm = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++ raster
+    val Some((w, h, hist)) = Multimodal.PpmDecoder.decode(ppm)
+    w shouldBe 2
+    h shouldBe 1
+    hist(0) shouldBe 1.0 / 6 +- 1e-12
+    hist(7) shouldBe 2.0 / 6 +- 1e-12
+    hist.sum shouldBe 1.0 +- 1e-12
+    // trailing junk after the full raster is ignored (streams may pad)
+    Multimodal.PpmDecoder.decode(ppm ++ Array[Byte](1, 2, 3)).map(_._1) shouldBe Some(2)
+  }
+
+  test("PpmDecoder: rejects malformed payloads (fallback contract)") {
+    val d = Multimodal.PpmDecoder
+    d.decode(null) shouldBe None
+    d.decode("plain text that is not ppm".getBytes) shouldBe None
+    d.decode("P6\n2 1\n255\n".getBytes ++ Array[Byte](1, 2, 3)) shouldBe None // short raster
+    d.decode("P6\n2 1\n65535\n".getBytes ++ new Array[Byte](12)) shouldBe None // 2-byte samples
+    d.decode("P6\n0 1\n255\n".getBytes) shouldBe None // zero dimension
+  }
+
+  test("extractFeatures: PPM payloads take the real decoder, others the stub") {
+    import spark.implicits._
+    val raster = new Array[Byte](6) // all zeros -> bin 0
+    val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ raster
+    val mixed = Seq(
+      (10L, ppm),
+      (11L, "not an image at all, 24 b".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+    val f = Multimodal.extractFeatures(mixed).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // real path: header dims, histogram over the 6 raster bytes only
+    f(10L).getAs[Int]("dec_width") shouldBe 2
+    f(10L).getAs[Int]("dec_height") shouldBe 1
+    f(10L).getSeq[Double](f(10L).fieldIndex("features"))(0) shouldBe 1.0 +- 1e-12
+    // fallback path: FakeDecoder's n % 640 dims over all 25 bytes
+    f(11L).getAs[Int]("dec_width") shouldBe 25
+  }
+
   test("feature extraction runs per-partition and is deterministic in the bytes") {
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap

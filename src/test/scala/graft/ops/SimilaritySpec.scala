@@ -197,4 +197,18 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     again shouldBe p
   }
+
+  test("randomProjection: mismatched embedding dim fails loudly") {
+    import spark.implicits._
+    // zip_with would silently NULL-pad a short vector; the hoisted guard
+    // must still fail loudly (it is planned once per row, upstream of the
+    // per-dimension transform)
+    val bad = Seq((1L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Throwable] {
+      Similarity.randomProjection(bad, outDim = 4).collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    chain should include("embedding dim")
+  }
 }

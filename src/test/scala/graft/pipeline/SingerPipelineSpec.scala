@@ -231,6 +231,29 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
     back.filter(col("name") === "alice").count() shouldBe 2
   }
 
+  test("file_naming_scheme: {stream}/{timestamp} template names the output (target.py:20-24, dead there)") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "alice"}}"""))
+    val res = SingerPipeline.run(spark, input,
+      SingerConfig(tmp(), fileNamingScheme = Some("export-{stream}-{timestamp}.pq")))
+    val name = java.nio.file.Paths.get(res.paths("users")).getFileName.toString
+    name should fullyMatch regex "export-users-\\d{8}T\\d{6}\\.pq"
+    spark.read.parquet(res.paths("users")).count() shouldBe 1
+  }
+
+  test("file_naming_scheme without {stream} fails fast on multi-stream input") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "SCHEMA", "stream": "orders", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "a"}}"""))
+    val e = intercept[IllegalArgumentException] {
+      SingerPipeline.run(spark, input,
+        SingerConfig(tmp(), fileNamingScheme = Some("all-{timestamp}.parquet")))
+    }
+    e.getMessage should include("{stream}")
+  }
+
   test("pre-supplied schemas skip the discovery scan (scale path)") {
     val input = write(Seq(
       // no SCHEMA line in the input at all

@@ -87,12 +87,17 @@ def main(sf_dir, out_dir):
     dumped = {d for d in os.listdir(out_dir)
               if not d.endswith(".json") and os.path.isdir(os.path.join(out_dir, d))}
     rows_only = dumped - set(oracle)
-    if rows_only - set(oracle):
-        # a dir with no oracle entry is either a deliberate rows-only query
-        # or a STALE leftover from a previous run (renamed/removed query, or
-        # a VerifySome subset overwrote oracle_sql.json) — flag loudly so a
-        # rows-only PASS can't silently stand in for an oracle check
-        print(f"note: rows-only dirs (no oracle entry): {sorted(rows_only)}")
+    # Every deliberately rows-only query must be enumerated here; a dump
+    # dir that is neither oracle-checked nor allowlisted is a STALE
+    # leftover from a previous run (renamed/removed query, or a VerifySome
+    # subset overwrote oracle_sql.json) and must FAIL, not silently count
+    # as a rows-only PASS standing in for an oracle check.
+    ROWS_ONLY_EXPECTED = set()
+    for name in sorted(rows_only - ROWS_ONLY_EXPECTED):
+        print(f"FAIL {name}: dump dir has no oracle entry and is not an "
+              f"allowlisted rows-only query — stale leftover?")
+        n_fail += 1
+    rows_only &= ROWS_ONLY_EXPECTED
     for name in sorted(rows_only):
         try:
             n = con.sql(
