@@ -18,7 +18,8 @@ object Bench {
     "q_top_ngrams", "q_text_chunk", "q_tokenize_greedy", "q_split", "q_fingerprint",
     "q_corpus_stats",
     "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
-    "q_multimodal_phash",
+    "q_multimodal_phash", "q_multimodal_decode", "q_multimodal_audio",
+    "q_multimodal_resize_ppm",
     "q_zorder", "q_hist_quantile", "q_hybrid_rrf", "q_rand_proj")
 
   def main(args: Array[String]): Unit = {

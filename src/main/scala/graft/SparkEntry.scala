@@ -1593,6 +1593,34 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL 2-D resize through the PPM tier: the synthesized 4×3 rasters
+    // resized to 2×2 on the actual pixel grid and re-encoded; DuckDB
+    // replays the NN index map (and the re-encoded header) from the hex
+    // view of the same 36 raster bytes.
+    "q_multimodal_resize_ppm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= 36)
+      val media = docs.select(
+        col("doc_id").as("media_id"),
+        concat(
+          lit("P6\n4 3\n255\n").cast("binary"),
+          expr("substring(encode(text, 'UTF-8'), 1, 36)")).as("payload"))
+      Multimodal.resizePpm(media, 2, 2)
+        .select(col("media_id"), col("width"), col("height"),
+          hex(col("payload")).as("payload_hex"))
+        .orderBy("media_id")
+    }),
+
+    // audio tier: documents' bytes as 16-bit little-endian PCM → the
+    // standard triage stats (peak / RMS / zero-crossing / silence), every
+    // output integer-exact and replayed by DuckDB from the hex byte view
+    "q_multimodal_audio" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").cast("binary").as("payload"))
+      Multimodal.pcmStats(media).orderBy("media_id")
+    }),
+
     // Payload crosses the compare boundary as hex text (binary is
     // unsortable in the driver's pandas compare).
     "q_multimodal_frames" -> ((s, dir) =>
@@ -2333,6 +2361,49 @@ object SparkEntry {
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 6)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f6,
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 7)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f7
         |FROM by0 ORDER BY media_id""".stripMargin,
+
+    // 2-D NN map: output pixel (y, x) ← source pixel (⌊y·3/2⌋, ⌊x·4/2⌋)
+    // → raster byte triples [0,6,12,18]+c; header re-encodes to
+    // "P6\n2 2\n255\n" (hex 50360A3220320A3235350A).
+    "q_multimodal_resize_ppm" ->
+      """WITH b AS (
+        | SELECT doc_id, substr(hex(encode(text)), 1, 72) AS hx
+        | FROM documents WHERE octet_length(encode(text)) >= 36
+        |)
+        |SELECT doc_id AS media_id, CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+        | '50360A3220320A3235350A' || array_to_string(
+        |   list_transform([0,1,2,6,7,8,12,13,14,18,19,20],
+        |     i -> substr(hx, CAST(i*2+1 AS INT), 2)), '') AS payload_hex
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    // little-endian int16: sample i = byte(2i) + 256·byte(2i+1), sign bit
+    // via the 65536 fold; the single float (RMS) crosses one IEEE sqrt
+    // both engines round identically, then quantizes to milli.
+    "q_multimodal_audio" ->
+      """WITH b AS (
+        | SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) // 2 AS n
+        | FROM documents
+        |),
+        |v AS (
+        | SELECT doc_id, n, list_transform(range(0, n), i ->
+        |   CASE WHEN ('0x' || substr(hx, CAST(4*i+3 AS INT), 2))::BIGINT >= 128
+        |        THEN ('0x' || substr(hx, CAST(4*i+3 AS INT), 2))::BIGINT * 256
+        |             + ('0x' || substr(hx, CAST(4*i+1 AS INT), 2))::BIGINT - 65536
+        |        ELSE ('0x' || substr(hx, CAST(4*i+3 AS INT), 2))::BIGINT * 256
+        |             + ('0x' || substr(hx, CAST(4*i+1 AS INT), 2))::BIGINT
+        |   END) AS sm
+        | FROM b
+        |)
+        |SELECT doc_id AS media_id, n AS n_samples,
+        | CASE WHEN n = 0 THEN NULL ELSE list_max(list_transform(sm, x -> abs(x))) END AS peak,
+        | CASE WHEN n = 0 THEN NULL ELSE
+        |  CAST(round(sqrt(CAST(list_sum(list_transform(sm, x -> x*x)) AS DOUBLE) / n) * 1000) AS BIGINT) END AS rms_milli,
+        | CASE WHEN n = 0 THEN NULL ELSE
+        |  CAST(len(list_filter(range(1, CAST(n AS INT)), i -> (sm[i] < 0) != (sm[i+1] < 0))) AS BIGINT) END AS zero_crossings,
+        | CASE WHEN n = 0 THEN NULL ELSE
+        |  CAST(len(list_filter(sm, x -> abs(x) < 512)) AS BIGINT) END AS n_silent
+        |FROM v ORDER BY media_id""".stripMargin,
 
     // resize's NN index map replayed on the hex view: output byte i is the
     // two hex digits at input position (i*n)//32.

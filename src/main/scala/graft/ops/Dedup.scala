@@ -285,10 +285,10 @@ object Dedup {
     * aggregate + anti-join) consumes its input twice, which forced every
     * caller to pre-checkpoint the banding pipeline and then release that
     * checkpoint once the capped result materialized — an extra job, extra
-    * pinned blocks, and a measured slowdown from the release traffic. The
-    * window also leaves the output CLUSTERED BY the very keys the callers'
-    * self-joins use, and `localCheckpoint` preserves partitioning into the
-    * LogicalRDD, so the downstream join needs no re-exchange.
+    * pinned blocks, and a measured slowdown from the release traffic.
+    * (Under AQE the checkpoint's LogicalRDD reports UnknownPartitioning,
+    * so the downstream self-join still re-exchanges the capped rows —
+    * narrow (id, band, bucket) tuples, the cheap part of the pipeline.)
     *
     * Skew note: a degenerate key's rows land in one window task, but the
     * task only counts and filters (WindowExec's buffer spills past memory),

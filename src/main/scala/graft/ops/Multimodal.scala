@@ -88,10 +88,11 @@ object Multimodal {
     * fallback, not produce half-real numbers.
     */
   object PpmDecoder {
-    /** `Some((width, height, 8-bin raster-byte histogram))` for a valid
-      * binary PPM, `None` otherwise (caller falls back).
+    /** `Some((width, height, raster offset))` for a structurally valid
+      * binary PPM header with a complete single-byte-sample raster behind
+      * it, `None` otherwise.
       */
-    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    private def header(payload: Array[Byte]): Option[(Int, Int, Int)] = {
       if (payload == null || payload.length < 11 ||
         payload(0) != 'P' || payload(1) != '6') return None
       var pos = 2
@@ -123,12 +124,38 @@ object Multimodal {
       pos += 1
       val raster = w.toLong * h * 3
       if (raster > Int.MaxValue || payload.length - pos < raster) return None
-      val hist = new Array[Double](8)
-      var i = 0
-      while (i < raster) { hist((payload(pos + i) & 0xff) >> 5) += 1.0; i += 1 }
-      var j = 0
-      while (j < 8) { hist(j) /= raster; j += 1 }
-      Some((w, h, hist))
+      Some((w, h, pos))
+    }
+
+    /** `Some((width, height, 8-bin raster-byte histogram))` for a valid
+      * binary PPM, `None` otherwise (caller falls back).
+      */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Double])] =
+      header(payload).map { case (w, h, off) =>
+        val raster = w * h * 3
+        val hist = new Array[Double](8)
+        var i = 0
+        while (i < raster) { hist((payload(off + i) & 0xff) >> 5) += 1.0; i += 1 }
+        var j = 0
+        while (j < 8) { hist(j) /= raster; j += 1 }
+        (w, h, hist)
+      }
+
+    /** `Some((width, height, raster bytes))` — the full decoded pixel
+      * buffer, for transforms that need the 2-D grid ([[resizePpm]]).
+      */
+    def decodeRaster(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      header(payload).map { case (w, h, off) =>
+        (w, h, java.util.Arrays.copyOfRange(payload, off, off + w * h * 3))
+      }
+
+    /** Re-encode a raster as binary PPM (the exact header shape
+      * [[header]] parses back: `P6\nW H\n255\n`).
+      */
+    def encode(w: Int, h: Int, raster: Array[Byte]): Array[Byte] = {
+      require(raster.length == w * h * 3,
+        s"raster ${raster.length} != $w x $h x 3")
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ raster
     }
   }
 
@@ -192,6 +219,127 @@ object Multimodal {
       }
       out
     }
+
+  /** REAL 2-D image resize for payloads [[PpmDecoder]] can decode:
+    * nearest-neighbor on the actual pixel grid — output pixel (x, y)
+    * copies source pixel (⌊x·w/W⌋, ⌊y·h/H⌋), all three channels — then
+    * re-encoded as binary PPM. Payloads that are NOT valid PPM take the
+    * 1-D [[resampleBytes]] stand-in (same fallback contract as
+    * [[extractFeatures]]): the output dims/mime are stamped either way,
+    * so downstream schema never depends on which path decoded.
+    *
+    * Same scale contract as [[resize]]: per-partition batch transform,
+    * payloads transformed in place, nothing shuffled.
+    */
+  def resizePpm(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, s"target dims must be positive: $width x $height")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"target raster $width x $height x 3 overflows a JVM byte array")
+    val spark = media.sparkSession
+    val pruned = media.select(col("media_id"), col("payload"))
+    val out = pruned.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { ir =>
+        val id = ir.getLong(0)
+        val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        val (resized, mime) = PpmDecoder.decodeRaster(payload) match {
+          case Some((w, h, raster)) =>
+            val outRaster = new Array[Byte](width * height * 3)
+            var y = 0
+            while (y < height) {
+              val sy = (y.toLong * h / height).toInt
+              var x = 0
+              while (x < width) {
+                val sx = (x.toLong * w / width).toInt
+                val src = (sy * w + sx) * 3
+                val dst = (y * width + x) * 3
+                outRaster(dst) = raster(src)
+                outRaster(dst + 1) = raster(src + 1)
+                outRaster(dst + 2) = raster(src + 2)
+                x += 1
+              }
+              y += 1
+            }
+            (PpmDecoder.encode(width, height, outRaster), "image/x-portable-pixmap")
+          case None =>
+            (resampleBytes(payload, width * height), "application/x-graft-resampled")
+        }
+        Row(id, resized, mime, width, height)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false))))
+  }
+
+  /** The audio tier of the decode seam: interpret the payload as raw
+    * little-endian signed 16-bit mono PCM — the one audio "format" that,
+    * like binary PPM, needs no codec library, so the tier is honest end
+    * to end — and emit the standard triage features an audio corpus is
+    * filtered on before expensive transcription:
+    *
+    *   - `n_samples`   — ⌊bytes/2⌋ (a trailing odd byte is ignored);
+    *   - `peak`        — max |sample| (5-second clip of silence vs music);
+    *   - `rms_milli`   — round(RMS × 1000): loudness, the first-pass
+    *     quality gate (near-zero = dead air, ~32767 = clipping);
+    *   - `zero_crossings` — sign transitions: a cheap spectral proxy
+    *     (voiced speech low, fricatives/noise high);
+    *   - `n_silent`    — samples with |s| < `silenceThreshold`, the
+    *     silence-ratio numerator.
+    *
+    * Same contract as [[extractFeatures]]: per-partition batch transform
+    * (`mapPartitions`, decoder state initialized once per partition),
+    * payload bytes never shuffled, and every output is integer-exact —
+    * RMS is the only float, routed through one IEEE sqrt both engines
+    * round identically — so the whole tier replays in DuckDB from the
+    * hex view of the bytes.
+    */
+  def pcmStats(media: DataFrame, silenceThreshold: Int = 512): DataFrame = {
+    require(silenceThreshold >= 0,
+      s"silenceThreshold must be non-negative, got $silenceThreshold")
+    val spark = media.sparkSession
+    val pruned = media.select(col("media_id"), col("payload"))
+    val out = pruned.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { ir =>
+        val id = ir.getLong(0)
+        val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        val n = if (payload == null) 0 else payload.length / 2
+        if (n == 0) Row(id, 0L, null, null, null, null)
+        else {
+          var i = 0
+          var peak = 0L
+          var sumSq = 0L
+          var crossings = 0L
+          var silent = 0L
+          var prevNeg = false
+          while (i < n) {
+            val lo = payload(2 * i) & 0xff
+            val hi = payload(2 * i + 1)
+            val s = (hi << 8) | lo // hi is signed: sign-extends correctly
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            sumSq += s.toLong * s
+            if (a < silenceThreshold) silent += 1
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          val rmsMilli = math.round(math.sqrt(sumSq.toDouble / n) * 1000)
+          Row(id, n.toLong, peak, rmsMilli, crossings, silent)
+        }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = true),
+      StructField("rms_milli", LongType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true),
+      StructField("n_silent", LongType, nullable = true))))
+  }
 
   /** Perceptual hash (aHash) of the payload: NN-resample the byte stream
     * to `sampleBytes` samples, threshold each against the scaled mean,

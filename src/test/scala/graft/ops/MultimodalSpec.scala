@@ -121,6 +121,45 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     f(11L).getAs[Int]("dec_width") shouldBe 25
   }
 
+  test("resizePpm: real 2-D NN resize on the pixel grid, PPM re-encoded") {
+    import spark.implicits._
+    // 2x2 raster with distinct per-pixel colors: p0=(1,2,3) p1=(4,5,6)
+    // p2=(7,8,9) p3=(10,11,12); 1x1 NN resize keeps exactly p0
+    val raster = Array.tabulate[Byte](12)(i => (i + 1).toByte)
+    val ppm = Multimodal.PpmDecoder.encode(2, 2, raster)
+    val df = Seq((1L, ppm), (2L, "not ppm at all".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.resizePpm(df, 1, 1).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val p1 = out(1L).getAs[Array[Byte]]("payload")
+    p1 shouldBe Multimodal.PpmDecoder.encode(1, 1, Array[Byte](1, 2, 3))
+    out(1L).getAs[String]("mime") shouldBe "image/x-portable-pixmap"
+    // decode of the re-encoded output round-trips
+    Multimodal.PpmDecoder.decodeRaster(p1).map(t => (t._1, t._2)) shouldBe Some((1, 1))
+    // non-PPM payload takes the 1-D resample fallback
+    out(2L).getAs[String]("mime") shouldBe "application/x-graft-resampled"
+    out(2L).getAs[Array[Byte]]("payload").length shouldBe 1
+  }
+
+  test("pcmStats: little-endian int16 decode, peak/rms/crossings/silence") {
+    import spark.implicits._
+    // samples: +1, -32768, +32767, 0  (bytes little-endian)
+    val pcm = Array[Byte](0x01, 0x00, 0x00, 0x80.toByte, 0xFF.toByte, 0x7F, 0x00, 0x00)
+    val df = Seq((1L, pcm), (2L, Array.emptyByteArray)).toDF("media_id", "payload")
+    val out = Multimodal.pcmStats(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    out(1L).getAs[Long]("n_samples") shouldBe 4L
+    out(1L).getAs[Long]("peak") shouldBe 32768L
+    // signs +,-,+,+(zero counts non-negative): two transitions
+    out(1L).getAs[Long]("zero_crossings") shouldBe 2L
+    out(1L).getAs[Long]("n_silent") shouldBe 2L // |1| and |0| under 512
+    val expRms = math.round(math.sqrt(
+      (1.0 + 32768.0 * 32768 + 32767.0 * 32767 + 0) / 4) * 1000)
+    out(1L).getAs[Long]("rms_milli") shouldBe expRms
+    // empty payload: zero samples, NULL stats
+    out(2L).getAs[Long]("n_samples") shouldBe 0L
+    out(2L).isNullAt(out(2L).fieldIndex("peak")) shouldBe true
+  }
+
   test("feature extraction runs per-partition and is deterministic in the bytes") {
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap
