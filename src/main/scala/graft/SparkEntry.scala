@@ -1308,6 +1308,12 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairStats(t(s, dir, "documents"), k = 50)),
 
+    // real BPE merge training: N distributed pair-count iterations over
+    // the checkpointed word-frequency table; oracle unrolls the same N
+    // iterations as chained DuckDB CTEs (see bpeTrainOracle)
+    "q_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = BpeMerges)),
+
     // exact-substring tier: winnow candidates -> longest shared token span
     "q_overlap_spans" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1671,6 +1677,46 @@ object SparkEntry {
     */
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ benchOnlyQueries
+
+  /** Merge-iteration count shared by the `q_bpe_train` query and its
+    * unrolled oracle — ONE constant so the two can never disagree.
+    */
+  private val BpeMerges = 8
+
+  /** Driver-generated DuckDB oracle for [[graft.ops.TextAnalysis.bpeTrain]]:
+    * the N-iteration merge loop unrolled as chained CTEs. `r0` is the
+    * word-frequency table with each word in the pipe-wrapped symbol
+    * representation (`abc` → `|a||b||c|`); each iteration k counts
+    * adjacent symbol pairs (`p{k}`), takes the argmax with the
+    * (count desc, left asc, right asc) tie-break (`m{k}`), and applies
+    * the merge via the same left-to-right non-overlapping `replace`
+    * Spark uses (`r{k}`). The final UNION collects the merge table.
+    */
+  private def bpeTrainOracle(n: Int): String = {
+    val base =
+      """WITH r0 AS (
+        | SELECT count(*) AS freq,
+        |  '|' || array_to_string([substr(w, i, 1) for i in range(1, length(w)+1)], '||') || '|' AS rep
+        | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w FROM documents)
+        | WHERE length(w) >= 2 GROUP BY 2)""".stripMargin
+    val iters = (1 to n).map { k =>
+      s""",
+         |p$k AS (
+         | SELECT p.a AS a, p.b AS b, freq FROM (
+         |  SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} for i in range(1, len(s))]) AS p
+         |  FROM (SELECT freq, string_split(substr(rep, 2, length(rep)-2), '||') AS s FROM r${k - 1}))),
+         |m$k AS (
+         | SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM p$k GROUP BY 1, 2
+         | ORDER BY cnt DESC, a, b LIMIT 1),
+         |r$k AS (
+         | SELECT freq, replace(rep, '|' || m.a || '||' || m.b || '|', '|' || m.a || m.b || '|') AS rep
+         | FROM r${k - 1}, m$k m)""".stripMargin
+    }.mkString
+    val union = (1 to n)
+      .map(k => s"SELECT $k AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM m$k")
+      .mkString("\nUNION ALL ")
+    base + iters + "\n" + union + "\nORDER BY merge_rank"
+  }
 
   /** BM25 oracle, shared verbatim by `q_bm25` and (as the lexical leg)
     * `q_hybrid_rrf`, so the two can never drift.
@@ -3780,6 +3826,8 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bpe_train" -> bpeTrainOracle(BpeMerges),
 
     "q_bpe_pairs" ->
       """WITH wd AS (

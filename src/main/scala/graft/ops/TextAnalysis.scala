@@ -814,6 +814,91 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Real byte-pair-encoding merge TRAINING: `numMerges` iterations of
+    * "count adjacent symbol pairs corpus-wide, merge the most frequent
+    * pair everywhere". Output is the ordered merge table — the artifact
+    * a BPE tokenizer ships ([[bpePairStats]] is this loop's first
+    * iteration; [[greedyTokenize]] applies the trained vocabulary).
+    *
+    * Architecture is the split industrial trainers use: the corpus is
+    * touched ONCE — a counting shuffle that collapses anything TB-sized
+    * into a distinct-word frequency table (vocabulary-bounded — tens of
+    * millions of rows at web scale, never corpus-sized). That table is
+    * `localCheckpoint()`ed, and each merge iteration is one distributed
+    * pair-count aggregation over it plus a 1-row `collect` (the argmax —
+    * the only driver traffic per iteration). Merge application is a
+    * single codegen'd `replace` on the symbol string, so iteration k's
+    * job is k narrow string ops over the checkpointed base — no second
+    * corpus scan ever, no growing checkpoint chain.
+    *
+    * Words are represented with every symbol pipe-wrapped (`abc` →
+    * `|a||b||c|`); pretokenization keeps only lowercased letter/digit
+    * runs (the [[bpeTokenCount]] pretokenizer family), so `|` can never
+    * occur inside a symbol and replacing `|a||b|` with `|ab|` is exactly
+    * the greedy left-to-right merge (`replace` consumes matches left to
+    * right without overlap, so `aaa` merges to `(aa)a`). Ties break
+    * (count desc, left asc, right asc); the DuckDB oracle unrolls the
+    * same N iterations as chained CTEs with the identical tie-break.
+    * Stops early (fewer output rows) if the corpus runs out of pairs.
+    */
+  def bpeTrain(
+      df: DataFrame,
+      numMerges: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64,
+      s"numMerges must be in [1,64], got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rep0 = concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), "||"),
+      lit("|"))
+    // the one corpus-sized job: distinct-word frequencies, materialized so
+    // the merge iterations rescan a vocabulary, not a corpus
+    val words = df
+      .select(explode(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2) // 1-char words can never pair
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), rep0.as("rep"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var cur = words
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val syms = split(
+        col("rep").substr(lit(2), length(col("rep")) - 2), "\\|\\|")
+      val top = cur
+        .select(col("freq"), syms.as("s"))
+        .filter(size(col("s")) >= 2) // sequence(1, 0) would run DOWNWARD
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("s")) - 1),
+          i => struct(
+            element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, a, b, cnt))
+        cur = cur.withColumn("rep",
+          replace(col("rep"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+        k += 1
+      }
+    }
+    // the merge table lives on the driver now — the checkpoint has no
+    // remaining consumer
+    Dedup.releaseCheckpoints(words)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick): tokens
     * hash into `dim` buckets, the per-bucket counts ARE the vector. No
     * model, no vocabulary table — the canonical "text → fixed-width

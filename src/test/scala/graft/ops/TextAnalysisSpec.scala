@@ -292,6 +292,37 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(("a", "b") -> 2L, ("a", "a") -> 1L)
   }
 
+  test("bpe train: iterated merges with greedy left-to-right application") {
+    // words (len>=2): abab x2, ab x1
+    // iter1 pairs: abab=|a||b||a||b| -> (a,b)x2,(b,a)x1 each weight 2; ab -> (a,b)x1
+    //   => (a,b)=5, (b,a)=2 -> merge1 = (a,b,5); reps: |ab||ab|, |ab|
+    // iter2: (ab,ab)=2 -> merge2 = (ab,ab,2); reps: |abab|, |ab|
+    // iter3: no pairs left -> early stop at 2 merges
+    val df = Seq((1L, "abab ab abab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, numMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1, "a", "b", 5L), (2, "ab", "ab", 2L))
+    // no leaked checkpoint blocks after training
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
+
+  test("bpe train: tie-break is (count desc, left asc, right asc)") {
+    // (b,a) and (b,c) both count 2 -> (b,a) wins round 1; then bc merges
+    val df = Seq((1L, "ba bc"), (2L, "ba bc")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1, "b", "a", 2L), (2, "b", "c", 2L))
+  }
+
+  test("bpe train: same-letter runs merge greedily left to right") {
+    // 'aaaa': pairs (a,a)x3 -> merge (a,a); replace is non-overlapping
+    // left-to-right so |a||a||a||a| -> |aa||aa| (NOT |aa||a||a|)
+    val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(df, numMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L))
+  }
+
   test("overlap spans: longest shared token run via the diagonal-island trick") {
     val docs = Seq(
       (1L, "x1 x2 c1 c2 c3 c4 c5 y1"),
