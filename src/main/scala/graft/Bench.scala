@@ -16,7 +16,7 @@ object Bench {
     "q_sim_ivf_trained",
     "q_text_tokens", "q_text_quality", "q_text_langid", "q_text_redact",
     "q_top_ngrams", "q_text_chunk", "q_tokenize_greedy", "q_bpe_train",
-    "q_split", "q_fingerprint",
+    "q_bpe_encode", "q_split", "q_fingerprint",
     "q_corpus_stats",
     "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_phash", "q_multimodal_decode", "q_multimodal_audio",

@@ -1314,6 +1314,16 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = BpeMerges)),
 
+    // train-then-encode: the learned merge table (a driver-side constant,
+    // like any shipped tokenizer) applied back over the corpus as one
+    // narrow codegen'd projection
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, numMerges = BpeMerges)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+    }),
+
     // exact-substring tier: winnow candidates -> longest shared token span
     "q_overlap_spans" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1693,6 +1703,18 @@ object SparkEntry {
     * Spark uses (`r{k}`). The final UNION collects the merge table.
     */
   private def bpeTrainOracle(n: Int): String = {
+    val union = (1 to n)
+      .map(k => s"SELECT $k AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM m$k")
+      .mkString("\nUNION ALL ")
+    bpeCtes(n) + "\n" + union + "\nORDER BY merge_rank"
+  }
+
+  /** The shared training CTE chain (`r0` word-freq table in symbol
+    * representation; per iteration: pair counts `p{k}`, argmax `m{k}`,
+    * merged table `r{k}`), used by BOTH `q_bpe_train` and `q_bpe_encode`
+    * so the learned merges can never drift between the two oracles.
+    */
+  private def bpeCtes(n: Int): String = {
     val base =
       """WITH r0 AS (
         | SELECT count(*) AS freq,
@@ -1712,10 +1734,29 @@ object SparkEntry {
          | SELECT freq, replace(rep, '|' || m.a || '||' || m.b || '|', '|' || m.a || m.b || '|') AS rep
          | FROM r${k - 1}, m$k m)""".stripMargin
     }.mkString
-    val union = (1 to n)
-      .map(k => s"SELECT $k AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM m$k")
-      .mkString("\nUNION ALL ")
-    base + iters + "\n" + union + "\nORDER BY merge_rank"
+    base + iters
+  }
+
+  /** Encode oracle: the training chain's learned merges (`m1..mN`) are
+    * applied in rank order to each document's symbol representation via
+    * scalar subqueries — the same greedy left-to-right `replace` the
+    * Spark fold uses — then `||` boundaries become spaces and pipes
+    * vanish, so subword count is a split on ' '.
+    */
+  private def bpeEncodeOracle(n: Int): String = {
+    val rep0 =
+      """array_to_string(list_transform(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+        |   w -> '|' || array_to_string([substr(w, i, 1) for i in range(1, length(w)+1)], '||') || '|'), ' ')""".stripMargin
+    val mergedRep = (1 to n).foldLeft(rep0) { (acc, k) =>
+      s"replace($acc,\n  '|' || (SELECT a FROM m$k) || '||' || (SELECT b FROM m$k) || '|', '|' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || '|')"
+    }
+    bpeCtes(n) + s"""
+       |SELECT doc_id,
+       | CASE WHEN bpe_text = '' THEN CAST(0 AS BIGINT)
+       |  ELSE CAST(len(string_split(bpe_text, ' ')) AS BIGINT) END AS n_subwords,
+       | bpe_text
+       |FROM (SELECT doc_id, replace(replace($mergedRep, '||', ' '), '|', '') AS bpe_text FROM documents)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** BM25 oracle, shared verbatim by `q_bm25` and (as the lexical leg)
@@ -3828,6 +3869,8 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracle(BpeMerges),
+
+    "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),
 
     "q_bpe_pairs" ->
       """WITH wd AS (

@@ -899,6 +899,50 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  /** BPE ENCODING with a trained merge list ([[bpeTrain]]'s output): each
+    * document's words are segmented by applying the merges in rank order,
+    * exactly as GPT-style tokenizers do. Output per document: the
+    * space-joined subword sequence and its length — the "how many tokens
+    * is this corpus under MY tokenizer" question that drives packing,
+    * quota, and cost planning.
+    *
+    * The merge list is a driver-side constant (the trained artifact —
+    * tens of thousands of rows in real tokenizers, 8 here), so encoding
+    * is ONE narrow codegen'd projection: build the pipe-wrapped symbol
+    * string per document (word reps joined by a space, which no merge
+    * pattern can cross), then a fold of `replace` calls — no shuffle, no
+    * UDF, no per-row driver traffic; scales linearly with input splits.
+    * Greedy left-to-right `replace` semantics match training. The
+    * oracle replays the training CTE chain and applies each learned
+    * merge through scalar subqueries over the `m{k}` CTEs.
+    */
+  def bpeEncode(
+      df: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val rep0 = array_join(transform(
+      regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+"), lit(0)),
+      w => concat(lit("|"),
+        array_join(transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))), "||"),
+        lit("|"))), " ")
+    val mergedRep = merges.foldLeft(rep0) { case (acc, (a, b)) =>
+      replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    // "||" boundaries become spaces, remaining pipes vanish: each word
+    // gap contributes exactly one space, so subwords = split on ' '
+    val bpeText = replace(replace(mergedRep, lit("||"), lit(" ")),
+      lit("|"), lit(""))
+    df.select(col("doc_id"),
+      ColumnOps.bind(bpeText) { bt =>
+        struct(
+          when(bt === "", lit(0))
+            .otherwise(size(split(bt, " "))).cast("long").as("n_subwords"),
+          bt.as("bpe_text"))
+      }.as("r"))
+      .select(col("doc_id"), col("r.n_subwords"), col("r.bpe_text"))
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick): tokens
     * hash into `dim` buckets, the per-bucket counts ARE the vector. No
     * model, no vocabulary table — the canonical "text → fixed-width

@@ -323,6 +323,27 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L))
   }
 
+  test("bpe encode: applies merges in rank order, one subword stream per doc") {
+    // merges: (a,b) then (ab,ab). "ab cd aab" -> |ab| |c||d| |a||ab|
+    // (second merge finds no |ab||ab| adjacency) -> "ab c d a ab"
+    val df = Seq((1L, "ab cd aab"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(df, Seq(("a", "b"), ("ab", "ab")))
+      .orderBy("doc_id").collect()
+    (out(0).getLong(1), out(0).getString(2)) shouldBe ((5L, "ab c d a ab"))
+    (out(1).getLong(1), out(1).getString(2)) shouldBe ((0L, ""))
+    out(2).isNullAt(1) shouldBe true
+    out(2).isNullAt(2) shouldBe true
+  }
+
+  test("bpe encode round-trips bpeTrain's merges") {
+    val df = Seq((1L, "abab ab abab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(df, numMerges = 5).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TextAnalysis.bpeEncode(df, merges).head
+    (out.getLong(1), out.getString(2)) shouldBe ((3L, "abab ab abab"))
+  }
+
   test("overlap spans: longest shared token run via the diagonal-island trick") {
     val docs = Seq(
       (1L, "x1 x2 c1 c2 c3 c4 c5 y1"),
