@@ -19,6 +19,12 @@ object Tables {
     // throws [PARQUET_TYPE_ILLEGAL].
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Naive parquet timestamps (isAdjustedToUTC=false — the shape the
+    // driver's pyarrow writer emits for events.ts / l_shipdate /
+    // o_orderdate) must read as TIMESTAMP_LTZ, not TIMESTAMP_NTZ: the
+    // session timezone is pinned to UTC so the values are identical, and
+    // NTZ would break every unix_micros/epoch call site downstream.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // `div` (integer division), NOT `/`: long / long is DOUBLE division
@@ -60,6 +66,9 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive parquet timestamps read as LTZ (values identical under the
+      // UTC session tz above); NTZ would reject unix_micros & friends
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // bucketed tables (Layout.writeBucketed) live in the catalog

@@ -116,4 +116,90 @@ object Importance {
         graft.functions.ColumnOps.fdivCol(col("sum_micro"), col("n_tokens"))
           .as("avg_micro"))
   }
+
+  /** Interpolated bigram language-model surprisal — the next rung of the
+    * perplexity-proxy ladder above [[unigramSurprisal]]: score each token
+    * by `−ln(λ·p(w|u) + (1−λ)·p(w))` under the corpus's own bigram and
+    * unigram distributions (Jelinek–Mercer interpolation, the classic
+    * smoothing for count-based LMs), with a document's first token scored
+    * by the unigram term alone (it has no context). Repetitive boilerplate
+    * scores LOW (its bigrams are corpus-frequent) even when its unigrams
+    * are rare — the signal the unigram proxy cannot see.
+    *
+    * `lambdaMicro` is the interpolation weight in micro-units
+    * (700000 = λ 0.7); kept integral so query and oracle derive the same
+    * double as `lambdaMicro / 1e6` — one exactly-representable division.
+    *
+    * Determinism: per distinct context pair `(u, w)` the interpolated
+    * probability is computed in one fixed double expression —
+    * `λ·(c_uw/c_u) + (1−λ)·(c_w/N)` — and quantized ONCE (≤ #distinct
+    * bigrams roundings total); per-doc totals are then exact long sums,
+    * same argument as [[unigramSurprisal]].
+    *
+    * Plan shape at 100 TB: the pair stream is a NARROW in-row transform
+    * (`transform` over token positions — no window, no shuffle to form
+    * bigrams); corpus statistics are two map-side-partial aggregations
+    * (unigram and bigram vocab); the score table joins back on `(u, w)`
+    * — vocab-sized build sides that AQE broadcasts when they fit — and
+    * the only data-sized shuffle is the final per-doc sum.
+    */
+  def bigramSurprisal(
+      df: DataFrame,
+      lambdaMicro: Long = 700000L,
+      textCol: String = "text"): DataFrame = {
+    require(lambdaMicro >= 0 && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1e6], got $lambdaMicro")
+    val lam = lambdaMicro / 1e6
+    // coalesce: NULL text keeps its row (normTokens('') = ['']), same
+    // one-row-per-doc contract as unigramSurprisal
+    val docToks = df.select(col("doc_id"),
+      TextAnalysis.normTokens(coalesce(col(textCol), lit(""))).as("ws"))
+    val toks = docToks.select(col("doc_id"), explode(col("ws")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val tot = uni.agg(sum("c_w").as("n_total"))
+    // adjacent-pair stream: transform over positions 1..len-1 keeps the
+    // whole extraction inside one codegen'd projection. sequence(1, 0)
+    // would step BACKWARD for single-token docs, so guard to an empty
+    // pair array instead.
+    val pairs = docToks.select(col("doc_id"),
+      explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(
+              element_at(col("ws"), i).as("u"),
+              element_at(col("ws"), i + 1).as("w"))))
+          .otherwise(array().cast("array<struct<u:string,w:string>>")))
+        .as("p"))
+      .select(col("doc_id"), col("p.u"), col("p.w"))
+    val big = pairs.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val pairScored = big
+      .join(uni.select(col("w").as("u"), col("c_w").as("c_u")), Seq("u"))
+      .join(uni, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("u"), col("w"),
+        round(-log(
+          lit(lam) * (col("c_uw").cast("double") / col("c_u"))
+            + lit(1.0 - lam) * (col("c_w").cast("double") / col("n_total")))
+          * 1e6).cast("long").as("s_micro"))
+    val uniScored = uni.crossJoin(broadcast(tot)).select(
+      col("w"),
+      round(log(col("n_total").cast("double") / col("c_w")) * 1e6)
+        .cast("long").as("s_micro"))
+    // first token of every doc (normTokens is never empty, so exactly one
+    // row per doc survives into the union → the output keeps every doc)
+    val firstScored = docToks
+      .select(col("doc_id"), element_at(col("ws"), 1).as("w"))
+      .join(uniScored, Seq("w"))
+      .select(col("doc_id"), col("s_micro"))
+    val pairStream = pairs.join(pairScored, Seq("u", "w"))
+      .select(col("doc_id"), col("s_micro"))
+    firstScored.unionAll(pairStream)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("s_micro").as("sum_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_micro"),
+        graft.functions.ColumnOps.fdivCol(col("sum_micro"), col("n_tokens"))
+          .as("avg_micro"))
+  }
 }
