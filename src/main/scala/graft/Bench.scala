@@ -21,7 +21,11 @@ object Bench {
     "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_phash", "q_multimodal_decode", "q_multimodal_audio",
     "q_multimodal_resize_ppm",
-    "q_zorder", "q_hist_quantile", "q_hybrid_rrf", "q_rand_proj")
+    "q_zorder", "q_hist_quantile", "q_hybrid_rrf", "q_rand_proj",
+    // the expensive tail: the slowest non-headline operators, gated here so
+    // regressions in them are visible to the 2× check instead of anecdotal
+    "q_pagerank", "q_triangles", "q_split_leakage", "q_dedup_incr_near",
+    "q_overlap_spans", "q_seq_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

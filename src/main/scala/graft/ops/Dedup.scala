@@ -1008,11 +1008,15 @@ object Dedup {
     */
   def embeddingDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // Checkpoint before the self-join: the renamed a/b projections defeat
+    // static exchange reuse, so without it the scan→quantize→norm pipeline
+    // executes once per side (the embeddingDupsByCell fix, measured 2.2→0.93 s).
     val q = embeddings.select(
       col("label"),
       col("vec_id"),
       Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("qn", Similarity.qdot(col("qv"), col("qv"), native))
+      .localCheckpoint()
     val a = q.select(
       col("label"), col("vec_id").as("a_id"),
       col("qv").as("a_qv"), col("qn").as("a_qn"))

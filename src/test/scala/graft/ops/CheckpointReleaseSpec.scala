@@ -23,9 +23,11 @@ class CheckpointReleaseSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.init()
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("every bench query releases all checkpoint blocks it pinned") {
+  test("every declared query releases all checkpoint blocks it pinned") {
+    // ALL queries, not just the bench headline: the round-7 tfidf leak
+    // lived exactly in the then-uncovered 111.
     val leaked = scala.collection.mutable.ListBuffer.empty[(String, Int)]
-    graft.Bench.headline.foreach { name =>
+    graft.SparkEntry.allQueries.keys.toSeq.sorted.foreach { name =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val df = graft.SparkEntry.allQueries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()

@@ -231,7 +231,11 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       (2L, "apple banana durian"),
       (3L, "xylophone zebra")
     ).toDF("doc_id", "text")
-    val pairs = TextAnalysis.tfidfPairs(df, maxDf = 50L, minSim = 0.0).collect()
+    val pairsDf = TextAnalysis.tfidfPairs(df, maxDf = 50L, minSim = 0.0)
+    val pairs = pairsDf.collect()
+    // release tfidfPairs' pinned weight-table checkpoint so the hygiene
+    // assertion in the bpe-train test (and CheckpointReleaseSpec) stays honest
+    Dedup.releaseCheckpoints(pairsDf)
     pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
     val sim = pairs(0).getDouble(2)
     sim should be > 0.0
@@ -514,8 +518,9 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       (1L, blob + " shared"),
       (2L, "shared words here"),
       (3L, "other shared words")).toDF("doc_id", "text")
-    val out = TextAnalysis.tfidfPairs(df, maxDf = 3L, minSim = 0.0)
-      .collect()
+    val outDf = TextAnalysis.tfidfPairs(df, maxDf = 3L, minSim = 0.0)
+    val out = outDf.collect()
+    Dedup.releaseCheckpoints(outDf)
     out.foreach { r =>
       val s = r.getDouble(2)
       s should be >= 0.0
