@@ -3,7 +3,7 @@ package graft
 import graft.ops.{Dedup, Importance, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.SingerPipeline
 import graft.schema.SchemaMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1196,6 +1196,13 @@ object SparkEntry {
       Importance.unigramSurprisal(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // interpolated bigram LM surprisal — the next perplexity-proxy rung:
+    // boilerplate with corpus-frequent bigrams scores LOW even when its
+    // unigrams are unremarkable
+    "q_bigram_ppl" -> ((s, dir) =>
+      Importance.bigramSurprisal(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
         .orderBy("doc_id", "rank")),
@@ -1395,6 +1402,33 @@ object SparkEntry {
       graft.streaming.DocStreamOps
         .dedupIncrementalStream(docs.filter(col("doc_id") >= 200), index)
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+
+    // batch twin of the STREAMING snapshot view (DocStreamOps
+    // .snapshotStream): a three-epoch changelog — base upserts (seq 1), a
+    // delete/update wave (seq 2), and a STALE replay (seq 0, inflated
+    // payload) that must lose the max-seq fold — materializes to the
+    // latest-per-key view with tombstones (`present = false`). The
+    // transformWithState/RocksDB semantics stay in DocStreamOpsSpec; this
+    // declares the shared fold rule to the oracle.
+    "q_snapshot_stream" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      def chg(d: org.apache.spark.sql.DataFrame, op: String, seq: Long) =
+        d.select(col("doc_id"), lit(op).as("op"), lit(seq).as("seq"),
+          col("lang"), col("source"), col("n_chars"))
+      val base = chg(docs, "upsert", 1L)
+      val dels = chg(docs.filter(pmod(col("doc_id"), lit(10L)) === 0L),
+        "delete", 2L)
+      val ups = chg(docs.filter(pmod(col("doc_id"), lit(10L)) === 1L)
+        .withColumn("n_chars", col("n_chars") + 1000L), "upsert", 2L)
+      val replay = chg(docs.filter(pmod(col("doc_id"), lit(10L)) === 2L)
+        .withColumn("n_chars", col("n_chars") + 9999L), "upsert", 0L)
+      graft.streaming.DocStreamOps.snapshotStream(
+        base.unionByName(dels).unionByName(ups).unionByName(replay)
+          .as[graft.streaming.DocChange])
+        .toDF().orderBy("doc_id")
     }),
 
     // exactly-once replay twin of the streaming dedup component
@@ -1635,6 +1669,34 @@ object SparkEntry {
         col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").cast("binary").as("payload"))
       Multimodal.pcmStats(media).orderBy("media_id")
+    }),
+
+    // REAL audio container through the seam: the documents' bytes
+    // (truncated to whole int16 samples) wrapped into valid 16-bit mono
+    // 8 kHz PCM WAV files — RIFF/WAVE + fmt + data, sizes little-endian —
+    // so Multimodal.WavDecoder walks an actual chunk sequence and the
+    // header facts (sample rate / bit depth / channels / duration) come
+    // from parsing, not trust. DuckDB replays the stats from the hex byte
+    // view and the header facts from the synthesis rule.
+    "q_multimodal_wav" -> ((s, dir) => {
+      val textB = encode(col("text"), "UTF-8").cast("binary")
+      val dataLen = shiftleft(shiftright(octet_length(textB), 1), 1)
+      def le32(v: Column) = concat(
+        lpad(hex(v.bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(v, 8).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(v, 16).bitwiseAND(lit(255))), 2, "0"),
+        lpad(hex(shiftright(v, 24).bitwiseAND(lit(255))), 2, "0"))
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        concat(
+          lit("RIFF").cast("binary"), unhex(le32(dataLen + lit(36))),
+          lit("WAVE").cast("binary"),
+          lit("fmt ").cast("binary"),
+          // size 16, PCM (1), 1 channel, 8000 Hz, 16000 B/s, block 2, 16-bit
+          unhex(lit("1000000001000100401F0000803E000002001000")),
+          lit("data").cast("binary"), unhex(le32(dataLen)),
+          textB.substr(lit(1), dataLen)).as("payload"))
+      Multimodal.wavStats(media).orderBy("media_id")
     }),
 
     // Payload crosses the compare boundary as hex text (binary is
@@ -2483,6 +2545,40 @@ object SparkEntry {
         | FROM b
         |)
         |SELECT doc_id AS media_id, n AS n_samples,
+        | CASE WHEN n = 0 THEN NULL ELSE list_max(list_transform(sm, x -> abs(x))) END AS peak,
+        | CASE WHEN n = 0 THEN NULL ELSE
+        |  CAST(round(sqrt(CAST(list_sum(list_transform(sm, x -> x*x)) AS DOUBLE) / n) * 1000) AS BIGINT) END AS rms_milli,
+        | CASE WHEN n = 0 THEN NULL ELSE
+        |  CAST(len(list_filter(range(1, CAST(n AS INT)), i -> (sm[i] < 0) != (sm[i+1] < 0))) AS BIGINT) END AS zero_crossings,
+        | CASE WHEN n = 0 THEN NULL ELSE
+        |  CAST(len(list_filter(sm, x -> abs(x) < 512)) AS BIGINT) END AS n_silent
+        |FROM v ORDER BY media_id""".stripMargin,
+
+    // the WAV wrap adds a fixed 44-byte header around the same even-length
+    // byte view q_multimodal_audio reads, so the sample replay is identical;
+    // the header facts replay from the synthesis constants (8 kHz mono
+    // 16-bit) and duration from the sample count.
+    "q_multimodal_wav" ->
+      """WITH b AS (
+        | SELECT doc_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) // 2 AS n
+        | FROM documents
+        |),
+        |v AS (
+        | SELECT doc_id, n, list_transform(range(0, n), i ->
+        |   CASE WHEN ('0x' || substr(hx, CAST(4*i+3 AS INT), 2))::BIGINT >= 128
+        |        THEN ('0x' || substr(hx, CAST(4*i+3 AS INT), 2))::BIGINT * 256
+        |             + ('0x' || substr(hx, CAST(4*i+1 AS INT), 2))::BIGINT - 65536
+        |        ELSE ('0x' || substr(hx, CAST(4*i+3 AS INT), 2))::BIGINT * 256
+        |             + ('0x' || substr(hx, CAST(4*i+1 AS INT), 2))::BIGINT
+        |   END) AS sm
+        | FROM b
+        |)
+        |SELECT doc_id AS media_id,
+        | CAST(8000 AS INT) AS sample_rate, CAST(16 AS INT) AS bits,
+        | CAST(1 AS INT) AS channels,
+        | CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        | n AS n_samples,
         | CASE WHEN n = 0 THEN NULL ELSE list_max(list_transform(sm, x -> abs(x))) END AS peak,
         | CASE WHEN n = 0 THEN NULL ELSE
         |  CAST(round(sqrt(CAST(list_sum(list_transform(sm, x -> x*x)) AS DOUBLE) / n) * 1000) AS BIGINT) END AS rms_milli,
@@ -3621,6 +3717,42 @@ object SparkEntry {
         |FROM toks JOIN scored USING (w)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // λ mirrors the Scala derivation exactly: lam = 700000/1e6 as one
+    // double division, 1−λ as one double subtraction — writing literal
+    // 0.3 would bind a DIFFERENT double than 1.0 − double(0.7)
+    "q_bigram_ppl" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS ws
+        | FROM documents),
+        |lamt AS (SELECT CAST(700000 AS DOUBLE) / 1000000.0 AS lam),
+        |toks AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        |uni AS (SELECT w, count(*) AS c_w FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM uni),
+        |pflat AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i AS INT)])) AS u,
+        |  unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i + 1 AS INT)])) AS w
+        | FROM d WHERE len(ws) >= 2),
+        |big AS (SELECT u, w, count(*) AS c_uw FROM pflat GROUP BY 1, 2),
+        |pairScored AS (
+        | SELECT b.u, b.w,
+        |  CAST(round(-ln(lam * (CAST(c_uw AS DOUBLE) / cu.c_w)
+        |    + (1.0 - lam) * (CAST(cw.c_w AS DOUBLE) / n_total)) * 1e6) AS BIGINT) AS s_micro
+        | FROM big b JOIN uni cu ON b.u = cu.w JOIN uni cw ON b.w = cw.w, tot, lamt),
+        |uniScored AS (
+        | SELECT w, CAST(round(ln(CAST(n_total AS DOUBLE) / c_w) * 1e6) AS BIGINT) AS s_micro
+        | FROM uni, tot),
+        |stream AS (
+        | SELECT f.doc_id, s.s_micro
+        | FROM (SELECT doc_id, ws[1] AS w FROM d) f JOIN uniScored s USING (w)
+        | UNION ALL
+        | SELECT p.doc_id, s.s_micro FROM pflat p JOIN pairScored s USING (u, w))
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(s_micro) AS BIGINT) AS sum_micro,
+        | CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
+        |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_tfidf" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
@@ -3978,6 +4110,27 @@ object SparkEntry {
         |keep AS (SELECT min(doc_id) AS doc_id FROM novel GROUP BY ck)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
         |FROM documents d JOIN keep USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // latest-per-key fold with tombstones; the stale seq-0 replay must
+    // lose to the seq-1 base row under the max-seq rule
+    "q_snapshot_stream" ->
+      """WITH chg AS (
+        | SELECT doc_id, 'upsert' AS op, 1 AS seq, lang, source, n_chars
+        |  FROM documents
+        | UNION ALL
+        | SELECT doc_id, 'delete', 2, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id, 'upsert', 2, lang, source, n_chars + 1000
+        |  FROM documents WHERE doc_id % 10 = 1
+        | UNION ALL
+        | SELECT doc_id, 'upsert', 0, lang, source, n_chars + 9999
+        |  FROM documents WHERE doc_id % 10 = 2)
+        |SELECT doc_id, op <> 'delete' AS present, CAST(seq AS BIGINT) AS seq,
+        | lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM chg
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // doubled input collapses back to the original rows — the replay
     // invariant; event_id is the exactly-once key

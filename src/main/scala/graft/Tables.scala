@@ -24,7 +24,12 @@ object Tables {
     // o_orderdate) must read as TIMESTAMP_LTZ, not TIMESTAMP_NTZ: the
     // session timezone is pinned to UTC so the values are identical, and
     // NTZ would break every unix_micros/epoch call site downstream.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Same defensive-set rationale as nanosAsLong above, and gated the
+    // same way — to the timestamp-bearing tables — so loading any other
+    // table never reconfigures a caller-provided session
+    // (Sessions.builder sets both confs up front for sessions built here).
+    if (name == "events" || name == "lineitem" || name == "orders")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // `div` (integer division), NOT `/`: long / long is DOUBLE division

@@ -134,14 +134,21 @@ object Importance {
     * probability is computed in one fixed double expression —
     * `λ·(c_uw/c_u) + (1−λ)·(c_w/N)` — and quantized ONCE (≤ #distinct
     * bigrams roundings total); per-doc totals are then exact long sums,
-    * same argument as [[unigramSurprisal]].
+    * same argument as [[unigramSurprisal]]. One stated shortcut: `c_u`
+    * is the corpus-global count of `u`, INCLUDING occurrences as a
+    * document-final token that emit no bigram, so `p(·|u)` sums to
+    * slightly under 1 — the standard count-based-LM simplification,
+    * shared with the oracle so the two engines agree exactly.
     *
     * Plan shape at 100 TB: the pair stream is a NARROW in-row transform
     * (`transform` over token positions — no window, no shuffle to form
-    * bigrams); corpus statistics are two map-side-partial aggregations
-    * (unigram and bigram vocab); the score table joins back on `(u, w)`
-    * — vocab-sized build sides that AQE broadcasts when they fit — and
-    * the only data-sized shuffle is the final per-doc sum.
+    * bigrams); corpus statistics are keyed aggregations of the token and
+    * pair streams (map-side partials shrink each exchange toward its
+    * distinct-key count, but the bigram one is still keyed on the pair
+    * stream); the score table joins back on `(u, w)` — a vocab-sized
+    * build side that AQE broadcasts when it fits, a pair-keyed shuffle
+    * when it doesn't — and the per-doc sum is the final shuffle. Same
+    * two-pass-over-the-text shape as [[unigramSurprisal]].
     */
   def bigramSurprisal(
       df: DataFrame,

@@ -341,6 +341,140 @@ object Multimodal {
       StructField("n_silent", LongType, nullable = true))))
   }
 
+  /** A REAL audio-container parser for the seam: WAV/RIFF — the header
+    * walk every audio pipeline starts with. Layout: `RIFF` + u32le size +
+    * `WAVE`, then a chunk sequence of (4-byte id, u32le size, data, pad
+    * byte if size is odd); the `fmt ` chunk carries the sample format,
+    * the `data` chunk the PCM bytes.
+    *
+    * Kept deliberately strict, like [[PpmDecoder]]: PCM format tag (1),
+    * 16-bit samples, ≥1 channel, a complete in-bounds data chunk —
+    * anything else returns `None` and the caller falls back to the
+    * raw-PCM interpretation, never to half-parsed numbers.
+    */
+  object WavDecoder {
+    /** Parsed `fmt ` + `data` chunk facts: everything downstream triage
+      * needs without touching the samples.
+      */
+    final case class WavInfo(
+        sampleRate: Int, bitsPerSample: Int, channels: Int,
+        dataOffset: Int, dataLen: Int)
+
+    private def u16le(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+
+    private def u32le(p: Array[Byte], o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+    private def tag(p: Array[Byte], o: Int): String =
+      new String(p, o, 4, "US-ASCII")
+
+    /** `Some(WavInfo)` for a structurally valid 16-bit PCM WAV with a
+      * complete data chunk, `None` otherwise.
+      */
+    def parse(payload: Array[Byte]): Option[WavInfo] = {
+      if (payload == null || payload.length < 44 ||
+        tag(payload, 0) != "RIFF" || tag(payload, 8) != "WAVE") return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int)] = None // (sampleRate, bits, channels)
+      var data: Option[(Int, Int)] = None     // (offset, len)
+      while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(payload, pos)
+        val size = u32le(payload, pos + 4)
+        if (size > Int.MaxValue || pos + 8 + size > payload.length) return None
+        val sz = size.toInt
+        if (id == "fmt ") {
+          if (sz < 16) return None
+          val audioFormat = u16le(payload, pos + 8)
+          val channels = u16le(payload, pos + 10)
+          val sampleRate = u32le(payload, pos + 12)
+          val bits = u16le(payload, pos + 22)
+          if (audioFormat != 1 || channels < 1 || bits != 16 ||
+            sampleRate <= 0 || sampleRate > Int.MaxValue) return None
+          fmt = Some((sampleRate.toInt, bits, channels))
+        } else if (id == "data") {
+          data = Some((pos + 8, sz))
+        }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned: odd sizes pad
+      }
+      for ((sr, bits, ch) <- fmt; (off, len) <- data)
+        yield WavInfo(sr, bits, ch, off, len)
+    }
+  }
+
+  /** WAV triage: [[WavDecoder]] header facts + the [[pcmStats]] features
+    * over the data chunk's samples — the full "parse the container, then
+    * triage the PCM" shape an audio corpus runs before transcription.
+    * Payloads that are not valid 16-bit PCM WAV take the raw-PCM fallback
+    * (whole payload as samples, NULL header fields) — the same
+    * decode-or-fallback contract as [[extractFeatures]], so downstream
+    * schema never depends on which path parsed.
+    *
+    * Same scale contract as every seam op: per-partition batch transform,
+    * payload bytes never shuffled, all outputs integer-exact (RMS crosses
+    * one IEEE sqrt).
+    */
+  def wavStats(media: DataFrame, silenceThreshold: Int = 512): DataFrame = {
+    require(silenceThreshold >= 0,
+      s"silenceThreshold must be non-negative, got $silenceThreshold")
+    val spark = media.sparkSession
+    val pruned = media.select(col("media_id"), col("payload"))
+    val out = pruned.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { ir =>
+        val id = ir.getLong(0)
+        val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        val info = WavDecoder.parse(payload)
+        val (off, nBytes) = info match {
+          case Some(w) => (w.dataOffset, w.dataLen)
+          case None    => (0, if (payload == null) 0 else payload.length)
+        }
+        val n = nBytes / 2
+        val (sr, bits, ch, durMs) = info match {
+          case Some(w) =>
+            (w.sampleRate, w.bitsPerSample, w.channels,
+              (n.toLong / w.channels) * 1000L / w.sampleRate)
+          case None => (null, null, null, null)
+        }
+        if (n == 0) Row(id, sr, bits, ch, durMs, 0L, null, null, null, null)
+        else {
+          var i = 0
+          var peak = 0L
+          var sumSq = 0L
+          var crossings = 0L
+          var silent = 0L
+          var prevNeg = false
+          while (i < n) {
+            val lo = payload(off + 2 * i) & 0xff
+            val hi = payload(off + 2 * i + 1)
+            val s = (hi << 8) | lo
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            sumSq += s.toLong * s
+            if (a < silenceThreshold) silent += 1
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          val rmsMilli = math.round(math.sqrt(sumSq.toDouble / n) * 1000)
+          Row(id, sr, bits, ch, durMs, n.toLong, peak, rmsMilli, crossings, silent)
+        }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = true),
+      StructField("rms_milli", LongType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true),
+      StructField("n_silent", LongType, nullable = true))))
+  }
+
   /** Perceptual hash (aHash) of the payload: NN-resample the byte stream
     * to `sampleBytes` samples, threshold each against the scaled mean,
     * pack the bits. Near-identical payloads (re-encodes, small edits)

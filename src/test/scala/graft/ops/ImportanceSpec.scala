@@ -67,6 +67,40 @@ class ImportanceSpec extends AnyFunSuite with Matchers {
     out(0) shouldBe out(1)
   }
 
+  test("bigram surprisal: exact interpolated scores; single-token and NULL docs keep rows") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a"),
+      (3L, "b a b"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Importance.bigramSurprisal(docs).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def q(x: Double): Long = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val lam = 700000L / 1e6
+    // uni: a=4, b=4, ''=1 (the NULL doc's empty token) of N=9
+    // pairs: (a,b)=3, (b,a)=2
+    val sAb = q(-math.log(lam * (3.0 / 4) + (1.0 - lam) * (4.0 / 9)))
+    val sBa = q(-math.log(lam * (2.0 / 4) + (1.0 - lam) * (4.0 / 9)))
+    val sA = q(math.log(9.0 / 4))
+    val sEmpty = q(math.log(9.0 / 1))
+    out(1L).getAs[Long]("n_tokens") shouldBe 4L // 1 first + 3 bigrams
+    out(1L).getAs[Long]("sum_micro") shouldBe sA + 2 * sAb + sBa
+    // single-token doc: unigram term only, no bigram context
+    out(2L).getAs[Long]("n_tokens") shouldBe 1L
+    out(2L).getAs[Long]("sum_micro") shouldBe sA
+    out(2L).getAs[Long]("avg_micro") shouldBe sA
+    out(3L).getAs[Long]("sum_micro") shouldBe sA + sBa + sAb // s_b = s_a
+    // NULL text keeps its row as the empty token (one-row-per-doc contract)
+    out(4L).getAs[Long]("n_tokens") shouldBe 1L
+    out(4L).getAs[Long]("sum_micro") shouldBe sEmpty
+    // boilerplate signal: corpus-frequent bigrams score LOW even though
+    // every unigram is equally common — doc1's mean under the bigram
+    // model sits below its unigram surprisal
+    out(1L).getAs[Long]("avg_micro") should be < sA
+  }
+
   test("NULL-text docs keep their row like empty-text docs (no silent drop)") {
     val docs = Seq(
       (1L, "en", "the cat sat"),

@@ -160,6 +160,89 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(2L).isNullAt(out(2L).fieldIndex("peak")) shouldBe true
   }
 
+  /** A minimal valid 16-bit mono PCM WAV around `pcm` (the exact layout
+    * SparkEntry's q_multimodal_wav synthesizes, plus an optional stray
+    * chunk before `data` to exercise the chunk walk).
+    */
+  private def wav(pcm: Array[Byte], sampleRate: Int = 8000,
+      channels: Int = 1, withJunkChunk: Boolean = false): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val junk = if (withJunkChunk)
+      "LIST".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // odd → pad
+    else Array.emptyByteArray
+    val body =
+      "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+        le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16) ++
+        junk ++
+        "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("WavDecoder: parses fmt/data chunks, skips strays, pads odd sizes") {
+    val pcm = Array[Byte](0x01, 0x00, 0x00, 0x80.toByte)
+    val info = Multimodal.WavDecoder.parse(wav(pcm, sampleRate = 44100,
+      withJunkChunk = true)).get
+    info.sampleRate shouldBe 44100
+    info.bitsPerSample shouldBe 16
+    info.channels shouldBe 1
+    info.dataLen shouldBe 4
+    // the data chunk sits after the padded 3-byte LIST chunk
+    val payload = wav(pcm, sampleRate = 44100, withJunkChunk = true)
+    payload.slice(info.dataOffset, info.dataOffset + info.dataLen) shouldBe pcm
+  }
+
+  test("WavDecoder: rejects malformed containers (fallback contract)") {
+    val pcm = Array[Byte](1, 0)
+    Multimodal.WavDecoder.parse(null) shouldBe None
+    Multimodal.WavDecoder.parse("RIFFxxxx".getBytes) shouldBe None
+    // wrong magic
+    Multimodal.WavDecoder.parse(
+      "RIFX".getBytes ++ wav(pcm).drop(4)) shouldBe None
+    // data chunk overruns the payload
+    Multimodal.WavDecoder.parse(wav(pcm).dropRight(1)) shouldBe None
+    // non-PCM format tag
+    val w = wav(pcm); w(20) = 3 // audioFormat = IEEE float
+    Multimodal.WavDecoder.parse(w) shouldBe None
+    // 8-bit samples rejected (stats tier is 16-bit only)
+    val w8 = wav(pcm); w8(34) = 8
+    Multimodal.WavDecoder.parse(w8) shouldBe None
+  }
+
+  test("wavStats: header facts from parse, stats over the data chunk; raw fallback") {
+    import spark.implicits._
+    // samples: +1, -32768, +32767, 0 — same as the pcmStats test
+    val pcm = Array[Byte](0x01, 0x00, 0x00, 0x80.toByte, 0xFF.toByte, 0x7F, 0x00, 0x00)
+    val df = Seq(
+      (1L, wav(pcm, sampleRate = 4)), // 4 samples @ 4 Hz → 1000 ms
+      (2L, pcm),                      // not a container → raw-PCM fallback
+      (3L, wav(Array.emptyByteArray)) // valid WAV, zero samples
+    ).toDF("media_id", "payload")
+    val out = Multimodal.wavStats(df).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    out(1L).getAs[Int]("sample_rate") shouldBe 4
+    out(1L).getAs[Int]("bits") shouldBe 16
+    out(1L).getAs[Int]("channels") shouldBe 1
+    out(1L).getAs[Long]("duration_ms") shouldBe 1000L
+    out(1L).getAs[Long]("n_samples") shouldBe 4L
+    out(1L).getAs[Long]("peak") shouldBe 32768L
+    out(1L).getAs[Long]("zero_crossings") shouldBe 2L
+    out(1L).getAs[Long]("n_silent") shouldBe 2L
+    // fallback: identical stats, NULL header facts
+    out(2L).isNullAt(out(2L).fieldIndex("sample_rate")) shouldBe true
+    out(2L).getAs[Long]("n_samples") shouldBe 4L
+    out(2L).getAs[Long]("peak") shouldBe out(1L).getAs[Long]("peak")
+    out(2L).getAs[Long]("rms_milli") shouldBe out(1L).getAs[Long]("rms_milli")
+    // zero-sample WAV: header facts present, stats NULL
+    out(3L).getAs[Int]("sample_rate") shouldBe 8000
+    out(3L).getAs[Long]("n_samples") shouldBe 0L
+    out(3L).getAs[Long]("duration_ms") shouldBe 0L
+    out(3L).isNullAt(out(3L).fieldIndex("peak")) shouldBe true
+  }
+
   test("feature extraction runs per-partition and is deterministic in the bytes") {
     val f = Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap
