@@ -25,7 +25,9 @@ object Bench {
     // the expensive tail: the slowest non-headline operators, gated here so
     // regressions in them are visible to the 2× check instead of anecdotal
     "q_pagerank", "q_triangles", "q_split_leakage", "q_dedup_incr_near",
-    "q_overlap_spans", "q_seq_match")
+    "q_overlap_spans", "q_seq_match",
+    // round-8 additions: WAV container tier, snapshot-view fold, bigram LM
+    "q_multimodal_wav", "q_snapshot_stream", "q_bigram_ppl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
