@@ -15,17 +15,21 @@ object Graph {
     *
     * Plan shape: a self-join ON THE ORDER KEY — fan-out is Σ_order
     * lines², bounded by per-order basket size (TPC-H ≤ 7), never by
-    * catalog size — then a distinct keyed on (src, dst). At 100 TB both
-    * shuffles are on uniformly distributed keys; a pathological
-    * mega-basket would need a per-order line cap upstream.
+    * catalog size — then a distinct over CANONICAL (src < dst) pairs
+    * only, with the reverse direction re-derived by a free narrow swap
+    * afterward: deduplicating one orientation halves the rows through
+    * the distinct exchange, the dominant shuffle of the whole build. At
+    * 100 TB both shuffles are on uniformly distributed keys; a
+    * pathological mega-basket would need a per-order line cap upstream.
     */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
     val li = lineitem.select(
       col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("a").join(li.as("b"), Seq("ok"))
-      .filter(col("a.pk") =!= col("b.pk"))
+    val canon = li.as("a").join(li.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
+    canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
   }
 
 

@@ -293,6 +293,21 @@ object Similarity {
         first("qv").as("qv"),
         first("qn").as("qn"))
 
+  /** Corpus-proportional codebook size: the number of IVF cells that
+    * holds per-cell population at `targetPerCell` as the corpus grows —
+    * the sizing rule that keeps within-cell work (quadratic dedup
+    * self-joins, per-cell scan cost) CONSTANT per cell and the total
+    * linear in N. A cell count frozen while N grows is the one shape in
+    * this library that trends quadratic (measured: `tools.ScaleProbe`,
+    * PLANS.md round-8 scale checkpoint); callers at scale should derive
+    * `nCells` from a corpus count via this instead of hardcoding.
+    */
+  def cellsFor(nRows: Long, targetPerCell: Long = 4096L): Int = {
+    require(targetPerCell > 0, s"targetPerCell must be positive, got $targetPerCell")
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (nRows + targetPerCell - 1) / targetPerCell)).toInt
+  }
+
   /** IVF cell assignment: every vector keeps its single best coarse cell
     * (highest cosine against the broadcast centroid set, ties to the
     * lowest cell id). Centroids are the `nCells` lowest-id vectors — an

@@ -55,6 +55,58 @@ class OpsPropSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("WavDecoder round-trips arbitrary PCM: synthesize container -> parse -> same facts") {
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val pcmGen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(2 * n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))
+    val rateGen = Gen.oneOf(8000, 16000, 22050, 44100, 48000)
+    val chGen = Gen.chooseNum(1, 4)
+    for (seed <- 0L until 40L) {
+      val pcm = samples(pcmGen, 1, seed).head.map(_.toByte).toArray
+      val rate = samples(rateGen, 1, seed + 1000).head
+      val ch = samples(chGen, 1, seed + 2000).head
+      val payload =
+        "RIFF".getBytes("US-ASCII") ++ le32(36 + pcm.length) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(ch) ++ le32(rate) ++
+          le32(rate * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
+      val info = Multimodal.WavDecoder.parse(payload)
+      withClue(s"seed=$seed rate=$rate ch=$ch n=${pcm.length}: ") {
+        // sub-44-byte containers (empty data) still parse; all facts exact
+        val w = info.get
+        w.sampleRate shouldBe rate
+        w.channels shouldBe ch
+        w.bitsPerSample shouldBe 16
+        w.dataLen shouldBe pcm.length
+        payload.slice(w.dataOffset, w.dataOffset + w.dataLen) shouldBe pcm
+        // any single-byte truncation of the data chunk must reject, not
+        // half-parse (the fallback contract)
+        if (pcm.length > 0)
+          Multimodal.WavDecoder.parse(payload.dropRight(1)) shouldBe None
+      }
+    }
+  }
+
+  test("cellsFor: ceiling sizing, never zero, clamps to Int range") {
+    Similarity.cellsFor(0L) shouldBe 1
+    Similarity.cellsFor(1L) shouldBe 1
+    Similarity.cellsFor(4096L) shouldBe 1
+    Similarity.cellsFor(4097L) shouldBe 2
+    Similarity.cellsFor(1000L, 100L) shouldBe 10
+    Similarity.cellsFor(1001L, 100L) shouldBe 11
+    Similarity.cellsFor(Long.MaxValue, 1L) shouldBe Int.MaxValue
+    // the scale invariant: per-cell population never exceeds the target
+    for (n <- Seq(1L, 999L, 123457L, 10000000L); t <- Seq(64L, 4096L)) {
+      val cells = Similarity.cellsFor(n, t)
+      withClue(s"n=$n target=$t cells=$cells: ")(
+        (n + cells - 1) / cells should be <= t)
+    }
+  }
+
   test("dedupLines conserves lines: each distinct line survives exactly once, none invented") {
     val docs = samples(sentence, 40, 3L).zipWithIndex
       .map { case (s, i) => (i.toLong, Seq(s, "shared footer", s"sec ${i % 3}").mkString("\n")) }
