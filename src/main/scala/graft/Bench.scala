@@ -26,8 +26,9 @@ object Bench {
     // regressions in them are visible to the 2× check instead of anecdotal
     "q_pagerank", "q_triangles", "q_split_leakage", "q_dedup_incr_near",
     "q_overlap_spans", "q_seq_match",
-    // round-8 additions: WAV container tier, snapshot-view fold, bigram LM
-    "q_multimodal_wav", "q_snapshot_stream", "q_bigram_ppl")
+    // round-8 additions: WAV container tier, snapshot-view fold, bigram LM,
+    // exact-substring dedup apply
+    "q_multimodal_wav", "q_snapshot_stream", "q_bigram_ppl", "q_strip_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

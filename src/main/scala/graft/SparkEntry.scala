@@ -1339,6 +1339,16 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // exact-substring APPLY tier: each higher-id candidate loses its
+    // single longest shared span >= 5 tokens (Lee et al.'s remove step,
+    // lowest-id-wins keeps one occurrence)
+    "q_strip_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.stripOverlapSpans(docs,
+        TextAnalysis.winnowPairs(docs, k = 3, w = 4, minShared = 2))
+        .orderBy("doc_id")
+    }),
+
     // transformWithState's batch twin: per-user running stats
     "q_user_running" -> ((s, dir) =>
       graft.streaming.EventStreamOps.runningUserStats(t(s, dir, "events"))
@@ -3446,6 +3456,82 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(max(run) + 2 AS BIGINT) AS max_span_tokens,
         | CAST(sum(run) AS BIGINT) AS n_shared_positions
         |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the overlap-spans chain extended with per-island start positions,
+    // the one-winner-per-doc window (same total-order tie-break as the
+    // Spark side), and 1-based list slicing around the removed span
+    "q_strip_spans" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |  END AS sh0
+        | FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |       FROM documents)
+        |),
+        |hs AS (
+        | SELECT doc_id, list_transform(sh0, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs,
+        |  len(sh0) AS n
+        | FROM sh
+        |),
+        |fp AS (
+        | SELECT doc_id,
+        |  CASE WHEN n <= 4 THEN [list_min(hs)]
+        |       ELSE list_distinct(list_transform(range(1, n - 2), i -> list_min(hs[i:i+3])))
+        |  END AS fps
+        | FROM hs
+        |),
+        |flat AS (
+        | SELECT DISTINCT doc_id, fingerprint FROM (
+        |  SELECT doc_id, unnest(fps) AS fingerprint FROM fp)
+        |),
+        |pairs AS (
+        | SELECT a_id, b_id FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |  FROM flat a JOIN flat b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | WHERE n_shared >= 2
+        |),
+        |pos AS (
+        | SELECT doc_id, p.i AS pos, p.g AS gram FROM (
+        |  SELECT doc_id, unnest([{'i': i, 'g': sh0[i]} for i in range(1, len(sh0) + 1)]) AS p
+        |  FROM sh)
+        |),
+        |m AS (
+        | SELECT p.a_id, p.b_id, a.pos AS pa, b.pos AS pb
+        | FROM pairs p
+        | JOIN pos a ON a.doc_id = p.a_id
+        | JOIN pos b ON b.doc_id = p.b_id AND b.gram = a.gram
+        |),
+        |spans AS (
+        | SELECT a_id, b_id, diag, island, count(*) + 2 AS span_tokens,
+        |  min(pb) - 1 AS start0
+        | FROM (
+        |  SELECT a_id, b_id, pa, pb, pa - pb AS diag,
+        |   pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, pa - pb ORDER BY pa) AS island
+        |  FROM m)
+        | GROUP BY a_id, b_id, diag, island
+        | HAVING count(*) + 2 >= 5
+        |),
+        |winners AS (
+        | SELECT b_id AS doc_id, start0, span_tokens FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id
+        |   ORDER BY span_tokens DESC, start0 ASC, a_id ASC, diag ASC) AS rk
+        |  FROM spans) WHERE rk = 1
+        |),
+        |base AS (
+        | SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+        | FROM documents)
+        |SELECT b.doc_id,
+        | CASE WHEN w.doc_id IS NULL THEN array_to_string(ws, ' ')
+        |      -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        |      -- array_join([]) is '' — a fully-stripped doc must agree
+        |      ELSE coalesce(array_to_string(list_concat(ws[1:CAST(w.start0 AS INT)],
+        |        ws[CAST(w.start0 + w.span_tokens + 1 AS INT):len(ws)]), ' '), '')
+        | END AS text,
+        | CAST(coalesce(least(w.span_tokens, len(ws) - w.start0), 0) AS BIGINT) AS n_removed_tokens
+        |FROM base b LEFT JOIN winners w USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_length_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -785,6 +785,86 @@ object TextAnalysis {
         sum("run").as("n_shared_positions"))
   }
 
+  /** The APPLY tier of exact-substring dedup — the remove-the-duplicated-
+    * substring step of Lee et al. 2022 completing the [[overlapSpans]]
+    * detect tier: for every candidate pair the longest shared token span
+    * is located (same diagonal gaps-and-islands arithmetic), and each
+    * document that appears as the HIGHER id of a pair has its single
+    * longest qualifying span (`≥ minSpanTokens` tokens) removed from its
+    * normalized token sequence — lowest-id-wins keeps one occurrence of
+    * the duplicated text in the corpus, the same survivor rule as every
+    * other dedup operator here. One span per document per pass (the
+    * longest; ties broken by earliest start, then lowest partner id,
+    * then diagonal — a total order, so output is deterministic);
+    * iterating to a fixpoint is a driver loop over this operator.
+    *
+    * Output: `doc_id, text, n_removed_tokens` — every input document
+    * keeps its row; `text` is the whitespace-normalized token sequence
+    * re-joined (the same normalization every comparison ran under, so
+    * "unchanged" documents are normalized too, not byte-identical).
+    *
+    * Scale shape: identical to [[overlapSpans]] (banded candidates, a
+    * position join on the gram value touching candidate docs only) plus
+    * one window keyed on the stripped document and a final left join
+    * back to the corpus — both keyed on doc_id, both data-sized at most
+    * once.
+    */
+  def stripOverlapSpans(
+      df: DataFrame,
+      pairs: DataFrame,
+      n: Int = 3,
+      minSpanTokens: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be positive, got $n")
+    require(minSpanTokens >= n,
+      s"minSpanTokens must be >= n ($n): a shorter span is below gram resolution")
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
+    val g = df.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "gram")))
+    val matches = pairs.select(col("a_id"), col("b_id"))
+      .join(g.select(col("doc_id").as("a_id"), col("pos").as("pa"),
+        col("gram")), "a_id")
+      .join(g.select(col("doc_id").as("b_id"), col("pos").as("pb"),
+        col("gram")), Seq("b_id", "gram"))
+    val spans = matches
+      .withColumn("island", col("pa") - row_number().over(
+        Window.partitionBy(col("a_id"), col("b_id"), col("pa") - col("pb"))
+          .orderBy("pa")))
+      .groupBy(col("a_id"), col("b_id"),
+        (col("pa") - col("pb")).as("diag"), col("island"))
+      .agg(count(lit(1)).as("run"), min("pb").as("start_b"))
+      .withColumn("span_tokens", col("run") + lit(n - 1))
+      .filter(col("span_tokens") >= minSpanTokens)
+    val winners = spans
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("b_id").orderBy(
+          col("span_tokens").desc, col("start_b").asc,
+          col("a_id").asc, col("diag").asc)))
+      .filter(col("rk") === 1)
+      .select(col("b_id").as("doc_id"), col("start_b"), col("span_tokens"))
+    val toks = df.select(col("doc_id"), normTokens(col(textCol)).as("ws"))
+    toks.join(winners, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("span_tokens").isNull, array_join(col("ws"), " "))
+          .otherwise(array_join(concat(
+            slice(col("ws"), lit(1), col("start_b").cast("int")),
+            slice(col("ws"),
+              (col("start_b") + col("span_tokens") + 1).cast("int"),
+              greatest(size(col("ws")) - col("start_b").cast("int")
+                - col("span_tokens").cast("int"), lit(0)))), " "))
+          .as("text"),
+        // clamp: a below-gram-resolution document's whole-text "gram"
+        // claims n tokens it may not have
+        coalesce(least(col("span_tokens"),
+          size(col("ws")).cast("long") - col("start_b")), lit(0L))
+          .as("n_removed_tokens"))
+  }
+
   /** Adjacent-character pair frequencies within words — the statistic a
     * BPE tokenizer trainer computes for its FIRST merge decision (and,
     * iterated with merges applied, every one after). Distributed pair

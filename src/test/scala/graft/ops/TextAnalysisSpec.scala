@@ -242,6 +242,40 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     sim should be < 1.0
   }
 
+  test("stripOverlapSpans: longest shared span removed from the higher id only") {
+    val df = Seq(
+      (1L, "x1 x2 s1 s2 s3 s4 s5 y1"),
+      (2L, "z1 s1 s2 s3 s4 s5 z2 z3"),
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val out = TextAnalysis.stripOverlapSpans(df, pairs, n = 3, minSpanTokens = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // a-side (lowest id) keeps its occurrence verbatim
+    out(1L) shouldBe ("x1 x2 s1 s2 s3 s4 s5 y1", 0L)
+    // b-side loses exactly the 5-token shared run
+    out(2L) shouldBe ("z1 z2 z3", 5L)
+    // non-candidate docs pass through (normalized re-join)
+    out(3L) shouldBe ("unrelated words entirely here", 0L)
+  }
+
+  test("stripOverlapSpans: spans under minSpanTokens survive; ties break to earliest start") {
+    val df = Seq(
+      (1L, "a1 a2 s1 s2 s3 s4 a3"),              // shares 4-token run with 2
+      (2L, "b1 s1 s2 s3 s4 b2"),
+      (3L, "t1 t2 t3 t4 t5 mid u1 u2 u3 u4 u5"), // two 5-token runs vs 4
+      (4L, "t1 t2 t3 t4 t5 xxx u1 u2 u3 u4 u5")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = TextAnalysis.stripOverlapSpans(df, pairs, n = 3, minSpanTokens = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out(2L) shouldBe ("b1 s1 s2 s3 s4 b2", 0L) // 4 < minSpanTokens
+    // equal-length spans: the earlier one (t-run at start 0) is stripped,
+    // and only ONE span per pass
+    out(4L) shouldBe ("xxx u1 u2 u3 u4 u5", 5L)
+    out(3L)._2 shouldBe 0L
+  }
+
   test("pii scan: luhn separates valid cards from random digit runs") {
     val df = Seq(
       // 4532015112830366 passes Luhn; 1234567812345678 does not
