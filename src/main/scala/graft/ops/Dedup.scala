@@ -1064,12 +1064,18 @@ object Dedup {
       threshold: Double,
       nCells: Int = 8,
       maxBucket: Int = 100000): DataFrame = {
+    // nCells = 0: derive the codebook size from the corpus count
+    // (Similarity.cellsFor) — the sizing that keeps within-cell work
+    // constant per cell as N grows (PLANS.md round-8 scale probe). One
+    // count() pass, trivial next to the self-join it bounds.
+    val cellCount =
+      if (nCells == 0) Similarity.cellsFor(embeddings.count()) else nCells
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     // Checkpoint before the self-join: the renamed a/b projections defeat
     // static exchange reuse, so without it the scan→assign→cap pipeline
     // executes once per side (see Similarity.knnGraph).
     val cells = capBuckets(
-      Similarity.ivfAssign(embeddings, nCells), Seq("cell_id"), maxBucket)
+      Similarity.ivfAssign(embeddings, cellCount), Seq("cell_id"), maxBucket)
       .localCheckpoint()
     val a = cells.select(
       col("cell_id"), col("vec_id").as("a_id"),

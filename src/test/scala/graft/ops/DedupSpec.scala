@@ -291,6 +291,11 @@ class DedupSpec extends AnyFunSuite with Matchers {
     // APPLY: the b-side of each pair is dropped, lowest id survives
     Dedup.dropSemanticDuplicates(emb, threshold = 0.9, nCells = 2)
       .select("vec_id").as[Long].collect().sorted shouldBe Array(0L, 1L, 4L)
+    // nCells = 0 auto-sizes via cellsFor: 5 rows -> 1 cell, every pair
+    // co-located, so at least the per-cell pairs above still surface
+    val auto = Dedup.embeddingDupsByCell(emb, threshold = 0.9, nCells = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    auto should contain allOf ((0L, 2L), (1L, 3L))
   }
 
   test("incremental near-dedup equals the full-union cross-pair decision") {
