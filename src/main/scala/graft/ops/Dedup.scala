@@ -629,13 +629,13 @@ object Dedup {
 
     val b = contaminationGrams(benchmark, "bench_id", n)
 
-    val items = math.max(b.select(countDistinct("gram")).head.getLong(0), 1L)
+    val items = math.max(b.select(countDistinct("gram")).head().getLong(0), 1L)
     val numBits = math.max(64L,
       math.ceil(-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val bloomBytes = b.select(
         call_function("graft_bloom_agg",
           xxhash64(col("gram")), lit(items), lit(numBits)))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
 
     val c = contaminationGrams(corpus, "doc_id", n)
     // Null bloom = empty benchmark: nothing can be contaminated.

@@ -374,7 +374,7 @@ object SingerPipeline {
         Option(
           withLineId(lines)
             .agg(lastStateAgg.as("last_state"))
-            .head.getString(0))
+            .head().getString(0))
 
     IngestResult(
       paths = results.collect { case (s, p, n) if n > 0 => s -> p }.toMap,

@@ -182,7 +182,8 @@ object Validator {
   val RawNullPrefix = "_raw_null_"
 
   private def dropRawNulls(df: DataFrame): DataFrame =
-    df.drop(df.columns.filter(_.startsWith(RawNullPrefix)): _*)
+    df.drop(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      df.columns.filter(_.startsWith(RawNullPrefix))): _*)
 
   def annotate(df: DataFrame, ss: StreamSchema): DataFrame =
     dropRawNulls(
