@@ -1675,9 +1675,13 @@ object SparkEntry {
     // standard triage stats (peak / RMS / zero-crossing / silence), every
     // output integer-exact and replayed by DuckDB from the hex byte view
     "q_multimodal_audio" -> ((s, dir) => {
+      // coalesce: a NULL text must synthesize an EMPTY payload, not a NULL
+      // one — Spark's n_samples=0 row vs the oracle's NULL-propagated n
+      // would otherwise diverge on the first NULL-text corpus
       val media = t(s, dir, "documents").select(
         col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").cast("binary").as("payload"))
+        encode(coalesce(col("text"), lit("")), "UTF-8")
+          .cast("binary").as("payload"))
       Multimodal.pcmStats(media).orderBy("media_id")
     }),
 
@@ -1689,7 +1693,9 @@ object SparkEntry {
     // from parsing, not trust. DuckDB replays the stats from the hex byte
     // view and the header facts from the synthesis rule.
     "q_multimodal_wav" -> ((s, dir) => {
-      val textB = encode(col("text"), "UTF-8").cast("binary")
+      // coalesce like q_multimodal_audio: NULL text -> a valid zero-sample
+      // WAV (header facts present), matching the oracle's constants
+      val textB = encode(coalesce(col("text"), lit("")), "UTF-8").cast("binary")
       val dataLen = shiftleft(shiftright(octet_length(textB), 1), 1)
       def le32(v: Column) = concat(
         lpad(hex(v.bitwiseAND(lit(255))), 2, "0"),
@@ -2540,8 +2546,8 @@ object SparkEntry {
     // both engines round identically, then quantizes to milli.
     "q_multimodal_audio" ->
       """WITH b AS (
-        | SELECT doc_id, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) // 2 AS n
+        | SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+        |  octet_length(encode(coalesce(text, ''))) // 2 AS n
         | FROM documents
         |),
         |v AS (
@@ -2570,8 +2576,8 @@ object SparkEntry {
     // 16-bit) and duration from the sample count.
     "q_multimodal_wav" ->
       """WITH b AS (
-        | SELECT doc_id, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) // 2 AS n
+        | SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+        |  octet_length(encode(coalesce(text, ''))) // 2 AS n
         | FROM documents
         |),
         |v AS (

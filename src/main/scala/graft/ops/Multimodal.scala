@@ -296,6 +296,37 @@ object Multimodal {
     * round identically — so the whole tier replays in DuckDB from the
     * hex view of the bytes.
     */
+  /** The shared per-sample scan behind [[pcmStats]] and [[wavStats]]:
+    * (peak, rms_milli, zero_crossings, n_silent) over `n` little-endian
+    * int16 samples starting at byte `off`. ONE definition so the raw-PCM
+    * and WAV tiers — whose oracles claim an identical sample replay —
+    * can never diverge on the arithmetic. Caller guarantees n >= 1.
+    */
+  private def pcmScan(
+      payload: Array[Byte], off: Int, n: Int,
+      silenceThreshold: Int): (Long, Long, Long, Long) = {
+    var i = 0
+    var peak = 0L
+    var sumSq = 0L
+    var crossings = 0L
+    var silent = 0L
+    var prevNeg = false
+    while (i < n) {
+      val lo = payload(off + 2 * i) & 0xff
+      val hi = payload(off + 2 * i + 1)
+      val s = (hi << 8) | lo // hi is signed: sign-extends correctly
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      if (a < silenceThreshold) silent += 1
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      i += 1
+    }
+    (peak, math.round(math.sqrt(sumSq.toDouble / n) * 1000), crossings, silent)
+  }
+
   def pcmStats(media: DataFrame, silenceThreshold: Int = 512): DataFrame = {
     require(silenceThreshold >= 0,
       s"silenceThreshold must be non-negative, got $silenceThreshold")
@@ -308,26 +339,8 @@ object Multimodal {
         val n = if (payload == null) 0 else payload.length / 2
         if (n == 0) Row(id, 0L, null, null, null, null)
         else {
-          var i = 0
-          var peak = 0L
-          var sumSq = 0L
-          var crossings = 0L
-          var silent = 0L
-          var prevNeg = false
-          while (i < n) {
-            val lo = payload(2 * i) & 0xff
-            val hi = payload(2 * i + 1)
-            val s = (hi << 8) | lo // hi is signed: sign-extends correctly
-            val a = math.abs(s.toLong)
-            if (a > peak) peak = a
-            sumSq += s.toLong * s
-            if (a < silenceThreshold) silent += 1
-            val neg = s < 0
-            if (i > 0 && neg != prevNeg) crossings += 1
-            prevNeg = neg
-            i += 1
-          }
-          val rmsMilli = math.round(math.sqrt(sumSq.toDouble / n) * 1000)
+          val (peak, rmsMilli, crossings, silent) =
+            pcmScan(payload, 0, n, silenceThreshold)
           Row(id, n.toLong, peak, rmsMilli, crossings, silent)
         }
       }
@@ -438,26 +451,8 @@ object Multimodal {
         }
         if (n == 0) Row(id, sr, bits, ch, durMs, 0L, null, null, null, null)
         else {
-          var i = 0
-          var peak = 0L
-          var sumSq = 0L
-          var crossings = 0L
-          var silent = 0L
-          var prevNeg = false
-          while (i < n) {
-            val lo = payload(off + 2 * i) & 0xff
-            val hi = payload(off + 2 * i + 1)
-            val s = (hi << 8) | lo
-            val a = math.abs(s.toLong)
-            if (a > peak) peak = a
-            sumSq += s.toLong * s
-            if (a < silenceThreshold) silent += 1
-            val neg = s < 0
-            if (i > 0 && neg != prevNeg) crossings += 1
-            prevNeg = neg
-            i += 1
-          }
-          val rmsMilli = math.round(math.sqrt(sumSq.toDouble / n) * 1000)
+          val (peak, rmsMilli, crossings, silent) =
+            pcmScan(payload, off, n, silenceThreshold)
           Row(id, sr, bits, ch, durMs, n.toLong, peak, rmsMilli, crossings, silent)
         }
       }

@@ -764,9 +764,15 @@ object TextAnalysis {
     val ids = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id")))
       .distinct()
+    // pin: g feeds BOTH renamed sides of the position join, and renames
+    // defeat static exchange reuse — without the checkpoint the semi-join
+    // + shingle posexplode pipeline executes once per side (the
+    // embeddingDups pattern); released via the caller's
+    // releaseCheckpoints(result), reachable from the returned plan
     val g = df.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "gram")))
+      .localCheckpoint()
     val matches = pairs.select(col("a_id"), col("b_id"))
       .join(g.select(col("doc_id").as("a_id"), col("pos").as("pa"),
         col("gram")), "a_id")
@@ -822,9 +828,12 @@ object TextAnalysis {
     val ids = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id")))
       .distinct()
+    // pin: same double-execution defense as overlapSpans (g feeds both
+    // renamed join sides); released via releaseCheckpoints(result)
     val g = df.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         posexplode(Dedup.shingles(col(textCol), n)).as(Seq("pos", "gram")))
+      .localCheckpoint()
     val matches = pairs.select(col("a_id"), col("b_id"))
       .join(g.select(col("doc_id").as("a_id"), col("pos").as("pa"),
         col("gram")), "a_id")

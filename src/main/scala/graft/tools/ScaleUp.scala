@@ -73,6 +73,12 @@ object ScaleUp {
           .otherwise(regexp_replace(coalesce(col("text"), lit("")),
             lit("(\\S+)"), concat(lit("$1c"), col("_k")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
+      // perturbed copies got ~2 chars per token longer: restamp n_chars
+      // from the actual text so the metadata stays consistent with what
+      // it describes (copy 0 keeps the original stamp)
+      .withColumn("n_chars",
+        when(col("doc_id") < OFF, col("n_chars"))
+          .otherwise(length(col("text")).cast("long")))
 
     def scaledEmbeddings(): DataFrame =
       read("embeddings").crossJoin(ks).select(

@@ -285,16 +285,19 @@ class DedupSpec extends AnyFunSuite with Matchers {
       (3L, Array(0.01f, 0.99f)), // cell 1, near-dup of 1
       (4L, Array(-1.0f, 0.0f))   // cell 1 (orthogonal beats negative), no dup
     ).toDF("vec_id", "embedding")
-    val out = Dedup.embeddingDupsByCell(emb, threshold = 0.9, nCells = 2)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val outDf = Dedup.embeddingDupsByCell(emb, threshold = 0.9, nCells = 2)
+    val out = outDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    Dedup.releaseCheckpoints(outDf)
     out shouldBe Set((0L, 2L), (1L, 3L))
     // APPLY: the b-side of each pair is dropped, lowest id survives
-    Dedup.dropSemanticDuplicates(emb, threshold = 0.9, nCells = 2)
-      .select("vec_id").as[Long].collect().sorted shouldBe Array(0L, 1L, 4L)
+    val applied = Dedup.dropSemanticDuplicates(emb, threshold = 0.9, nCells = 2)
+    applied.select("vec_id").as[Long].collect().sorted shouldBe Array(0L, 1L, 4L)
+    Dedup.releaseCheckpoints(applied)
     // nCells = 0 auto-sizes via cellsFor: 5 rows -> 1 cell, every pair
     // co-located, so at least the per-cell pairs above still surface
-    val auto = Dedup.embeddingDupsByCell(emb, threshold = 0.9, nCells = 0)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val autoDf = Dedup.embeddingDupsByCell(emb, threshold = 0.9, nCells = 0)
+    val auto = autoDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    Dedup.releaseCheckpoints(autoDf)
     auto should contain allOf ((0L, 2L), (1L, 3L))
   }
 
