@@ -30,6 +30,41 @@ object Bench {
     // exact-substring dedup apply
     "q_multimodal_wav", "q_snapshot_stream", "q_bigram_ppl", "q_strip_spans")
 
+  /** First-seen gated time per query (sec, sf0.1, driver bench): the r1
+    * value where the query was in the r1 bench, else the value from the
+    * first round that gated it (r4/r5/r6/r7/r8 per BENCH_r*.json). The 2×
+    * regression gate runs per query against THIS map, not just against the
+    * grand total — r8's `q_sim_topk` slipped past the total-only gate.
+    */
+  val firstSeen: Map[String, Double] = Map(
+    "ingest_full" -> 1.490, "q_singer_pipeline" -> 3.014, "q1_agg" -> 1.344,
+    "q_join_agg" -> 0.748, "q_window" -> 0.849, "q_topk" -> 0.197,
+    "q_windowed_counts" -> 0.581, "q_sessionize" -> 1.043,
+    "q_dedup_exact" -> 1.306, "q_dedup_apply" -> 0.487,
+    "q_dedup_minhash" -> 2.631, "q_dedup_simhash" -> 0.440,
+    "q_dedup_groups" -> 3.982, "q_decontaminate" -> 1.007,
+    "q_embed_dups" -> 1.021, "q_sim_topk" -> 0.555, "q_sim_lsh" -> 2.506,
+    "q_text_tokens" -> 4.072, "q_text_quality" -> 0.647,
+    "q_text_langid" -> 1.008, "q_fingerprint" -> 0.906,
+    "q_corpus_stats" -> 0.294, "q_multimodal_meta" -> 0.224,
+    "q_multimodal_features" -> 0.260, "q_multimodal_frames" -> 0.231,
+    "q_attribution" -> 0.726, "q_asof_join" -> 1.261, "q_range_join" -> 1.604,
+    "q_embed_dups_cell" -> 1.743, "q_sim_ivf" -> 1.114,
+    "q_sim_ivf_trained" -> 2.465, "q_text_redact" -> 0.912,
+    "q_top_ngrams" -> 0.865, "q_text_chunk" -> 0.500, "q_split" -> 0.271,
+    "q_multimodal_phash" -> 1.240, "q_decontaminate_bloom" -> 1.798,
+    "q_pipeline_e2e" -> 3.813, "q_zorder" -> 0.449, "q_hist_quantile" -> 0.490,
+    "q_hybrid_rrf" -> 1.607, "q_rand_proj" -> 0.871,
+    "q_dedup_groups_contract" -> 3.647, "q_tokenize_greedy" -> 0.565,
+    "q_bpe_train" -> 1.179, "q_bpe_encode" -> 2.549,
+    "q_multimodal_decode" -> 0.212, "q_multimodal_audio" -> 0.201,
+    "q_multimodal_resize_ppm" -> 0.200, "q_pagerank" -> 8.391,
+    "q_triangles" -> 4.135, "q_split_leakage" -> 3.422,
+    "q_dedup_incr_near" -> 4.289, "q_overlap_spans" -> 3.130,
+    "q_seq_match" -> 0.422, "q_multimodal_wav" -> 0.260,
+    "q_snapshot_stream" -> 0.426, "q_bigram_ppl" -> 1.122,
+    "q_strip_spans" -> 3.947)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +88,13 @@ object Bench {
         // the session lifetime (and here would distort later queries'
         // memory headroom)
         graft.ops.Dedup.releaseCheckpoints(df)
+        // then sweep EVERYTHING still pinned, blocking until the blocks are
+        // actually gone: releaseCheckpoints only sees LogicalRDDs in the
+        // final plan (superseded intra-op generations escape it) and
+        // unpersists async — r8's q_embed_dups_cell/q_sim_topk "regressions"
+        // were exactly this cross-query residue (both ran fast in isolation)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         sec
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
@@ -126,10 +168,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Per-query 2× gate vs the first-seen baseline. The full ratio table
+    // goes to stderr + bench_full.json (the driver's stdout capture window
+    // is bounded, so the JSON line carries only the violations).
+    val ratios = results.collect {
+      case (k, v) if v >= 0 && firstSeen.contains(k) => (k, v, v / firstSeen(k))
+    }
+    ratios.sortBy(-_._3).foreach { case (k, v, r) =>
+      val flag = if (r > 2.0) "  <-- OVER 2x BASELINE" else ""
+      System.err.println(
+        f"[bench] ratio $k%-24s now=$v%7.3fs base=${firstSeen(k)}%7.3fs x=$r%5.2f$flag")
+    }
+    val over2x = ratios.filter(_._3 > 2.0)
+      .map { case (k, _, r) => "\"" + k + "\":" + fmt(r) }
+      .mkString("{", ",", "}")
     // gc_ms: total collector time over the whole run — a contaminated run
     // (host interference, heap pressure) shows up as an outsized value
     // relative to the ~61 s clean-run shape.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"over2x":$over2x,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // full artifact (per-query baselines + ratios included) for the repo
+    val full = ratios.map { case (k, v, r) =>
+      s""""$k":{"sec":${fmt(v)},"base":${fmt(firstSeen(k))},"ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"sf":"$sfDir","queries":$full}""".getBytes("UTF-8"))
     spark.stop()
   }
 }

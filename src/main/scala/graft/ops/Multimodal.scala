@@ -424,6 +424,11 @@ object Multimodal {
     * decode-or-fallback contract as [[extractFeatures]], so downstream
     * schema never depends on which path parsed.
     *
+    * For multi-channel files, `n_samples`/`peak`/`rms_milli`/
+    * `zero_crossings`/`n_silent` are computed over the INTERLEAVED sample
+    * stream (all channels mixed in file order), not per-channel;
+    * `duration_ms` alone accounts for the channel count.
+    *
     * Same scale contract as every seam op: per-partition batch transform,
     * payload bytes never shuffled, all outputs integer-exact (RMS crosses
     * one IEEE sqrt).
@@ -445,8 +450,11 @@ object Multimodal {
         val n = nBytes / 2
         val (sr, bits, ch, durMs) = info match {
           case Some(w) =>
+            // n*1000/(ch*rate), not (n/ch)*1000/rate: dividing by channels
+            // first truncates to whole per-channel frames and loses sub-frame
+            // precision for multi-channel files
             (w.sampleRate, w.bitsPerSample, w.channels,
-              (n.toLong / w.channels) * 1000L / w.sampleRate)
+              n.toLong * 1000L / (w.channels.toLong * w.sampleRate))
           case None => (null, null, null, null)
         }
         if (n == 0) Row(id, sr, bits, ch, durMs, 0L, null, null, null, null)

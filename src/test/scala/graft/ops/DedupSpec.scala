@@ -327,8 +327,10 @@ class DedupSpec extends AnyFunSuite with Matchers {
       (2L, Array(0.0f, 1.0f, 0.0f), 1),    // same label, orthogonal
       (3L, Array(1.0f, 0.0f, 0.0f), 2)     // dup of 0 but different label
     ).toDF("vec_id", "embedding", "label")
-    val out = Dedup.embeddingDups(emb, threshold = 0.9)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val outDf = Dedup.embeddingDups(emb, threshold = 0.9)
+    val out = outDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // release the pre-self-join pin so the shared-session hygiene assertions stay honest
+    Dedup.releaseCheckpoints(outDf)
     out shouldBe Set((0L, 1L))
   }
 }

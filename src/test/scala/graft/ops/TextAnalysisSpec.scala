@@ -249,8 +249,10 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       (3L, "unrelated words entirely here")
     ).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
-    val out = TextAnalysis.stripOverlapSpans(df, pairs, n = 3, minSpanTokens = 5)
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val outDf = TextAnalysis.stripOverlapSpans(df, pairs, n = 3, minSpanTokens = 5)
+    val out = outDf.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // release the span-join pin so the shared-session hygiene assertions stay honest
+    Dedup.releaseCheckpoints(outDf)
     // a-side (lowest id) keeps its occurrence verbatim
     out(1L) shouldBe ("x1 x2 s1 s2 s3 s4 s5 y1", 0L)
     // b-side loses exactly the 5-token shared run
@@ -267,8 +269,9 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
       (4L, "t1 t2 t3 t4 t5 xxx u1 u2 u3 u4 u5")
     ).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
-    val out = TextAnalysis.stripOverlapSpans(df, pairs, n = 3, minSpanTokens = 5)
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val outDf = TextAnalysis.stripOverlapSpans(df, pairs, n = 3, minSpanTokens = 5)
+    val out = outDf.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    Dedup.releaseCheckpoints(outDf)
     out(2L) shouldBe ("b1 s1 s2 s3 s4 b2", 0L) // 4 < minSpanTokens
     // equal-length spans: the earlier one (t-run at start 0) is stripped,
     // and only ONE span per pass
