@@ -28,7 +28,10 @@ object Bench {
     "q_overlap_spans", "q_seq_match",
     // round-8 additions: WAV container tier, snapshot-view fold, bigram LM,
     // exact-substring dedup apply
-    "q_multimodal_wav", "q_snapshot_stream", "q_bigram_ppl", "q_strip_spans")
+    "q_multimodal_wav", "q_snapshot_stream", "q_bigram_ppl", "q_strip_spans",
+    // round-9 additions: corpus-proportional cell sizing (cellsFor) and
+    // trained-codebook dedup blocking on the graded surface
+    "q_embed_dups_cell_auto", "q_embed_dups_trained", "q_knn_graph_auto")
 
   /** First-seen gated time per query (sec, sf0.1, driver bench): the r1
     * value where the query was in the r1 bench, else the value from the

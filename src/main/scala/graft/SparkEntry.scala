@@ -978,6 +978,29 @@ object SparkEntry {
       Dedup.embeddingDupsByCell(t(s, dir, "embeddings"), threshold = 0.35)
         .orderBy("cell_id", "a_id", "b_id")),
 
+    // the same cell-blocked dedup with the codebook size DERIVED from the
+    // corpus count (Similarity.cellsFor: ceil(N / targetPerCell)) — the
+    // sizing rule the round-8 scale probe measured as the linear-vs-
+    // quadratic switch. The oracle replays the derivation as
+    // (count(*) + 127) // 128, so the cell count is corpus-determined on
+    // BOTH sides, not a constant either engine could hardcode.
+    "q_embed_dups_cell_auto" -> ((s, dir) =>
+      Dedup.embeddingDupsByCell(t(s, dir, "embeddings"), threshold = 0.35,
+        nCells = 0, targetPerCell = 128L)
+        .orderBy("cell_id", "a_id", "b_id")),
+
+    // cell-blocked dedup over a TRAINED codebook (2 Lloyd's iterations
+    // from the deterministic seed) — the q_sim_ivf → q_sim_ivf_trained
+    // ladder applied to dedup blocking: production blocking quality comes
+    // from k-means cells, not the lowest-id stand-in
+    "q_embed_dups_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(emb, k = 8, iters = 2)
+      Dedup.embeddingDupsByCell(emb, threshold = 0.35, nCells = 8,
+        centroids = Some(cents))
+        .orderBy("cell_id", "a_id", "b_id")
+    }),
+
     // C4-style line dedup over synthesized multi-line docs: every doc
     // carries its own body line, a GLOBAL footer (survives once, in the
     // lowest doc), and a per-(doc_id % 10) section header (survives once
@@ -1038,6 +1061,14 @@ object SparkEntry {
     // all-corpus neighbor graph (vs. the query-set searches below)
     "q_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, nCells = 8)
+        .orderBy("vec_id", "rank")),
+
+    // the auto-sized twin: cells derived from the corpus count
+    // (cellsFor), same derivation replayed in the oracle — see
+    // q_embed_dups_cell_auto
+    "q_knn_graph_auto" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, nCells = 0,
+        targetPerCell = 128L)
         .orderBy("vec_id", "rank")),
 
     "q_sim_ivf" -> ((s, dir) =>
@@ -2848,6 +2879,45 @@ object SparkEntry {
         | FROM scored)
         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    // q_knn_graph with the cell count derived from the corpus size
+    // (cellsFor(targetPerCell = 128) on both sides) — see
+    // q_embed_dups_cell_auto
+    "q_knn_graph_auto" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
+        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings)
+        |),
+        |sims AS (
+        | SELECT n.vec_id, n.qv, n.qn, c.cell_id,
+        |  round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) AS cell_sim
+        | FROM n CROSS JOIN c
+        |),
+        |assign AS (
+        | SELECT vec_id, qv, qn, cell_id FROM (
+        |  SELECT vec_id, qv, qn, cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS rn
+        |  FROM sims) WHERE rn = 1
+        |),
+        |scored AS (
+        | SELECT a.vec_id, b.vec_id AS nbr_id,
+        |  round(list_sum(list_transform(list_zip(a.qv, b.qv), pr -> pr[1] * pr[2]))
+        |   / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE)), 6) AS sim
+        | FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+        |)
+        |SELECT vec_id, nbr_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT vec_id, nbr_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     "q_sim_ivf" ->
       """WITH n AS (
         | SELECT vec_id, qv,
@@ -3081,6 +3151,109 @@ object SparkEntry {
         |  round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
         |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) AS sim
         | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+        |WHERE sim >= 0.35
+        |ORDER BY cell_id, a_id, b_id""".stripMargin,
+
+    // q_embed_dups_cell with the cell count derived from the corpus size:
+    // ceil(count / 128), the cellsFor(targetPerCell = 128) rule — the
+    // centroid CTE's bound is computed, not a literal
+    "q_embed_dups_cell_auto" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
+        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings)
+        |),
+        |assign AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn = 1
+        |),
+        |v AS (
+        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
+        |)
+        |SELECT cell_id, a_id, b_id, sim FROM (
+        | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
+        |  round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) AS sim
+        | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+        |WHERE sim >= 0.35
+        |ORDER BY cell_id, a_id, b_id""".stripMargin,
+
+    // same train chain as q_sim_ivf_trained (c0 -> refine -> c2), then the
+    // q_embed_dups_cell within-cell pair join against the TRAINED cells
+    "q_embed_dups_trained" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c0 AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8
+        |),
+        |a0 AS (
+        | SELECT vec_id, cell_id, qv FROM (
+        |  SELECT n.vec_id, c.cell_id, n.qv,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c0 c) WHERE rn = 1
+        |),
+        |m1 AS (
+        | SELECT cell_id, pos, SUM(v) AS s, COUNT(*) AS cnt
+        | FROM (SELECT cell_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS pos FROM a0)
+        | GROUP BY cell_id, pos
+        |),
+        |c1 AS (
+        | SELECT cell_id, cv,
+        |  list_sum(list_transform(list_zip(cv, cv), p -> p[1] * p[2])) AS cn
+        | FROM (SELECT cell_id,
+        |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS cv
+        |  FROM m1 GROUP BY cell_id)
+        |),
+        |a1 AS (
+        | SELECT vec_id, cell_id, qv FROM (
+        |  SELECT n.vec_id, c.cell_id, n.qv,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c1 c) WHERE rn = 1
+        |),
+        |m2 AS (
+        | SELECT cell_id, pos, SUM(v) AS s, COUNT(*) AS cnt
+        | FROM (SELECT cell_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS pos FROM a1)
+        | GROUP BY cell_id, pos
+        |),
+        |c2 AS (
+        | SELECT cell_id, cv,
+        |  list_sum(list_transform(list_zip(cv, cv), p -> p[1] * p[2])) AS cn
+        | FROM (SELECT cell_id,
+        |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS cv
+        |  FROM m2 GROUP BY cell_id)
+        |),
+        |a2 AS (
+        | SELECT vec_id, cell_id, qv, qn FROM (
+        |  SELECT n.vec_id, c.cell_id, n.qv, n.qn,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c2 c) WHERE rn = 1
+        |)
+        |SELECT cell_id, a_id, b_id, sim FROM (
+        | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
+        |  round(list_sum(list_transform(list_zip(x.qv, y.qv), pr -> pr[1] * pr[2]))
+        |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) AS sim
+        | FROM a2 x JOIN a2 y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         |WHERE sim >= 0.35
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
 

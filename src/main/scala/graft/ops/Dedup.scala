@@ -1042,8 +1042,11 @@ object Dedup {
       embeddings: DataFrame,
       threshold: Double,
       nCells: Int = 8,
-      maxBucket: Int = 100000): DataFrame = {
-    val losers = embeddingDupsByCell(embeddings, threshold, nCells, maxBucket)
+      maxBucket: Int = 100000,
+      targetPerCell: Long = 4096L,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val losers = embeddingDupsByCell(
+      embeddings, threshold, nCells, maxBucket, targetPerCell, centroids)
       .select(col("b_id").as("vec_id")).distinct()
     embeddings.join(losers, Seq("vec_id"), "left_anti")
   }
@@ -1063,19 +1066,25 @@ object Dedup {
       embeddings: DataFrame,
       threshold: Double,
       nCells: Int = 8,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000,
+      targetPerCell: Long = 4096L,
+      centroids: Option[DataFrame] = None): DataFrame = {
     // nCells = 0: derive the codebook size from the corpus count
     // (Similarity.cellsFor) — the sizing that keeps within-cell work
     // constant per cell as N grows (PLANS.md round-8 scale probe). One
     // count() pass, trivial next to the self-join it bounds.
     val cellCount =
-      if (nCells == 0) Similarity.cellsFor(embeddings.count()) else nCells
+      if (nCells == 0) Similarity.cellsFor(embeddings.count(), targetPerCell)
+      else nCells
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     // Checkpoint before the self-join: the renamed a/b projections defeat
     // static exchange reuse, so without it the scan→assign→cap pipeline
-    // executes once per side (see Similarity.knnGraph).
+    // executes once per side (see Similarity.knnGraph). A trained codebook
+    // ([[Similarity.trainCentroids]]) slots in via `centroids` — the
+    // q_sim_ivf → q_sim_ivf_trained ladder, applied to dedup blocking.
     val cells = capBuckets(
-      Similarity.ivfAssign(embeddings, cellCount), Seq("cell_id"), maxBucket)
+      Similarity.ivfAssign(embeddings, cellCount, centroids),
+      Seq("cell_id"), maxBucket)
       .localCheckpoint()
     val a = cells.select(
       col("cell_id"), col("vec_id").as("a_id"),

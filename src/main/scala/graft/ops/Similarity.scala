@@ -316,10 +316,13 @@ object Similarity {
     * clustering-derived BLOCKING key for semantic dedup
     * ([[Dedup.embeddingDupsByCell]]).
     */
-  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+  def ivfAssign(
+      embeddings: DataFrame,
+      nCells: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     val vecs = quantizedWithNorms(embeddings, native)
-    assignCore(vecs, seedCentroids(vecs, nCells), native)
+    assignCore(vecs, centroids.getOrElse(seedCentroids(vecs, nCells)), native)
   }
 
   /** Lloyd's (spherical) k-means over the quantized vectors: `iters`
@@ -601,15 +604,20 @@ object Similarity {
       embeddings: DataFrame,
       k: Int,
       nCells: Int = 8,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000,
+      targetPerCell: Long = 4096L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // nCells = 0: corpus-proportional codebook ([[cellsFor]]) — the sizing
+    // that keeps within-cell candidate lists constant as N grows
+    val cellCount =
+      if (nCells == 0) cellsFor(embeddings.count(), targetPerCell) else nCells
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     // Materialize the assignment ONCE: a self-join references the subtree
     // twice, and the two sides' renames defeat static exchange reuse — so
     // without the checkpoint the full scan→assign→cap pipeline executes
     // twice (same reasoning as duplicateGroups' edge checkpoint).
     val cells = Dedup.capBuckets(
-      ivfAssign(embeddings, nCells), Seq("cell_id"), maxBucket)
+      ivfAssign(embeddings, cellCount), Seq("cell_id"), maxBucket)
       .localCheckpoint()
     cells.as("a")
       .join(cells.as("b"),

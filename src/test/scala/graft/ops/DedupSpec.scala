@@ -299,6 +299,34 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val auto = autoDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
     Dedup.releaseCheckpoints(autoDf)
     auto should contain allOf ((0L, 2L), (1L, 3L))
+    // targetPerCell drives the derived count: 5 rows at 2/cell -> 3 cells
+    // (seeds 0, 1, 2). Vector 2 becomes its own centroid, so (0, 2) now
+    // STRADDLES cells 0/2 — the standard single-assignment recall loss —
+    // and only the still-co-located (1, 3) pair survives
+    val tightDf = Dedup.embeddingDupsByCell(
+      emb, threshold = 0.9, nCells = 0, targetPerCell = 2L)
+    val tight = tightDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    Dedup.releaseCheckpoints(tightDf)
+    tight shouldBe Set((1L, 3L))
+  }
+
+  test("embedding dups by cell accepts a trained codebook") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.99f, 0.01f)),
+      (3L, Array(0.01f, 0.99f)),
+      (4L, Array(0.98f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, k = 2, iters = 2)
+    val outDf = Dedup.embeddingDupsByCell(
+      emb, threshold = 0.9, nCells = 2, centroids = Some(cents))
+    val out = outDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    Dedup.releaseCheckpoints(outDf)
+    Dedup.releaseCheckpoints(cents)
+    // trained cells keep the two axis clusters apart: the x-axis trio
+    // pairs among themselves, the y-axis pair pairs, nothing crosses
+    out shouldBe Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 3L))
   }
 
   test("incremental near-dedup equals the full-union cross-pair decision") {
