@@ -95,8 +95,13 @@ object Bench {
         // actually gone: releaseCheckpoints only sees LogicalRDDs in the
         // final plan (superseded intra-op generations escape it) and
         // unpersists async — r8's q_embed_dups_cell/q_sim_topk "regressions"
-        // were exactly this cross-query residue (both ran fast in isolation)
+        // were exactly this cross-query residue (both ran fast in isolation).
+        // Shared fixtures (the co-purchase edge build q_pagerank and
+        // q_triangles both consume) are exempt — they are deliberate
+        // cross-query pins, released once at end of run.
+        val keep = SparkEntry.sharedFixtureRddIds
         spark.sparkContext.getPersistentRDDs.values
+          .filterNot(r => keep(r.id))
           .foreach(_.unpersist(blocking = true))
         sec
       } catch { case e: Throwable =>
@@ -197,6 +202,7 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"sf":"$sfDir","queries":$full}""".getBytes("UTF-8"))
+    SparkEntry.releaseSharedFixtures()
     spark.stop()
   }
 }

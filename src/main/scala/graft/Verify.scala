@@ -41,6 +41,9 @@ object Verify {
         deleteRecursively(Paths.get(s"$outDir/$name"))
       }
     }
+    // shared fixtures (co-purchase edges) are deliberate cross-query pins
+    // with an explicit lifecycle — free them now that the batch is done
+    SparkEntry.releaseSharedFixtures()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -33,10 +33,21 @@ class CheckpointReleaseSpec extends AnyFunSuite with Matchers {
       df.write.format("noop").mode("overwrite").save()
       Dedup.releaseCheckpoints(df)
       val after = spark.sparkContext.getPersistentRDDs.keySet
-      (after -- before).foreach(id => leaked += name -> id)
+      // shared fixtures (co-purchase edges) are DELIBERATE cross-query
+      // pins with their own release path, asserted below — not leaks
+      (after -- before -- graft.SparkEntry.sharedFixtureRddIds)
+        .foreach(id => leaked += name -> id)
     }
     withClue(s"queries leaking persistent RDD blocks: $leaked") {
       leaked shouldBe empty
     }
+    // the fixture lifecycle itself must be leak-free: releasing the
+    // shared fixtures leaves the session with no surviving pin of theirs
+    val fixtureIds = graft.SparkEntry.sharedFixtureRddIds
+    fixtureIds should not be empty // q_pagerank/q_triangles ran above
+    graft.SparkEntry.releaseSharedFixtures()
+    graft.SparkEntry.sharedFixtureRddIds shouldBe empty
+    spark.sparkContext.getPersistentRDDs.keySet
+      .intersect(fixtureIds) shouldBe empty
   }
 }
