@@ -178,8 +178,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query 2× gate vs the first-seen baseline. The full ratio table
     // goes to stderr + bench_full.json (the driver's stdout capture window
-    // is bounded, so the JSON line carries only the violations).
-    val ratios = results.collect {
+    // is bounded, so the JSON line carries only the violations). The
+    // baselines were recorded on the driver sf0.1 dir — benching any other
+    // dir (e.g. the ScaleUp sf1 checkpoint) skips the gate rather than
+    // flagging every query as a phantom regression.
+    val gateApplies = sfDir.contains("sf0.1")
+    val ratios = if (!gateApplies) Seq.empty else results.collect {
       case (k, v) if v >= 0 && firstSeen.contains(k) => (k, v, v / firstSeen(k))
     }
     ratios.sortBy(-_._3).foreach { case (k, v, r) =>
@@ -195,12 +199,17 @@ object Bench {
     // relative to the ~61 s clean-run shape.
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"over2x":$over2x,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // full artifact (per-query baselines + ratios included) for the repo
-    val full = ratios.map { case (k, v, r) =>
-      s""""$k":{"sec":${fmt(v)},"base":${fmt(firstSeen(k))},"ratio":${fmt(r)}}"""
-    }.mkString("{", ",", "}")
+    // full artifact for the repo: per-query baselines + ratios when the
+    // gate applies (sf0.1), raw seconds otherwise (sf1 checkpoint runs)
+    val full =
+      if (gateApplies) ratios.map { case (k, v, r) =>
+        s""""$k":{"sec":${fmt(v)},"base":${fmt(firstSeen(k))},"ratio":${fmt(r)}}"""
+      }.mkString("{", ",", "}")
+      else results.map { case (k, v) => s""""$k":{"sec":${fmt(v)}}""" }
+        .mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(outPath),
       s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"sf":"$sfDir","queries":$full}""".getBytes("UTF-8"))
     SparkEntry.releaseSharedFixtures()
     spark.stop()

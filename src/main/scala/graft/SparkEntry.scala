@@ -1040,9 +1040,15 @@ object SparkEntry {
     "q_embed_dups_trained" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.trainCentroids(emb, k = 8, iters = 2)
-      Dedup.embeddingDupsByCell(emb, threshold = 0.35, nCells = 8,
+      val out = Dedup.embeddingDupsByCell(emb, threshold = 0.35, nCells = 8,
         centroids = Some(cents))
         .orderBy("cell_id", "a_id", "b_id")
+      // embeddingDupsByCell EAGERLY checkpoints the cell assignment, so the
+      // codebook's own checkpoint is dead by the time it returns — and it is
+      // NOT reachable from `out`'s plan (unlike ivfTopK, which joins the
+      // centroids into the returned plan), so release it here or it leaks
+      Dedup.releaseCheckpoints(cents)
+      out
     }),
 
     // C4-style line dedup over synthesized multi-line docs: every doc
@@ -1278,6 +1284,16 @@ object SparkEntry {
       Importance.bigramSurprisal(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // stupid-backoff trigram LM (Brants 2007) under a HELD-OUT training
+    // slice (even doc_ids) — the production LM-filter shape, and the one
+    // where backoff actually fires: odd docs carry trigrams the even
+    // half never saw, so all three tiers (trigram, ×α bigram, ×α²
+    // add-one unigram floor) appear in the scores
+    "q_trigram_ppl" -> ((s, dir) =>
+      Importance.trigramBackoffSurprisal(
+        t(s, dir, "documents"), trainPred = pmod(col("doc_id"), lit(2)) === 0)
+        .orderBy("doc_id")),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
         .orderBy("doc_id", "rank")),
@@ -1326,6 +1342,35 @@ object SparkEntry {
     "q_rate_anomaly" -> ((s, dir) =>
       graft.ops.EventAnalytics.rateAnomalies(t(s, dir, "events"))
         .orderBy("event_type", "bucket")),
+
+    // ── fuzzy string matching (entity resolution, §7.3) ───────────────
+    // blocked vocabulary self-join scored by levenshtein + FULL
+    // Damerau-Levenshtein (native expression, integer-exact vs DuckDB's
+    // damerau_levenshtein — 'ca'→'abc' = 2, not the restricted-OSA 3);
+    // composite part labels differing by small edits (brand digits,
+    // name variants) pair up inside (first-token, length-band) blocks
+    "q_fuzzy_join" -> ((s, dir) =>
+      ops.FuzzyMatch.fuzzyPairs(
+        t(s, dir, "part").select(
+          concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
+            col("p_brand")).as("label")))
+        .filter(col("dl") <= 4)
+        .select("a_label", "b_label", "lev", "dl")
+        .orderBy("a_label", "b_label")),
+
+    // Jaro-Winkler top pairs over the same blocked vocabulary (native
+    // expression with DuckDB/RapidFuzz parity: 0.0 on empty sides,
+    // window max(len)/2-1, prefix boost only above 0.7). Both engines
+    // round to 4 decimals BEFORE ranking so the cut is portable; ties
+    // broken on the label pair
+    "q_jaro_pairs" -> ((s, dir) =>
+      ops.FuzzyMatch.fuzzyPairs(
+        t(s, dir, "part").select(
+          concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
+            col("p_brand")).as("label")))
+        .select(col("a_label"), col("b_label"), round(col("jw"), 4).as("jw_r"))
+        .orderBy(desc("jw_r"), col("a_label"), col("b_label"))
+        .limit(200)),
 
     "q_mixture" -> ((s, dir) =>
       ops.CorpusOps.mixturePlan(t(s, dir, "documents"), budgetTokens = 1000000000L)
@@ -4063,6 +4108,79 @@ object SparkEntry {
         | CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
         |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // stupid-backoff trigram LM: counts from the even-doc_id train slice;
+    // every tier's probability is ONE fixed double expression over exact
+    // integer counts, quantized once per distinct key (q_bigram_ppl's
+    // determinism argument)
+    "q_trigram_ppl" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS ws
+        | FROM documents),
+        |alpht AS (SELECT CAST(400000 AS DOUBLE) / 1000000.0 AS alpha),
+        |train AS (SELECT ws FROM d WHERE doc_id % 2 = 0),
+        |uni AS (SELECT w, count(*) AS c_w FROM (SELECT unnest(ws) AS w FROM train) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size FROM uni),
+        |big AS (
+        | SELECT u, w, count(*) AS c_uw FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i AS INT)])) AS u,
+        |   unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i + 1 AS INT)])) AS w
+        |  FROM train WHERE len(ws) >= 2) GROUP BY 1, 2),
+        |tri AS (
+        | SELECT u, v, w, count(*) AS c_uvw FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
+        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS v,
+        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 2 AS INT)])) AS w
+        |  FROM train WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+        |tstream AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
+        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS v,
+        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 2 AS INT)])) AS w
+        | FROM d WHERE len(ws) >= 3),
+        |tscored AS (
+        | SELECT k.u, k.v, k.w,
+        |  CAST(round(-ln(CASE
+        |    WHEN t.c_uvw IS NOT NULL THEN CAST(t.c_uvw AS DOUBLE) / buv.c_uw
+        |    WHEN bvw.c_uw IS NOT NULL THEN alpha * (CAST(bvw.c_uw AS DOUBLE) / uv.c_w)
+        |    ELSE (alpha * alpha) * ((CAST(coalesce(uw.c_w, 0) AS DOUBLE) + 1.0)
+        |      / CAST(n_total + v_size AS DOUBLE)) END) * 1e6) AS BIGINT) AS s_micro
+        | FROM (SELECT DISTINCT u, v, w FROM tstream) k
+        | LEFT JOIN tri t ON k.u = t.u AND k.v = t.v AND k.w = t.w
+        | LEFT JOIN big buv ON k.u = buv.u AND k.v = buv.w
+        | LEFT JOIN big bvw ON k.v = bvw.u AND k.w = bvw.w
+        | LEFT JOIN uni uv ON k.v = uv.w
+        | LEFT JOIN uni uw ON k.w = uw.w, tot, alpht),
+        |sstream AS (
+        | SELECT doc_id, ws[1] AS u, ws[2] AS w FROM d WHERE len(ws) >= 2),
+        |sscored AS (
+        | SELECT k.u, k.w,
+        |  CAST(round(-ln(CASE
+        |    WHEN b.c_uw IS NOT NULL THEN CAST(b.c_uw AS DOUBLE) / uu.c_w
+        |    ELSE alpha * ((CAST(coalesce(uw.c_w, 0) AS DOUBLE) + 1.0)
+        |      / CAST(n_total + v_size AS DOUBLE)) END) * 1e6) AS BIGINT) AS s_micro
+        | FROM (SELECT DISTINCT u, w FROM sstream) k
+        | LEFT JOIN big b ON k.u = b.u AND k.w = b.w
+        | LEFT JOIN uni uu ON k.u = uu.w
+        | LEFT JOIN uni uw ON k.w = uw.w, tot, alpht),
+        |fstream AS (SELECT doc_id, ws[1] AS w FROM d),
+        |fscored AS (
+        | SELECT k.w,
+        |  CAST(round(-ln((CAST(coalesce(u.c_w, 0) AS DOUBLE) + 1.0)
+        |    / CAST(n_total + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS s_micro
+        | FROM (SELECT DISTINCT w FROM fstream) k
+        | LEFT JOIN uni u ON k.w = u.w, tot),
+        |stream AS (
+        | SELECT f.doc_id, s.s_micro FROM fstream f JOIN fscored s USING (w)
+        | UNION ALL
+        | SELECT p.doc_id, s.s_micro FROM sstream p JOIN sscored s USING (u, w)
+        | UNION ALL
+        | SELECT t.doc_id, s.s_micro FROM tstream t JOIN tscored s USING (u, v, w))
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(s_micro) AS BIGINT) AS sum_micro,
+        | CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
+        |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_tfidf" ->
       """WITH toks AS (
         | SELECT doc_id, unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
@@ -4168,6 +4286,45 @@ object SparkEntry {
         |FROM c JOIN s USING (event_type)
         |WHERE (sxx - sx * (sx / n)) / (n - 1) > 0
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // fuzzy matching: DuckDB's levenshtein / damerau_levenshtein /
+    // jaro_winkler_similarity are the reference semantics the native
+    // expressions are pinned to — the oracle replays blocking + scoring
+    "q_fuzzy_join" ->
+      """WITH l AS (
+        | SELECT DISTINCT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label
+        | FROM part),
+        |b AS (
+        | SELECT label, f, lb FROM (
+        |  SELECT label, split_part(label, ' ', 1) AS f, length(label) // 8 AS lb,
+        |   count(*) OVER (PARTITION BY split_part(label, ' ', 1), length(label) // 8) AS c
+        |  FROM l)
+        | WHERE c <= 100000)
+        |SELECT a_label, b_label,
+        | CAST(levenshtein(a_label, b_label) AS INTEGER) AS lev,
+        | CAST(damerau_levenshtein(a_label, b_label) AS INTEGER) AS dl
+        |FROM (
+        | SELECT a.label AS a_label, b2.label AS b_label
+        | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label)
+        |WHERE damerau_levenshtein(a_label, b_label) <= 4
+        |ORDER BY a_label, b_label""".stripMargin,
+
+    "q_jaro_pairs" ->
+      """WITH l AS (
+        | SELECT DISTINCT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label
+        | FROM part),
+        |b AS (
+        | SELECT label, f, lb FROM (
+        |  SELECT label, split_part(label, ' ', 1) AS f, length(label) // 8 AS lb,
+        |   count(*) OVER (PARTITION BY split_part(label, ' ', 1), length(label) // 8) AS c
+        |  FROM l)
+        | WHERE c <= 100000)
+        |SELECT a_label, b_label, round(jaro_winkler_similarity(a_label, b_label), 4) AS jw_r
+        |FROM (
+        | SELECT a.label AS a_label, b2.label AS b_label
+        | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label)
+        |ORDER BY jw_r DESC, a_label, b_label
+        |LIMIT 200""".stripMargin,
 
     "q_mixture" ->
       """WITH t AS (

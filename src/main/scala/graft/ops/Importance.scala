@@ -209,4 +209,146 @@ object Importance {
         graft.functions.ColumnOps.fdivCol(col("sum_micro"), col("n_tokens"))
           .as("avg_micro"))
   }
+
+  /** Stupid-backoff trigram surprisal (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") scored under a HELD-OUT
+    * training slice (`trainPred` rows) — the production LM-filter shape:
+    * train counts once on a reference corpus, score every incoming shard
+    * against them. Held-out training is also the regime where backoff
+    * actually FIRES: scoring a corpus under its own counts never meets an
+    * unseen n-gram, which would reduce this to a plain conditional-
+    * probability table.
+    *
+    *   S(w₃|w₁w₂) = c₁₂₃/c₁₂              if the trigram was seen
+    *              = α · c₂₃/c₂            else if the bigram was seen
+    *              = α² · (c₃+1)/(N+V)     otherwise (add-one floor; OOV ok)
+    *
+    * A document's first token scores `S(w₁) = (c₁+1)/(N+V)`, its second
+    * the bigram chain `c₁₂/c₁ | α·(c₂+1)/(N+V)`. Surprisal is `−ln S`.
+    * α is `alphaMicro/1e6` (0.4 is Brants' published constant), kept
+    * integral so both engines derive the identical double.
+    *
+    * Determinism: each distinct scored key — trigram, leading pair,
+    * leading token — gets its probability computed in ONE fixed double
+    * expression over exact integer counts and quantized ONCE to
+    * micro-units; per-doc totals are exact long sums (the
+    * [[bigramSurprisal]] argument). Counts include doc-final occurrences
+    * (the same stated denominator shortcut, shared with the oracle).
+    *
+    * Plan shape at 100 TB: n-gram extraction is a narrow in-row
+    * `transform`; training statistics are keyed aggregations of the
+    * train slice (map-side combine shrinks them toward distinct-key
+    * counts); score tables join back on their n-gram keys — the trigram
+    * table is the one data-sized build side (pair-keyed exchange when it
+    * outgrows AQE's broadcast threshold) — and the per-doc sum is the
+    * final keyed shuffle. The scored corpus streams once; training
+    * streams once.
+    */
+  def trigramBackoffSurprisal(
+      df: DataFrame,
+      trainPred: Column,
+      alphaMicro: Long = 400000L,
+      textCol: String = "text"): DataFrame = {
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in [0, 1e6], got $alphaMicro")
+    val alpha = alphaMicro / 1e6
+    val docToks = df.select(col("doc_id"),
+      TextAnalysis.normTokens(coalesce(col(textCol), lit(""))).as("ws"))
+    val trainToks = df.filter(trainPred).select(
+      TextAnalysis.normTokens(coalesce(col(textCol), lit(""))).as("ws"))
+
+    def pairsOf(toks: DataFrame, cols: Seq[Column]) = toks.select(
+      (cols :+ explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(
+              element_at(col("ws"), i).as("u"),
+              element_at(col("ws"), i + 1).as("w"))))
+          .otherwise(array().cast("array<struct<u:string,w:string>>")))
+        .as("p")): _*)
+    def trisOf(toks: DataFrame, cols: Seq[Column]) = toks.select(
+      (cols :+ explode(
+        when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2), i =>
+            struct(
+              element_at(col("ws"), i).as("u"),
+              element_at(col("ws"), i + 1).as("v"),
+              element_at(col("ws"), i + 2).as("w"))))
+          .otherwise(array().cast("array<struct<u:string,v:string,w:string>>")))
+        .as("p")): _*)
+
+    // training statistics (counts include doc-final occurrences)
+    val uni = trainToks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = uni.agg(
+      sum("c_w").as("n_total"), count(lit(1)).as("v_size"))
+    val big = pairsOf(trainToks, Seq.empty)
+      .select(col("p.u"), col("p.w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val tri = trisOf(trainToks, Seq.empty)
+      .select(col("p.u"), col("p.v"), col("p.w"))
+      .groupBy("u", "v", "w").agg(count(lit(1)).as("c_uvw"))
+
+    // the add-one unigram floor, shared by every tier
+    def uniFloor(cw: Column) =
+      (coalesce(cw, lit(0L)).cast("double") + 1.0) /
+        (col("n_total") + col("v_size")).cast("double")
+
+    // scored-corpus streams
+    val triStream = trisOf(docToks, Seq(col("doc_id")))
+      .select(col("doc_id"), col("p.u"), col("p.v"), col("p.w"))
+    val triScored = triStream.dropDuplicates("u", "v", "w")
+      .select("u", "v", "w")
+      .join(tri, Seq("u", "v", "w"), "left")
+      .join(big.select(col("u"), col("w").as("v"), col("c_uw").as("c_uv")),
+        Seq("u", "v"), "left")
+      .join(big.select(col("u").as("v"), col("w"), col("c_uw").as("c_vw")),
+        Seq("v", "w"), "left")
+      .join(uni.select(col("w").as("v"), col("c_w").as("c_v")), Seq("v"), "left")
+      .join(uni, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("u"), col("v"), col("w"),
+        round(-log(
+          when(col("c_uvw").isNotNull,
+            col("c_uvw").cast("double") / col("c_uv"))
+            .when(col("c_vw").isNotNull,
+              lit(alpha) * (col("c_vw").cast("double") / col("c_v")))
+            .otherwise(lit(alpha * alpha) * uniFloor(col("c_w"))))
+          * 1e6).cast("long").as("s_micro"))
+    val secondStream = docToks
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        element_at(col("ws"), 1).as("u"), element_at(col("ws"), 2).as("w"))
+    val secondScored = secondStream.dropDuplicates("u", "w").select("u", "w")
+      .join(big, Seq("u", "w"), "left")
+      .join(uni.select(col("w").as("u"), col("c_w").as("c_u")), Seq("u"), "left")
+      .join(uni, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("u"), col("w"),
+        round(-log(
+          when(col("c_uw").isNotNull,
+            col("c_uw").cast("double") / col("c_u"))
+            .otherwise(lit(alpha) * uniFloor(col("c_w"))))
+          * 1e6).cast("long").as("s_micro"))
+    val firstStream = docToks
+      .select(col("doc_id"), element_at(col("ws"), 1).as("w"))
+    val firstScored = firstStream.dropDuplicates("w").select("w")
+      .join(uni, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("w"),
+        round(-log(uniFloor(col("c_w"))) * 1e6).cast("long").as("s_micro"))
+
+    firstStream.join(firstScored, Seq("w")).select("doc_id", "s_micro")
+      .unionAll(secondStream.join(secondScored, Seq("u", "w"))
+        .select("doc_id", "s_micro"))
+      .unionAll(triStream.join(triScored, Seq("u", "v", "w"))
+        .select("doc_id", "s_micro"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("s_micro").as("sum_micro"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_micro"),
+        graft.functions.ColumnOps.fdivCol(col("sum_micro"), col("n_tokens"))
+          .as("avg_micro"))
+  }
 }

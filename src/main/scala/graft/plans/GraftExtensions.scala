@@ -163,6 +163,18 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_jaro_winkler", children, 2)
+        JaroWinkler(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_damerau_levenshtein"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau_levenshtein"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_damerau_levenshtein", children, 2)
+        DamerauLevenshtein(children.head, children(1))
+      }),
     (FunctionIdentifier("graft_rhp_sig"),
       new ExpressionInfo(classOf[RhpSig].getName, "graft_rhp_sig"),
       (children: Seq[Expression]) => {
