@@ -1007,6 +1007,18 @@ object SparkEntry {
     "q_dedup_groups_contract" -> ((s, dir) =>
       Dedup.duplicateGroupsContract(boundedDupPairs(s, dir)).orderBy("id")),
 
+    // quality-aware canonical selection: within each duplicate group the
+    // highest-token-count member survives (ties -> lowest id) — the
+    // keep-best APPLY rule, vs q_dedup_near_apply's keep-lowest-id
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          size(TextAnalysis.normTokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("quality"))
+      Dedup.keepBestInGroups(docs, Dedup.duplicateGroups(boundedDupPairs(s, dir)))
+        .orderBy("doc_id")
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), boundedBlockPairs(s, dir))
         .orderBy("a_id", "b_id")),
@@ -1189,6 +1201,24 @@ object SparkEntry {
 
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // encoding hygiene: synthesize the three classic corruption
+    // signatures onto deterministic doc slices (UTF-8-as-Latin-1
+    // mojibake onto %7, U+FFFD replacement onto %11, a BEL control onto
+    // %13 — some docs stack several), then scan and verdict
+    "q_encoding_quality" -> ((s, dir) =>
+      TextAnalysis.encodingQuality(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            coalesce(col("text"), lit("")),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(" caf\u00C3\u00A9"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(11)) === 0, lit(" bad\uFFFD"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13)) === 0, lit("\u0007"))
+              .otherwise(lit("")))
+            .as("text")))
+        .orderBy("doc_id")),
 
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1634,6 +1664,14 @@ object SparkEntry {
 
     "q_text_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    // content-defined chunking (gear/FastCDC at token granularity):
+    // boundaries decided by local token hashes, so edits shift no chunk
+    // outside the edited span — identical runs anywhere in the corpus
+    // share chunk_md5 (the chunk-level dedup/CDC-storage key)
+    "q_cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcChunks(t(s, dir, "documents"), divisor = 8)
         .orderBy("doc_id", "chunk_id")),
 
     "q_split" -> ((s, dir) =>
@@ -2743,6 +2781,26 @@ object SparkEntry {
     // exact-Jaccard pair list the Spark side feeds to label propagation.
     "q_dedup_groups" -> dupGroupsOracle,
 
+    // dupGroupsOracle's labeling + a per-group keep-best window: highest
+    // token count wins, ties -> lowest id; ungrouped docs pass through
+    "q_dedup_keep_best" ->
+      (dupGroupsOracle.stripSuffix(
+        "SELECT id, min(r) AS group_id FROM reach GROUP BY id ORDER BY id") +
+        """,g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+          |q AS (
+          | SELECT doc_id,
+          |  CAST(len(string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS quality
+          | FROM documents WHERE doc_id < 500),
+          |losers AS (
+          | SELECT id FROM (
+          |  SELECT g.id,
+          |   row_number() OVER (PARTITION BY group_id ORDER BY q.quality DESC, g.id) AS rn
+          |  FROM g JOIN q ON g.id = q.doc_id)
+          | WHERE rn > 1)
+          |SELECT d.doc_id, d.quality FROM q d
+          |LEFT JOIN losers l ON d.doc_id = l.id
+          |WHERE l.id IS NULL ORDER BY d.doc_id""".stripMargin),
+
     // the star-contraction twin computes the SAME components from the
     // same pair graph — one oracle text serves both declared queries
     "q_dedup_groups_contract" -> dupGroupsOracle,
@@ -3540,6 +3598,25 @@ object SparkEntry {
         | round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // encoding hygiene: same synthesized corruption (chr() builds the
+    // markers byte-exactly), same four regex counts
+    "q_encoding_quality" ->
+      """WITH d AS (
+        | SELECT doc_id, coalesce(text, '')
+        |   || CASE WHEN doc_id % 7 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END
+        |   || CASE WHEN doc_id % 11 = 0 THEN ' bad' || chr(65533) ELSE '' END
+        |   || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS text
+        | FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+        | CAST(len(regexp_extract_all(text, '[\x{00}-\x{08}\x{0E}-\x{1F}\x{7F}]')) AS BIGINT) AS n_control,
+        | CAST(len(regexp_extract_all(text, '\x{C3}[\x{80}-\x{FF}]')) AS BIGINT) AS n_mojibake,
+        | round(CAST(len(regexp_extract_all(text, '[\x{00}-\x{7F}]')) AS DOUBLE) / greatest(length(text), 1), 6) AS ascii_ratio,
+        | (len(regexp_extract_all(text, '\x{FFFD}')) = 0
+        |  AND len(regexp_extract_all(text, '[\x{00}-\x{08}\x{0E}-\x{1F}\x{7F}]')) = 0
+        |  AND len(regexp_extract_all(text, '\x{C3}[\x{80}-\x{FF}]')) = 0) AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+
     // greedy longest-match tokenization replayed as a recursive CTE over
     // (doc, position) states; the LATERAL picks the longest vocab entry
     // matching at the cursor, ties broken by id (unreachable: entries
@@ -3844,6 +3921,37 @@ object SparkEntry {
         | array_to_string(toks[(i*24+1):(i*24+32)], ' ') AS chunk_text,
         | CAST(least(32, n - i*24) AS BIGINT) AS n_tokens
         |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // CDC chunking replay: boundary after token i iff h28(token) % 16 = 0
+    // (portable md5-prefix hash), segments from consecutive boundary
+    // positions, empty trailing segment dropped
+    "q_cdc_chunks" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS ws
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, ws, len(ws) AS n,
+        |  list_filter(range(1, len(ws) + 1),
+        |   i -> ('0x' || substr(md5(ws[CAST(i AS INT)]), 1, 7))::BIGINT % 8 = 0) AS bps
+        | FROM d),
+        |sg AS (
+        | SELECT doc_id, ws,
+        |  list_filter(
+        |   list_transform(range(0, len(bps) + 1), k ->
+        |    [CASE WHEN k = 0 THEN CAST(1 AS BIGINT) ELSE bps[CAST(k AS INT)] + 1 END,
+        |     CASE WHEN k < len(bps) THEN bps[CAST(k + 1 AS INT)] ELSE CAST(n AS BIGINT) END]),
+        |   s -> s[1] <= s[2]) AS segs
+        | FROM b),
+        |x AS (
+        | SELECT doc_id, ws, segs, unnest(range(0, len(segs))) AS cid
+        | FROM sg)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        | segs[CAST(cid + 1 AS INT)][2] - segs[CAST(cid + 1 AS INT)][1] + 1 AS n_tokens,
+        | md5(array_to_string(
+        |  ws[CAST(segs[CAST(cid + 1 AS INT)][1] AS INT):CAST(segs[CAST(cid + 1 AS INT)][2] AS INT)],
+        |  ' ')) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (

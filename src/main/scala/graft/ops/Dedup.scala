@@ -650,6 +650,7 @@ object Dedup {
     * propagation to a fixpoint (connected components). Chains a-b, b-c
     * collapse to one group even when (a, c) was never a candidate pair —
     * the exactness layer over [[dropNearDuplicates]]'s one-pass greedy rule.
+    * [[keepBestInGroups]] turns the labeling into a quality-aware APPLY.
     *
     * Scale shape: each iteration is one shuffle keyed on doc_id (edges are
     * kept symmetric once, labels re-join them); iterations needed =
@@ -731,6 +732,29 @@ object Dedup {
     * the component's smallest id ([[DedupSpec]] proves equality on
     * chain/clique/random graphs).
     */
+  /** Quality-aware canonical selection over duplicate groups — the APPLY
+    * rule production dedup wants instead of keep-lowest-id: within each
+    * group, the member with the HIGHEST `quality` survives (ties → lowest
+    * id); documents in no group pass through untouched. `scored` carries
+    * `(doc_id, quality, …)`; `groups` is [[duplicateGroups]] /
+    * [[duplicateGroupsContract]] output (`id, group_id`).
+    *
+    * Scale shape: the winner window runs over GROUP MEMBERS only —
+    * dup-cluster-sized, a vanishing fraction of the corpus — and the
+    * survivors come back via one `left_anti` on doc_id. The corpus itself
+    * is never windowed.
+    */
+  def keepBestInGroups(scored: DataFrame, groups: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("group_id").orderBy(desc("quality"), asc("id"))
+    val losers = groups
+      .join(scored.select(col("doc_id").as("id"), col("quality")), Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("id").as("doc_id"))
+    scored.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   def duplicateGroupsContract(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // checkpoint the RAW pair list first: `nodes` (consumed by the final
     // join, AFTER the loop) must not replay the entire upstream

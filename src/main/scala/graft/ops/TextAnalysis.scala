@@ -339,6 +339,88 @@ object TextAnalysis {
         col("col.n_tokens"))
   }
 
+  /** Content-defined chunking at token granularity (the gear/FastCDC idea
+    * applied to text): a chunk boundary falls AFTER every token whose
+    * portable hash is ≡ 0 (mod `divisor`), so boundaries are decided by
+    * LOCAL content only — insert or delete a paragraph and every chunk
+    * outside it keeps its exact span and hash, which is what makes
+    * chunk-level dedup/CDC storage stable under edits (fixed-size chunking
+    * shifts every downstream boundary). Expected chunk length = `divisor`
+    * tokens; no min/max clamp (the clamp would make the scan sequential —
+    * at the corpus level the geometric tail is harmless and both engines
+    * replay the unclamped rule exactly).
+    *
+    * Output: `doc_id, chunk_id, n_tokens, chunk_md5` — identical token
+    * runs anywhere in the corpus yield identical `chunk_md5`, the
+    * dedup/changed-chunk key.
+    *
+    * Plan shape: ONE narrow Generate per document — boundary positions,
+    * segment spans, and hashes are all in-row array algebra over a
+    * let-bound token array ([[graft.functions.ColumnOps.bind]]); nothing
+    * shuffles. 100 TB chunks like 100 MB.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      divisor: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    require(divisor > 1, s"divisor must be > 1, got $divisor")
+    import graft.functions.{ColumnOps, PortableHash}
+    val segs = ColumnOps.bind(normTokens(coalesce(col(textCol), lit("")))) { ws =>
+      ColumnOps.bind2(
+        size(ws),
+        filter(sequence(lit(1), size(ws)),
+          i => PortableHash.h28(element_at(ws, i)) % divisor === 0)) { (n, bps) =>
+        ColumnOps.bind(size(bps)) { nb =>
+          filter(
+            transform(sequence(lit(0), nb), k =>
+              struct(
+                when(k === 0, lit(1)).otherwise(element_at(bps, k) + 1)
+                  .as("start"),
+                when(k < nb, element_at(bps, k + 1)).otherwise(n)
+                  .as("end"))),
+            seg => seg("start") <= seg("end"))
+        }
+      }
+    }
+    df.select(col("doc_id"),
+        normTokens(coalesce(col(textCol), lit(""))).as("ws"),
+        posexplode(segs))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        (col("col.end") - col("col.start") + 1).cast("long").as("n_tokens"),
+        md5(array_join(
+          slice(col("ws"), col("col.start"),
+            col("col.end") - col("col.start") + 1), " ")).as("chunk_md5"))
+  }
+
+  /** Encoding-quality scan — the byte-hygiene gate of a crawl pipeline:
+    * documents that survived a charset mis-detection carry U+FFFD
+    * replacement characters, stray C0 control bytes, or classic
+    * UTF-8-read-as-Latin-1 mojibake ('é' → 'Ã©', i.e. 'Ã' followed by a
+    * Latin-1 high character). Counts each signal, the ASCII ratio, and a
+    * `keep` verdict (no corruption markers at all).
+    *
+    * One codegen'd projection per row — four regex counts over the text,
+    * no shuffle; the downstream filter is `WHERE keep`.
+    */
+  def encodingQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def cnt(c: Column, pattern: String): Column =
+      size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+    val t = coalesce(col(textCol), lit(""))
+    df.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      cnt(t, "\\x{FFFD}").as("n_replacement"),
+      cnt(t, "[\\x{00}-\\x{08}\\x{0E}-\\x{1F}\\x{7F}]").as("n_control"),
+      cnt(t, "\\x{C3}[\\x{80}-\\x{FF}]").as("n_mojibake"),
+      round(cnt(t, "[\\x{00}-\\x{7F}]").cast("double") /
+        greatest(length(t), lit(1)), 6).as("ascii_ratio"))
+      .withColumn("keep",
+        col("n_replacement") === 0 && col("n_control") === 0 &&
+          col("n_mojibake") === 0)
+  }
+
   /** Corpus-level top-K n-grams per language — the vocabulary/boilerplate
     * dashboard over a training corpus (and the input to stopword/cliché
     * filters). Shape: explode each doc's distinct n-grams (distinct per
