@@ -31,7 +31,11 @@ object Bench {
     "q_multimodal_wav", "q_snapshot_stream", "q_bigram_ppl", "q_strip_spans",
     // round-9 additions: corpus-proportional cell sizing (cellsFor) and
     // trained-codebook dedup blocking on the graded surface
-    "q_embed_dups_cell_auto", "q_embed_dups_trained", "q_knn_graph_auto")
+    "q_embed_dups_cell_auto", "q_embed_dups_trained", "q_knn_graph_auto",
+    // round-9 operators: fuzzy matching, trigram LM, CDC chunking,
+    // encoding hygiene, quality-aware dedup apply
+    "q_fuzzy_join", "q_jaro_pairs", "q_trigram_ppl", "q_cdc_chunks",
+    "q_encoding_quality", "q_dedup_keep_best")
 
   /** First-seen gated time per query (sec, sf0.1, driver bench): the r1
     * value where the query was in the r1 bench, else the value from the

@@ -1383,8 +1383,12 @@ object SparkEntry {
       ops.FuzzyMatch.fuzzyPairs(
         t(s, dir, "part").select(
           concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
-            col("p_brand")).as("label")))
-        .filter(col("dl") <= 4)
+            col("p_brand")).as("label")),
+        // thresholded fast path: byte-length prefilter + banded DL +
+        // thresholded lev, cheap-predicates-first — fuzzyPairs itself
+        // keeps only dl<=4 rows, provably identical to filtering the
+        // unbounded call (see its docstring)
+        maxDist = 4)
         .select("a_label", "b_label", "lev", "dl")
         .orderBy("a_label", "b_label")),
 

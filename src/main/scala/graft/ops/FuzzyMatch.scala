@@ -53,19 +53,42 @@ object FuzzyMatch {
   def damerauLevenshtein(a: Column, b: Column): Column =
     call_function("graft_damerau_levenshtein", a, b)
 
+  /** Bounded Damerau-Levenshtein: exact when ≤ `maxDist`, `maxDist + 1`
+    * otherwise — banded DP, O(len·maxDist).
+    */
+  def damerauLevenshtein(a: Column, b: Column, maxDist: Int): Column =
+    call_function("graft_damerau_levenshtein", a, b, lit(maxDist))
+
   /** All label pairs within a (first-token, length-band) block, scored by
     * the three classic measures. Input: any frame with `labelCol`; the
     * vocabulary is `dropDuplicates`-reduced internally. Output columns:
     * `a_label, b_label, lev, dl, jw` with `a_label < b_label`.
     *
+    * `maxDist >= 0` is the thresholded-join fast path: the output keeps
+    * ONLY pairs with `dl <= maxDist` (identical to filtering the
+    * unbounded call — don't add your own `dl` filter, it would push back
+    * into the join ahead of the cheap predicates). Three levers, ordered
+    * cheap-to-expensive inside ONE conjunction so codegen short-circuits
+    * in that order (Catalyst preserves conjunct order within an And
+    * tree, but merges separately-added filters in arbitrary order —
+    * measured: the DP ran before `a < b`, doubling its volume):
+    * byte-length prefilter (safe — every byte edit changes the length by
+    * at most one, so `dl >= |bytes(a)| − |bytes(b)|`), the `a < b`
+    * orientation cut, then the banded O(len·maxDist) `dl` kernel. `lev`
+    * on the survivors uses Spark's thresholded levenshtein at
+    * `2·maxDist` (a transposition is two substitutions, so survivors
+    * always satisfy `lev <= 2·dl`, keeping their `lev` exact).
+    *
     * @param lenBand   width of the length-band blocking key (code points)
     * @param maxBucket drop blocks larger than this (skew guard)
+    * @param maxDist   thresholded fast path (see above); -1 = exact/unbounded
     */
   def fuzzyPairs(
       df: DataFrame,
       labelCol: String = "label",
       lenBand: Int = 8,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000,
+      maxDist: Int = -1): DataFrame = {
     require(lenBand > 0, s"lenBand must be positive, got $lenBand")
     ensureRegistered(df.sparkSession)
     val labels = df
@@ -75,15 +98,43 @@ object FuzzyMatch {
       .select(col("label"),
         split_part(col("label"), lit(" "), lit(1)).as("_f"),
         floor(length(col("label")) / lenBand).as("_lb"))
+    // materialize the blocked vocabulary once: the renamed a/b sides
+    // defeat static exchange reuse, so without the checkpoint the whole
+    // scan→dedup→window pipeline executes once per side (the
+    // bandedCandidates lesson); released by the caller's
+    // releaseCheckpoints — the LogicalRDD is reachable from both sides
+    // of the returned plan
     val blocked = Dedup.capBuckets(labels, Seq("_f", "_lb"), maxBucket)
-    val a = blocked.select(col("_f"), col("_lb"), col("label").as("a_label"))
+      .localCheckpoint()
+    // probe side re-partitioned by LABEL hash with an EXPLICIT partition
+    // count: the vocabulary is tiny in bytes, so AQE coalesces an
+    // advisory repartition down to 1-2 partitions — but each probe row
+    // fans out into its whole block's pair volume in the join stage, so
+    // the DP work is output-sized, not input-sized, and ran near-serial
+    // (measured: 3.7 s for ~5 core-seconds of kernel work). An explicit N
+    // pins the stage's parallelism; label hash spreads unequal blocks
+    // uniformly.
+    val parallelism =
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = blocked.repartition(parallelism, col("label"))
+      .select(col("_f"), col("_lb"), col("label").as("a_label"))
     val b = blocked.select(col("_f"), col("_lb"), col("label").as("b_label"))
-    a.join(b, Seq("_f", "_lb"))
-      .filter(col("a_label") < col("b_label"))
-      .select(
-        col("a_label"), col("b_label"),
-        levenshtein(col("a_label"), col("b_label")).as("lev"),
-        damerauLevenshtein(col("a_label"), col("b_label")).as("dl"),
-        jaroWinkler(col("a_label"), col("b_label")).as("jw"))
+    val joined = a.join(b, Seq("_f", "_lb"))
+    val dl =
+      if (maxDist < 0) damerauLevenshtein(col("a_label"), col("b_label"))
+      else damerauLevenshtein(col("a_label"), col("b_label"), maxDist)
+    val lev =
+      if (maxDist < 0) levenshtein(col("a_label"), col("b_label"))
+      else levenshtein(col("a_label"), col("b_label"), 2 * maxDist)
+    val pairs =
+      if (maxDist < 0) joined.filter(col("a_label") < col("b_label"))
+      else joined.filter(
+        (abs(octet_length(col("a_label")) - octet_length(col("b_label")))
+          <= maxDist) && (col("a_label") < col("b_label")) &&
+          dl <= maxDist)
+    pairs.select(
+      col("a_label"), col("b_label"),
+      lev.as("lev"), dl.as("dl"),
+      jaroWinkler(col("a_label"), col("b_label")).as("jw"))
   }
 }

@@ -172,8 +172,19 @@ object GraftExtensions {
     (FunctionIdentifier("graft_damerau_levenshtein"),
       new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau_levenshtein"),
       (children: Seq[Expression]) => {
-        expectArity("graft_damerau_levenshtein", children, 2)
-        DamerauLevenshtein(children.head, children(1))
+        if (children.length != 2 && children.length != 3)
+          throw new IllegalArgumentException(
+            s"graft_damerau_levenshtein requires 2 or 3 arguments, got ${children.length}")
+        val maxDist = if (children.length == 2) -1 else children(2) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(
+              s"graft_damerau_levenshtein maxDist must be an int literal, got $other")
+          }
+          case _ => sys.error("graft_damerau_levenshtein maxDist must be a literal")
+        }
+        DamerauLevenshtein(children.head, children(1), maxDist)
       }),
     (FunctionIdentifier("graft_rhp_sig"),
       new ExpressionInfo(classOf[RhpSig].getName, "graft_rhp_sig"),

@@ -361,4 +361,20 @@ class DedupSpec extends AnyFunSuite with Matchers {
     Dedup.releaseCheckpoints(outDf)
     out shouldBe Set((0L, 1L))
   }
+
+  test("keepBestInGroups: highest quality survives per group, ties break " +
+    "to lowest id, ungrouped docs pass through") {
+    val scored = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L)
+    ).toDF("doc_id", "quality")
+    val groups = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)
+    ).toDF("id", "group_id")
+    val out = Dedup.keepBestInGroups(scored, groups)
+      .select("doc_id").as[Long].collect().toSet
+    // group 1: ids 1,2,3 with q 5,9,9 -> winner 2 (tie 2 vs 3 -> lowest)
+    // group 4: singleton 4 survives; 5 is ungrouped
+    out shouldBe Set(2L, 4L, 5L)
+  }
+
 }

@@ -114,4 +114,25 @@ class ImportanceSpec extends AnyFunSuite with Matchers {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
       Seq(1L, 2L, 3L)
   }
+
+  test("trigram stupid backoff: every tier fires and totals are exact " +
+    "micro sums (hand-computed)") {
+    // train = doc 0 ("a b c a b c"): c_abc=2, c_ab=c_bc=2, c_ca=1,
+    // c_a=c_b=c_c=2, N=6, V=3. Scored doc 1 ("a b c b c x") exercises
+    // tier1 (abc), tier2 (cbc via bigram bc), tier3 seen-unigram (bcb:
+    // bigram cb unseen, c_b=2) and tier3 OOV (bcx: c_x=0).
+    val docs = Seq(
+      (0L, "a b c a b c"),
+      (1L, "a b c b c x")).toDF("doc_id", "text")
+    val out = Importance.trigramBackoffSurprisal(
+      docs, trainPred = col("doc_id") === 0)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 0 under its own counts: first a = -ln(3/9), bca = -ln(1/2),
+    // everything else ln(1) = 0
+    out(0L) shouldBe ((6L, 1098612L + 693147L))
+    // doc 1: -ln(3/9) + 0 + 0 + tier3(c_b=2) + tier2(0.4*2/2) + tier3(OOV)
+    out(1L) shouldBe ((6L, 1098612L + 2931194L + 916291L + 4029806L))
+  }
+
 }

@@ -595,4 +595,51 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe (3L, false)
     out(3L) shouldBe (1L, true)
   }
+
+  test("cdcChunks: boundaries are content-local - edits before a boundary " +
+    "never move chunks after it") {
+    // 'sort' hashes to 0 mod 8 over the portable family (a boundary
+    // token); 'small'/'group'/'line'/'batch'/'data' do not
+    val docs = Seq(
+      (1L, "small group sort line batch"),
+      (2L, "data data small group sort line batch") // edit BEFORE the boundary
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(docs, divisor = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: [small group sort][line batch]; doc 2 grows chunk 0 only
+    out((1L, 0L))._1 shouldBe 3L
+    out((1L, 1L))._1 shouldBe 2L
+    out((2L, 0L))._1 shouldBe 5L
+    // the chunk after the boundary is IDENTICAL across the edit
+    out((2L, 1L)) shouldBe out((1L, 1L))
+  }
+
+  test("cdcChunks: trailing boundary yields no empty chunk; no boundary " +
+    "yields one whole-doc chunk") {
+    val docs = Seq(
+      (1L, "small group sort"), // ends on a boundary
+      (2L, "small group line")  // no boundary at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(docs, divisor = 8).collect()
+      .groupBy(_.getLong(0))
+    out(1L).map(_.getLong(2)).toSeq shouldBe Seq(3L)
+    out(2L).map(_.getLong(2)).toSeq shouldBe Seq(3L)
+  }
+
+  test("encodingQuality counts each corruption signature and verdicts") {
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "caf\u00C3\u00A9 mojibake twice \u00C3\u00A8"),
+      (3L, "bad\uFFFD repl and ctrl\u0007")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingQuality(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6))).toMap
+    out(1L) shouldBe ((0L, 0L, 0L, true))
+    out(2L) shouldBe ((0L, 0L, 2L, false))
+    out(3L) shouldBe ((1L, 1L, 0L, false))
+  }
+
 }

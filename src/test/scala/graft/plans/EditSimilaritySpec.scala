@@ -93,6 +93,33 @@ class EditSimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("bounded damerau == min(exact, k+1) over random byte strings for " +
+    "every cutoff") {
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int): String =
+      Seq.fill(n)("abcdef".charAt(rnd.nextInt(6))).mkString
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val calc = EditSimilarity.calc
+    for (_ <- 1 to 300) {
+      val a = randStr(rnd.nextInt(24))
+      val b = randStr(rnd.nextInt(24))
+      val exact = calc.damerau(u8(a), u8(b))
+      for (k <- 0 to 8) {
+        withClue(s"('$a','$b') k=$k exact=$exact: ") {
+          calc.damerauBounded(u8(a), u8(b), k) shouldBe math.min(exact, k + 1)
+        }
+      }
+    }
+    // and across the DuckDB vector table
+    vectors.foreach { case (a, b, _, edl) =>
+      for (k <- 0 to 6) {
+        withClue(s"('$a','$b') k=$k: ") {
+          calc.damerauBounded(u8(a), u8(b), k) shouldBe math.min(edl, k + 1)
+        }
+      }
+    }
+  }
+
   test("fuzzyPairs runs on a vanilla session via runtime registration") {
     // TestSpark is a graft session; simulate the vanilla path by checking
     // ensureRegistered is idempotent there, then assert the blocked-join
