@@ -35,7 +35,8 @@ object Bench {
     // round-9 operators: fuzzy matching, trigram LM, CDC chunking,
     // encoding hygiene, quality-aware dedup apply
     "q_fuzzy_join", "q_jaro_pairs", "q_trigram_ppl", "q_cdc_chunks",
-    "q_encoding_quality", "q_dedup_keep_best")
+    "q_encoding_quality", "q_dedup_keep_best", "q_entity_resolve",
+    "q_cdc_dedup")
 
   /** First-seen gated time per query (sec, sf0.1, driver bench): the r1
     * value where the query was in the r1 bench, else the value from the
@@ -70,7 +71,15 @@ object Bench {
     "q_dedup_incr_near" -> 4.289, "q_overlap_spans" -> 3.130,
     "q_seq_match" -> 0.422, "q_multimodal_wav" -> 0.260,
     "q_snapshot_stream" -> 0.426, "q_bigram_ppl" -> 1.122,
-    "q_strip_spans" -> 3.947)
+    "q_strip_spans" -> 3.947,
+    // round-9 first-gated values (local sf0.1 bench, post-optimization
+    // for the fuzzy pair: the pre-fix 20.5 s was a bug, not a baseline)
+    "q_embed_dups_cell_auto" -> 0.641, "q_embed_dups_trained" -> 1.307,
+    "q_knn_graph_auto" -> 0.715, "q_fuzzy_join" -> 1.310,
+    "q_jaro_pairs" -> 0.630, "q_trigram_ppl" -> 2.066,
+    "q_cdc_chunks" -> 1.728, "q_encoding_quality" -> 0.588,
+    "q_dedup_keep_best" -> 1.434, "q_entity_resolve" -> 2.510,
+    "q_cdc_dedup" -> 1.980)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

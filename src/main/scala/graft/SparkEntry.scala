@@ -1392,6 +1392,18 @@ object SparkEntry {
         .select("a_label", "b_label", "lev", "dl")
         .orderBy("a_label", "b_label")),
 
+    // entity resolution end to end: fuzzy candidates (dl <= 2) ->
+    // connected components -> canonical = the group's most frequent
+    // corpus spelling (ties -> lexicographically smallest); every label
+    // maps to its canonical form, singletons to themselves
+    "q_entity_resolve" -> ((s, dir) =>
+      ops.FuzzyMatch.resolveEntities(
+        t(s, dir, "part").select(
+          concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
+            col("p_brand")).as("label")),
+        maxDist = 2)
+        .orderBy("label")),
+
     // Jaro-Winkler top pairs over the same blocked vocabulary (native
     // expression with DuckDB/RapidFuzz parity: 0.0 on empty sides,
     // window max(len)/2-1, prefix boost only above 0.7). Both engines
@@ -1677,6 +1689,15 @@ object SparkEntry {
     "q_cdc_chunks" -> ((s, dir) =>
       TextAnalysis.cdcChunks(t(s, dir, "documents"), divisor = 8)
         .orderBy("doc_id", "chunk_id")),
+
+    // chunk-level dedup APPLY: first corpus occurrence of each distinct
+    // chunk survives, docs reassembled from surviving chunks — the
+    // C4-line rule at content-defined granularity. The corpus's real
+    // exact-dup texts lose ALL their chunks to the lowest twin; docs
+    // sharing only a boilerplate run lose just that chunk
+    "q_cdc_dedup" -> ((s, dir) =>
+      TextAnalysis.cdcDedupChunks(t(s, dir, "documents"), divisor = 8)
+        .orderBy("doc_id")),
 
     "q_split" -> ((s, dir) =>
       ops.Sampling.assignSplit(
@@ -3957,6 +3978,41 @@ object SparkEntry {
         |  ' ')) AS chunk_md5
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // chunk dedup replay: same segmentation, winner = first (doc_id,
+    // chunk_id) per chunk digest, reassembly via ordered string_agg
+    "q_cdc_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS ws
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, ws, len(ws) AS n,
+        |  list_filter(range(1, len(ws) + 1),
+        |   i -> ('0x' || substr(md5(ws[CAST(i AS INT)]), 1, 7))::BIGINT % 8 = 0) AS bps
+        | FROM d),
+        |sg AS (
+        | SELECT doc_id, ws,
+        |  list_filter(
+        |   list_transform(range(0, len(bps) + 1), k ->
+        |    [CASE WHEN k = 0 THEN CAST(1 AS BIGINT) ELSE bps[CAST(k AS INT)] + 1 END,
+        |     CASE WHEN k < len(bps) THEN bps[CAST(k + 1 AS INT)] ELSE CAST(n AS BIGINT) END]),
+        |   s -> s[1] <= s[2]) AS segs
+        | FROM b),
+        |x AS (
+        | SELECT doc_id, CAST(cid AS BIGINT) AS cid,
+        |  array_to_string(
+        |   ws[CAST(segs[CAST(cid + 1 AS INT)][1] AS INT):CAST(segs[CAST(cid + 1 AS INT)][2] AS INT)],
+        |   ' ') AS ct
+        | FROM (SELECT doc_id, ws, segs, unnest(range(0, len(segs))) AS cid FROM sg)),
+        |r AS (
+        | SELECT doc_id, cid, ct,
+        |  row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id, cid) AS rn
+        | FROM x)
+        |SELECT doc_id, count(*) AS n_chunks,
+        | CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        | coalesce(string_agg(ct, ' ' ORDER BY cid) FILTER (WHERE rn = 1), '') AS text_kept
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
         | SELECT doc_id, lang,
@@ -4420,6 +4476,44 @@ object SparkEntry {
         | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label)
         |WHERE damerau_levenshtein(a_label, b_label) <= 4
         |ORDER BY a_label, b_label""".stripMargin,
+
+    // entity resolution: fuzzy blocking + transitive closure + canonical
+    // by corpus frequency, all replayed (the dupGroupsOracle pattern over
+    // the blocked fuzzy pair graph)
+    "q_entity_resolve" ->
+      """WITH RECURSIVE lab AS (
+        | SELECT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label FROM part),
+        |freq AS (
+        | SELECT label, count(*) AS n_rows FROM lab WHERE label IS NOT NULL GROUP BY 1),
+        |b AS (
+        | SELECT label, f, lb FROM (
+        |  SELECT label, split_part(label, ' ', 1) AS f, length(label) // 8 AS lb,
+        |   count(*) OVER (PARTITION BY split_part(label, ' ', 1), length(label) // 8) AS c
+        |  FROM (SELECT DISTINCT label FROM lab WHERE label IS NOT NULL))
+        | WHERE c <= 100000),
+        |p AS (
+        | SELECT a.label AS a_id, b2.label AS b_id
+        | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label
+        | WHERE abs(strlen(a.label) - strlen(b2.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b2.label) <= 2),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+        |),
+        |g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+        |canon AS (
+        | SELECT group_id, id AS canonical FROM (
+        |  SELECT g.group_id, g.id,
+        |   row_number() OVER (PARTITION BY g.group_id ORDER BY f.n_rows DESC, g.id) AS rn
+        |  FROM g JOIN freq f ON g.id = f.label)
+        | WHERE rn = 1)
+        |SELECT f.label, coalesce(c.canonical, f.label) AS canonical, f.n_rows
+        |FROM freq f
+        |LEFT JOIN g ON f.label = g.id
+        |LEFT JOIN canon c ON g.group_id = c.group_id
+        |ORDER BY f.label""".stripMargin,
 
     "q_jaro_pairs" ->
       """WITH l AS (

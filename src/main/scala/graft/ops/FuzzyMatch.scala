@@ -83,6 +83,52 @@ object FuzzyMatch {
     * @param maxBucket drop blocks larger than this (skew guard)
     * @param maxDist   thresholded fast path (see above); -1 = exact/unbounded
     */
+  /** End-to-end entity resolution over a label column: blocked fuzzy
+    * candidates (`dl <= maxDist` via [[fuzzyPairs]]) → connected
+    * components ([[Dedup.duplicateGroups]] — variant chains a~b~c
+    * collapse even when (a, c) was never a candidate) → canonical label =
+    * the group's most FREQUENT spelling in the corpus (ties →
+    * lexicographically smallest). Every corpus label maps to its
+    * canonical form; labels in no group map to themselves.
+    *
+    * Output: `label, canonical, n_rows` (corpus occurrences of `label`).
+    * Joining this mapping back onto the corpus is the apply step —
+    * a broadcast-sized table for any realistic vocabulary.
+    *
+    * Scale shape: frequency table and candidate generation are
+    * vocabulary-sized; CC runs on the candidate graph (dup-cluster
+    * sized); the corpus itself is touched only by the initial
+    * per-label count.
+    */
+  def resolveEntities(
+      df: DataFrame,
+      labelCol: String = "label",
+      maxDist: Int = 2,
+      lenBand: Int = 8,
+      maxBucket: Int = 100000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(col(labelCol).as("label"))
+      .where(col("label").isNotNull)
+      .groupBy("label").agg(count(lit(1)).as("n_rows"))
+    val pairs = fuzzyPairs(df, labelCol, lenBand, maxBucket, maxDist)
+      .select(col("a_label").as("a_id"), col("b_label").as("b_id"))
+    val groups = Dedup.duplicateGroups(pairs)
+    val w = Window.partitionBy("group_id").orderBy(desc("n_rows"), asc("id"))
+    val canon = groups
+      .join(freq.select(col("label").as("id"), col("n_rows")), Seq("id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("group_id"), col("id").as("canonical"))
+    freq
+      .join(groups.select(col("id").as("label"), col("group_id")),
+        Seq("label"), "left")
+      .join(canon, Seq("group_id"), "left")
+      .select(col("label"),
+        coalesce(col("canonical"), col("label")).as("canonical"),
+        col("n_rows"))
+  }
+
   def fuzzyPairs(
       df: DataFrame,
       labelCol: String = "label",

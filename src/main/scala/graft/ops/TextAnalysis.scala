@@ -362,7 +362,19 @@ object TextAnalysis {
   def cdcChunks(
       df: DataFrame,
       divisor: Int = 16,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    chunkSpans(df, divisor, textCol)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_md5")
+
+  /** Shared CDC segmentation: one narrow Generate per document yielding
+    * `(doc_id, chunk_id, n_tokens, chunk_text, chunk_md5)`. Callers that
+    * don't reference `chunk_text` pay nothing extra — the md5 expression
+    * inlines the slice, and column pruning drops the text column.
+    */
+  private def chunkSpans(
+      df: DataFrame,
+      divisor: Int,
+      textCol: String): DataFrame = {
     require(divisor > 1, s"divisor must be > 1, got $divisor")
     import graft.functions.{ColumnOps, PortableHash}
     val segs = ColumnOps.bind(normTokens(coalesce(col(textCol), lit("")))) { ws =>
@@ -389,9 +401,52 @@ object TextAnalysis {
         col("doc_id"),
         col("pos").cast("long").as("chunk_id"),
         (col("col.end") - col("col.start") + 1).cast("long").as("n_tokens"),
-        md5(array_join(
+        array_join(
           slice(col("ws"), col("col.start"),
-            col("col.end") - col("col.start") + 1), " ")).as("chunk_md5"))
+            col("col.end") - col("col.start") + 1), " ").as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+  }
+
+  /** Chunk-level dedup APPLY — the C4 line-dedup rule at content-defined
+    * granularity: each distinct chunk survives only at its FIRST corpus
+    * occurrence (lowest doc_id, then chunk_id — duplicates within one
+    * document dedup too); documents are reassembled from their surviving
+    * chunks in order. Content-defined boundaries mean a boilerplate block
+    * shared mid-paragraph dedups even when surrounding line breaks
+    * differ — the case line-level dedup misses.
+    *
+    * Output: `doc_id, n_chunks, n_kept, text_kept` (empty string when
+    * every chunk was seen earlier; every document keeps its row).
+    *
+    * Scale shape: the winner rank shuffles `(digest, doc_id, chunk_id)`
+    * only — chunk TEXT never rides the dedup decision (column pruning
+    * splits the shared Generate); text moves once, in the per-doc
+    * reassembly exchange, bounded by document size.
+    */
+  def cdcDedupChunks(
+      df: DataFrame,
+      divisor: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = chunkSpans(df, divisor, textCol)
+    val winners = ch.select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_id"))
+    val kept = ch.join(winners, Seq("doc_id", "chunk_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            p => p("chunk_text")), " ").as("text_kept"))
+    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
   /** Encoding-quality scan — the byte-hygiene gate of a crawl pipeline:

@@ -642,4 +642,25 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(3L) shouldBe ((1L, 1L, 0L, false))
   }
 
+
+  test("cdcDedupChunks: first corpus occurrence of a chunk wins; exact-dup " +
+    "doc loses everything to its twin") {
+    // 'sort' is a boundary token (mod 8); docs 1 and 3 are exact dups,
+    // doc 2 shares only the first chunk with doc 1
+    val docs = Seq(
+      (1L, "small group sort line batch"),
+      (2L, "small group sort data data"),
+      (3L, "small group sort line batch")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcDedupChunks(docs, divisor = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    out(1L) shouldBe ((2L, 2L, "small group sort line batch"))
+    // doc 2: chunk [small group sort] seen in doc 1 -> only the tail survives
+    out(2L) shouldBe ((2L, 1L, "data data"))
+    // doc 3: every chunk seen earlier -> empty but row kept
+    out(3L) shouldBe ((2L, 0L, ""))
+  }
+
 }

@@ -130,6 +130,9 @@ class EditSimilaritySpec extends AnyFunSuite with Matchers {
       parts.select(concat(col("p_name"), lit(" "), lower(col("p_type")),
         lit(" "), col("p_brand")).as("label")))
     val rows = pairs.filter(col("dl") <= 2).collect()
+    // release the blocked-vocabulary pin so the shared-session hygiene
+    // assertions stay honest
+    graft.ops.Dedup.releaseCheckpoints(pairs)
     rows.length should be > 0
     rows.foreach { r =>
       r.getAs[String]("a_label") should be < r.getAs[String]("b_label")
@@ -138,4 +141,23 @@ class EditSimilaritySpec extends AnyFunSuite with Matchers {
       r.getAs[Double]("jw") should (be >= 0.0 and be <= 1.0)
     }
   }
+
+  test("resolveEntities maps variants to the most frequent spelling, " +
+    "transitively, singletons to themselves") {
+    import spark.implicits._
+    // 'acme corp' is the frequent spelling; 'acme crop' (transposition,
+    // dl 1) and 'acme cor' (deletion, dl 1 from 'acme corp') chain to it;
+    // 'zzz unrelated' is a singleton
+    val rows = Seq.fill(5)("acme corp") ++ Seq("acme crop", "acme cor", "zzz unrelated")
+    val outDf = graft.ops.FuzzyMatch.resolveEntities(
+      rows.toDF("label"), maxDist = 2)
+    val out = outDf.collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    graft.ops.Dedup.releaseCheckpoints(outDf)
+    out("acme corp") shouldBe (("acme corp", 5L))
+    out("acme crop") shouldBe (("acme corp", 1L))
+    out("acme cor") shouldBe (("acme corp", 1L))
+    out("zzz unrelated") shouldBe (("zzz unrelated", 1L))
+  }
+
 }
