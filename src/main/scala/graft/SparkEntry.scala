@@ -1801,6 +1801,27 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("hamming"))
         .orderBy("a_id", "b_id")),
 
+    // multimodal keep-best APPLY: perceptual-hash near-dup groups keep
+    // their LARGEST payload (the highest-resolution copy), ties -> lowest
+    // id — keepBestInGroups composed onto the image dedup ladder
+    "q_multimodal_keep_best" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      val pairs = Dedup.simHashDupsFrom(
+        Multimodal.perceptualHash(media)
+          .select(
+            col("media_id").as("doc_id"),
+            col("phash_hi").as("simhash_hi"),
+            col("phash_lo").as("simhash_lo")),
+        maxHamming = 7, bandBits = 8)
+        .select(col("a_id"), col("b_id"))
+      val scored = media.select(
+        col("media_id").as("doc_id"),
+        octet_length(col("payload")).cast("long").as("quality"))
+      Dedup.keepBestInGroups(scored, Dedup.duplicateGroups(pairs))
+        .select(col("doc_id").as("media_id"), col("quality").as("n_bytes"))
+        .orderBy("media_id")
+    }),
+
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.payloadMeta(Multimodal.fromDocuments(t(s, dir, "documents")))
         .orderBy("media_id")),
@@ -5100,6 +5121,58 @@ object SparkEntry {
         | octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS digest,
         | hex(encode(substr(text, 1, 4))) AS magic
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q_multimodal_neardup's pair replay + transitive closure + largest-
+    // payload winner per group (ties -> lowest id); ungrouped media
+    // survive unchanged
+    "q_multimodal_keep_best" ->
+      """WITH RECURSIVE m AS (
+        | SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS n
+        | FROM documents
+        |),
+        |s AS (
+        | SELECT media_id, n,
+        |  list_transform(range(0, 64), i ->
+        |   ('0x' || substr(hx, CAST((i * n) // 64 AS INT) * 2 + 1, 2))::BIGINT) AS samples
+        | FROM m WHERE n > 0
+        |),
+        |b AS (
+        | SELECT media_id, samples, list_sum(samples) AS total FROM s
+        |),
+        |p AS (
+        | SELECT media_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(samples[1:32],
+        |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |   (a, x) -> a * 2 + x) AS hi,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(samples[33:64],
+        |    x -> CASE WHEN x * 64 >= total THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |   (a, x) -> a * 2 + x) AS lo
+        | FROM b
+        |),
+        |pairs AS (
+        | SELECT a.media_id AS a_id, b.media_id AS b_id
+        | FROM p a JOIN p b ON a.media_id < b.media_id
+        | WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        |),
+        |edges AS (SELECT a_id AS st, b_id AS d FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT st, st FROM edges
+        |  UNION
+        |  SELECT e.st, reach.r FROM edges e JOIN reach ON e.d = reach.id
+        |),
+        |g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+        |losers AS (
+        | SELECT id FROM (
+        |  SELECT g.id,
+        |   row_number() OVER (PARTITION BY group_id ORDER BY m.n DESC, g.id) AS rn
+        |  FROM g JOIN m ON g.id = m.media_id)
+        | WHERE rn > 1)
+        |SELECT m.media_id, CAST(m.n AS BIGINT) AS n_bytes FROM m
+        |LEFT JOIN losers l ON m.media_id = l.id
+        |WHERE l.id IS NULL ORDER BY m.media_id""".stripMargin
   )
 }
