@@ -1817,7 +1817,12 @@ object SparkEntry {
       val scored = media.select(
         col("media_id").as("doc_id"),
         octet_length(col("payload")).cast("long").as("quality"))
-      Dedup.keepBestInGroups(scored, Dedup.duplicateGroups(pairs))
+      val groups = Dedup.duplicateGroups(pairs)
+      // the banded-Hamming candidate pin is dead once duplicateGroups has
+      // materialized its edges, and unreachable from the returned plan —
+      // release it here (q_embed_dups_trained lesson)
+      Dedup.releaseCheckpoints(pairs)
+      Dedup.keepBestInGroups(scored, groups)
         .select(col("doc_id").as("media_id"), col("quality").as("n_bytes"))
         .orderBy("media_id")
     }),

@@ -114,6 +114,12 @@ object FuzzyMatch {
     val pairs = fuzzyPairs(df, labelCol, lenBand, maxBucket, maxDist)
       .select(col("a_label").as("a_id"), col("b_label").as("b_id"))
     val groups = Dedup.duplicateGroups(pairs)
+    // duplicateGroups EAGERLY materialized its own edge checkpoint, so the
+    // candidate pipeline's pin (fuzzyPairs' blocked vocabulary) is dead —
+    // and unreachable from the returned plan, so the caller's
+    // releaseCheckpoints could never free it (the q_embed_dups_trained
+    // lesson; without this, cleanup rides ContextCleaner GC timing)
+    Dedup.releaseCheckpoints(pairs)
     val w = Window.partitionBy("group_id").orderBy(desc("n_rows"), asc("id"))
     val canon = groups
       .join(freq.select(col("label").as("id"), col("n_rows")), Seq("id"))
