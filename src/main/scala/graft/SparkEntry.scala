@@ -1392,6 +1392,19 @@ object SparkEntry {
         .select("a_label", "b_label", "lev", "dl")
         .orderBy("a_label", "b_label")),
 
+    // sorted-neighborhood blocking (merge/purge second pass): score each
+    // label against its next 8 lexicographic neighbors — catches pairs a
+    // first-token typo moves across q_fuzzy_join's blocks; global rank
+    // computed WITHOUT a single-partition sort (range partitions +
+    // broadcast offsets)
+    "q_fuzzy_sorted" -> ((s, dir) =>
+      ops.FuzzyMatch.sortedNeighborPairs(
+        t(s, dir, "part").select(
+          concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
+            col("p_brand")).as("label")),
+        window = 8, maxDist = 4)
+        .orderBy("a_label", "b_label")),
+
     // entity resolution end to end: fuzzy candidates (dl <= 2) ->
     // connected components -> canonical = the group's most frequent
     // corpus spelling (ties -> lexicographically smallest); every label
@@ -4501,6 +4514,21 @@ object SparkEntry {
         | SELECT a.label AS a_label, b2.label AS b_label
         | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label)
         |WHERE damerau_levenshtein(a_label, b_label) <= 4
+        |ORDER BY a_label, b_label""".stripMargin,
+
+    // sorted-neighborhood replay: plain global row_number (the rank is a
+    // pure function of the label set — Spark's range-partitioned
+    // computation realizes the identical order), rank-distance band join
+    "q_fuzzy_sorted" ->
+      """WITH l AS (
+        | SELECT DISTINCT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label
+        | FROM part WHERE p_name IS NOT NULL AND p_type IS NOT NULL AND p_brand IS NOT NULL),
+        |r AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY label) AS BIGINT) AS rk FROM l)
+        |SELECT a.label AS a_label, b.label AS b_label, b.rk - a.rk AS gap,
+        | CAST(damerau_levenshtein(a.label, b.label) AS INTEGER) AS dl
+        |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 8
+        |WHERE damerau_levenshtein(a.label, b.label) <= 4
         |ORDER BY a_label, b_label""".stripMargin,
 
     // entity resolution: fuzzy blocking + transitive closure + canonical

@@ -83,6 +83,74 @@ object FuzzyMatch {
     * @param maxBucket drop blocks larger than this (skew guard)
     * @param maxDist   thresholded fast path (see above); -1 = exact/unbounded
     */
+  /** Sorted-neighborhood fuzzy candidates — the classic second blocking
+    * pass of entity resolution (Hernández & Stolfo's merge/purge):
+    * sort the DISTINCT vocabulary lexicographically and score each label
+    * against its next `window` neighbors. Catches near-pairs that
+    * token/length blocking splits (a typo in the FIRST token moves a
+    * label to a different `fuzzyPairs` block but rarely far in sort
+    * order); production runs both passes and unions the candidates.
+    *
+    * Output: `a_label, b_label, gap, dl` with `a_label < b_label`
+    * (lexicographic adjacency implies orientation), `gap` = rank
+    * distance (1..window), only rows with `dl <= maxDist`.
+    *
+    * Scale shape: NO single-partition global sort — the global
+    * lexicographic rank is computed as range-partitioned within-partition
+    * ranks plus broadcast partition offsets (the shuffleOrder pattern;
+    * the rank is a pure function of the label set, so any range boundary
+    * choice yields the same answer and the oracle replays a plain
+    * `row_number() OVER (ORDER BY label)`). Neighbor candidates come
+    * from a rank-band equi-join (band = rank div window, each left row
+    * probing its own and the next band) — vocabulary-sized throughout.
+    */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      labelCol: String = "label",
+      window: Int = 8,
+      maxDist: Int = 4): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    import org.apache.spark.sql.expressions.Window
+    ensureRegistered(df.sparkSession)
+    val spark = df.sparkSession
+    val parallelism = spark.sessionState.conf.numShufflePartitions
+    val labels = df.select(col(labelCol).as("label"))
+      .where(col("label").isNotNull)
+      .dropDuplicates("label")
+      .repartitionByRange(parallelism, col("label"))
+      .withColumn("_p", spark_partition_id())
+    val ranked = labels.withColumn("_rk",
+      row_number().over(Window.partitionBy("_p").orderBy("label"))
+        .cast("long"))
+    val offsets = labels.groupBy("_p").agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(
+          sum("_n").over(Window.orderBy("_p")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_p", "_off")
+    val r = ranked.join(broadcast(offsets), "_p")
+      .select(col("label"), (col("_off") + col("_rk")).as("rank"))
+      // both the band-replicated probe side and the build side read this
+      // (bandedCandidates lesson); released via the caller's
+      // releaseCheckpoints — reachable from both sides of the join
+      .localCheckpoint()
+    val a = r.select(col("label").as("a_label"), col("rank").as("ra"))
+      .withColumn("_g", explode(array(
+        floor((col("ra") - 1) / window), floor((col("ra") - 1) / window) + 1)))
+    val b = r.select(col("label").as("b_label"), col("rank").as("rb"),
+      floor((col("rank") - 1) / window).as("_g"))
+    a.join(b, Seq("_g"))
+      .filter(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= window &&
+        (abs(octet_length(col("a_label")) - octet_length(col("b_label")))
+          <= maxDist) &&
+        damerauLevenshtein(col("a_label"), col("b_label"), maxDist) <= maxDist)
+      .select(col("a_label"), col("b_label"),
+        (col("rb") - col("ra")).as("gap"),
+        damerauLevenshtein(col("a_label"), col("b_label"), maxDist).as("dl"))
+  }
+
   /** End-to-end entity resolution over a label column: blocked fuzzy
     * candidates (`dl <= maxDist` via [[fuzzyPairs]]) → connected
     * components ([[Dedup.duplicateGroups]] — variant chains a~b~c

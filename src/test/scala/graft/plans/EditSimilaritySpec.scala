@@ -160,4 +160,30 @@ class EditSimilaritySpec extends AnyFunSuite with Matchers {
     out("zzz unrelated") shouldBe (("zzz unrelated", 1L))
   }
 
+
+  test("sortedNeighborPairs finds cross-first-token neighbors the blocked " +
+    "pass misses, within the rank window only") {
+    import spark.implicits._
+    // 'golden gear' vs 'goldenn gear': first tokens differ (different
+    // fuzzyPairs blocks) but they are lexicographic neighbors with dl 1
+    val labels = Seq("golden gear", "goldenn gear", "silver bolt",
+      "silver bolts", "zzz far away").toDF("label")
+    val outDf = graft.ops.FuzzyMatch.sortedNeighborPairs(
+      labels, window = 2, maxDist = 2)
+    val out = outDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    graft.ops.Dedup.releaseCheckpoints(outDf)
+    out(("golden gear", "goldenn gear")) shouldBe ((1L, 1))
+    out(("silver bolt", "silver bolts")) shouldBe ((1L, 1))
+    out.keySet.exists(_._2 == "zzz far away") shouldBe false
+    // and the blocked pass indeed cannot see the cross-token pair
+    val blockedDf = graft.ops.FuzzyMatch.fuzzyPairs(
+      labels, maxDist = 2)
+    val blocked = blockedDf.select("a_label", "b_label").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    graft.ops.Dedup.releaseCheckpoints(blockedDf)
+    blocked should not contain (("golden gear", "goldenn gear"))
+  }
+
 }
