@@ -731,6 +731,15 @@ object SparkEntry {
         t(s, dir, "documents"), "n_chars", binWidth = 16L,
         permilles = Seq(500, 900, 990), groupCols = Seq("lang"))),
 
+    // dynamic per-language quality gate: each doc must reach its OWN
+    // language's p25 length bin (corpus-derived thresholds, not a global
+    // constant that over-prunes short-script languages)
+    "q_quality_gate" -> ((s, dir) =>
+      ops.CorpusOps.quantileGate(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars", binWidth = 16L, permille = 250, groupCols = Seq("lang"))
+        .orderBy("doc_id")),
+
     // small-file compaction plan over a synthetic per-source file listing
     // (one "file" per document, n_chars as its size), summarized per bin
     "q_compaction" -> ((s, dir) =>
@@ -2261,6 +2270,23 @@ object SparkEntry {
         |FROM cm JOIN t ON cm.lang IS NOT DISTINCT FROM t.lang CROSS JOIN p
         |WHERE cum * 1000 >= permille * n
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // quantileGate replay: p250 bin lower bound per language, broadcast
+    // threshold join, integer cut
+    "q_quality_gate" ->
+      """WITH b AS (SELECT lang, CAST(floor(n_chars / 16.0) AS BIGINT) AS bin, count(*) AS c
+        | FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT lang, bin,
+        |  CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum FROM b),
+        |t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+        |thr AS (
+        | SELECT cm.lang, min(bin) * 16 AS q_lo
+        | FROM cm JOIN t ON cm.lang IS NOT DISTINCT FROM t.lang
+        | WHERE cum * 1000 >= 250 * n GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
+        |WHERE d.n_chars >= thr.q_lo
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_compaction" ->
       """WITH s AS (SELECT source, doc_id, n_chars,

@@ -342,6 +342,39 @@ object CorpusOps {
       .orderBy(gcols.map(col) :+ col("permille"): _*)
   }
 
+  /** Dynamic per-group quality gate: keep rows whose `valueCol` reaches
+    * their OWN group's `permille` quantile bin — Gopher-style
+    * per-language length thresholds derived from the corpus itself
+    * instead of hand-set constants (a threshold tuned for English
+    * deletes half of Chinese; per-group quantiles self-calibrate).
+    * The cut is the quantile bin's LOWER bound ([[histogramQuantiles]]'
+    * `q_lo`), so the gate is exact-integer and engine-portable.
+    *
+    * Rows with a NULL value fail the gate (nothing to compare — same
+    * rule as the quantile stats, which exclude them from bins).
+    *
+    * Scale: one mergeable-bin stats pass over the corpus, then the
+    * hundreds-of-rows threshold table broadcasts back onto the scan —
+    * the corpus never shuffles.
+    */
+  def quantileGate(
+      df: DataFrame,
+      valueCol: String,
+      binWidth: Long,
+      permille: Int,
+      groupCols: Seq[String]): DataFrame = {
+    require(!df.columns.contains("__thr"),
+      "quantileGate reserves the working column name '__thr'")
+    val thr = histogramQuantiles(df, valueCol, binWidth, Seq(permille), groupCols)
+      .select(groupCols.map(col) :+ col("q_lo").as("__thr"): _*)
+    val renamed = groupCols.foldLeft(thr)(
+      (d, c) => d.withColumnRenamed(c, s"__t_$c"))
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    df.join(broadcast(renamed), joinCond)
+      .filter(col(valueCol) >= col("__thr"))
+      .drop(groupCols.map(c => s"__t_$c") :+ "__thr": _*)
+  }
+
   /** Quasi-identifier combinations shared by fewer than `k` rows — the
     * k-anonymity audit a governed training corpus runs before release:
     * any surviving combo is a potential re-identification handle. One
