@@ -37,7 +37,7 @@ object Bench {
     "q_fuzzy_join", "q_jaro_pairs", "q_trigram_ppl", "q_cdc_chunks",
     "q_encoding_quality", "q_dedup_keep_best", "q_entity_resolve",
     "q_cdc_dedup", "q_multimodal_keep_best", "q_fuzzy_sorted",
-    "q_quality_gate", "q_embed_recall")
+    "q_quality_gate", "q_embed_recall", "q_embed_recall_probe2")
 
   /** First-seen gated time per query (sec, sf0.1, driver bench): the r1
     * value where the query was in the r1 bench, else the value from the
@@ -82,7 +82,7 @@ object Bench {
     "q_dedup_keep_best" -> 1.434, "q_entity_resolve" -> 2.510,
     "q_cdc_dedup" -> 1.980, "q_multimodal_keep_best" -> 1.800,
     "q_fuzzy_sorted" -> 1.280, "q_quality_gate" -> 0.910,
-    "q_embed_recall" -> 2.180)
+    "q_embed_recall" -> 2.180, "q_embed_recall_probe2" -> 2.080)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -984,6 +984,26 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // the recall LEVER: same measurement with nProbe = 2 (each vector in
+    // its top-2 cells) — boundary-straddling pairs meet when any probed
+    // cell is shared, at <= 2x the candidate volume
+    "q_embed_recall_probe2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000L)
+      val truth = Dedup.embeddingDups(
+        emb.withColumn("label", lit(0)), threshold = 0.35)
+        .select(col("a_id"), col("b_id"))
+      val found = Dedup.embeddingDupsByCell(emb, threshold = 0.35,
+        nCells = 0, targetPerCell = 128L, nProbe = 2)
+        .select(col("a_id"), col("b_id"))
+      val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // hot-key profile: keys carrying > 1.2x the median key load — the
     // diagnosis pass that decides which keys the salted ops must split
     "q_skew_keys" -> ((s, dir) =>
@@ -3446,6 +3466,50 @@ object SparkEntry {
         |),
         |found AS (
         | SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
+        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
+        |agg AS (SELECT
+        | (SELECT count(*) FROM truth) AS n_true,
+        | (SELECT count(*) FROM found) AS n_found,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+        |SELECT n_true, n_found, n_hit,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+        |FROM agg""".stripMargin,
+
+    // probe-2 replay: rank <= 2 in the assignment, DISTINCT pairs (a
+    // pair can meet in both shared cells)
+    "q_embed_recall_probe2" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 2000)
+        |),
+        |truth AS (
+        | SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        | FROM n x JOIN n y ON x.vec_id < y.vec_id
+        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
+        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
+        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings WHERE vec_id < 2000)
+        |),
+        |assign AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn <= 2
+        |),
+        |v AS (
+        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
+        |),
+        |found AS (
+        | SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
         | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
         | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
         |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),

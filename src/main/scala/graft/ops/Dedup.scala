@@ -1092,7 +1092,8 @@ object Dedup {
       nCells: Int = 8,
       maxBucket: Int = 100000,
       targetPerCell: Long = 4096L,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      nProbe: Int = 1): DataFrame = {
     // nCells = 0: derive the codebook size from the corpus count
     // (Similarity.cellsFor) — the sizing that keeps within-cell work
     // constant per cell as N grows (PLANS.md round-8 scale probe). One
@@ -1107,7 +1108,7 @@ object Dedup {
     // ([[Similarity.trainCentroids]]) slots in via `centroids` — the
     // q_sim_ivf → q_sim_ivf_trained ladder, applied to dedup blocking.
     val cells = capBuckets(
-      Similarity.ivfAssign(embeddings, cellCount, centroids),
+      Similarity.ivfAssignProbe(embeddings, cellCount, nProbe, centroids),
       Seq("cell_id"), maxBucket)
       .localCheckpoint()
     val a = cells.select(
@@ -1116,12 +1117,19 @@ object Dedup {
     val b = cells.select(
       col("cell_id"), col("vec_id").as("b_id"),
       col("qv").as("b_qv"), col("qn").as("b_qn"))
-    a.join(b, Seq("cell_id"))
+    val scored = a.join(b, Seq("cell_id"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim",
         Similarity.qcosinePre(
           Similarity.qdot(col("a_qv"), col("b_qv"), native), col("a_qn"), col("b_qn")))
       .filter(col("sim") >= threshold)
+      .select("cell_id", "a_id", "b_id", "sim")
+    // multi-probe pairs can meet in more than one shared cell — dedup to
+    // the lowest cell (sim is a pure function of the two vectors, so
+    // max() just re-reads the identical value)
+    if (nProbe == 1) scored
+    else scored.groupBy("a_id", "b_id")
+      .agg(min("cell_id").as("cell_id"), max("sim").as("sim"))
       .select("cell_id", "a_id", "b_id", "sim")
   }
 }

@@ -325,6 +325,32 @@ object Similarity {
     assignCore(vecs, centroids.getOrElse(seedCentroids(vecs, nCells)), native)
   }
 
+  /** Multi-probe assignment: every vector keeps its TOP-`nProbe` cells —
+    * the blocking-recall lever (a near-dup pair straddling a cell
+    * boundary meets as soon as ANY probed cell is shared; `q_embed_recall`
+    * measures the single-probe miss rate this exists to fix). `nProbe = 1`
+    * delegates to the argmax aggregate; above that the per-vector rank
+    * uses a `WindowGroupLimit`-prunable row_number, so the exchange
+    * carries ≈ N·nProbe survivors, not N·nCells sims (the sims are
+    * generated in-row, so the map-side prune is near-exact).
+    */
+  def ivfAssignProbe(
+      embeddings: DataFrame,
+      nCells: Int,
+      nProbe: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    if (nProbe == 1) return ivfAssign(embeddings, nCells, centroids)
+    import org.apache.spark.sql.expressions.Window
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val vecs = quantizedWithNorms(embeddings, native)
+    withCellSims(vecs, centroids.getOrElse(seedCentroids(vecs, nCells)), native)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell_id"))))
+      .filter(col("_rn") <= nProbe)
+      .select("vec_id", "cell_id", "qv", "qn")
+  }
+
   /** Lloyd's (spherical) k-means over the quantized vectors: `iters`
     * fixed refinement passes from the deterministic lowest-id seed.
     * Assignment is by cosine; the new centroid is the per-dimension
