@@ -973,7 +973,7 @@ object SparkEntry {
         emb.withColumn("label", lit(0)), threshold = 0.35)
         .select(col("a_id"), col("b_id"))
       val found = Dedup.embeddingDupsByCell(emb, threshold = 0.35,
-        nCells = 0, targetPerCell = 128L)
+        nCells = 0, targetPerCell = 128L, nProbe = 1)
         .select(col("a_id"), col("b_id"))
       val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
@@ -984,8 +984,9 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
-    // the recall LEVER: same measurement with nProbe = 2 (each vector in
-    // its top-2 cells) — boundary-straddling pairs meet when any probed
+    // the recall LEVER — and since round 10 the embeddingDupsByCell /
+    // dropSemanticDuplicates DEFAULT: nProbe = 2 (each vector in its
+    // top-2 cells) — boundary-straddling pairs meet when any probed
     // cell is shared, at <= 2x the candidate volume
     "q_embed_recall_probe2" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000L)
@@ -996,6 +997,29 @@ object SparkEntry {
         nCells = 0, targetPerCell = 128L, nProbe = 2)
         .select(col("a_id"), col("b_id"))
       val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
+    // recall of the APPLY path itself: the DISTINCT loser set the
+    // default dropSemanticDuplicates (probe-2 since round 10) drops vs
+    // the exact all-pairs loser set, on the same bounded slice. Loser
+    // recall sits ABOVE pair recall (a vector missing one pair is still
+    // dropped via any other surviving pair) — the number a user of the
+    // apply operator actually experiences.
+    "q_semantic_apply_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000L)
+      val truth = Dedup.embeddingDups(
+        emb.withColumn("label", lit(0)), threshold = 0.35)
+        .select(col("b_id").as("vec_id")).distinct()
+      val found = Dedup.embeddingDupsByCell(emb, threshold = 0.35,
+        nCells = 0, targetPerCell = 128L)
+        .select(col("b_id").as("vec_id")).distinct()
+      val hit = truth.join(found, Seq("vec_id"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
@@ -3402,8 +3426,10 @@ object SparkEntry {
         | FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // same assignment CTEs as q_sim_ivf (centroids = vec_id < 8), then
-    // within-cell pairs at quantized cosine >= 0.35
+    // same assignment CTEs as q_sim_ivf (centroids = vec_id < 8) but at
+    // the round-10 probe-2 default (rn <= 2), then within-cell pairs at
+    // quantized cosine >= 0.35, deduped to the lowest shared cell (sim
+    // is a pure function of the two vectors, so max() re-reads it)
     "q_embed_dups_cell" ->
       """WITH n AS (
         | SELECT vec_id, qv,
@@ -3421,17 +3447,18 @@ object SparkEntry {
         |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
         |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
         |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn = 1
+        |  FROM n CROSS JOIN c) WHERE rn <= 2
         |),
         |v AS (
         | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
         |)
-        |SELECT cell_id, a_id, b_id, sim FROM (
+        |SELECT min(cell_id) AS cell_id, a_id, b_id, max(sim) AS sim FROM (
         | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
         |  round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
         |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) AS sim
         | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         |WHERE sim >= 0.35
+        |GROUP BY a_id, b_id
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
 
     // recall measurement: exact all-pairs truth vs auto-cell candidates
@@ -3522,9 +3549,54 @@ object SparkEntry {
         |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
         |FROM agg""".stripMargin,
 
+    // apply-path recall: DISTINCT probe-2 loser set vs the exact
+    // all-pairs loser set on the same slice (loser recall >= pair
+    // recall — any surviving pair still drops the vector)
+    "q_semantic_apply_recall" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 2000)
+        |),
+        |truth AS (
+        | SELECT DISTINCT y.vec_id
+        | FROM n x JOIN n y ON x.vec_id < y.vec_id
+        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
+        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
+        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings WHERE vec_id < 2000)
+        |),
+        |assign AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn <= 2
+        |),
+        |v AS (
+        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
+        |),
+        |found AS (
+        | SELECT DISTINCT y.vec_id
+        | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
+        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
+        |agg AS (SELECT
+        | (SELECT count(*) FROM truth) AS n_true,
+        | (SELECT count(*) FROM found) AS n_found,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+        |SELECT n_true, n_found, n_hit,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+        |FROM agg""".stripMargin,
+
     // q_embed_dups_cell with the cell count derived from the corpus size:
     // ceil(count / 128), the cellsFor(targetPerCell = 128) rule — the
-    // centroid CTE's bound is computed, not a literal
+    // centroid CTE's bound is computed, not a literal; probe-2 default
     "q_embed_dups_cell_auto" ->
       """WITH n AS (
         | SELECT vec_id, qv,
@@ -3543,17 +3615,18 @@ object SparkEntry {
         |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
         |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
         |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn = 1
+        |  FROM n CROSS JOIN c) WHERE rn <= 2
         |),
         |v AS (
         | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
         |)
-        |SELECT cell_id, a_id, b_id, sim FROM (
+        |SELECT min(cell_id) AS cell_id, a_id, b_id, max(sim) AS sim FROM (
         | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
         |  round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
         |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) AS sim
         | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         |WHERE sim >= 0.35
+        |GROUP BY a_id, b_id
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
 
     // same train chain as q_sim_ivf_trained (c0 -> refine -> c2), then the
@@ -3615,14 +3688,15 @@ object SparkEntry {
         |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
         |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
         |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c2 c) WHERE rn = 1
+        |  FROM n CROSS JOIN c2 c) WHERE rn <= 2
         |)
-        |SELECT cell_id, a_id, b_id, sim FROM (
+        |SELECT min(cell_id) AS cell_id, a_id, b_id, max(sim) AS sim FROM (
         | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
         |  round(list_sum(list_transform(list_zip(x.qv, y.qv), pr -> pr[1] * pr[2]))
         |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) AS sim
         | FROM a2 x JOIN a2 y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         |WHERE sim >= 0.35
+        |GROUP BY a_id, b_id
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
 
     "q_dedup_lines" ->
@@ -3670,7 +3744,9 @@ object SparkEntry {
         |   OR len(string_split_regex(trim(line), '\s+')) < 3
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // survivors = embeddings minus the b_id side of the pair report
+    // survivors = embeddings minus the b_id side of the pair report,
+    // with the round-10 probe-2 blocking default (rn <= 2; DISTINCT
+    // losers already absorbs the pair multiplicity)
     "q_dedup_semantic_apply" ->
       """WITH n AS (
         | SELECT vec_id, qv,
@@ -3688,7 +3764,7 @@ object SparkEntry {
         |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
         |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
         |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn = 1
+        |  FROM n CROSS JOIN c) WHERE rn <= 2
         |),
         |v AS (
         | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id

@@ -302,12 +302,21 @@ class DedupSpec extends AnyFunSuite with Matchers {
     // targetPerCell drives the derived count: 5 rows at 2/cell -> 3 cells
     // (seeds 0, 1, 2). Vector 2 becomes its own centroid, so (0, 2) now
     // STRADDLES cells 0/2 — the standard single-assignment recall loss —
-    // and only the still-co-located (1, 3) pair survives
+    // and only the still-co-located (1, 3) pair survives. nProbe = 1
+    // pins the single-assignment baseline (the probe-2 DEFAULT exists
+    // exactly to recover this pair — asserted below)
     val tightDf = Dedup.embeddingDupsByCell(
-      emb, threshold = 0.9, nCells = 0, targetPerCell = 2L)
+      emb, threshold = 0.9, nCells = 0, targetPerCell = 2L, nProbe = 1)
     val tight = tightDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
     Dedup.releaseCheckpoints(tightDf)
     tight shouldBe Set((1L, 3L))
+    // the probe-2 DEFAULT recovers the straddling pair: vector 0 (and 2)
+    // probes both of cells 0/2, so (0, 2) meets in a shared cell again
+    val probeDf = Dedup.embeddingDupsByCell(
+      emb, threshold = 0.9, nCells = 0, targetPerCell = 2L)
+    val probed = probeDf.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    Dedup.releaseCheckpoints(probeDf)
+    probed should contain allOf ((0L, 2L), (1L, 3L))
   }
 
   test("embedding dups by cell accepts a trained codebook") {
