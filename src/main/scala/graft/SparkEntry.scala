@@ -1492,6 +1492,51 @@ object SparkEntry {
         maxDist = 2)
         .orderBy("label")),
 
+    // blocking-recall measurement for the fuzzy family (the
+    // q_embed_recall pattern applied to strings): exact DL<=2 all-pairs
+    // truth on a BOUNDED vocabulary slice (p_partkey < 2000, constant
+    // at any SF) vs the union of both blocking passes — fuzzyPairs'
+    // (first-token x length-band) blocks and sortedNeighborPairs'
+    // rank-window candidates. Quantifies the single-band trade the
+    // FuzzyMatch header documents: a first-character typo moves a label
+    // across token blocks, and the sorted-neighbor pass is the recovery
+    // lever — both its contribution (recall_milli vs recall_block_milli)
+    // and what still escapes are measured, not asserted.
+    "q_fuzzy_recall" -> ((s, dir) => {
+      ops.FuzzyMatch.ensureRegistered(s)
+      val vocab = t(s, dir, "part").filter(col("p_partkey") < 2000L)
+        .select(concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
+          col("p_brand")).as("label"))
+      // exact truth: every distinct-label pair at banded DL <= 2 (exact
+      // below the band), behind the safe byte-length prefilter; the
+      // constant join key keeps the bounded all-pairs block an equi-join
+      val labels = vocab.dropDuplicates("label").withColumn("_one", lit(1))
+      val truth = labels.select(col("_one"), col("label").as("a_label"))
+        .join(labels.select(col("_one"), col("label").as("b_label")), Seq("_one"))
+        .filter(col("a_label") < col("b_label") &&
+          abs(octet_length(col("a_label")) - octet_length(col("b_label"))) <= 2 &&
+          ops.FuzzyMatch.damerauLevenshtein(
+            col("a_label"), col("b_label"), 2) <= 2)
+        .select("a_label", "b_label")
+      val block = ops.FuzzyMatch.fuzzyPairs(vocab, maxDist = 2)
+        .select("a_label", "b_label")
+      val sorted = ops.FuzzyMatch.sortedNeighborPairs(vocab, window = 8, maxDist = 2)
+        .select("a_label", "b_label")
+      val found = block.unionByName(sorted).distinct()
+      val hitBlock = truth.join(block, Seq("a_label", "b_label"), "left_semi")
+      val hit = truth.join(found, Seq("a_label", "b_label"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hitBlock.agg(count(lit(1)).as("n_hit_block")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_block_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit_block") / col("n_true")).cast("long")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // Jaro-Winkler top pairs over the same blocked vocabulary (native
     // expression with DuckDB/RapidFuzz parity: 0.0 on empty sides,
     // window max(len)/2-1, prefix boost only above 0.7). Both engines
@@ -4800,6 +4845,49 @@ object SparkEntry {
         |LEFT JOIN g ON f.label = g.id
         |LEFT JOIN canon c ON g.group_id = c.group_id
         |ORDER BY f.label""".stripMargin,
+
+    // fuzzy blocking recall: DL<=2 all-pairs truth on the bounded slice
+    // vs (first-token x length-band) blocks UNION sorted-neighbor
+    // rank-window candidates — both passes replayed
+    "q_fuzzy_recall" ->
+      """WITH l AS (
+        | SELECT DISTINCT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label
+        | FROM part WHERE p_partkey < 2000),
+        |truth AS (
+        | SELECT a.label AS a_label, b.label AS b_label
+        | FROM l a JOIN l b ON a.label < b.label
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |b AS (
+        | SELECT label, f, lb FROM (
+        |  SELECT label, split_part(label, ' ', 1) AS f, length(label) // 8 AS lb,
+        |   count(*) OVER (PARTITION BY split_part(label, ' ', 1), length(label) // 8) AS c
+        |  FROM l)
+        | WHERE c <= 100000),
+        |blk AS (
+        | SELECT a.label AS a_label, b2.label AS b_label
+        | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label
+        | WHERE abs(strlen(a.label) - strlen(b2.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b2.label) <= 2),
+        |r AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY label) AS BIGINT) AS rk FROM l),
+        |sn AS (
+        | SELECT a.label AS a_label, b.label AS b_label
+        | FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 8
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |found AS (SELECT * FROM blk UNION SELECT * FROM sn),
+        |agg AS (SELECT
+        | (SELECT count(*) FROM truth) AS n_true,
+        | (SELECT count(*) FROM found) AS n_found,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM blk)) AS n_hit_block,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+        |SELECT n_true, n_found, n_hit_block, n_hit,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit_block / n_true) AS BIGINT) END AS recall_block_milli,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+        |FROM agg""".stripMargin,
 
     "q_jaro_pairs" ->
       """WITH l AS (
