@@ -1620,6 +1620,16 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), numMerges = BpeMerges)),
 
+    // BATCHED BPE training at production merge counts: top-`batch`
+    // symbol-disjoint merges per distributed counting pass (the
+    // SentencePiece-style job-count fix — 69 merges at sf0.01 in 16
+    // jobs, where the 1-merge-per-job trainer would need 69). The
+    // oracle unrolls the same rounds with the identical rank/conflict
+    // rule and a per-round recursive-CTE replace fold
+    "q_bpe_train_batched" -> ((s, dir) =>
+      TextAnalysis.bpeTrainBatched(t(s, dir, "documents"),
+        rounds = BpeBatchRounds, batch = BpeBatchSize)),
+
     // train-then-encode: the learned merge table (a driver-side constant,
     // like any shipped tokenizer) applied back over the corpus as one
     // narrow codegen'd projection
@@ -2114,6 +2124,14 @@ object SparkEntry {
     */
   private val BpeMerges = 8
 
+  /** Round/batch sizing shared by `q_bpe_train_batched` and its oracle
+    * (same one-constant rule as [[BpeMerges]]): 16 counting rounds of up
+    * to 32 symbol-disjoint merges each — 69 learned merges on the sf0.01
+    * corpus, past the 64-merge bar, in 16 distributed jobs.
+    */
+  private val BpeBatchRounds = 16
+  private val BpeBatchSize = 32
+
   /** Driver-generated DuckDB oracle for [[graft.ops.TextAnalysis.bpeTrain]]:
     * the N-iteration merge loop unrolled as chained CTEs. `r0` is the
     * word-frequency table with each word in the pipe-wrapped symbol
@@ -2156,6 +2174,63 @@ object SparkEntry {
          | FROM r${k - 1}, m$k m)""".stripMargin
     }.mkString
     base + iters
+  }
+
+  /** Driver-generated DuckDB oracle for
+    * [[graft.ops.TextAnalysis.bpeTrainBatched]]: `rounds` unrolled CTE
+    * blocks, each replaying one batched counting pass — ranked top-
+    * `batch` pair candidates (`t{k}`, same (count desc, a, b) order),
+    * the order-free conflict rule as a NOT EXISTS self-join (`s{k}`: a
+    * candidate survives iff no higher-ranked candidate shares a
+    * symbol), and the batch applied via a bounded recursive CTE
+    * (`rr{k}`: step `sel` applies survivor `sel`, so the fold is the
+    * same rank-ordered replace chain Spark builds). CTEs are
+    * MATERIALIZED: `r{k-1}` is read by both `t{k}` and `rr{k}`, and
+    * without materialization the doubly-referenced chain re-evaluates
+    * exponentially; the final-step filter uses a window `max(step)`
+    * instead of a scalar `count(*)` subquery for the same reason.
+    * Global merge ranks offset each round by the prior rounds' survivor
+    * counts.
+    */
+  private def bpeTrainBatchedOracle(rounds: Int, batch: Int): String = {
+    val base =
+      """WITH RECURSIVE r0 AS MATERIALIZED (
+        | SELECT count(*) AS freq,
+        |  '|' || array_to_string([substr(w, i, 1) for i in range(1, length(w)+1)], '||') || '|' AS rep
+        | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS w FROM documents)
+        | WHERE length(w) >= 2 GROUP BY 2)""".stripMargin
+    val iters = (1 to rounds).map { k =>
+      s""",
+         |t$k AS MATERIALIZED (
+         | SELECT a, b, cnt, rn FROM (
+         |  SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+         |  FROM (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |   SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} for i in range(1, len(s))]) AS p
+         |   FROM (SELECT freq, string_split(substr(rep, 2, length(rep)-2), '||') AS s FROM r${k - 1}))
+         |   GROUP BY 1, 2))
+         | WHERE rn <= $batch),
+         |s$k AS MATERIALIZED (
+         | SELECT x.a, x.b, x.cnt, CAST(row_number() OVER (ORDER BY x.rn) AS BIGINT) AS sel
+         | FROM t$k x
+         | WHERE NOT EXISTS (SELECT 1 FROM t$k y
+         |  WHERE y.rn < x.rn AND (y.a IN (x.a, x.b) OR y.b IN (x.a, x.b)))),
+         |rr$k(step, freq, rep) AS (
+         | SELECT 0, freq, rep FROM r${k - 1}
+         | UNION ALL
+         | SELECT rr$k.step + 1, rr$k.freq,
+         |  replace(rr$k.rep, '|' || s.a || '||' || s.b || '|', '|' || s.a || s.b || '|')
+         | FROM rr$k JOIN s$k s ON s.sel = rr$k.step + 1),
+         |r$k AS MATERIALIZED (
+         | SELECT freq, rep FROM (SELECT freq, rep, step, max(step) OVER () AS mx FROM rr$k)
+         | WHERE step = mx)""".stripMargin
+    }.mkString
+    def offs(k: Int): String =
+      if (k == 1) "0"
+      else (1 until k).map(j => s"(SELECT count(*) FROM s$j)").mkString(" + ")
+    val union = (1 to rounds).map { k =>
+      s"SELECT CAST(${offs(k)} + sel AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM s$k"
+    }.mkString("\nUNION ALL ")
+    base + iters + "\n" + union + "\nORDER BY merge_rank"
   }
 
   /** Encode oracle: the training chain's learned merges (`m1..mN`) are
@@ -5048,6 +5123,7 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracle(BpeMerges),
+    "q_bpe_train_batched" -> bpeTrainBatchedOracle(BpeBatchRounds, BpeBatchSize),
 
     "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),
 

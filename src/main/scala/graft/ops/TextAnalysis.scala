@@ -1125,6 +1125,102 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
+  /** BATCHED BPE training — the job-count fix that takes merge learning
+    * past toy scale. [[bpeTrain]] runs ONE distributed pair-count job per
+    * merge; real tokenizers need 10⁴–10⁵ merges, and 10⁵ sequential
+    * Spark jobs is the bottleneck (per-iteration cost is vocab-sized and
+    * fine). The standard production answer (SentencePiece's BPE trainer
+    * does the same) is to apply a BATCH of non-interfering merges per
+    * counting pass: take the top-`batch` pairs by count, keep a
+    * candidate only if NO higher-ranked candidate shares a symbol with
+    * it (symbol-disjoint merges have non-overlapping `|a||b|` match
+    * sites, so applying them in one pass commutes), and fold all
+    * survivors into the representation in one narrow projection. Each
+    * round = 1 distributed job + a `batch`-row collect, so 64+ merges
+    * cost ~8 jobs instead of 64+.
+    *
+    * The blocked-by-rank rule is deliberately "blocked by any
+    * higher-ranked CANDIDATE" (not "by any higher-ranked SURVIVOR"):
+    * both yield valid batches, but the candidate form is order-free and
+    * therefore replayable as a plain NOT EXISTS self-join in the DuckDB
+    * oracle, where greedy-over-survivors would need a sequential fold.
+    * The top-ranked pair always survives, so every round with any pair
+    * left learns at least one merge. Merge ranks are assigned globally
+    * in (round, within-round rank) order; a batched schedule can differ
+    * from the 1-at-a-time schedule (that is the documented trade — both
+    * are deterministic), and ties break (count desc, left asc, right
+    * asc) exactly like [[bpeTrain]].
+    */
+  def bpeTrainBatched(
+      df: DataFrame,
+      rounds: Int = 8,
+      batch: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    require(batch >= 1 && batch <= 256, s"batch must be in [1,256], got $batch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rep0 = concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), "||"),
+      lit("|"))
+    val words = df
+      .select(explode(regexp_extract_all(
+        lower(col(textCol)), lit("[a-z]+|[0-9]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), rep0.as("rep"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var cur = words
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val syms = split(
+        col("rep").substr(lit(2), length(col("rep")) - 2), "\\|\\|")
+      // ONE distributed job per ROUND: the full ranked top-`batch`
+      // candidate list (not just the argmax) comes back in one collect
+      val top = cur
+        .select(col("freq"), syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("s")) - 1),
+          i => struct(
+            element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(batch)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // survivors: candidate i lives iff no candidate j < i shares a
+        // symbol — order-free, so the oracle's NOT EXISTS replays it
+        val survivors = top.zipWithIndex.filter { case ((a, b, _), i) =>
+          top.take(i).forall { case (pa, pb, _) =>
+            pa != a && pa != b && pb != a && pb != b
+          }
+        }.map(_._1)
+        survivors.foreach { case (a, b, cnt) =>
+          merges += ((merges.size + 1, a, b, cnt))
+        }
+        // symbol-disjoint ⇒ non-overlapping match sites ⇒ one folded
+        // projection applies the whole batch (order irrelevant; rank
+        // order kept for determinism of the expression tree)
+        cur = cur.withColumn("rep",
+          survivors.foldLeft(col("rep")) { case (acc, (a, b, _)) =>
+            replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+          })
+        k += 1
+      }
+    }
+    Dedup.releaseCheckpoints(words)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
   /** BPE ENCODING with a trained merge list ([[bpeTrain]]'s output): each
     * document's words are segmented by applying the merges in rank order,
     * exactly as GPT-style tokenizers do. Output per document: the

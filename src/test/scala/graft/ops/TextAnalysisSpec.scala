@@ -364,6 +364,34 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L))
   }
 
+  test("bpe train batched: symbol-disjoint batch per round, conflict blocked by rank") {
+    // round-1 pairs over {abab x2, ab, cd x3, ce x2}:
+    //   (a,b)=5, (c,d)=3, (b,a)=2, (c,e)=2
+    // ranked: (a,b),(c,d),(b,a),(c,e). (b,a) is blocked by rank-1 (a,b)
+    // (shares both symbols); (c,e) is blocked by rank-2 (c,d) (shares c)
+    // -> round 1 learns [(a,b,5), (c,d,3)] in ONE pass
+    // round-2 pairs over {|ab||ab| x2, |ab|, |cd| x3, |c||e| x2}:
+    //   (ab,ab)=2, (c,e)=2 -> disjoint, both survive
+    val df = Seq((1L, "abab ab abab cd cd cd ce ce")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainBatched(df, rounds = 4, batch = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1, "a", "b", 5L), (2, "c", "d", 3L),
+      (3, "ab", "ab", 2L), (4, "c", "e", 2L))
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
+
+  test("bpe train batched: single-symbol vocabulary degenerates to bpeTrain") {
+    // with batch = 1 every round is exactly one argmax merge — the
+    // sequential trainer's schedule
+    val df = Seq((1L, "abab ab abab")).toDF("doc_id", "text")
+    val seq = TextAnalysis.bpeTrain(df, numMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val bat = TextAnalysis.bpeTrainBatched(df, rounds = 5, batch = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    bat.toSeq shouldBe seq.toSeq
+  }
+
   test("bpe encode: applies merges in rank order, one subword stream per doc") {
     // merges: (a,b) then (ab,ab). "ab cd aab" -> |ab| |c||d| |a||ab|
     // (second merge finds no |ab||ab| adjacency) -> "ab c d a ab"
