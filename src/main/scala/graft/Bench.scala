@@ -38,9 +38,11 @@ object Bench {
     "q_encoding_quality", "q_dedup_keep_best", "q_entity_resolve",
     "q_cdc_dedup", "q_multimodal_keep_best", "q_fuzzy_sorted",
     "q_quality_gate", "q_embed_recall", "q_embed_recall_probe2",
-    // round-10: apply-path and fuzzy-blocking recall measurements, and
-    // batched BPE training at production merge counts
-    "q_semantic_apply_recall", "q_fuzzy_recall", "q_bpe_train_batched")
+    // round-10: apply-path and fuzzy-blocking recall measurements,
+    // batched BPE training at production merge counts, and the
+    // streaming parquet-append parity path
+    "q_semantic_apply_recall", "q_fuzzy_recall", "q_bpe_train_batched",
+    "q_singer_stream_append")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline

@@ -7,6 +7,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every operator from SURVEY.md §2 (the reference's ingest/ETL surface)
@@ -168,10 +170,11 @@ object SparkEntry {
       |"created_at": {"type": ["string", "null"], "format": "date-time"}
       |}}, "key_properties": ["event_id"]}""".stripMargin
 
-  /** events → Singer RECORD JSON lines → pipeline → typed rows. */
-  private def singerRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val lines = ev.select(
+  /** events table → Singer RECORD JSON lines (the shared setup of the
+    * batch round-trip and the streaming-append parity query).
+    */
+  private def singerRecordLines(ev: DataFrame): DataFrame =
+    ev.select(
       concat(
         lit("""{"type": "RECORD", "stream": "events", "record": """),
         to_json(struct(
@@ -181,12 +184,65 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").as("k"),
           from_unixtime(unix_timestamp(col("ts"))).as("created_at"))),
         lit("}")).as("value"))
-    val ss = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
-    SingerPipeline.typedRecordsFromLines(lines, ss)
-      .select(
-        col("event_id"), col("event_type"), col("value"), col("k"),
-        unix_timestamp(col("created_at")).as("created_epoch"))
+
+  /** The typed projection both Singer parity queries compare on. */
+  private def singerTypedView(typed: DataFrame): DataFrame =
+    typed.select(
+      col("event_id"), col("event_type"), col("value"), col("k"),
+      unix_timestamp(col("created_at")).as("created_epoch"))
       .orderBy("event_id")
+
+  /** events → Singer RECORD JSON lines → pipeline → typed rows. */
+  private def singerRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val ss = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
+    singerTypedView(
+      SingerPipeline.typedRecordsFromLines(singerRecordLines(t(s, dir, "events")), ss))
+  }
+
+  /** The STREAMING parquet-append path, driver-checked (round-10: K2's
+    * last unit-only data path): the same Singer lines land as ≥2 source
+    * files, `maxFilesPerTrigger = 1` forces one micro-batch PER FILE
+    * through [[graft.streaming.SingerStream]], each batch appends its
+    * own `_batch=N` partition dir, and the read-back UNION of all
+    * appended batches must equal the batch pipeline's answer (same
+    * oracle SQL as `q_singer_pipeline`). The result is eagerly
+    * localCheckpoint'd so the scratch dirs can be deleted before the
+    * caller consumes it; Verify/Bench release the blocks via
+    * `releaseCheckpoints` like every checkpointing query.
+    */
+  private def singerStreamAppend(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.SingerConfig
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-append")
+    val in = tmp.resolve("in")
+    // two halves → two text files → two append micro-batches
+    val ev = t(s, dir, "events")
+    singerRecordLines(ev.filter(pmod(col("event_id"), lit(2L)) === 0L))
+      .coalesce(1).write.text(tmp.resolve("h0").toString)
+    singerRecordLines(ev.filter(pmod(col("event_id"), lit(2L)) === 1L))
+      .coalesce(1).write.text(tmp.resolve("h1").toString)
+    java.nio.file.Files.createDirectories(in)
+    Seq("h0", "h1").foreach { h =>
+      val src = tmp.resolve(h)
+      java.nio.file.Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".txt"))
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p, in.resolve(s"$h-$i.jsonl"))
+        }
+    }
+    val ss = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
+    graft.streaming.SingerStream.start(
+      s, in.toString, Map("events" -> ss),
+      SingerConfig(outDir = tmp.resolve("out").toString),
+      tmp.resolve("chk").toString,
+      maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    val out = singerTypedView(
+      s.read.parquet(tmp.resolve("out").resolve("events.parquet").toString))
+      .localCheckpoint()
+    // the checkpoint is eager — the scratch input/output can go now
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    out
   }
 
   /** One per implemented operator from SURVEY.md §2 (+ §7.3 extensions). */
@@ -194,6 +250,11 @@ object SparkEntry {
 
     // ── ingest / schema / coercion (SURVEY §2.1–2.4) ──────────────────
     "q_singer_pipeline" -> ((s, dir) => singerRoundTrip(s, dir)),
+
+    // K2's streaming parquet-append path under the driver oracle: one
+    // micro-batch per source file, read-back union of the appended
+    // _batch=N dirs == the batch pipeline's answer
+    "q_singer_stream_append" -> ((s, dir) => singerStreamAppend(s, dir)),
 
     "q_projection" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2333,6 +2394,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_singer_pipeline" ->
+      """SELECT event_id, event_type, value,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS created_epoch
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // identical truth to q_singer_pipeline ON PURPOSE: the streaming
+    // append path must land the SAME rows the batch pipeline computes
+    "q_singer_stream_append" ->
       """SELECT event_id, event_type, value,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | CAST(floor(epoch(ts)) AS BIGINT) AS created_epoch

@@ -29,6 +29,11 @@ object SingerStream {
     *
     * @param schemas per-stream registry (from
     *                [[graft.schema.SchemaMapper.fromSchemaMessage]])
+    * @param maxFilesPerTrigger cap source files per micro-batch — the
+    *                knob that forces a bounded input through MULTIPLE
+    *                append batches (the parity query pins it to 1 so
+    *                the appended union, not a single batch, is what
+    *                the oracle checks)
     */
   def start(
       spark: SparkSession,
@@ -36,13 +41,16 @@ object SingerStream {
       schemas: Map[String, StreamSchema],
       config: SingerConfig,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
 
     val registry = schemas.map { case (s, ss) =>
       s -> ss.select(config.fixedHeaders.get(s))
     }
 
-    spark.readStream
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .text(inputDir)
       .writeStream
       .trigger(trigger)
