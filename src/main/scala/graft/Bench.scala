@@ -101,10 +101,10 @@ object Bench {
     // single-probe, and the probe-2 default deliberately buys ~2x
     // candidate volume for the 402->915 per-mille recall — a quality
     // choice, not a regression the gate should hide behind
-    "q_embed_dups_cell" -> 2.909, "q_embed_dups_cell_auto" -> 1.164,
-    "q_embed_dups_trained" -> 2.469,
-    "q_semantic_apply_recall" -> 2.355, "q_fuzzy_recall" -> 3.403,
-    "q_bpe_train_batched" -> 3.368)
+    "q_embed_dups_cell" -> 1.067, "q_embed_dups_cell_auto" -> 1.187,
+    "q_embed_dups_trained" -> 2.212,
+    "q_semantic_apply_recall" -> 1.604, "q_fuzzy_recall" -> 2.692,
+    "q_bpe_train_batched" -> 1.792, "q_singer_stream_append" -> 2.498)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * the r9 BENCH_sf1.json values. The sf1 run gates per query against
@@ -139,7 +139,15 @@ object Bench {
     "q_jaro_pairs" -> 0.651, "q_trigram_ppl" -> 7.259, "q_cdc_chunks" -> 17.789,
     "q_encoding_quality" -> 5.166, "q_dedup_keep_best" -> 1.429, "q_entity_resolve" -> 2.657,
     "q_cdc_dedup" -> 16.826, "q_multimodal_keep_best" -> 10.008, "q_fuzzy_sorted" -> 0.989,
-    "q_quality_gate" -> 0.401, "q_embed_recall" -> 1.741, "q_embed_recall_probe2" -> 1.542)
+    "q_quality_gate" -> 0.401, "q_embed_recall" -> 1.741, "q_embed_recall_probe2" -> 1.542,
+    // round-10 first-seen sf1 values (builder checkpoint run): the cell
+    // dedup trio re-baselined on the probe-2 default (the measured price
+    // of 402->915 per-mille recall: frozen-8 2.5x, trained 2.4x, auto
+    // 1.34x vs their single-probe r9 values), plus the round-10 queries
+    "q_embed_dups_cell" -> 15.866, "q_embed_dups_cell_auto" -> 5.708,
+    "q_embed_dups_trained" -> 17.211, "q_semantic_apply_recall" -> 1.772,
+    "q_fuzzy_recall" -> 3.162, "q_bpe_train_batched" -> 3.059,
+    "q_singer_stream_append" -> 9.078)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -365,6 +365,11 @@ object CorpusOps {
       groupCols: Seq[String]): DataFrame = {
     require(!df.columns.contains("__thr"),
       "quantileGate reserves the working column name '__thr'")
+    // the renamed broadcast threshold columns use the same reserved
+    // namespace — a caller column literally named '__t_<groupCol>' would
+    // otherwise produce an ambiguous-reference failure mid-join
+    groupCols.foreach(c => require(!df.columns.contains(s"__t_$c"),
+      s"quantileGate reserves the working column name '__t_$c'"))
     val thr = histogramQuantiles(df, valueCol, binWidth, Seq(permille), groupCols)
       .select(groupCols.map(col) :+ col("q_lo").as("__thr"): _*)
     val renamed = groupCols.foldLeft(thr)(

@@ -59,30 +59,6 @@ object FuzzyMatch {
   def damerauLevenshtein(a: Column, b: Column, maxDist: Int): Column =
     call_function("graft_damerau_levenshtein", a, b, lit(maxDist))
 
-  /** All label pairs within a (first-token, length-band) block, scored by
-    * the three classic measures. Input: any frame with `labelCol`; the
-    * vocabulary is `dropDuplicates`-reduced internally. Output columns:
-    * `a_label, b_label, lev, dl, jw` with `a_label < b_label`.
-    *
-    * `maxDist >= 0` is the thresholded-join fast path: the output keeps
-    * ONLY pairs with `dl <= maxDist` (identical to filtering the
-    * unbounded call — don't add your own `dl` filter, it would push back
-    * into the join ahead of the cheap predicates). Three levers, ordered
-    * cheap-to-expensive inside ONE conjunction so codegen short-circuits
-    * in that order (Catalyst preserves conjunct order within an And
-    * tree, but merges separately-added filters in arbitrary order —
-    * measured: the DP ran before `a < b`, doubling its volume):
-    * byte-length prefilter (safe — every byte edit changes the length by
-    * at most one, so `dl >= |bytes(a)| − |bytes(b)|`), the `a < b`
-    * orientation cut, then the banded O(len·maxDist) `dl` kernel. `lev`
-    * on the survivors uses Spark's thresholded levenshtein at
-    * `2·maxDist` (a transposition is two substitutions, so survivors
-    * always satisfy `lev <= 2·dl`, keeping their `lev` exact).
-    *
-    * @param lenBand   width of the length-band blocking key (code points)
-    * @param maxBucket drop blocks larger than this (skew guard)
-    * @param maxDist   thresholded fast path (see above); -1 = exact/unbounded
-    */
   /** Sorted-neighborhood fuzzy candidates — the classic second blocking
     * pass of entity resolution (Hernández & Stolfo's merge/purge):
     * sort the DISTINCT vocabulary lexicographically and score each label
@@ -103,6 +79,15 @@ object FuzzyMatch {
     * `row_number() OVER (ORDER BY label)`). Neighbor candidates come
     * from a rank-band equi-join (band = rank div window, each left row
     * probing its own and the next band) — vocabulary-sized throughout.
+    *
+    * The `dl` kernel is evaluated twice per SURVIVING row (once in the
+    * filter, once in the projection — subexpression elimination does not
+    * span the Filter/Project boundary, and alias-substituting predicate
+    * pushdown re-inlines any pre-projected column back into the filter).
+    * Accepted deliberately: the filter-side evaluation over ALL
+    * candidates is the unavoidable dominant cost, and survivors (the
+    * only rows paying the second evaluation) are a tiny fraction of the
+    * band join.
     */
   def sortedNeighborPairs(
       df: DataFrame,
@@ -203,6 +188,39 @@ object FuzzyMatch {
         col("n_rows"))
   }
 
+  /** All label pairs within a (first-token, length-band) block, scored by
+    * the three classic measures. Input: any frame with `labelCol`; the
+    * vocabulary is `dropDuplicates`-reduced internally. Output columns:
+    * `a_label, b_label, lev, dl, jw` with `a_label < b_label`.
+    *
+    * `maxDist >= 0` is the thresholded-join fast path: the output keeps
+    * ONLY pairs with `dl <= maxDist` (identical to filtering the
+    * unbounded call — don't add your own `dl` filter, it would push back
+    * into the join ahead of the cheap predicates). Three levers, ordered
+    * cheap-to-expensive inside ONE conjunction so codegen short-circuits
+    * in that order (Catalyst preserves conjunct order within an And
+    * tree, but merges separately-added filters in arbitrary order —
+    * measured: the DP ran before `a < b`, doubling its volume):
+    * byte-length prefilter (safe — every byte edit changes the length by
+    * at most one, so `dl >= |bytes(a)| − |bytes(b)|`), the `a < b`
+    * orientation cut, then the banded O(len·maxDist) `dl` kernel. `lev`
+    * on the survivors uses Spark's thresholded levenshtein at
+    * `2·maxDist` (a transposition is two substitutions, so survivors
+    * always satisfy `lev <= 2·dl`, keeping their `lev` exact).
+    *
+    * String-unit caveat: `dl`/`jw` and the `octet_length` prefilter are
+    * UTF-8 BYTE-based (DuckDB `damerau_levenshtein` /
+    * `jaro_winkler_similarity` parity — both operate on bytes), while
+    * `lev` is Spark's CODE-POINT levenshtein. On ASCII vocabularies
+    * (this corpus) the units coincide; on non-ASCII labels the columns
+    * mix units and `lev` diverges from DuckDB's byte-based levenshtein
+    * — callers needing byte-consistent `lev` on such data should derive
+    * it from `dl` bounds or add a byte-level kernel.
+    *
+    * @param lenBand   width of the length-band blocking key (code points)
+    * @param maxBucket drop blocks larger than this (skew guard)
+    * @param maxDist   thresholded fast path (see above); -1 = exact/unbounded
+    */
   def fuzzyPairs(
       df: DataFrame,
       labelCol: String = "label",

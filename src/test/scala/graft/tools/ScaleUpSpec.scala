@@ -157,4 +157,26 @@ class ScaleUpSpec extends AnyFunSuite with Matchers {
       .select(max(abs(col("cos0") - col("cos1")))).head().getDouble(0)
     drift should be < 1e-5
   }
+
+  test("recall slice (vec_id < 2000) is invariant under scaling: " +
+    "copy-0 only, bit-identical rows") {
+    // q_embed_recall / q_embed_recall_probe2 / q_semantic_apply_recall
+    // bound their quadratic truth leg to vec_id < 2000. For the sf1
+    // checkpoint's recall rows to be comparable to sf0.1's, that slice
+    // must select EXACTLY the unscaled corpus's slice at any copy count:
+    // (a) the copy offset must clear the slice bound, so no rotated twin
+    // can leak in and shift measured recall; (b) copy 0 must carry the
+    // original rows verbatim. Both are structural properties of ScaleUp,
+    // pinned here so a future offset/remap change can't silently turn
+    // the sf1 recall row into a measurement of the scaling artifact.
+    OFF should be > 2000L
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val out = ScaleUp.scaledEmbeddings(emb, 3)
+    val origSlice = emb.where(col("vec_id") < 2000)
+    val scaledSlice = out.where(col("vec_id") < 2000)
+    scaledSlice.count() shouldBe origSlice.count()
+    // bit-identical in both directions (except is exact on float arrays)
+    scaledSlice.exceptAll(origSlice).count() shouldBe 0
+    origSlice.exceptAll(scaledSlice).count() shouldBe 0
+  }
 }
