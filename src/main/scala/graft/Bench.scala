@@ -42,7 +42,7 @@ object Bench {
     // batched BPE training at production merge counts, and the
     // streaming parquet-append parity path
     "q_semantic_apply_recall", "q_fuzzy_recall", "q_bpe_train_batched",
-    "q_singer_stream_append")
+    "q_singer_stream_append", "q_bpe_encode_batched")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -104,7 +104,8 @@ object Bench {
     "q_embed_dups_cell" -> 1.067, "q_embed_dups_cell_auto" -> 1.187,
     "q_embed_dups_trained" -> 2.212,
     "q_semantic_apply_recall" -> 1.604, "q_fuzzy_recall" -> 2.692,
-    "q_bpe_train_batched" -> 1.792, "q_singer_stream_append" -> 2.498)
+    "q_bpe_train_batched" -> 1.792, "q_singer_stream_append" -> 2.498,
+    "q_bpe_encode_batched" -> 6.190)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * the r9 BENCH_sf1.json values. The sf1 run gates per query against

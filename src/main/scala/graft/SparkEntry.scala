@@ -1701,6 +1701,18 @@ object SparkEntry {
       TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
     }),
 
+    // train-then-encode at BATCHED merge counts: the 69-merge table from
+    // q_bpe_train_batched applied back over the corpus as one folded
+    // projection — the full production loop (train at scale, tokenize
+    // the corpus under the trained artifact) under the oracle
+    "q_bpe_encode_batched" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrainBatched(docs,
+        rounds = BpeBatchRounds, batch = BpeBatchSize)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+    }),
+
     // exact-substring tier: winnow candidates -> longest shared token span
     "q_overlap_spans" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2254,6 +2266,59 @@ object SparkEntry {
     * counts.
     */
   private def bpeTrainBatchedOracle(rounds: Int, batch: Int): String = {
+    def offs(k: Int): String =
+      if (k == 1) "0"
+      else (1 until k).map(j => s"(SELECT count(*) FROM s$j)").mkString(" + ")
+    val union = (1 to rounds).map { k =>
+      s"SELECT CAST(${offs(k)} + sel AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM s$k"
+    }.mkString("\nUNION ALL ")
+    bpeBatchedCtes(rounds, batch) + "\n" + union + "\nORDER BY merge_rank"
+  }
+
+  /** Encode oracle at batched merge counts: the training chain's
+    * per-round survivor tables (`s{k}`) are applied to each DOCUMENT's
+    * symbol representation with the same bounded recursive-CTE fold the
+    * vocabulary chain uses (`dd{k}` steps through round k's survivors in
+    * `sel` order — the identical rank-ordered replace chain Spark's
+    * `bpeEncode` folds), then `||` boundaries become spaces and pipes
+    * vanish, exactly like [[bpeEncodeOracle]].
+    */
+  private def bpeEncodeBatchedOracle(rounds: Int, batch: Int): String = {
+    val rep0 =
+      """array_to_string(list_transform(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+        |   w -> '|' || array_to_string([substr(w, i, 1) for i in range(1, length(w)+1)], '||') || '|'), ' ')""".stripMargin
+    val docChain = (1 to rounds).map { k =>
+      val prev = if (k == 1) "d0" else s"d${k - 1}"
+      s""",
+         |dd$k(step, doc_id, rep) AS (
+         | SELECT 0, doc_id, rep FROM $prev
+         | UNION ALL
+         | SELECT dd$k.step + 1, dd$k.doc_id,
+         |  replace(dd$k.rep, '|' || s.a || '||' || s.b || '|', '|' || s.a || s.b || '|')
+         | FROM dd$k JOIN s$k s ON s.sel = dd$k.step + 1),
+         |d$k AS MATERIALIZED (
+         | SELECT doc_id, rep FROM (SELECT doc_id, rep, step, max(step) OVER () AS mx FROM dd$k)
+         | WHERE step = mx)""".stripMargin
+    }.mkString
+    bpeBatchedCtes(rounds, batch) +
+      s""",
+         |d0 AS MATERIALIZED (SELECT doc_id, $rep0 AS rep FROM documents)""".stripMargin +
+      docChain +
+      s"""
+         |SELECT doc_id,
+         | CASE WHEN bpe_text = '' THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(len(string_split(bpe_text, ' ')) AS BIGINT) END AS n_subwords,
+         | bpe_text
+         |FROM (SELECT doc_id, replace(replace(rep, '||', ' '), '|', '') AS bpe_text FROM d$rounds)
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The shared batched-training CTE chain (see [[bpeTrainBatchedOracle]]
+    * for the rules each block encodes), used by BOTH the train and the
+    * encode oracle so the learned batches can never drift between them
+    * (the [[bpeCtes]] discipline applied to the batched trainer).
+    */
+  private def bpeBatchedCtes(rounds: Int, batch: Int): String = {
     val base =
       """WITH RECURSIVE r0 AS MATERIALIZED (
         | SELECT count(*) AS freq,
@@ -2285,13 +2350,7 @@ object SparkEntry {
          | SELECT freq, rep FROM (SELECT freq, rep, step, max(step) OVER () AS mx FROM rr$k)
          | WHERE step = mx)""".stripMargin
     }.mkString
-    def offs(k: Int): String =
-      if (k == 1) "0"
-      else (1 until k).map(j => s"(SELECT count(*) FROM s$j)").mkString(" + ")
-    val union = (1 to rounds).map { k =>
-      s"SELECT CAST(${offs(k)} + sel AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM s$k"
-    }.mkString("\nUNION ALL ")
-    base + iters + "\n" + union + "\nORDER BY merge_rank"
+    base + iters
   }
 
   /** Encode oracle: the training chain's learned merges (`m1..mN`) are
@@ -5193,6 +5252,7 @@ object SparkEntry {
 
     "q_bpe_train" -> bpeTrainOracle(BpeMerges),
     "q_bpe_train_batched" -> bpeTrainBatchedOracle(BpeBatchRounds, BpeBatchSize),
+    "q_bpe_encode_batched" -> bpeEncodeBatchedOracle(BpeBatchRounds, BpeBatchSize),
 
     "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),
 
