@@ -1199,6 +1199,67 @@ object SparkEntry {
       out
     }),
 
+    // diversity-preserving coreset: one medoid per auto-sized IVF cell
+    // (the member closest to its cell centroid) — the KEEP-a-prototype
+    // complement of the dedup family's REMOVE-redundant ops; cells grow
+    // with the corpus, so the coreset is a constant fraction
+    "q_coreset_medoids" -> ((s, dir) =>
+      Similarity.cellMedoids(t(s, dir, "embeddings"),
+        nCells = 0, targetPerCell = 128L)
+        .orderBy("cell_id")),
+
+    // Unicode canonicalization (native codegen'd NFC with zero-copy
+    // ASCII fast path): the same logical text arrives composed (U+00E9)
+    // from one crawl and decomposed (e + U+0301) from another —
+    // byte-different, digest-different, normalization-equal. Synthesized
+    // per-doc markers (composed on even ids, decomposed on odd) make the
+    // divergence and its repair measurable on the ASCII corpus
+    "q_text_nfc" -> ((s, dir) => {
+      TextAnalysis.ensureNormalizeRegistered(s)
+      val decorated = concat(coalesce(col("text"), lit("")),
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          lit(" caf\u00e9 r\u00e9sum\u00e9"))
+          .otherwise(lit(" cafe\u0301 re\u0301sume\u0301")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(decorated).cast("long").as("raw_bytes"),
+        octet_length(TextAnalysis.normalizeUnicode(decorated)).cast("long")
+          .as("nfc_bytes"),
+        md5(TextAnalysis.normalizeUnicode(decorated)).as("nfc_digest"))
+        .orderBy("doc_id")
+    }),
+
+    // normalization-aware exact dedup APPLY: digest on the NFC-normalized
+    // text, lowest doc_id wins. The corpus's texts are all distinct, so
+    // the duplicates are SYNTHESIZED the q_dedup_lines way: every third
+    // doc gets a twin at doc_id + 100001 (an odd shift, so the twin
+    // always lands on the OPPOSITE parity), and the parity-keyed marker
+    // (composed on even, decomposed on odd) makes every twinned pair a
+    // CROSS-FORM duplicate — byte-different, NFC-equal. A raw-byte
+    // digest keeps all 667 rows; the NFC digest collapses each twin
+    // onto its original (n_copies = 2) while untwinned docs survive
+    // alone (n_copies = 1)
+    "q_dedup_nfc" -> ((s, dir) => {
+      TextAnalysis.ensureNormalizeRegistered(s)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("t0"))
+      val twins = base.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+        .select((col("doc_id") + 100001L).as("doc_id"), col("t0"))
+      val decorated = concat(col("t0"),
+        when(pmod(col("doc_id"), lit(2L)) === 0L, lit(" caf\u00e9"))
+          .otherwise(lit(" cafe\u0301")))
+      base.unionByName(twins)
+        .select(col("doc_id"),
+          md5(TextAnalysis.normalizeUnicode(decorated)).as("k"))
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("k")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("k").as("nfc_digest"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style line dedup over synthesized multi-line docs: every doc
     // carries its own body line, a GLOBAL footer (survives once, in the
     // lowest doc), and a per-(doc_id % 10) section header (survives once
@@ -3946,6 +4007,74 @@ object SparkEntry {
         |WHERE sim >= 0.35
         |GROUP BY a_id, b_id
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
+
+    // one medoid per auto-sized cell: replay assignment (argmax cell per
+    // vector) then the per-cell argmax member (sim desc, vec_id asc)
+    "q_coreset_medoids" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
+        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings)
+        |),
+        |a AS (
+        | SELECT vec_id, cell_id, sim FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |    / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) AS sim,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn = 1
+        |)
+        |SELECT cell_id, vec_id, sim FROM (
+        | SELECT cell_id, vec_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY sim DESC, vec_id) AS rn
+        | FROM a)
+        |WHERE rn = 1 ORDER BY cell_id""".stripMargin,
+
+    // composed (chr(233)) vs decomposed (chr(769) combining acute)
+    // markers; nfc_normalize is the NFC truth the native expression is
+    // pinned to. chr()-built so the oracle stays pure ASCII through the
+    // JSON roundtrip
+    "q_text_nfc" ->
+      """WITH d AS (
+        | SELECT doc_id, coalesce(text, '') ||
+        |  CASE WHEN doc_id % 2 = 0
+        |   THEN ' caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233)
+        |   ELSE ' cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769)
+        |  END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(strlen(t) AS BIGINT) AS raw_bytes,
+        | CAST(strlen(nfc_normalize(t)) AS BIGINT) AS nfc_bytes,
+        | md5(nfc_normalize(t)) AS nfc_digest
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // NFC-keyed exact dedup over the synthesized cross-form twins: each
+    // twin pair shares one normalized digest and collapses to the lower
+    // doc_id
+    "q_dedup_nfc" ->
+      """WITH u AS (
+        | SELECT doc_id, coalesce(text, '') AS t0 FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100001, coalesce(text, '') FROM documents WHERE doc_id % 3 = 0),
+        |d AS (
+        | SELECT doc_id, md5(nfc_normalize(t0 ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+        |   ELSE ' cafe' || chr(769) END)) AS k
+        | FROM u)
+        |SELECT doc_id, k AS nfc_digest, n_copies FROM (
+        | SELECT doc_id, k,
+        |  count(*) OVER (PARTITION BY k) AS n_copies,
+        |  row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        | FROM d)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_lines" ->
       """WITH d AS (

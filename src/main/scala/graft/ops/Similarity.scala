@@ -351,6 +351,45 @@ object Similarity {
       .select("vec_id", "cell_id", "qv", "qn")
   }
 
+  /** Coreset by cell medoid: one representative per IVF cell — the
+    * member with the highest cosine to its cell's centroid (ties to the
+    * lowest `vec_id`). This is the diversity-preserving subsample the
+    * data-pruning literature builds on (SemDeDup / SSL-prototypes line):
+    * dedup REMOVES redundant points, medoid selection KEEPS one
+    * prototype per region, and with `nCells = 0` the region count grows
+    * with the corpus ([[cellsFor]]), so the coreset is a constant
+    * FRACTION, not a constant size.
+    *
+    * Scale shape: one broadcast-centroid scoring pass (narrow), a
+    * map-side-prunable per-vector argmax (assignment), then a per-CELL
+    * argmax aggregation — output is codebook-sized. Nothing quadratic,
+    * no corpus shuffle beyond the cell-keyed aggregation.
+    *
+    * Output: `(cell_id, vec_id, sim)` — `sim` is the medoid's quantized
+    * cosine to its centroid (round-6, engine-portable).
+    */
+  def cellMedoids(
+      embeddings: DataFrame,
+      nCells: Int = 8,
+      targetPerCell: Long = 4096L,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellCount =
+      if (nCells == 0) cellsFor(embeddings.count(), targetPerCell) else nCells
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val vecs = quantizedWithNorms(embeddings, native)
+    withCellSims(vecs, centroids.getOrElse(seedCentroids(vecs, cellCount)), native)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell_id"))))
+      .filter(col("_rn") === 1)
+      .groupBy("cell_id")
+      .agg(max_by(
+        struct(col("vec_id"), col("cell_sim")),
+        struct(col("cell_sim"), (-col("vec_id")).as("tb"))).as("m"))
+      .select(col("cell_id"), col("m.vec_id").as("vec_id"),
+        col("m.cell_sim").as("sim"))
+  }
+
   /** Lloyd's (spherical) k-means over the quantized vectors: `iters`
     * fixed refinement passes from the deterministic lowest-id seed.
     * Assignment is by cosine; the new centroid is the per-dimension

@@ -50,6 +50,30 @@ object TextAnalysis {
     if (native) call_function("graft_token_count", textCol, lit("punct"))
     else size(regexp_extract_all(textCol, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
+  /** Unicode normalization ([[graft.plans.UnicodeNormalize]]): the
+    * canonicalization that must precede any digest-keyed dedup on real
+    * crawl text (composed vs decomposed accents hash differently raw).
+    * Deterministic algorithm with one portable definition, so runtime
+    * registration on a foreign session is safe (the
+    * [[FuzzyMatch.ensureRegistered]] rule).
+    */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    call_function("graft_unicode_normalize", c, lit(form))
+
+  /** Register the normalization expression into a VANILLA session's live
+    * function registry (idempotent; graft sessions get it via
+    * `spark.sql.extensions`).
+    */
+  def ensureNormalizeRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    graft.plans.GraftExtensions.functions
+      .filter(_._1.funcName == "graft_unicode_normalize")
+      .foreach { case (ident, info, builder) =>
+        if (!reg.functionExists(ident))
+          reg.registerFunction(ident, info, builder)
+      }
+  }
+
   /** Token counting, whitespace + the BPE-ish variant. */
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
     val native = graft.plans.GraftExtensions.available(df.sparkSession)

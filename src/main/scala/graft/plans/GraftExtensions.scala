@@ -163,6 +163,20 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }),
+    (FunctionIdentifier("graft_unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_unicode_normalize"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_unicode_normalize", children, 2)
+        val form = children(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => sys.error(
+              s"graft_unicode_normalize form must be a string literal, got $other")
+          }
+          case _ => sys.error("graft_unicode_normalize form must be a literal")
+        }
+        UnicodeNormalize(children.head, form)
+      }),
     (FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => {

@@ -25,7 +25,7 @@ object VanillaCheck {
       "q_text_tokens", "q_tokenize_greedy",
       // exercises FuzzyMatch.ensureRegistered: the edit-similarity
       // expressions must self-register into a plain session's registry
-      "q_fuzzy_join")) {
+      "q_fuzzy_join", "q_text_nfc", "q_dedup_nfc")) {
       val c = graft.SparkEntry.allQueries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"VANILLA $q rows: $c (fallback path)")
       require(c > 0, s"$q must return rows without extensions")

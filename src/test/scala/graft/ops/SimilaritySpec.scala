@@ -198,6 +198,28 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     again shouldBe p
   }
 
+  test("cellMedoids: one prototype per cell, closest to centroid, lowest id on ties") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),    // centroid 0
+      (1L, Array(0.0f, 1.0f)),    // centroid 1
+      (2L, Array(0.9f, 0.1f)),    // cell 0, sim < vec 0's self-sim 1.0
+      (3L, Array(0.0f, 0.5f)),    // cell 1, parallel to centroid 1 -> sim 1.0
+      (4L, Array(0.1f, 0.9f))     // cell 1, sim < 1.0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cellMedoids(emb, nCells = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // cell 0: the centroid itself is its own best member (sim 1.0)
+    out(0L)._1 shouldBe 0L
+    // cell 1: vec 3 is PARALLEL to the centroid (cosine 1.0, scale
+    // invariant) and ties with the centroid's self-sim — lowest id wins
+    out(1L)._1 shouldBe 1L
+    out(1L)._2 shouldBe 1.0
+    // auto sizing: 5 rows at 2/cell -> 3 cells -> 3 medoids
+    Similarity.cellMedoids(emb, nCells = 0, targetPerCell = 2L)
+      .count() shouldBe 3L
+  }
+
   test("randomProjection: mismatched embedding dim fails loudly") {
     import spark.implicits._
     // zip_with would silently NULL-pad a short vector; the hoisted guard
