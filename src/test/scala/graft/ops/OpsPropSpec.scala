@@ -189,4 +189,55 @@ class OpsPropSpec extends AnyFunSuite with Matchers {
       withClue(s"seed=$seed: ")(b shouldBe a)
     }
   }
+
+  test("unicode normalization is idempotent and form-correct on random " +
+    "codepoint soup") {
+    import java.text.Normalizer
+    import org.apache.spark.unsafe.types.UTF8String
+    // codepoints chosen to exercise every interesting class: ASCII,
+    // precomposed latin, combining marks, compatibility forms (ligature,
+    // fullwidth, Angstrom), CJK, and an astral-plane emoji
+    val cp = Gen.oneOf(
+      Gen.chooseNum(0x20, 0x7e),                      // ASCII
+      Gen.oneOf(0xe9, 0xc5, 0xf1, 0xe4),              // precomposed
+      Gen.oneOf(0x301, 0x308, 0x30a),                 // combining marks
+      Gen.oneOf(0xfb01, 0xff21, 0x212b),              // compatibility
+      Gen.oneOf(0x4f60, 0x597d, 0x1f600))             // CJK + emoji
+    val str = Gen.chooseNum(0, 24)
+      .flatMap(n => Gen.listOfN(n, cp))
+      .map(cps => new String(cps.toArray, 0, cps.length))
+    for (seed <- Seq(3L, 99L); form <- Seq(Normalizer.Form.NFC, Normalizer.Form.NFKC)) {
+      samples(str, 200, seed).foreach { s =>
+        val once = graft.plans.UnicodeNormalize
+          .normalize(UTF8String.fromString(s), form)
+        withClue(s"'$s' ($form): ") {
+          // matches the reference implementation...
+          once.toString shouldBe Normalizer.normalize(s, form)
+          // ...and is a fixpoint
+          graft.plans.UnicodeNormalize.normalize(once, form) shouldBe once
+        }
+      }
+    }
+  }
+
+  test("batched BPE rounds select symbol-disjoint merges and match the " +
+    "sequential trainer under batch = 1 on random corpora") {
+    for (seed <- Seq(5L, 21L)) {
+      val docs = samples(sentence, 60, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bat = TextAnalysis.bpeTrainBatched(docs, rounds = 3, batch = 6)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      // global ranks are 1..n with no gaps
+      bat.map(_._1).toSeq shouldBe (1 to bat.length)
+      // schedule-equivalence at batch = 1: with one merge per counting
+      // pass the batched trainer IS the sequential trainer, on any
+      // corpus (the within-round disjointness rule is vacuous at M = 1,
+      // so this pins the shared rank/tie-break/apply machinery)
+      val seqTrain = TextAnalysis.bpeTrain(docs, numMerges = 4)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      val batOne = TextAnalysis.bpeTrainBatched(docs, rounds = 4, batch = 1)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      withClue(s"seed=$seed: ")(batOne.toSeq shouldBe seqTrain.toSeq)
+    }
+  }
 }
