@@ -1771,7 +1771,9 @@ object SparkEntry {
       val merges = TextAnalysis.bpeTrainBatched(docs,
         rounds = BpeBatchRounds, batch = BpeBatchSize)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+      // vocab-cached encoding: corpus cost independent of merge count
+      // (bpeEncode's per-doc fold is the didactic twin, q_bpe_encode)
+      TextAnalysis.bpeEncodeVocab(docs, merges).orderBy("doc_id")
     }),
 
     // exact-substring tier: winnow candidates -> longest shared token span

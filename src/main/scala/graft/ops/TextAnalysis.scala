@@ -1289,6 +1289,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("r.n_subwords"), col("r.bpe_text"))
   }
 
+  /** [[bpeEncode]] with the merge fold applied to the DISTINCT
+    * VOCABULARY instead of every document — identical output, different
+    * cost model, and the one that survives real merge counts. The fold
+    * path scans every corpus byte once PER MERGE (69 merges = 69 passes
+    * over 100 TB; 10⁴ merges is infeasible), because each document
+    * re-derives every word's segmentation. But segmentation is a pure
+    * function of the word: encode each distinct word ONCE (vocab-sized
+    * fold — millions of short rows, not terabytes), then map the corpus
+    * through the word→subwords table with a join and reassemble in
+    * token order. Corpus-side cost becomes ONE tokenize + exchange,
+    * independent of merge count — exactly how production tokenizers
+    * cache per-word encodings. The join is AQE-broadcast when the vocab
+    * fits and a plain word-keyed exchange when it doesn't (web-scale
+    * vocabularies don't broadcast; that is the honest shape).
+    *
+    * Parity with [[bpeEncode]] is structural: word reps are joined by a
+    * space in the fold path and no merge pattern can cross `| |`, so
+    * per-word encoding equals whole-string encoding (spec-asserted, and
+    * `q_bpe_encode_batched` pins it against the fold-semantics oracle).
+    */
+  def bpeEncodeVocab(
+      df: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val toksOf = regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+"), lit(0))
+    val rep0 = concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), "||"),
+      lit("|"))
+    val folded = merges.foldLeft(rep0) { case (acc, (a, b)) =>
+      replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    val enc = df
+      .select(explode(toksOf).as("w")).where(col("w") =!= "").distinct()
+      .select(col("w"),
+        ColumnOps.bind(
+          replace(replace(folded, lit("||"), lit(" ")), lit("|"), lit(""))) { ws =>
+          struct(ws.as("ws"), size(split(ws, " ")).cast("long").as("nw"))
+        }.as("e"))
+      .select(col("w"), col("e.ws"), col("e.nw"))
+    // posexplode_outer keeps empty/NULL documents as a (null, null)
+    // token row, so they survive the aggregation with the fold path's
+    // exact semantics: NULL text -> NULL outputs, empty -> ('' , 0)
+    df.select(col("doc_id"), isnull(col(textCol)).as("_nl"),
+        posexplode_outer(toksOf).as(Seq("pos", "w")))
+      .join(enc, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(first("_nl").as("_nl"), sum("nw").as("_n"),
+        array_sort(collect_list(struct(col("pos"), col("ws")))).as("pw"))
+      .select(col("doc_id"),
+        when(col("_nl"), lit(null)).otherwise(coalesce(col("_n"), lit(0L)))
+          .cast("long").as("n_subwords"),
+        when(col("_nl"), lit(null).cast("string"))
+          .otherwise(array_join(transform(col("pw"), p => p("ws")), " "))
+          .as("bpe_text"))
+  }
+
   /** Feature-hashed bag-of-words embedding (the hashing trick): tokens
     * hash into `dim` buckets, the per-bucket counts ARE the vector. No
     * model, no vocabulary table — the canonical "text → fixed-width

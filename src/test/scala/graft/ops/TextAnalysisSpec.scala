@@ -405,6 +405,25 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2).isNullAt(2) shouldBe true
   }
 
+  test("bpe encode vocab path equals the fold path on tricky documents") {
+    val docs = Seq(
+      (1L, "ab cd aab"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "ab ab ab"),          // repeated words hit the vocab cache
+      (5L, "Mixed CASE and 123 numbers"),
+      (6L, "   whitespace   only   gaps  "),
+      (7L, "!!! punctuation only ???")
+    ).toDF("doc_id", "text")
+    for (merges <- Seq(Seq(("a", "b"), ("ab", "ab")), Seq.empty[(String, String)])) {
+      val fold = TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id").collect()
+      val vocab = TextAnalysis.bpeEncodeVocab(docs, merges).orderBy("doc_id").collect()
+      withClue(s"merges=$merges: ") {
+        vocab.map(_.toSeq).toSeq shouldBe fold.map(_.toSeq).toSeq
+      }
+    }
+  }
+
   test("bpe encode round-trips bpeTrain's merges") {
     val df = Seq((1L, "abab ab abab")).toDF("doc_id", "text")
     val merges = TextAnalysis.bpeTrain(df, numMerges = 5).collect()
