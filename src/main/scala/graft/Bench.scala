@@ -44,7 +44,8 @@ object Bench {
     "q_semantic_apply_recall", "q_fuzzy_recall", "q_bpe_train_batched",
     "q_singer_stream_append", "q_bpe_encode_batched",
     // round-10 second wave: coreset prototypes, Unicode canonicalization
-    "q_coreset_medoids", "q_text_nfc", "q_dedup_nfc")
+    "q_coreset_medoids", "q_text_nfc", "q_dedup_nfc",
+    "q_contamination_pairs", "q_script_profile")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -109,7 +110,8 @@ object Bench {
     "q_bpe_train_batched" -> 1.792, "q_singer_stream_append" -> 2.498,
     "q_bpe_encode_batched" -> 6.190,
     "q_coreset_medoids" -> 1.310, "q_text_nfc" -> 0.380,
-    "q_dedup_nfc" -> 0.520)
+    "q_dedup_nfc" -> 0.520, "q_contamination_pairs" -> 1.220,
+    "q_script_profile" -> 0.660)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * the r9 BENCH_sf1.json values. The sf1 run gates per query against

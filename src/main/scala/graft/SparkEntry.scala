@@ -2050,6 +2050,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // contamination ATTRIBUTION: the (corpus doc, benchmark doc) pair
+    // report with overlap size and a bounded lexicographic evidence
+    // sample — the audit detail q_decontaminate's per-doc rollup drops
+    "q_contamination_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20))
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // per-document script profile over synthesized multilingual markers
+    // (Cyrillic / CJK / Arabic / accented-Latin snippets keyed on
+    // doc_id % 4): code-point-range counts, engine-portable by
+    // construction (ranges, not \p{Script} classes)
+    "q_script_profile" -> ((s, dir) => {
+      val marker =
+        when(pmod(col("doc_id"), lit(4L)) === 1L,
+          lit(" \u041f\u0440\u0438\u0432\u0435\u0442"))
+        .when(pmod(col("doc_id"), lit(4L)) === 2L, lit(" \u4f60\u597d"))
+        .when(pmod(col("doc_id"), lit(4L)) === 3L,
+          lit(" \u0645\u0631\u062d\u0628\u0627 123"))
+        .otherwise(lit(" caf\u00e9"))
+      TextAnalysis.scriptProfile(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), marker).as("text")))
+        .orderBy("doc_id")
+    }),
+
     // Bloom-prefiltered twin: exact-join confirmation makes the output
     // bit-identical to q_decontaminate, so it shares that oracle's SQL.
     "q_decontaminate_bloom" -> ((s, dir) => {
@@ -5652,6 +5681,48 @@ object SparkEntry {
         |   )
         |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // pair attribution: same shingle CTEs as q_decontaminate, kept at
+    // the (doc, bench) grain with a sorted bounded evidence sample
+    "q_contamination_pairs" ->
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(sh0) AS sh FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |   END AS sh0
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+        | )
+        |), cg AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id >= 20),
+        |   bg AS (SELECT doc_id AS bench_id, unnest(sh) AS gram FROM sh WHERE doc_id < 20)
+        |SELECT cg.doc_id, bg.bench_id,
+        | CAST(count(DISTINCT cg.gram) AS BIGINT) AS overlap,
+        | array_to_string(list_sort(list(DISTINCT cg.gram))[1:3], ' | ') AS evidence
+        |FROM cg JOIN bg USING (gram)
+        |GROUP BY 1, 2
+        |HAVING count(DISTINCT cg.gram) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // script ranges as explicit code points (RE2 \x{...} here, Java
+    // \uXXXX in the operator — same sets by construction); markers
+    // chr()-built so the SQL stays pure ASCII
+    "q_script_profile" ->
+      """WITH d AS (
+        | SELECT doc_id, coalesce(text, '') ||
+        |  CASE doc_id % 4
+        |   WHEN 1 THEN ' ' || chr(1055) || chr(1088) || chr(1080) || chr(1074) || chr(1077) || chr(1090)
+        |   WHEN 2 THEN ' ' || chr(20320) || chr(22909)
+        |   WHEN 3 THEN ' ' || chr(1605) || chr(1585) || chr(1581) || chr(1576) || chr(1575) || ' 123'
+        |   ELSE ' caf' || chr(233)
+        |  END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z\x{00c0}-\x{024f}]')) AS BIGINT) AS n_latin,
+        | CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04ff}]')) AS BIGINT) AS n_cyrillic,
+        | CAST(len(regexp_extract_all(t, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS n_cjk,
+        | CAST(len(regexp_extract_all(t, '[\x{0600}-\x{06ff}]')) AS BIGINT) AS n_arabic,
+        | CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // Every stage replayed in one statement: classifier keep-gate,
     // md5-keyed exact dedup, n-gram decontamination, salted split,

@@ -588,6 +588,36 @@ object Dedup {
       contaminationGrams(benchmark, "bench_id", n),
       minOverlap)
 
+  /** Contamination ATTRIBUTION: the per-(corpus doc, benchmark doc) pair
+    * report an audit actually reads — [[decontaminate]] aggregates away
+    * WHICH benchmark was hit, but a release review needs the pair, its
+    * overlap size, and evidence. `evidence` carries the first `evidenceK`
+    * shared grams in lexicographic order (a bounded, deterministic
+    * sample, joined to one string so the report stays scalar-typed).
+    *
+    * Scale: identical join shape to [[decontaminate]] (benchmark side is
+    * tiny; pair with [[decontaminateBloom]]'s prefilter when the corpus
+    * gram exchange dominates); the evidence aggregation collects at most
+    * the shared grams of true pairs — audit-sized, not corpus-sized.
+    */
+  def contaminationPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minOverlap: Int = 2,
+      evidenceK: Int = 3): DataFrame = {
+    require(evidenceK >= 1, s"evidenceK must be >= 1, got $evidenceK")
+    contaminationGrams(corpus, "doc_id", n)
+      .join(contaminationGrams(benchmark, "bench_id", n), "gram")
+      .groupBy("doc_id", "bench_id")
+      .agg(
+        countDistinct("gram").as("overlap"),
+        concat_ws(" | ",
+          slice(array_sort(collect_set(col("gram"))), 1, evidenceK))
+          .as("evidence"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape.
     *
     * Plain decontamination shuffles EVERY corpus n-gram into the join,

@@ -74,6 +74,28 @@ object TextAnalysis {
       }
   }
 
+  /** Per-document script profile: code-point counts per writing system
+    * (Latin incl. the accented Latin-1/Extended ranges, Cyrillic, CJK
+    * unified, Arabic, ASCII digits) — the corpus-QC signal behind
+    * language routing and mixed-script/mojibake triage that a heuristic
+    * language-ID ([[languageId]]) alone can't give. Counts are by
+    * explicit code-point RANGES, not `\p{Script}` classes, so the Java
+    * regex here and the oracle's RE2 agree by construction (script
+    * classes differ subtly between engines; ranges don't). One narrow
+    * codegen'd projection — nothing shuffles.
+    */
+  def scriptProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def cnt(pattern: String) =
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
+    df.select(
+      col("doc_id"),
+      cnt("[A-Za-z\\u00c0-\\u024f]").as("n_latin"),
+      cnt("[\\u0400-\\u04ff]").as("n_cyrillic"),
+      cnt("[\\u4e00-\\u9fff]").as("n_cjk"),
+      cnt("[\\u0600-\\u06ff]").as("n_arabic"),
+      cnt("[0-9]").as("n_digit"))
+  }
+
   /** Token counting, whitespace + the BPE-ish variant. */
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
     val native = graft.plans.GraftExtensions.available(df.sparkSession)
