@@ -2050,6 +2050,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // snapshot drift monitor: PSI between the two halves of the corpus
+    // over binned n_chars — per-bin counts, exact-integer micro shares,
+    // and the (pA-pB)*ln(pA/pB) contribution in micro-units
+    "q_corpus_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.CorpusOps.distributionDrift(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "n_chars", binWidth = 100L)
+        .orderBy("bin")
+    }),
+
     // contamination ATTRIBUTION: the (corpus doc, benchmark doc) pair
     // report with overlap size and a bounded lexicographic evidence
     // sample — the audit detail q_decontaminate's per-doc rollup drops
@@ -5681,6 +5693,27 @@ object SparkEntry {
         |   )
         |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PSI replay: add-one smoothing before totals, integer micro
+    // shares, double psi from the same exact integers
+    "q_corpus_drift" ->
+      """WITH a AS (
+        | SELECT n_chars // 100 AS bin, count(*) AS n_a FROM documents
+        | WHERE doc_id < 250 AND n_chars IS NOT NULL GROUP BY 1),
+        |b AS (
+        | SELECT n_chars // 100 AS bin, count(*) AS n_b FROM documents
+        | WHERE doc_id >= 250 AND n_chars IS NOT NULL GROUP BY 1),
+        |j AS (
+        | SELECT bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        | FROM a FULL OUTER JOIN b USING (bin)),
+        |sm AS (SELECT bin, n_a, n_b, n_a + 1 AS sa, n_b + 1 AS sb FROM j),
+        |t AS (SELECT sum(sa) AS ta, sum(sb) AS tb FROM sm)
+        |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST((1000000 * sa) // ta AS BIGINT) AS share_a_micro,
+        | CAST((1000000 * sb) // tb AS BIGINT) AS share_b_micro,
+        | CAST(round((CAST(sa AS DOUBLE) / ta - CAST(sb AS DOUBLE) / tb)
+        |  * ln((CAST(sa AS DOUBLE) * tb) / (CAST(sb AS DOUBLE) * ta)) * 1e6) AS BIGINT) AS psi_micro
+        |FROM sm, t ORDER BY bin""".stripMargin,
 
     // pair attribution: same shingle CTEs as q_decontaminate, kept at
     // the (doc, bench) grain with a sorted bounded evidence sample

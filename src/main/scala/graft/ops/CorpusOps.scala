@@ -342,6 +342,57 @@ object CorpusOps {
       .orderBy(gcols.map(col) :+ col("permille"): _*)
   }
 
+  /** Distribution drift between two corpus snapshots — the PSI
+    * (population stability index) monitor a crawl pipeline runs before
+    * accepting a new batch: bin `valueCol` on both sides, compare the
+    * per-bin shares, and score each bin's contribution
+    * `(pA − pB)·ln(pA/pB)` in micro-units. Add-one smoothing on the bin
+    * counts keeps one-sided bins finite (the standard epsilon rule,
+    * made exact-integer so both engines agree); `Σ psi_micro` over the
+    * output is the classic PSI × 1e6, with the usual 0.1/0.25
+    * watch/act thresholds at 100000/250000.
+    *
+    * Scale: one count aggregation per side (map-side combined), a
+    * bins-sized full outer join, totals as 1-row broadcasts — the
+    * corpora stream once and never shuffle rows.
+    */
+  def distributionDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive, got $binWidth")
+    def bins(df: DataFrame, as: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(graft.functions.ColumnOps
+        .fdiv(floor(col(valueCol)).cast("long"), binWidth).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(as))
+    val joined = bins(a, "n_a").join(bins(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // add-one smoothing BEFORE the totals so shares still sum to 1
+    val sm = joined.select(col("bin"), col("n_a"), col("n_b"),
+      (col("n_a") + 1L).as("sa"), (col("n_b") + 1L).as("sb"))
+    val tot = sm.agg(sum("sa").as("ta"), sum("sb").as("tb"))
+    sm.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        graft.functions.ColumnOps
+          .fdivCol(lit(1000000L).cast("decimal(38,0)") * col("sa"), col("ta"))
+          .as("share_a_micro"),
+        graft.functions.ColumnOps
+          .fdivCol(lit(1000000L).cast("decimal(38,0)") * col("sb"), col("tb"))
+          .as("share_b_micro"),
+        // both engines derive the double from the SAME exact integers
+        // ((sa, ta, sb, tb) are counts), so round-6-then-micro is stable
+        round(
+          ((col("sa").cast("double") / col("ta").cast("double")) -
+            (col("sb").cast("double") / col("tb").cast("double"))) *
+            log((col("sa").cast("double") * col("tb").cast("double")) /
+              (col("sb").cast("double") * col("ta").cast("double"))) * 1e6)
+          .cast("long").as("psi_micro"))
+  }
+
   /** Dynamic per-group quality gate: keep rows whose `valueCol` reaches
     * their OWN group's `permille` quantile bin — Gopher-style
     * per-language length thresholds derived from the corpus itself
