@@ -111,7 +111,7 @@ object Bench {
     "q_bpe_encode_batched" -> 6.190,
     "q_coreset_medoids" -> 1.310, "q_text_nfc" -> 0.380,
     "q_dedup_nfc" -> 0.520, "q_contamination_pairs" -> 1.220,
-    "q_script_profile" -> 0.660, "q_corpus_drift" -> 1.210)
+    "q_script_profile" -> 0.660, "q_corpus_drift" -> 0.820)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * the r9 BENCH_sf1.json values. The sf1 run gates per query against
