@@ -45,7 +45,8 @@ object Bench {
     "q_singer_stream_append", "q_bpe_encode_batched",
     // round-10 second wave: coreset prototypes, Unicode canonicalization
     "q_coreset_medoids", "q_text_nfc", "q_dedup_nfc",
-    "q_contamination_pairs", "q_script_profile", "q_corpus_drift")
+    "q_contamination_pairs", "q_script_profile", "q_corpus_drift",
+    "q_doc_clusters")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -111,7 +112,8 @@ object Bench {
     "q_bpe_encode_batched" -> 6.190,
     "q_coreset_medoids" -> 1.310, "q_text_nfc" -> 0.380,
     "q_dedup_nfc" -> 0.520, "q_contamination_pairs" -> 1.220,
-    "q_script_profile" -> 0.660, "q_corpus_drift" -> 0.820)
+    "q_script_profile" -> 0.660, "q_corpus_drift" -> 0.820,
+    "q_doc_clusters" -> 2.390)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * the r9 BENCH_sf1.json values. The sf1 run gates per query against

@@ -1531,6 +1531,22 @@ object SparkEntry {
         TextAnalysis.hashEmbed(t(s, dir, "documents")), queryMaxId = 10, k = 5)
         .orderBy("query_id", "rank")),
 
+    // topic clustering for mixture balancing: hash-embed the documents,
+    // train a k=8 spherical codebook (2 Lloyd's iterations from the
+    // deterministic seed), assign every document to its topic cell —
+    // the clustering that feeds domain-mixture planning when no label
+    // column exists. The trained centroid table rides the returned plan
+    // (ivfTopK pattern), so the caller's releaseCheckpoints frees it
+    "q_doc_clusters" -> ((s, dir) => {
+      val emb = TextAnalysis.hashEmbed(t(s, dir, "documents"))
+      val cents = Similarity.trainCentroids(emb, k = 8, iters = 2)
+      Similarity.ivfAssign(emb, nCells = 8, centroids = Some(cents))
+        .select(col("vec_id").as("doc_id"), col("cell_id").as("topic"))
+        .withColumn("topic_size",
+          count(lit(1)).over(Window.partitionBy("topic")))
+        .orderBy("doc_id")
+    }),
+
     "q_tfidf_pairs" -> ((s, dir) =>
       TextAnalysis.tfidfPairs(t(s, dir, "documents"), maxDf = 50L, minSim = 0.2)
         .orderBy("a_id", "b_id")),
@@ -4236,6 +4252,76 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
         | FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // hashEmbed replay (q_text_ann's hs/v CTEs) feeding the trained-
+    // codebook chain (q_embed_dups_trained's c0->a0->m->c1->a1->m->c2),
+    // then the final argmax assignment + a topic-size window
+    "q_doc_clusters" ->
+      """WITH hs AS (
+        | SELECT doc_id,
+        |  list_transform(string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' '),
+        |   t -> ('0x' || substr(md5(t), 1, 7))::BIGINT % 64) AS hs
+        | FROM documents),
+        |n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT doc_id AS vec_id,
+        |   [CAST(len(list_filter(hs, h -> h = i)) AS BIGINT) * 10000 for i in range(0, 64)] AS qv
+        |  FROM hs)),
+        |c0 AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8
+        |),
+        |a0 AS (
+        | SELECT vec_id, cell_id, qv FROM (
+        |  SELECT n.vec_id, c.cell_id, n.qv,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c0 c) WHERE rn = 1
+        |),
+        |m1 AS (
+        | SELECT cell_id, pos, SUM(v) AS s, COUNT(*) AS cnt
+        | FROM (SELECT cell_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS pos FROM a0)
+        | GROUP BY cell_id, pos
+        |),
+        |c1 AS (
+        | SELECT cell_id, cv,
+        |  list_sum(list_transform(list_zip(cv, cv), p -> p[1] * p[2])) AS cn
+        | FROM (SELECT cell_id,
+        |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS cv
+        |  FROM m1 GROUP BY cell_id)
+        |),
+        |a1 AS (
+        | SELECT vec_id, cell_id, qv FROM (
+        |  SELECT n.vec_id, c.cell_id, n.qv,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c1 c) WHERE rn = 1
+        |),
+        |m2 AS (
+        | SELECT cell_id, pos, SUM(v) AS s, COUNT(*) AS cnt
+        | FROM (SELECT cell_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS pos FROM a1)
+        | GROUP BY cell_id, pos
+        |),
+        |c2 AS (
+        | SELECT cell_id, cv,
+        |  list_sum(list_transform(list_zip(cv, cv), p -> p[1] * p[2])) AS cn
+        | FROM (SELECT cell_id,
+        |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS cv
+        |  FROM m2 GROUP BY cell_id)
+        |),
+        |a2 AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c2 c) WHERE rn = 1
+        |)
+        |SELECT vec_id AS doc_id, cell_id AS topic,
+        | CAST(count(*) OVER (PARTITION BY cell_id) AS BIGINT) AS topic_size
+        |FROM a2 ORDER BY doc_id""".stripMargin,
 
     "q_sim_pq" ->
       """WITH v AS (

@@ -93,6 +93,19 @@ class CodegenOnlySpec extends AnyFunSuite with Matchers {
         transform(col("a"), x => x.cast("double") / 100.0), lit(16))))
   }
 
+  test("graft_unicode_normalize compiles and matches interpreted eval") {
+    // decomposed forms added explicitly: the shared texts are composed
+    val probes = Seq("café résumé", "ﬁle",
+      "Å ring", "ascii only")
+    for (form <- Seq("NFC", "NFKC", "NFD")) {
+      check { s =>
+        import s.implicits._
+        (texts ++ probes).toDF("s")
+          .select(call_function("graft_unicode_normalize", col("s"), lit(form)))
+      }
+    }
+  }
+
   test("roll hash clamps truncated UTF-8 instead of crashing") {
     // A lead byte promising continuation bytes that are not there —
     // reachable via binary->string casts on malformed input.
