@@ -46,7 +46,7 @@ object Bench {
     // round-10 second wave: coreset prototypes, Unicode canonicalization
     "q_coreset_medoids", "q_text_nfc", "q_dedup_nfc",
     "q_contamination_pairs", "q_script_profile", "q_corpus_drift",
-    "q_doc_clusters")
+    "q_doc_clusters", "q_dup_histogram", "q_mixture_apply")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -113,7 +113,8 @@ object Bench {
     "q_coreset_medoids" -> 1.310, "q_text_nfc" -> 0.380,
     "q_dedup_nfc" -> 0.520, "q_contamination_pairs" -> 1.220,
     "q_script_profile" -> 0.660, "q_corpus_drift" -> 0.820,
-    "q_doc_clusters" -> 2.390)
+    "q_doc_clusters" -> 2.390, "q_dup_histogram" -> 0.670,
+    "q_mixture_apply" -> 0.900)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * the r9 BENCH_sf1.json values. The sf1 run gates per query against
@@ -156,7 +157,12 @@ object Bench {
     "q_embed_dups_cell" -> 15.866, "q_embed_dups_cell_auto" -> 5.708,
     "q_embed_dups_trained" -> 17.211, "q_semantic_apply_recall" -> 1.772,
     "q_fuzzy_recall" -> 3.162, "q_bpe_train_batched" -> 3.059,
-    "q_singer_stream_append" -> 9.078)
+    "q_singer_stream_append" -> 9.078,
+    // round-10 second-wave first-seen sf1 values (final checkpoint run)
+    "q_bpe_encode_batched" -> 8.460, "q_coreset_medoids" -> 3.358,
+    "q_text_nfc" -> 0.519, "q_dedup_nfc" -> 0.529,
+    "q_contamination_pairs" -> 3.642, "q_script_profile" -> 4.974,
+    "q_corpus_drift" -> 0.280, "q_doc_clusters" -> 15.059)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

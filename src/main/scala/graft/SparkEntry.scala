@@ -2066,6 +2066,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // duplication profile: exact-dup cluster-size histogram over a
+    // corpus with synthesized size-2 and size-3 clusters (every third
+    // doc twinned, every ninth twinned twice) — the QC read that
+    // decides the dedup strategy before any dedup runs
+    "q_dup_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val t1 = docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val t2 = docs.filter(pmod(col("doc_id"), lit(9L)) === 0L)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      Dedup.dupSizeHistogram(docs.unionByName(t1).unionByName(t2))
+        .orderBy("group_size")
+    }),
+
+    // mixture APPLY: down-sample each language group to its planned
+    // token share (temperature alpha = 0.3, 10k-token budget) by
+    // deterministic key-hash sampling — the plan is a groups-sized
+    // broadcast, the corpus streams once, any engine draws the same rows
+    "q_mixture_apply" -> ((s, dir) =>
+      ops.CorpusOps.applyMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        budgetTokens = 10000L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
     // snapshot drift monitor: PSI between the two halves of the corpus
     // over binned n_chars — per-bin counts, exact-integer micro shares,
     // and the (pA-pB)*ln(pA/pB) contribution in micro-units
@@ -5779,6 +5804,40 @@ object SparkEntry {
         |   )
         |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // dup-cluster histogram over the synthesized multiplicity corpus
+    "q_dup_histogram" ->
+      """WITH u AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 9 = 0),
+        |g AS (
+        | SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS k,
+        |  count(*) AS group_size
+        | FROM u GROUP BY 1)
+        |SELECT group_size, count(*) AS n_groups,
+        | CAST(group_size * count(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY group_size""".stripMargin,
+
+    // mixture apply: q_mixture's plan CTEs -> per-group integer keep
+    // permille (capped at 1000) -> the sampleByHash bucket rule
+    "q_mixture_apply" ->
+      """WITH t AS (
+        | SELECT lang,
+        |  CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY 1),
+        |s AS (
+        | SELECT lang, tokens,
+        |  CAST(round(pow(tokens, 0.3) * 1e6) AS BIGINT) AS pw FROM t),
+        |tot AS (SELECT CAST(sum(pw) AS BIGINT) AS pw_total FROM s),
+        |plan AS (
+        | SELECT lang,
+        |  least(1000, (1000 * ((1000000 * pw) // pw_total) * 10000) // (1000000 * tokens)) AS keep_pm
+        | FROM s, tot)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN plan p ON d.lang IS NOT DISTINCT FROM p.lang
+        |WHERE ('0x' || substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 < p.keep_pm
+        |ORDER BY d.doc_id""".stripMargin,
 
     // PSI replay: add-one smoothing before totals, integer micro
     // shares, double psi from the same exact integers

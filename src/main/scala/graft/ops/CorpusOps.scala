@@ -654,4 +654,38 @@ object CorpusOps {
       .withColumn("epochs",
         round(col("weight_micro") / 1e6 * budgetTokens / col("tokens"), 6))
   }
+
+  /** APPLY step of [[mixturePlan]]: down-sample each group to its
+    * planned token share by deterministic key-hash sampling (the
+    * [[Sampling.sampleByHash]] rule, so any engine draws the same
+    * rows). A group's keep rate is its planned tokens over its actual
+    * tokens, in exact-integer permille (capped at 1000 — groups the
+    * temperature weighting would UPSAMPLE keep everything; epoch
+    * multiplicity is a training-loader concern, not a corpus filter).
+    *
+    * Scale: the plan is a groups-sized broadcast back onto the scan
+    * (null-safe on the group key — crawl `lang` columns have NULLs);
+    * the corpus streams once through a codegen'd hash filter. No
+    * shuffle of corpus rows at all.
+    */
+  def applyMixture(
+      df: DataFrame,
+      budgetTokens: Long,
+      alpha: Double = 0.3,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      keyCol: String = "doc_id"): DataFrame = {
+    require(!df.columns.contains(s"__t_$groupCol") &&
+      !df.columns.contains("__keep_pm"),
+      s"applyMixture reserves '__t_$groupCol' and '__keep_pm'")
+    val plan = mixturePlan(df, budgetTokens, alpha, groupCol, textCol)
+      .select(col(groupCol).as(s"__t_$groupCol"),
+        least(lit(1000L), graft.functions.ColumnOps.fdivCol(
+          lit(1000L).cast("decimal(38,0)") * col("weight_micro") * lit(budgetTokens),
+          lit(1000000L).cast("decimal(38,0)") * col("tokens")))
+          .as("__keep_pm"))
+    df.join(broadcast(plan), col(groupCol) <=> col(s"__t_$groupCol"))
+      .filter(Sampling.bucket1000(Sampling.SampleSalt, keyCol) < col("__keep_pm"))
+      .drop(s"__t_$groupCol", "__keep_pm")
+  }
 }

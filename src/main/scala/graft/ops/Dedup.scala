@@ -64,6 +64,24 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
   }
 
+  /** Duplication profile: the cluster-size histogram of exact-duplicate
+    * groups — the "how duplicated is this corpus" QC number read before
+    * choosing a dedup strategy (a corpus that is 40% size-2 clusters
+    * wants exact dedup; a long tail of size-1000 clusters wants URL/
+    * boilerplate triage first). Output per distinct cluster size:
+    * `(group_size, n_groups, n_docs)`; `n_docs` sums back to the corpus
+    * and `n_docs - n_groups` over sizes ≥ 2 is the removable-row count.
+    * Two digest-keyed aggregations — text never shuffles.
+    */
+  def dupSizeHistogram(docs: DataFrame): DataFrame =
+    docs.select(contentKey(col("text")).as("content_key"))
+      .groupBy("content_key")
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"))
+
   /** Apply exact dedup to the corpus: the surviving rows themselves (one
     * representative per identical normalized text, lowest doc_id wins) —
     * the operation a pipeline actually runs, with [[exact]] as its group

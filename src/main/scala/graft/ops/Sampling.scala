@@ -29,7 +29,7 @@ object Sampling {
   val SampleSalt = "sample:"
   val ShuffleSalt = "shuffle:"
 
-  private def bucket1000(salt: String, keyCol: String) =
+  private[ops] def bucket1000(salt: String, keyCol: String) =
     pmod(PortableHash.h28(concat(lit(salt), col(keyCol).cast("string"))), lit(1000L))
 
   /** Stamp each row with a `split` column (`train` / `val` / `test`) by
