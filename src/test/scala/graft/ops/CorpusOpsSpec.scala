@@ -326,4 +326,48 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
       .filter(col("rk") <= 10).select("doc_id").as[Long].collect().sorted
     twoPhase shouldBe oneWindow
   }
+
+  test("distributionDrift: identical snapshots score zero, a shifted one positive") {
+    val a = (1L to 200L).map(i => Tuple1(i % 50)).toDF("v")
+    val same = CorpusOps.distributionDrift(a, a, "v", binWidth = 10L)
+    val sameRows = same.collect()
+    Dedup.releaseCheckpoints(same)
+    sameRows.foreach(r => r.getLong(5) shouldBe 0L)   // psi_micro
+    sameRows.foreach(r => r.getLong(1) shouldBe r.getLong(2)) // n_a == n_b
+    // shifted snapshot: mass moves up two bins -> strictly positive PSI
+    val b = (1L to 200L).map(i => Tuple1(i % 50 + 20)).toDF("v")
+    val drift = CorpusOps.distributionDrift(a, b, "v", binWidth = 10L)
+    val total = drift.agg(sum("psi_micro")).head().getLong(0)
+    Dedup.releaseCheckpoints(drift)
+    total should be > 100000L // past the classic 0.1 watch threshold
+    // NULLs are not values on either side
+    val withNulls = a.union(Seq(Tuple1(null.asInstanceOf[java.lang.Long]))
+      .toDF("v").select(col("v").cast("long")))
+    val nn = CorpusOps.distributionDrift(withNulls, a, "v", binWidth = 10L)
+    nn.agg(sum("n_a")).head().getLong(0) shouldBe 200L
+    Dedup.releaseCheckpoints(nn)
+  }
+
+  test("applyMixture: survivors are the per-group hash sample at the planned rate") {
+    val docs = (1L to 300L).map { i =>
+      val lang = if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "zh"
+      (i, lang, Seq.fill(4)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = CorpusOps.applyMixture(docs, budgetTokens = 400L)
+      .select("doc_id").as[Long].collect().sorted
+    // reference: derive each group's keep permille from the plan and
+    // re-apply the public sampleByHash rule group by group
+    val plan = CorpusOps.mixturePlan(docs, budgetTokens = 400L).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(2))).toMap
+    val expect = plan.toSeq.flatMap { case (lang, (wMicro, tokens)) =>
+      val pm = math.min(1000L, 1000L * wMicro * 400L / (1000000L * tokens)).toInt
+      Sampling.sampleByHash(docs.filter(col("lang") === lang), "doc_id", pm)
+        .select("doc_id").as[Long].collect()
+    }.sorted
+    out shouldBe expect
+    out.length should be < 300 // the budget genuinely down-samples
+    // reserved-name guard
+    an[Exception] should be thrownBy CorpusOps.applyMixture(
+      docs.withColumn("__keep_pm", lit(1)), budgetTokens = 400L)
+  }
 }

@@ -277,6 +277,32 @@ class DedupSpec extends AnyFunSuite with Matchers {
     groups(9L) shouldBe 7L
   }
 
+  test("dupSizeHistogram: conserves the corpus and reports removable rows") {
+    val docs = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "alpha"),     // size-3 cluster
+      (4L, "Beta  beta"), (5L, "beta beta"),           // size-2 via normText
+      (6L, "gamma"), (7L, "delta")                     // singletons
+    ).toDF("doc_id", "text")
+    val h = Dedup.dupSizeHistogram(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    h shouldBe Map(3L -> (1L, 3L), 2L -> (1L, 2L), 1L -> (2L, 2L))
+    h.values.map(_._2).sum shouldBe 7L // n_docs sums back to the corpus
+  }
+
+  test("contaminationPairs: per-benchmark attribution with bounded sorted evidence") {
+    val corpus = Seq(
+      (100L, "aa bb cc dd ee"),          // shares 3 shingles with bench 1
+      (101L, "zz yy xx")                 // no overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "aa bb cc dd qq")).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, bench, evidenceK = 2).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((100L, 1L, 2L))
+    // shared 3-grams of the pair: "aa bb cc", "bb cc dd" — sorted, top 2
+    r.getString(3) shouldBe "aa bb cc | bb cc dd"
+  }
+
   test("embedding dups by IVF cell: derived blocking finds co-located near-dups") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),   // centroid 0

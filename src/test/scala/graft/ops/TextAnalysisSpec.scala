@@ -405,6 +405,21 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2).isNullAt(2) shouldBe true
   }
 
+  test("scriptProfile: counts by code-point range, null text yields nulls") {
+    val df = Seq(
+      (1L, "plain ascii 42"),
+      (2L, "caf\u00e9 \u041f\u0440\u0438\u0432\u0435\u0442"), // e-acute + Cyrillic
+      (3L, "\u4f60\u597d \u0645\u0631"),  // CJK + Arabic
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(df).orderBy("doc_id").collect()
+    // (latin, cyrillic, cjk, arabic, digit)
+    (1 to 5).map(out(0).getLong) shouldBe Seq(10L, 0L, 0L, 0L, 2L)
+    (1 to 5).map(out(1).getLong) shouldBe Seq(4L, 6L, 0L, 0L, 0L)
+    (1 to 5).map(out(2).getLong) shouldBe Seq(0L, 0L, 2L, 2L, 0L)
+    (1 to 5).foreach(i => out(3).isNullAt(i) shouldBe true)
+  }
+
   test("bpe encode vocab path equals the fold path on tricky documents") {
     val docs = Seq(
       (1L, "ab cd aab"),
