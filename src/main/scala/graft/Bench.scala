@@ -46,7 +46,8 @@ object Bench {
     // round-10 second wave: coreset prototypes, Unicode canonicalization
     "q_coreset_medoids", "q_text_nfc", "q_dedup_nfc",
     "q_contamination_pairs", "q_script_profile", "q_corpus_drift",
-    "q_doc_clusters", "q_dup_histogram", "q_mixture_apply")
+    "q_doc_clusters", "q_dup_histogram", "q_mixture_apply",
+    "q_neardup_histogram")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -114,7 +115,7 @@ object Bench {
     "q_dedup_nfc" -> 0.520, "q_contamination_pairs" -> 1.220,
     "q_script_profile" -> 0.660, "q_corpus_drift" -> 0.820,
     "q_doc_clusters" -> 2.390, "q_dup_histogram" -> 0.670,
-    "q_mixture_apply" -> 0.900)
+    "q_mixture_apply" -> 0.900, "q_neardup_histogram" -> 3.880)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * the r9 BENCH_sf1.json values. The sf1 run gates per query against

@@ -2066,6 +2066,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the NEAR-dup twin of q_dup_histogram: verified MinHash pairs ->
+    // connected components -> cluster-size histogram with singletons
+    // accounted (corpus minus clustered members) — "how much of the
+    // corpus is near-duplicated, and in what cluster shapes"
+    "q_neardup_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPortable(docs, threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val groups = Dedup.duplicateGroups(pairs)
+      // duplicateGroups eagerly materialized its own edge checkpoint, so
+      // the LSH pipeline's pin is dead and unreachable from the returned
+      // plan — release it here (the resolveEntities lesson)
+      Dedup.releaseCheckpoints(pairs)
+      val clustered = groups.groupBy("group_id")
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      val single = docs.agg(count(lit(1)).as("n"))
+        .crossJoin(groups.agg(count(lit(1)).as("members")))
+        .select(lit(1L).as("group_size"),
+          (col("n") - col("members")).as("n_groups"))
+      clustered.unionByName(single)
+        .groupBy("group_size").agg(sum("n_groups").as("n_groups"))
+        .withColumn("n_docs", col("group_size") * col("n_groups"))
+        .orderBy("group_size")
+    }),
+
     // duplication profile: exact-dup cluster-size histogram over a
     // corpus with synthesized size-2 and size-3 clusters (every third
     // doc twinned, every ninth twinned twice) — the QC read that
@@ -5804,6 +5830,27 @@ object SparkEntry {
         |   )
         |SELECT doc_id, count(*) AS n_benchmarks_hit, CAST(MAX(overlap) AS BIGINT) AS max_overlap
         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // near-dup histogram: the portable LSH chain -> recursive CC ->
+    // size histogram + the singleton remainder row
+    "q_neardup_histogram" ->
+      s"""WITH RECURSIVE ${minhashPortableCtes("")},
+        |p2 AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.5),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM p2 UNION ALL SELECT b_id, a_id FROM p2),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+        |),
+        |g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+        |sizes AS (SELECT group_id, count(*) AS group_size FROM g GROUP BY 1),
+        |clustered AS (SELECT group_size, count(*) AS n_groups FROM sizes GROUP BY 1),
+        |single AS (SELECT CAST(1 AS BIGINT) AS group_size,
+        | (SELECT count(*) FROM documents) - (SELECT count(*) FROM g) AS n_groups),
+        |u AS (SELECT * FROM clustered UNION ALL SELECT * FROM single)
+        |SELECT group_size, CAST(sum(n_groups) AS BIGINT) AS n_groups,
+        | CAST(group_size * sum(n_groups) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY group_size""".stripMargin,
 
     // dup-cluster histogram over the synthesized multiplicity corpus
     "q_dup_histogram" ->
