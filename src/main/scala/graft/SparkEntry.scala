@@ -1538,7 +1538,11 @@ object SparkEntry {
     // column exists. The trained centroid table rides the returned plan
     // (ivfTopK pattern), so the caller's releaseCheckpoints frees it
     "q_doc_clusters" -> ((s, dir) => {
-      val emb = TextAnalysis.hashEmbed(t(s, dir, "documents"))
+      // checkpoint the hash embedding: training consumes it through its
+      // own persist, but the FINAL assignment would otherwise re-derive
+      // the md5-per-token projection from scratch (one full corpus pass
+      // saved; released by the caller's releaseCheckpoints)
+      val emb = TextAnalysis.hashEmbed(t(s, dir, "documents")).localCheckpoint()
       val cents = Similarity.trainCentroids(emb, k = 8, iters = 2)
       Similarity.ivfAssign(emb, nCells = 8, centroids = Some(cents))
         .select(col("vec_id").as("doc_id"), col("cell_id").as("topic"))

@@ -416,8 +416,16 @@ object Similarity {
     val vecs = quantizedWithNorms(embeddings, native)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = seedCentroids(vecs, k)
+    // ownership flag: only release checkpoints THIS loop created. The
+    // seed's plan reads through the CALLER's input, and if that input is
+    // itself localCheckpoint'd (q_doc_clusters shares its hash-embedding
+    // between training and the final assignment), releasing "the seed"
+    // would collaterally free the caller's blocks mid-query
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next consumer).
+    var centsOwned = false
     for (_ <- 0 until iters) {
       val prev = cents
+      val prevOwned = centsOwned
       val assigned = assignCore(vecs, cents, native)
       val dims = assigned
         .select(col("cell_id"), posexplode(col("qv")))
@@ -432,10 +440,12 @@ object Similarity {
         .withColumn("cn", qdot(col("cv"), col("cv"), native))
         .localCheckpoint()
       // the new table is eagerly materialized; the superseded iteration's
-      // checkpoint blocks are dead — release them (no-op on the seed).
-      // The FINAL table stays checkpointed: it is the returned codebook;
-      // callers free it with Dedup.releaseCheckpoints when done.
-      Dedup.releaseCheckpoints(prev)
+      // OWN checkpoint blocks are dead — release them (never the seed:
+      // see centsOwned above). The FINAL table stays checkpointed: it is
+      // the returned codebook; callers free it with
+      // Dedup.releaseCheckpoints when done.
+      if (prevOwned) Dedup.releaseCheckpoints(prev)
+      centsOwned = true
     }
     // the final codebook is checkpointed (iters > 0), so the training
     // cache is dead weight from here — release it; with iters == 0 the
