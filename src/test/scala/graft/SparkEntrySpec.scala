@@ -28,4 +28,18 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
     val all = SparkEntry.allQueries.keySet
     Bench.headline.filterNot(all) shouldBe empty
   }
+
+  test("the 2x gate covers the whole sf0.1 surface: no headline query " +
+    "without a firstSeen base") {
+    // a headline entry missing from firstSeen is silently UNGATED — the
+    // exact hole the per-query gate exists to close
+    Bench.headline.filterNot(Bench.firstSeen.contains) shouldBe empty
+  }
+
+  test("baseline maps and exclusions name only real queries") {
+    val names = SparkEntry.allQueries.keySet + "ingest_full"
+    Bench.firstSeen.keySet.filterNot(names) shouldBe empty
+    Bench.firstSeenSf1.keySet.filterNot(names) shouldBe empty
+    Bench.sf1Exclude.filterNot(Bench.headline.contains) shouldBe empty
+  }
 }
