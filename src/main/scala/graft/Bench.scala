@@ -76,7 +76,7 @@ object Bench {
     "q_corpus_stats" -> 0.294, "q_multimodal_meta" -> 0.224,
     "q_multimodal_features" -> 0.260, "q_multimodal_frames" -> 0.231,
     "q_attribution" -> 0.726, "q_asof_join" -> 1.261, "q_range_join" -> 1.604,
-    "q_embed_dups_cell" -> 1.743, "q_sim_ivf" -> 1.114,
+    "q_sim_ivf" -> 1.114,
     "q_sim_ivf_trained" -> 2.465, "q_text_redact" -> 0.912,
     "q_top_ngrams" -> 0.865, "q_text_chunk" -> 0.500, "q_split" -> 0.271,
     "q_multimodal_phash" -> 1.240, "q_decontaminate_bloom" -> 1.798,
@@ -92,8 +92,10 @@ object Bench {
     "q_snapshot_stream" -> 0.426, "q_bigram_ppl" -> 1.122,
     "q_strip_spans" -> 3.947,
     // round-9 first-gated values (local sf0.1 bench, post-optimization
-    // for the fuzzy pair: the pre-fix 20.5 s was a bug, not a baseline)
-    "q_embed_dups_cell_auto" -> 0.641, "q_embed_dups_trained" -> 1.307,
+    // for the fuzzy pair: the pre-fix 20.5 s was a bug, not a baseline).
+    // The three cell-blocked dedup entries live ONLY in the round-10
+    // block below (their r9 single-probe values are superseded, and a
+    // duplicate Map key would silently last-entry-win)
     "q_knn_graph_auto" -> 0.715, "q_fuzzy_join" -> 1.310,
     "q_jaro_pairs" -> 0.630, "q_trigram_ppl" -> 2.066,
     "q_cdc_chunks" -> 1.728, "q_encoding_quality" -> 0.588,
@@ -118,12 +120,13 @@ object Bench {
     "q_mixture_apply" -> 0.900, "q_neardup_histogram" -> 3.880)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
-    * the r9 BENCH_sf1.json values. The sf1 run gates per query against
-    * THIS map exactly like the sf0.1 gate: a quadratic trend at 10× (the
-    * `q_embed_dups` class) surfaces here first, and before round 10 it
-    * was only visible by manually diffing BENCH_sf1.json files. The
-    * probe-2-changed cell queries and the round-10 additions are absent
-    * on purpose — they re-baseline at this round's sf1 run.
+    * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
+    * this round's checkpoint runs (the probe-2-changed cell trio is
+    * re-baselined on the probe-2 values, same rationale as firstSeen).
+    * The sf1 run gates per query against THIS map exactly like the
+    * sf0.1 gate: a quadratic trend at 10× (the `q_embed_dups` class)
+    * surfaces here first, and before round 10 it was only visible by
+    * manually diffing BENCH_sf1.json files.
     */
   val firstSeenSf1: Map[String, Double] = Map(
     "ingest_full" -> 1.870, "q_singer_pipeline" -> 20.353, "q1_agg" -> 6.078,
@@ -263,12 +266,18 @@ object Bench {
       math.min(a, b)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ingest_full failed: ${e.getMessage}"); -1.0 }
-    // sf1 checkpoint runs drop the deliberately-quadratic didactic
+    // Scale detection by the dir's BASENAME, exactly: substring matching
+    // ("sf1" in "/data/sf10") would gate a 100x run against the 10x
+    // baselines and exit 1 on a wall of phantom "violations"
+    val dirName = new java.io.File(sfDir).getName
+    val isSf01 = dirName == "sf0.1"
+    val isSf1 = dirName == "sf1"
+    // ONLY sf1 checkpoint runs drop the deliberately-quadratic didactic
     // shapes from the scale surface (sf1Exclude) — the linear cell/
-    // trained twins beside them are the graded 10x plans
-    val isSf01 = sfDir.contains("sf0.1")
+    // trained twins beside them are the graded 10x plans; any other dir
+    // runs the full surface
     val surface =
-      if (isSf01) headline else headline.filterNot(sf1Exclude)
+      if (isSf1) headline.filterNot(sf1Exclude) else headline
     val results = ("ingest_full" -> ingestSec) +: surface.map(n => n -> exec(n))
     // Millisecond precision keeps the single JSON line short: the invoking
     // harness captures a bounded output tail, and full-precision doubles ×
@@ -290,7 +299,7 @@ object Bench {
     // carries only the violations).
     val baseline: Map[String, Double] =
       if (isSf01) firstSeen
-      else if (sfDir.contains("sf1")) firstSeenSf1
+      else if (isSf1) firstSeenSf1
       else Map.empty
     val ratios = results.collect {
       case (k, v) if v >= 0 && baseline.contains(k) => (k, v, v / baseline(k))
@@ -313,8 +322,12 @@ object Bench {
       System.err.println(s"[bench] isolation re-run of flagged $k")
       k -> exec(k)
     }.toMap
+    // a FAILED isolation re-run (exec -1) confirms, never clears: a
+    // query that flags >2x and then crashes during confirmation is a
+    // regression plus a crash, not a phantom
     val confirmed = flagged.collect {
-      case (k, _, _) if isolated(k) >= 0 && isolated(k) / baseline(k) > 2.0 =>
+      case (k, _, r0) if isolated(k) < 0 => (k, r0)
+      case (k, _, _) if isolated(k) / baseline(k) > 2.0 =>
         (k, isolated(k) / baseline(k))
     }
     confirmed.foreach { case (k, r) =>

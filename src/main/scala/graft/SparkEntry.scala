@@ -213,36 +213,52 @@ object SparkEntry {
   private def singerStreamAppend(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.SingerConfig
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-append")
-    val in = tmp.resolve("in")
-    // two halves → two text files → two append micro-batches
-    val ev = t(s, dir, "events")
-    singerRecordLines(ev.filter(pmod(col("event_id"), lit(2L)) === 0L))
-      .coalesce(1).write.text(tmp.resolve("h0").toString)
-    singerRecordLines(ev.filter(pmod(col("event_id"), lit(2L)) === 1L))
-      .coalesce(1).write.text(tmp.resolve("h1").toString)
-    java.nio.file.Files.createDirectories(in)
-    Seq("h0", "h1").foreach { h =>
-      val src = tmp.resolve(h)
-      java.nio.file.Files.list(src).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".txt"))
-        .zipWithIndex.foreach { case (p, i) =>
-          java.nio.file.Files.move(p, in.resolve(s"$h-$i.jsonl"))
-        }
+    // scratch cleanup runs on success AND on failure (a long-lived
+    // bench/verify JVM re-runs this query several times; each leak is a
+    // full events table as text + parquet). Files.walk/list are
+    // CLOSEABLE streams backed by directory fds — always close them.
+    def deleteTree(): Unit = {
+      val w = java.nio.file.Files.walk(tmp)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
     }
-    val ss = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
-    graft.streaming.SingerStream.start(
-      s, in.toString, Map("events" -> ss),
-      SingerConfig(outDir = tmp.resolve("out").toString),
-      tmp.resolve("chk").toString,
-      maxFilesPerTrigger = Some(1))
-      .awaitTermination()
-    val out = singerTypedView(
-      s.read.parquet(tmp.resolve("out").resolve("events.parquet").toString))
-      .localCheckpoint()
-    // the checkpoint is eager — the scratch input/output can go now
-    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
-    out
+    try {
+      val in = tmp.resolve("in")
+      // two halves → two text files → two append micro-batches
+      val ev = t(s, dir, "events")
+      singerRecordLines(ev.filter(pmod(col("event_id"), lit(2L)) === 0L))
+        .coalesce(1).write.text(tmp.resolve("h0").toString)
+      singerRecordLines(ev.filter(pmod(col("event_id"), lit(2L)) === 1L))
+        .coalesce(1).write.text(tmp.resolve("h1").toString)
+      java.nio.file.Files.createDirectories(in)
+      Seq("h0", "h1").foreach { h =>
+        val src = tmp.resolve(h)
+        val listing = java.nio.file.Files.list(src)
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".txt"))
+          .zipWithIndex.foreach { case (p, i) =>
+            java.nio.file.Files.move(p, in.resolve(s"$h-$i.jsonl"))
+          }
+        finally listing.close()
+      }
+      val ss = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
+      graft.streaming.SingerStream.start(
+        s, in.toString, Map("events" -> ss),
+        SingerConfig(outDir = tmp.resolve("out").toString),
+        tmp.resolve("chk").toString,
+        maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      val out = singerTypedView(
+        s.read.parquet(tmp.resolve("out").resolve("events.parquet").toString))
+        .localCheckpoint()
+      // the checkpoint is eager — the scratch input/output can go now
+      deleteTree()
+      out
+    } catch {
+      case e: Throwable =>
+        try deleteTree() catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** One per implemented operator from SURVEY.md §2 (+ §7.3 extensions). */

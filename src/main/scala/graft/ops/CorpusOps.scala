@@ -391,7 +391,12 @@ object CorpusOps {
           .fdivCol(lit(1000000L).cast("decimal(38,0)") * col("sb"), col("tb"))
           .as("share_b_micro"),
         // both engines derive the double from the SAME exact integers
-        // ((sa, ta, sb, tb) are counts), so round-6-then-micro is stable
+        // ((sa, ta, sb, tb) are counts) with the SAME operation order —
+        // the q_pmi discipline: IEEE log is not correctly-rounded, so a
+        // last-ulp engine difference could in principle flip a value
+        // sitting exactly on the rounding boundary; same-order
+        // evaluation over identical integer inputs is the accepted
+        // (and, for PMI, driver-proven) mitigation
         round(
           ((col("sa").cast("double") / col("ta").cast("double")) -
             (col("sb").cast("double") / col("tb").cast("double"))) *

@@ -29,18 +29,9 @@ object FuzzyMatch {
     * registration on a foreign session cannot create cross-corpus
     * mismatches.
     */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    graft.plans.GraftExtensions.functions
-      .filter { case (ident, _, _) =>
-        ident.funcName == "graft_jaro_winkler" ||
-          ident.funcName == "graft_damerau_levenshtein"
-      }
-      .foreach { case (ident, info, builder) =>
-        if (!reg.functionExists(ident))
-          reg.registerFunction(ident, info, builder)
-      }
-  }
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.plans.GraftExtensions.ensureRegistered(spark,
+      Set("graft_jaro_winkler", "graft_damerau_levenshtein"))
 
   /** Jaro-Winkler similarity (DuckDB/RapidFuzz conventions: 0 on empty,
     * boost only above 0.7). Requires the graft extensions or a prior

@@ -64,15 +64,9 @@ object TextAnalysis {
     * function registry (idempotent; graft sessions get it via
     * `spark.sql.extensions`).
     */
-  def ensureNormalizeRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    graft.plans.GraftExtensions.functions
-      .filter(_._1.funcName == "graft_unicode_normalize")
-      .foreach { case (ident, info, builder) =>
-        if (!reg.functionExists(ident))
-          reg.registerFunction(ident, info, builder)
-      }
-  }
+  def ensureNormalizeRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.plans.GraftExtensions.ensureRegistered(
+      spark, Set("graft_unicode_normalize"))
 
   /** Per-document script profile: code-point counts per writing system
     * (Latin incl. the accented Latin-1/Extended ranges, Cyrillic, CJK

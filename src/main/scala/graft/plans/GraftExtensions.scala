@@ -25,6 +25,25 @@ object GraftExtensions {
   def available(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_qdot"))
 
+  /** Register the NAMED graft functions into a vanilla session's live
+    * registry (idempotent) — the one audited path for runtime
+    * registration. Reserved for DETERMINISTIC algorithms with a single
+    * portable definition (edit distances, Unicode normalization):
+    * registering the hash family this way could silently mix hash
+    * families across corpora, so callers name functions explicitly.
+    */
+  def ensureRegistered(
+      spark: org.apache.spark.sql.SparkSession,
+      names: Set[String]): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions
+      .filter { case (ident, _, _) => names(ident.funcName) }
+      .foreach { case (ident, info, builder) =>
+        if (!reg.functionExists(ident))
+          reg.registerFunction(ident, info, builder)
+      }
+  }
+
   // Weak keys: the SESSION OBJECT itself keys the warned-ops set, so keying
   // is identity-exact (an identityHashCode string can collide between two
   // sessions, silently suppressing a warning that must be loud) and entries
