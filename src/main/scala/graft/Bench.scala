@@ -166,7 +166,9 @@ object Bench {
     "q_bpe_encode_batched" -> 8.460, "q_coreset_medoids" -> 3.358,
     "q_text_nfc" -> 0.519, "q_dedup_nfc" -> 0.529,
     "q_contamination_pairs" -> 3.642, "q_script_profile" -> 4.974,
-    "q_corpus_drift" -> 0.280, "q_doc_clusters" -> 15.059)
+    "q_corpus_drift" -> 0.280, "q_doc_clusters" -> 10.403,
+    "q_dup_histogram" -> 0.775, "q_mixture_apply" -> 0.585,
+    "q_neardup_histogram" -> 24.841)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

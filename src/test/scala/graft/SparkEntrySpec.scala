@@ -36,6 +36,12 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
     Bench.headline.filterNot(Bench.firstSeen.contains) shouldBe empty
   }
 
+  test("the sf1 gate covers its whole surface: no sf1-benched query " +
+    "without a firstSeenSf1 base") {
+    Bench.headline.filterNot(Bench.sf1Exclude)
+      .filterNot(Bench.firstSeenSf1.contains) shouldBe empty
+  }
+
   test("baseline maps and exclusions name only real queries") {
     val names = SparkEntry.allQueries.keySet + "ingest_full"
     Bench.firstSeen.keySet.filterNot(names) shouldBe empty
