@@ -210,6 +210,42 @@ object SparkEntry {
     * caller consumes it; Verify/Bench release the blocks via
     * `releaseCheckpoints` like every checkpointing query.
     */
+  /** K3's `partitionBy` + `compression` config keys exercised through
+    * the BATCH pipeline with a driver-checked read-back: the events
+    * stream lands Hive-partitioned by `event_type` under zstd, and the
+    * read-back union of all partition dirs must equal the unpartitioned
+    * batch answer (same oracle as `q_singer_pipeline`) — layout choices
+    * must never change the data. NULL partition values round-trip
+    * through `__HIVE_DEFAULT_PARTITION__`.
+    */
+  private def singerPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{SingerConfig, SingerPipeline => SP}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-singer-part")
+    def deleteTree(): Unit = {
+      val w = java.nio.file.Files.walk(tmp)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    try {
+      singerRecordLines(t(s, dir, "events"))
+        .write.text(tmp.resolve("in").toString)
+      val res = SP.run(s, tmp.resolve("in").toString,
+        SingerConfig(
+          outDir = tmp.resolve("out").toString,
+          schemaMessages = Some(Seq(eventsSchemaMsg)),
+          compression = Some("zstd"),
+          partitionBy = Map("events" -> Seq("event_type"))))
+      val path = res.paths("events")
+      val out = singerTypedView(s.read.parquet(path)).localCheckpoint()
+      deleteTree()
+      out
+    } catch {
+      case e: Throwable =>
+        try deleteTree() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
   private def singerStreamAppend(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.SingerConfig
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-append")
@@ -271,6 +307,10 @@ object SparkEntry {
     // micro-batch per source file, read-back union of the appended
     // _batch=N dirs == the batch pipeline's answer
     "q_singer_stream_append" -> ((s, dir) => singerStreamAppend(s, dir)),
+
+    // K3's partitionBy + compression config keys, driver-checked: the
+    // Hive-partitioned zstd layout must read back to the same rows
+    "q_singer_partitioned" -> ((s, dir) => singerPartitioned(s, dir)),
 
     "q_projection" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1695,6 +1735,37 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // the fuzzy-recall LEVER, measured (the q_embed_recall_probe2
+    // pattern): doubling the sorted-neighbor window to 16 — candidate
+    // volume grows linearly in W, and the recall gain it buys over the
+    // W=8 default is a number, not an assertion
+    "q_fuzzy_recall_w16" -> ((s, dir) => {
+      ops.FuzzyMatch.ensureRegistered(s)
+      val vocab = t(s, dir, "part").filter(col("p_partkey") < 2000L)
+        .select(concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
+          col("p_brand")).as("label"))
+      val labels = vocab.dropDuplicates("label").withColumn("_one", lit(1))
+      val truth = labels.select(col("_one"), col("label").as("a_label"))
+        .join(labels.select(col("_one"), col("label").as("b_label")), Seq("_one"))
+        .filter(col("a_label") < col("b_label") &&
+          abs(octet_length(col("a_label")) - octet_length(col("b_label"))) <= 2 &&
+          ops.FuzzyMatch.damerauLevenshtein(
+            col("a_label"), col("b_label"), 2) <= 2)
+        .select("a_label", "b_label")
+      val block = ops.FuzzyMatch.fuzzyPairs(vocab, maxDist = 2)
+        .select("a_label", "b_label")
+      val sorted = ops.FuzzyMatch.sortedNeighborPairs(vocab, window = 16, maxDist = 2)
+        .select("a_label", "b_label")
+      val found = block.unionByName(sorted).distinct()
+      val hit = truth.join(found, Seq("a_label", "b_label"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // Jaro-Winkler top pairs over the same blocked vocabulary (native
     // expression with DuckDB/RapidFuzz parity: 0.0 on empty sides,
     // window max(len)/2-1, prefix boost only above 0.7). Both engines
@@ -2644,6 +2715,14 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_singer_pipeline" ->
+      """SELECT event_id, event_type, value,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS created_epoch
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // identical truth to q_singer_pipeline ON PURPOSE: a partitioned
+    // zstd layout must land the SAME rows the flat layout computes
+    "q_singer_partitioned" ->
       """SELECT event_id, event_type, value,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | CAST(floor(epoch(ts)) AS BIGINT) AS created_epoch
@@ -5417,6 +5496,45 @@ object SparkEntry {
         |SELECT n_true, n_found, n_hit_block, n_hit,
         | CASE WHEN n_true = 0 THEN 1000
         |  ELSE CAST(floor(1000.0 * n_hit_block / n_true) AS BIGINT) END AS recall_block_milli,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+        |FROM agg""".stripMargin,
+
+    // W=16 lever replay: rank band widens to 16, everything else as
+    // q_fuzzy_recall
+    "q_fuzzy_recall_w16" ->
+      """WITH l AS (
+        | SELECT DISTINCT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label
+        | FROM part WHERE p_partkey < 2000),
+        |truth AS (
+        | SELECT a.label AS a_label, b.label AS b_label
+        | FROM l a JOIN l b ON a.label < b.label
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |b AS (
+        | SELECT label, f, lb FROM (
+        |  SELECT label, split_part(label, ' ', 1) AS f, length(label) // 8 AS lb,
+        |   count(*) OVER (PARTITION BY split_part(label, ' ', 1), length(label) // 8) AS c
+        |  FROM l)
+        | WHERE c <= 100000),
+        |blk AS (
+        | SELECT a.label AS a_label, b2.label AS b_label
+        | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label
+        | WHERE abs(strlen(a.label) - strlen(b2.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b2.label) <= 2),
+        |r AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY label) AS BIGINT) AS rk FROM l),
+        |sn AS (
+        | SELECT a.label AS a_label, b.label AS b_label
+        | FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 16
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |found AS (SELECT * FROM blk UNION SELECT * FROM sn),
+        |agg AS (SELECT
+        | (SELECT count(*) FROM truth) AS n_true,
+        | (SELECT count(*) FROM found) AS n_found,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+        |SELECT n_true, n_found, n_hit,
         | CASE WHEN n_true = 0 THEN 1000
         |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
         |FROM agg""".stripMargin,
