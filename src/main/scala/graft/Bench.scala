@@ -47,7 +47,8 @@ object Bench {
     "q_coreset_medoids", "q_text_nfc", "q_dedup_nfc",
     "q_contamination_pairs", "q_script_profile", "q_corpus_drift",
     "q_doc_clusters", "q_dup_histogram", "q_mixture_apply",
-    "q_neardup_histogram", "q_singer_partitioned", "q_fuzzy_recall_w16")
+    "q_neardup_histogram", "q_singer_partitioned", "q_fuzzy_recall_w16",
+    "q_fuzzy_recall_rev")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -118,7 +119,8 @@ object Bench {
     "q_script_profile" -> 0.660, "q_corpus_drift" -> 0.820,
     "q_doc_clusters" -> 2.390, "q_dup_histogram" -> 0.670,
     "q_mixture_apply" -> 0.900, "q_neardup_histogram" -> 3.880,
-    "q_singer_partitioned" -> 1.830, "q_fuzzy_recall_w16" -> 2.700)
+    "q_singer_partitioned" -> 1.830, "q_fuzzy_recall_w16" -> 2.700,
+    "q_fuzzy_recall_rev" -> 3.970)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -170,7 +172,8 @@ object Bench {
     "q_corpus_drift" -> 0.280, "q_doc_clusters" -> 10.403,
     "q_dup_histogram" -> 0.775, "q_mixture_apply" -> 0.585,
     "q_neardup_histogram" -> 24.841,
-    "q_singer_partitioned" -> 6.480, "q_fuzzy_recall_w16" -> 3.220)
+    "q_singer_partitioned" -> 6.480, "q_fuzzy_recall_w16" -> 3.220,
+    "q_fuzzy_recall_rev" -> 4.000)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

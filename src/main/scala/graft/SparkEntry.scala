@@ -1766,6 +1766,43 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // the axis that actually moves fuzzy recall (classic MULTI-KEY
+    // sorted neighborhood): a second sorted-neighbor pass ordered by the
+    // REVERSED label — a leading-character typo that forward ordering
+    // scatters is suffix-adjacent under reversal, and DL is invariant
+    // under simultaneous reversal, so the candidates verify identically
+    "q_fuzzy_recall_rev" -> ((s, dir) => {
+      ops.FuzzyMatch.ensureRegistered(s)
+      val vocab = t(s, dir, "part").filter(col("p_partkey") < 2000L)
+        .select(concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
+          col("p_brand")).as("label"))
+      val labels = vocab.dropDuplicates("label").withColumn("_one", lit(1))
+      val truth = labels.select(col("_one"), col("label").as("a_label"))
+        .join(labels.select(col("_one"), col("label").as("b_label")), Seq("_one"))
+        .filter(col("a_label") < col("b_label") &&
+          abs(octet_length(col("a_label")) - octet_length(col("b_label"))) <= 2 &&
+          ops.FuzzyMatch.damerauLevenshtein(
+            col("a_label"), col("b_label"), 2) <= 2)
+        .select("a_label", "b_label")
+      val block = ops.FuzzyMatch.fuzzyPairs(vocab, maxDist = 2)
+        .select("a_label", "b_label")
+      val fwd = ops.FuzzyMatch.sortedNeighborPairs(vocab, window = 8, maxDist = 2)
+        .select("a_label", "b_label")
+      val rev = ops.FuzzyMatch.sortedNeighborPairs(
+        vocab.select(reverse(col("label")).as("label")), window = 8, maxDist = 2)
+        .select(reverse(col("a_label")).as("x"), reverse(col("b_label")).as("y"))
+        .select(least(col("x"), col("y")).as("a_label"),
+          greatest(col("x"), col("y")).as("b_label"))
+      val found = block.unionByName(fwd).unionByName(rev).distinct()
+      val hit = truth.join(found, Seq("a_label", "b_label"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // Jaro-Winkler top pairs over the same blocked vocabulary (native
     // expression with DuckDB/RapidFuzz parity: 0.0 on empty sides,
     // window max(len)/2-1, prefix boost only above 0.7). Both engines
@@ -5530,6 +5567,52 @@ object SparkEntry {
         | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
         |   AND damerau_levenshtein(a.label, b.label) <= 2),
         |found AS (SELECT * FROM blk UNION SELECT * FROM sn),
+        |agg AS (SELECT
+        | (SELECT count(*) FROM truth) AS n_true,
+        | (SELECT count(*) FROM found) AS n_found,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+        |SELECT n_true, n_found, n_hit,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+        |FROM agg""".stripMargin,
+
+    // multi-key sorted-neighborhood replay: the reversed pass ranks by
+    // reverse(label) and re-orients pairs on the ORIGINAL labels
+    "q_fuzzy_recall_rev" ->
+      """WITH l AS (
+        | SELECT DISTINCT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label
+        | FROM part WHERE p_partkey < 2000),
+        |truth AS (
+        | SELECT a.label AS a_label, b.label AS b_label
+        | FROM l a JOIN l b ON a.label < b.label
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |b AS (
+        | SELECT label, f, lb FROM (
+        |  SELECT label, split_part(label, ' ', 1) AS f, length(label) // 8 AS lb,
+        |   count(*) OVER (PARTITION BY split_part(label, ' ', 1), length(label) // 8) AS c
+        |  FROM l)
+        | WHERE c <= 100000),
+        |blk AS (
+        | SELECT a.label AS a_label, b2.label AS b_label
+        | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label
+        | WHERE abs(strlen(a.label) - strlen(b2.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b2.label) <= 2),
+        |r AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY label) AS BIGINT) AS rk FROM l),
+        |sn AS (
+        | SELECT a.label AS a_label, b.label AS b_label
+        | FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 8
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |r2 AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY reverse(label)) AS BIGINT) AS rk FROM l),
+        |sn2 AS (
+        | SELECT least(a.label, b.label) AS a_label, greatest(a.label, b.label) AS b_label
+        | FROM r2 a JOIN r2 b ON b.rk - a.rk BETWEEN 1 AND 8
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |found AS (SELECT * FROM blk UNION SELECT * FROM sn UNION SELECT * FROM sn2),
         |agg AS (SELECT
         | (SELECT count(*) FROM truth) AS n_true,
         | (SELECT count(*) FROM found) AS n_found,
