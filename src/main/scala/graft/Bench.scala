@@ -100,7 +100,7 @@ object Bench {
     "q_knn_graph_auto" -> 0.715, "q_fuzzy_join" -> 1.310,
     "q_jaro_pairs" -> 0.630, "q_trigram_ppl" -> 2.066,
     "q_cdc_chunks" -> 1.728, "q_encoding_quality" -> 0.588,
-    "q_dedup_keep_best" -> 1.434, "q_entity_resolve" -> 2.510,
+    "q_dedup_keep_best" -> 1.434,
     "q_cdc_dedup" -> 1.980, "q_multimodal_keep_best" -> 1.800,
     "q_fuzzy_sorted" -> 1.280, "q_quality_gate" -> 0.910,
     "q_embed_recall" -> 2.180, "q_embed_recall_probe2" -> 2.080,
@@ -120,7 +120,11 @@ object Bench {
     "q_doc_clusters" -> 2.390, "q_dup_histogram" -> 0.670,
     "q_mixture_apply" -> 0.900, "q_neardup_histogram" -> 3.880,
     "q_singer_partitioned" -> 1.830, "q_fuzzy_recall_w16" -> 2.700,
-    "q_fuzzy_recall_rev" -> 3.970)
+    "q_fuzzy_recall_rev" -> 3.970,
+    // re-baselined when resolveEntities gained the full three-pass
+    // candidate ladder (796->915 per-mille recall — the probe-2 rule:
+    // deliberately bought quality, not a regression)
+    "q_entity_resolve" -> 6.290)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -154,7 +158,7 @@ object Bench {
     "q_bigram_ppl" -> 10.773, "q_strip_spans" -> 12.058,
     "q_knn_graph_auto" -> 4.805, "q_fuzzy_join" -> 1.191,
     "q_jaro_pairs" -> 0.651, "q_trigram_ppl" -> 7.259, "q_cdc_chunks" -> 17.789,
-    "q_encoding_quality" -> 5.166, "q_dedup_keep_best" -> 1.429, "q_entity_resolve" -> 2.657,
+    "q_encoding_quality" -> 5.166, "q_dedup_keep_best" -> 1.429,
     "q_cdc_dedup" -> 16.826, "q_multimodal_keep_best" -> 10.008, "q_fuzzy_sorted" -> 0.989,
     "q_quality_gate" -> 0.401, "q_embed_recall" -> 1.741, "q_embed_recall_probe2" -> 1.542,
     // round-10 first-seen sf1 values (builder checkpoint run): the cell
@@ -173,7 +177,10 @@ object Bench {
     "q_dup_histogram" -> 0.775, "q_mixture_apply" -> 0.585,
     "q_neardup_histogram" -> 24.841,
     "q_singer_partitioned" -> 6.480, "q_fuzzy_recall_w16" -> 3.220,
-    "q_fuzzy_recall_rev" -> 4.000)
+    "q_fuzzy_recall_rev" -> 4.000,
+    // three-pass entity resolution re-baseline (FLAT vs sf0.1 — the
+    // candidate ladder is vocabulary-sized at any corpus scale)
+    "q_entity_resolve" -> 6.850)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

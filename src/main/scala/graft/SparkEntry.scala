@@ -5470,11 +5470,28 @@ object SparkEntry {
         |   count(*) OVER (PARTITION BY split_part(label, ' ', 1), length(label) // 8) AS c
         |  FROM (SELECT DISTINCT label FROM lab WHERE label IS NOT NULL))
         | WHERE c <= 100000),
-        |p AS (
+        |blk AS (
         | SELECT a.label AS a_id, b2.label AS b_id
         | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label
         | WHERE abs(strlen(a.label) - strlen(b2.label)) <= 2
         |   AND damerau_levenshtein(a.label, b2.label) <= 2),
+        |r AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY label) AS BIGINT) AS rk
+        | FROM (SELECT DISTINCT label FROM lab WHERE label IS NOT NULL)),
+        |sn AS (
+        | SELECT a.label AS a_id, b.label AS b_id
+        | FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 8
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |r2 AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY reverse(label)) AS BIGINT) AS rk
+        | FROM (SELECT DISTINCT label FROM lab WHERE label IS NOT NULL)),
+        |sn2 AS (
+        | SELECT least(a.label, b.label) AS a_id, greatest(a.label, b.label) AS b_id
+        | FROM r2 a JOIN r2 b ON b.rk - a.rk BETWEEN 1 AND 8
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |p AS (SELECT * FROM blk UNION SELECT * FROM sn UNION SELECT * FROM sn2),
         |edges AS (SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p),
         |reach(id, r) AS (
         |  SELECT DISTINCT s, s FROM edges

@@ -160,6 +160,23 @@ class EditSimilaritySpec extends AnyFunSuite with Matchers {
     out("zzz unrelated") shouldBe (("zzz unrelated", 1L))
   }
 
+  test("resolveEntities catches a FIRST-character typo via the reversed " +
+    "sorted pass (round-10 three-pass candidate ladder)") {
+    import spark.implicits._
+    // 'xcme corp' differs from 'acme corp' in the first character:
+    // different fuzzyPairs block (first token) AND far away in forward
+    // lexicographic order — only the reversed-label pass (suffix
+    // adjacency) can pair them
+    val rows = Seq.fill(3)("acme corp") ++ Seq("xcme corp", "nnn middle")
+    val outDf = graft.ops.FuzzyMatch.resolveEntities(
+      rows.toDF("label"), maxDist = 2)
+    val out = outDf.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    graft.ops.Dedup.releaseCheckpoints(outDf)
+    out("xcme corp") shouldBe "acme corp"
+    out("nnn middle") shouldBe "nnn middle"
+  }
+
 
   test("sortedNeighborPairs finds cross-first-token neighbors the blocked " +
     "pass misses, within the rank window only") {
