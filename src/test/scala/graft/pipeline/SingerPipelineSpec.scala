@@ -231,6 +231,26 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
     back.filter(col("name") === "alice").count() shouldBe 2
   }
 
+  test("partitionBy: NULL partition values round-trip via the Hive default dir") {
+    val input = write(Seq(
+      usersSchema,
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u1", "name": "alice"}}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u2"}}""",
+      """{"type": "RECORD", "stream": "users", "record": {"id": "u3", "name": null}}"""))
+    val res = SingerPipeline.run(spark, input,
+      SingerConfig(tmp(), partitionBy = Map("users" -> Seq("name"))))
+    val outDir = java.nio.file.Paths.get(res.paths("users"))
+    import scala.jdk.CollectionConverters._
+    val partDirs = Files.list(outDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains("=")).toSeq.sorted
+    partDirs shouldBe Seq("name=__HIVE_DEFAULT_PARTITION__", "name=alice")
+    // NULL names come back as NULL, not as the sentinel string
+    val back = spark.read.parquet(res.paths("users"))
+    back.count() shouldBe 3
+    back.filter(col("name").isNull).select("id").collect()
+      .map(_.getString(0)).sorted shouldBe Array("u2", "u3")
+  }
+
   test("file_naming_scheme: {stream}/{timestamp} template names the output (target.py:20-24, dead there)") {
     val input = write(Seq(
       usersSchema,
