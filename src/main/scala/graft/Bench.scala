@@ -331,10 +331,32 @@ object Bench {
     // separates "the code got slower" from "the host was busy": only a
     // flag that REPRODUCES in the isolation pass is a confirmed
     // violation, and only confirmed violations fail the process.
+    //
+    // ingest_full is not a SparkEntry.allQueries key — exec() on it
+    // would swallow a NoSuchElementException into -1, and the "failed
+    // isolation confirms" rule below would then turn every transient
+    // interference hit on the ingest pipeline into a confirmed
+    // regression (ADVICE r10). Re-measure it through its own runner.
+    def isolate(name: String): Double =
+      if (name == "ingest_full") {
+        try { val a = ingestFull(); val b = ingestFull(); math.min(a, b) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ingest_full isolation failed: ${e.getMessage}")
+          -1.0 }
+      } else exec(name)
     val flagged = ratios.filter(_._3 > 2.0)
-    val isolated: Map[String, Double] = flagged.map { case (k, _, _) =>
-      System.err.println(s"[bench] isolation re-run of flagged $k")
-      k -> exec(k)
+    // Round-11: the heavy tail is ALSO isolation re-measured every run,
+    // flag or no flag. A real 1.3–2.0× drift on an expensive query hides
+    // under the 2× gate indefinitely (q_pagerank's sf0.1 8.4→11.4 s was
+    // only caught by a human diffing rounds) — carrying `isolated` for
+    // the top-10 by cost in bench_full.json makes sub-gate drift on the
+    // queries that dominate the total a recorded number, not an anecdote.
+    val topByCost = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+    val isoNames = (flagged.map(_._1) ++ topByCost).distinct
+    val isolated: Map[String, Double] = isoNames.map { k =>
+      val why = if (flagged.exists(_._1 == k)) "flagged" else "top-cost"
+      System.err.println(s"[bench] isolation re-run of $why $k")
+      k -> isolate(k)
     }.toMap
     // a FAILED isolation re-run (exec -1) confirms, never clears: a
     // query that flags >2x and then crashes during confirmation is a

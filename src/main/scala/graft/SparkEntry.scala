@@ -236,7 +236,18 @@ object SparkEntry {
           compression = Some("zstd"),
           partitionBy = Map("events" -> Seq("event_type"))))
       val path = res.paths("events")
-      val out = singerTypedView(s.read.parquet(path)).localCheckpoint()
+      // Read back under the PIPELINE's schema, not partition-dir
+      // inference: `partitionColumnTypeInference` would re-type a
+      // numeric-looking event_type (e.g. "42" → int) and silently break
+      // the "layout never changes the data" invariant on corpora beyond
+      // this fixture (ADVICE r10). Known Hive-layout limitation that an
+      // explicit schema can NOT repair: an empty-string partition value
+      // is written to `__HIVE_DEFAULT_PARTITION__` and reads back as
+      // NULL — same dir as a true NULL, so the distinction is lost on
+      // disk (documented beside the NULL round-trip note above).
+      val ss = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
+      val out = singerTypedView(s.read.schema(ss.struct).parquet(path))
+        .localCheckpoint()
       deleteTree()
       out
     } catch {

@@ -78,11 +78,14 @@ object TextAnalysis {
     * classes differ subtly between engines; ranges don't). One narrow
     * codegen'd projection — nothing shuffles.
     */
-  def scriptProfile(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def scriptProfile(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     def cnt(pattern: String) =
       size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("long")
     df.select(
-      col("doc_id"),
+      col(idCol),
       cnt("[A-Za-z\\u00c0-\\u024f]").as("n_latin"),
       cnt("[\\u0400-\\u04ff]").as("n_cyrillic"),
       cnt("[\\u4e00-\\u9fff]").as("n_cjk"),
@@ -1214,6 +1217,15 @@ object TextAnalysis {
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var cur = words
+    // the checkpointed frame cur's lineage currently roots at — rolled
+    // forward every few rounds so round k's count job never replays all
+    // prior rounds' folded replace projections from `words` (O(rounds²)
+    // replace work and an ever-deepening codegen tree otherwise; ADVICE
+    // r10). Ownership follows the trainCentroids pattern: eagerly
+    // materialize the new generation first, then release only the
+    // generation THIS loop superseded.
+    var lastCkpt = words
+    val checkpointEvery = 4
     var k = 1
     var exhausted = false
     while (k <= rounds && !exhausted) {
@@ -1254,10 +1266,19 @@ object TextAnalysis {
           survivors.foldLeft(col("rep")) { case (acc, (a, b, _)) =>
             replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
           })
+        if (k % checkpointEvery == 0) {
+          val superseded = lastCkpt
+          cur = cur.localCheckpoint()
+          lastCkpt = cur
+          Dedup.releaseCheckpoints(superseded)
+        }
         k += 1
       }
     }
-    Dedup.releaseCheckpoints(words)
+    // release whatever generation still roots cur's lineage (== `words`
+    // when the loop never re-checkpointed); the returned merge table is a
+    // driver-side localSeq, so nothing reachable from it is freed here
+    Dedup.releaseCheckpoints(lastCkpt)
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 

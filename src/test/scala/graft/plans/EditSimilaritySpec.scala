@@ -142,6 +142,29 @@ class EditSimilaritySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("fuzzyPairs on a non-ASCII vocabulary: dl/jw are UTF-8-BYTE-based " +
+    "(DuckDB parity), lev stays Spark's code-point count — the documented " +
+    "mixed-unit divergence, pinned") {
+    import spark.implicits._
+    // 'café créme' vs 'café creme': same first-token block ('café'), same
+    // code-point length band. The é→e edit is ONE code point but TWO
+    // bytes (0xC3 0xA9 → 0x65 is a substitution + a deletion), so the
+    // byte-based kernels and Spark's code-point levenshtein MUST diverge
+    // here: dl = 2 (bytes), lev = 1 (code points). This is the scaladoc'd
+    // caveat on fuzzyPairs — callers needing byte-consistent lev on
+    // non-ASCII data derive it from dl bounds.
+    val labels = Seq("café créme", "café creme").toDF("label")
+    val outDf = graft.ops.FuzzyMatch.fuzzyPairs(labels, maxDist = 2)
+    val rows = outDf.collect()
+    graft.ops.Dedup.releaseCheckpoints(outDf)
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getAs[Int]("dl") shouldBe 2 // byte units (DuckDB damerau_levenshtein)
+    r.getAs[Int]("lev") shouldBe 1 // code-point units (Spark levenshtein)
+    // jw on the same pair is also byte-based; pin the DuckDB value
+    r.getAs[Double]("jw") shouldBe 0.9284848484848485 +- 1e-9
+  }
+
   test("resolveEntities maps variants to the most frequent spelling, " +
     "transitively, singletons to themselves") {
     import spark.implicits._
