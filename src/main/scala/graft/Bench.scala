@@ -48,7 +48,9 @@ object Bench {
     "q_contamination_pairs", "q_script_profile", "q_corpus_drift",
     "q_doc_clusters", "q_dup_histogram", "q_mixture_apply",
     "q_neardup_histogram", "q_singer_partitioned", "q_fuzzy_recall_w16",
-    "q_fuzzy_recall_rev")
+    "q_fuzzy_recall_rev",
+    // round-11: the probe cost/recall curve's third point
+    "q_embed_recall_probe3")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -97,7 +99,7 @@ object Bench {
     // The three cell-blocked dedup entries live ONLY in the round-10
     // block below (their r9 single-probe values are superseded, and a
     // duplicate Map key would silently last-entry-win)
-    "q_knn_graph_auto" -> 0.715, "q_fuzzy_join" -> 1.310,
+    "q_fuzzy_join" -> 1.310,
     "q_jaro_pairs" -> 0.630, "q_trigram_ppl" -> 2.066,
     "q_cdc_chunks" -> 1.728, "q_encoding_quality" -> 0.588,
     "q_dedup_keep_best" -> 1.434,
@@ -109,8 +111,7 @@ object Bench {
     // single-probe, and the probe-2 default deliberately buys ~2x
     // candidate volume for the 402->915 per-mille recall — a quality
     // choice, not a regression the gate should hide behind
-    "q_embed_dups_cell" -> 1.067, "q_embed_dups_cell_auto" -> 1.187,
-    "q_embed_dups_trained" -> 2.212,
+    "q_embed_dups_cell" -> 1.067, "q_embed_dups_trained" -> 2.212,
     "q_semantic_apply_recall" -> 1.604, "q_fuzzy_recall" -> 2.692,
     "q_bpe_train_batched" -> 1.792, "q_singer_stream_append" -> 2.498,
     "q_bpe_encode_batched" -> 6.190,
@@ -124,7 +125,17 @@ object Bench {
     // re-baselined when resolveEntities gained the full three-pass
     // candidate ladder (796->915 per-mille recall — the probe-2 rule:
     // deliberately bought quality, not a regression)
-    "q_entity_resolve" -> 6.290)
+    "q_entity_resolve" -> 6.290,
+    // round-11: the corpus-proportional auto paths assign through the
+    // two-level HIERARCHICAL codebook (O(N·√k) instead of the
+    // quadratic-in-N flat O(N·k) — HierProbe: flat 5.8→33 s across the
+    // 157→783 cell band at sf1, hier flat at ~2-3 s). At sf0.1 the two
+    // extra window stages cost ~1 s of fixed latency against a
+    // sub-second flat assignment — the measured price of the scale
+    // shape, re-baselined like the probe-2 recall default was; their
+    // sf1 entries KEEP the flat bases (hier runs 0.5× them)
+    "q_embed_dups_cell_auto" -> 2.150, "q_knn_graph_auto" -> 1.560,
+    "q_embed_recall_probe3" -> 2.520)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -180,7 +191,9 @@ object Bench {
     "q_fuzzy_recall_rev" -> 4.000,
     // three-pass entity resolution re-baseline (FLAT vs sf0.1 — the
     // candidate ladder is vocabulary-sized at any corpus scale)
-    "q_entity_resolve" -> 6.850)
+    "q_entity_resolve" -> 6.850,
+    // round-11: probe-3 recall row, first-seen at the hier default
+    "q_embed_recall_probe3" -> 1.850)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1133,6 +1133,27 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // the probe COST/RECALL CURVE's third point (round-11 ask): does a
+    // third probed cell buy recall past probe-2, and at what candidate
+    // volume (n_found is the volume proxy — the curve lives in PLANS.md
+    // next to the cell-count band probe)
+    "q_embed_recall_probe3" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000L)
+      val truth = Dedup.embeddingDups(
+        emb.withColumn("label", lit(0)), threshold = 0.35)
+        .select(col("a_id"), col("b_id"))
+      val found = Dedup.embeddingDupsByCell(emb, threshold = 0.35,
+        nCells = 0, targetPerCell = 128L, nProbe = 3)
+        .select(col("a_id"), col("b_id"))
+      val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // recall of the APPLY path itself: the DISTINCT loser set the
     // default dropSemanticDuplicates (probe-2 since round 10) drops vs
     // the exact all-pairs loser set, on the same bounded slice. Loser
@@ -2745,6 +2766,97 @@ object SparkEntry {
       | FROM cand JOIN sh x ON cand.a_id = x.doc_id JOIN sh y ON cand.b_id = y.doc_id
       |)""".stripMargin
 
+  /** Quantized-cosine SQL snippet shared by the embedding oracles. */
+  private def qcos(av: String, bv: String, an: String, bn: String): String =
+    s"round(list_sum(list_transform(list_zip($av, $bv), p -> p[1] * p[2]))" +
+      s" / sqrt(CAST($an AS DOUBLE) * CAST($bn AS DOUBLE)), 6)"
+
+  /** DuckDB CTE chain replaying
+    * [[graft.ops.Similarity.ivfAssignHierProbe]] over `embeddings`
+    * (optionally a `vec_id` slice) — the two-level hierarchical
+    * assignment the corpus-proportional auto paths ride since round 11.
+    * Emits CTEs: `n` (quantized + squared norm), `kc` (codebook size
+    * `ceil(count/128)` and coarse size `ceil(sqrt(k))`, both COMPUTED
+    * from the corpus count — never a literal either engine could
+    * hardcode), `fine` (the k lowest-id vectors as centroids), `coarse`
+    * (rank over fine by cell_id, top `c`), `fmap` (fine→coarse cosine
+    * argmax, ties to the lowest coarse id), `vprobe` (per-vector
+    * top-`pCoarse` coarse cells), and
+    * `assign(vec_id, cell_id, qv, qn, cell_sim)` (per-vector
+    * top-`nProbe` fine cells among the probed groups' centroids). No
+    * leading WITH, so callers append their own CTEs.
+    */
+  private def hierAssignCtes(where: String, nProbe: Int, pCoarse: Int = 2): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    s"""n AS (
+       | SELECT vec_id, qv,
+       |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+       | FROM (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+       |  FROM embeddings$w)
+       |),
+       |kc AS (
+       | SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS c
+       | FROM (SELECT (count(*) + 127) // 128 AS k FROM n)
+       |),
+       |fine AS (
+       | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
+       | WHERE vec_id < (SELECT k FROM kc)
+       |),
+       |coarse AS (
+       | SELECT cell_id AS coarse_id, cv AS ccv, cn AS ccn FROM (
+       |  SELECT cell_id, cv, cn, ROW_NUMBER() OVER (ORDER BY cell_id) AS r FROM fine)
+       | WHERE r <= (SELECT c FROM kc)
+       |),
+       |fmap AS (
+       | SELECT cell_id, coarse_id, cv, cn FROM (
+       |  SELECT f.cell_id, g.coarse_id, f.cv, f.cn,
+       |   ROW_NUMBER() OVER (PARTITION BY f.cell_id ORDER BY
+       |    ${qcos("f.cv", "g.ccv", "f.cn", "g.ccn")} DESC, g.coarse_id) AS rn
+       |  FROM fine f CROSS JOIN coarse g) WHERE rn = 1
+       |),
+       |vprobe AS (
+       | SELECT vec_id, qv, qn, coarse_id FROM (
+       |  SELECT n.vec_id, n.qv, n.qn, g.coarse_id,
+       |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |    ${qcos("n.qv", "g.ccv", "n.qn", "g.ccn")} DESC, g.coarse_id) AS rc
+       |  FROM n CROSS JOIN coarse g) WHERE rc <= $pCoarse
+       |),
+       |assign AS (
+       | SELECT vec_id, cell_id, qv, qn, cell_sim FROM (
+       |  SELECT v.vec_id, m.cell_id, v.qv, v.qn,
+       |   ${qcos("v.qv", "m.cv", "v.qn", "m.cn")} AS cell_sim,
+       |   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |    ${qcos("v.qv", "m.cv", "v.qn", "m.cn")} DESC, m.cell_id) AS rf
+       |  FROM vprobe v JOIN fmap m ON m.coarse_id = v.coarse_id) WHERE rf <= $nProbe
+       |)""".stripMargin
+  }
+
+  /** The shared recall-measurement tail: exact truth pairs from `n`
+    * within the slice vs the hierarchically-blocked `found` pairs, as
+    * (n_true, n_found, n_hit, recall_milli) — one row.
+    */
+  private def hierRecallOracle(nProbe: Int): String = {
+    val distinct = if (nProbe > 1) "DISTINCT " else ""
+    s"""WITH ${hierAssignCtes("vec_id < 2000", nProbe)},
+       |truth AS (
+       | SELECT x.vec_id AS a_id, y.vec_id AS b_id
+       | FROM n x JOIN n y ON x.vec_id < y.vec_id
+       | WHERE ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} >= 0.35),
+       |found AS (
+       | SELECT ${distinct}x.vec_id AS a_id, y.vec_id AS b_id
+       | FROM assign x JOIN assign y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+       | WHERE ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} >= 0.35),
+       |agg AS (SELECT
+       | (SELECT count(*) FROM truth) AS n_true,
+       | (SELECT count(*) FROM found) AS n_found,
+       | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+       |SELECT n_true, n_found, n_hit,
+       | CASE WHEN n_true = 0 THEN 1000
+       |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+       |FROM agg""".stripMargin
+  }
+
   /** The z-order bit-interleave as portable SQL — the same
     * `((dim >> i) & 1) << (i * D + d)` unroll as
     * [[graft.ops.Layout.zorderAddress]], so Spark and DuckDB compute the
@@ -3750,36 +3862,13 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     // q_knn_graph with the cell count derived from the corpus size
-    // (cellsFor(targetPerCell = 128) on both sides) — see
-    // q_embed_dups_cell_auto
+    // (cellsFor(targetPerCell = 128)) and — round-11 — the two-level
+    // hierarchical single assignment; see q_embed_dups_cell_auto
     "q_knn_graph_auto" ->
-      """WITH n AS (
-        | SELECT vec_id, qv,
-        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
-        | FROM (SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings)
-        |),
-        |c AS (
-        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
-        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings)
-        |),
-        |sims AS (
-        | SELECT n.vec_id, n.qv, n.qn, c.cell_id,
-        |  round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
-        |   / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) AS cell_sim
-        | FROM n CROSS JOIN c
-        |),
-        |assign AS (
-        | SELECT vec_id, qv, qn, cell_id FROM (
-        |  SELECT vec_id, qv, qn, cell_id,
-        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS rn
-        |  FROM sims) WHERE rn = 1
-        |),
+      s"""WITH ${hierAssignCtes("", 1)},
         |scored AS (
         | SELECT a.vec_id, b.vec_id AS nbr_id,
-        |  round(list_sum(list_transform(list_zip(a.qv, b.qv), pr -> pr[1] * pr[2]))
-        |   / sqrt(CAST(a.qn AS DOUBLE) * CAST(b.qn AS DOUBLE)), 6) AS sim
+        |  ${qcos("a.qv", "b.qv", "a.qn", "b.qn")} AS sim
         | FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
         |)
         |SELECT vec_id, nbr_id, sim, CAST(rank AS BIGINT) AS rank FROM (
@@ -4029,128 +4118,32 @@ object SparkEntry {
 
     // recall measurement: exact all-pairs truth vs auto-cell candidates
     // over the vec_id < 2000 slice, same quantized-cosine arithmetic
-    "q_embed_recall" ->
-      """WITH n AS (
-        | SELECT vec_id, qv,
-        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
-        | FROM (SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE vec_id < 2000)
-        |),
-        |truth AS (
-        | SELECT x.vec_id AS a_id, y.vec_id AS b_id
-        | FROM n x JOIN n y ON x.vec_id < y.vec_id
-        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
-        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
-        |c AS (
-        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
-        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings WHERE vec_id < 2000)
-        |),
-        |assign AS (
-        | SELECT vec_id, cell_id FROM (
-        |  SELECT n.vec_id, c.cell_id,
-        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
-        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn = 1
-        |),
-        |v AS (
-        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
-        |),
-        |found AS (
-        | SELECT x.vec_id AS a_id, y.vec_id AS b_id
-        | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
-        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
-        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
-        |agg AS (SELECT
-        | (SELECT count(*) FROM truth) AS n_true,
-        | (SELECT count(*) FROM found) AS n_found,
-        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
-        |SELECT n_true, n_found, n_hit,
-        | CASE WHEN n_true = 0 THEN 1000
-        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
-        |FROM agg""".stripMargin,
+    // single-probe hierarchical replay (round-11: the auto path assigns
+    // through the two-level codebook — coarse probe, then fine within
+    // the probed groups)
+    "q_embed_recall" -> hierRecallOracle(nProbe = 1),
 
-    // probe-2 replay: rank <= 2 in the assignment, DISTINCT pairs (a
-    // pair can meet in both shared cells)
-    "q_embed_recall_probe2" ->
-      """WITH n AS (
-        | SELECT vec_id, qv,
-        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
-        | FROM (SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE vec_id < 2000)
-        |),
-        |truth AS (
-        | SELECT x.vec_id AS a_id, y.vec_id AS b_id
-        | FROM n x JOIN n y ON x.vec_id < y.vec_id
-        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
-        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
-        |c AS (
-        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
-        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings WHERE vec_id < 2000)
-        |),
-        |assign AS (
-        | SELECT vec_id, cell_id FROM (
-        |  SELECT n.vec_id, c.cell_id,
-        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
-        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn <= 2
-        |),
-        |v AS (
-        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
-        |),
-        |found AS (
-        | SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
-        | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
-        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
-        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
-        |agg AS (SELECT
-        | (SELECT count(*) FROM truth) AS n_true,
-        | (SELECT count(*) FROM found) AS n_found,
-        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
-        |SELECT n_true, n_found, n_hit,
-        | CASE WHEN n_true = 0 THEN 1000
-        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
-        |FROM agg""".stripMargin,
+    // probe-2 replay: rank <= 2 in the fine assignment, DISTINCT pairs
+    // (a pair can meet in both shared cells)
+    "q_embed_recall_probe2" -> hierRecallOracle(nProbe = 2),
+
+    // probe-3 point on the cost/recall curve (round-11 ask): what does
+    // the third probed cell buy past probe-2, at what candidate volume
+    "q_embed_recall_probe3" -> hierRecallOracle(nProbe = 3),
 
     // apply-path recall: DISTINCT probe-2 loser set vs the exact
     // all-pairs loser set on the same slice (loser recall >= pair
     // recall — any surviving pair still drops the vector)
     "q_semantic_apply_recall" ->
-      """WITH n AS (
-        | SELECT vec_id, qv,
-        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
-        | FROM (SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE vec_id < 2000)
-        |),
+      s"""WITH ${hierAssignCtes("vec_id < 2000", 2)},
         |truth AS (
         | SELECT DISTINCT y.vec_id
         | FROM n x JOIN n y ON x.vec_id < y.vec_id
-        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
-        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
-        |c AS (
-        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
-        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings WHERE vec_id < 2000)
-        |),
-        |assign AS (
-        | SELECT vec_id, cell_id FROM (
-        |  SELECT n.vec_id, c.cell_id,
-        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
-        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn <= 2
-        |),
-        |v AS (
-        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
-        |),
+        | WHERE ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} >= 0.35),
         |found AS (
         | SELECT DISTINCT y.vec_id
-        | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
-        | WHERE round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
-        |  / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) >= 0.35),
+        | FROM assign x JOIN assign y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        | WHERE ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} >= 0.35),
         |agg AS (SELECT
         | (SELECT count(*) FROM truth) AS n_true,
         | (SELECT count(*) FROM found) AS n_found,
@@ -4160,37 +4153,17 @@ object SparkEntry {
         |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
         |FROM agg""".stripMargin,
 
-    // q_embed_dups_cell with the cell count derived from the corpus size:
-    // ceil(count / 128), the cellsFor(targetPerCell = 128) rule — the
-    // centroid CTE's bound is computed, not a literal; probe-2 default
+    // q_embed_dups_cell with the cell count derived from the corpus size
+    // (ceil(count / 128), the cellsFor(targetPerCell = 128) rule) and —
+    // round-11 — the two-level HIERARCHICAL assignment (coarse probe →
+    // fine within the probed groups), replayed by the shared CTE chain;
+    // probe-2 default
     "q_embed_dups_cell_auto" ->
-      """WITH n AS (
-        | SELECT vec_id, qv,
-        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
-        | FROM (SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings)
-        |),
-        |c AS (
-        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
-        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings)
-        |),
-        |assign AS (
-        | SELECT vec_id, cell_id FROM (
-        |  SELECT n.vec_id, c.cell_id,
-        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
-        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn <= 2
-        |),
-        |v AS (
-        | SELECT a.cell_id, n.vec_id, n.qv, n.qn FROM assign a JOIN n ON n.vec_id = a.vec_id
-        |)
+      s"""WITH ${hierAssignCtes("", 2)}
         |SELECT min(cell_id) AS cell_id, a_id, b_id, max(sim) AS sim FROM (
         | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
-        |  round(list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2]))
-        |   / sqrt(CAST(x.qn AS DOUBLE) * CAST(y.qn AS DOUBLE)), 6) AS sim
-        | FROM v x JOIN v y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+        |  ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} AS sim
+        | FROM assign x JOIN assign y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         |WHERE sim >= 0.35
         |GROUP BY a_id, b_id
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
@@ -4267,32 +4240,15 @@ object SparkEntry {
 
     // one medoid per auto-sized cell: replay assignment (argmax cell per
     // vector) then the per-cell argmax member (sim desc, vec_id asc)
+    // round-11: the medoid's cell assignment rides the hierarchical
+    // chain too (single probe); `cell_sim` from the assign CTE is the
+    // medoid score
     "q_coreset_medoids" ->
-      """WITH n AS (
-        | SELECT vec_id, qv,
-        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
-        | FROM (SELECT vec_id,
-        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings)
-        |),
-        |c AS (
-        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
-        | WHERE vec_id < (SELECT (count(*) + 127) // 128 FROM embeddings)
-        |),
-        |a AS (
-        | SELECT vec_id, cell_id, sim FROM (
-        |  SELECT n.vec_id, c.cell_id,
-        |   round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
-        |    / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) AS sim,
-        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
-        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
-        |  FROM n CROSS JOIN c) WHERE rn = 1
-        |)
+      s"""WITH ${hierAssignCtes("", 1)}
         |SELECT cell_id, vec_id, sim FROM (
-        | SELECT cell_id, vec_id, sim,
-        |  ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY sim DESC, vec_id) AS rn
-        | FROM a)
+        | SELECT cell_id, vec_id, cell_sim AS sim,
+        |  ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY cell_sim DESC, vec_id) AS rn
+        | FROM assign)
         |WHERE rn = 1 ORDER BY cell_id""".stripMargin,
 
     // composed (chr(233)) vs decomposed (chr(769) combining acute)

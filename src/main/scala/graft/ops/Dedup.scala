@@ -1161,14 +1161,23 @@ object Dedup {
       if (nCells == 0) Similarity.cellsFor(embeddings.count(), targetPerCell)
       else nCells
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // The AUTO path (corpus-proportional codebook) assigns through the
+    // two-level hierarchical probe: flat assignment is O(N·k), and with
+    // k ∝ N that term is quadratic in N — the one scale-killer the
+    // round-10 band probe left on this surface
+    // ([[Similarity.ivfAssignHierProbe]]; O(N·√k)). Explicit small
+    // codebooks keep the exact flat argmax.
+    val assigned =
+      if (nCells == 0)
+        Similarity.ivfAssignHierProbe(embeddings, cellCount, nProbe,
+          centroids = centroids).drop("cell_sim")
+      else Similarity.ivfAssignProbe(embeddings, cellCount, nProbe, centroids)
     // Checkpoint before the self-join: the renamed a/b projections defeat
     // static exchange reuse, so without it the scan→assign→cap pipeline
     // executes once per side (see Similarity.knnGraph). A trained codebook
     // ([[Similarity.trainCentroids]]) slots in via `centroids` — the
     // q_sim_ivf → q_sim_ivf_trained ladder, applied to dedup blocking.
-    val cells = capBuckets(
-      Similarity.ivfAssignProbe(embeddings, cellCount, nProbe, centroids),
-      Seq("cell_id"), maxBucket)
+    val cells = capBuckets(assigned, Seq("cell_id"), maxBucket)
       .localCheckpoint()
     val a = cells.select(
       col("cell_id"), col("vec_id").as("a_id"),

@@ -351,6 +351,100 @@ object Similarity {
       .select("vec_id", "cell_id", "qv", "qn")
   }
 
+  /** Two-level (hierarchical) multi-probe IVF assignment — the
+    * scale-safe replacement for the flat argmax when the codebook is
+    * corpus-proportional. Flat assignment scores every vector against
+    * every centroid: O(N·k), and with `k = N/targetPerCell`
+    * ([[cellsFor]]) that term is QUADRATIC in N — the round-10 band
+    * probe measured it overtaking the pair join it shrinks (391 cells =
+    * 22.4 s vs 157 cells = 5.7 s at sf1, PLANS.md). The classic fix
+    * (IMI / two-level IVF, cf. the FAISS coarse-quantizer literature) is
+    * to index the CODEBOOK itself:
+    *
+    *   1. COARSE CODEBOOK: the `c = ceil(sqrt(k))` lowest-`cell_id` fine
+    *      centroids (rank over the codebook table — deterministic, and on
+    *      a seeded codebook equal to `cell_id < c`).
+    *   2. GROUP THE FINE CODEBOOK: every fine centroid joins the
+    *      broadcast coarse set and keeps its best coarse cell (cosine
+    *      argmax, ties to the lowest coarse id) — O(k·c), codebook-sized.
+    *   3. COARSE PROBE: every vector scores only the `c` coarse
+    *      centroids and keeps its top-`pCoarse` coarse cells — O(N·c).
+    *   4. FINE PROBE: candidates are the fine centroids GROUPED under a
+    *      probed coarse cell (broadcast join on `coarse_id`, ≈ p·k/c
+    *      scored per vector); keep the top-`nProbe` fine cells by
+    *      (cosine desc, cell_id asc) — O(N·p·k/c).
+    *
+    * Total per-vector work is O(c + p·k/c) = O(√k) — flat past any cell
+    * count, at the cost of a measured recall haircut when the true
+    * nearest fine cell hides under an unprobed coarse cell
+    * (`q_embed_recall*` carry the number; `pCoarse` is the lever).
+    * Every fine centroid belongs to exactly ONE coarse group, so a
+    * (vector, fine-cell) candidate appears at most once — no dedup.
+    * Ties at every stage break to the lowest id; with `c >= k` (tiny
+    * codebooks) the scheme degenerates to flat multi-probe assignment.
+    *
+    * Output: `(vec_id, cell_id, qv, qn, cell_sim)` — same contract as
+    * [[ivfAssignProbe]] plus the winning cosine (the medoid selector
+    * needs it; pair-join callers drop it).
+    */
+  def ivfAssignHierProbe(
+      embeddings: DataFrame,
+      nCells: Int,
+      nProbe: Int,
+      pCoarse: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(pCoarse >= 1, s"pCoarse must be >= 1, got $pCoarse")
+    import org.apache.spark.sql.expressions.Window
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val vecs = quantizedWithNorms(embeddings, native)
+    val fine = centroids.getOrElse(seedCentroids(vecs, nCells))
+    val coarseCount = math.ceil(math.sqrt(
+      math.max(1, nCells).toDouble)).toInt
+    // codebook-sized single-partition rank: k rows of (id, vector) —
+    // trivial next to the corpus passes it saves
+    val coarse = fine
+      .withColumn("_r", row_number().over(Window.orderBy(asc("cell_id"))))
+      .filter(col("_r") <= coarseCount)
+      .select(col("cell_id").as("coarse_id"),
+        col("cv").as("ccv"), col("cn").as("ccn"))
+    // fine → coarse group map (codebook-sized): argmax cosine, ties low id
+    val fineMap = fine
+      .join(broadcast(coarse))
+      .withColumn("_cs",
+        qcosinePre(qdot(col("cv"), col("ccv"), native), col("cn"), col("ccn")))
+      .groupBy("cell_id")
+      .agg(
+        max_by(col("coarse_id"),
+          struct(col("_cs"), (-col("coarse_id")).as("tb"))).as("coarse_id"),
+        first("cv").as("cv"), first("cn").as("cn"))
+    // corpus coarse probe: top-pCoarse coarse cells per vector. The
+    // row_number is WindowGroupLimit-prunable, so the exchange carries
+    // ≈ N·pCoarse survivors; the join below preserves the vec_id hash
+    // partitioning, so the fine-probe window re-sorts WITHOUT a second
+    // exchange.
+    val probed = vecs
+      .join(broadcast(
+        coarse.select(col("coarse_id").as("cell_id"),
+          col("ccv").as("cv"), col("ccn").as("cn"))))
+      .withColumn("cell_sim",
+        qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")))
+      .drop("cv", "cn")
+      .withColumn("_rc", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell_id"))))
+      .filter(col("_rc") <= pCoarse)
+      .select(col("vec_id"), col("qv"), col("qn"),
+        col("cell_id").as("coarse_id"))
+    probed
+      .join(broadcast(fineMap), Seq("coarse_id"))
+      .withColumn("cell_sim",
+        qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")))
+      .withColumn("_rf", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell_id"))))
+      .filter(col("_rf") <= nProbe)
+      .select("vec_id", "cell_id", "qv", "qn", "cell_sim")
+  }
+
   /** Coreset by cell medoid: one representative per IVF cell — the
     * member with the highest cosine to its cell's centroid (ties to the
     * lowest `vec_id`). This is the diversity-preserving subsample the
@@ -377,11 +471,22 @@ object Similarity {
     val cellCount =
       if (nCells == 0) cellsFor(embeddings.count(), targetPerCell) else nCells
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
-    val vecs = quantizedWithNorms(embeddings, native)
-    withCellSims(vecs, centroids.getOrElse(seedCentroids(vecs, cellCount)), native)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell_id"))))
-      .filter(col("_rn") === 1)
+    // auto path: hierarchical single assignment (O(N·√k), see
+    // [[ivfAssignHierProbe]] — the winning cell_sim rides along for the
+    // medoid argmax); explicit codebooks keep the flat argmax
+    val assigned =
+      if (nCells == 0)
+        ivfAssignHierProbe(embeddings, cellCount, nProbe = 1,
+          centroids = centroids)
+      else {
+        val vecs = quantizedWithNorms(embeddings, native)
+        withCellSims(
+          vecs, centroids.getOrElse(seedCentroids(vecs, cellCount)), native)
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell_id"))))
+          .filter(col("_rn") === 1)
+      }
+    assigned
       .groupBy("cell_id")
       .agg(max_by(
         struct(col("vec_id"), col("cell_sim")),
@@ -687,12 +792,18 @@ object Similarity {
     val cellCount =
       if (nCells == 0) cellsFor(embeddings.count(), targetPerCell) else nCells
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // The auto path assigns hierarchically (O(N·√k) — see
+    // [[ivfAssignHierProbe]]; flat is quadratic in N once k ∝ N);
+    // explicit small codebooks keep the exact flat argmax.
+    val assigned =
+      if (nCells == 0)
+        ivfAssignHierProbe(embeddings, cellCount, nProbe = 1).drop("cell_sim")
+      else ivfAssign(embeddings, cellCount)
     // Materialize the assignment ONCE: a self-join references the subtree
     // twice, and the two sides' renames defeat static exchange reuse — so
     // without the checkpoint the full scan→assign→cap pipeline executes
     // twice (same reasoning as duplicateGroups' edge checkpoint).
-    val cells = Dedup.capBuckets(
-      ivfAssign(embeddings, cellCount), Seq("cell_id"), maxBucket)
+    val cells = Dedup.capBuckets(assigned, Seq("cell_id"), maxBucket)
       .localCheckpoint()
     cells.as("a")
       .join(cells.as("b"),

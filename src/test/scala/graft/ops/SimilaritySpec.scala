@@ -154,6 +154,52 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 3))
   }
 
+  test("hierarchical assignment degenerates to flat multi-probe when the " +
+    "coarse codebook covers the fine one (c >= pCoarse covers all groups)") {
+    // real table slice: k = 4 cells, c = ceil(sqrt(4)) = 2 <= pCoarse = 2,
+    // so every vector probes BOTH coarse groups and sees every fine
+    // centroid — the hier result must equal the flat probe-2 assignment
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val flat = Similarity.ivfAssignProbe(real, 4, nProbe = 2)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toSet
+    val hier = Similarity.ivfAssignHierProbe(real, 4, nProbe = 2)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toSet
+    hier shouldBe flat
+  }
+
+  test("hierarchical assignment: nProbe distinct fine cells per vector, " +
+    "all from probed coarse groups; cell_sim matches the exact cosine") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 16 // c = 4 > pCoarse = 2: genuinely hierarchical
+    val out = Similarity.ivfAssignHierProbe(real, k, nProbe = 2)
+      .collect()
+    val n = real.count()
+    // every vector appears, with <= 2 distinct cells, every cell id a
+    // valid fine centroid id
+    val byVec = out.groupBy(_.getAs[Long]("vec_id"))
+    byVec.size shouldBe n
+    byVec.values.foreach { rows =>
+      rows.length should be <= 2
+      rows.map(_.getAs[Long]("cell_id")).distinct.length shouldBe rows.length
+      rows.foreach(r => r.getAs[Long]("cell_id") should be < k.toLong)
+    }
+    // spot-check cell_sim: recompute the quantized cosine for one row
+    val r0 = out.minBy(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell_id")))
+    val fineVecs = real.filter(org.apache.spark.sql.functions.col("vec_id") < k)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val vq = real.filter(org.apache.spark.sql.functions.col("vec_id") ===
+      r0.getAs[Long]("vec_id"))
+      .select("embedding").as[Array[Float]].head()
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 10000))
+    val (a, b) = (q(vq), q(fineVecs(r0.getAs[Long]("cell_id"))))
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val exp = BigDecimal(dot / math.sqrt(
+      a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r0.getAs[Double]("cell_sim") shouldBe exp +- 1e-9
+  }
+
   test("knnGraph: every vector gets up to k within-cell neighbors, symmetric edges agree") {
     // nCells = 2 -> centroids are vecs 0 and 1 (nearly parallel). By
     // cosine, vec 0 wins only itself; 1..4 all assign to cell 1 — so
