@@ -49,8 +49,9 @@ object Bench {
     "q_doc_clusters", "q_dup_histogram", "q_mixture_apply",
     "q_neardup_histogram", "q_singer_partitioned", "q_fuzzy_recall_w16",
     "q_fuzzy_recall_rev",
-    // round-11: the probe cost/recall curve's third point
-    "q_embed_recall_probe3")
+    // round-11: the probe cost/recall curve's third point; adaptive BPE
+    // at production merge counts (645 merges / 32 jobs)
+    "q_embed_recall_probe3", "q_bpe_train_adaptive")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -135,7 +136,10 @@ object Bench {
     // shape, re-baselined like the probe-2 recall default was; their
     // sf1 entries KEEP the flat bases (hier runs 0.5× them)
     "q_embed_dups_cell_auto" -> 2.150, "q_knn_graph_auto" -> 1.560,
-    "q_embed_recall_probe3" -> 2.520)
+    "q_embed_recall_probe3" -> 2.520,
+    // adaptive BPE: 32 driver-paced rounds over the name vocabulary —
+    // wall time is round-trip latency, not data (sf1 runs ~the same)
+    "q_bpe_train_adaptive" -> 8.690)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -192,8 +196,10 @@ object Bench {
     // three-pass entity resolution re-baseline (FLAT vs sf0.1 — the
     // candidate ladder is vocabulary-sized at any corpus scale)
     "q_entity_resolve" -> 6.850,
-    // round-11: probe-3 recall row, first-seen at the hier default
-    "q_embed_recall_probe3" -> 1.850)
+    // round-11: probe-3 recall row, first-seen at the hier default;
+    // adaptive BPE (vocabulary-bound — ~flat vs its sf0.1 time)
+    "q_embed_recall_probe3" -> 1.850,
+    "q_bpe_train_adaptive" -> 10.230)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1928,6 +1928,20 @@ object SparkEntry {
       TextAnalysis.bpeTrainBatched(t(s, dir, "documents"),
         rounds = BpeBatchRounds, batch = BpeBatchSize)),
 
+    // ADAPTIVE BPE training at PRODUCTION merge counts (round-11): 660
+    // merges in 32 distributed jobs over the customer-name vocabulary
+    // (greedy maximal-matching conflict rule + geometric candidate
+    // depth; the documents corpus saturates at 89 total learnable
+    // merges, so the id-rich name column is the honest scale input).
+    // The oracle unrolls all 32 rounds: greedy selection replays as a
+    // bounded recursive CTE stepping the ranked candidate list with an
+    // accumulated used-symbol list
+    "q_bpe_train_adaptive" -> ((s, dir) =>
+      TextAnalysis.bpeTrainAdaptive(
+        t(s, dir, "customer").select(col("c_name").as("text")),
+        rounds = BpeAdaptRounds, batch0 = BpeAdaptBatch0,
+        maxBatch = BpeAdaptMax)),
+
     // train-then-encode: the learned merge table (a driver-side constant,
     // like any shipped tokenizer) applied back over the corpus as one
     // narrow codegen'd projection
@@ -2535,6 +2549,79 @@ object SparkEntry {
     */
   private val BpeBatchRounds = 16
   private val BpeBatchSize = 32
+
+  /** Round/batch sizing shared by `q_bpe_train_adaptive` and its oracle:
+    * 32 counting rounds, candidate depth 64·2^(k-1) capped at 1024 —
+    * 660 learned merges on the sf0.01 `customer` name vocabulary (the
+    * `documents` corpus saturates at 89 total learnable merges — 30
+    * distinct words — so production merge counts need the id-rich name
+    * column) in 32 distributed jobs.
+    */
+  private val BpeAdaptRounds = 32
+  private val BpeAdaptBatch0 = 64
+  private val BpeAdaptMax = 1024
+
+  /** Driver-generated DuckDB oracle for
+    * [[graft.ops.TextAnalysis.bpeTrainAdaptive]]: `rounds` unrolled CTE
+    * blocks over the `customer` name vocabulary. Each block is the
+    * batched oracle's shape with two substitutions mirroring the
+    * adaptive trainer: the top-M bound is the round's GEOMETRIC literal
+    * (`min(maxBatch, batch0·2^(k-1))`), and the conflict rule is GREEDY
+    * blocked-by-survivor — replayed as a bounded recursive CTE (`g{k}`)
+    * that steps the ranked candidate list one rank at a time carrying
+    * the accumulated used-symbol list: a candidate KEEPs iff neither of
+    * its symbols is in the list, and only keepers extend it. The fold
+    * (`rr{k}`) and the global rank offsets are the batched oracle's,
+    * verbatim.
+    */
+  private def bpeAdaptiveOracle(rounds: Int, batch0: Int, maxBatch: Int): String = {
+    def bk(k: Int): Int =
+      math.min(maxBatch.toLong, batch0.toLong << math.min(k - 1, 31)).toInt
+    def offs(k: Int): String =
+      if (k == 1) "0"
+      else (1 until k).map(j => s"(SELECT count(*) FROM s$j)").mkString(" + ")
+    val base =
+      """WITH RECURSIVE r0 AS MATERIALIZED (
+        | SELECT count(*) AS freq,
+        |  '|' || array_to_string([substr(w, i, 1) for i in range(1, length(w)+1)], '||') || '|' AS rep
+        | FROM (SELECT unnest(regexp_extract_all(lower(c_name), '[a-z]+|[0-9]+')) AS w FROM customer)
+        | WHERE length(w) >= 2 GROUP BY 2)""".stripMargin
+    val iters = (1 to rounds).map { k =>
+      s""",
+         |t$k AS MATERIALIZED (
+         | SELECT a, b, cnt, rn FROM (
+         |  SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+         |  FROM (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |   SELECT freq, unnest([{'a': s[i], 'b': s[i+1]} for i in range(1, len(s))]) AS p
+         |   FROM (SELECT freq, string_split(substr(rep, 2, length(rep)-2), '||') AS s FROM r${k - 1}))
+         |   GROUP BY 1, 2))
+         | WHERE rn <= ${bk(k)}),
+         |g$k(rn, a, b, cnt, used, keep) AS (
+         | SELECT rn, a, b, cnt, [a, b], TRUE FROM t$k WHERE rn = 1
+         | UNION ALL
+         | SELECT t.rn, t.a, t.b, t.cnt,
+         |  CASE WHEN list_contains(g.used, t.a) OR list_contains(g.used, t.b)
+         |       THEN g.used ELSE list_concat(g.used, [t.a, t.b]) END,
+         |  NOT (list_contains(g.used, t.a) OR list_contains(g.used, t.b))
+         | FROM g$k g JOIN t$k t ON t.rn = g.rn + 1),
+         |s$k AS MATERIALIZED (
+         | SELECT a, b, cnt, CAST(row_number() OVER (ORDER BY rn) AS BIGINT) AS sel
+         | FROM g$k WHERE keep),
+         |rr$k(step, freq, rep) AS (
+         | SELECT 0, freq, rep FROM r${k - 1}
+         | UNION ALL
+         | SELECT rr$k.step + 1, rr$k.freq,
+         |  replace(rr$k.rep, '|' || s.a || '||' || s.b || '|', '|' || s.a || s.b || '|')
+         | FROM rr$k JOIN s$k s ON s.sel = rr$k.step + 1),
+         |r$k AS MATERIALIZED (
+         | SELECT freq, rep FROM (SELECT freq, rep, step, max(step) OVER () AS mx FROM rr$k)
+         | WHERE step = mx)""".stripMargin
+    }.mkString
+    val union = (1 to rounds).map { k =>
+      s"SELECT CAST(${offs(k)} + sel AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM s$k"
+    }.mkString("\nUNION ALL ")
+    base + iters + "\n" + union + "\nORDER BY merge_rank"
+  }
 
   /** Driver-generated DuckDB oracle for [[graft.ops.TextAnalysis.bpeTrain]]:
     * the N-iteration merge loop unrolled as chained CTEs. `r0` is the
@@ -5766,6 +5853,8 @@ object SparkEntry {
 
     "q_bpe_train" -> bpeTrainOracle(BpeMerges),
     "q_bpe_train_batched" -> bpeTrainBatchedOracle(BpeBatchRounds, BpeBatchSize),
+    "q_bpe_train_adaptive" ->
+      bpeAdaptiveOracle(BpeAdaptRounds, BpeAdaptBatch0, BpeAdaptMax),
     "q_bpe_encode_batched" -> bpeEncodeBatchedOracle(BpeBatchRounds, BpeBatchSize),
 
     "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),

@@ -1201,6 +1201,99 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
     require(batch >= 1 && batch <= 256, s"batch must be in [1,256], got $batch")
+    bpeTrainLoop(df, rounds, textCol, (_, _) => batch)
+  }
+
+  /** ADAPTIVE BPE training — the merge-count fix on top of
+    * [[bpeTrainBatched]]'s job-count fix, two rule changes deep:
+    *
+    *   1. GREEDY (blocked-by-SURVIVOR) conflict rule: a candidate
+    *      survives iff it shares no symbol with a higher-ranked
+    *      SURVIVOR — greedy maximal matching on the symbol-conflict
+    *      graph. The batched trainer's blocked-by-CANDIDATE rule
+    *      cascades on the hottest symbols (the top pair blocks dozens of
+    *      candidates that were themselves already blocked), measured at
+    *      ~4 survivors/round on this corpus regardless of batch size;
+    *      greedy matching learns every disjoint pair the round offers.
+    *      The price is a sequential selection — replayed in the oracle
+    *      as a bounded recursive CTE stepping the ranked candidate list
+    *      with an accumulated used-symbol list
+    *      (`SparkEntry.bpeAdaptiveOracle`), where the order-free
+    *      NOT-EXISTS form sufficed for the candidate rule.
+    *   2. GEOMETRIC batch growth: round k's candidate-list depth is
+    *      `batch(k) = min(maxBatch, batch0 · 2^(k-1))` — top-M grows as
+    *      the hot pairs thin out, reaching the cap by round
+    *      log2(maxBatch/batch0)+1. The survivor-FEEDBACK variant
+    *      (`batch(k) = max(batch0, 2·survivors(k-1))`) was measured to a
+    *      dead end: survivor yield is CONCAVE in depth (64 candidates →
+    *      ~7 survivors, 1024 → ~15-27), so 2·survivors never escapes the
+    *      floor and the trainer plateaus. The data-independent geometric
+    *      schedule replays in the oracle as one literal per round.
+    *
+    * Everything else — the (count desc, a, b) rank, the one-projection
+    * fold per round, the every-4-rounds lineage checkpoint — is
+    * [[bpeTrainBatched]]'s, verbatim. On the sf0.01 `customer` name
+    * vocabulary this reaches production-class merge counts (660 merges)
+    * in 32 distributed jobs, where the fixed-batch candidate rule
+    * plateaus at ~117; the `documents` corpus saturates at 89 TOTAL
+    * learnable merges (30 distinct words) — the trainer drains it fully
+    * in 12 rounds and stops.
+    */
+  def bpeTrainAdaptive(
+      df: DataFrame,
+      rounds: Int = 32,
+      batch0: Int = 64,
+      maxBatch: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1,64], got $rounds")
+    require(batch0 >= 1, s"batch0 must be >= 1, got $batch0")
+    require(maxBatch >= batch0,
+      s"maxBatch ($maxBatch) must be >= batch0 ($batch0)")
+    bpeTrainLoop(
+      df, rounds, textCol,
+      (k, _) =>
+        if (k - 1 >= 31) maxBatch
+        else math.min(maxBatch.toLong, batch0.toLong << (k - 1)).toInt,
+      greedySurvivors)
+  }
+
+  /** Greedy maximal matching over the ranked candidate list: walk in
+    * rank order, keep a pair iff neither symbol is already used by a
+    * KEPT pair, claim its symbols. (The blocked-by-candidate rule in
+    * [[candidateSurvivors]] blocks on pairs that never survived.)
+    */
+  private def greedySurvivors(
+      top: Array[(String, String, Long)]): Array[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    top.filter { case (a, b, _) =>
+      if (used(a) || used(b)) false
+      else { used += a; used += b; true }
+    }
+  }
+
+  /** Order-free blocked-by-candidate rule (see [[bpeTrainBatched]]):
+    * candidate i survives iff no candidate j < i shares a symbol.
+    */
+  private def candidateSurvivors(
+      top: Array[(String, String, Long)]): Array[(String, String, Long)] =
+    top.zipWithIndex.filter { case ((a, b, _), i) =>
+      top.take(i).forall { case (pa, pb, _) =>
+        pa != a && pa != b && pb != a && pb != b
+      }
+    }.map(_._1)
+
+  /** Shared batched-training loop: `batchFor(round, prevSurvivors)` sizes
+    * each round's ranked candidate list (1-based round; `prevSurvivors`
+    * is the count the previous round actually folded — 0 for round 1);
+    * `selectSurvivors` is the intra-round conflict rule.
+    */
+  private def bpeTrainLoop(
+      df: DataFrame,
+      rounds: Int,
+      textCol: String,
+      batchFor: (Int, Int) => Int,
+      selectSurvivors: Array[(String, String, Long)] => Array[(String, String, Long)] =
+        candidateSurvivors): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rep0 = concat(lit("|"),
@@ -1228,6 +1321,7 @@ object TextAnalysis {
     val checkpointEvery = 4
     var k = 1
     var exhausted = false
+    var prevSurvivors = 0
     while (k <= rounds && !exhausted) {
       val syms = split(
         col("rep").substr(lit(2), length(col("rep")) - 2), "\\|\\|")
@@ -1244,21 +1338,23 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(batch)
+        .limit(batchFor(k, prevSurvivors))
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        // survivors: candidate i lives iff no candidate j < i shares a
-        // symbol — order-free, so the oracle's NOT EXISTS replays it
-        val survivors = top.zipWithIndex.filter { case ((a, b, _), i) =>
-          top.take(i).forall { case (pa, pb, _) =>
-            pa != a && pa != b && pb != a && pb != b
-          }
-        }.map(_._1)
+        // intra-round conflict rule: candidate-blocked (order-free NOT
+        // EXISTS replay) for the fixed-batch trainer, greedy matching
+        // (recursive-CTE replay) for the adaptive one
+        val survivors = selectSurvivors(top)
+        if (sys.env.contains("GRAFT_BPE_DEBUG"))
+          System.err.println(
+            s"[bpe] round=$k batch=${batchFor(k, prevSurvivors)} " +
+              s"candidates=${top.length} survivors=${survivors.length}")
         survivors.foreach { case (a, b, cnt) =>
           merges += ((merges.size + 1, a, b, cnt))
         }
+        prevSurvivors = survivors.length
         // symbol-disjoint ⇒ non-overlapping match sites ⇒ one folded
         // projection applies the whole batch (order irrelevant; rank
         // order kept for determinism of the expression tree)

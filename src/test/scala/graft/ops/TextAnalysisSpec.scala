@@ -392,6 +392,34 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     bat.toSeq shouldBe seq.toSeq
   }
 
+  test("bpe train adaptive: greedy matching keeps every disjoint pair the " +
+    "round offers; batch0 = maxBatch = 1 degenerates to the sequential " +
+    "trainer") {
+    // greedy vs candidate-blocked on a crafted top list: ranked pairs
+    // (a,b),(b,c),(c,d) — candidate rule keeps (a,b) and blocks BOTH
+    // others ((b,c) shares b with rank 1; (c,d) shares c with the
+    // already-BLOCKED rank 2). Greedy keeps (a,b), skips (b,c), then
+    // keeps (c,d): symbols of a blocked candidate stay free.
+    val df = Seq((1L, "abab abab abc abc cd")).toDF("doc_id", "text")
+    // round-1 pair counts: (a,b)=4 from abab x2... craft instead via
+    // direct frequency: ab appears most, bc next, cd next
+    val crafted = Seq(
+      (1L, "ab ab ab ab ab bc bc bc cd cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainAdaptive(crafted, rounds = 1, batch0 = 8,
+      maxBatch = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1, "a", "b", 5L), (2, "c", "d", 2L))
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+    // sequential degeneration: depth-1 candidate lists make the greedy
+    // rule vacuous — the adaptive trainer IS bpeTrain
+    val seq = TextAnalysis.bpeTrain(df, numMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val ada = TextAnalysis.bpeTrainAdaptive(df, rounds = 5, batch0 = 1,
+      maxBatch = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    ada.toSeq shouldBe seq.toSeq
+  }
+
   test("bpe encode: applies merges in rank order, one subword stream per doc") {
     // merges: (a,b) then (ab,ab). "ab cd aab" -> |ab| |c||d| |a||ab|
     // (second merge finds no |ab||ab| adjacency) -> "ab c d a ab"
