@@ -50,8 +50,9 @@ object Bench {
     "q_neardup_histogram", "q_singer_partitioned", "q_fuzzy_recall_w16",
     "q_fuzzy_recall_rev",
     // round-11: the probe cost/recall curve's third point; adaptive BPE
-    // at production merge counts (645 merges / 32 jobs)
-    "q_embed_recall_probe3", "q_bpe_train_adaptive")
+    // at production merge counts (645 merges / 32 jobs); the rarest-
+    // q-gram fourth blocking pass (four-pass union recall 1000‰)
+    "q_embed_recall_probe3", "q_bpe_train_adaptive", "q_fuzzy_recall_qgram")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -123,10 +124,9 @@ object Bench {
     "q_mixture_apply" -> 0.900, "q_neardup_histogram" -> 3.880,
     "q_singer_partitioned" -> 1.830, "q_fuzzy_recall_w16" -> 2.700,
     "q_fuzzy_recall_rev" -> 3.970,
-    // re-baselined when resolveEntities gained the full three-pass
-    // candidate ladder (796->915 per-mille recall — the probe-2 rule:
-    // deliberately bought quality, not a regression)
-    "q_entity_resolve" -> 6.290,
+    // (q_entity_resolve's r10 three-pass base 6.29 superseded below by
+    // the four-pass re-baseline — kept single-keyed to avoid the silent
+    // last-entry-wins duplicate)
     // round-11: the corpus-proportional auto paths assign through the
     // two-level HIERARCHICAL codebook (O(N·√k) instead of the
     // quadratic-in-N flat O(N·k) — HierProbe: flat 5.8→33 s across the
@@ -139,7 +139,13 @@ object Bench {
     "q_embed_recall_probe3" -> 2.520,
     // adaptive BPE: 32 driver-paced rounds over the name vocabulary —
     // wall time is round-trip latency, not data (sf1 runs ~the same)
-    "q_bpe_train_adaptive" -> 8.690)
+    "q_bpe_train_adaptive" -> 8.690,
+    // the rarest-q-gram fourth pass: vocabulary-sized, measured recall
+    // 996‰ alone / 1000‰ in the four-pass union
+    "q_fuzzy_recall_qgram" -> 4.740,
+    // re-baselined AGAIN for the fourth blocking pass (915‰→1000‰
+    // union recall — the probe-2 rule: deliberately bought quality)
+    "q_entity_resolve" -> 8.780)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -193,13 +199,16 @@ object Bench {
     "q_neardup_histogram" -> 24.841,
     "q_singer_partitioned" -> 6.480, "q_fuzzy_recall_w16" -> 3.220,
     "q_fuzzy_recall_rev" -> 4.000,
-    // three-pass entity resolution re-baseline (FLAT vs sf0.1 — the
-    // candidate ladder is vocabulary-sized at any corpus scale)
-    "q_entity_resolve" -> 6.850,
+    // (r10 three-pass sf1 base 6.85 superseded by the four-pass
+    // re-baseline below)
     // round-11: probe-3 recall row, first-seen at the hier default;
-    // adaptive BPE (vocabulary-bound — ~flat vs its sf0.1 time)
+    // adaptive BPE (vocabulary-bound — ~flat vs its sf0.1 time); the
+    // q-gram fourth pass (vocabulary-sized, ~flat); entity resolution
+    // re-baselined on the four-pass ladder
     "q_embed_recall_probe3" -> 1.850,
-    "q_bpe_train_adaptive" -> 10.230)
+    "q_bpe_train_adaptive" -> 10.230,
+    "q_fuzzy_recall_qgram" -> 4.590,
+    "q_entity_resolve" -> 9.660)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1835,6 +1835,52 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // round-11 FOURTH blocking pass: rarest-q-gram candidates (q=5,
+    // keep 3 rarest grams per label under the global df order) — the
+    // axis that catches DL<=2 pairs with edits both EARLY and LATE in
+    // the label, which first-token blocks and both sorted passes all
+    // miss. Output carries the qgram pass's own recall beside the
+    // four-pass union recall — the full ladder, measured
+    "q_fuzzy_recall_qgram" -> ((s, dir) => {
+      ops.FuzzyMatch.ensureRegistered(s)
+      val vocab = t(s, dir, "part").filter(col("p_partkey") < 2000L)
+        .select(concat(col("p_name"), lit(" "), lower(col("p_type")), lit(" "),
+          col("p_brand")).as("label"))
+      val labels = vocab.dropDuplicates("label").withColumn("_one", lit(1))
+      val truth = labels.select(col("_one"), col("label").as("a_label"))
+        .join(labels.select(col("_one"), col("label").as("b_label")), Seq("_one"))
+        .filter(col("a_label") < col("b_label") &&
+          abs(octet_length(col("a_label")) - octet_length(col("b_label"))) <= 2 &&
+          ops.FuzzyMatch.damerauLevenshtein(
+            col("a_label"), col("b_label"), 2) <= 2)
+        .select("a_label", "b_label")
+      val block = ops.FuzzyMatch.fuzzyPairs(vocab, maxDist = 2)
+        .select("a_label", "b_label")
+      val fwd = ops.FuzzyMatch.sortedNeighborPairs(vocab, window = 8, maxDist = 2)
+        .select("a_label", "b_label")
+      val rev = ops.FuzzyMatch.sortedNeighborPairs(
+        vocab.select(reverse(col("label")).as("label")), window = 8, maxDist = 2)
+        .select(reverse(col("a_label")).as("x"), reverse(col("b_label")).as("y"))
+        .select(least(col("x"), col("y")).as("a_label"),
+          greatest(col("x"), col("y")).as("b_label"))
+      val qg = ops.FuzzyMatch.qgramPairs(vocab, maxDist = 2)
+        .select("a_label", "b_label")
+      val found = block.unionByName(fwd).unionByName(rev).unionByName(qg)
+        .distinct()
+      val hitQ = truth.join(qg, Seq("a_label", "b_label"), "left_semi")
+      val hit = truth.join(found, Seq("a_label", "b_label"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hitQ.agg(count(lit(1)).as("n_hit_qgram")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_qgram_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit_qgram") / col("n_true")).cast("long")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // Jaro-Winkler top pairs over the same blocked vocabulary (native
     // expression with DuckDB/RapidFuzz parity: 0.0 on empty sides,
     // window max(len)/2-1, prefix boost only above 0.7). Both engines
@@ -2943,6 +2989,33 @@ object SparkEntry {
        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
        |FROM agg""".stripMargin
   }
+
+  /** DuckDB CTE chain replaying [[graft.ops.FuzzyMatch.qgramPairs]]
+    * (q = 5, keep = 3, the shipped defaults) over a distinct-label CTE
+    * `src(label)`: gram explode → global df → per-label rarest-3 rank →
+    * bucket cap → posting-list self-join under the byte-length prefilter
+    * and the banded DL bound. Emits CTEs `qgr/qdf/qkept/qg`;
+    * `qg(a_id, b_id)` is the candidate pair set. No leading WITH.
+    */
+  private def qgramCtes(src: String): String =
+    s"""qgr AS (
+       | SELECT label, unnest(list_distinct([substr(label, i, 5) for i in range(1, greatest(length(label) - 4, 1) + 1)])) AS g
+       | FROM $src),
+       |qdf AS (SELECT g, count(*) AS df FROM qgr GROUP BY g),
+       |qkept AS (
+       | SELECT label, g FROM (
+       |  SELECT label, g, count(*) OVER (PARTITION BY g) AS c FROM (
+       |   SELECT label, g FROM (
+       |    SELECT qgr.label, qgr.g,
+       |     row_number() OVER (PARTITION BY qgr.label ORDER BY qdf.df, qgr.g) AS rn
+       |    FROM qgr JOIN qdf ON qdf.g = qgr.g)
+       |   WHERE rn <= 3))
+       | WHERE c <= 100000),
+       |qg AS (
+       | SELECT DISTINCT x.label AS a_id, y.label AS b_id
+       | FROM qkept x JOIN qkept y ON x.g = y.g AND x.label < y.label
+       | WHERE abs(strlen(x.label) - strlen(y.label)) <= 2
+       |  AND damerau_levenshtein(x.label, y.label) <= 2)""".stripMargin
 
   /** The z-order bit-interleave as portable SQL — the same
     * `((dim >> i) & 1) << (i * D + d)` unroll as
@@ -5514,10 +5587,12 @@ object SparkEntry {
     // by corpus frequency, all replayed (the dupGroupsOracle pattern over
     // the blocked fuzzy pair graph)
     "q_entity_resolve" ->
-      """WITH RECURSIVE lab AS (
+      s"""WITH RECURSIVE lab AS (
         | SELECT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label FROM part),
         |freq AS (
         | SELECT label, count(*) AS n_rows FROM lab WHERE label IS NOT NULL GROUP BY 1),
+        |dl AS (SELECT DISTINCT label FROM lab WHERE label IS NOT NULL),
+        |${qgramCtes("dl")},
         |b AS (
         | SELECT label, f, lb FROM (
         |  SELECT label, split_part(label, ' ', 1) AS f, length(label) // 8 AS lb,
@@ -5545,7 +5620,8 @@ object SparkEntry {
         | FROM r2 a JOIN r2 b ON b.rk - a.rk BETWEEN 1 AND 8
         | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
         |   AND damerau_levenshtein(a.label, b.label) <= 2),
-        |p AS (SELECT * FROM blk UNION SELECT * FROM sn UNION SELECT * FROM sn2),
+        |p AS (SELECT * FROM blk UNION SELECT * FROM sn UNION SELECT * FROM sn2
+        |      UNION SELECT * FROM qg),
         |edges AS (SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p),
         |reach(id, r) AS (
         |  SELECT DISTINCT s, s FROM edges
@@ -5689,6 +5765,59 @@ object SparkEntry {
         | (SELECT count(*) FROM found) AS n_found,
         | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
         |SELECT n_true, n_found, n_hit,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+        |FROM agg""".stripMargin,
+
+    // the FOUR-pass ladder with the round-11 rarest-q-gram axis — the
+    // qgram pass replays via the shared qgramCtes chain (a_id/b_id
+    // re-aliased to the pair columns)
+    "q_fuzzy_recall_qgram" ->
+      s"""WITH l AS (
+        | SELECT DISTINCT p_name || ' ' || lower(p_type) || ' ' || p_brand AS label
+        | FROM part WHERE p_partkey < 2000),
+        |truth AS (
+        | SELECT a.label AS a_label, b.label AS b_label
+        | FROM l a JOIN l b ON a.label < b.label
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |b AS (
+        | SELECT label, f, lb FROM (
+        |  SELECT label, split_part(label, ' ', 1) AS f, length(label) // 8 AS lb,
+        |   count(*) OVER (PARTITION BY split_part(label, ' ', 1), length(label) // 8) AS c
+        |  FROM l)
+        | WHERE c <= 100000),
+        |blk AS (
+        | SELECT a.label AS a_label, b2.label AS b_label
+        | FROM b a JOIN b b2 ON a.f = b2.f AND a.lb = b2.lb AND a.label < b2.label
+        | WHERE abs(strlen(a.label) - strlen(b2.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b2.label) <= 2),
+        |r AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY label) AS BIGINT) AS rk FROM l),
+        |sn AS (
+        | SELECT a.label AS a_label, b.label AS b_label
+        | FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 8
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |r2 AS (
+        | SELECT label, CAST(row_number() OVER (ORDER BY reverse(label)) AS BIGINT) AS rk FROM l),
+        |sn2 AS (
+        | SELECT least(a.label, b.label) AS a_label, greatest(a.label, b.label) AS b_label
+        | FROM r2 a JOIN r2 b ON b.rk - a.rk BETWEEN 1 AND 8
+        | WHERE abs(strlen(a.label) - strlen(b.label)) <= 2
+        |   AND damerau_levenshtein(a.label, b.label) <= 2),
+        |${qgramCtes("l")},
+        |qgp AS (SELECT a_id AS a_label, b_id AS b_label FROM qg),
+        |found AS (SELECT * FROM blk UNION SELECT * FROM sn UNION SELECT * FROM sn2
+        |          UNION SELECT * FROM qgp),
+        |agg AS (SELECT
+        | (SELECT count(*) FROM truth) AS n_true,
+        | (SELECT count(*) FROM found) AS n_found,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM qgp)) AS n_hit_qgram,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+        |SELECT n_true, n_found, n_hit_qgram, n_hit,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit_qgram / n_true) AS BIGINT) END AS recall_qgram_milli,
         | CASE WHEN n_true = 0 THEN 1000
         |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
         |FROM agg""".stripMargin,

@@ -147,6 +147,70 @@ object FuzzyMatch {
     * sized); the corpus itself is touched only by the initial
     * per-label count.
     */
+  /** Q-GRAM blocking pass — the fourth candidate axis of the recall
+    * ladder (round-11), catching the DL≤k pairs that are neither
+    * prefix- nor suffix-adjacent (a typo early AND late in the label
+    * defeats both sorted passes, and a first-token typo defeats the
+    * block pass). Classic prefix-filtered q-gram blocking: extract each
+    * DISTINCT label's distinct `q`-grams, rank every label's grams by
+    * GLOBAL document frequency (rarest first, ties lexicographic), keep
+    * the `keep` rarest per label, and candidates are label pairs
+    * sharing at least one kept gram. Two edits destroy at most `2q`
+    * grams, so near-pairs almost always share a rare gram; ranking by
+    * rarity keeps the posting lists short (the hot grams that would go
+    * quadratic are exactly the ones rank > `keep` prunes). Measured on
+    * the q_fuzzy_recall vocabulary: q=5/keep=3 finds 996‰ of exact
+    * DL≤2 pairs ALONE at ~2% of the all-pairs volume
+    * (`q_fuzzy_recall_qgram`).
+    *
+    * Output: `a_label, b_label, dl` with `a_label < b_label`, only
+    * rows with `dl <= maxDist`. Scale shape: vocabulary-sized
+    * throughout — gram explode (≈ len·|vocab| rows), df count, per-label
+    * rank window, posting-list self-join under `capBuckets`.
+    */
+  def qgramPairs(
+      df: DataFrame,
+      labelCol: String = "label",
+      q: Int = 5,
+      keep: Int = 3,
+      maxBucket: Int = 100000,
+      maxDist: Int = 2): DataFrame = {
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    import org.apache.spark.sql.expressions.Window
+    ensureRegistered(df.sparkSession)
+    val labels = df.select(col(labelCol).as("label"))
+      .where(col("label").isNotNull)
+      .dropDuplicates("label")
+    // distinct q-grams per label; labels shorter than q contribute the
+    // whole label as their single gram (greatest(len-q+1, 1))
+    val grams = labels
+      .select(col("label"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("label")) - (q - 1), lit(1))),
+        i => col("label").substr(i, lit(q))))).as("g"))
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    // per-label rarest-`keep` grams under the (df, gram) global order —
+    // the prefix-filter selection; the join back to df counts is
+    // gram-keyed and AQE-broadcast when the gram table is small
+    val kept = Dedup.capBuckets(
+      grams.join(gdf, Seq("g"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("label").orderBy(asc("df"), asc("g"))))
+        .filter(col("_rn") <= keep)
+        .select("label", "g"),
+      Seq("g"), maxBucket)
+      .localCheckpoint()
+    kept.select(col("g"), col("label").as("a_label"))
+      .join(kept.select(col("g"), col("label").as("b_label")), Seq("g"))
+      .filter(col("a_label") < col("b_label") &&
+        abs(octet_length(col("a_label")) - octet_length(col("b_label"))) <= maxDist &&
+        damerauLevenshtein(col("a_label"), col("b_label"), maxDist) <= maxDist)
+      .select("a_label", "b_label")
+      .dropDuplicates("a_label", "b_label")
+      .withColumn("dl", damerauLevenshtein(col("a_label"), col("b_label"), maxDist))
+  }
+
   def resolveEntities(
       df: DataFrame,
       labelCol: String = "label",
@@ -160,14 +224,16 @@ object FuzzyMatch {
     val freq = df.select(col(labelCol).as("label"))
       .where(col("label").isNotNull)
       .groupBy("label").agg(count(lit(1)).as("n_rows"))
-    // candidate generation runs ALL THREE blocking passes (round-10:
-    // the measured recall ladder — token/length blocks alone 796‰ of
-    // exact DL≤2 pairs, + forward sorted-neighborhood 890‰, + the
-    // REVERSED-label pass 915‰ at one extra vocabulary-sized pass; DL
-    // is invariant under simultaneous reversal, so reversed candidates
-    // verify identically and are re-oriented on the original labels).
-    // An apply operator that silently misses a fifth of true pairs is
-    // not entity resolution — the probe-2 default's rule, applied here.
+    // candidate generation runs ALL FOUR blocking passes (the measured
+    // recall ladder — token/length blocks alone 796‰ of exact DL≤2
+    // pairs, + forward sorted-neighborhood 890‰, + the REVERSED-label
+    // pass 915‰ (DL is invariant under simultaneous reversal, so
+    // reversed candidates verify identically and are re-oriented on the
+    // original labels), + round-11's rarest-q-gram pass 999‰
+    // (`q_fuzzy_recall_qgram`) — the axis that catches pairs with edits
+    // both early AND late, which no sort adjacency sees). An apply
+    // operator that silently misses true pairs is not entity
+    // resolution — the probe-2 default's rule, applied here.
     val labels = df.select(col(labelCol).as("label"))
     val blk = fuzzyPairs(df, labelCol, lenBand, maxBucket, maxDist)
       .select(col("a_label").as("a_id"), col("b_label").as("b_id"))
@@ -179,7 +245,9 @@ object FuzzyMatch {
       .select(reverse(col("a_label")).as("x"), reverse(col("b_label")).as("y"))
       .select(least(col("x"), col("y")).as("a_id"),
         greatest(col("x"), col("y")).as("b_id"))
-    val pairs = blk.unionByName(fwd).unionByName(rev).distinct()
+    val qg = qgramPairs(df, labelCol, maxBucket = maxBucket, maxDist = maxDist)
+      .select(col("a_label").as("a_id"), col("b_label").as("b_id"))
+    val pairs = blk.unionByName(fwd).unionByName(rev).unionByName(qg).distinct()
     val groups = Dedup.duplicateGroups(pairs)
     // duplicateGroups EAGERLY materialized its own edge checkpoint, so the
     // candidate pipeline's pin (fuzzyPairs' blocked vocabulary) is dead —
