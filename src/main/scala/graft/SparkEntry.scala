@@ -170,6 +170,22 @@ object SparkEntry {
       |"created_at": {"type": ["string", "null"], "format": "date-time"}
       |}}, "key_properties": ["event_id"]}""".stripMargin
 
+  /** The DRIFTED second SCHEMA message for `q_singer_schema_drift`: one
+    * change per [[graft.schema.SchemaMapper.schemaDiff]] kind — `k`
+    * removed, `source` added, `value` retyped double→string (the
+    * multi-type form exercises the C3 string-over-first priority on
+    * BOTH engines), `event_type` nullability true→false (scalar type,
+    * no "null" member).
+    */
+  private val eventsSchemaMsgV2 =
+    """{"type": "SCHEMA", "stream": "events", "schema": {"type": "object", "properties": {
+      |"event_id": {"type": ["integer", "null"]},
+      |"event_type": {"type": "string"},
+      |"value": {"type": ["string", "number", "null"]},
+      |"source": {"type": ["string", "null"]},
+      |"created_at": {"type": ["string", "null"], "format": "date-time"}
+      |}}, "key_properties": ["event_id"]}""".stripMargin
+
   /** events table → Singer RECORD JSON lines (the shared setup of the
     * batch round-trip and the streaming-append parity query).
     */
@@ -1988,6 +2004,18 @@ object SparkEntry {
         rounds = BpeAdaptRounds, batch0 = BpeAdaptBatch0,
         maxBatch = BpeAdaptMax)),
 
+    // the mid-stream schema-drift REPORT (round-11: SchemaMapper.
+    // schemaDiff's last unit-only path gains a driver-oracle'd output):
+    // the events schema v1->v2 change-over produces one row per drift
+    // kind — added/removed/retyped/nullability — with types compared
+    // AFTER C2/C3 resolution. The oracle re-DERIVES the whole report
+    // from the same two raw JSON messages: json_keys/json_extract field
+    // walk, the C1 null-strip, the C3 boolean>string>first priority,
+    // the C2 type table, and the nullability triple all replay in SQL
+    "q_singer_schema_drift" -> ((s, dir) =>
+      SingerPipeline.schemaDriftReport(s, Seq(eventsSchemaMsg, eventsSchemaMsgV2))
+        .orderBy("stream", "transition", "field", "kind")),
+
     // train-then-encode: the learned merge table (a driver-side constant,
     // like any shipped tokenizer) applied back over the corpus as one
     // narrow codegen'd projection
@@ -2989,6 +3017,66 @@ object SparkEntry {
        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
        |FROM agg""".stripMargin
   }
+
+  /** DuckDB replay of `q_singer_schema_drift`: re-derives the drift
+    * report from the SAME two raw SCHEMA JSON strings the Spark side
+    * parses — the C1 null-strip, C3 priority chain, C2 type table, and
+    * the nullability triple (null/array/object member OR date-time
+    * format) all in SQL, then the added/removed/retyped/nullability
+    * four-way diff on the resolved (type, nullable) pairs.
+    */
+  private def schemaDriftOracle: String =
+    s"""WITH msgs AS (
+       | SELECT 1 AS ver, '$eventsSchemaMsg' AS j
+       | UNION ALL SELECT 2, '$eventsSchemaMsgV2'),
+       |fields AS (
+       | SELECT ver, json_extract_string(j, '$$.stream') AS stream,
+       |  unnest(json_keys(j, '$$.schema.properties')) AS field, j
+       | FROM msgs),
+       |props AS (
+       | SELECT ver, stream, field,
+       |  json_extract(j, '$$.schema.properties."' || field || '"') AS prop
+       | FROM fields),
+       |typed AS (
+       | SELECT ver, stream, field,
+       |  CASE WHEN json_type(prop, '$$.type') = 'ARRAY'
+       |       THEN CAST(json_extract_string(prop, '$$.type[*]') AS VARCHAR[])
+       |       ELSE [json_extract_string(prop, '$$.type')] END AS types,
+       |  json_extract_string(prop, '$$.format') AS fmt
+       | FROM props),
+       |resolved AS (
+       | SELECT ver, stream, field, nullable,
+       |  CASE WHEN len(nn) = 0 THEN 'void'
+       |   WHEN list_contains(nn, 'boolean') AND len(nn) > 1 THEN 'boolean'
+       |   WHEN list_contains(nn, 'string') AND len(nn) > 1 THEN
+       |    CASE WHEN fmt = 'date-time' THEN 'timestamp' ELSE 'string' END
+       |   ELSE CASE nn[1] WHEN 'number' THEN 'double' WHEN 'integer' THEN 'bigint'
+       |        WHEN 'boolean' THEN 'boolean' WHEN 'null' THEN 'void'
+       |        ELSE CASE WHEN fmt = 'date-time' THEN 'timestamp' ELSE 'string' END END
+       |  END AS typ
+       | FROM (
+       |  SELECT ver, stream, field, fmt,
+       |   list_has_any(types, ['null', 'array', 'object']) OR coalesce(fmt = 'date-time', FALSE) AS nullable,
+       |   CASE WHEN list_has_any(types, ['null', 'array', 'object']) OR coalesce(fmt = 'date-time', FALSE)
+       |        THEN list_filter(types, t -> t <> 'null') ELSE types END AS nn
+       |  FROM typed)
+       |),
+       |b AS (SELECT * FROM resolved WHERE ver = 1),
+       |a AS (SELECT * FROM resolved WHERE ver = 2),
+       |diff AS (
+       | SELECT a.stream, a.field, 'added' AS kind, NULL AS before, a.typ AS after
+       | FROM a LEFT JOIN b ON b.field = a.field WHERE b.field IS NULL
+       | UNION ALL
+       | SELECT b.stream, b.field, 'removed', b.typ, NULL
+       | FROM b LEFT JOIN a ON a.field = b.field WHERE a.field IS NULL
+       | UNION ALL
+       | SELECT b.stream, b.field, 'retyped', b.typ, a.typ
+       | FROM b JOIN a ON a.field = b.field WHERE b.typ <> a.typ
+       | UNION ALL
+       | SELECT b.stream, b.field, 'nullability', CAST(b.nullable AS VARCHAR), CAST(a.nullable AS VARCHAR)
+       | FROM b JOIN a ON a.field = b.field WHERE b.nullable <> a.nullable)
+       |SELECT stream, CAST(1 AS BIGINT) AS transition, field, kind, before, after
+       |FROM diff ORDER BY stream, transition, field, kind""".stripMargin
 
   /** DuckDB CTE chain replaying [[graft.ops.FuzzyMatch.qgramPairs]]
     * (q = 5, keep = 3, the shipped defaults) over a distinct-label CTE
@@ -5984,6 +6072,7 @@ object SparkEntry {
     "q_bpe_train_batched" -> bpeTrainBatchedOracle(BpeBatchRounds, BpeBatchSize),
     "q_bpe_train_adaptive" ->
       bpeAdaptiveOracle(BpeAdaptRounds, BpeAdaptBatch0, BpeAdaptMax),
+    "q_singer_schema_drift" -> schemaDriftOracle,
     "q_bpe_encode_batched" -> bpeEncodeBatchedOracle(BpeBatchRounds, BpeBatchSize),
 
     "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),

@@ -133,6 +133,34 @@ object SingerPipeline {
     }
   }
 
+  /** The mid-stream schema-drift REPORT as a DataFrame — the table an
+    * ingest operator alerts on daily (round-11: the last unit-only
+    * operator gains a driver-oracle'd output). Input: SCHEMA messages in
+    * arrival order (the same driver-side registry entries
+    * [[parseSchemas]] folds — in-band metadata, O(streams·versions) not
+    * O(records)). For every consecutive same-stream pair the report
+    * carries one row per [[SchemaMapper.schemaDiff]] change:
+    * `(stream, transition, field, kind, before, after)` with
+    * `transition` the 1-based index of the change-over within its
+    * stream. Type comparison runs AFTER the C2/C3 resolution rules —
+    * two raw schemas that resolve identically report clean, exactly
+    * like the last-wins warn path in [[parseSchemas]].
+    */
+  def schemaDriftReport(
+      spark: SparkSession, messages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val parsed = messages.map(SchemaMapper.fromSchemaMessage)
+    val rows = parsed.groupBy(_.stream).toSeq.flatMap { case (stream, vs) =>
+      vs.sliding(2).zipWithIndex.collect {
+        case (Seq(before, after), i) =>
+          SchemaMapper.schemaDiff(before, after).map(c =>
+            (stream, (i + 1).toLong, c.field, c.kind,
+              c.before.orNull, c.after.orNull))
+      }.flatten
+    }
+    rows.toDF("stream", "transition", "field", "kind", "before", "after")
+  }
+
   /** RECORD lines of one stream → typed DataFrame: `from_json` with an
     * all-string struct (P2: missing fields → null, extra fields dropped —
     * `sinks.py:165-166`) then the E1–E8 coercion projection

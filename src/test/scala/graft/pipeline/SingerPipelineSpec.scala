@@ -387,6 +387,24 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("required")
   }
 
+  test("schemaDriftReport: per-stream consecutive diffs with 1-based " +
+    "transition index; single-version streams report clean") {
+    val v1 = """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": {"a": {"type": ["integer", "null"]}, "b": {"type": ["string", "null"]}}}, "key_properties": []}"""
+    val v2 = """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": {"a": {"type": ["number", "null"]}}}, "key_properties": []}"""
+    val v3 = """{"type": "SCHEMA", "stream": "s", "schema": {"type": "object", "properties": {"a": {"type": ["number", "null"]}, "c": {"type": ["string", "null"]}}}, "key_properties": []}"""
+    val other = """{"type": "SCHEMA", "stream": "t", "schema": {"type": "object", "properties": {"x": {"type": ["string", "null"]}}}, "key_properties": []}"""
+    val out = SingerPipeline.schemaDriftReport(
+      spark, Seq(v1, other, v2, v3))
+      .orderBy("stream", "transition", "field", "kind")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5)))
+    out.toSeq shouldBe Seq(
+      ("s", 1L, "a", "retyped", "bigint", "double"),
+      ("s", 1L, "b", "removed", "string", null),
+      ("s", 2L, "c", "added", null, "string"))
+  }
+
   test("strict + fixedHeaders: constraints on pruned-out fields still validate (reference validates pre-projection)") {
     val schema =
       """{"type": "SCHEMA", "stream": "fh", "schema": {"type": "object", "properties": {"id": {"type": ["string", "null"]}, "status": {"type": ["string", "null"], "enum": ["on", "off"]}}}, "key_properties": ["id"]}"""
