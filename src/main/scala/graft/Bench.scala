@@ -274,6 +274,16 @@ object Bench {
     // Warm the JVM/codegen/file-listing paths once with a cheap query, so
     // measured numbers reflect steady-state execution, not first-job setup.
     execOnce("q_stream_counts")
+    // Pre-build the shared edge fixture and report its cost as its own
+    // number: before round 11 the build (~7 s at sf0.1) landed inside
+    // q_pagerank's run-1 window, and a noisy run-2 then read as a
+    // pagerank "drift" (8.4→11.4 s r10) that isolation re-timed at ~4 s.
+    // The consumers' gate entries now measure steady-state; the build
+    // stays visible as fixture_build_sec.
+    val fxT0 = System.nanoTime()
+    SparkEntry.warmSharedFixtures(spark, sfDir)
+    val fixtureSec = (System.nanoTime() - fxT0) / 1e9
+    System.err.println(f"[bench] fixture_build=$fixtureSec%.3fs")
     // Full ingest benchmark: events serialized to Singer JSON lines
     // (setup, untimed), then the COMPLETE pipeline — schema registry,
     // single-parse demux, coercion, validation wiring, parquet write,
@@ -412,7 +422,7 @@ object Bench {
     // gc_ms: total collector time over the whole run — a contaminated run
     // (host interference, heap pressure) shows up as an outsized value
     // relative to the ~61 s clean-run shape.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // full artifact for the repo: per-query seconds, plus base/ratio
     // where the scale's baseline map has an entry (new queries
@@ -427,7 +437,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"sf":"$sfDir","confirmed_over2x":${confirmed.size},"queries":$full}""".getBytes("UTF-8"))
+      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"sf":"$sfDir","confirmed_over2x":${confirmed.size},"queries":$full}""".getBytes("UTF-8"))
     SparkEntry.releaseSharedFixtures()
     spark.stop()
     // the gate BITES (round-10): rc != 0 on confirmed violations only —

@@ -65,6 +65,19 @@ object SparkEntry {
     edgeFixtures.values.asScala.flatMap(df => fixtureRdds(df).map(_.id)).toSet
   }
 
+  /** Pre-build the shared fixtures for (session, dir) — Bench calls this
+    * in its warmup so the build cost lands in its OWN reported number
+    * (`fixture_build_sec`) instead of inside the first consumer query's
+    * run-1 window (the r10 q_pagerank "drift" was exactly this: 11.4 s
+    * flagged = ~7 s fixture build + ranks, while the warm steady state
+    * is ~4 s — the number the gate should see). The build's
+    * localCheckpoint is eager, so calling the accessor materializes it.
+    */
+  def warmSharedFixtures(s: SparkSession, dir: String): Unit = {
+    coPurchaseEdgesShared(s, dir)
+    ()
+  }
+
   /** Free every shared fixture's pinned blocks (end-of-job cleanup). */
   def releaseSharedFixtures(): Unit = {
     import scala.jdk.CollectionConverters._
