@@ -52,7 +52,8 @@ object Bench {
     // round-11: the probe cost/recall curve's third point; adaptive BPE
     // at production merge counts (645 merges / 32 jobs); the rarest-
     // q-gram fourth blocking pass (four-pass union recall 1000‰)
-    "q_embed_recall_probe3", "q_bpe_train_adaptive", "q_fuzzy_recall_qgram")
+    "q_embed_recall_probe3", "q_bpe_train_adaptive", "q_fuzzy_recall_qgram",
+    "q_bpe_encode_adaptive")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -145,7 +146,10 @@ object Bench {
     "q_fuzzy_recall_qgram" -> 4.740,
     // re-baselined AGAIN for the fourth blocking pass (915‰→1000‰
     // union recall — the probe-2 rule: deliberately bought quality)
-    "q_entity_resolve" -> 8.780)
+    "q_entity_resolve" -> 8.780,
+    // 645-merge train + vocab-cached encode round trip (train rounds
+    // dominate; corpus-side cost is merge-count independent)
+    "q_bpe_encode_adaptive" -> 11.150)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -208,7 +212,8 @@ object Bench {
     "q_embed_recall_probe3" -> 1.850,
     "q_bpe_train_adaptive" -> 10.230,
     "q_fuzzy_recall_qgram" -> 4.590,
-    "q_entity_resolve" -> 9.660)
+    "q_entity_resolve" -> 9.660,
+    "q_bpe_encode_adaptive" -> 11.640)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2053,6 +2053,22 @@ object SparkEntry {
       TextAnalysis.bpeEncodeVocab(docs, merges).orderBy("doc_id")
     }),
 
+    // the FULL production tokenizer loop at production merge counts
+    // (round-11): train 645 adaptive merges on the name vocabulary,
+    // then encode that corpus under the trained artifact through the
+    // vocab-cached path — corpus cost independent of merge count. The
+    // 645-merge fold touches only the DISTINCT vocabulary (1.5k rows);
+    // the corpus maps through the word→subwords table
+    "q_bpe_encode_adaptive" -> ((s, dir) => {
+      val names = t(s, dir, "customer")
+        .select(col("c_custkey").as("doc_id"), col("c_name").as("text"))
+      val merges = TextAnalysis.bpeTrainAdaptive(names,
+        rounds = BpeAdaptRounds, batch0 = BpeAdaptBatch0,
+        maxBatch = BpeAdaptMax)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeVocab(names, merges).orderBy("doc_id")
+    }),
+
     // exact-substring tier: winnow candidates -> longest shared token span
     "q_overlap_spans" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2662,11 +2678,59 @@ object SparkEntry {
     * verbatim.
     */
   private def bpeAdaptiveOracle(rounds: Int, batch0: Int, maxBatch: Int): String = {
-    def bk(k: Int): Int =
-      math.min(maxBatch.toLong, batch0.toLong << math.min(k - 1, 31)).toInt
     def offs(k: Int): String =
       if (k == 1) "0"
       else (1 until k).map(j => s"(SELECT count(*) FROM s$j)").mkString(" + ")
+    val union = (1 to rounds).map { k =>
+      s"SELECT CAST(${offs(k)} + sel AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM s$k"
+    }.mkString("\nUNION ALL ")
+    bpeAdaptiveCtes(rounds, batch0, maxBatch) + "\n" + union +
+      "\nORDER BY merge_rank"
+  }
+
+  /** Encode oracle at ADAPTIVE merge counts: the adaptive training
+    * chain's per-round survivor tables applied to each customer NAME's
+    * symbol representation via the bounded recursive-CTE fold (the
+    * [[bpeEncodeBatchedOracle]] shape over the adaptive chain) — the
+    * full 645-merge tokenizer replayed against every document.
+    */
+  private def bpeAdaptiveEncodeOracle(rounds: Int, batch0: Int, maxBatch: Int): String = {
+    val rep0 =
+      """array_to_string(list_transform(regexp_extract_all(lower(c_name), '[a-z]+|[0-9]+'),
+        |   w -> '|' || array_to_string([substr(w, i, 1) for i in range(1, length(w)+1)], '||') || '|'), ' ')""".stripMargin
+    val docChain = (1 to rounds).map { k =>
+      val prev = if (k == 1) "d0" else s"d${k - 1}"
+      s""",
+         |dd$k(step, doc_id, rep) AS (
+         | SELECT 0, doc_id, rep FROM $prev
+         | UNION ALL
+         | SELECT dd$k.step + 1, dd$k.doc_id,
+         |  replace(dd$k.rep, '|' || s.a || '||' || s.b || '|', '|' || s.a || s.b || '|')
+         | FROM dd$k JOIN s$k s ON s.sel = dd$k.step + 1),
+         |d$k AS MATERIALIZED (
+         | SELECT doc_id, rep FROM (SELECT doc_id, rep, step, max(step) OVER () AS mx FROM dd$k)
+         | WHERE step = mx)""".stripMargin
+    }.mkString
+    bpeAdaptiveCtes(rounds, batch0, maxBatch) +
+      s""",
+         |d0 AS MATERIALIZED (SELECT c_custkey AS doc_id, $rep0 AS rep FROM customer)""".stripMargin +
+      docChain +
+      s"""
+         |SELECT doc_id,
+         | CASE WHEN bpe_text = '' THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(len(string_split(bpe_text, ' ')) AS BIGINT) END AS n_subwords,
+         | bpe_text
+         |FROM (SELECT doc_id, replace(replace(rep, '||', ' '), '|', '') AS bpe_text FROM d$rounds)
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The shared adaptive-training CTE chain (the [[bpeBatchedCtes]]
+    * discipline): used by BOTH the train and the encode oracle so the
+    * learned schedule can never drift between them.
+    */
+  private def bpeAdaptiveCtes(rounds: Int, batch0: Int, maxBatch: Int): String = {
+    def bk(k: Int): Int =
+      math.min(maxBatch.toLong, batch0.toLong << math.min(k - 1, 31)).toInt
     val base =
       """WITH RECURSIVE r0 AS MATERIALIZED (
         | SELECT count(*) AS freq,
@@ -2704,10 +2768,7 @@ object SparkEntry {
          | SELECT freq, rep FROM (SELECT freq, rep, step, max(step) OVER () AS mx FROM rr$k)
          | WHERE step = mx)""".stripMargin
     }.mkString
-    val union = (1 to rounds).map { k =>
-      s"SELECT CAST(${offs(k)} + sel AS INTEGER) AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM s$k"
-    }.mkString("\nUNION ALL ")
-    base + iters + "\n" + union + "\nORDER BY merge_rank"
+    base + iters
   }
 
   /** Driver-generated DuckDB oracle for [[graft.ops.TextAnalysis.bpeTrain]]:
@@ -6086,6 +6147,8 @@ object SparkEntry {
     "q_bpe_train_adaptive" ->
       bpeAdaptiveOracle(BpeAdaptRounds, BpeAdaptBatch0, BpeAdaptMax),
     "q_singer_schema_drift" -> schemaDriftOracle,
+    "q_bpe_encode_adaptive" ->
+      bpeAdaptiveEncodeOracle(BpeAdaptRounds, BpeAdaptBatch0, BpeAdaptMax),
     "q_bpe_encode_batched" -> bpeEncodeBatchedOracle(BpeBatchRounds, BpeBatchSize),
 
     "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),

@@ -1451,14 +1451,42 @@ object TextAnalysis {
       array_join(transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))), "||"),
       lit("|"))
-    val folded = merges.foldLeft(rep0) { case (acc, (a, b)) =>
-      replace(acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
-    }
-    val enc = df
-      .select(explode(toksOf).as("w")).where(col("w") =!= "").distinct()
+    def fold(acc: Column, chunk: Seq[(String, String)]): Column =
+      chunk.foldLeft(acc) { case (c, (a, b)) =>
+        replace(c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+      }
+    // Production merge tables are hundreds-to-10⁵ deep, and one nested
+    // replace chain that size blows the analyzer/codegen recursion
+    // budget (StackOverflow at ~600 at default stack). Apply the fold
+    // in bounded chunks with a vocab-sized localCheckpoint between
+    // them — the trainCentroids ownership rule (release only the
+    // generation THIS loop superseded; the LAST checkpoint is reachable
+    // from the returned plan and is freed by the caller's
+    // releaseCheckpoints).
+    val chunkSize = 96
+    val encoded: DataFrame =
+      if (merges.size <= chunkSize)
+        df.select(explode(toksOf).as("w")).where(col("w") =!= "").distinct()
+          .select(col("w"), fold(rep0, merges).as("rep"))
+      else {
+        var words = df
+          .select(explode(toksOf).as("w")).where(col("w") =!= "").distinct()
+          .select(col("w"), rep0.as("rep"))
+        var owned = false
+        merges.grouped(chunkSize).foreach { chunk =>
+          val prev = words
+          val prevOwned = owned
+          words = words.withColumn("rep", fold(col("rep"), chunk))
+            .localCheckpoint()
+          if (prevOwned) Dedup.releaseCheckpoints(prev)
+          owned = true
+        }
+        words
+      }
+    val enc = encoded
       .select(col("w"),
         ColumnOps.bind(
-          replace(replace(folded, lit("||"), lit(" ")), lit("|"), lit(""))) { ws =>
+          replace(replace(col("rep"), lit("||"), lit(" ")), lit("|"), lit(""))) { ws =>
           struct(ws.as("ws"), size(split(ws, " ")).cast("long").as("nw"))
         }.as("e"))
       .select(col("w"), col("e.ws"), col("e.nw"))
