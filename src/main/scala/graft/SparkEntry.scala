@@ -1451,6 +1451,16 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    // the SEARCH-side auto path (round-11): corpus-proportional codebook
+    // assigned through the hierarchical two-level probe; ONE hier pass
+    // serves the index (probe_rank 1) AND the query probes (ranks
+    // 1..nProbe) — the dedup auto family's scale fix applied to ANN
+    // search
+    "q_sim_ivf_auto" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5,
+        nCells = 0, targetPerCell = 128L)
+        .orderBy("query_id", "rank")),
+
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -3058,7 +3068,7 @@ object SparkEntry {
        |  FROM n CROSS JOIN coarse g) WHERE rc <= $pCoarse
        |),
        |assign AS (
-       | SELECT vec_id, cell_id, qv, qn, cell_sim FROM (
+       | SELECT vec_id, cell_id, qv, qn, cell_sim, rf AS probe_rank FROM (
        |  SELECT v.vec_id, m.cell_id, v.qv, v.qn,
        |   ${qcos("v.qv", "m.cv", "v.qn", "m.cn")} AS cell_sim,
        |   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -4198,6 +4208,25 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
         | FROM scored)
         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    // the ANN-search auto path on the hierarchical chain: probe_rank 1
+    // is the index side, ranks <= 2 on the query slice are the probes
+    "q_sim_ivf_auto" ->
+      s"""WITH ${hierAssignCtes("", 2)},
+        |cells AS (
+        | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),
+        |probed AS (
+        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id
+        | FROM assign WHERE vec_id < 10),
+        |scored AS (
+        | SELECT p.query_id, c.vec_id AS cand_id,
+        |  ${qcos("p.query_qv", "c.qv", "p.query_qn", "c.qn")} AS sim
+        | FROM probed p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_sim_ivf" ->
       """WITH n AS (

@@ -1170,7 +1170,7 @@ object Dedup {
     val assigned =
       if (nCells == 0)
         Similarity.ivfAssignHierProbe(embeddings, cellCount, nProbe,
-          centroids = centroids).drop("cell_sim")
+          centroids = centroids).drop("cell_sim", "probe_rank")
       else Similarity.ivfAssignProbe(embeddings, cellCount, nProbe, centroids)
     // Checkpoint before the self-join: the renamed a/b projections defeat
     // static exchange reuse, so without it the scan→assign→cap pipeline

@@ -383,9 +383,12 @@ object Similarity {
     * Ties at every stage break to the lowest id; with `c >= k` (tiny
     * codebooks) the scheme degenerates to flat multi-probe assignment.
     *
-    * Output: `(vec_id, cell_id, qv, qn, cell_sim)` — same contract as
-    * [[ivfAssignProbe]] plus the winning cosine (the medoid selector
-    * needs it; pair-join callers drop it).
+    * Output: `(vec_id, cell_id, qv, qn, cell_sim, probe_rank)` — the
+    * [[ivfAssignProbe]] contract plus the winning cosine (the medoid
+    * selector needs it) and the 1-based probe rank (rank 1 is the
+    * single-assignment subset, so ONE pass can serve both an index
+    * build and a multi-probe query side — [[ivfTopK]]'s auto path);
+    * pair-join callers drop both.
     */
   def ivfAssignHierProbe(
       embeddings: DataFrame,
@@ -439,10 +442,10 @@ object Similarity {
       .join(broadcast(fineMap), Seq("coarse_id"))
       .withColumn("cell_sim",
         qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")))
-      .withColumn("_rf", row_number().over(
+      .withColumn("probe_rank", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("cell_sim"), asc("cell_id"))))
-      .filter(col("_rf") <= nProbe)
-      .select("vec_id", "cell_id", "qv", "qn", "cell_sim")
+      .filter(col("probe_rank") <= nProbe)
+      .select("vec_id", "cell_id", "qv", "qn", "cell_sim", "probe_rank")
   }
 
   /** Coreset by cell medoid: one representative per IVF cell — the
@@ -477,7 +480,7 @@ object Similarity {
     val assigned =
       if (nCells == 0)
         ivfAssignHierProbe(embeddings, cellCount, nProbe = 1,
-          centroids = centroids)
+          centroids = centroids).drop("probe_rank")
       else {
         val vecs = quantizedWithNorms(embeddings, native)
         withCellSims(
@@ -566,7 +569,41 @@ object Similarity {
       nCells: Int = 8,
       nProbe: Int = 2,
       maxBucket: Int = 1000000,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      targetPerCell: Long = 4096L): DataFrame = {
+    // nCells = 0: corpus-proportional codebook (cellsFor) assigned
+    // through the two-level hierarchical probe — the search-side twin of
+    // the dedup auto path (flat assignment is O(N·k), quadratic in N
+    // once k ∝ N). ONE hier pass serves both sides: probe_rank 1 is the
+    // index (single assignment per corpus vector), ranks 1..nProbe on
+    // the query slice are the probes.
+    if (nCells == 0) {
+      val cellCount = cellsFor(embeddings.count(), targetPerCell)
+      val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+      val ass = ivfAssignHierProbe(embeddings, cellCount, nProbe, centroids = centroids)
+        .localCheckpoint()
+      val cells = Dedup.capBuckets(
+        ass.filter(col("probe_rank") === 1)
+          .select("vec_id", "cell_id", "qv", "qn"),
+        Seq("cell_id"), maxBucket)
+      val probed = ass.filter(col("vec_id") < queryMaxId)
+        .select(col("vec_id").as("query_id"), col("qv").as("query_qv"),
+          col("qn").as("query_qn"), col("cell_id"))
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+      return probed
+        .join(cells, Seq("cell_id"))
+        // no dedup needed: the index side is probe_rank 1 only, so every
+        // candidate lives in exactly ONE cell and meets each query at
+        // most once (the classic IVF property, same as the flat path)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id").as("cand_id"),
+          qcosinePre(qdot(col("query_qv"), col("qv"), native),
+            col("query_qn"), col("qn")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    }
     require(nProbe <= nCells, s"nProbe ($nProbe) must be <= nCells ($nCells)")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     // pin the quantized corpus: it feeds the seed-centroid build, the
@@ -797,7 +834,8 @@ object Similarity {
     // explicit small codebooks keep the exact flat argmax.
     val assigned =
       if (nCells == 0)
-        ivfAssignHierProbe(embeddings, cellCount, nProbe = 1).drop("cell_sim")
+        ivfAssignHierProbe(embeddings, cellCount, nProbe = 1)
+          .drop("cell_sim", "probe_rank")
       else ivfAssign(embeddings, cellCount)
     // Materialize the assignment ONCE: a self-join references the subtree
     // twice, and the two sides' renames defeat static exchange reuse — so
