@@ -53,7 +53,7 @@ object Bench {
     // at production merge counts (645 merges / 32 jobs); the rarest-
     // q-gram fourth blocking pass (four-pass union recall 1000‰)
     "q_embed_recall_probe3", "q_bpe_train_adaptive", "q_fuzzy_recall_qgram",
-    "q_bpe_encode_adaptive", "q_sim_ivf_auto")
+    "q_bpe_encode_adaptive", "q_sim_ivf_auto", "q_embed_dups_trained_auto")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -152,7 +152,10 @@ object Bench {
     "q_bpe_encode_adaptive" -> 11.150,
     // ANN search on the hierarchical auto codebook (one pass serves
     // index + probes)
-    "q_sim_ivf_auto" -> 1.880)
+    "q_sim_ivf_auto" -> 1.880,
+    // two-level TRAINED codebook at corpus-proportional k (train AND
+    // assign both O(N·√k))
+    "q_embed_dups_trained_auto" -> 4.230)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -217,7 +220,8 @@ object Bench {
     "q_fuzzy_recall_qgram" -> 4.590,
     "q_entity_resolve" -> 9.660,
     "q_bpe_encode_adaptive" -> 11.640,
-    "q_sim_ivf_auto" -> 2.730)
+    "q_sim_ivf_auto" -> 2.730,
+    "q_embed_dups_trained_auto" -> 8.910)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1316,6 +1316,27 @@ object SparkEntry {
       out
     }),
 
+    // TRAINED codebook at CORPUS-PROPORTIONAL k (round-11): k = cellsFor
+    // cells trained HIERARCHICALLY — coarse sqrt(k) flat-trained, corpus
+    // partitioned by coarse cell, k/c fine centroids Lloyd-refined
+    // WITHIN each group (O(N·sqrt(k)·iters); flat Lloyd's at k ∝ N is
+    // the same quadratic the assignment fix removed) — then the hier
+    // assignment rides the trained codebook. The full two-level train +
+    // assign chain replays in the oracle
+    "q_embed_dups_trained_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = Similarity.cellsFor(emb.count(), 128L)
+      val cents = Similarity.trainCentroidsHier(emb, k, iters = 1)
+      val out = Dedup.embeddingDupsByCell(emb, threshold = 0.35, nCells = 0,
+        targetPerCell = 128L, centroids = Some(cents))
+        .orderBy("cell_id", "a_id", "b_id")
+      // embeddingDupsByCell eagerly checkpoints its assignment; the
+      // codebook's own blocks are dead and unreachable from `out` —
+      // release here (the q_embed_dups_trained lesson)
+      Dedup.releaseCheckpoints(cents)
+      out
+    }),
+
     // diversity-preserving coreset: one medoid per auto-sized IVF cell
     // (the member closest to its cell centroid) — the KEEP-a-prototype
     // complement of the dedup family's REMOVE-redundant ops; cells grow
@@ -3031,8 +3052,24 @@ object SparkEntry {
     * top-`nProbe` fine cells among the probed groups' centroids). No
     * leading WITH, so callers append their own CTEs.
     */
-  private def hierAssignCtes(where: String, nProbe: Int, pCoarse: Int = 2): String = {
+  private def hierAssignCtes(
+      where: String,
+      nProbe: Int,
+      pCoarse: Int = 2,
+      fineFrom: Option[String] = None,
+      extraCtes: String = ""): String = {
     val w = if (where.isEmpty) "" else s" WHERE $where"
+    val fineCte = fineFrom match {
+      case Some(src) =>
+        s"""fine AS (
+           | SELECT cell_id, cv, cn FROM $src
+           |),""".stripMargin
+      case None =>
+        s"""fine AS (
+           | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
+           | WHERE vec_id < (SELECT k FROM kc)
+           |),""".stripMargin
+    }
     s"""n AS (
        | SELECT vec_id, qv,
        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
@@ -3043,11 +3080,8 @@ object SparkEntry {
        |kc AS (
        | SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS c
        | FROM (SELECT (count(*) + 127) // 128 AS k FROM n)
-       |),
-       |fine AS (
-       | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n
-       | WHERE vec_id < (SELECT k FROM kc)
-       |),
+       |),$extraCtes
+       |$fineCte
        |coarse AS (
        | SELECT cell_id AS coarse_id, cv AS ccv, cn AS ccn FROM (
        |  SELECT cell_id, cv, cn, ROW_NUMBER() OVER (ORDER BY cell_id) AS r FROM fine)
@@ -3075,6 +3109,69 @@ object SparkEntry {
        |    ${qcos("v.qv", "m.cv", "v.qn", "m.cn")} DESC, m.cell_id) AS rf
        |  FROM vprobe v JOIN fmap m ON m.coarse_id = v.coarse_id) WHERE rf <= $nProbe
        |)""".stripMargin
+  }
+
+  /** The hierarchical TRAINING chain for `q_embed_dups_trained_auto` —
+    * inserted into [[hierAssignCtes]] as `extraCtes` with
+    * `fineFrom = Some("fine2")`: coarse Lloyd's (seed `c` lowest ids →
+    * one refinement, the q_embed_dups_trained CTE pattern), corpus →
+    * trained-coarse grouping, per-group fine seeds
+    * (`cell_id = coarse_id·m + rank-1`), one within-group Lloyd's pass →
+    * `fine2(cell_id, cv, cn)`. All integer-deterministic.
+    */
+  private def hierTrainCtes: String = {
+    def cos(av: String, bv: String, an: String, bn: String) =
+      qcos(av, bv, an, bn)
+    s"""
+       |mm AS (SELECT (k + c - 1) // c AS m FROM kc),
+       |c0 AS (
+       | SELECT vec_id AS coarse_id, qv AS ccv, qn AS ccn FROM n
+       | WHERE vec_id < (SELECT c FROM kc)),
+       |a0 AS (
+       | SELECT vec_id, coarse_id, qv FROM (
+       |  SELECT n.vec_id, c0.coarse_id, n.qv,
+       |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |    ${cos("n.qv", "c0.ccv", "n.qn", "c0.ccn")} DESC, c0.coarse_id) AS rn
+       |  FROM n CROSS JOIN c0) WHERE rn = 1),
+       |cm1 AS (
+       | SELECT coarse_id, pos, SUM(v) AS s, COUNT(*) AS cnt
+       | FROM (SELECT coarse_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS pos FROM a0)
+       | GROUP BY 1, 2),
+       |c1 AS (
+       | SELECT coarse_id, ccv,
+       |  list_sum(list_transform(list_zip(ccv, ccv), p -> p[1] * p[2])) AS ccn
+       | FROM (SELECT coarse_id,
+       |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS ccv
+       |  FROM cm1 GROUP BY 1)),
+       |ga AS (
+       | SELECT vec_id, coarse_id, qv, qn FROM (
+       |  SELECT n.vec_id, c1.coarse_id, n.qv, n.qn,
+       |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |    ${cos("n.qv", "c1.ccv", "n.qn", "c1.ccn")} DESC, c1.coarse_id) AS rn
+       |  FROM n CROSS JOIN c1) WHERE rn = 1),
+       |fs AS (
+       | SELECT coarse_id,
+       |  coarse_id * (SELECT m FROM mm) + r - 1 AS cell_id,
+       |  qv AS cv, qn AS cn
+       | FROM (SELECT coarse_id, vec_id, qv, qn,
+       |   ROW_NUMBER() OVER (PARTITION BY coarse_id ORDER BY vec_id) AS r FROM ga)
+       | WHERE r <= (SELECT m FROM mm)),
+       |fa AS (
+       | SELECT vec_id, cell_id, coarse_id, qv FROM (
+       |  SELECT g.vec_id, f.cell_id, f.coarse_id, g.qv,
+       |   ROW_NUMBER() OVER (PARTITION BY g.vec_id ORDER BY
+       |    ${cos("g.qv", "f.cv", "g.qn", "f.cn")} DESC, f.cell_id) AS rn
+       |  FROM ga g JOIN fs f ON f.coarse_id = g.coarse_id) WHERE rn = 1),
+       |fm1 AS (
+       | SELECT cell_id, coarse_id, pos, SUM(v) AS s, COUNT(*) AS cnt
+       | FROM (SELECT cell_id, coarse_id, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS pos FROM fa)
+       | GROUP BY 1, 2, 3),
+       |fine2 AS (
+       | SELECT cell_id, cv,
+       |  list_sum(list_transform(list_zip(cv, cv), p -> p[1] * p[2])) AS cn
+       | FROM (SELECT cell_id,
+       |   list(CASE WHEN s >= 0 THEN s // cnt ELSE -((-s) // cnt) END ORDER BY pos) AS cv
+       |  FROM fm1 GROUP BY 1)),""".stripMargin
   }
 
   /** The shared recall-measurement tail: exact truth pairs from `n`
@@ -4511,6 +4608,20 @@ object SparkEntry {
     // probe-2 default
     "q_embed_dups_cell_auto" ->
       s"""WITH ${hierAssignCtes("", 2)}
+        |SELECT min(cell_id) AS cell_id, a_id, b_id, max(sim) AS sim FROM (
+        | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
+        |  ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} AS sim
+        | FROM assign x JOIN assign y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+        |WHERE sim >= 0.35
+        |GROUP BY a_id, b_id
+        |ORDER BY cell_id, a_id, b_id""".stripMargin,
+
+    // the full two-level chain: hierarchical TRAINING (coarse Lloyd's →
+    // grouping → within-group fine Lloyd's → fine2) feeding the
+    // hierarchical ASSIGNMENT (fineFrom = fine2), then the within-cell
+    // pair join — trained codebook at corpus-proportional k, end to end
+    "q_embed_dups_trained_auto" ->
+      s"""WITH ${hierAssignCtes("", 2, fineFrom = Some("fine2"), extraCtes = hierTrainCtes)}
         |SELECT min(cell_id) AS cell_id, a_id, b_id, max(sim) AS sim FROM (
         | SELECT x.cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
         |  ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} AS sim

@@ -562,6 +562,109 @@ object Similarity {
     cents
   }
 
+  /** HIERARCHICAL codebook training — the O(N·√k·iters) twin of
+    * [[trainCentroids]] for corpus-proportional k (flat Lloyd's scores
+    * every vector against every centroid per pass: O(N·k·iters),
+    * quadratic in N once k ∝ N — the same term [[ivfAssignHierProbe]]
+    * removed from assignment, removed here from TRAINING):
+    *
+    *   1. COARSE: flat-train `c = ceil(sqrt(k))` centroids over the
+    *      corpus ([[trainCentroids]] — O(N·c·iters)).
+    *   2. PARTITION: assign every vector to its coarse cell (argmax,
+    *      ties low id — O(N·c)).
+    *   3. FINE, within each coarse group: seed `m = ceil(k/c)` fine
+    *      centroids per group (the group's m lowest-id members, global
+    *      id `coarse_id·m + seedRank`), then `iters` Lloyd's passes
+    *      where each vector scores ONLY its own group's fine centroids
+    *      (broadcast join on `coarse_id` — O(N·k/c) per pass) and new
+    *      centroids are the per-(cell, dim) integer means (`sum DIV
+    *      count`, the [[trainCentroids]] determinism rule).
+    *
+    * A fine cell that loses all members disappears (its members moved
+    * to siblings in the SAME group, so every non-empty group keeps at
+    * least one fine cell). Output `(cell_id, cv, cn)` — a drop-in
+    * `centroids` codebook for the auto dedup/search paths; ids encode
+    * the group (`coarse = cell_id div m`) but consumers don't need
+    * that. Fully deterministic, so the whole two-level chain replays in
+    * the DuckDB oracle (`q_embed_dups_trained_auto`).
+    */
+  def trainCentroidsHier(
+      embeddings: DataFrame, k: Int, iters: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val c = math.ceil(math.sqrt(k.toDouble)).toInt
+    val m = (k + c - 1) / c
+    val coarse = trainCentroids(embeddings, c, iters)
+      .select(col("cell_id").as("coarse_id"),
+        col("cv").as("ccv"), col("cn").as("ccn"))
+    val vecs = quantizedWithNorms(embeddings, native)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus → coarse group (argmax over the √k coarse centroids)
+    val grouped = vecs
+      .join(broadcast(coarse))
+      .withColumn("_cs",
+        qcosinePre(qdot(col("qv"), col("ccv"), native), col("qn"), col("ccn")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("coarse_id"),
+          struct(col("_cs"), (-col("coarse_id")).as("tb"))).as("coarse_id"),
+        first("qv").as("qv"), first("qn").as("qn"))
+      .localCheckpoint()
+    // coarse's own checkpoint is dead once the grouping is materialized
+    Dedup.releaseCheckpoints(coarse)
+    var fine = grouped
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("coarse_id").orderBy(asc("vec_id"))))
+      .filter(col("_r") <= m)
+      .select(col("coarse_id"),
+        (col("coarse_id") * m + col("_r") - 1).as("cell_id"),
+        col("qv").as("cv"), col("qn").as("cn"))
+    var fineOwned = false
+    for (_ <- 0 until iters) {
+      val prev = fine
+      val prevOwned = fineOwned
+      val assignedF = grouped
+        .join(broadcast(fine), Seq("coarse_id"))
+        .withColumn("_fs",
+          qcosinePre(qdot(col("qv"), col("cv"), native), col("qn"), col("cn")))
+        .groupBy("vec_id")
+        .agg(
+          max_by(struct(col("cell_id"), col("coarse_id")),
+            struct(col("_fs"), (-col("cell_id")).as("tb"))).as("w"),
+          first("qv").as("qv"))
+        .select(col("w.cell_id"), col("w.coarse_id"), col("qv"))
+      fine = assignedF
+        .select(col("cell_id"), col("coarse_id"), posexplode(col("qv")))
+        .groupBy("cell_id", "coarse_id", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .withColumn("v",
+          expr("CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END"))
+        .groupBy("cell_id", "coarse_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("coarse_id"), col("cell_id"),
+          transform(col("pv"), p => p("v")).as("cv"))
+        .withColumn("cn", qdot(col("cv"), col("cv"), native))
+        .localCheckpoint()
+      if (prevOwned) Dedup.releaseCheckpoints(prev)
+      fineOwned = true
+    }
+    val out = fine.select("cell_id", "cv", "cn")
+    if (iters > 0) {
+      // the returned codebook is checkpointed; the grouping pin is dead
+      Dedup.releaseCheckpoints(grouped)
+      vecs.unpersist(blocking = false)
+      out
+    } else {
+      // iters = 0: the seed table still reads through `grouped` — hand
+      // the caller a checkpointed copy and release the intermediate
+      val pinned = out.localCheckpoint()
+      Dedup.releaseCheckpoints(grouped)
+      vecs.unpersist(blocking = false)
+      pinned
+    }
+  }
+
   def ivfTopK(
       embeddings: DataFrame,
       queryMaxId: Long,

@@ -200,6 +200,31 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     r0.getAs[Double]("cell_sim") shouldBe exp +- 1e-9
   }
 
+  test("trainCentroidsHier: deterministic two-level codebook — ids encode " +
+    "the coarse group, dims preserved, no leaked blocks") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 9 // c = 3, m = 3
+    val a = Similarity.trainCentroidsHier(real, k, iters = 1)
+    val rowsA = a.collect()
+    val b = Similarity.trainCentroidsHier(real, k, iters = 1)
+    val rowsB = b.collect()
+    // deterministic across runs
+    rowsA.map(_.toString).sorted.toSeq shouldBe rowsB.map(_.toString).sorted.toSeq
+    rowsA.length should be <= k
+    rowsA.length should be >= 3 // at least one fine cell per live coarse group
+    val dim = real.head().getAs[Seq[Float]]("embedding").length
+    rowsA.foreach { r =>
+      r.getAs[Seq[Long]]("cv").length shouldBe dim
+      // id encodes the group: cell_id in [0, c*m)
+      r.getAs[Long]("cell_id") should (be >= 0L and be < 9L)
+    }
+    // returned codebooks are checkpointed — release both and assert the
+    // session is clean (the ownership protocol every trainer follows)
+    graft.ops.Dedup.releaseCheckpoints(a)
+    graft.ops.Dedup.releaseCheckpoints(b)
+    spark.sparkContext.getPersistentRDDs shouldBe empty
+  }
+
   test("knnGraph: every vector gets up to k within-cell neighbors, symmetric edges agree") {
     // nCells = 2 -> centroids are vecs 0 and 1 (nearly parallel). By
     // cosine, vec 0 wins only itself; 1..4 all assign to cell 1 — so
