@@ -53,7 +53,8 @@ object Bench {
     // at production merge counts (645 merges / 32 jobs); the rarest-
     // q-gram fourth blocking pass (four-pass union recall 1000‰)
     "q_embed_recall_probe3", "q_bpe_train_adaptive", "q_fuzzy_recall_qgram",
-    "q_bpe_encode_adaptive", "q_sim_ivf_auto", "q_embed_dups_trained_auto")
+    "q_bpe_encode_adaptive", "q_sim_ivf_auto", "q_embed_dups_trained_auto",
+    "q_embed_recall_trained")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -155,7 +156,9 @@ object Bench {
     "q_sim_ivf_auto" -> 1.880,
     // two-level TRAINED codebook at corpus-proportional k (train AND
     // assign both O(N·√k))
-    "q_embed_dups_trained_auto" -> 4.230)
+    "q_embed_dups_trained_auto" -> 4.230,
+    // codebook-quality recall axis (trained vs seeded at same k/probes)
+    "q_embed_recall_trained" -> 5.440)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -221,7 +224,8 @@ object Bench {
     "q_entity_resolve" -> 9.660,
     "q_bpe_encode_adaptive" -> 11.640,
     "q_sim_ivf_auto" -> 2.730,
-    "q_embed_dups_trained_auto" -> 8.910)
+    "q_embed_dups_trained_auto" -> 8.910,
+    "q_embed_recall_trained" -> 5.860)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1162,6 +1162,32 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // does TRAINING the codebook buy blocking recall at the same k and
+    // probe count? The trained-auto chain (hier train → hier probe-2)
+    // vs the same slice's exact truth — the codebook-quality axis of
+    // the recall curve, beside the probe-count axis
+    "q_embed_recall_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000L)
+      val truth = Dedup.embeddingDups(
+        emb.withColumn("label", lit(0)), threshold = 0.35)
+        .select(col("a_id"), col("b_id"))
+      val k = Similarity.cellsFor(emb.count(), 128L)
+      val cents = Similarity.trainCentroidsHier(emb, k, iters = 1)
+      val found = Dedup.embeddingDupsByCell(emb, threshold = 0.35,
+        nCells = 0, targetPerCell = 128L, centroids = Some(cents))
+        .select(col("a_id"), col("b_id"))
+      val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+      // embeddingDupsByCell EAGERLY checkpointed the assignment, so the
+      // codebook's blocks are already dead (the trained-auto pattern)
+      Dedup.releaseCheckpoints(cents)
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // the probe COST/RECALL CURVE's third point (round-11 ask): does a
     // third probed cell buy recall past probe-2, and at what candidate
     // volume (n_found is the volume proxy — the curve lives in PLANS.md
@@ -3178,9 +3204,12 @@ object SparkEntry {
     * within the slice vs the hierarchically-blocked `found` pairs, as
     * (n_true, n_found, n_hit, recall_milli) — one row.
     */
-  private def hierRecallOracle(nProbe: Int): String = {
+  private def hierRecallOracle(
+      nProbe: Int,
+      fineFrom: Option[String] = None,
+      extraCtes: String = ""): String = {
     val distinct = if (nProbe > 1) "DISTINCT " else ""
-    s"""WITH ${hierAssignCtes("vec_id < 2000", nProbe)},
+    s"""WITH ${hierAssignCtes("vec_id < 2000", nProbe, fineFrom = fineFrom, extraCtes = extraCtes)},
        |truth AS (
        | SELECT x.vec_id AS a_id, y.vec_id AS b_id
        | FROM n x JOIN n y ON x.vec_id < y.vec_id
@@ -4578,6 +4607,12 @@ object SparkEntry {
     // probe-3 point on the cost/recall curve (round-11 ask): what does
     // the third probed cell buy past probe-2, at what candidate volume
     "q_embed_recall_probe3" -> hierRecallOracle(nProbe = 3),
+
+    // codebook-quality axis: the trained two-level chain at the same
+    // k/probes — hierTrainCtes feeds the assign chain via fine2
+    "q_embed_recall_trained" ->
+      hierRecallOracle(nProbe = 2, fineFrom = Some("fine2"),
+        extraCtes = hierTrainCtes),
 
     // apply-path recall: DISTINCT probe-2 loser set vs the exact
     // all-pairs loser set on the same slice (loser recall >= pair
