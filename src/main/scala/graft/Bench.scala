@@ -54,7 +54,10 @@ object Bench {
     // q-gram fourth blocking pass (four-pass union recall 1000‰)
     "q_embed_recall_probe3", "q_bpe_train_adaptive", "q_fuzzy_recall_qgram",
     "q_bpe_encode_adaptive", "q_sim_ivf_auto", "q_embed_dups_trained_auto",
-    "q_embed_recall_trained")
+    "q_embed_recall_trained",
+    // round-11 fourth wave: incremental semantic dedup (new batch vs the
+    // pinned-codebook corpus index on the hier chain)
+    "q_dedup_incr_semantic")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -158,7 +161,10 @@ object Bench {
     // assign both O(N·√k))
     "q_embed_dups_trained_auto" -> 4.230,
     // codebook-quality recall axis (trained vs seeded at same k/probes)
-    "q_embed_recall_trained" -> 5.440)
+    "q_embed_recall_trained" -> 5.440,
+    // incremental semantic dedup: batch-side hier assignment + a
+    // corpus-index cell join (corpus side is the 250-vector slice)
+    "q_dedup_incr_semantic" -> 1.690)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -225,7 +231,8 @@ object Bench {
     "q_bpe_encode_adaptive" -> 11.640,
     "q_sim_ivf_auto" -> 2.730,
     "q_embed_dups_trained_auto" -> 8.910,
-    "q_embed_recall_trained" -> 5.860)
+    "q_embed_recall_trained" -> 5.860,
+    "q_dedup_incr_semantic" -> 2.700)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

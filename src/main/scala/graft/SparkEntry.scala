@@ -1363,6 +1363,21 @@ object SparkEntry {
       out
     }),
 
+    // incremental SEMANTIC dedup (round-11): the embedding twin of
+    // q_dedup_incr_near — a new batch (vec_id >= 250) dedups against the
+    // already-indexed corpus (vec_id < 250) through the PINNED corpus
+    // codebook on the hierarchical auto chain; only the batch is assigned
+    // per increment, only cross-side pairs decide
+    "q_dedup_incr_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.dropSemanticDuplicatesIncremental(
+        newVecs = emb.filter(col("vec_id") >= 250L),
+        corpus = emb.filter(col("vec_id") < 250L),
+        threshold = 0.35, targetPerCell = 128L)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // diversity-preserving coreset: one medoid per auto-sized IVF cell
     // (the member closest to its cell centroid) — the KEEP-a-prototype
     // complement of the dedup family's REMOVE-redundant ops; cells grow
@@ -4664,6 +4679,20 @@ object SparkEntry {
         |WHERE sim >= 0.35
         |GROUP BY a_id, b_id
         |ORDER BY cell_id, a_id, b_id""".stripMargin,
+
+    // incremental semantic dedup: the union assignment (same hier chain —
+    // per-vector assignment under a PINNED codebook is side-independent,
+    // and the corpus seed equals the union seed under the id contract)
+    // split at vec_id 250; a new vector survives unless a CORPUS member
+    // shares a probed cell at cosine >= threshold
+    "q_dedup_incr_semantic" ->
+      s"""WITH ${hierAssignCtes("", 2)}
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id >= 250 AND NOT EXISTS (
+        | SELECT 1 FROM assign x JOIN assign y ON x.cell_id = y.cell_id
+        | WHERE y.vec_id = e.vec_id AND x.vec_id < 250
+        |  AND ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} >= 0.35)
+        |ORDER BY vec_id""".stripMargin,
 
     // same train chain as q_sim_ivf_trained (c0 -> refine -> c2), then the
     // q_embed_dups_cell within-cell pair join against the TRAINED cells

@@ -1200,4 +1200,70 @@ object Dedup {
       .agg(min("cell_id").as("cell_id"), max("sim").as("sim"))
       .select("cell_id", "a_id", "b_id", "sim")
   }
+
+  /** Incremental SEMANTIC dedup — the embedding twin of
+    * [[dropNearDuplicatesIncrementalPortable]], the continuous-ingest
+    * production shape for the SemDeDup family: only `newVecs` are
+    * assigned per increment; their cells join the (precomputable,
+    * persisted) corpus cell index, and new vectors with a cosine ≥
+    * `threshold` against ANY corpus member sharing a probed cell are
+    * dropped. New-side vec ids must be STRICTLY GREATER than every
+    * corpus id (the cross-pair survivor is always the corpus side).
+    *
+    * The codebook is PINNED from the corpus ([[Similarity.seedCodebook]],
+    * or a trained one via `centroids`) — under the id contract the
+    * corpus seed EQUALS the union seed, so the decision is the exact
+    * cross-side restriction of [[dropSemanticDuplicates]] on the full
+    * union with the same codebook (spec'd). Cells are capped on the
+    * COMBINED population, exactly as the batch twin would — capping each
+    * side separately could keep a jointly-over-cap cell and diverge (the
+    * minhash-incremental lesson). `nCells = 0` sizes the codebook from
+    * the UNION count ([[Similarity.cellsFor]]) and assigns both sides
+    * through the hierarchical O(N·√k) chain.
+    *
+    * Scale shape: per increment the assignment cost is O(new·√k); the
+    * corpus index is precomputable and the candidate join is bounded by
+    * shared capped cells — the corpus embeddings are never re-scored
+    * against each other.
+    */
+  def dropSemanticDuplicatesIncremental(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      nCells: Int = 0,
+      maxBucket: Int = 100000,
+      targetPerCell: Long = 4096L,
+      centroids: Option[DataFrame] = None,
+      nProbe: Int = 2): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(newVecs.sparkSession)
+    val cellCount =
+      if (nCells == 0)
+        Similarity.cellsFor(corpus.count() + newVecs.count(), targetPerCell)
+      else nCells
+    val codebook = centroids.getOrElse(Similarity.seedCodebook(corpus, cellCount))
+    def assign(side: DataFrame): DataFrame =
+      if (nCells == 0)
+        Similarity.ivfAssignHierProbe(side, cellCount, nProbe,
+          centroids = Some(codebook)).drop("cell_sim", "probe_rank")
+      else Similarity.ivfAssignProbe(side, cellCount, nProbe, Some(codebook))
+    // one checkpoint after the combined cap: both filtered sides below
+    // consume it, and without the materialization both assignment
+    // pipelines would run once per side
+    val assigned = capBuckets(
+      assign(newVecs).withColumn("_new", lit(true))
+        .unionByName(assign(corpus).withColumn("_new", lit(false))),
+      Seq("cell_id"), maxBucket)
+      .localCheckpoint()
+    val newB = assigned.filter(col("_new"))
+      .select(col("cell_id"), col("vec_id"), col("qv"), col("qn"))
+    val oldB = assigned.filter(!col("_new"))
+      .select(col("cell_id"), col("qv").as("b_qv"), col("qn").as("b_qn"))
+    val losers = newB.join(oldB, Seq("cell_id"))
+      .filter(
+        Similarity.qcosinePre(
+          Similarity.qdot(col("qv"), col("b_qv"), native),
+          col("qn"), col("b_qn")) >= threshold)
+      .select("vec_id").distinct()
+    newVecs.join(losers, Seq("vec_id"), "left_anti")
+  }
 }

@@ -277,6 +277,18 @@ object Similarity {
     .filter(col("vec_id") < nCells)
     .select(col("vec_id").as("cell_id"), col("qv").as("cv"), col("qn").as("cn"))
 
+  /** [[seedCentroids]] from raw embeddings — the public entry for callers
+    * that must PIN one codebook across several assignment calls (the
+    * incremental-dedup shape: the new batch and the persisted corpus
+    * index have to agree on cells, so neither side may re-seed from its
+    * own rows). Returns `(cell_id, cv, cn)`, the `centroids` contract of
+    * [[ivfAssign]]/[[ivfAssignProbe]]/[[ivfAssignHierProbe]].
+    */
+  def seedCodebook(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    seedCentroids(quantizedWithNorms(embeddings, native), nCells)
+  }
+
   /** Argmax cell per vector. qv/qn ride the argmax as first() (identical
     * across the group — one row per centroid) instead of a join back to
     * the corpus: saves a second full embeddings scan + join, and map-side

@@ -383,6 +383,49 @@ class DedupSpec extends AnyFunSuite with Matchers {
     expect.length should be < fresh.count().toInt
   }
 
+  test("incremental semantic dedup equals the full-union cross-pair decision") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter(col("vec_id") < 250L)
+    val fresh = emb.filter(col("vec_id") >= 250L)
+    val inc = Dedup.dropSemanticDuplicatesIncremental(
+      fresh, corpus, threshold = 0.35, targetPerCell = 128L)
+      .select("vec_id").as[Long].collect().sorted
+    // reference decision: the batch pipeline over the WHOLE union (same
+    // auto-sized hier chain; its self-seeded codebook equals the corpus
+    // seed because the corpus holds every low id), restricted to
+    // cross-side pairs — new-vs-new pairs must NOT drop anything here
+    val pairsDf = Dedup.embeddingDupsByCell(
+      emb, threshold = 0.35, nCells = 0, targetPerCell = 128L)
+    val crossHit = pairsDf
+      .filter(col("a_id") < 250L && col("b_id") >= 250L)
+      .select(col("b_id")).distinct().as[Long].collect().toSet
+    Dedup.releaseCheckpoints(pairsDf)
+    val expect = fresh.select("vec_id").as[Long].collect()
+      .filterNot(crossHit).sorted
+    inc.toSeq shouldBe expect.toSeq
+    // discriminating on this data: some dropped, some survive
+    expect.length should be < fresh.count().toInt
+    expect.length should be > 0
+  }
+
+  test("incremental semantic dedup ignores new-vs-new pairs and keeps " +
+    "cross-side losers out (explicit small codebook, flat probe path)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),  // corpus centroid/cell seed
+      (1L, Array(0.0f, 1.0f)),  // corpus
+      (10L, Array(0.99f, 0.01f)), // new: near-dup of corpus 0 -> dropped
+      (11L, Array(0.01f, 0.99f)), // new: near-dup of corpus 1 -> dropped
+      (12L, Array(-0.9f, 0.44f)), // new: far from corpus -> survives
+      (13L, Array(-0.9f, 0.43f))  // new: near-dup of NEW 12 only -> survives
+    ).toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") < 10L)
+    val fresh = emb.filter(col("vec_id") >= 10L)
+    val out = Dedup.dropSemanticDuplicatesIncremental(
+      fresh, corpus, threshold = 0.9, nCells = 2)
+      .select("vec_id").as[Long].collect().sorted
+    out.toSeq shouldBe Seq(12L, 13L)
+  }
+
   test("embedding dups finds same-label near-identical vectors") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
