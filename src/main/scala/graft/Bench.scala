@@ -56,8 +56,9 @@ object Bench {
     "q_bpe_encode_adaptive", "q_sim_ivf_auto", "q_embed_dups_trained_auto",
     "q_embed_recall_trained",
     // round-11 fourth wave: incremental semantic dedup (new batch vs the
-    // pinned-codebook corpus index on the hier chain)
-    "q_dedup_incr_semantic")
+    // pinned-codebook corpus index on the hier chain); trained PQ
+    // sub-quantizers (per-subspace L2 Lloyd's + L2 encode)
+    "q_dedup_incr_semantic", "q_sim_pq_trained")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -164,7 +165,10 @@ object Bench {
     "q_embed_recall_trained" -> 5.440,
     // incremental semantic dedup: batch-side hier assignment + a
     // corpus-index cell join (corpus side is the 250-vector slice)
-    "q_dedup_incr_semantic" -> 1.690)
+    "q_dedup_incr_semantic" -> 1.690,
+    // trained PQ: one L2 Lloyd's pass over m*N sub-vectors + the encode
+    // chain (the train pass roughly doubles the seeded q_sim_pq cost)
+    "q_sim_pq_trained" -> 2.350)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -232,7 +236,8 @@ object Bench {
     "q_sim_ivf_auto" -> 2.730,
     "q_embed_dups_trained_auto" -> 8.910,
     "q_embed_recall_trained" -> 5.860,
-    "q_dedup_incr_semantic" -> 2.700)
+    "q_dedup_incr_semantic" -> 2.700,
+    "q_sim_pq_trained" -> 5.620)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1492,6 +1492,25 @@ object SparkEntry {
       Similarity.pqTopK(t(s, dir, "embeddings"), queryMaxId = 10, k = 5)
         .orderBy("query_id", "rank")),
 
+    // TRAINED PQ sub-quantizers (round-11): one per-subspace L2 Lloyd's
+    // pass refines the seeded codewords, and encode uses the same L2
+    // argmin — the q_sim_ivf_trained ladder applied to the
+    // compressed-domain index (dot-metric training measured as a recall
+    // dead end, iters=2 likewise — see pqTrainCodebooks scaladoc);
+    // the train chain replays in the oracle ahead of the encode chain
+    "q_sim_pq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbs = Similarity.pqTrainCodebooks(emb, m = 4, codebookSize = 16,
+        iters = 1)
+      val out = Similarity.pqTopK(emb, queryMaxId = 10, k = 5,
+        codebooks = Some(cbs), encodeL2 = true)
+        .orderBy("query_id", "rank")
+      // pqTopK pins its own quantized stream; the codebook's checkpoint
+      // IS reachable from out's plan (joined into encode + LUT), so it
+      // is released with the result by the standard caller protocol
+      out
+    }),
+
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -5017,6 +5036,72 @@ object SparkEntry {
         |  SELECT sub.vec_id, sub.s, cb.code_id,
         |   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
         |    ORDER BY list_sum(list_transform(list_zip(sub.xv, cb.cw), p -> p[1] * p[2])) DESC,
+        |     cb.code_id) AS rn
+        |  FROM sub JOIN cb ON cb.s = sub.s)
+        | WHERE rn = 1),
+        |lut AS (
+        | SELECT sub.vec_id AS query_id, sub.s, cb.code_id,
+        |  CAST(list_sum(list_transform(list_zip(sub.xv, cb.cw), p -> p[1] * p[2])) AS BIGINT) AS pd
+        | FROM sub JOIN cb ON cb.s = sub.s WHERE sub.vec_id < 10),
+        |adc AS (
+        | SELECT l.query_id, e.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc
+        | FROM enc e JOIN lut l ON l.s = e.s AND l.code_id = e.code_id
+        | WHERE e.vec_id <> l.query_id
+        | GROUP BY 1, 2),
+        |cand AS (
+        | SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS r
+        |  FROM adc) WHERE r <= 50),
+        |scored AS (
+        | SELECT c.query_id, c.vec_id AS cand_id,
+        |  round(list_sum(list_transform(list_zip(q.qv, x.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(list_sum(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])) AS DOUBLE)
+        |        * CAST(list_sum(list_transform(list_zip(x.qv, x.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
+        | FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v x ON x.vec_id = c.vec_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // trained PQ: one per-subspace L2 Lloyd's pass (assign by exact
+    // integer L2 argmin = argmax(2*dot - |cw|^2), ties low code; per-dim
+    // mean = sum // count truncated toward zero) between the seed (cb0)
+    // and the encode chain, which uses the SAME L2 rule — otherwise the
+    // q_sim_pq replay verbatim against the refined codewords
+    "q_sim_pq_trained" ->
+      """WITH v AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |sub AS (
+        | SELECT vec_id, s, qv[s*16+1 : s*16+16] AS xv
+        | FROM v, range(0, 4) t(s)),
+        |cb0 AS (SELECT vec_id AS code_id, s, xv AS cw FROM sub WHERE vec_id < 16),
+        |pa0 AS (
+        | SELECT s, code_id, xv FROM (
+        |  SELECT sub.s, cb.code_id, sub.xv,
+        |   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+        |    ORDER BY (2 * list_sum(list_transform(list_zip(sub.xv, cb.cw), p -> p[1] * p[2]))
+        |      - list_sum(list_transform(list_zip(cb.cw, cb.cw), p -> p[1] * p[2]))) DESC,
+        |     cb.code_id) AS rn
+        |  FROM sub JOIN cb0 cb ON cb.s = sub.s)
+        | WHERE rn = 1),
+        |pm1 AS (
+        | SELECT s, code_id, pos, SUM(vv) AS sm, COUNT(*) AS n
+        | FROM (SELECT s, code_id, unnest(xv) AS vv, unnest(range(1, len(xv) + 1)) AS pos FROM pa0)
+        | GROUP BY s, code_id, pos),
+        |cb AS (
+        | SELECT s, code_id,
+        |  list(CASE WHEN sm >= 0 THEN sm // n ELSE -((-sm) // n) END ORDER BY pos) AS cw
+        | FROM pm1 GROUP BY s, code_id),
+        |enc AS (
+        | SELECT vec_id, s, code_id FROM (
+        |  SELECT sub.vec_id, sub.s, cb.code_id,
+        |   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+        |    ORDER BY (2 * list_sum(list_transform(list_zip(sub.xv, cb.cw), p -> p[1] * p[2]))
+        |      - list_sum(list_transform(list_zip(cb.cw, cb.cw), p -> p[1] * p[2]))) DESC,
         |     cb.code_id) AS rn
         |  FROM sub JOIN cb ON cb.s = sub.s)
         | WHERE rn = 1),

@@ -777,38 +777,132 @@ object Similarity {
     * encode→LUT→ADC→rerank cascade replays in DuckDB — an
     * oracle-checked PQ index.
     */
+  /** Subspace split of a quantized vector: `m` slices, components
+    * [s·L+1, (s+1)·L] with L = floor(dim/m); the LAST subspace absorbs
+    * the remainder, so no component is silently dropped when dim is not
+    * divisible by m. Shared by [[pqTopK]] (codebook/encode/LUT) and
+    * [[pqTrainCodebooks]] (the two MUST agree or trained codewords would
+    * score against differently-sliced sub-vectors).
+    */
+  private def pqSubspaces(v: Column, m: Int): Column = {
+    val len = (size(v) / m).cast("int")
+    array((0 until m).map { s =>
+      if (s < m - 1) slice(v, lit(s) * len + 1, len)
+      else slice(v, lit(s) * len + 1, size(v) - lit(s) * len)
+    }: _*)
+  }
+
+  /** TRAINED PQ sub-quantizers — per-subspace Lloyd's over the
+    * sub-vectors, the production replacement for [[pqTopK]]'s
+    * deterministic lowest-id codeword seed (the q_sim_ivf →
+    * q_sim_ivf_trained ladder, applied to the compressed-domain index).
+    * Assignment is by exact integer L2 — `argmin ‖x−c‖²`, computed as
+    * `argmax (2·x·c − ‖c‖²)` so it stays in long arithmetic (`‖x‖²` is
+    * constant per row), ties to the lowest code id — the textbook PQ
+    * quantizer objective (minimize reconstruction error, which is what
+    * bounds the ADC dot-product approximation error). Dot-argmax
+    * training was MEASURED as a dead end: it piles members onto
+    * large-norm codewords and costs candidate recall (0.80→0.72 at
+    * sf0.01, 0.70→0.56 at sf0.1 vs the seeded-dot encode), while the L2
+    * chain beats its own seeded-L2 baseline (0.60→0.66 at sf0.1); a
+    * second Lloyd's pass drops recall again (0.66→0.58), so `iters = 1`
+    * is the measured knee — PLANS.md carries the table. Trained
+    * codebooks must therefore be ENCODED with the same L2 rule
+    * ([[pqTopK]]'s `encodeL2`). The new codeword is the per-dimension
+    * integer mean of its members (`sum DIV count`, truncation toward
+    * zero, the [[trainCentroids]] determinism rule), so the whole
+    * train→encode→ADC cascade stays bit-replayable in the oracle. A
+    * codeword that loses all members disappears from its subspace.
+    *
+    * Scale shape per iteration: one corpus × broadcast-codebook scoring
+    * pass over the m·N sub-vector rows, then per-(subspace, code, dim)
+    * partial-aggregated means — communication is
+    * partitions × m × codebookSize × (dim/m) pre-combined rows, corpus
+    * size never shuffled. Returns `(s, code_id, cw)`, the `codebooks`
+    * contract of [[pqTopK]].
+    */
+  def pqTrainCodebooks(
+      embeddings: DataFrame,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      iters: Int = 1): DataFrame = {
+    require(m >= 1 && codebookSize >= 1,
+      s"bad PQ spec: m=$m codebookSize=$codebookSize")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // the sub-vector stream feeds every iteration's assign pass — cache
+    // it for the duration of training (the trainCentroids pattern)
+    val sub = quantizedWithNorms(embeddings, native)
+      .select(col("vec_id"), posexplode(pqSubspaces(col("qv"), m)).as(Seq("s", "xv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cb = sub.filter(col("vec_id") < codebookSize)
+      .select(col("vec_id").as("code_id"), col("s"), col("xv").as("cw"))
+    var cbOwned = false // never release the seed: it reads the caller's input
+    for (_ <- 0 until iters) {
+      val prev = cb
+      val prevOwned = cbOwned
+      val assigned = sub.join(broadcast(cb), Seq("s"))
+        .groupBy("vec_id", "s")
+        .agg(
+          max_by(col("code_id"),
+            struct(
+              (lit(2L) * qdot(col("xv"), col("cw"), native) -
+                qdot(col("cw"), col("cw"), native)).as("d"),
+              (-col("code_id")).as("tb"))).as("code_id"),
+          first("xv").as("xv"))
+      cb = assigned
+        .select(col("s"), col("code_id"), posexplode(col("xv")))
+        .groupBy("s", "code_id", "pos")
+        .agg(sum("col").as("sm"), count(lit(1)).as("n"))
+        .withColumn("v",
+          expr("CASE WHEN sm >= 0 THEN sm DIV n ELSE -((-sm) DIV n) END"))
+        .groupBy("s", "code_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("s"), col("code_id"), transform(col("pv"), p => p("v")).as("cw"))
+        .localCheckpoint()
+      if (prevOwned) Dedup.releaseCheckpoints(prev)
+      cbOwned = true
+    }
+    if (iters > 0) sub.unpersist(blocking = false)
+    cb
+  }
+
   def pqTopK(
       embeddings: DataFrame,
       queryMaxId: Long,
       k: Int,
       m: Int = 4,
       codebookSize: Int = 16,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 50,
+      codebooks: Option[DataFrame] = None,
+      encodeL2: Boolean = false): DataFrame = {
     require(m >= 1 && codebookSize >= 1 && rerank >= k,
       s"bad PQ spec: m=$m codebookSize=$codebookSize rerank=$rerank k=$k")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     // the quantized stream feeds FIVE stages (codebook, encode, LUT, both
     // rerank sides): pin it once — the tfidfPairs lesson
     val vecs = quantizedWithNorms(embeddings, native).localCheckpoint()
-    // subspace s of a quantized vector: components [s·L+1, (s+1)·L] with
-    // L = floor(dim/m); the LAST subspace absorbs the remainder, so no
-    // component is silently dropped when dim is not divisible by m
-    def subs(v: Column): Column = {
-      val len = (size(v) / m).cast("int")
-      array((0 until m).map { s =>
-        if (s < m - 1) slice(v, lit(s) * len + 1, len)
-        else slice(v, lit(s) * len + 1, size(v) - lit(s) * len)
-      }: _*)
-    }
-    val cb = vecs.filter(col("vec_id") < codebookSize)
-      .select(col("vec_id").as("code_id"),
-        posexplode(subs(col("qv"))).as(Seq("s", "cw")))
+    def subs(v: Column): Column = pqSubspaces(v, m)
+    val cb = codebooks
+      .map(_.select(col("code_id"), col("s"), col("cw")))
+      .getOrElse(vecs.filter(col("vec_id") < codebookSize)
+        .select(col("vec_id").as("code_id"),
+          posexplode(subs(col("qv"))).as(Seq("s", "cw"))))
+    // encode metric: seeded codewords rank by raw dot (the historical
+    // baseline); TRAINED codewords must use the same L2 argmin their
+    // Lloyd's assignment used ([[pqTrainCodebooks]]) or encode would
+    // systematically pick larger-norm codewords than training optimized
+    def encScore: Column =
+      if (encodeL2)
+        lit(2L) * qdot(col("xv"), col("cw"), native) -
+          qdot(col("cw"), col("cw"), native)
+      else qdot(col("xv"), col("cw"), native)
     val codes = vecs
       .select(col("vec_id"), posexplode(subs(col("qv"))).as(Seq("s", "xv")))
       .join(broadcast(cb), Seq("s"))
       .groupBy("vec_id", "s")
       .agg(max_by(col("code_id"),
-        struct(qdot(col("xv"), col("cw"), native).as("d"),
+        struct(encScore.as("d"),
           (-col("code_id")).as("tb"))).as("code_id"))
     val lut = vecs.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"),

@@ -104,6 +104,42 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     pqFull shouldBe bruteFull
   }
 
+  test("trained PQ: per-subspace L2 Lloyd's codebook is deterministic, " +
+    "well-shaped, and the full-rerank cascade still equals brute force") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cbs = Similarity.pqTrainCodebooks(real, m = 4, codebookSize = 16, iters = 1)
+    val rows = cbs.collect()
+    // shape: subspaces 0..3, <= 16 codewords each, every codeword 16-dim
+    rows.map(_.getInt(0)).toSet shouldBe Set(0, 1, 2, 3)
+    rows.groupBy(_.getInt(0)).values.foreach(_.length should be <= 16)
+    rows.foreach(r => r.getSeq[Long](2).length shouldBe 16)
+    // deterministic: a second training run yields the identical codebook
+    val cbs2 = Similarity.pqTrainCodebooks(real, m = 4, codebookSize = 16, iters = 1)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Long](2))
+    cbs2.collect().map(key).toSet shouldBe rows.map(key).toSet
+    // compressed-domain candidates from the trained codebook, exact rerank
+    val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(real, queryMaxId = 5L, k = 5,
+      codebooks = Some(cbs), encodeL2 = true)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    pq.size shouldBe 25
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    recall should be >= 0.4
+    // rerank >= corpus: candidates cover everything -> exact answer, with
+    // ANY codebook (the rerank stage reads full-precision vectors)
+    val n = real.count().toInt
+    val pqFull = Similarity.pqTopK(real, queryMaxId = 5L, k = 5, rerank = n,
+      codebooks = Some(cbs2), encodeL2 = true)
+      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    val bruteFull = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    pqFull shouldBe bruteFull
+    graft.ops.Dedup.releaseCheckpoints(cbs)
+    graft.ops.Dedup.releaseCheckpoints(cbs2)
+  }
+
   test("IVF with full probe equals brute force; partial probe is a subset") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
