@@ -1209,6 +1209,27 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // the probe curve's KNEE (round-11: P=2..6 measured by DuckDB probe —
+    // 485/723/855/905/924‰ on the hard sf0.1 slice at ~linear candidate
+    // growth; past P=5 the marginal probe buys <20‰): the graded point a
+    // recall-critical user would actually run. Full table in PLANS.md.
+    "q_embed_recall_probe5" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000L)
+      val truth = Dedup.embeddingDups(
+        emb.withColumn("label", lit(0)), threshold = 0.35)
+        .select(col("a_id"), col("b_id"))
+      val found = Dedup.embeddingDupsByCell(emb, threshold = 0.35,
+        nCells = 0, targetPerCell = 128L, nProbe = 5)
+        .select(col("a_id"), col("b_id"))
+      val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // recall of the APPLY path itself: the DISTINCT loser set the
     // default dropSemanticDuplicates (probe-2 since round 10) drops vs
     // the exact all-pairs loser set, on the same bounded slice. Loser
@@ -4641,6 +4662,9 @@ object SparkEntry {
     // probe-3 point on the cost/recall curve (round-11 ask): what does
     // the third probed cell buy past probe-2, at what candidate volume
     "q_embed_recall_probe3" -> hierRecallOracle(nProbe = 3),
+
+    // the knee of the probe curve (P=2..6 DuckDB-probed; PLANS.md table)
+    "q_embed_recall_probe5" -> hierRecallOracle(nProbe = 5),
 
     // codebook-quality axis: the trained two-level chain at the same
     // k/probes — hierTrainCtes feeds the assign chain via fine2
