@@ -58,7 +58,8 @@ object Bench {
     // round-11 fourth wave: incremental semantic dedup (new batch vs the
     // pinned-codebook corpus index on the hier chain); trained PQ
     // sub-quantizers (per-subspace L2 Lloyd's + L2 encode)
-    "q_dedup_incr_semantic", "q_sim_pq_trained", "q_embed_recall_probe5")
+    "q_dedup_incr_semantic", "q_sim_pq_trained", "q_embed_recall_probe5",
+    "q_embed_recall_union")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -170,7 +171,10 @@ object Bench {
     // chain (the train pass roughly doubles the seeded q_sim_pq cost)
     "q_sim_pq_trained" -> 2.350,
     // the probe curve's knee (905 per-mille on the hard slice)
-    "q_embed_recall_probe5" -> 3.130)
+    "q_embed_recall_probe5" -> 3.130,
+    // multi-axis union recall (cells P2 + RHP bands, both arms verified;
+    // the 814k-pair LSH-arm verify dominates on the bounded slice)
+    "q_embed_recall_union" -> 6.620)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -240,7 +244,8 @@ object Bench {
     "q_embed_recall_trained" -> 5.860,
     "q_dedup_incr_semantic" -> 2.700,
     "q_sim_pq_trained" -> 5.620,
-    "q_embed_recall_probe5" -> 3.000)
+    "q_embed_recall_probe5" -> 3.000,
+    "q_embed_recall_union" -> 6.850)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1230,6 +1230,27 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // the multi-AXIS union (round-11): IVF cell probes ∪ RHP-LSH bands —
+    // the fuzzy-ladder lesson applied to embeddings. The axes' misses
+    // are near-disjoint: 485‰ (cells P=2) ∪ 738‰ (bands 8×4) → 864‰ at
+    // 1.11M candidates, beating probe-4's 855‰ at 1.36M on this slice
+    "q_embed_recall_union" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000L)
+      val truth = Dedup.embeddingDups(
+        emb.withColumn("label", lit(0)), threshold = 0.35)
+        .select(col("a_id"), col("b_id"))
+      val found = Dedup.embeddingDupsUnion(emb, threshold = 0.35,
+        nCells = 0, targetPerCell = 128L)
+        .select(col("a_id"), col("b_id"))
+      val hit = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("recall_milli",
+          when(col("n_true") === 0L, lit(1000L))
+            .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
+    }),
+
     // recall of the APPLY path itself: the DISTINCT loser set the
     // default dropSemanticDuplicates (probe-2 since round 10) drops vs
     // the exact all-pairs loser set, on the same bounded slice. Loser
@@ -4665,6 +4686,46 @@ object SparkEntry {
 
     // the knee of the probe curve (P=2..6 DuckDB-probed; PLANS.md table)
     "q_embed_recall_probe5" -> hierRecallOracle(nProbe = 5),
+
+    // multi-axis union: hier cell probe-2 candidates ∪ portable RHP band
+    // candidates (8 bands × 4 bits — the q_sim_lsh_portable hash family),
+    // both verified at the threshold, then the shared recall agg
+    "q_embed_recall_union" ->
+      s"""WITH ${hierAssignCtes("vec_id < 2000", 2)},
+        |cellcand AS (
+        | SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        | FROM assign x JOIN assign y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+        |sig AS (
+        | SELECT vec_id, list_transform(range(0, 32), p ->
+        |   CASE WHEN list_sum(list_transform(range(0, len(qv)), j ->
+        |     qv[j+1] * (CASE WHEN ('0x' || substr(md5(concat(p, ',', j)), 1, 7))::BIGINT % 2 = 0
+        |                THEN 1 ELSE -1 END))) >= 0
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+        | FROM n),
+        |bk AS (
+        | SELECT vec_id, b,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), bits[(b*4+1):(b*4+4)]), (a, x) -> a*2 + x) AS bucket
+        | FROM sig, range(0, 8) r(b)),
+        |lshcand AS (
+        | SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        | FROM bk x JOIN bk y ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |uni AS (SELECT * FROM cellcand UNION SELECT * FROM lshcand),
+        |truth AS (
+        | SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        | FROM n x JOIN n y ON x.vec_id < y.vec_id
+        | WHERE ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} >= 0.35),
+        |found AS (
+        | SELECT u.a_id, u.b_id
+        | FROM uni u JOIN n x ON x.vec_id = u.a_id JOIN n y ON y.vec_id = u.b_id
+        | WHERE ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} >= 0.35),
+        |agg AS (SELECT
+        | (SELECT count(*) FROM truth) AS n_true,
+        | (SELECT count(*) FROM found) AS n_found,
+        | (SELECT count(*) FROM (SELECT * FROM truth INTERSECT SELECT * FROM found)) AS n_hit)
+        |SELECT n_true, n_found, n_hit,
+        | CASE WHEN n_true = 0 THEN 1000
+        |  ELSE CAST(floor(1000.0 * n_hit / n_true) AS BIGINT) END AS recall_milli
+        |FROM agg""".stripMargin,
 
     // codebook-quality axis: the trained two-level chain at the same
     // k/probes — hierTrainCtes feeds the assign chain via fine2

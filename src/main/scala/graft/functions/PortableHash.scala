@@ -32,6 +32,19 @@ object PortableHash {
   def h28(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 7), 16, 10).cast("long")
 
+  /** Driver-side twin of [[h28]] — identical md5-prefix arithmetic on a
+    * JVM string, for hash values that are PURE FUNCTIONS of constants
+    * (e.g. the RHP plane-sign matrix, a (plane, component) table): the
+    * caller folds them into a literal once instead of re-hashing per
+    * row×plane×component, and the oracle still replays the md5 form.
+    */
+  def h28Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"$b%02x").mkString.substring(0, 7), 16)
+  }
+
   /** Seeded mix of a base hash (seed as a literal). */
   def mix(p: Column, i: Int): Column = mix(p, lit(i.toLong))
 

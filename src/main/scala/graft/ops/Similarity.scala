@@ -178,29 +178,68 @@ object Similarity {
     * xxhash64 path for production (cheaper per row); this twin exists so
     * the driver can hash-match the full ANN pipeline end to end.
     */
-  def lshTopKPortable(
+  /** [[rhpSignaturePortable]] with the ±1 plane matrix FOLDED to a
+    * literal: the sign of component j of plane p is a pure function of
+    * (p, j) — `h28("p,j") % 2` — so it is computed ONCE driver-side
+    * ([[graft.functions.PortableHash.h28Local]], bit-identical to the
+    * in-engine md5 form the oracle replays) instead of
+    * rows × planes × dim times in the executor (measured 4M md5 calls =
+    * ~10 s on a 2000-row slice). `dim` must be the corpus's fixed
+    * embedding width (ragged corpora would need the per-row form).
+    */
+  private[ops] def rhpSignaturePortablePre(
+      qv: Column, planes: Int, dim: Int): Column = {
+    val signs: Seq[Seq[Long]] = (0 until planes).map { p =>
+      (0 until dim).map { j =>
+        if (graft.functions.PortableHash.h28Local(s"$p,$j") % 2 == 0) 1L
+        else -1L
+      }
+    }
+    val mat = typedlit(signs)
+    transform(
+      sequence(lit(0), lit(planes - 1)),
+      p => {
+        val dot = aggregate(
+          zip_with(qv, element_at(mat, p.cast("int") + 1), (x, s) => x * s),
+          lit(0L),
+          (acc, x) => acc + x)
+        when(dot >= 0, lit(1L)).otherwise(lit(0L))
+      })
+  }
+
+  /** Portable RHP band table `(vec_id, qv, qn, band, bucket)` with the
+    * degenerate-bucket cap applied — the shared banding stage of
+    * [[lshTopKPortable]] (search) and
+    * [[Dedup.embeddingDupsByLshPortable]] (pair finding). The signature
+    * is let-bound so the `planes` projections compute once per row, and
+    * the plane-sign matrix is a folded literal
+    * ([[rhpSignaturePortablePre]]) — same values as the md5 form.
+    */
+  private[ops] def rhpBandedPortable(
       embeddings: DataFrame,
-      queryMaxId: Long,
-      k: Int,
-      bands: Int = 8,
-      bandBits: Int = 4,
-      maxBucket: Int = 100000): DataFrame = {
+      bands: Int,
+      bandBits: Int,
+      maxBucket: Int): DataFrame = {
     val planes = bands * bandBits
     // portable buckets never depend on the native family; native here is
     // only the qdot speed knob (identical integer semantics)
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     import graft.functions.ColumnOps
+    // O(1) driver peek for the fixed embedding width — the plane matrix
+    // literal needs it (the cellsFor count() precedent)
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
     val q0 = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val buckets = ColumnOps.bind(rhpSignaturePortable(col("qv"), planes)) { s =>
-      transform(
-        sequence(lit(0), lit(bands - 1)),
-        b =>
-          aggregate(
-            slice(s, b * bandBits + 1, lit(bandBits)),
-            lit(0L),
-            (acc, bit) => acc * 2 + bit))
-    }
-    val banded = Dedup.capBuckets(
+    val buckets =
+      ColumnOps.bind(rhpSignaturePortablePre(col("qv"), planes, dim)) { s =>
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b =>
+            aggregate(
+              slice(s, b * bandBits + 1, lit(bandBits)),
+              lit(0L),
+              (acc, bit) => acc * 2 + bit))
+      }
+    Dedup.capBuckets(
       q0.select(
         col("vec_id"),
         col("qv"),
@@ -209,6 +248,17 @@ object Similarity {
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket"),
       Seq("band", "bucket"), maxBucket)
+  }
+
+  def lshTopKPortable(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      bands: Int = 8,
+      bandBits: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    val banded = rhpBandedPortable(embeddings, bands, bandBits, maxBucket)
     val q = banded
       .filter(col("vec_id") < queryMaxId)
       .select(

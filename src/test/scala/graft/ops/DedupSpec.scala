@@ -387,9 +387,13 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.filter(col("vec_id") < 250L)
     val fresh = emb.filter(col("vec_id") >= 250L)
-    val inc = Dedup.dropSemanticDuplicatesIncremental(
+    val incDf = Dedup.dropSemanticDuplicatesIncremental(
       fresh, corpus, threshold = 0.35, targetPerCell = 128L)
-      .select("vec_id").as[Long].collect().sorted
+    val inc = incDf.select("vec_id").as[Long].collect().sorted
+    // the incremental path checkpoints its combined assignment; release
+    // it or the block leaks into the shared session (hygiene assertions
+    // in other suites count leaked blocks)
+    Dedup.releaseCheckpoints(incDf)
     // reference decision: the batch pipeline over the WHOLE union (same
     // auto-sized hier chain; its self-seeded codebook equals the corpus
     // seed because the corpus holds every low id), restricted to
@@ -408,6 +412,33 @@ class DedupSpec extends AnyFunSuite with Matchers {
     expect.length should be > 0
   }
 
+  test("embedding dup union: superset of both axes, pairs verified at the " +
+    "threshold, sim identical from either arm") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val cellDf = Dedup.embeddingDupsByCell(
+      emb, threshold = 0.35, nCells = 0, targetPerCell = 128L)
+    val cells = pairs(cellDf)
+    Dedup.releaseCheckpoints(cellDf)
+    val lshDf = Dedup.embeddingDupsByLshPortable(emb, threshold = 0.35)
+    val lsh = pairs(lshDf)
+    Dedup.releaseCheckpoints(lshDf)
+    val uniDf = Dedup.embeddingDupsUnion(
+      emb, threshold = 0.35, nCells = 0, targetPerCell = 128L)
+    val uni = pairs(uniDf)
+    Dedup.releaseCheckpoints(uniDf)
+    uni shouldBe (cells union lsh)
+    // the axes genuinely differ on this data (the union exists for this)
+    (lsh -- cells) should not be empty
+    // every union pair is a TRUE pair: verification is exact cosine
+    val truthDf = Dedup.embeddingDups(
+      emb.withColumn("label", lit(0)), threshold = 0.35)
+    val truth = pairs(truthDf)
+    Dedup.releaseCheckpoints(truthDf)
+    (uni -- truth) shouldBe empty
+  }
+
   test("incremental semantic dedup ignores new-vs-new pairs and keeps " +
     "cross-side losers out (explicit small codebook, flat probe path)") {
     val emb = Seq(
@@ -420,9 +451,10 @@ class DedupSpec extends AnyFunSuite with Matchers {
     ).toDF("vec_id", "embedding")
     val corpus = emb.filter(col("vec_id") < 10L)
     val fresh = emb.filter(col("vec_id") >= 10L)
-    val out = Dedup.dropSemanticDuplicatesIncremental(
+    val outDf = Dedup.dropSemanticDuplicatesIncremental(
       fresh, corpus, threshold = 0.9, nCells = 2)
-      .select("vec_id").as[Long].collect().sorted
+    val out = outDf.select("vec_id").as[Long].collect().sorted
+    Dedup.releaseCheckpoints(outDf)
     out.toSeq shouldBe Seq(12L, 13L)
   }
 
