@@ -1420,6 +1420,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // the STREAMING form's decision, on the same split (batch twin —
+    // streaming semantics are spec'd through a MemoryStream in
+    // EmbedStreamOpsSpec): codebook collected to a driver literal, cell
+    // probing as a pure projection, the drop rule a chain of nProbe
+    // stream-static anti-joins — no window, no aggregation, no state
+    "q_dedup_incr_sem_stream" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") < 250L)
+      val codebook = Similarity.seedCodebook(corpus, 16)
+      val index = Similarity.ivfAssignProbe(corpus, 16, nProbe = 2,
+        Some(codebook))
+      graft.streaming.EmbedStreamOps.semanticDedupStream(
+        emb.filter(col("vec_id") >= 250L), index, codebook,
+        threshold = 0.35, nProbe = 2)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // diversity-preserving coreset: one medoid per auto-sized IVF cell
     // (the member closest to its cell centroid) — the KEEP-a-prototype
     // complement of the dedup family's REMOVE-redundant ops; cells grow
@@ -4796,6 +4814,35 @@ object SparkEntry {
         | SELECT 1 FROM assign x JOIN assign y ON x.cell_id = y.cell_id
         | WHERE y.vec_id = e.vec_id AND x.vec_id < 250
         |  AND ${qcos("x.qv", "y.qv", "x.qn", "y.qn")} >= 0.35)
+        |ORDER BY vec_id""".stripMargin,
+
+    // streaming twin: FLAT probe-2 assignment under the k=16 corpus seed
+    // (the streaming path's literal codebook scores all k cells per row),
+    // then the same cross-side NOT-EXISTS rule
+    "q_dedup_incr_sem_stream" ->
+      s"""WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 16
+        |),
+        |assign AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    ${qcos("n.qv", "c.cv", "n.qn", "c.cn")} DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn <= 2
+        |)
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id >= 250 AND NOT EXISTS (
+        | SELECT 1 FROM assign x JOIN assign y ON x.cell_id = y.cell_id
+        | JOIN n nx ON nx.vec_id = x.vec_id JOIN n ny ON ny.vec_id = y.vec_id
+        | WHERE y.vec_id = e.vec_id AND x.vec_id < 250
+        |  AND ${qcos("nx.qv", "ny.qv", "nx.qn", "ny.qn")} >= 0.35)
         |ORDER BY vec_id""".stripMargin,
 
     // same train chain as q_sim_ivf_trained (c0 -> refine -> c2), then the
