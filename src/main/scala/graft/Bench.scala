@@ -59,7 +59,8 @@ object Bench {
     // pinned-codebook corpus index on the hier chain); trained PQ
     // sub-quantizers (per-subspace L2 Lloyd's + L2 encode)
     "q_dedup_incr_semantic", "q_sim_pq_trained", "q_embed_recall_probe5",
-    "q_embed_recall_union", "q_dedup_incr_sem_stream")
+    "q_embed_recall_union", "q_dedup_incr_sem_stream",
+    "q_sim_ivf_trained_auto")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -176,7 +177,9 @@ object Bench {
     // the 814k-pair LSH-arm verify dominates on the bounded slice)
     "q_embed_recall_union" -> 6.620,
     // streaming-twin decision: literal-codebook probes + anti-join chain
-    "q_dedup_incr_sem_stream" -> 1.100)
+    "q_dedup_incr_sem_stream" -> 1.100,
+    // trained search auto: hier train (O(N*sqrt(k))) + hier search split
+    "q_sim_ivf_trained_auto" -> 3.580)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -248,7 +251,8 @@ object Bench {
     "q_sim_pq_trained" -> 5.620,
     "q_embed_recall_probe5" -> 3.000,
     "q_embed_recall_union" -> 6.850,
-    "q_dedup_incr_sem_stream" -> 1.860)
+    "q_dedup_incr_sem_stream" -> 1.860,
+    "q_sim_ivf_trained_auto" -> 8.440)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

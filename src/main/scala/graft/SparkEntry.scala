@@ -1602,6 +1602,24 @@ object SparkEntry {
         nCells = 0, targetPerCell = 128L)
         .orderBy("query_id", "rank")),
 
+    // the search-side TRAINED auto path: hierarchically-trained codebook
+    // at corpus-proportional k feeding the hier search chain — the
+    // q_embed_dups_trained_auto end-state, applied to ANN search (both
+    // train AND assign O(N·√k))
+    "q_sim_ivf_trained_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val kCells = Similarity.cellsFor(emb.count(), 128L)
+      val cents = Similarity.trainCentroidsHier(emb, kCells, iters = 1)
+      val out = Similarity.ivfTopK(emb, queryMaxId = 10L, k = 5,
+        nCells = 0, targetPerCell = 128L, centroids = Some(cents))
+        .orderBy("query_id", "rank")
+      // ivfTopK checkpoints its own assignment (lineage truncated), so
+      // the trained codebook's blocks are dead and unreachable from
+      // `out` — release here (the q_embed_dups_trained_auto lesson)
+      Dedup.releaseCheckpoints(cents)
+      out
+    }),
+
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -4433,6 +4451,26 @@ object SparkEntry {
     // is the index side, ranks <= 2 on the query slice are the probes
     "q_sim_ivf_auto" ->
       s"""WITH ${hierAssignCtes("", 2)},
+        |cells AS (
+        | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),
+        |probed AS (
+        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id
+        | FROM assign WHERE vec_id < 10),
+        |scored AS (
+        | SELECT p.query_id, c.vec_id AS cand_id,
+        |  ${qcos("p.query_qv", "c.qv", "p.query_qn", "c.qn")} AS sim
+        | FROM probed p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // trained search auto: the hierarchical TRAIN chain (hierTrainCtes →
+    // fine2) feeding the same search split — train and assign both
+    // replayed end to end
+    "q_sim_ivf_trained_auto" ->
+      s"""WITH ${hierAssignCtes("", 2, fineFrom = Some("fine2"), extraCtes = hierTrainCtes)},
         |cells AS (
         | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),
         |probed AS (
