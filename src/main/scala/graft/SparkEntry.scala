@@ -1571,6 +1571,13 @@ object SparkEntry {
       out
     }),
 
+    // IVF-PQ (IVFADC, round-11): coarse cells bound WHICH candidates are
+    // scored, residual PQ bounds WHAT is read per candidate — the
+    // production FAISS index shape, in exact long arithmetic end to end
+    "q_sim_ivf_pq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
+        .orderBy("query_id", "rank")),
+
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -5229,6 +5236,81 @@ object SparkEntry {
         |   / sqrt(CAST(list_sum(list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])) AS DOUBLE)
         |        * CAST(list_sum(list_transform(list_zip(x.qv, x.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
         | FROM cand c JOIN v q ON q.vec_id = c.query_id JOIN v x ON x.vec_id = c.vec_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ: coarse argmax-cosine assignment (q_sim_ivf's rule) →
+    // integer residuals → residual-seeded PQ codebook → L2-argmin
+    // encode → per-query probes carrying dot(q, centroid) → LUT-summed
+    // ADC (the IVFADC identity) → exact rerank
+    "q_sim_ivf_pq" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (
+        | SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8
+        |),
+        |asg AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT n.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c) WHERE rn = 1),
+        |res AS (
+        | SELECT a.vec_id, a.cell_id,
+        |  list_transform(list_zip(n.qv, c.cv), p -> p[1] - p[2]) AS rv
+        | FROM asg a JOIN n ON n.vec_id = a.vec_id JOIN c ON c.cell_id = a.cell_id),
+        |sub AS (
+        | SELECT vec_id, cell_id, s, rv[s*16+1 : s*16+16] AS xv
+        | FROM res, range(0, 4) t(s)),
+        |rcb AS (SELECT vec_id AS code_id, s, xv AS cw FROM sub WHERE vec_id < 16),
+        |enc AS (
+        | SELECT vec_id, cell_id, s, code_id FROM (
+        |  SELECT sub.vec_id, sub.cell_id, sub.s, cb.code_id,
+        |   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+        |    ORDER BY (2 * list_sum(list_transform(list_zip(sub.xv, cb.cw), p -> p[1] * p[2]))
+        |      - list_sum(list_transform(list_zip(cb.cw, cb.cw), p -> p[1] * p[2]))) DESC,
+        |     cb.code_id) AS rn
+        |  FROM sub JOIN rcb cb ON cb.s = sub.s)
+        | WHERE rn = 1),
+        |probes AS (
+        | SELECT query_id, cell_id, qc_dot FROM (
+        |  SELECT n.vec_id AS query_id, c.cell_id,
+        |   CAST(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2])) AS BIGINT) AS qc_dot,
+        |   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |    round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |     / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) DESC, c.cell_id) AS rn
+        |  FROM n CROSS JOIN c WHERE n.vec_id < 10) WHERE rn <= 2),
+        |qsub AS (
+        | SELECT vec_id AS query_id, s, qv[s*16+1 : s*16+16] AS qs
+        | FROM n, range(0, 4) t(s) WHERE vec_id < 10),
+        |lut AS (
+        | SELECT q.query_id, q.s, cb.code_id,
+        |  CAST(list_sum(list_transform(list_zip(q.qs, cb.cw), p -> p[1] * p[2])) AS BIGINT) AS pd
+        | FROM qsub q JOIN rcb cb ON cb.s = q.s),
+        |adc AS (
+        | SELECT p.query_id, e.vec_id, CAST(max(p.qc_dot) + sum(l.pd) AS BIGINT) AS adc
+        | FROM enc e JOIN probes p ON p.cell_id = e.cell_id AND e.vec_id <> p.query_id
+        | JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.code_id = e.code_id
+        | GROUP BY 1, 2),
+        |cand AS (
+        | SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS r
+        |  FROM adc) WHERE r <= 50),
+        |scored AS (
+        | SELECT cd.query_id, cd.vec_id AS cand_id,
+        |  round(list_sum(list_transform(list_zip(q.qv, x.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(q.qn AS DOUBLE) * CAST(x.qn AS DOUBLE)), 6) AS sim
+        | FROM cand cd JOIN n q ON q.vec_id = cd.query_id JOIN n x ON x.vec_id = cd.vec_id)
         |SELECT query_id, cand_id, sim, rank FROM (
         | SELECT query_id, cand_id, sim,
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank

@@ -985,6 +985,119 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
+  /** IVF-PQ ANN (the IVFADC index of Jégou et al., the production FAISS
+    * shape): coarse IVF cells bound WHICH vectors are scored, residual
+    * product quantization bounds WHAT is read per vector — at 100 TB the
+    * scan is (probed cells only) × (m byte-codes, not vectors).
+    *
+    *   1. COARSE: every corpus vector takes its argmax-cosine cell
+    *      ([[ivfTopK]]'s rule, trained codebook via `centroids`).
+    *   2. RESIDUAL: `r = qv − c_cell` — exact integer subtraction of
+    *      quantized vectors, so the whole chain stays long-arithmetic.
+    *   3. PQ over residuals: seed codewords are the `codebookSize`
+    *      lowest-id vectors' residual sub-vectors; encode by exact L2
+    *      argmin (`argmax(2·r·cw − ‖cw‖²)`, ties low code — the
+    *      [[pqTrainCodebooks]] measured rule; residuals are centered, so
+    *      the dot-argmax rich-get-richer failure is the same trap).
+    *   4. SEARCH: queries probe their top-`nProbe` cells; for a
+    *      candidate in a probed cell,
+    *      `dot(q, x) = dot(q, c_cell) + dot(q, r) ≈ dot(q, c_cell) +
+    *      Σ_s dot(q_s, cw_{s,code})` — the first term is one integer per
+    *      (query, probed cell), the sum reads the per-query LUT
+    *      (`m·codebookSize` integers, broadcast). The IVFADC identity:
+    *      exact except for the PQ error on the residual.
+    *   5. RERANK: top-`rerank` by approximate dot (ties on id) get exact
+    *      quantized cosine; final top-`k`.
+    *
+    * Every stage is integer-deterministic → the full
+    * assign→residual→encode→LUT→ADC→rerank cascade replays in DuckDB.
+    * The index side is single-assignment, so each candidate meets each
+    * query at most once — no dedup.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      rerank: Int = 50,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"bad IVF spec: nCells=$nCells nProbe=$nProbe")
+    require(m >= 1 && codebookSize >= 1 && rerank >= k,
+      s"bad PQ spec: m=$m codebookSize=$codebookSize rerank=$rerank k=$k")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // the quantized stream feeds assignment, the residual codebook, the
+    // query probes, and both rerank sides — pin it once
+    val vecs = quantizedWithNorms(embeddings, native).localCheckpoint()
+    val cents = centroids.getOrElse(seedCentroids(vecs, nCells))
+    def subs(v: Column): Column = pqSubspaces(v, m)
+    // coarse assignment + integer residual per corpus vector
+    val withRes = assignCore(vecs, cents, native)
+      .join(broadcast(cents), Seq("cell_id"))
+      .withColumn("rv", zip_with(col("qv"), col("cv"), (x, c) => x - c))
+      .select("vec_id", "cell_id", "rv")
+    // residual PQ codebook: lowest-id vectors' residual sub-vectors
+    val rcb = withRes.filter(col("vec_id") < codebookSize)
+      .select(col("vec_id").as("code_id"),
+        posexplode(subs(col("rv"))).as(Seq("s", "cw")))
+    // L2-argmin encode; the candidate's cell rides the agg as first()
+    val codes = withRes
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(subs(col("rv"))).as(Seq("s", "xv")))
+      .join(broadcast(rcb), Seq("s"))
+      .groupBy("vec_id", "s")
+      .agg(
+        max_by(col("code_id"),
+          struct(
+            (lit(2L) * qdot(col("xv"), col("cw"), native) -
+              qdot(col("cw"), col("cw"), native)).as("d"),
+            (-col("code_id")).as("tb"))).as("code_id"),
+        first("cell_id").as("cell_id"))
+    // query probes: top-nProbe cells, carrying the exact dot(q, centroid)
+    val probeW = Window.partitionBy("query_id").orderBy(desc("cell_sim"), asc("cell_id"))
+    val probes = withCellSims(
+      vecs.filter(col("vec_id") < queryMaxId), cents, native)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .join(broadcast(cents), Seq("cell_id"))
+      .select(col("query_id"), col("cell_id"),
+        qdot(col("qv"), col("cv"), native).as("qc_dot"))
+    // per-query residual LUT over the broadcast codebook
+    val lut = vecs.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"),
+        posexplode(subs(col("qv"))).as(Seq("s", "qs")))
+      .join(broadcast(rcb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code_id"),
+        qdot(col("qs"), col("cw"), native).as("pd"))
+    val wAdc = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+    val cands = codes
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code_id"))
+      .groupBy("query_id", "vec_id")
+      .agg((first("qc_dot") + sum("pd")).as("adc"))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= rerank)
+      .select("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    cands
+      .join(broadcast(vecs.filter(col("vec_id") < queryMaxId)
+        .select(col("vec_id").as("query_id"),
+          col("qv").as("qqv"), col("qn").as("qqn"))), "query_id")
+      .join(vecs.select(col("vec_id"), col("qv").as("cqv"), col("qn").as("cqn")),
+        "vec_id")
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        qcosinePre(qdot(col("qqv"), col("cqv"), native),
+          col("qqn"), col("cqn")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** ANN via banded LSH: signature split into `bands` bands; vectors
     * sharing any band bucket become candidates; exact (quantized) cosine
     * re-ranks candidates; top-k per query. Recall is tuned by

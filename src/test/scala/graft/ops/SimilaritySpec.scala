@@ -140,6 +140,27 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     graft.ops.Dedup.releaseCheckpoints(cbs2)
   }
 
+  test("IVF-PQ: compressed-domain candidates with decent recall; full " +
+    "probe + full rerank equals brute force") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    ivfpq.size shouldBe 25
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    recall should be >= 0.4
+    // probing EVERY cell with rerank >= corpus covers all candidates ->
+    // the exact answer, regardless of the PQ approximation
+    val n = real.count().toInt
+    val full = Similarity.ivfPqTopK(real, queryMaxId = 5L, k = 5,
+      nCells = 4, nProbe = 4, rerank = n)
+      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    val bruteFull = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    full shouldBe bruteFull
+  }
+
   test("IVF with full probe equals brute force; partial probe is a subset") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
