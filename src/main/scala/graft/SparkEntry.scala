@@ -1578,6 +1578,15 @@ object SparkEntry {
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    // the auto twin: corpus-proportional cells on the hierarchical
+    // chain, ONE assignment pass serving index and probes, residual PQ
+    // on top — the complete production composition (every scale lever
+    // of the family in one query)
+    "q_sim_ivf_pq_auto" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5,
+        nCells = 0, targetPerCell = 128L)
+        .orderBy("query_id", "rank")),
+
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -5310,6 +5319,61 @@ object SparkEntry {
         | SELECT cd.query_id, cd.vec_id AS cand_id,
         |  round(list_sum(list_transform(list_zip(q.qv, x.qv), p -> p[1] * p[2]))
         |   / sqrt(CAST(q.qn AS DOUBLE) * CAST(x.qn AS DOUBLE)), 6) AS sim
+        | FROM cand cd JOIN n q ON q.vec_id = cd.query_id JOIN n x ON x.vec_id = cd.vec_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ auto: the hierarchical assignment chain (index = rank 1,
+    // query probes = ranks <= 2) feeding the residual-PQ encode/ADC
+    // cascade — fine-centroid residuals, L2 encode, qc_dot + LUT sums
+    "q_sim_ivf_pq_auto" ->
+      s"""WITH ${hierAssignCtes("", 2)},
+        |cellsI AS (
+        | SELECT vec_id, cell_id, qv FROM assign WHERE probe_rank = 1),
+        |res AS (
+        | SELECT i.vec_id, i.cell_id,
+        |  list_transform(list_zip(i.qv, f.cv), p -> p[1] - p[2]) AS rv
+        | FROM cellsI i JOIN fine f ON f.cell_id = i.cell_id),
+        |sub AS (
+        | SELECT vec_id, cell_id, s, rv[s*16+1 : s*16+16] AS xv
+        | FROM res, range(0, 4) t(s)),
+        |rcb AS (SELECT vec_id AS code_id, s, xv AS cw FROM sub WHERE vec_id < 16),
+        |enc AS (
+        | SELECT vec_id, cell_id, s, code_id FROM (
+        |  SELECT sub.vec_id, sub.cell_id, sub.s, cb.code_id,
+        |   ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+        |    ORDER BY (2 * list_sum(list_transform(list_zip(sub.xv, cb.cw), p -> p[1] * p[2]))
+        |      - list_sum(list_transform(list_zip(cb.cw, cb.cw), p -> p[1] * p[2]))) DESC,
+        |     cb.code_id) AS rn
+        |  FROM sub JOIN rcb cb ON cb.s = sub.s)
+        | WHERE rn = 1),
+        |probes AS (
+        | SELECT a.vec_id AS query_id, a.cell_id,
+        |  CAST(list_sum(list_transform(list_zip(a.qv, f.cv), p -> p[1] * p[2])) AS BIGINT) AS qc_dot
+        | FROM assign a JOIN fine f ON f.cell_id = a.cell_id WHERE a.vec_id < 10),
+        |qsub AS (
+        | SELECT vec_id AS query_id, s, qv[s*16+1 : s*16+16] AS qs
+        | FROM n, range(0, 4) t(s) WHERE vec_id < 10),
+        |lut AS (
+        | SELECT q.query_id, q.s, cb.code_id,
+        |  CAST(list_sum(list_transform(list_zip(q.qs, cb.cw), p -> p[1] * p[2])) AS BIGINT) AS pd
+        | FROM qsub q JOIN rcb cb ON cb.s = q.s),
+        |adc AS (
+        | SELECT p.query_id, e.vec_id, CAST(max(p.qc_dot) + sum(l.pd) AS BIGINT) AS adc
+        | FROM enc e JOIN probes p ON p.cell_id = e.cell_id AND e.vec_id <> p.query_id
+        | JOIN lut l ON l.query_id = p.query_id AND l.s = e.s AND l.code_id = e.code_id
+        | GROUP BY 1, 2),
+        |cand AS (
+        | SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS r
+        |  FROM adc) WHERE r <= 50),
+        |scored AS (
+        | SELECT cd.query_id, cd.vec_id AS cand_id,
+        |  ${qcos("q.qv", "x.qv", "q.qn", "x.qn")} AS sim
         | FROM cand cd JOIN n q ON q.vec_id = cd.query_id JOIN n x ON x.vec_id = cd.vec_id)
         |SELECT query_id, cand_id, sim, rank FROM (
         | SELECT query_id, cand_id, sim,

@@ -1023,19 +1023,45 @@ object Similarity {
       m: Int = 4,
       codebookSize: Int = 16,
       rerank: Int = 50,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      centroids: Option[DataFrame] = None,
+      targetPerCell: Long = 4096L): DataFrame = {
+    require(nCells == 0 || (nCells >= 1 && nProbe <= nCells),
       s"bad IVF spec: nCells=$nCells nProbe=$nProbe")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(m >= 1 && codebookSize >= 1 && rerank >= k,
       s"bad PQ spec: m=$m codebookSize=$codebookSize rerank=$rerank k=$k")
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     // the quantized stream feeds assignment, the residual codebook, the
     // query probes, and both rerank sides — pin it once
     val vecs = quantizedWithNorms(embeddings, native).localCheckpoint()
-    val cents = centroids.getOrElse(seedCentroids(vecs, nCells))
+    val cellCount =
+      if (nCells == 0) cellsFor(embeddings.count(), targetPerCell) else nCells
+    val cents = centroids.getOrElse(seedCentroids(vecs, cellCount))
     def subs(v: Column): Column = pqSubspaces(v, m)
-    // coarse assignment + integer residual per corpus vector
-    val withRes = assignCore(vecs, cents, native)
+    // coarse assignment: the auto path (corpus-proportional codebook)
+    // rides the O(N·√k) hierarchical chain — ONE pass serves the index
+    // (probe_rank 1) and the query probes (the ivfTopK auto pattern);
+    // explicit small codebooks keep the exact flat argmax
+    val (assigned, probeRows) =
+      if (nCells == 0) {
+        val ass = ivfAssignHierProbe(embeddings, cellCount, nProbe,
+          centroids = Some(cents)).localCheckpoint()
+        (ass.filter(col("probe_rank") === 1)
+          .select("vec_id", "cell_id", "qv", "qn"),
+          ass.filter(col("vec_id") < queryMaxId)
+            .select(col("vec_id").as("query_id"), col("cell_id"), col("qv")))
+      } else {
+        val probeW =
+          Window.partitionBy("query_id").orderBy(desc("cell_sim"), asc("cell_id"))
+        (assignCore(vecs, cents, native),
+          withCellSims(vecs.filter(col("vec_id") < queryMaxId), cents, native)
+            .withColumnRenamed("vec_id", "query_id")
+            .withColumn("probe_rank", row_number().over(probeW))
+            .filter(col("probe_rank") <= nProbe)
+            .select(col("query_id"), col("cell_id"), col("qv")))
+      }
+    // integer residual per corpus vector
+    val withRes = assigned
       .join(broadcast(cents), Seq("cell_id"))
       .withColumn("rv", zip_with(col("qv"), col("cv"), (x, c) => x - c))
       .select("vec_id", "cell_id", "rv")
@@ -1056,13 +1082,8 @@ object Similarity {
               qdot(col("cw"), col("cw"), native)).as("d"),
             (-col("code_id")).as("tb"))).as("code_id"),
         first("cell_id").as("cell_id"))
-    // query probes: top-nProbe cells, carrying the exact dot(q, centroid)
-    val probeW = Window.partitionBy("query_id").orderBy(desc("cell_sim"), asc("cell_id"))
-    val probes = withCellSims(
-      vecs.filter(col("vec_id") < queryMaxId), cents, native)
-      .withColumnRenamed("vec_id", "query_id")
-      .withColumn("probe_rank", row_number().over(probeW))
-      .filter(col("probe_rank") <= nProbe)
+    // query probes carrying the exact dot(q, centroid)
+    val probes = probeRows
       .join(broadcast(cents), Seq("cell_id"))
       .select(col("query_id"), col("cell_id"),
         qdot(col("qv"), col("cv"), native).as("qc_dot"))
