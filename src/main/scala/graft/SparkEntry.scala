@@ -1230,6 +1230,29 @@ object SparkEntry {
             .otherwise(floor(lit(1000.0) * col("n_hit") / col("n_true")).cast("long")))
     }),
 
+    // index-health audit (round-11): cell-population balance of the
+    // corpus-proportional hier layout, and the SAME report on the
+    // hier-TRAINED codebook. Measured: at k=16 (sf0.1) training improves
+    // skew 1856→1736‰; at toy k=4 (sf0.01) it doesn't (1064→1224) —
+    // training's balance payoff appears at realistic cell counts,
+    // complementing q_embed_recall_trained's recall ±0 on the same data.
+    // One row each, exact integers
+    "q_index_health" -> ((s, dir) =>
+      Similarity.cellHealth(t(s, dir, "embeddings"), targetPerCell = 128L)),
+
+    "q_index_health_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = Similarity.cellsFor(emb.count(), 128L)
+      val cents = Similarity.trainCentroidsHier(emb, k, iters = 1)
+      val out = Similarity.cellHealth(emb, targetPerCell = 128L,
+        centroids = Some(cents))
+      // cellHealth's assignment reads the codebook lazily (no internal
+      // checkpoint), so cents IS reachable from out's plan — but the
+      // one-row result is consumed immediately by Verify/Bench, and
+      // their releaseCheckpoints(out) frees the codebook blocks
+      out
+    }),
+
     // the multi-AXIS union (round-11): IVF cell probes ∪ RHP-LSH bands —
     // the fuzzy-ladder lesson applied to embeddings. The axes' misses
     // are near-disjoint: 485‰ (cells P=2) ∪ 738‰ (bands 8×4) → 864‰ at
@@ -4758,6 +4781,26 @@ object SparkEntry {
 
     // the knee of the probe curve (P=2..6 DuckDB-probed; PLANS.md table)
     "q_embed_recall_probe5" -> hierRecallOracle(nProbe = 5),
+
+    // index health: single-probe hier assignment -> cell populations ->
+    // one-row balance report in exact integers
+    "q_index_health" ->
+      s"""WITH ${hierAssignCtes("", 1)},
+        |pop AS (SELECT cell_id, count(*) AS pop FROM assign GROUP BY cell_id)
+        |SELECT count(*) AS n_cells, CAST(sum(pop) AS BIGINT) AS n_vectors,
+        | min(pop) AS pop_min, max(pop) AS pop_max,
+        | CAST(floor(1000.0 * max(pop) * count(*) / sum(pop)) AS BIGINT) AS skew_milli
+        |FROM pop""".stripMargin,
+
+    // the same report on the hier-TRAINED codebook (train chain feeds
+    // the assignment via fine2)
+    "q_index_health_trained" ->
+      s"""WITH ${hierAssignCtes("", 1, fineFrom = Some("fine2"), extraCtes = hierTrainCtes)},
+        |pop AS (SELECT cell_id, count(*) AS pop FROM assign GROUP BY cell_id)
+        |SELECT count(*) AS n_cells, CAST(sum(pop) AS BIGINT) AS n_vectors,
+        | min(pop) AS pop_min, max(pop) AS pop_max,
+        | CAST(floor(1000.0 * max(pop) * count(*) / sum(pop)) AS BIGINT) AS skew_milli
+        |FROM pop""".stripMargin,
 
     // multi-axis union: hier cell probe-2 candidates ∪ portable RHP band
     // candidates (8 bands × 4 bits — the q_sim_lsh_portable hash family),

@@ -1119,6 +1119,41 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
+  /** Index-health report for an IVF cell layout — the number a
+    * production operator reads before trusting a codebook: cell count,
+    * population extremes, and the skew ratio (`max / ideal`, in
+    * per-mille so the report stays in exact integers). A skew ratio
+    * near 1000 means balanced cells (every within-cell cost bound
+    * holds); a hot cell shows up as skew ≫ 1000 long before it shows up
+    * as a straggler task. Assignment is single-probe (the INDEX side);
+    * `nCells = 0` audits the corpus-proportional hierarchical layout,
+    * `centroids` audits a trained codebook.
+    */
+  def cellHealth(
+      embeddings: DataFrame,
+      nCells: Int = 0,
+      targetPerCell: Long = 4096L,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cellCount =
+      if (nCells == 0) cellsFor(embeddings.count(), targetPerCell) else nCells
+    val assigned =
+      if (nCells == 0)
+        ivfAssignHierProbe(embeddings, cellCount, 1, centroids = centroids)
+          .select("vec_id", "cell_id")
+      else ivfAssign(embeddings, cellCount, centroids)
+        .select("vec_id", "cell_id")
+    assigned
+      .groupBy("cell_id").agg(count(lit(1)).as("pop"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum("pop").as("n_vectors"),
+        min("pop").as("pop_min"),
+        max("pop").as("pop_max"))
+      .withColumn("skew_milli",
+        floor(lit(1000.0) * col("pop_max") * col("n_cells") / col("n_vectors"))
+          .cast("long"))
+  }
+
   /** ANN via banded LSH: signature split into `bands` bands; vectors
     * sharing any band bucket become candidates; exact (quantized) cosine
     * re-ranks candidates; top-k per query. Recall is tuned by
