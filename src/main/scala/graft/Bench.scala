@@ -61,7 +61,10 @@ object Bench {
     "q_dedup_incr_semantic", "q_sim_pq_trained", "q_embed_recall_probe5",
     "q_embed_recall_union", "q_dedup_incr_sem_stream",
     "q_sim_ivf_trained_auto", "q_sim_ivf_pq", "q_sim_ivf_pq_auto",
-    "q_index_health", "q_index_health_trained")
+    "q_index_health", "q_index_health_trained",
+    // round-11 sixth wave: persisted cell-partitioned IVF layout
+    // (write-time assignment + partition-pruned probe reads)
+    "q_sim_ivf_persisted")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -186,7 +189,9 @@ object Bench {
     // IVF-PQ on the hierarchical auto chain (one pass: index + probes)
     "q_sim_ivf_pq_auto" -> 2.980,
     // index-health reports (seeded hier layout / hier-trained codebook)
-    "q_index_health" -> 1.670, "q_index_health_trained" -> 4.420)
+    "q_index_health" -> 1.670, "q_index_health_trained" -> 4.420,
+    // persisted IVF layout: index write + partition-pruned search
+    "q_sim_ivf_persisted" -> 3.300)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -262,7 +267,8 @@ object Bench {
     "q_sim_ivf_trained_auto" -> 8.440,
     "q_sim_ivf_pq" -> 2.270,
     "q_sim_ivf_pq_auto" -> 5.060,
-    "q_index_health" -> 1.990, "q_index_health_trained" -> 8.910)
+    "q_index_health" -> 1.990, "q_index_health_trained" -> 8.910,
+    "q_sim_ivf_persisted" -> 8.400)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

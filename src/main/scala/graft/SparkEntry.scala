@@ -1641,6 +1641,38 @@ object SparkEntry {
         nCells = 0, targetPerCell = 128L)
         .orderBy("query_id", "rank")),
 
+    // PERSISTED index (round-11): the same auto-sized hier chain, but
+    // the assignment pass runs at WRITE time into a cell-partitioned
+    // parquet layout; the search reads back only the probed cells'
+    // partition directories (PartitionFilters — IvfIndexSpec carries the
+    // pruning proof). Result ≡ q_sim_ivf_auto, which is exactly what the
+    // shared oracle asserts: persistence must not change the answer.
+    "q_sim_ivf_persisted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-index")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val emb = t(s, dir, "embeddings")
+        Similarity.writeIvfIndex(emb, tmp.toString, nCells = 0,
+          targetPerCell = 128L)
+        // pin before the scratch layout is deleted: the plan reads it
+        val out = Similarity.searchIvfIndex(
+          emb.filter(col("vec_id") < 10), tmp.toString, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+          .localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // the search-side TRAINED auto path: hierarchically-trained codebook
     // at corpus-proportional k feeding the hier search chain — the
     // q_embed_dups_trained_auto end-state, applied to ANN search (both
@@ -4489,6 +4521,27 @@ object SparkEntry {
     // the ANN-search auto path on the hierarchical chain: probe_rank 1
     // is the index side, ranks <= 2 on the query slice are the probes
     "q_sim_ivf_auto" ->
+      s"""WITH ${hierAssignCtes("", 2)},
+        |cells AS (
+        | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),
+        |probed AS (
+        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id
+        | FROM assign WHERE vec_id < 10),
+        |scored AS (
+        | SELECT p.query_id, c.vec_id AS cand_id,
+        |  ${qcos("p.query_qv", "c.qv", "p.query_qn", "c.qn")} AS sim
+        | FROM probed p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // persisted-index search: the layout round-trip must not change the
+    // answer, so the oracle is the q_sim_ivf_auto replay verbatim — the
+    // quantized integers round-trip parquet exactly, and the partition
+    // pruning under test is a plan property (IvfIndexSpec), not a value
+    "q_sim_ivf_persisted" ->
       s"""WITH ${hierAssignCtes("", 2)},
         |cells AS (
         | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),

@@ -1154,6 +1154,96 @@ object Similarity {
           .cast("long"))
   }
 
+  /** Persist an IVF index as a CELL-PARTITIONED parquet layout — the
+    * "build once, query many" serving shape the in-session paths
+    * ([[ivfTopK]]) cannot express: there the assignment pass runs inside
+    * every query; here it runs ONCE at write time and each later search
+    * reads only the probed cells' partition directories.
+    *
+    * Layout under `dir`:
+    *   - `codebook/` — the fine centroids `(cell_id, cv, cn)`, k rows.
+    *     Written FIRST and read back to drive the assignment, so the
+    *     persisted codebook and the persisted assignments can never
+    *     disagree (quantized integers round-trip parquet exactly).
+    *   - `index/cell_id=<c>/` — `(vec_id, qv, qn)` Hive-partitioned by
+    *     the hierarchical single-probe cell ([[ivfAssignHierProbe]],
+    *     `probe_rank = 1` — O(N·√k) like every auto path).
+    *
+    * Why partitioning IS the index: a probe of `nProbe` cells becomes a
+    * `cell_id IN (...)` partition filter, so the scan lists and reads
+    * ONLY those directories — at 100 TB a 5-probe query against a
+    * 4096-vectors-per-cell layout touches ~5 files regardless of corpus
+    * size ([[graft.ops.IvfIndexSpec]] asserts `PartitionFilters` reaches
+    * the scan and unprobed cells are never read). Returns the cell count.
+    */
+  def writeIvfIndex(
+      embeddings: DataFrame,
+      dir: String,
+      nCells: Int = 0,
+      targetPerCell: Long = 4096L,
+      centroids: Option[DataFrame] = None): Int = {
+    val spark = embeddings.sparkSession
+    val cellCount =
+      if (nCells == 0) cellsFor(embeddings.count(), targetPerCell) else nCells
+    centroids.getOrElse(seedCodebook(embeddings, cellCount))
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val book = spark.read.parquet(s"$dir/codebook")
+    ivfAssignHierProbe(embeddings, cellCount, 1, centroids = Some(book))
+      .select("vec_id", "qv", "qn", "cell_id")
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/index")
+    cellCount
+  }
+
+  /** Search a persisted [[writeIvfIndex]] layout: assign the QUERY slice
+    * against the persisted codebook (hier probe — per-vector
+    * independent, so ranks 1..nProbe here equal what a full-corpus pass
+    * would give these vectors), collect the probed cell ids (bounded by
+    * queries × nProbe — the deliberate, documented driver step: the cell
+    * list must become LITERALS for the partition filter to prune the
+    * scan), then read ONLY those partitions, join on `cell_id`, exact
+    * quantized cosine, per-query top-`k`.
+    *
+    * The query-side assignment is computed twice (once for the cell-list
+    * collect, once feeding the join) — it is queries×nProbe rows with a
+    * pushed-down `vec_id` scan filter, vanishing next to the index read
+    * it prunes; a checkpoint here would leak blocks past return.
+    *
+    * Result ≡ [[ivfTopK]] on the same codebook/probe parameters
+    * (spec'd); `queries` needs the `(vec_id, embedding)` columns.
+    */
+  def searchIvfIndex(
+      queries: DataFrame,
+      dir: String,
+      k: Int,
+      nProbe: Int = 2,
+      pCoarse: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val native = graft.plans.GraftExtensions.available(spark)
+    val book = spark.read.parquet(s"$dir/codebook")
+    val cellCount = book.count().toInt
+    def probes = ivfAssignHierProbe(queries, cellCount, nProbe,
+      pCoarse = pCoarse, centroids = Some(book))
+      .select(col("vec_id").as("query_id"), col("qv").as("query_qv"),
+        col("qn").as("query_qn"), col("cell_id"))
+    val probedCells = probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0))
+    // the partition column reads back type-inferred (int); filter on it
+    // BEFORE the cast so pruning sees the raw partition column, cast
+    // after so the join key matches the codebook's long cell_id
+    val index = spark.read.parquet(s"$dir/index")
+      .filter(col("cell_id").isin(probedCells.map(c => lit(c)): _*))
+      .withColumn("cell_id", col("cell_id").cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    probes.join(index, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        qcosinePre(qdot(col("query_qv"), col("qv"), native),
+          col("query_qn"), col("qn")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   /** ANN via banded LSH: signature split into `bands` bands; vectors
     * sharing any band bucket become candidates; exact (quantized) cosine
     * re-ranks candidates; top-k per query. Recall is tuned by
