@@ -63,8 +63,9 @@ object Bench {
     "q_sim_ivf_trained_auto", "q_sim_ivf_pq", "q_sim_ivf_pq_auto",
     "q_index_health", "q_index_health_trained",
     // round-11 sixth wave: persisted cell-partitioned IVF layout
-    // (write-time assignment + partition-pruned probe reads)
-    "q_sim_ivf_persisted")
+    // (write-time assignment + partition-pruned probe reads), Viterbi
+    // optimal-segmentation tokenizer (native DP twin of greedy)
+    "q_sim_ivf_persisted", "q_tokenize_viterbi")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * `q_embed_dups` is the deliberately quadratic didactic baseline
@@ -191,7 +192,9 @@ object Bench {
     // index-health reports (seeded hier layout / hier-trained codebook)
     "q_index_health" -> 1.670, "q_index_health_trained" -> 4.420,
     // persisted IVF layout: index write + partition-pruned search
-    "q_sim_ivf_persisted" -> 3.300)
+    "q_sim_ivf_persisted" -> 3.300,
+    // Viterbi optimal tokenization (native trie DP, greedy's twin)
+    "q_tokenize_viterbi" -> 0.600)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -268,7 +271,8 @@ object Bench {
     "q_sim_ivf_pq" -> 2.270,
     "q_sim_ivf_pq_auto" -> 5.060,
     "q_index_health" -> 1.990, "q_index_health_trained" -> 8.910,
-    "q_sim_ivf_persisted" -> 8.400)
+    "q_sim_ivf_persisted" -> 8.400,
+    "q_tokenize_viterbi" -> 1.750)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

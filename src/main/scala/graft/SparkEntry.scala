@@ -1786,6 +1786,15 @@ object SparkEntry {
         t(s, dir, "documents"), SparkEntry.demoVocab, maxChars = 80)
         .orderBy("doc_id")),
 
+    // Viterbi OPTIMAL segmentation under the same vocab at all-ones
+    // costs (= minimal token count; the unigram-LM decoding shape) —
+    // directly comparable row-for-row with q_tokenize_greedy, which
+    // measures what the greedy heuristic leaves on the table
+    "q_tokenize_viterbi" -> ((s, dir) =>
+      TextAnalysis.viterbiTokenize(
+        t(s, dir, "documents"), SparkEntry.demoVocab, maxChars = 80)
+        .orderBy("doc_id")),
+
     // C4-style bad-words gate: hits counted, keep flag at the threshold
     "q_blocklist" -> ((s, dir) =>
       TextAnalysis.blocklistFilter(
@@ -5623,6 +5632,53 @@ object SparkEntry {
         |FROM (SELECT s.doc_id, s.ids FROM step s JOIN d ON d.doc_id = s.doc_id
         |      WHERE s.pos > length(d.s))
         |ORDER BY doc_id""".stripMargin,
+
+    // Viterbi DP replay: forward pass carries the cost window as
+    // SCALARS (c1..c3 — the window depth is the vocab's max token
+    // length, a vocab property mirrored as literals exactly like the
+    // VALUES list) plus append-only backpointer lists; the backward
+    // pass walks the backpointers. `fin` MUST be MATERIALIZED: the
+    // backward recursion joins it every iteration, and without the
+    // hint DuckDB re-runs the entire forward recursion per backward
+    // step (measured 84 s → 1.0 s at sf0.01). Tie rule `ORDER BY c,
+    // len DESC, id DESC` + `b.c <= unk` replays the operator's
+    // unique-backpointer contract.
+    "q_tokenize_viterbi" ->
+      """WITH RECURSIVE v(id, tok, len, cost) AS (
+        | SELECT * FROM (VALUES (0,'the',3,1),(1,'of',2,1),(2,'and',3,1),(3,'ing',3,1),(4,'er',2,1),
+        |  (5,'a',1,1),(6,'e',1,1),(7,'i',1,1),(8,'o',1,1),(9,'u',1,1),(10,'t',1,1),(11,'n',1,1),
+        |  (12,'s',1,1),(13,'r',1,1),(14,'h',1,1),(15,'l',1,1),(16,'d',1,1),(17,' ',1,1))),
+        |d AS (SELECT doc_id, substring(text, 1, 80) AS s FROM documents),
+        |fwd(doc_id, pos, c1, c2, c3, bplen, bpid) AS (
+        | SELECT doc_id, 0, 0, NULL::INT, NULL::INT, [0], [0] FROM d
+        | UNION ALL
+        | SELECT f.doc_id, f.pos + 1,
+        |  CASE WHEN b.i IS NOT NULL AND b.c <= f.c1 + 1 THEN b.c ELSE f.c1 + 1 END,
+        |  f.c1, f.c2,
+        |  list_append(f.bplen, CASE WHEN b.i IS NOT NULL AND b.c <= f.c1 + 1 THEN b.l ELSE 1 END),
+        |  list_append(f.bpid,  CASE WHEN b.i IS NOT NULL AND b.c <= f.c1 + 1 THEN b.i ELSE -1 END)
+        | FROM fwd f JOIN d ON d.doc_id = f.doc_id
+        | LEFT JOIN LATERAL (
+        |  SELECT (CASE v.len WHEN 1 THEN f.c1 WHEN 2 THEN f.c2 ELSE f.c3 END) + v.cost AS c,
+        |         v.len AS l, v.id AS i
+        |  FROM v WHERE v.len <= f.pos + 1
+        |   AND substring(d.s, f.pos + 2 - v.len, v.len) = v.tok
+        |  ORDER BY c, l DESC, i DESC LIMIT 1) b ON true
+        | WHERE f.pos < length(d.s)),
+        |fin AS MATERIALIZED (
+        | SELECT f.doc_id, f.pos, f.bplen, f.bpid FROM fwd f JOIN d ON d.doc_id = f.doc_id
+        | WHERE f.pos = length(d.s)),
+        |bwd(doc_id, pos, ids) AS (
+        | SELECT doc_id, pos, CAST([] AS INT[]) FROM fin
+        | UNION ALL
+        | SELECT w.doc_id, w.pos - f.bplen[w.pos + 1], list_prepend(f.bpid[w.pos + 1], w.ids)
+        | FROM bwd w JOIN fin f ON f.doc_id = w.doc_id
+        | WHERE w.pos > 0)
+        |SELECT doc_id,
+        | CAST(len(ids) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(ids, x -> x = -1)) AS BIGINT) AS n_unk,
+        | array_to_string(ids, ' ') AS ids_str
+        |FROM bwd WHERE pos = 0 ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       """WITH c AS (

@@ -316,6 +316,127 @@ object TextAnalysis {
       .select(col("doc_id"), col("q.n_tokens"), col("q.n_unk"), col("q.ids_str"))
   }
 
+  /** Viterbi (OPTIMAL-segmentation) token ids — the unigram-LM /
+    * SentencePiece decoding shape: minimize total integer cost
+    * (`costs(id)` per token, `unkCost` per unmatched code point → -1)
+    * instead of greedy's leftmost-longest heuristic. Per-position
+    * tie-break: cost asc, token length desc, id desc (the id leg only
+    * ever decides unknown-vs-length-1-token — two distinct vocab entries
+    * of equal length cannot both match one span), so the backpointer is
+    * unique and the sequence replays in SQL. Native
+    * [[graft.plans.ViterbiTokenize]] (shared prebuilt trie,
+    * O(len × maxTokenLen) like greedy) when extensions are registered;
+    * a pure-Column DP with IDENTICAL ids otherwise (O(len × vocab)
+    * lambda steps — the bounded-probe fallback, same contract as
+    * [[greedyTokenizeIds]]).
+    */
+  def viterbiTokenizeIds(
+      textCol: Column,
+      vocab: Seq[String],
+      costs: Seq[Int],
+      unkCost: Int,
+      native: Boolean): Column =
+    if (native)
+      call_function("graft_viterbi_tokenize", textCol,
+        array(vocab.map(lit): _*), array(costs.map(lit): _*), lit(unkCost))
+    else {
+      require(vocab.nonEmpty && vocab.forall(_.nonEmpty) &&
+        vocab.distinct.size == vocab.size,
+        "vocab entries must be non-empty and distinct")
+      require(costs.size == vocab.size, "one cost per vocab entry")
+      val varr = array(vocab.map(lit): _*)
+      val carr = array(costs.map(lit): _*)
+      // best candidate edge ENDING at prefix length p: fold the vocab,
+      // seeded with the always-available unknown edge; element_at(best,
+      // k) is the optimal cost of the length-(k-1) prefix
+      def bestEdge(text: Column, best: Column, p: Column): Column =
+        aggregate(
+          sequence(lit(0), lit(vocab.size - 1)),
+          struct(
+            (element_at(best, p) + lit(unkCost)).as("c"),
+            lit(1).as("bl"), lit(-1).as("bi")),
+          (acc, i) => ColumnOps.bind(length(element_at(varr, i + 1))) { li =>
+            ColumnOps.bind(
+              when(li <= p &&
+                  text.substr(p - li + 1, li) === element_at(varr, i + 1),
+                element_at(best, p - li + 1) + element_at(carr, i + 1))
+                .otherwise(lit(null).cast("int"))) { c =>
+              when(c.isNotNull &&
+                  (c < acc.getField("c") ||
+                    (c === acc.getField("c") && (li > acc.getField("bl") ||
+                      (li === acc.getField("bl") && i > acc.getField("bi"))))),
+                struct(c.as("c"), li.as("bl"), i.cast("int").as("bi")))
+                .otherwise(acc)
+            }
+          })
+      when(textCol.isNull, lit(null).cast("array<int>")).otherwise(
+        ColumnOps.bind(textCol) { text =>
+          ColumnOps.bind(
+            // forward DP: append (cost, backpointer len, backpointer id)
+            // per prefix length; surplus steps pass the state through
+            aggregate(
+              sequence(lit(1), greatest(length(text), lit(1))),
+              struct(
+                array(lit(0)).as("best"),
+                array(lit(0)).as("bplen"), array(lit(0)).as("bpid")),
+              (st, p) =>
+                when(p > length(text), st)
+                  .otherwise(ColumnOps.bind(
+                    bestEdge(text, st.getField("best"), p)) { b =>
+                    struct(
+                      concat(st.getField("best"),
+                        array(b.getField("c"))).as("best"),
+                      concat(st.getField("bplen"),
+                        array(b.getField("bl"))).as("bplen"),
+                      concat(st.getField("bpid"),
+                        array(b.getField("bi"))).as("bpid"))
+                  }))) { fin =>
+            // backtrack: n steps max, prepend the backpointer id at pos,
+            // hop back by its length; surplus steps pass through
+            aggregate(
+              sequence(lit(1), greatest(length(text), lit(1))),
+              struct(length(text).as("pos"), lit(Array.empty[Int]).as("ids")),
+              (st, _) =>
+                when(st.getField("pos") <= 0, st)
+                  .otherwise(struct(
+                    (st.getField("pos") -
+                      element_at(fin.getField("bplen"), st.getField("pos") + 1)).as("pos"),
+                    concat(
+                      array(element_at(fin.getField("bpid"), st.getField("pos") + 1)),
+                      st.getField("ids")).as("ids"))),
+              st => st.getField("ids"))
+          }
+        })
+    }
+
+  /** [[viterbiTokenizeIds]] over a documents table, summarized exactly
+    * like [[greedyTokenize]] (token count, unknown count, id sequence as
+    * text) so the two segmentations are directly comparable — with
+    * all-ones costs `n_tokens` is MINIMAL by construction, and
+    * `q_tokenize_viterbi` vs `q_tokenize_greedy` measures what the
+    * greedy heuristic leaves on the table at identical vocab.
+    */
+  def viterbiTokenize(
+      df: DataFrame,
+      vocab: Seq[String],
+      costs: Seq[Int] = Seq.empty,
+      unkCost: Int = 1,
+      maxChars: Int = 80,
+      textCol: String = "text"): DataFrame = {
+    val cs = if (costs.isEmpty) Seq.fill(vocab.size)(1) else costs
+    val native = graft.plans.GraftExtensions.available(df.sparkSession)
+    val s = col(textCol).substr(lit(1), lit(maxChars))
+    df.select(
+      col("doc_id"),
+      ColumnOps.bind(viterbiTokenizeIds(s, vocab, cs, unkCost, native)) { ids =>
+        struct(
+          size(ids).cast("long").as("n_tokens"),
+          size(filter(ids, x => x === -1)).cast("long").as("n_unk"),
+          array_join(transform(ids, x => x.cast("string")), " ").as("ids_str"))
+      }.as("q"))
+      .select(col("doc_id"), col("q.n_tokens"), col("q.n_unk"), col("q.ids_str"))
+  }
+
   /** Corpus-level summary statistics — the sanity dashboard over a
     * training corpus: one partial-aggregated pass, constant-size output.
     */

@@ -146,6 +146,42 @@ object GraftExtensions {
         }
         GreedyTokenize(children.head, vocab)
       }),
+    (FunctionIdentifier("graft_viterbi_tokenize"),
+      new ExpressionInfo(classOf[ViterbiTokenize].getName, "graft_viterbi_tokenize"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_viterbi_tokenize", children, 4)
+        def literalArray(e: Expression, what: String): Array[AnyRef] = e match {
+          case l if l.foldable && l.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType] =>
+            val et = l.dataType
+              .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+            val arr = l.eval(null)
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(et)
+            if (arr.exists(_ == null))
+              sys.error(s"graft_viterbi_tokenize $what must not contain NULLs")
+            arr
+          case _ => sys.error(s"graft_viterbi_tokenize $what must be an array literal")
+        }
+        val vocab = literalArray(children(1), "vocab")
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+        val costs = literalArray(children(2), "costs").map {
+          case i: Integer            => i.intValue()
+          case l: java.lang.Long     => l.toInt
+          case other                 => sys.error(
+            s"graft_viterbi_tokenize costs must be int literals, got $other")
+        }.toSeq
+        val unk = children(3) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(
+              s"graft_viterbi_tokenize unkCost must be an int literal, got $other")
+          }
+          case _ => sys.error("graft_viterbi_tokenize unkCost must be a literal")
+        }
+        ViterbiTokenize(children.head, vocab, costs, unk)
+      }),
     (FunctionIdentifier("graft_roll_hash"),
       new ExpressionInfo(classOf[RollHash].getName, "graft_roll_hash"),
       (children: Seq[Expression]) => {

@@ -111,6 +111,66 @@ object GreedyTokenize {
       }
       new GenericArrayData(out.toArray)
     }
+
+    /** Viterbi (optimal-segmentation) encoding over the same trie: the
+      * id sequence minimizing total integer cost (`costs(id)` per vocab
+      * token, `unkCost` per unmatched code point), ties broken per
+      * position by longer token then real-token-over-unknown — a unique
+      * backpointer everywhere (two DISTINCT vocab entries of equal
+      * length can never both match the same span), so the sequence is
+      * deterministic and replays as `ORDER BY cost, len DESC, id DESC
+      * LIMIT 1` in SQL. One trie walk per start position:
+      * O(len × maxTokenLen), same bound as greedy, plus O(len)
+      * backtrack.
+      */
+    def encodeViterbi(s: UTF8String, costs: Array[Int], unkCost: Int): ArrayData = {
+      val cps = s.toString.codePoints.toArray
+      val n = cps.length
+      val INF = Int.MaxValue / 2
+      val best = new Array[Int](n + 1)
+      val bpLen = new Array[Int](n + 1)
+      val bpId = new Array[Int](n + 1)
+      java.util.Arrays.fill(best, 1, n + 1, INF)
+      var i = 0
+      while (i < n) {
+        val base = best(i)
+        // unknown edge: one code point at unkCost
+        def relax(end: Int, c: Int, len: Int, id: Int): Unit =
+          if (c < best(end) ||
+            (c == best(end) && (len > bpLen(end) ||
+              (len == bpLen(end) && id > bpId(end))))) {
+            best(end) = c; bpLen(end) = len; bpId(end) = id
+          }
+        relax(i + 1, base + unkCost, 1, -1)
+        var node = 0
+        var j = i
+        var continue = true
+        while (continue && j < n) {
+          val next = step(node, cps(j))
+          if (next < 0) continue = false
+          else {
+            node = next
+            j += 1
+            if (ids(node) >= 0)
+              relax(j, base + costs(ids(node)), j - i, ids(node))
+          }
+        }
+        i += 1
+      }
+      // backtrack from the end; count tokens first, then fill in order
+      var pos = n
+      var count = 0
+      while (pos > 0) { count += 1; pos -= bpLen(pos) }
+      val out = new Array[Any](count)
+      pos = n
+      var k = count - 1
+      while (pos > 0) {
+        out(k) = Integer.valueOf(bpId(pos))
+        pos -= bpLen(pos)
+        k -= 1
+      }
+      new GenericArrayData(out)
+    }
   }
 
   object Trie {

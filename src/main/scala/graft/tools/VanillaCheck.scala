@@ -22,7 +22,7 @@ object VanillaCheck {
     for (q <- Seq("q_sim_topk", "q_dedup_simhash", "q_dedup_minhash",
       "q_sim_ivf", "q_sim_ivf_trained", "q_asof_join", "q_range_join",
       "q_decontaminate_bloom", "q_char_entropy", "q_fingerprint",
-      "q_text_tokens", "q_tokenize_greedy",
+      "q_text_tokens", "q_tokenize_greedy", "q_tokenize_viterbi",
       // exercises FuzzyMatch.ensureRegistered: the edit-similarity
       // expressions must self-register into a plain session's registry
       "q_fuzzy_join", "q_text_nfc", "q_dedup_nfc")) {

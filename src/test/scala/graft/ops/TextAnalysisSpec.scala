@@ -91,6 +91,64 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     nat(6L) shouldBe None
   }
 
+  test("viterbi tokenize: native DP and Column fallback agree exactly") {
+    import org.apache.spark.sql.functions.col
+    val vocab = Seq("ab", "a", "bcd", "the", "th", "e", " ")
+    val ones = Seq.fill(vocab.size)(1)
+    val df = Seq(
+      (1L, "abcd"),             // greedy ab|c|d = 3; optimal a|bcd = 2
+      (2L, ""),                 // empty -> zero tokens
+      (3L, "xyz"),              // nothing matches -> all unknown
+      (4L, "the e"),            // exact cover
+      (5L, "café 😀 ab"),      // multi-byte + astral code point
+      (6L, null.asInstanceOf[String]) // NULL -> NULL ids on BOTH paths
+    ).toDF("doc_id", "text")
+    def ids(native: Boolean) = df.select(col("doc_id"),
+      TextAnalysis.viterbiTokenizeIds(col("text"), vocab, ones, 1, native).as("ids"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Int](1))).toMap
+    val nat = ids(native = true)
+    val fb = ids(native = false)
+    nat shouldBe fb
+    nat(1L) shouldBe Some(Seq(1, 2))          // a | bcd beats ab | unk | unk
+    nat(2L) shouldBe Some(Seq())
+    nat(3L) shouldBe Some(Seq(-1, -1, -1))
+    nat(4L) shouldBe Some(Seq(3, 6, 5))       // the | ' ' | e
+    nat(5L) shouldBe Some(Seq(-1, 1, -1, -1, 6, -1, 6, 0)) // c,a,f,é,' ',😀,' ',ab
+    nat(6L) shouldBe None
+  }
+
+  test("viterbi: weighted costs steer the segmentation; ties prefer longer then real tokens") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val vocab = Seq("ab", "c", "abc")
+    def run(costs: Seq[Int], unk: Int, native: Boolean) = df.select(
+      TextAnalysis.viterbiTokenizeIds(col("text"), vocab, costs, unk, native).as("ids"))
+      .head.getSeq[Int](0)
+    for (native <- Seq(true, false)) {
+      // equal totals (1+2 vs 3, unk priced out): tie prefers the LONGER token
+      run(Seq(1, 2, 3), 9, native) shouldBe Seq(2)
+      // make the split strictly cheaper
+      run(Seq(1, 1, 9), 9, native) shouldBe Seq(0, 1)
+      // a cheap unknown edge undercuts an expensive real token
+      run(Seq(9, 9, 9), 1, native) shouldBe Seq(-1, -1, -1)
+      // cost ties against unknown edges resolve to the REAL token
+      run(Seq(9, 1, 9), 1, native) shouldBe Seq(-1, -1, 1)
+    }
+  }
+
+  test("viterbi n_tokens is never above greedy's at all-ones costs") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val vocab = graft.SparkEntry.demoVocab
+    val g = TextAnalysis.greedyTokenize(docs, vocab)
+      .selectExpr("doc_id", "n_tokens AS g").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = TextAnalysis.viterbiTokenize(docs, vocab)
+      .selectExpr("doc_id", "n_tokens AS v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    v.keySet shouldBe g.keySet
+    v.foreach { case (id, n) => n should be <= g(id) }
+  }
+
   test("greedy tokenize query shape summarizes to scalars") {
     val df = Seq((7L, "the end")).toDF("doc_id", "text")
     val r = TextAnalysis.greedyTokenize(df, Seq("the", "e", "n", "d", " ")).head
