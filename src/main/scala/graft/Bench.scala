@@ -65,15 +65,22 @@ object Bench {
     // round-11 sixth wave: persisted cell-partitioned IVF layout
     // (write-time assignment + partition-pruned probe reads), Viterbi
     // optimal-segmentation tokenizer (native DP twin of greedy)
-    "q_sim_ivf_persisted", "q_tokenize_viterbi")
+    "q_sim_ivf_persisted", "q_tokenize_viterbi",
+    // round-12: trap-vocab Viterbi-vs-greedy (per-doc + corpus gain),
+    // weighted (trained unigram-LM) decoding, persisted-IVF SEARCH-ONLY
+    // (cached layout), streaming ANN serving twin
+    "q_tokenize_viterbi_trap", "q_tokenize_viterbi_gain",
+    "q_tokenize_viterbi_weighted", "q_sim_ivf_search", "q_sim_ivf_stream")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
-    * `q_embed_dups` is the deliberately quadratic didactic baseline
-    * (fixed label blocks, 39×-class scaling measured at sf1) — its
-    * operator + spec + sf0.1 gate entry stay, but the scale surface
-    * carries only the linear-in-N cell/trained shapes beside it.
+    * EMPTY since round 12: `q_embed_dups` — the one former member, the
+    * deliberately quadratic didactic baseline (fixed label blocks, 39×-
+    * class scaling measured at sf1) — now caps its declared input at
+    * the sf0.1 slice (`vec_id < 2000`, a no-op at ≤ sf0.1), so no sf
+    * dir can run it quadratic and it rejoined the sf1 surface as a
+    * constant-size row. The mechanism stays for future didactic shapes.
     */
-  val sf1Exclude: Set[String] = Set("q_embed_dups")
+  val sf1Exclude: Set[String] = Set.empty
 
   /** First-seen gated time per query (sec, sf0.1, driver bench): the r1
     * value where the query was in the r1 bench, else the value from the
@@ -160,8 +167,12 @@ object Bench {
     // union recall — the probe-2 rule: deliberately bought quality)
     "q_entity_resolve" -> 8.780,
     // 645-merge train + vocab-cached encode round trip (train rounds
-    // dominate; corpus-side cost is merge-count independent)
-    "q_bpe_encode_adaptive" -> 11.150,
+    // dominate; corpus-side cost is merge-count independent).
+    // RE-SEEDED r12 (ADVICE r11): the r11 single-run seed (11.15) was
+    // best-case — three spaced r12 reps measured 15.1/17.4/22.8 under
+    // a 1.0–1.35x-calibrated host (q1_agg canary), so the base is the
+    // drift-corrected median, not the one lucky run
+    "q_bpe_encode_adaptive" -> 15.500,
     // ANN search on the hierarchical auto codebook (one pass serves
     // index + probes)
     "q_sim_ivf_auto" -> 1.880,
@@ -179,8 +190,10 @@ object Bench {
     // the probe curve's knee (905 per-mille on the hard slice)
     "q_embed_recall_probe5" -> 3.130,
     // multi-axis union recall (cells P2 + RHP bands, both arms verified;
-    // the 814k-pair LSH-arm verify dominates on the bounded slice)
-    "q_embed_recall_union" -> 6.620,
+    // the 814k-pair LSH-arm verify dominates on the bounded slice).
+    // RE-SEEDED r12 (ADVICE r11): r11's 6.62 single-run seed never
+    // reproduced (r12 spaced reps 13.8/18.8 at canary drift 1.0–1.35x)
+    "q_embed_recall_union" -> 11.000,
     // streaming-twin decision: literal-codebook probes + anti-join chain
     "q_dedup_incr_sem_stream" -> 1.100,
     // trained search auto: hier train (O(N*sqrt(k))) + hier search split
@@ -194,7 +207,19 @@ object Bench {
     // persisted IVF layout: index write + partition-pruned search
     "q_sim_ivf_persisted" -> 3.300,
     // Viterbi optimal tokenization (native trie DP, greedy's twin)
-    "q_tokenize_viterbi" -> 0.600)
+    "q_tokenize_viterbi" -> 0.600,
+    // round-12 first-gated values (3 spaced BenchOne reps, steady state)
+    // trap DP pair: both segmentations in ONE codegen'd projection
+    "q_tokenize_viterbi_trap" -> 1.050,
+    "q_tokenize_viterbi_gain" -> 1.100,
+    // weighted decoding: + the one-row cost-training collect
+    "q_tokenize_viterbi_weighted" -> 2.600,
+    // SEARCH-ONLY against the cached persisted layout (build absorbed
+    // into run 1 by best-of-2; this row is the serving latency)
+    "q_sim_ivf_search" -> 2.700,
+    // streaming serving twin run as its batch twin (driver-literal
+    // probes + static cell-array join; no partition pruning by design)
+    "q_sim_ivf_stream" -> 1.800)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -258,21 +283,36 @@ object Bench {
     "q_bpe_train_adaptive" -> 10.230,
     "q_fuzzy_recall_qgram" -> 4.590,
     "q_entity_resolve" -> 9.660,
-    "q_bpe_encode_adaptive" -> 11.640,
+    // RE-SEEDED r12 (ADVICE r11, same rationale as the sf0.1 entry):
+    // spaced reps 24.1/33.6 under a 1.0–1.35x-calibrated host
+    "q_bpe_encode_adaptive" -> 22.000,
     "q_sim_ivf_auto" -> 2.730,
     "q_embed_dups_trained_auto" -> 8.910,
     "q_embed_recall_trained" -> 5.860,
     "q_dedup_incr_semantic" -> 2.700,
     "q_sim_pq_trained" -> 5.620,
     "q_embed_recall_probe5" -> 3.000,
-    "q_embed_recall_union" -> 6.850,
+    // RE-SEEDED r12 (ADVICE r11): spaced reps 7.9/9.6/14.8
+    "q_embed_recall_union" -> 9.000,
     "q_dedup_incr_sem_stream" -> 1.860,
     "q_sim_ivf_trained_auto" -> 8.440,
     "q_sim_ivf_pq" -> 2.270,
     "q_sim_ivf_pq_auto" -> 5.060,
     "q_index_health" -> 1.990, "q_index_health_trained" -> 8.910,
     "q_sim_ivf_persisted" -> 8.400,
-    "q_tokenize_viterbi" -> 1.750)
+    "q_tokenize_viterbi" -> 1.750,
+    // round-12 first-seen sf1 values (steady-state BenchOne reps).
+    // q_sim_ivf_search is the headline number: 2.2–3.0 s at sf0.1 →
+    // 3.0–3.4 s at 10× data — search cost ~flat because the probe is a
+    // partition filter (the build, absorbed by best-of-2, is what grows)
+    "q_tokenize_viterbi_trap" -> 3.750,
+    "q_tokenize_viterbi_gain" -> 2.250,
+    "q_tokenize_viterbi_weighted" -> 5.000,
+    "q_sim_ivf_search" -> 3.400,
+    "q_sim_ivf_stream" -> 3.400,
+    // capped didactic baseline, back on the sf1 surface as a
+    // constant-size row (input = the sf0.1 slice at every scale)
+    "q_embed_dups" -> 1.400)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -446,6 +486,29 @@ object Bench {
           System.err.println(s"[bench] ingest_full isolation failed: ${e.getMessage}")
           -1.0 }
       } else exec(name)
+    // HOST-DRIFT CANARY (round-12): the r11 gate was defeated by a
+    // contention window that OUTLIVED the end-of-run isolation pass — 8
+    // phantom "confirmed" regressions (the whole multimodal block at
+    // 8–11 s isolated vs 0.5–1.2 s steady state) because the isolation
+    // re-run re-measured inside the same slow window. Re-running the
+    // same shape more times cannot fix that; a CONTROL can: a panel of
+    // fixed sub-second queries whose code never changes, re-timed beside
+    // the flagged re-runs. The panel's median ratio vs its own bases is
+    // pure host signal (a code regression in a flagged query cannot
+    // inflate the canaries), so confirmation divides by it — a window
+    // that doubles everything doubles the canaries too and normalizes
+    // out, while a genuine 2× regression stands against flat canaries.
+    val canaryNames =
+      Seq("q_topk", "q_split", "q_corpus_stats").filter(baseline.contains)
+    def canaryDrift(): Double = {
+      val rs = canaryNames.map { c =>
+        val v = exec(c)
+        if (v <= 0) 1.0 else v / baseline(c)
+      }.sorted
+      val med = if (rs.isEmpty) 1.0 else rs(rs.size / 2)
+      // never normalize UP: a fast-host panel must not inflate ratios
+      math.max(1.0, med)
+    }
     val flagged = ratios.filter(_._3 > 2.0)
     // Round-11: the heavy tail is ALSO isolation re-measured every run,
     // flag or no flag. A real 1.3–2.0× drift on an expensive query hides
@@ -462,18 +525,42 @@ object Bench {
     }.toMap
     // a FAILED isolation re-run (exec -1) confirms, never clears: a
     // query that flags >2x and then crashes during confirmation is a
-    // regression plus a crash, not a phantom
-    val confirmed = flagged.collect {
-      case (k, _, r0) if isolated(k) < 0 => (k, r0)
-      case (k, _, _) if isolated(k) / baseline(k) > 2.0 =>
-        (k, isolated(k) / baseline(k))
+    // regression plus a crash, not a phantom.
+    //
+    // Everything else confirms only against the canary control: the
+    // isolation ratio is divided by the host drift the canary panel
+    // measures right after the flagged re-runs. Queries still over 2×
+    // after normalization get ONE time-spaced second rep (after the
+    // top-cost isolation block has burned more minutes), again
+    // canary-normalized — confirmation requires the regression to
+    // reproduce in BOTH drift-corrected reps.
+    val drift1 = if (flagged.isEmpty) 1.0 else canaryDrift()
+    if (flagged.nonEmpty)
+      System.err.println(f"[bench] canary drift (isolation pass) = $drift1%5.2f")
+    val rep1 = flagged.collect {
+      case (k, _, r0) if isolated(k) < 0 => (k, r0, true)
+      case (k, _, _) if isolated(k) / baseline(k) / drift1 > 2.0 =>
+        (k, isolated(k) / baseline(k) / drift1, false)
+    }
+    val confirmed = if (rep1.isEmpty) Seq.empty[(String, Double)] else {
+      val drift2 = canaryDrift()
+      System.err.println(f"[bench] canary drift (second rep) = $drift2%5.2f")
+      rep1.flatMap {
+        case (k, r, true) => Some((k, r)) // crashed: confirmed as-is
+        case (k, _, false) =>
+          System.err.println(s"[bench] second-chance re-run of flagged $k")
+          val v2 = isolate(k)
+          val r2 = if (v2 < 0) Double.MaxValue else v2 / baseline(k) / drift2
+          if (r2 > 2.0) Some((k, math.min(isolated(k) / baseline(k) / drift1, r2)))
+          else None
+      }
     }
     confirmed.foreach { case (k, r) =>
-      System.err.println(f"[bench] CONFIRMED >2x regression: $k x=$r%5.2f")
+      System.err.println(f"[bench] CONFIRMED >2x regression: $k x=$r%5.2f (canary-normalized, 2 reps)")
     }
     flagged.filterNot(f => confirmed.exists(_._1 == f._1)).foreach { case (k, _, r0) =>
       System.err.println(
-        f"[bench] flag cleared in isolation: $k initial=$r0%5.2f isolated=${isolated(k) / baseline(k)}%5.2f")
+        f"[bench] flag cleared in isolation: $k initial=$r0%5.2f isolated=${isolated(k) / baseline(k)}%5.2f drift=$drift1%5.2f")
     }
     val over2x = confirmed
       .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
@@ -486,7 +573,7 @@ object Bench {
     // gc_ms: total collector time over the whole run — a contaminated run
     // (host interference, heap pressure) shows up as an outsized value
     // relative to the ~61 s clean-run shape.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // full artifact for the repo: per-query seconds, plus base/ratio
     // where the scale's baseline map has an entry (new queries
@@ -501,7 +588,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"sf":"$sfDir","confirmed_over2x":${confirmed.size},"queries":$full}""".getBytes("UTF-8"))
+      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"sf":"$sfDir","confirmed_over2x":${confirmed.size},"queries":$full}""".getBytes("UTF-8"))
     SparkEntry.releaseSharedFixtures()
     spark.stop()
     // the gate BITES (round-10): rc != 0 on confirmed violations only —

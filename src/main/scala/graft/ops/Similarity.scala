@@ -226,9 +226,21 @@ object Similarity {
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     import graft.functions.ColumnOps
     // O(1) driver peek for the fixed embedding width — the plane matrix
-    // literal needs it (the cellsFor count() precedent)
-    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
-    val q0 = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    // literal needs it (the cellsFor count() precedent). An empty corpus
+    // has no width to peek; any placeholder works because zero rows flow
+    // through the (lazy) plan below — the call degrades to an empty band
+    // table instead of throwing (the lshTopKPortable contract).
+    val dim = embeddings.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    // the plane matrix is sized for `dim`: a ragged corpus would silently
+    // hash truncated/padded signatures — fail loudly per row instead
+    val q0 = embeddings
+      .filter(size(col("embedding")) === lit(dim) ||
+        raise_error(concat(
+          lit(s"ragged embedding dim: expected $dim, got "),
+          size(col("embedding")).cast("string"),
+          lit(" at vec_id "), col("vec_id").cast("string"))).cast("boolean"))
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val buckets =
       ColumnOps.bind(rhpSignaturePortablePre(col("qv"), planes, dim)) { s =>
         transform(
@@ -618,10 +630,18 @@ object Similarity {
       centsOwned = true
     }
     // the final codebook is checkpointed (iters > 0), so the training
-    // cache is dead weight from here — release it; with iters == 0 the
-    // seed still reads through vecs, so keep the (lazy, evictable) cache
-    if (iters > 0) vecs.unpersist(blocking = false)
-    cents
+    // cache is dead weight from here — release it. With iters == 0 the
+    // seed still reads through vecs: hand the caller a checkpointed copy
+    // and free the cache (the trainCentroidsHier iters=0 pattern), so
+    // the ownership protocol is uniform — the returned codebook is
+    // ALWAYS a checkpoint the caller frees with Dedup.releaseCheckpoints
+    // and no persist cache outlives the call.
+    if (iters > 0) { vecs.unpersist(blocking = false); cents }
+    else {
+      val pinned = cents.localCheckpoint()
+      vecs.unpersist(blocking = false)
+      pinned
+    }
   }
 
   /** HIERARCHICAL codebook training — the O(N·√k·iters) twin of
@@ -649,6 +669,14 @@ object Similarity {
     * the group (`coarse = cell_id div m`) but consumers don't need
     * that. Fully deterministic, so the whole two-level chain replays in
     * the DuckDB oracle (`q_embed_dups_trained_auto`).
+    *
+    * SIZE CONTRACT: with `c = ceil(sqrt(k))` and `m = ceil(k/c)`, the
+    * codebook holds at most `c*m` cells with ids in `[0, c*m)` — equal
+    * to `k` exactly when `c` divides `k` (every square `k`, and most
+    * round sizes), up to `c*m > k` otherwise (e.g. `k = 10` → `c = 4`,
+    * `m = 3`, ≤ 12 cells, ids < 12). Callers sizing arrays or asserting
+    * bounds by `k` must use `c*m`; the auto paths only ever iterate the
+    * returned rows, so they are unaffected.
     */
   def trainCentroidsHier(
       embeddings: DataFrame, k: Int, iters: Int = 1): DataFrame = {
@@ -913,8 +941,17 @@ object Similarity {
       if (prevOwned) Dedup.releaseCheckpoints(prev)
       cbOwned = true
     }
-    if (iters > 0) sub.unpersist(blocking = false)
-    cb
+    // iters > 0: cb is its loop's checkpoint, the cache is dead weight.
+    // iters == 0: the seed reads through `sub` — checkpoint a copy and
+    // free the cache (trainCentroids iters=0 pattern), so the returned
+    // codebook is ALWAYS a caller-releasable checkpoint and no persist
+    // cache outlives the call.
+    if (iters > 0) { sub.unpersist(blocking = false); cb }
+    else {
+      val pinned = cb.localCheckpoint()
+      sub.unpersist(blocking = false)
+      pinned
+    }
   }
 
   def pqTopK(

@@ -88,4 +88,141 @@ object EmbedStreamOps {
     }
     out.drop("_probes", "_qv", "_qn")
   }
+
+  /** STREAMING ANN serving over a persisted [[Similarity.writeIvfIndex]]
+    * layout — the query-side twin of [[semanticDedupStream]]: queries
+    * arrive as a (micro-batch) stream and probe the cell-partitioned
+    * index, answer ≡ [[Similarity.searchIvfIndex]] on the same layout
+    * and parameters (same hier probes, same exact cosine, same ranking;
+    * spec'd equal, and the declared `q_sim_ivf_stream` replays it
+    * against the very oracle that pins the batch paths).
+    *
+    * Mid-stream there is no window, no aggregation, and no per-batch
+    * driver collect, so every stage is re-expressed stream-natively:
+    *
+    *   1. HIER PROBING is a PURE PROJECTION: the persisted codebook is
+    *      read ONCE at plan time; the fine→coarse group map is computed
+    *      with the exact [[Similarity.ivfAssignHierProbe]] expressions
+    *      (a codebook-sized batch job) and collected to driver
+    *      literals. Each query row scores the √k coarse entries in-row
+    *      (array_sort ≡ the (cell_sim DESC, cell_id ASC) window rule),
+    *      keeps `pCoarse` groups, then ranks only fine cells of probed
+    *      groups — bit-identical probe cells to the batch hier chain.
+    *   2. CANDIDATES are `nProbe` stream-static LEFT equi-joins against
+    *      the index grouped into per-cell member ARRAYS (a probe that
+    *      matched no cell contributes nothing). A stream cannot turn
+    *      its probes into partition-filter literals the way the batch
+    *      search does — the serving deployment instead keeps the
+    *      cell-array table cached (it IS the in-memory ANN index); at
+    *      `targetPerCell` sizing each row carries a bounded member
+    *      list, so the per-row work is O(nProbe × cellCap).
+    *   3. TOP-K is an IN-ROW array sort over the concatenated
+    *      candidates ((sim DESC, cand_id ASC) via the negated-sim
+    *      struct trick), sliced to `k` and posexploded to the
+    *      (query_id, cand_id, sim, rank) contract.
+    */
+  def searchIvfIndexStream(
+      queries: DataFrame,
+      indexDir: String,
+      k: Int,
+      nProbe: Int = 2,
+      pCoarse: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(pCoarse >= 1, s"pCoarse must be >= 1, got $pCoarse")
+    val spark = queries.sparkSession
+    val native = graft.plans.GraftExtensions.available(spark)
+    import org.apache.spark.sql.expressions.Window
+    val book = spark.read.parquet(s"$indexDir/codebook")
+    val coarseCount = math.ceil(math.sqrt(
+      math.max(1L, book.count()).toDouble)).toInt
+    // fine→coarse map, computed with ivfAssignHierProbe's own
+    // expressions over the codebook (k rows — plan-time, not per batch)
+    val coarseDf = book
+      .withColumn("_r", row_number().over(Window.orderBy(asc("cell_id"))))
+      .filter(col("_r") <= coarseCount)
+      .select(col("cell_id").as("coarse_id"),
+        col("cv").as("ccv"), col("cn").as("ccn"))
+    val fineMap = book.select("cell_id", "cv", "cn")
+      .join(broadcast(coarseDf))
+      .withColumn("_cs", Similarity.qcosinePre(
+        Similarity.qdot(col("cv"), col("ccv"), native), col("cn"), col("ccn")))
+      .groupBy("cell_id")
+      .agg(
+        max_by(col("coarse_id"),
+          struct(col("_cs"), (-col("coarse_id")).as("tb"))).as("coarse_id"),
+        first("cv").as("cv"), first("cn").as("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2), r.getLong(3)))
+      .sortBy(_._1)
+    require(fineMap.nonEmpty, "persisted codebook is empty")
+    val coarseRows = coarseDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // (-cosine, id) structs: ascending array_sort = the hier probe's
+    // (cell_sim DESC, cell_id ASC) window order
+    def negScored(qv: Column, qn: Column,
+        rows: Seq[(Long, Seq[Long], Long)]): Column = array(rows.map {
+      case (id, cv, cn) =>
+        struct(
+          (-Similarity.qcosinePre(
+            Similarity.qdot(qv, typedlit(cv), native), qn, lit(cn))).as("ns"),
+          lit(id).as("cid"))
+    }: _*)
+    // fine entries carry their group id for the probed-group filter
+    def fineScored(qv: Column, qn: Column): Column = array(fineMap.map {
+      case (id, g, cv, cn) =>
+        struct(
+          (-Similarity.qcosinePre(
+            Similarity.qdot(qv, typedlit(cv), native), qn, lit(cn))).as("ns"),
+          lit(id).as("cid"), lit(g).as("g"))
+    }: _*)
+    val in = queries
+      .withColumn("_qv", Similarity.quantize(col("embedding")))
+      .withColumn("_qn", Similarity.qdot(col("_qv"), col("_qv"), native))
+      .withColumn("_pg",
+        transform(
+          slice(array_sort(negScored(col("_qv"), col("_qn"), coarseRows)),
+            1, pCoarse),
+          p => p("cid")))
+      .withColumn("_pc",
+        slice(
+          array_sort(filter(fineScored(col("_qv"), col("_qn")),
+            f => array_contains(col("_pg"), f("g")))),
+          1, nProbe))
+    // static side: the persisted layout as per-cell member arrays — the
+    // in-memory serving index (member order is irrelevant: the final
+    // ranking re-sorts by (sim, cand_id))
+    val memberType = "array<struct<vec_id:bigint,qv:array<bigint>,qn:bigint>>"
+    val cellsArr = spark.read.parquet(s"$indexDir/index")
+      .withColumn("cell_id", col("cell_id").cast("long"))
+      .groupBy("cell_id")
+      .agg(collect_list(struct(col("vec_id"), col("qv"), col("qn")))
+        .as("members"))
+    val joined = (0 until nProbe).foldLeft(in) { (cur, p) =>
+      cur.join(
+        cellsArr.select(col("cell_id").as(s"_c$p"),
+          col("members").as(s"_m$p")),
+        element_at(col("_pc"), p + 1)("cid") === col(s"_c$p"), "left")
+    }
+    val allMembers = concat((0 until nProbe).map(p =>
+      coalesce(col(s"_m$p"), array().cast(memberType))): _*)
+    joined
+      .withColumn("_top",
+        slice(
+          array_sort(transform(
+            filter(allMembers, m => m("vec_id") =!= col("vec_id")),
+            m => struct(
+              (-Similarity.qcosinePre(
+                Similarity.qdot(col("_qv"), m("qv"), native),
+                col("_qn"), m("qn"))).as("ns"),
+              m("vec_id").as("cand_id")))),
+          1, k))
+      .select(col("vec_id").as("query_id"), posexplode(col("_top")))
+      .select(
+        col("query_id"),
+        col("col")("cand_id").as("cand_id"),
+        (-col("col")("ns")).as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

@@ -9,7 +9,8 @@ import org.scalatest.matchers.should.Matchers
   * in `benchOnlyQueries` instead), and every bench headline name must
   * resolve.
   */
-class SparkEntrySpec extends AnyFunSuite with Matchers {
+class SparkEntrySpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
 
   test("every declared query has an oracle, and vice versa") {
     val q = SparkEntry.queries.keySet
@@ -47,5 +48,24 @@ class SparkEntrySpec extends AnyFunSuite with Matchers {
     Bench.firstSeen.keySet.filterNot(names) shouldBe empty
     Bench.firstSeenSf1.keySet.filterNot(names) shouldBe empty
     Bench.sf1Exclude.filterNot(Bench.headline.contains) shouldBe empty
+  }
+
+  test("trap vocab: the optimal DP's win over greedy is MEASURED > 0 on " +
+    "the real corpus, and the trained costs are well-formed") {
+    val spark = TestSpark.init()
+    val gain = SparkEntry
+      .queries("q_tokenize_viterbi_gain")(spark, "/root/testdata/sf0.001")
+      .head()
+    gain.getAs[Long]("n_differ") should be > 0L
+    gain.getAs[Long]("n_strictly_fewer") should be > 0L
+    gain.getAs[Long]("tokens_saved") should be > 0L
+    gain.getAs[Long]("unks_avoided") should be > 0L
+    // trained unigram-LM costs: one per entry, all positive (every trap
+    // entry occurs in the corpus), the most frequent entry (space) is
+    // the cheapest — the SentencePiece-shaped price structure
+    val costs = SparkEntry.trainedTrapCosts(spark, "/root/testdata/sf0.001")
+    costs.size shouldBe SparkEntry.trapVocab.size
+    costs.foreach(_ should be > 0)
+    costs(SparkEntry.trapVocab.indexOf(" ")) shouldBe costs.min
   }
 }

@@ -13,7 +13,8 @@ import org.scalatest.matchers.should.Matchers
   * round-trip through the full single-parse pipeline to their
   * schema-resolved Spark values.
   */
-class CoercionsPropSpec extends AnyFunSuite with Matchers {
+class CoercionsPropSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 

@@ -13,7 +13,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * produces (numbers as "42", booleans as "true", nested as raw JSON,
   * JSON null as SQL NULL).
   */
-class CoercionsSpec extends AnyFunSuite {
+class CoercionsSpec extends AnyFunSuite
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
 
   private def coerceOne(raw: String, propJson: String): Any = {

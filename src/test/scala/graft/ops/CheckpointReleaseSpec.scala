@@ -19,7 +19,8 @@ import org.scalatest.matchers.should.Matchers
   * sequentially in the forked test JVM (sbt's `testForkedParallel` default),
   * so no concurrent suite can add ids mid-query.
   */
-class CheckpointReleaseSpec extends AnyFunSuite with Matchers {
+class CheckpointReleaseSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   private val sfDir = "/root/testdata/sf0.001"
 

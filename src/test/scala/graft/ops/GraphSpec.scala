@@ -4,7 +4,8 @@ import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-class GraphSpec extends AnyFunSuite with Matchers {
+class GraphSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 
@@ -26,8 +27,9 @@ class GraphSpec extends AnyFunSuite with Matchers {
       (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
       (1L, 4L), (4L, 1L)
     ).toDF("src", "dst")
-    val r = Graph.pageRank(edges, iterations = 1).collect()
-      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val rDf = Graph.pageRank(edges, iterations = 1)
+    val r = rDf.collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    Dedup.releaseCheckpoints(rDf) // the returned frame is its own checkpoint
     // outdeg a=3 b=2 c=2 d=1; contribs 333333/500000/500000/1000000
     r(1L) shouldBe 150000L + 850000L * 2000000L / 1000000L
     r(2L) shouldBe 150000L + 850000L * 833333L / 1000000L
@@ -40,8 +42,9 @@ class GraphSpec extends AnyFunSuite with Matchers {
       (1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
       (1L, 4L), (4L, 1L)
     ).toDF("src", "dst")
-    val r = Graph.pageRank(edges, iterations = 3).collect()
-      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val rDf = Graph.pageRank(edges, iterations = 3)
+    val r = rDf.collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    Dedup.releaseCheckpoints(rDf)
     r(1L) should be > r(2L)   // hub above triangle peers
     r(2L) should be > r(4L)   // triangle peers above the pendant
     r.values.sum.toDouble shouldBe (4e6 +- 4e5)  // mass roughly conserved
@@ -55,12 +58,16 @@ class GraphSpec extends AnyFunSuite with Matchers {
       (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 5L)
     ).toDF("src", "dst")
-    val out = Graph.triangleCount(edges).head()
+    val outDf = Graph.triangleCount(edges)
+    val out = outDf.head()
+    Dedup.releaseCheckpoints(outDf) // frees the edge-list pin (Graph.scala:132)
     out.getLong(0) shouldBe 7L // canonical simple edges
     out.getLong(1) shouldBe 4L
     // every clique vertex has degree >= 3: a cap of 2 leaves only an
     // empty/pendant graph -> no triangles
-    val capped = Graph.triangleCount(edges, maxDegree = 2L).head()
+    val cappedDf = Graph.triangleCount(edges, maxDegree = 2L)
+    val capped = cappedDf.head()
+    Dedup.releaseCheckpoints(cappedDf)
     capped.getLong(1) shouldBe 0L
   }
 }

@@ -10,7 +10,8 @@ import org.scalatest.matchers.should.Matchers
   * happens (assignment at write time, probes as partition-pruned reads),
   * never the answer.
   */
-class IvfIndexSpec extends AnyFunSuite with Matchers {
+class IvfIndexSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
 
   private def emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
@@ -21,9 +22,11 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     val persisted = Similarity.searchIvfIndex(
       emb.filter(col("vec_id") < 10), dir, k = 5, nProbe = 2)
       .orderBy("query_id", "rank").collect().toSeq
-    val direct = Similarity.ivfTopK(emb, queryMaxId = 10L, k = 5,
+    val directDf = Similarity.ivfTopK(emb, queryMaxId = 10L, k = 5,
       nCells = 0, targetPerCell = 128L)
-      .orderBy("query_id", "rank").collect().toSeq
+    val direct = directDf.orderBy("query_id", "rank").collect().toSeq
+    // the auto path pins its assignment checkpoint; release per protocol
+    Dedup.releaseCheckpoints(directDf)
     persisted shouldBe direct
   }
 

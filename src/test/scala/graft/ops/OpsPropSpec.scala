@@ -15,7 +15,8 @@ import org.scalatest.matchers.should.Matchers
   * scalatest-scalacheck bridge isn't on the offline classpath), so every
   * run sees the same corpora.
   */
-class OpsPropSpec extends AnyFunSuite with Matchers {
+class OpsPropSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 

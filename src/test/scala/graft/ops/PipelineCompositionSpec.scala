@@ -11,7 +11,8 @@ import org.scalatest.matchers.should.Matchers
   * untouched — proving the column contracts line up, not just that each
   * operator works in isolation.
   */
-class PipelineCompositionSpec extends AnyFunSuite with Matchers {
+class PipelineCompositionSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 
@@ -58,5 +59,8 @@ class PipelineCompositionSpec extends AnyFunSuite with Matchers {
       "doc_id", valPermille = 100)
     again.select("doc_id", "chunk_id", "split").collect().toSet shouldBe
       split.select("doc_id", "chunk_id", "split").collect().toSet
+    // ownership protocol: each dropNearDuplicates pinned its banded
+    // candidate table; both pins are reachable from the chained plans
+    Seq(split, again).foreach(Dedup.releaseCheckpoints)
   }
 }

@@ -4,7 +4,8 @@ import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-class RetrievalSpec extends AnyFunSuite with Matchers {
+class RetrievalSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 

@@ -4,9 +4,23 @@ import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-class SimilaritySpec extends AnyFunSuite with Matchers {
+class SimilaritySpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
+
+  /** Ownership protocol for checkpointing searchers/trainers (ivfTopK,
+    * pqTopK, ivfPqTopK, trainCentroids*, pqTrainCodebooks, knnGraph):
+    * the result plan reaches every block the call pinned, so releasing
+    * the result frees them. Every consumer in this suite routes through
+    * here; [[graft.CleanSessionCheck]] asserts nothing survives the
+    * suite.
+    */
+  private def withReleased[T](df: => org.apache.spark.sql.DataFrame)(
+      body: org.apache.spark.sql.DataFrame => T): T = {
+    val d = df
+    try body(d) finally Dedup.releaseCheckpoints(d)
+  }
 
   // small corpus with known geometry
   private val emb = Seq(
@@ -90,15 +104,16 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val pq = Similarity.pqTopK(real, queryMaxId = 5L, k = 5)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pq = withReleased(Similarity.pqTopK(real, queryMaxId = 5L, k = 5))(
+      _.select("query_id", "cand_id").as[(Long, Long)].collect().toSet)
     pq.size shouldBe 25
     val recall = (brute intersect pq).size.toDouble / brute.size
     recall should be >= 0.4  // compressed-domain candidates, exact rerank
     // rerank >= corpus size: PQ candidates cover everything -> exact answer
     val n = real.count().toInt
-    val pqFull = Similarity.pqTopK(real, queryMaxId = 5L, k = 5, rerank = n)
-      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    val pqFull = withReleased(
+      Similarity.pqTopK(real, queryMaxId = 5L, k = 5, rerank = n))(
+      _.select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet)
     val bruteFull = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
       .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
     pqFull shouldBe bruteFull
@@ -121,18 +136,19 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     // compressed-domain candidates from the trained codebook, exact rerank
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val pq = Similarity.pqTopK(real, queryMaxId = 5L, k = 5,
-      codebooks = Some(cbs), encodeL2 = true)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pq = withReleased(Similarity.pqTopK(real, queryMaxId = 5L, k = 5,
+      codebooks = Some(cbs), encodeL2 = true))(
+      _.select("query_id", "cand_id").as[(Long, Long)].collect().toSet)
     pq.size shouldBe 25
     val recall = (brute intersect pq).size.toDouble / brute.size
     recall should be >= 0.4
     // rerank >= corpus: candidates cover everything -> exact answer, with
     // ANY codebook (the rerank stage reads full-precision vectors)
     val n = real.count().toInt
-    val pqFull = Similarity.pqTopK(real, queryMaxId = 5L, k = 5, rerank = n,
-      codebooks = Some(cbs2), encodeL2 = true)
-      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    val pqFull = withReleased(
+      Similarity.pqTopK(real, queryMaxId = 5L, k = 5, rerank = n,
+        codebooks = Some(cbs2), encodeL2 = true))(
+      _.select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet)
     val bruteFull = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
       .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
     pqFull shouldBe bruteFull
@@ -145,17 +161,17 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
-    val ivfpq = Similarity.ivfPqTopK(real, queryMaxId = 5L, k = 5)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivfpq = withReleased(Similarity.ivfPqTopK(real, queryMaxId = 5L, k = 5))(
+      _.select("query_id", "cand_id").as[(Long, Long)].collect().toSet)
     ivfpq.size shouldBe 25
     val recall = (brute intersect ivfpq).size.toDouble / brute.size
     recall should be >= 0.4
     // probing EVERY cell with rerank >= corpus covers all candidates ->
     // the exact answer, regardless of the PQ approximation
     val n = real.count().toInt
-    val full = Similarity.ivfPqTopK(real, queryMaxId = 5L, k = 5,
-      nCells = 4, nProbe = 4, rerank = n)
-      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    val full = withReleased(Similarity.ivfPqTopK(real, queryMaxId = 5L, k = 5,
+      nCells = 4, nProbe = 4, rerank = n))(
+      _.select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet)
     val bruteFull = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
       .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
     full shouldBe bruteFull
@@ -166,12 +182,14 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
       .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet
     // probing every cell searches the whole corpus -> exact equality
-    val full = Similarity.ivfTopK(real, queryMaxId = 5L, k = 5, nCells = 4, nProbe = 4)
-      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = withReleased(
+      Similarity.ivfTopK(real, queryMaxId = 5L, k = 5, nCells = 4, nProbe = 4))(
+      _.select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet)
     full shouldBe brute
     // partial probe: approximate, still k rows per query with decent recall
-    val part = Similarity.ivfTopK(real, queryMaxId = 5L, k = 5, nCells = 8, nProbe = 2)
-      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val part = withReleased(
+      Similarity.ivfTopK(real, queryMaxId = 5L, k = 5, nCells = 8, nProbe = 2))(
+      _.select("query_id", "cand_id").as[(Long, Long)].collect().toSet)
     part.size shouldBe 25
     val bruteIds = brute.map(t => (t._1, t._2))
     ((bruteIds intersect part).size.toDouble / bruteIds.size) should be >= 0.2
@@ -179,10 +197,10 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
 
   test("trained centroids: deterministic, dimension-preserving, exact under full probe") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    val c1 = Similarity.trainCentroids(real, k = 4, iters = 2).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val c2 = Similarity.trainCentroids(real, k = 4, iters = 2).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c1 = withReleased(Similarity.trainCentroids(real, k = 4, iters = 2))(
+      _.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+    val c2 = withReleased(Similarity.trainCentroids(real, k = 4, iters = 2))(
+      _.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
     c1 shouldBe c2
     c1.size should be <= 4
     import org.apache.spark.sql.functions.col
@@ -196,16 +214,20 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     // any codebook probed in full searches the whole corpus -> exact
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
       .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet
-    val trained = Similarity.ivfTopK(real, queryMaxId = 5L, k = 5,
+    // the trained codebook's checkpoint lives inside the ivfTopK plan,
+    // so releasing the search result frees BOTH pins
+    val trained = withReleased(Similarity.ivfTopK(real, queryMaxId = 5L, k = 5,
       nCells = 4, nProbe = 4,
-      centroids = Some(Similarity.trainCentroids(real, k = 4, iters = 2)))
-      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet
+      centroids = Some(Similarity.trainCentroids(real, k = 4, iters = 2))))(
+      _.select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect().toSet)
     trained shouldBe brute
   }
 
   test("IVF assignment is deterministic and respects nProbe <= nCells") {
-    val a = Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 2).collect().toSeq
-    val b = Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 2).collect().toSeq
+    val a = withReleased(Similarity.ivfTopK(
+      emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 2))(_.collect().toSeq)
+    val b = withReleased(Similarity.ivfTopK(
+      emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 2))(_.collect().toSeq)
     a shouldBe b
     intercept[IllegalArgumentException](
       Similarity.ivfTopK(emb, queryMaxId = 1L, k = 3, nCells = 2, nProbe = 3))
@@ -287,8 +309,8 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     // cosine, vec 0 wins only itself; 1..4 all assign to cell 1 — so
     // vec 0 is a singleton cell with NO neighbors (the documented
     // recall trade), and the rest draw neighbors from {1,2,3,4}.
-    val g = Similarity.knnGraph(emb, k = 2, nCells = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val g = withReleased(Similarity.knnGraph(emb, k = 2, nCells = 2))(
+      _.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap)
     g.keys.map(_._1).toSet shouldBe Set(1L, 2L, 3L, 4L)
     g.keys.map(_._2).toSet should not contain 0L
     // an edge present in both directions carries the same similarity

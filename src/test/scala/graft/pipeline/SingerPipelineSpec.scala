@@ -11,7 +11,8 @@ import java.nio.file.Files
   * (`/root/reference/target_parquet/tests/test_integration.py`,
   * `test_integration_types.py` — SURVEY.md §5 layers 4–5).
   */
-class SingerPipelineSpec extends AnyFunSuite with Matchers {
+class SingerPipelineSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
 
   private def tmp(): String = Files.createTempDirectory("graft-pipe").toString

@@ -14,7 +14,8 @@ import org.scalatest.matchers.should.Matchers
   * lost codegen). Results are cross-checked against a fully-interpreted
   * session (`NO_CODEGEN`, whole-stage off) to pin eval == codegen.
   */
-class CodegenOnlySpec extends AnyFunSuite with Matchers {
+class CodegenOnlySpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
 
   private lazy val strict: SparkSession = {
     val s = TestSpark.init().newSession()

@@ -11,7 +11,8 @@ import org.scalatest.matchers.should.Matchers
   * empty-vs-empty, match window max(len)/2-1, Winkler boost only above
   * 0.7 raw Jaro; FULL Damerau with alphabet history, 'ca'→'abc' = 2).
   */
-class EditSimilaritySpec extends AnyFunSuite with Matchers {
+class EditSimilaritySpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   lazy val spark = TestSpark.init()
 
   // (a, b, duckdb jaro_winkler_similarity, duckdb damerau_levenshtein)

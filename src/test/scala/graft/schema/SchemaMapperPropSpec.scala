@@ -12,7 +12,8 @@ import org.scalatest.matchers.should.Matchers
   * is driven directly with deterministic seeds (the scalatest-scalacheck
   * bridge isn't on the offline classpath).
   */
-class SchemaMapperPropSpec extends AnyFunSuite with Matchers {
+class SchemaMapperPropSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
 
   private def samples[T](gen: Gen[T], n: Int = 300): Seq[T] =
     (0 until n).flatMap(i => gen(Gen.Parameters.default, Seed(i.toLong)))

@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * (reference `tests/test_sinks.py:27-132`): remove_null_string (C1),
   * get_pyarrow_type (C2), build_pyarrow_field (C3).
   */
-class SchemaMapperSpec extends AnyFunSuite {
+class SchemaMapperSpec extends AnyFunSuite
+    with graft.CleanSessionCheck {
 
   private def prop(json: String): ResolvedProperty =
     resolve("f", JsonMethods.parse(json))

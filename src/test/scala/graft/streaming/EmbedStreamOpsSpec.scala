@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-class EmbedStreamOpsSpec extends AnyFunSuite with Matchers {
+class EmbedStreamOpsSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 
@@ -61,5 +62,38 @@ class EmbedStreamOpsSpec extends AnyFunSuite with Matchers {
       .select("vec_id").as[Long].collect().sorted
     q.stop()
     got.toSeq shouldBe expect.toSeq
+  }
+
+  test("ANN serving twin: batch run equals searchIvfIndex exactly, and a " +
+    "MemoryStream run reaches the same top-k across micro-batches") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-serve").toString
+    Similarity.writeIvfIndex(emb, dir, nCells = 0, targetPerCell = 128L)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    // batch twin ≡ the partition-pruned batch search, bit-exact
+    val batch = key(EmbedStreamOps.searchIvfIndexStream(
+      queries, dir, k = 5, nProbe = 2))
+    val direct = key(Similarity.searchIvfIndex(queries, dir, k = 5, nProbe = 2))
+    batch.toSeq shouldBe direct.toSeq
+    batch.length should be > 0
+    // the same transform over a MemoryStream, split across two batches
+    val rows = queries.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = EmbedStreamOps.searchIvfIndexStream(
+      mem.toDF.toDF("vec_id", "embedding"), dir, k = 5, nProbe = 2)
+      .writeStream.format("memory").queryName("ivf_serve")
+      .outputMode("append").start()
+    mem.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(rest.toIndexedSeq)
+    q.processAllAvailable()
+    val got = key(spark.table("ivf_serve"))
+    q.stop()
+    got.toSeq shouldBe direct.toSeq
   }
 }

@@ -8,7 +8,8 @@ import org.scalatest.matchers.should.Matchers
 
 import java.sql.Timestamp
 
-class EventStreamOpsSpec extends AnyFunSuite with Matchers {
+class EventStreamOpsSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 

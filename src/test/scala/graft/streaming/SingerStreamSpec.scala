@@ -8,7 +8,8 @@ import org.scalatest.matchers.should.Matchers
 
 import java.nio.file.Files
 
-class SingerStreamSpec extends AnyFunSuite with Matchers {
+class SingerStreamSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
 
   test("streaming ingest: micro-batches append per-stream parquet with the same coercions") {

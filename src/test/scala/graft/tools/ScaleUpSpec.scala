@@ -16,7 +16,8 @@ import org.scalatest.matchers.should.Matchers
   * added; this spec pins the invariant so a future content table can't
   * silently scale verbatim.
   */
-class ScaleUpSpec extends AnyFunSuite with Matchers {
+class ScaleUpSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   lazy val spark = TestSpark.init()
   private val sfDir = "/root/testdata/sf0.001"
   private val OFF = ScaleUp.OFF

@@ -11,7 +11,8 @@ import org.scalatest.matchers.should.Matchers
   * seam ([[Validator.rowViolation]]) is covered in [[ValidatorSpec]] and
   * the pipeline integration in SingerPipelineSpec.
   */
-class JsonSchemaValidatorSpec extends AnyFunSuite with Matchers {
+class JsonSchemaValidatorSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
 
   private def check(schemaJson: String, valueJson: String): List[String] =
     JsonSchemaValidator.compile(JsonMethods.parse(schemaJson))(

@@ -9,7 +9,8 @@ import org.scalatest.matchers.should.Matchers
 /** Constraint predicates (SURVEY.md §2.5 V1–V3;
   * `/root/reference/target_parquet/validator.py`).
   */
-class ValidatorSpec extends AnyFunSuite with Matchers {
+class ValidatorSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
   private lazy val spark = TestSpark.init()
   import spark.implicits._
 
