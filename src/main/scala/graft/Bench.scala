@@ -70,7 +70,9 @@ object Bench {
     // weighted (trained unigram-LM) decoding, persisted-IVF SEARCH-ONLY
     // (cached layout), streaming ANN serving twin
     "q_tokenize_viterbi_trap", "q_tokenize_viterbi_gain",
-    "q_tokenize_viterbi_weighted", "q_sim_ivf_search", "q_sim_ivf_stream")
+    "q_tokenize_viterbi_weighted", "q_sim_ivf_search", "q_sim_ivf_stream",
+    // incremental index maintenance: append under the persisted codebook
+    "q_sim_ivf_append")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -219,7 +221,9 @@ object Bench {
     "q_sim_ivf_search" -> 2.700,
     // streaming serving twin run as its batch twin (driver-literal
     // probes + static cell-array join; no partition pruning by design)
-    "q_sim_ivf_stream" -> 1.800)
+    "q_sim_ivf_stream" -> 1.800,
+    // base-half build + second-half partition-append + search
+    "q_sim_ivf_append" -> 4.500)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -310,6 +314,7 @@ object Bench {
     "q_tokenize_viterbi_weighted" -> 5.000,
     "q_sim_ivf_search" -> 3.400,
     "q_sim_ivf_stream" -> 3.400,
+    "q_sim_ivf_append" -> 7.500,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

@@ -1792,6 +1792,40 @@ object SparkEntry {
         persistedIvfIndex(s, dir), k = 5, nProbe = 2)
         .orderBy("query_id", "rank")),
 
+    // INCREMENTAL index maintenance: base half builds the layout (and
+    // pins the codebook), the second half APPENDS under the persisted
+    // codebook — per-vector-independent assignment makes the refreshed
+    // layout identical to a one-shot build of the union (spec'd), so
+    // the search answer proves the maintenance path end to end
+    "q_sim_ivf_append" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val emb = t(s, dir, "embeddings")
+        val half = emb.count() / 2
+        val kCells = Similarity.cellsFor(half, 128L)
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") < half),
+          tmp.toString, nCells = kCells)
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") >= half),
+          tmp.toString)
+        val out = Similarity.searchIvfIndex(
+          emb.filter(col("vec_id") < 10), tmp.toString, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+          .localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // STREAMING serving twin: the same persisted layout probed by a
     // stream-ready plan — driver-literal codebook scores the hier
     // coarse→fine probes IN-ROW (no window, no per-batch collect), the
@@ -3481,7 +3515,8 @@ object SparkEntry {
       nProbe: Int,
       pCoarse: Int = 2,
       fineFrom: Option[String] = None,
-      extraCtes: String = ""): String = {
+      extraCtes: String = "",
+      kcFilter: String = ""): String = {
     val w = if (where.isEmpty) "" else s" WHERE $where"
     val fineCte = fineFrom match {
       case Some(src) =>
@@ -3503,7 +3538,7 @@ object SparkEntry {
        |),
        |kc AS (
        | SELECT k, CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS c
-       | FROM (SELECT (count(*) + 127) // 128 AS k FROM n)
+       | FROM (SELECT (count(*) + 127) // 128 AS k FROM n$kcFilter)
        |),$extraCtes
        |$fineCte
        |coarse AS (
@@ -4763,6 +4798,28 @@ object SparkEntry {
     // serving machinery changes WHERE the work happens, never the rows)
     "q_sim_ivf_search" -> ivfPersistedSearchSql,
     "q_sim_ivf_stream" -> ivfPersistedSearchSql,
+
+    // incremental append: the codebook (and therefore every assignment)
+    // derives from the BASE half only — kc counts the base slice, fine
+    // stays the global lowest-k (the base holds the lowest ids) — then
+    // the whole corpus assigns under it; same search tail
+    "q_sim_ivf_append" ->
+      s"""WITH ${hierAssignCtes("", 2,
+             kcFilter = " WHERE vec_id < (SELECT count(*) // 2 FROM n)")},
+        |cells AS (
+        | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),
+        |probed AS (
+        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id
+        | FROM assign WHERE vec_id < 10),
+        |scored AS (
+        | SELECT p.query_id, c.vec_id AS cand_id,
+        |  ${qcos("p.query_qv", "c.qv", "p.query_qn", "c.qn")} AS sim
+        | FROM probed p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // trained search auto: the hierarchical TRAIN chain (hierTrainCtes →
     // fine2) feeding the same search split — train and assign both

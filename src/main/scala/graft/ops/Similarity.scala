@@ -1231,6 +1231,32 @@ object Similarity {
     cellCount
   }
 
+  /** INCREMENTALLY append new vectors into an existing [[writeIvfIndex]]
+    * layout — the index-MAINTENANCE path at 100 TB: a day's fresh
+    * vectors join the serving index without rebuilding it. Assignment
+    * runs under the PERSISTED codebook (read back from `dir`), and
+    * hier assignment is per-vector independent, so the refreshed layout
+    * is IDENTICAL to a one-shot [[writeIvfIndex]] of the union under
+    * the same codebook ([[graft.ops.IvfIndexSpec]] proves layout AND
+    * search equality) — searches before/after the append need no
+    * re-planning, and partition-append touches only the cells the new
+    * batch lands in (O(new · √k) assignment + O(new) write; existing
+    * partitions' files are never rewritten).
+    *
+    * The codebook is pinned by design (the
+    * [[Dedup.dropSemanticDuplicatesIncremental]] rule): drift between
+    * the corpus and a stale codebook is an OFFLINE re-train + re-write
+    * decision, audited by [[cellHealth]] — never an online mutation.
+    */
+  def appendIvfIndex(embeddings: DataFrame, dir: String): Unit = {
+    val spark = embeddings.sparkSession
+    val book = spark.read.parquet(s"$dir/codebook")
+    ivfAssignHierProbe(embeddings, book.count().toInt, 1,
+      centroids = Some(book))
+      .select("vec_id", "qv", "qn", "cell_id")
+      .write.mode("append").partitionBy("cell_id").parquet(s"$dir/index")
+  }
+
   /** Search a persisted [[writeIvfIndex]] layout: assign the QUERY slice
     * against the persisted codebook (hier probe — per-vector
     * independent, so ranks 1..nProbe here equal what a full-corpus pass

@@ -30,6 +30,35 @@ class IvfIndexSpec extends AnyFunSuite with Matchers
     persisted shouldBe direct
   }
 
+  test("incremental append equals a one-shot build under the same " +
+    "codebook: identical layout rows and identical search answers") {
+    import org.apache.spark.sql.functions.lit
+    val n = emb.count()
+    val half = n / 2
+    val kCells = Similarity.cellsFor(half, 128L)
+    // incremental: base half builds (and pins the codebook), rest appends
+    val dirInc = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < half), dirInc,
+      nCells = kCells)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= half), dirInc)
+    // one-shot: the union written in one pass under the SAME codebook
+    val dirOne = java.nio.file.Files.createTempDirectory("ivf-one").toString
+    val book = spark.read.parquet(s"$dirInc/codebook")
+    Similarity.writeIvfIndex(emb, dirOne, nCells = kCells,
+      centroids = Some(book))
+    def layout(d: String) = spark.read.parquet(s"$d/index")
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    layout(dirInc) shouldBe layout(dirOne)
+    layout(dirInc).size shouldBe n.toInt
+    def search(d: String) = Similarity.searchIvfIndex(
+      emb.filter(col("vec_id") < 10), d, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    search(dirInc) shouldBe search(dirOne)
+    // the append actually landed in EXISTING partitions (no new cells)
+    spark.read.parquet(s"$dirInc/codebook").count() shouldBe kCells.toLong
+  }
+
   test("index layout: every corpus vector in exactly one cell partition") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx-layout").toString
     val cells = Similarity.writeIvfIndex(emb, dir, nCells = 0, targetPerCell = 128L)
