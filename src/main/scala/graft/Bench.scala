@@ -71,8 +71,9 @@ object Bench {
     // (cached layout), streaming ANN serving twin
     "q_tokenize_viterbi_trap", "q_tokenize_viterbi_gain",
     "q_tokenize_viterbi_weighted", "q_sim_ivf_search", "q_sim_ivf_stream",
-    // incremental index maintenance: append under the persisted codebook
-    "q_sim_ivf_append")
+    // incremental index maintenance: append under the persisted codebook,
+    // then small-file compaction (the full lifecycle on the gate)
+    "q_sim_ivf_append", "q_sim_ivf_compact")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -223,7 +224,9 @@ object Bench {
     // probes + static cell-array join; no partition pruning by design)
     "q_sim_ivf_stream" -> 1.800,
     // base-half build + second-half partition-append + search
-    "q_sim_ivf_append" -> 4.500)
+    "q_sim_ivf_append" -> 4.500,
+    // build third + two appends + per-cell one-file rewrite + search
+    "q_sim_ivf_compact" -> 6.500)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -315,6 +318,7 @@ object Bench {
     "q_sim_ivf_search" -> 3.400,
     "q_sim_ivf_stream" -> 3.400,
     "q_sim_ivf_append" -> 7.500,
+    "q_sim_ivf_compact" -> 9.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

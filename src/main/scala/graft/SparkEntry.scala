@@ -1826,6 +1826,42 @@ object SparkEntry {
       }
     }),
 
+    // full index LIFECYCLE: build from the first third (pins the
+    // codebook), two appends accumulate small files per cell, COMPACT
+    // collapses every cell to one file — and the search answer is
+    // unchanged (rows preserved exactly; compaction is pure layout)
+    "q_sim_ivf_compact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-compact")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val emb = t(s, dir, "embeddings")
+        val third = emb.count() / 3
+        Similarity.writeIvfIndex(emb.filter(col("vec_id") < third),
+          tmp.toString, nCells = Similarity.cellsFor(third, 128L))
+        Similarity.appendIvfIndex(
+          emb.filter(col("vec_id") >= third && col("vec_id") < 2 * third),
+          tmp.toString)
+        Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 2 * third),
+          tmp.toString)
+        Similarity.compactIvfIndex(tmp.toString, s)
+        val out = Similarity.searchIvfIndex(
+          emb.filter(col("vec_id") < 10), tmp.toString, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+          .localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // STREAMING serving twin: the same persisted layout probed by a
     // stream-ready plan — driver-literal codebook scores the hier
     // coarse→fine probes IN-ROW (no window, no per-batch collect), the
@@ -4798,6 +4834,27 @@ object SparkEntry {
     // serving machinery changes WHERE the work happens, never the rows)
     "q_sim_ivf_search" -> ivfPersistedSearchSql,
     "q_sim_ivf_stream" -> ivfPersistedSearchSql,
+
+    // lifecycle twin: codebook from the first THIRD (build slice), the
+    // rest appended then compacted — compaction is pure layout, so the
+    // oracle is the append oracle at the third-sized codebook
+    "q_sim_ivf_compact" ->
+      s"""WITH ${hierAssignCtes("", 2,
+             kcFilter = " WHERE vec_id < (SELECT count(*) // 3 FROM n)")},
+        |cells AS (
+        | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),
+        |probed AS (
+        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id
+        | FROM assign WHERE vec_id < 10),
+        |scored AS (
+        | SELECT p.query_id, c.vec_id AS cand_id,
+        |  ${qcos("p.query_qv", "c.qv", "p.query_qn", "c.qn")} AS sim
+        | FROM probed p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // incremental append: the codebook (and therefore every assignment)
     // derives from the BASE half only — kc counts the base slice, fine

@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`embeddings(vec_id, embedding array<float>, label)` — FIXTURES.md §B).
@@ -1255,6 +1257,42 @@ object Similarity {
       centroids = Some(book))
       .select("vec_id", "qv", "qn", "cell_id")
       .write.mode("append").partitionBy("cell_id").parquet(s"$dir/index")
+  }
+
+  /** COMPACT a [[writeIvfIndex]] layout: rewrite every cell partition's
+    * accumulated small files (each [[appendIvfIndex]] adds at least one
+    * file per touched cell — after a year of daily deltas a cell holds
+    * hundreds) into ONE file per cell, preserving rows exactly — the
+    * small-file maintenance step every partitioned serving store needs,
+    * here as an offline rewrite that never changes a search answer
+    * ([[graft.ops.IvfIndexSpec]] proves file-count collapse AND search
+    * equality). `repartition(cell_id)` puts each cell's rows in one
+    * task, so `partitionBy` emits exactly one file per cell; the swap
+    * is write-aside + directory rename (a reader mid-swap sees the old
+    * OR new complete layout on a posix rename, never a mix).
+    *
+    * Scale shape: one full index read + one cell-keyed exchange + one
+    * write — O(index) once, amortized against every later probe
+    * listing fewer files. Returns the data-file count after compaction.
+    */
+  def compactIvfIndex(dir: String, spark: SparkSession): Long = {
+    spark.read.parquet(s"$dir/index")
+      .select(col("vec_id"), col("qv"), col("qn"),
+        col("cell_id").cast("long").as("cell_id"))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/index_compacting")
+    val old = java.nio.file.Paths.get(s"$dir/index")
+    val neu = java.nio.file.Paths.get(s"$dir/index_compacting")
+    val w = java.nio.file.Files.walk(old)
+    try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    finally w.close()
+    java.nio.file.Files.move(neu, old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val w2 = java.nio.file.Files.walk(old)
+    try w2.iterator().asScala.count(p =>
+      p.getFileName.toString.endsWith(".parquet"))
+    finally w2.close()
   }
 
   /** Search a persisted [[writeIvfIndex]] layout: assign the QUERY slice

@@ -59,6 +59,41 @@ class IvfIndexSpec extends AnyFunSuite with Matchers
     spark.read.parquet(s"$dirInc/codebook").count() shouldBe kCells.toLong
   }
 
+  test("compaction collapses accumulated per-cell files to one and never " +
+    "changes a search answer") {
+    val n = emb.count()
+    val third = n / 3
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < third), dir,
+      nCells = Similarity.cellsFor(third, 128L))
+    Similarity.appendIvfIndex(
+      emb.filter(col("vec_id") >= third && col("vec_id") < 2 * third), dir)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 2 * third), dir)
+    def files() = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/index"))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(
+          _.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally w.close()
+    }
+    def cellDirs() = files().map(_.getParent.getFileName.toString).distinct
+    val before = Similarity.searchIvfIndex(
+      emb.filter(col("vec_id") < 10), dir, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    // three writes -> at least one cell carries multiple files
+    files().size should be > cellDirs().size
+    val rows = spark.read.parquet(s"$dir/index").count()
+    val after = Similarity.compactIvfIndex(dir, spark)
+    // exactly one file per non-empty cell; rows preserved; answer equal
+    after shouldBe cellDirs().size.toLong
+    files().size shouldBe cellDirs().size
+    spark.read.parquet(s"$dir/index").count() shouldBe rows
+    Similarity.searchIvfIndex(
+      emb.filter(col("vec_id") < 10), dir, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe before
+  }
+
   test("index layout: every corpus vector in exactly one cell partition") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx-layout").toString
     val cells = Similarity.writeIvfIndex(emb, dir, nCells = 0, targetPerCell = 128L)
