@@ -1892,6 +1892,20 @@ object SparkEntry {
       out
     }),
 
+    // margin-based pair mining (the bitext-mining criterion): a bounded
+    // mining batch (vec_id < 100) against the rest of the corpus; pairs
+    // keep their RATIO MARGIN against both sides' top-4 neighborhoods
+    // (hub suppression), kept at margin >= 1.05 — measured range
+    // 864–1459 milli on this corpus, so the threshold genuinely splits
+    "q_sim_margin_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginPairs(
+        emb.filter(col("vec_id") < 100),
+        emb.filter(col("vec_id") >= 100),
+        k = 4, marginFloorMilli = 1050L)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -4834,6 +4848,35 @@ object SparkEntry {
     // serving machinery changes WHERE the work happens, never the rows)
     "q_sim_ivf_search" -> ivfPersistedSearchSql,
     "q_sim_ivf_stream" -> ivfPersistedSearchSql,
+
+    // margin mining: exact micro-cosines (round(sim·1e6) of the scale-6
+    // cosine is an exact long), top-k sums as integer sums, margin as
+    // ONE floor division in the actual-count form — verbatim both sides
+    "q_sim_margin_pairs" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)),
+        |a AS (SELECT vec_id AS a_id, qv AS a_qv, qn AS a_qn FROM n WHERE vec_id < 100),
+        |b AS (SELECT vec_id AS b_id, qv AS b_qv, qn AS b_qn FROM n WHERE vec_id >= 100),
+        |s AS (SELECT a_id, b_id, sim, CAST(round(sim * 1e6) AS BIGINT) AS cosu FROM (
+        |  SELECT a_id, b_id,
+        |   round(list_sum(list_transform(list_zip(a_qv, b_qv), p -> p[1] * p[2]))
+        |    / sqrt(CAST(a_qn AS DOUBLE) * CAST(b_qn AS DOUBLE)), 6) AS sim
+        |  FROM a CROSS JOIN b) WHERE sim > 0),
+        |s2 AS (SELECT a_id, b_id, sim, cosu,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rab,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rba FROM s),
+        |sa AS (SELECT a_id, sum(cosu) AS sum_a, count(*) AS n_a FROM s2 WHERE rab <= 4 GROUP BY a_id),
+        |sb AS (SELECT b_id, sum(cosu) AS sum_b, count(*) AS n_b FROM s2 WHERE rba <= 4 GROUP BY b_id)
+        |SELECT a_id, b_id, sim,
+        | CAST((2000 * cosu * n_a * n_b) // (sum_a * n_b + sum_b * n_a) AS BIGINT) AS margin_milli
+        |FROM s2 JOIN sa USING (a_id) JOIN sb USING (b_id)
+        |WHERE rab <= 4 AND (sum_a * n_b + sum_b * n_a) > 0
+        | AND (2000 * cosu * n_a * n_b) // (sum_a * n_b + sum_b * n_a) >= 1050
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // lifecycle twin: codebook from the first THIRD (build slice), the
     // rest appended then compacted — compaction is pure layout, so the

@@ -524,6 +524,94 @@ object Similarity {
       .select("vec_id", "cell_id", "qv", "qn", "cell_sim", "probe_rank")
   }
 
+  /** MARGIN-BASED cross-corpus pair mining — the bitext-mining
+    * criterion (Artetxe & Schwenk 2019, "Margin-based Parallel Corpus
+    * Mining with Multilingual Sentence Embeddings"): a pair (a, b)
+    * across two embedding sets is kept not for its raw cosine but for
+    * its RATIO MARGIN against each side's neighborhood —
+    *
+    *   margin(a,b) = cos(a,b) / ((avgTopK(a→B) + avgTopK(b→A)) / 2)
+    *
+    * — which suppresses hubs (a vector close to everything scores a
+    * high cosine against many candidates but a margin near 1). The
+    * training-data use: mining aligned text/translation/caption pairs
+    * from two independently-embedded corpora.
+    *
+    * Exact-integer determinism: cosines are [[qcosinePre]] scale-6
+    * doubles, so `round(sim·1e6)` is an EXACT micro-long; top-k sums
+    * are long sums; and the margin is one exact floor division
+    * `margin_milli = ⌊2000·cosµ·nA·nB / (sumA·nB + sumB·nA)⌋` (the
+    * actual-count form, so boundary vectors with fewer than k
+    * neighbors are averaged over what exists). Replays verbatim in
+    * the oracle.
+    *
+    * Scale shape: ONE scored cross product (the bounded mining batch
+    * `embA` broadcast against the corpus `embB`), checkpointed once and
+    * feeding both ranking directions (two window ranks, each
+    * WindowGroupLimit-prunable) and the pair output — O(|A|·|B|)
+    * compute, |B| never shuffled beyond the two rank exchanges. For
+    * corpus×corpus mining, block both sides by a shared IVF codebook
+    * first (the [[Dedup.dropSemanticDuplicatesIncremental]]
+    * composition) and apply this within cells.
+    *
+    * Output: `(a_id, b_id, sim, margin_milli)` for forward-top-k pairs
+    * with positive similarity and `margin_milli >= marginFloorMilli`
+    * (1000 = margin 1.0; mining thresholds sit slightly above it).
+    * The returned plan reads the scored checkpoint — release with
+    * [[Dedup.releaseCheckpoints]] when done.
+    */
+  def marginPairs(
+      embA: DataFrame,
+      embB: DataFrame,
+      k: Int = 4,
+      marginFloorMilli: Long = 1050L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val native = graft.plans.GraftExtensions.available(embA.sparkSession)
+    val a = quantizedWithNorms(embA, native).select(
+      col("vec_id").as("a_id"), col("qv").as("a_qv"), col("qn").as("a_qn"))
+    val b = quantizedWithNorms(embB, native).select(
+      col("vec_id").as("b_id"), col("qv").as("b_qv"), col("qn").as("b_qn"))
+    val scored = b.crossJoin(broadcast(a))
+      .withColumn("sim",
+        qcosinePre(qdot(col("a_qv"), col("b_qv"), native),
+          col("a_qn"), col("b_qn")))
+      .filter(col("sim") > 0)
+      .withColumn("cos_micro", round(col("sim") * lit(1e6)).cast("long"))
+      .select("a_id", "b_id", "sim", "cos_micro")
+      // one checkpoint: the scored table feeds BOTH rank directions and
+      // the final pair projection — without it the cross product runs
+      // three times (the tfidfPairs lesson)
+      .localCheckpoint()
+    val wA = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
+    val wB = Window.partitionBy("b_id").orderBy(desc("sim"), asc("a_id"))
+    val fwd = scored.withColumn("rank_ab", row_number().over(wA))
+    val cand = fwd.filter(col("rank_ab") <= k)
+    val sumA = cand
+      .groupBy("a_id")
+      .agg(sum("cos_micro").as("sum_a"), count(lit(1)).as("n_a"))
+    // only FORWARD-candidate b's (≤ |A|·k) ever need a b→A neighborhood
+    // — semi-join them out BEFORE the b-keyed rank so the window ranks
+    // |A|·k·|A| rows, not the full |A|·|B| score table (measured: the
+    // unpruned window dominated the sf1 run)
+    val sumB = scored
+      .join(broadcast(cand.select("b_id").distinct()), Seq("b_id"),
+        "left_semi")
+      .withColumn("rank_ba", row_number().over(wB))
+      .filter(col("rank_ba") <= k)
+      .groupBy("b_id")
+      .agg(sum("cos_micro").as("sum_b"), count(lit(1)).as("n_b"))
+    cand
+      .join(sumA, Seq("a_id"))
+      .join(sumB, Seq("b_id"))
+      .filter(col("sum_a") * col("n_b") + col("sum_b") * col("n_a") > 0)
+      .withColumn("margin_milli",
+        graft.functions.ColumnOps.fdivCol(
+          lit(2000L) * col("cos_micro") * col("n_a") * col("n_b"),
+          col("sum_a") * col("n_b") + col("sum_b") * col("n_a")))
+      .filter(col("margin_milli") >= marginFloorMilli)
+      .select("a_id", "b_id", "sim", "margin_milli")
+  }
+
   /** Coreset by cell medoid: one representative per IVF cell — the
     * member with the highest cosine to its cell's centroid (ties to the
     * lowest `vec_id`). This is the diversity-preserving subsample the

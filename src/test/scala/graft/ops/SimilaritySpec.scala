@@ -321,6 +321,31 @@ class SimilaritySpec extends AnyFunSuite with Matchers
     counts.values.foreach(_ should be <= 2)
   }
 
+  test("marginPairs: ratio margin keeps uniquely-aligned pairs and " +
+    "suppresses the hub that is merely close to everything") {
+    // A: two orthogonal queries. B: b100 aligned with a0 alone; b101 a
+    // hub equally close to both. Raw cosine ranks (a0,b101) at 0.707 —
+    // respectable — but its margin is ~0.91 (the hub's neighborhood
+    // average is itself high), while (a0,b100) margins ~1.42 and
+    // (a1,b101) ~1.27 (the hub IS a1's uniquely best match).
+    val A = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val B = Seq((100L, Array(0.99f, 0.1f)), (101L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val out = withReleased(
+      Similarity.marginPairs(A, B, k = 2, marginFloorMilli = 1050L))(
+      _.select("a_id", "b_id", "margin_milli")
+        .as[(Long, Long, Long)].collect().toSeq)
+    out.map(t => (t._1, t._2)).toSet shouldBe Set((0L, 100L), (1L, 101L))
+    out.foreach(_._3 should be >= 1050L)
+    // determinism: exact integer margins
+    val again = withReleased(
+      Similarity.marginPairs(A, B, k = 2, marginFloorMilli = 1050L))(
+      _.select("a_id", "b_id", "margin_milli")
+        .as[(Long, Long, Long)].collect().toSeq)
+    again.sorted shouldBe out.sorted
+  }
+
   test("signatures are deterministic across evaluations") {
     val a = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
     val b = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
