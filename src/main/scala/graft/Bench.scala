@@ -74,7 +74,9 @@ object Bench {
     // incremental index maintenance: append under the persisted codebook,
     // then small-file compaction (the full lifecycle on the gate);
     // margin-based cross-corpus pair mining (the bitext criterion)
-    "q_sim_ivf_append", "q_sim_ivf_compact", "q_sim_margin_pairs")
+    "q_sim_ivf_append", "q_sim_ivf_compact", "q_sim_margin_pairs",
+    // tokenizer evaluation: per-language fertility/compression table
+    "q_tokenizer_fertility")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -229,7 +231,9 @@ object Bench {
     // build third + two appends + per-cell one-file rewrite + search
     "q_sim_ivf_compact" -> 6.500,
     // one broadcast cross product + two candidate-pruned window ranks
-    "q_sim_margin_pairs" -> 2.000)
+    "q_sim_margin_pairs" -> 2.000,
+    // one narrow projection pass + a 5-group aggregate
+    "q_tokenizer_fertility" -> 1.000)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -323,6 +327,7 @@ object Bench {
     "q_sim_ivf_append" -> 7.500,
     "q_sim_ivf_compact" -> 9.000,
     "q_sim_margin_pairs" -> 5.000,
+    "q_tokenizer_fertility" -> 2.200,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

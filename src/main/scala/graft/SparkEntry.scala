@@ -2010,6 +2010,43 @@ object SparkEntry {
         t(s, dir, "documents"), SparkEntry.demoVocab, maxChars = 80)
         .orderBy("doc_id")),
 
+    // tokenizer EVALUATION: the per-language fertility/compression table
+    // a pipeline reads before choosing a vocab — tokens per 1000 words
+    // (fertility), bytes per token (compression), unknown rate — all
+    // exact integer floor divisions over one narrow projection pass
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      val txt = substring(col("text"), 1, 80)
+      t(s, dir, "documents").select(
+        col("lang"),
+        graft.functions.ColumnOps.bind(
+          TextAnalysis.greedyTokenizeIds(txt, SparkEntry.demoVocab, native)) {
+          ids =>
+            struct(
+              size(ids).cast("long").as("toks"),
+              size(filter(ids, x => x === -1)).cast("long").as("unks"))
+        }.as("q"),
+        size(TextAnalysis.normTokens(txt)).cast("long").as("words"),
+        octet_length(txt).cast("long").as("bytes"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("q.toks").as("n_tokens"),
+          sum("q.unks").as("n_unks"),
+          sum("words").as("n_words"),
+          sum("bytes").as("n_bytes"))
+        .withColumn("fertility_milli",
+          graft.functions.ColumnOps.fdivCol(
+            lit(1000L) * col("n_tokens"), col("n_words")))
+        .withColumn("bytes_per_token_milli",
+          graft.functions.ColumnOps.fdivCol(
+            lit(1000L) * col("n_bytes"), col("n_tokens")))
+        .withColumn("unk_permille",
+          graft.functions.ColumnOps.fdivCol(
+            lit(1000L) * col("n_unks"), col("n_tokens")))
+        .orderBy("lang")
+    }),
+
     // TRAP vocab ([[trapVocab]]): overlapping prefixes where greedy
     // longest-match provably loses — both segmentations computed in ONE
     // projection over ONE scan (no join, no shuffle: the 100 TB shape
@@ -6033,6 +6070,45 @@ object SparkEntry {
         | CAST(len(list_filter(ids, x -> x = -1)) AS BIGINT) AS n_unk,
         | array_to_string(ids, ' ') AS ids_str
         |FROM bwd WHERE pos = 0 ORDER BY doc_id""".stripMargin,
+
+    // fertility table: the greedy walk per doc (demoVocab VALUES), word
+    // counts from the normTokens split twin, exact floor divisions
+    "q_tokenizer_fertility" ->
+      """WITH RECURSIVE v(id, tok, len) AS (
+        | SELECT * FROM (VALUES (0,'the',3),(1,'of',2),(2,'and',3),(3,'ing',3),(4,'er',2),
+        |  (5,'a',1),(6,'e',1),(7,'i',1),(8,'o',1),(9,'u',1),(10,'t',1),(11,'n',1),
+        |  (12,'s',1),(13,'r',1),(14,'h',1),(15,'l',1),(16,'d',1),(17,' ',1))),
+        |d AS (SELECT doc_id, lang, substring(text, 1, 80) AS s FROM documents),
+        |step(doc_id, pos, ids) AS (
+        | SELECT doc_id, 1, CAST([] AS INT[]) FROM d
+        | UNION ALL
+        | SELECT g.doc_id, g.pos + coalesce(b.blen, 1), list_append(g.ids, coalesce(b.bid, -1))
+        | FROM step g JOIN d ON d.doc_id = g.doc_id
+        | LEFT JOIN LATERAL (
+        |   SELECT v.id AS bid, v.len AS blen FROM v
+        |   WHERE substring(d.s, g.pos, v.len) = v.tok
+        |   ORDER BY v.len DESC, v.id LIMIT 1) b ON true
+        | WHERE g.pos <= length(d.s)),
+        |perdoc AS (
+        | SELECT d.lang,
+        |  CAST(len(g.ids) AS BIGINT) AS toks,
+        |  CAST(len(list_filter(g.ids, x -> x = -1)) AS BIGINT) AS unks,
+        |  CAST(len(string_split(lower(regexp_replace(d.s, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS words,
+        |  CAST(strlen(d.s) AS BIGINT) AS bytes
+        | FROM step g JOIN d ON d.doc_id = g.doc_id WHERE g.pos > length(d.s)),
+        |agg AS (
+        | SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(unks) AS BIGINT) AS n_unks,
+        |  CAST(sum(words) AS BIGINT) AS n_words,
+        |  CAST(sum(bytes) AS BIGINT) AS n_bytes
+        | FROM perdoc GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens, n_unks, n_words, n_bytes,
+        | CAST((1000 * n_tokens) // n_words AS BIGINT) AS fertility_milli,
+        | CAST((1000 * n_bytes) // n_tokens AS BIGINT) AS bytes_per_token_milli,
+        | CAST((1000 * n_unks) // n_tokens AS BIGINT) AS unk_permille
+        |FROM agg ORDER BY lang""".stripMargin,
 
     // trap vocab (trapVocab mirrored in the VALUES list, max len 5 →
     // cost window c1..c5): BOTH DPs replayed — the Viterbi forward/
