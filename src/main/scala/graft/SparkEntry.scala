@@ -2010,6 +2010,15 @@ object SparkEntry {
         t(s, dir, "documents"), SparkEntry.demoVocab, maxChars = 80)
         .orderBy("doc_id")),
 
+    // SEMANTIC chunking (TextTiling-style): boundaries where the hashed
+    // bag-of-words distribution drifts between consecutive 12-word
+    // windows — the adaptive cut fixed-window and CDC chunking can't
+    // make; threshold 450000 micro ≈ the corpus q25 of consecutive
+    // cosines, so boundaries are real dips, not everywhere
+    "q_semantic_chunks" -> ((s, dir) =>
+      TextAnalysis.semanticChunks(t(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_id")),
+
     // tokenizer EVALUATION: the per-language fertility/compression table
     // a pipeline reads before choosing a vocab — tokens per 1000 words
     // (fertility), bytes per token (compression), unknown rate — all
@@ -6070,6 +6079,46 @@ object SparkEntry {
         | CAST(len(list_filter(ids, x -> x = -1)) AS BIGINT) AS n_unk,
         | array_to_string(ids, ' ') AS ids_str
         |FROM bwd WHERE pos = 0 ORDER BY doc_id""".stripMargin,
+
+    // semantic chunking: windows → 16-bucket h28 bag-of-words vectors →
+    // micro-cosine dips open boundaries → prefix-summed chunk ids →
+    // per-chunk reassembly, all as DuckDB list lambdas over the same
+    // integer arithmetic
+    "q_semantic_chunks" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |base AS (SELECT doc_id, ws,
+        |  GREATEST(CAST(ceil(len(ws) / 12.0) AS BIGINT), 1) AS nw FROM d),
+        |win AS (SELECT doc_id, nw,
+        |  list_transform(range(0, nw), i -> ws[CAST(i*12+1 AS INT):CAST(i*12+12 AS INT)]) AS wins
+        | FROM base),
+        |vecs AS (SELECT doc_id, nw, wins,
+        |  list_transform(wins, wn ->
+        |   list_transform(range(0, 16), dd ->
+        |    CAST(len(list_filter(wn, w -> ('0x' || substr(md5(w), 1, 7))::BIGINT % 16 = dd)) AS BIGINT))) AS vs
+        | FROM win),
+        |flags AS (SELECT doc_id, nw, wins,
+        |  list_transform(range(0, nw), i ->
+        |   CASE WHEN i = 0 THEN 0 ELSE
+        |    CASE WHEN CAST(round(
+        |      CAST(list_sum(list_transform(list_zip(vs[CAST(i AS INT)], vs[CAST(i+1 AS INT)]), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(vs[CAST(i AS INT)], x -> x*x)) AS DOUBLE)
+        |           * CAST(list_sum(list_transform(vs[CAST(i+1 AS INT)], x -> x*x)) AS DOUBLE)) * 1e6) AS BIGINT)
+        |     < 450000 THEN 1 ELSE 0 END END) AS b
+        | FROM vecs),
+        |cids AS (SELECT doc_id, nw, wins,
+        |  list_transform(range(0, nw), i ->
+        |   CAST(coalesce(list_sum(b[1:CAST(i+1 AS INT)]), 0) AS BIGINT)) AS ids
+        | FROM flags)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        | CAST(len(list_filter(range(0, nw), i -> ids[CAST(i+1 AS INT)] = cid)) AS BIGINT) AS n_windows,
+        | array_to_string(flatten(list_transform(
+        |   list_filter(range(0, nw), i -> ids[CAST(i+1 AS INT)] = cid),
+        |   i -> wins[CAST(i+1 AS INT)])), ' ') AS chunk_text
+        |FROM (SELECT doc_id, nw, wins, ids, unnest(list_distinct(ids)) AS cid FROM cids)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // fertility table: the greedy walk per doc (demoVocab VALUES), word
     // counts from the normTokens split twin, exact floor divisions

@@ -190,6 +190,35 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers
     tail shouldBe Map(0L -> 4L, 1L -> 4L, 2L -> 2L)
   }
 
+  test("semanticChunks: a boundary opens exactly at the vocabulary shift; " +
+    "threshold extremes give whole-doc and per-window chunks") {
+    // two windows of REPEATED single words: window vectors are
+    // concentrated in one hash bucket each, so the seam cosine is 0
+    // (different words → almost surely different buckets) while any
+    // within-topic pair would be 1
+    val doc = (("alpha " * 12) + ("omega " * 12)).trim
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val out = TextAnalysis.semanticChunks(df, windowWords = 12)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getString(3))).toMap
+    out.keySet shouldBe Set(0L, 1L)
+    out(0L) shouldBe ((1L, ("alpha " * 12).trim))
+    out(1L) shouldBe ((1L, ("omega " * 12).trim))
+    // threshold 0: nothing dips below -> one chunk per document
+    TextAnalysis.semanticChunks(df, windowWords = 12, thresholdMicro = 0L)
+      .count() shouldBe 1L
+    // threshold > 1e6: every window opens its own chunk
+    TextAnalysis.semanticChunks(df, windowWords = 12,
+      thresholdMicro = 1000001L).count() shouldBe 2L
+    // every real document yields >= 1 chunk and chunk ids are dense 0..n
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val chunks = TextAnalysis.semanticChunks(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    chunks.map(_._1).distinct.length shouldBe real.count().toInt
+    chunks.groupBy(_._1).values.foreach { cs =>
+      cs.map(_._2).sorted.toSeq shouldBe (0L until cs.length).toSeq
+    }
+  }
+
   test("hash split is deterministic, complete, and roughly proportioned") {
     val df = (1L to 1000L).toDF("doc_id")
     val a = Sampling.assignSplit(df, "doc_id", valPermille = 100, testPermille = 50)
