@@ -372,13 +372,13 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
-    // Best-of-2 with per-run GC telemetry: two prior rounds' driver bench
-    // artifacts were contaminated by a roving host-level slowdown window
-    // (r5: the text block; r6: everything after ~t+58s, 4–12× inflated,
-    // reproducibly fast when re-run). The min of two spaced runs rejects a
-    // one-shot interference hit, and the per-query stderr line (both runs
-    // + GC delta + live heap) makes any remaining contamination
-    // self-evident instead of indistinguishable from a code regression.
+    // Back-to-back best-of-2 with per-run GC telemetry — the
+    // RE-MEASUREMENT primitive (isolation + canary passes). The MAIN
+    // pass does NOT use it: two back-to-back runs share any contention
+    // window (r12's trained-family inflation: q_sim_ivf_trained_auto
+    // committed 50.4 s best-of-2 against 2.6 s isolated because both
+    // reps sat inside one slow segment) — the gate pass instead runs
+    // two FULL-SURFACE-SPACED reps below, minutes apart per query.
     def exec(name: String): Double = {
       val g0 = gcMs()
       val t1 = execOnce(name)
@@ -452,7 +452,39 @@ object Bench {
     // runs the full surface
     val surface =
       if (isSf1) headline.filterNot(sf1Exclude) else headline
-    val results = ("ingest_full" -> ingestSec) +: surface.map(n => n -> exec(n))
+    // Two SPACED full-surface reps (round-13): rep 2 of any query runs
+    // after the ENTIRE remaining surface — minutes later — so a
+    // sustained host-contention window covering one segment inflates at
+    // most ONE rep; the min survives. Per-rep stderr lines carry GC
+    // delta + live heap so a contaminated rep stays self-evident.
+    def repPass(rep: Int): Seq[Double] = surface.map { n =>
+      val g0 = gcMs()
+      val t = execOnce(n)
+      val g1 = gcMs()
+      val heapMb =
+        (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+      System.err.println(
+        f"[bench] rep$rep $n%-24s t=$t%7.3fs gc=${g1 - g0}%4dms heap=${heapMb}MB")
+      t
+    }
+    val pass1 = repPass(1)
+    // residue sweep audit between the reps: after a full surface pass,
+    // every non-shared-fixture block should already be gone (execOnce
+    // sweeps per query) — a nonzero count here is a leak in some
+    // query's release path, reported as `leaked_blocks` in the artifact
+    val leakedBlocks = {
+      val keep = SparkEntry.sharedFixtureRddIds
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => keep(r.id)).size
+    }
+    if (leakedBlocks > 0)
+      System.err.println(s"[bench] WARNING: $leakedBlocks leaked persistent RDD(s) after rep 1")
+    val pass2 = repPass(2)
+    val results: Seq[(String, Double)] = ("ingest_full" -> ingestSec) +:
+      surface.zipWithIndex.map { case (n, i) =>
+        val (a, b) = (pass1(i), pass2(i))
+        n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      }
     // Millisecond precision keeps the single JSON line short: the invoking
     // harness captures a bounded output tail, and full-precision doubles ×
     // 38 queries pushed the line past the capture window (unparseable).
@@ -591,7 +623,7 @@ object Bench {
     // gc_ms: total collector time over the whole run — a contaminated run
     // (host interference, heap pressure) shows up as an outsized value
     // relative to the ~61 s clean-run shape.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // full artifact for the repo: per-query seconds, plus base/ratio
     // where the scale's baseline map has an entry (new queries
@@ -606,7 +638,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"sf":"$sfDir","confirmed_over2x":${confirmed.size},"queries":$full}""".getBytes("UTF-8"))
+      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"sf":"$sfDir","confirmed_over2x":${confirmed.size},"queries":$full}""".getBytes("UTF-8"))
     SparkEntry.releaseSharedFixtures()
     spark.stop()
     // the gate BITES (round-10): rc != 0 on confirmed violations only —

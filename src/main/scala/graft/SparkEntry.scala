@@ -39,7 +39,10 @@ object SparkEntry {
     * [[releaseSharedFixtures]] frees it at end of job. If something
     * unpersists the pin anyway (Verify's per-query release), the next
     * lookup detects the dead block and rebuilds — never a truncated-
-    * lineage crash.
+    * lineage crash. The map also carries the other deliberate
+    * long-lived pin, the ANN SERVING index ([[servingIvfIndexShared]]),
+    * under a distinct key prefix — one lifecycle for every shared
+    * fixture.
     */
   private val edgeFixtures =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -195,8 +198,18 @@ object SparkEntry {
       .select((0 until n).map { i =>
         round(log(col("_tot") / col(s"c$i")) * lit(1e3))
           .cast("int").as(s"k$i")
-      }: _*)
+      } ++ (0 until n).map(i => col(s"c$i")): _*)
       .collect()(0)
+    // FAIL LOUDLY on a zero count: ln(tot/0) diverges cross-engine
+    // (Spark: Infinity → Int.MaxValue cost; DuckDB: ln(ct/0) → NULL
+    // silently corrupting the oracle's DP) — a vocab entry absent from
+    // the corpus is a train-time error, not a decodable cost
+    val zeros = (0 until n).filter(i =>
+      costRow.isNullAt(n + i) || costRow.getLong(n + i) == 0L)
+    require(zeros.isEmpty,
+      s"trainedTrapCosts: vocab entries with ZERO corpus occurrences: " +
+        zeros.map(trapVocab).mkString("'", "', '", "'") +
+        " — every priced entry must occur in the 80-char slices")
     (0 until n).map(costRow.getInt)
   }
 
@@ -218,6 +231,26 @@ object SparkEntry {
         nCells = 0, targetPerCell = 128L)
       tmp
     })
+
+  /** The STREAM-SERVING twin of the layout pin: the per-cell member-
+    * array table ([[graft.streaming.EmbedStreamOps.loadServingIndex]])
+    * checkpoint-pinned once per (session, dir) — a deployment's
+    * in-memory ANN index, loaded at serving start and reused across
+    * every micro-batch instead of re-scanning the layout per re-plan.
+    * Same lifecycle as the edge fixture (sweep-exempt via
+    * [[sharedFixtureRddIds]], freed by [[releaseSharedFixtures]],
+    * rebuilt if something unpersists it anyway).
+    */
+  private def servingIvfIndexShared(s: SparkSession, dir: String): DataFrame = {
+    val key = "ivfserve:" + System.identityHashCode(s) + ":" + dir
+    edgeFixtures.compute(key, (_, prev) => {
+      val alive = prev != null && fixtureRdds(prev).forall(
+        _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      if (alive) prev
+      else graft.streaming.EmbedStreamOps
+        .loadServingIndex(s, persistedIvfIndex(s, dir)).localCheckpoint()
+    })
+  }
 
   /** Viterbi-vs-greedy comparison over [[trapVocab]] at all-ones costs:
     * one scan, one codegen'd projection computing BOTH segmentations
@@ -1871,7 +1904,8 @@ object SparkEntry {
     "q_sim_ivf_stream" -> ((s, dir) =>
       graft.streaming.EmbedStreamOps.searchIvfIndexStream(
         t(s, dir, "embeddings").filter(col("vec_id") < 10),
-        persistedIvfIndex(s, dir), k = 5, nProbe = 2)
+        persistedIvfIndex(s, dir), k = 5, nProbe = 2,
+        servingIndex = Some(servingIvfIndexShared(s, dir)))
         .orderBy("query_id", "rank")),
 
     // the search-side TRAINED auto path: hierarchically-trained codebook

@@ -1302,6 +1302,15 @@ object Similarity {
     * 4096-vectors-per-cell layout touches ~5 files regardless of corpus
     * size ([[graft.ops.IvfIndexSpec]] asserts `PartitionFilters` reaches
     * the scan and unprobed cells are never read). Returns the cell count.
+    *   - `meta/` — one row `(n_cells)`: the BUILD-TIME cell count, the
+    *     single source of truth every later [[appendIvfIndex]] /
+    *     [[searchIvfIndex]] / stream-serving path derives its coarse
+    *     grouping from. Deriving it from `codebook.count()` instead is
+    *     wrong for trained hier codebooks, whose row count c·m can
+    *     exceed the requested k (the `trainCentroidsHier` SIZE
+    *     CONTRACT) — `ceil(sqrt(c·m)) != ceil(sqrt(k))` would silently
+    *     assign appends under a DIFFERENT coarse grouping than the
+    *     build, breaking append ≡ one-shot-rebuild equivalence.
     */
   def writeIvfIndex(
       embeddings: DataFrame,
@@ -1314,6 +1323,8 @@ object Similarity {
       if (nCells == 0) cellsFor(embeddings.count(), targetPerCell) else nCells
     centroids.getOrElse(seedCodebook(embeddings, cellCount))
       .write.mode("overwrite").parquet(s"$dir/codebook")
+    spark.range(1).select(lit(cellCount).cast("int").as("n_cells"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
     val book = spark.read.parquet(s"$dir/codebook")
     ivfAssignHierProbe(embeddings, cellCount, 1, centroids = Some(book))
       .select("vec_id", "qv", "qn", "cell_id")
@@ -1338,10 +1349,24 @@ object Similarity {
     * the corpus and a stale codebook is an OFFLINE re-train + re-write
     * decision, audited by [[cellHealth]] — never an online mutation.
     */
+  /** The persisted layout's build-time cell count ([[writeIvfIndex]]'s
+    * `meta/`) — the ONE value write/append/search/stream all derive
+    * their coarse grouping from, so a trained codebook whose row count
+    * differs from the requested k cannot split the paths. Pre-meta
+    * layouts (or a hand-built dir) fall back to `codebook.count()`,
+    * which is exact whenever rows == k (every seeded codebook).
+    */
+  private[graft] def readIndexCells(spark: SparkSession, dir: String): Int = {
+    val metaPath = java.nio.file.Paths.get(s"$dir/meta")
+    if (java.nio.file.Files.isDirectory(metaPath))
+      spark.read.parquet(s"$dir/meta").collect()(0).getInt(0)
+    else spark.read.parquet(s"$dir/codebook").count().toInt
+  }
+
   def appendIvfIndex(embeddings: DataFrame, dir: String): Unit = {
     val spark = embeddings.sparkSession
     val book = spark.read.parquet(s"$dir/codebook")
-    ivfAssignHierProbe(embeddings, book.count().toInt, 1,
+    ivfAssignHierProbe(embeddings, readIndexCells(spark, dir), 1,
       centroids = Some(book))
       .select("vec_id", "qv", "qn", "cell_id")
       .write.mode("append").partitionBy("cell_id").parquet(s"$dir/index")
@@ -1356,14 +1381,23 @@ object Similarity {
     * ([[graft.ops.IvfIndexSpec]] proves file-count collapse AND search
     * equality). `repartition(cell_id)` puts each cell's rows in one
     * task, so `partitionBy` emits exactly one file per cell; the swap
-    * is write-aside + directory rename (a reader mid-swap sees the old
-    * OR new complete layout on a posix rename, never a mix).
+    * is write-aside + TWO atomic renames — `index` → `index_old`, then
+    * `index_compacting` → `index` — so a COMPLETE layout exists at that
+    * path before and after each atomic step (a reader mid-swap sees the
+    * old or the new index, or a transient not-yet-present window it
+    * already had to handle for a never-built index; never a partial
+    * tree), and a crash at ANY point strands at most a stale
+    * `index_old`/`index_compacting` beside recoverable data — the
+    * recursive delete runs LAST, on the retired tree only
+    * ([[graft.ops.IvfIndexSpec]] steps through the swap and asserts a
+    * complete layout is readable at every intermediate state).
     *
     * Scale shape: one full index read + one cell-keyed exchange + one
     * write — O(index) once, amortized against every later probe
     * listing fewer files. Returns the data-file count after compaction.
     */
-  def compactIvfIndex(dir: String, spark: SparkSession): Long = {
+  def compactIvfIndex(dir: String, spark: SparkSession,
+      onSwapStep: String => Unit = _ => ()): Long = {
     spark.read.parquet(s"$dir/index")
       .select(col("vec_id"), col("qv"), col("qn"),
         col("cell_id").cast("long").as("cell_id"))
@@ -1372,11 +1406,27 @@ object Similarity {
       .parquet(s"$dir/index_compacting")
     val old = java.nio.file.Paths.get(s"$dir/index")
     val neu = java.nio.file.Paths.get(s"$dir/index_compacting")
-    val w = java.nio.file.Files.walk(old)
-    try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-    finally w.close()
+    val retired = java.nio.file.Paths.get(s"$dir/index_old")
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    // a prior crash may have stranded a retired tree; clear it so the
+    // first rename cannot collide (data is never here mid-swap)
+    if (java.nio.file.Files.exists(retired)) deleteTree(retired)
+    // onSwapStep: test-only observation points BETWEEN the atomic steps
+    // ([[graft.ops.IvfIndexSpec]] asserts complete, lossless trees at
+    // every intermediate state); production callers leave the default
+    onSwapStep("written")
+    java.nio.file.Files.move(old, retired,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    onSwapStep("retired")
     java.nio.file.Files.move(neu, old,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    onSwapStep("swapped")
+    deleteTree(retired)
     val w2 = java.nio.file.Files.walk(old)
     try w2.iterator().asScala.count(p =>
       p.getFileName.toString.endsWith(".parquet"))
@@ -1409,7 +1459,7 @@ object Similarity {
     val spark = queries.sparkSession
     val native = graft.plans.GraftExtensions.available(spark)
     val book = spark.read.parquet(s"$dir/codebook")
-    val cellCount = book.count().toInt
+    val cellCount = readIndexCells(spark, dir)
     def probes = ivfAssignHierProbe(queries, cellCount, nProbe,
       pCoarse = pCoarse, centroids = Some(book))
       .select(col("vec_id").as("query_id"), col("qv").as("query_qv"),

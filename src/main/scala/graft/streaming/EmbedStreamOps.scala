@@ -121,12 +121,33 @@ object EmbedStreamOps {
     *      struct trick), sliced to `k` and posexploded to the
     *      (query_id, cand_id, sim, rank) contract.
     */
+  /** The persisted [[Similarity.writeIvfIndex]] layout regrouped as
+    * per-cell member ARRAYS — the serving-side in-memory ANN index
+    * [[searchIvfIndexStream]] equi-joins each micro-batch against. A
+    * deployment loads this ONCE, pins it (persist/localCheckpoint), and
+    * passes it to every serving plan: the static side of a
+    * stream-static join is otherwise RE-READ at each micro-batch's
+    * re-plan — a corpus-sized parquet scan + regroup PER BATCH.
+    * [[EmbedStreamOpsSpec]] proves a pinned serving index leaves ZERO
+    * file scans of `indexDir` in any micro-batch's executed plan (the
+    * one materializing scan happens at pin time), with answers
+    * unchanged.
+    */
+  def loadServingIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/index")
+      .withColumn("cell_id", col("cell_id").cast("long"))
+      .groupBy("cell_id")
+      .agg(collect_list(struct(col("vec_id"), col("qv"), col("qn")))
+        .as("members"))
+
   def searchIvfIndexStream(
       queries: DataFrame,
       indexDir: String,
       k: Int,
       nProbe: Int = 2,
-      pCoarse: Int = 2): DataFrame = {
+      pCoarse: Int = 2,
+      servingIndex: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(pCoarse >= 1, s"pCoarse must be >= 1, got $pCoarse")
@@ -134,8 +155,12 @@ object EmbedStreamOps {
     val native = graft.plans.GraftExtensions.available(spark)
     import org.apache.spark.sql.expressions.Window
     val book = spark.read.parquet(s"$indexDir/codebook")
-    val coarseCount = math.ceil(math.sqrt(
-      math.max(1L, book.count()).toDouble)).toInt
+    // the BUILD-TIME cell count from the layout's meta (not
+    // `book.count()`: a trained hier codebook's row count can exceed
+    // the build k, and ceil(sqrt(·)) of the two can differ — the batch
+    // search derives its grouping from the same recorded value)
+    val coarseCount = math.ceil(math.sqrt(math.max(1,
+      Similarity.readIndexCells(spark, indexDir)).toDouble)).toInt
     // fine→coarse map, computed with ivfAssignHierProbe's own
     // expressions over the codebook (k rows — plan-time, not per batch)
     val coarseDf = book
@@ -169,14 +194,19 @@ object EmbedStreamOps {
             Similarity.qdot(qv, typedlit(cv), native), qn, lit(cn))).as("ns"),
           lit(id).as("cid"))
     }: _*)
-    // fine entries carry their group id for the probed-group filter
-    def fineScored(qv: Column, qn: Column): Column = array(fineMap.map {
-      case (id, g, cv, cn) =>
-        struct(
-          (-Similarity.qcosinePre(
-            Similarity.qdot(qv, typedlit(cv), native), qn, lit(cn))).as("ns"),
-          lit(id).as("cid"), lit(g).as("g"))
-    }: _*)
+    // fine entries NESTED per coarse group as ONE map literal — the
+    // probed-group lookup selects a group's cells BEFORE any cosine is
+    // built, so per-row scoring is O(pCoarse·√k·dim) (only probed
+    // groups' fine cells), not O(k·dim), and the plan carries a single
+    // literal node instead of k cosine subtrees (the expression tree no
+    // longer grows with the codebook)
+    val fineByGroup: Map[Long, Seq[(Long, Seq[Long], Long)]] =
+      fineMap.groupBy(_._2).map { case (g, rows) =>
+        g -> rows.map(r => (r._1, r._3, r._4)).toSeq
+      }
+    val groupMap = typedlit(fineByGroup)
+    val emptyGroup =
+      array().cast("array<struct<_1:bigint,_2:array<bigint>,_3:bigint>>")
     val in = queries
       .withColumn("_qv", Similarity.quantize(col("embedding")))
       .withColumn("_qn", Similarity.qdot(col("_qv"), col("_qv"), native))
@@ -187,18 +217,20 @@ object EmbedStreamOps {
           p => p("cid")))
       .withColumn("_pc",
         slice(
-          array_sort(filter(fineScored(col("_qv"), col("_qn")),
-            f => array_contains(col("_pg"), f("g")))),
+          array_sort(transform(
+            flatten(transform(col("_pg"), g =>
+              coalesce(element_at(groupMap, g), emptyGroup))),
+            f => struct(
+              (-Similarity.qcosinePre(
+                Similarity.qdot(col("_qv"), f("_2"), native),
+                col("_qn"), f("_3"))).as("ns"),
+              f("_1").as("cid")))),
           1, nProbe))
     // static side: the persisted layout as per-cell member arrays — the
     // in-memory serving index (member order is irrelevant: the final
     // ranking re-sorts by (sim, cand_id))
     val memberType = "array<struct<vec_id:bigint,qv:array<bigint>,qn:bigint>>"
-    val cellsArr = spark.read.parquet(s"$indexDir/index")
-      .withColumn("cell_id", col("cell_id").cast("long"))
-      .groupBy("cell_id")
-      .agg(collect_list(struct(col("vec_id"), col("qv"), col("qn")))
-        .as("members"))
+    val cellsArr = servingIndex.getOrElse(loadServingIndex(spark, indexDir))
     val joined = (0 until nProbe).foldLeft(in) { (cur, p) =>
       cur.join(
         cellsArr.select(col("cell_id").as(s"_c$p"),

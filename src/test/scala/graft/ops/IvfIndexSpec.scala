@@ -94,6 +94,79 @@ class IvfIndexSpec extends AnyFunSuite with Matchers
       .orderBy("query_id", "rank").collect().toSeq shouldBe before
   }
 
+  test("compaction swap is crash-safe: a complete, lossless tree exists " +
+    "at every intermediate step (delete runs last, on the retired copy)") {
+    val n = emb.count()
+    val half = n / 2
+    val dir = java.nio.file.Files.createTempDirectory("ivf-swapsafe").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < half), dir,
+      nCells = Similarity.cellsFor(half, 128L))
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= half), dir)
+    val rows = spark.read.parquet(s"$dir/index").count()
+    def complete(sub: String): Boolean = {
+      val p = java.nio.file.Paths.get(s"$dir/$sub")
+      java.nio.file.Files.isDirectory(p) &&
+        spark.read.parquet(s"$dir/$sub").count() == rows
+    }
+    var steps = Seq.empty[String]
+    Similarity.compactIvfIndex(dir, spark, onSwapStep = { step =>
+      steps :+= step
+      step match {
+        case "written" =>
+          // both trees complete: a crash here loses nothing, a reader
+          // still sees the old index
+          assert(complete("index") && complete("index_compacting"))
+        case "retired" =>
+          // the documented transient window: index briefly absent, but
+          // BOTH complete copies exist — a crash strands recoverable
+          // trees, never a partial one
+          assert(!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/index")))
+          assert(complete("index_old") && complete("index_compacting"))
+        case "swapped" =>
+          // new index live; the retired copy still whole until the
+          // final delete
+          assert(complete("index") && complete("index_old"))
+        case other => fail(s"unexpected swap step $other")
+      }
+    })
+    steps shouldBe Seq("written", "retired", "swapped")
+    complete("index") shouldBe true
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/index_old")) shouldBe false
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/index_compacting")) shouldBe false
+  }
+
+  test("append/search derive the coarse grouping from the RECORDED build " +
+    "cell count, not the codebook row count") {
+    // an EXTERNAL codebook with MORE rows (9) than the build cell count
+    // (4): ceil(sqrt(9))=3 vs ceil(sqrt(4))=2, so deriving nCells from
+    // codebook.count() would assign appends under a DIFFERENT coarse
+    // grouping than the build — the divergence `meta/` guards against
+    val cents = Similarity.seedCodebook(emb, 9)
+    val n = emb.count()
+    val half = n / 2
+    val dirInc = java.nio.file.Files.createTempDirectory("ivf-meta-inc").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < half), dirInc,
+      nCells = 4, centroids = Some(cents))
+    spark.read.parquet(s"$dirInc/meta").collect()(0).getInt(0) shouldBe 4
+    spark.read.parquet(s"$dirInc/codebook").count() shouldBe 9L
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= half), dirInc)
+    val dirOne = java.nio.file.Files.createTempDirectory("ivf-meta-one").toString
+    val book = spark.read.parquet(s"$dirInc/codebook")
+    Similarity.writeIvfIndex(emb, dirOne, nCells = 4, centroids = Some(book))
+    def layout(d: String) = spark.read.parquet(s"$d/index")
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    layout(dirInc) shouldBe layout(dirOne)
+    layout(dirInc).size shouldBe n.toInt
+    def search(d: String) = Similarity.searchIvfIndex(
+      emb.filter(col("vec_id") < 10), d, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    search(dirInc) shouldBe search(dirOne)
+  }
+
   test("index layout: every corpus vector in exactly one cell partition") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx-layout").toString
     val cells = Similarity.writeIvfIndex(emb, dir, nCells = 0, targetPerCell = 128L)

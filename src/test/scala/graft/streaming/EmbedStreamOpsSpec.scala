@@ -96,4 +96,54 @@ class EmbedStreamOpsSpec extends AnyFunSuite with Matchers
     q.stop()
     got.toSeq shouldBe direct.toSeq
   }
+
+  test("a PINNED serving index is loaded once: no micro-batch's executed " +
+    "plan re-scans the index files, answers unchanged") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-serve-pin").toString
+    Similarity.writeIvfIndex(emb, dir, nCells = 0, targetPerCell = 128L)
+    val queries = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "cand_id", "sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val direct = key(Similarity.searchIvfIndex(queries, dir, k = 5, nProbe = 2))
+    // the deployment shape: load + pin ONCE (the materializing scan
+    // happens here), then serve every micro-batch from the pinned rows
+    val pinned = EmbedStreamOps.loadServingIndex(spark, dir).localCheckpoint()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def indexFileScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains(dir)) =>
+        sc
+    }
+    val rows = queries.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = EmbedStreamOps.searchIvfIndexStream(
+      mem.toDF.toDF("vec_id", "embedding"), dir, k = 5, nProbe = 2,
+      servingIndex = Some(pinned))
+      .writeStream.format("memory").queryName("ivf_serve_pinned")
+      .outputMode("append").start()
+    val exec = q.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery
+    def batchPlan(): SparkPlan = exec.lastExecution.executedPlan
+    mem.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    val plan1 = batchPlan()
+    mem.addData(rest.toIndexedSeq)
+    q.processAllAvailable()
+    val plan2 = batchPlan()
+    val got = key(spark.table("ivf_serve_pinned"))
+    q.stop()
+    // NO file scan of the layout in ANY micro-batch: the static side is
+    // the checkpointed RDD (one scan total, at pin time), so batch N+1
+    // provably does not re-read the index
+    indexFileScans(plan1) shouldBe empty
+    indexFileScans(plan2) shouldBe empty
+    (plan1.toString + plan2.toString) should include("ExistingRDD")
+    got.toSeq shouldBe direct.toSeq
+    Dedup.releaseCheckpoints(pinned)
+  }
 }
