@@ -76,7 +76,12 @@ object Bench {
     // margin-based cross-corpus pair mining (the bitext criterion)
     "q_sim_ivf_append", "q_sim_ivf_compact", "q_sim_margin_pairs",
     // tokenizer evaluation: per-language fertility/compression table
-    "q_tokenizer_fertility")
+    "q_tokenizer_fertility",
+    // round-13: TextTiling semantic chunking (registered late — it
+    // shipped r12 with oracle+spec but missed the gate surface);
+    // cell-blocked corpus×corpus margin mining (shared hier codebook,
+    // within-cell margins — the full-corpora bitext deployment shape)
+    "q_semantic_chunks", "q_sim_margin_blocked")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -233,7 +238,11 @@ object Bench {
     // one broadcast cross product + two candidate-pruned window ranks
     "q_sim_margin_pairs" -> 2.000,
     // one narrow projection pass + a 5-group aggregate
-    "q_tokenizer_fertility" -> 1.000)
+    "q_tokenizer_fertility" -> 1.000,
+    // one projection pass + per-doc boundary scan (BenchOne r13 warm)
+    "q_semantic_chunks" -> 2.300,
+    // two hier assignment passes + cell-join + margin tail (r13 warm)
+    "q_sim_margin_blocked" -> 7.700)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -328,6 +337,10 @@ object Bench {
     "q_sim_ivf_compact" -> 9.000,
     "q_sim_margin_pairs" -> 5.000,
     "q_tokenizer_fertility" -> 2.200,
+    "q_semantic_chunks" -> 13.700,
+    // ~flat sf0.1→sf1 (7.6→7.1 s BenchOne r13): the cell-blocked
+    // candidate volume, not the corpus, sets the cost
+    "q_sim_margin_blocked" -> 7.300,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

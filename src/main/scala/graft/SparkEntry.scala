@@ -1940,6 +1940,22 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // the corpus×corpus deployment shape of margin mining: even ids
+    // mine against odd ids (two "corpora" over one embedding space),
+    // both sides assigned under ONE shared corpus-proportional hier
+    // codebook, the margin criterion within cells — candidate volume
+    // Σ|A_c|·nProbe·|B_c| instead of |A|·|B| (the Artetxe & Schwenk §5
+    // shape: full corpora, not a bounded batch)
+    "q_sim_margin_blocked" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginPairsBlocked(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = 4, marginFloorMilli = 1050L,
+        nCells = 0, targetPerCell = 128L, nProbe = 2)
+        .orderBy("a_id", "b_id")
+    }),
+
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
@@ -4946,6 +4962,31 @@ object SparkEntry {
         |   round(list_sum(list_transform(list_zip(a_qv, b_qv), p -> p[1] * p[2]))
         |    / sqrt(CAST(a_qn AS DOUBLE) * CAST(b_qn AS DOUBLE)), 6) AS sim
         |  FROM a CROSS JOIN b) WHERE sim > 0),
+        |s2 AS (SELECT a_id, b_id, sim, cosu,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rab,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rba FROM s),
+        |sa AS (SELECT a_id, sum(cosu) AS sum_a, count(*) AS n_a FROM s2 WHERE rab <= 4 GROUP BY a_id),
+        |sb AS (SELECT b_id, sum(cosu) AS sum_b, count(*) AS n_b FROM s2 WHERE rba <= 4 GROUP BY b_id)
+        |SELECT a_id, b_id, sim,
+        | CAST((2000 * cosu * n_a * n_b) // (sum_a * n_b + sum_b * n_a) AS BIGINT) AS margin_milli
+        |FROM s2 JOIN sa USING (a_id) JOIN sb USING (b_id)
+        |WHERE rab <= 4 AND (sum_a * n_b + sum_b * n_a) > 0
+        | AND (2000 * cosu * n_a * n_b) // (sum_a * n_b + sum_b * n_a) >= 1050
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // blocked corpus×corpus margin mining: the shared hier assignment
+    // (even ids keep both probes = the mining side, odd ids keep their
+    // single home cell = the candidate side), candidates from the
+    // cell equi-join, then the same exact-integer margin tail
+    "q_sim_margin_blocked" ->
+      s"""WITH ${hierAssignCtes("", 2)},
+        |a AS (SELECT vec_id AS a_id, qv AS a_qv, qn AS a_qn, cell_id
+        | FROM assign WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, qv AS b_qv, qn AS b_qn, cell_id
+        | FROM assign WHERE vec_id % 2 = 1 AND probe_rank = 1),
+        |s AS (SELECT a_id, b_id, sim, CAST(round(sim * 1e6) AS BIGINT) AS cosu FROM (
+        |  SELECT a_id, b_id, ${qcos("a_qv", "b_qv", "a_qn", "b_qn")} AS sim
+        |  FROM b JOIN a USING (cell_id)) WHERE sim > 0),
         |s2 AS (SELECT a_id, b_id, sim, cosu,
         |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rab,
         |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rba FROM s),

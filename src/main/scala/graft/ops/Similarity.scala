@@ -582,6 +582,17 @@ object Similarity {
       // the final pair projection — without it the cross product runs
       // three times (the tfidfPairs lesson)
       .localCheckpoint()
+    marginFromScored(scored, k, marginFloorMilli)
+  }
+
+  /** The margin criterion over a pre-scored candidate table
+    * `(a_id, b_id, sim, cos_micro)` — shared by [[marginPairs]] (one
+    * bounded cross product) and [[marginPairsBlocked]] (cell-blocked
+    * candidates): forward top-k per a, reverse neighborhoods only for
+    * forward-candidate b's, exact floor-division margin.
+    */
+  private def marginFromScored(
+      scored: DataFrame, k: Int, marginFloorMilli: Long): DataFrame = {
     val wA = Window.partitionBy("a_id").orderBy(desc("sim"), asc("b_id"))
     val wB = Window.partitionBy("b_id").orderBy(desc("sim"), asc("a_id"))
     val fwd = scored.withColumn("rank_ab", row_number().over(wA))
@@ -610,6 +621,72 @@ object Similarity {
           col("sum_a") * col("n_b") + col("sum_b") * col("n_a")))
       .filter(col("margin_milli") >= marginFloorMilli)
       .select("a_id", "b_id", "sim", "margin_milli")
+  }
+
+  /** CORPUS×CORPUS margin mining — [[marginPairs]] at the deployment
+    * scale Artetxe & Schwenk §5 actually mine (full corpora on both
+    * sides, where a broadcast cross product is impossible): both sides
+    * are assigned under ONE SHARED hier codebook and the margin
+    * criterion runs WITHIN cells.
+    *
+    *   - the codebook seeds from the UNION (one geometry both corpora
+    *     agree on — the [[Dedup.dropSemanticDuplicatesIncremental]]
+    *     pinned-codebook rule), sized corpus-proportionally
+    *     ([[cellsFor]]) unless given;
+    *   - the MINING side `embA` probes `nProbe` cells (recall knob),
+    *     the CANDIDATE side `embB` single-assigns — so every (a, b)
+    *     candidate meets in at most ONE cell (b has one home cell) and
+    *     the blocked score table has no duplicate pairs;
+    *   - candidates come from a cell-keyed equi-join: Σ_cells
+    *     |A_c|·nProbe·|B_c| scored pairs instead of |A|·|B| — with
+    *     `targetPerCell` capping |B_c|, per-a work is O(nProbe·cap)
+    *     and total work linear in the corpus, the same shape as every
+    *     other blocked family here;
+    *   - neighborhoods (the margin denominators) are the BLOCKED
+    *     top-k: the standard FAISS-style approximation of the paper's
+    *     exact k-NN — hub suppression now measures a vector against
+    *     its cell neighborhood, which is exactly the neighborhood it
+    *     can hub over at serving time.
+    *
+    * Assignment is per-vector independent, so per-side hier passes
+    * under the shared codebook equal one pass over the union split
+    * afterwards — which is how the DuckDB oracle replays it. Both hier
+    * passes are O(side·√k); the scored table is checkpointed once and
+    * released by the caller ([[Dedup.releaseCheckpoints]]).
+    */
+  def marginPairsBlocked(
+      embA: DataFrame,
+      embB: DataFrame,
+      k: Int = 4,
+      marginFloorMilli: Long = 1050L,
+      nCells: Int = 0,
+      targetPerCell: Long = 4096L,
+      nProbe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val union = embA.select("vec_id", "embedding")
+      .unionByName(embB.select("vec_id", "embedding"))
+    val cellCount =
+      if (nCells == 0) cellsFor(union.count(), targetPerCell) else nCells
+    val book = centroids.getOrElse(seedCodebook(union, cellCount))
+    val native = graft.plans.GraftExtensions.available(embA.sparkSession)
+    val a = ivfAssignHierProbe(embA, cellCount, nProbe,
+      centroids = Some(book))
+      .select(col("vec_id").as("a_id"), col("qv").as("a_qv"),
+        col("qn").as("a_qn"), col("cell_id"))
+    val b = ivfAssignHierProbe(embB, cellCount, 1, centroids = Some(book))
+      .select(col("vec_id").as("b_id"), col("qv").as("b_qv"),
+        col("qn").as("b_qn"), col("cell_id"))
+    val scored = b.join(a, Seq("cell_id"))
+      .withColumn("sim",
+        qcosinePre(qdot(col("a_qv"), col("b_qv"), native),
+          col("a_qn"), col("b_qn")))
+      .filter(col("sim") > 0)
+      .withColumn("cos_micro", round(col("sim") * lit(1e6)).cast("long"))
+      .select("a_id", "b_id", "sim", "cos_micro")
+      .localCheckpoint()
+    marginFromScored(scored, k, marginFloorMilli)
   }
 
   /** Coreset by cell medoid: one representative per IVF cell — the

@@ -346,6 +346,50 @@ class SimilaritySpec extends AnyFunSuite with Matchers
     again.sorted shouldBe out.sorted
   }
 
+  test("marginPairsBlocked: one shared cell reduces to the exact " +
+    "unblocked criterion; auto cells keep only cell-sharing pairs") {
+    import org.apache.spark.sql.functions.col
+    val full = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val A = full.filter(col("vec_id") % 2 === 0)
+    val B = full.filter(col("vec_id") % 2 === 1)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "sim", "margin_milli")
+        .as[(Long, Long, Double, Long)].collect().sortBy(t => (t._1, t._2))
+    // nCells=1: every vector lands in the single cell, so the blocked
+    // candidate set IS the full cross product — exact equality with the
+    // unblocked operator on the same sides
+    val one = withReleased(Similarity.marginPairsBlocked(
+      A, B, k = 4, marginFloorMilli = 1050L, nCells = 1))(key)
+    val flat = withReleased(Similarity.marginPairs(
+      A, B, k = 4, marginFloorMilli = 1050L))(key)
+    one.toSeq shouldBe flat.toSeq
+    one.length should be > 0
+    // auto (corpus-proportional) cells: a strict SUBSET relationship is
+    // not guaranteed (blocked neighborhoods change the denominators),
+    // but every kept pair must share a cell: a's probes ∩ b's home
+    val blocked = withReleased(Similarity.marginPairsBlocked(
+      A, B, k = 4, marginFloorMilli = 1050L, nCells = 0,
+      targetPerCell = 128L, nProbe = 2))(key)
+    blocked.foreach(_._4 should be >= 1050L)
+    val kc = Similarity.cellsFor(full.count(), 128L)
+    val book = Similarity.seedCodebook(full.select("vec_id", "embedding"), kc)
+    val aCells = Similarity.ivfAssignHierProbe(A, kc, 2,
+      centroids = Some(book))
+      .select("vec_id", "cell_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bCell = Similarity.ivfAssignHierProbe(B, kc, 1,
+      centroids = Some(book))
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    blocked.foreach { case (a, b, _, _) =>
+      aCells(a) should contain(bCell(b))
+    }
+    // determinism
+    val again = withReleased(Similarity.marginPairsBlocked(
+      A, B, k = 4, marginFloorMilli = 1050L, nCells = 0,
+      targetPerCell = 128L, nProbe = 2))(key)
+    again.toSeq shouldBe blocked.toSeq
+  }
+
   test("signatures are deterministic across evaluations") {
     val a = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
     val b = Similarity.lshTopK(emb, queryMaxId = 1L, k = 3).collect().toSeq
