@@ -80,8 +80,11 @@ object Bench {
     // round-13: TextTiling semantic chunking (registered late — it
     // shipped r12 with oracle+spec but missed the gate surface);
     // cell-blocked corpus×corpus margin mining (shared hier codebook,
-    // within-cell margins — the full-corpora bitext deployment shape)
-    "q_semantic_chunks", "q_sim_margin_blocked")
+    // within-cell margins — the full-corpora bitext deployment shape);
+    // production-vocab weighted Viterbi (BPE train → unigram-LM costs →
+    // optimal re-decode, end to end); the BUG-4 merged-read close-out
+    "q_semantic_chunks", "q_sim_margin_blocked",
+    "q_tokenize_viterbi_vocab", "q_singer_schema_merge")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -242,7 +245,12 @@ object Bench {
     // one projection pass + per-doc boundary scan (BenchOne r13 warm)
     "q_semantic_chunks" -> 2.300,
     // two hier assignment passes + cell-join + margin tail (r13 warm)
-    "q_sim_margin_blocked" -> 7.700)
+    "q_sim_margin_blocked" -> 7.700,
+    // full tokenizer pipeline: 645-merge adaptive train (the dominant
+    // cost, vocab-sized) + encode-derived costs + one decode projection
+    "q_tokenize_viterbi_vocab" -> 13.500,
+    // two pipeline ingests to scratch parquet + the merged union read
+    "q_singer_schema_merge" -> 2.200)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -341,6 +349,9 @@ object Bench {
     // ~flat sf0.1→sf1 (7.6→7.1 s BenchOne r13): the cell-blocked
     // candidate volume, not the corpus, sets the cost
     "q_sim_margin_blocked" -> 7.300,
+    // ~flat at 10× (13.3→14.8 s): the vocab-sized BPE train dominates
+    "q_tokenize_viterbi_vocab" -> 15.000,
+    "q_singer_schema_merge" -> 11.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

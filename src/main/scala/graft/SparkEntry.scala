@@ -331,6 +331,44 @@ object SparkEntry {
       |"created_at": {"type": ["string", "null"], "format": "date-time"}
       |}}, "key_properties": ["event_id"]}""".stripMargin
 
+  /** The drift pair of the MERGE-read query — v1 ([[eventsSchemaMsg]])
+    * → this message, one change per [[graft.schema.SchemaMapper.schemaDiff]]
+    * kind like the drift-report fixture, but with the RETYPE placed on
+    * the SAFE widening ladder (`k` integer→number = long→double, exact
+    * and engine-portable) instead of drift-report's double→string
+    * (whose merged-read cast formatting would be engine-specific —
+    * [[graft.pipeline.SingerPipeline.readMergedSegments]] fails loudly
+    * on it by design): `value` REMOVED, `source` ADDED, `k` RETYPED,
+    * `event_type` nullability true→false.
+    */
+  private val eventsSchemaMsgMergeV2 =
+    """{"type": "SCHEMA", "stream": "events", "schema": {"type": "object", "properties": {
+      |"event_id": {"type": ["integer", "null"]},
+      |"event_type": {"type": "string"},
+      |"k": {"type": ["number", "null"]},
+      |"source": {"type": ["string", "null"]},
+      |"created_at": {"type": ["string", "null"], "format": "date-time"}
+      |}}, "key_properties": ["event_id"]}""".stripMargin
+
+  /** [[singerRecordLines]] plus a deterministic `source` field: the
+    * merge fixture's records carry the SAME fields in both segments
+    * (P2 projection under each segment's schema drops the extras), so
+    * the drifted schemas — not the records — are what the merged read
+    * reconciles.
+    */
+  private def singerRecordLinesFull(ev: DataFrame): DataFrame =
+    ev.select(
+      concat(
+        lit("""{"type": "RECORD", "stream": "events", "record": """),
+        to_json(struct(
+          col("event_id"),
+          col("event_type"),
+          col("value"),
+          get_json_object(col("props"), "$.k").as("k"),
+          concat(lit("s"), pmod(col("event_id"), lit(7L))).as("source"),
+          from_unixtime(unix_timestamp(col("ts"))).as("created_at"))),
+        lit("}")).as("value"))
+
   /** events table → Singer RECORD JSON lines (the shared setup of the
     * batch round-trip and the streaming-append parity query).
     */
@@ -418,6 +456,57 @@ object SparkEntry {
     }
   }
 
+  /** SCHEMA-EVOLUTION read path (reference BUG-4 close-out): the stream's
+    * SCHEMA changes MID-FILE (even event_ids ingest under v1, odd under
+    * the drifted merge-v2), each segment lands as its own parquet, and
+    * [[graft.pipeline.SingerPipeline.readMergedSegments]] reads the two
+    * heterogeneous files back as ONE table — union-of-drift columns,
+    * typed NULLs where a segment lacks a field, `k` widened long→double.
+    * The drift REPORT for this transition must show exactly one row per
+    * drift kind (consistency with `q_singer_schema_drift`'s contract),
+    * asserted here at build time.
+    */
+  private def singerSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-schema-merge")
+    def deleteTree(): Unit = {
+      val w = java.nio.file.Files.walk(tmp)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    try {
+      val ev = t(s, dir, "events")
+      val ss1 = SchemaMapper.fromSchemaMessage(eventsSchemaMsg)
+      val ss2 = SchemaMapper.fromSchemaMessage(eventsSchemaMsgMergeV2)
+      SingerPipeline.typedRecordsFromLines(
+        singerRecordLinesFull(ev.filter(pmod(col("event_id"), lit(2L)) === 0L)), ss1)
+        .write.parquet(tmp.resolve("seg1").toString)
+      SingerPipeline.typedRecordsFromLines(
+        singerRecordLinesFull(ev.filter(pmod(col("event_id"), lit(2L)) === 1L)), ss2)
+        .write.parquet(tmp.resolve("seg2").toString)
+      // one drift-report row per kind on this transition — the same
+      // contract q_singer_schema_drift grades
+      val kinds = SingerPipeline
+        .schemaDriftReport(s, Seq(eventsSchemaMsg, eventsSchemaMsgMergeV2))
+        .select("kind").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().sorted.toSeq
+      require(kinds == Seq("added", "nullability", "removed", "retyped"),
+        s"merge fixture drift report drifted: $kinds")
+      val out = SingerPipeline.readMergedSegments(s, Seq(
+        tmp.resolve("seg1").toString -> ss1.struct,
+        tmp.resolve("seg2").toString -> ss2.struct))
+        .select(col("event_id"), col("event_type"), col("value"), col("k"),
+          col("source"), unix_timestamp(col("created_at")).as("created_epoch"))
+        .orderBy("event_id")
+        .localCheckpoint()
+      deleteTree()
+      out
+    } catch {
+      case e: Throwable =>
+        try deleteTree() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
   private def singerStreamAppend(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.SingerConfig
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-append")
@@ -483,6 +572,11 @@ object SparkEntry {
     // K3's partitionBy + compression config keys, driver-checked: the
     // Hive-partitioned zstd layout must read back to the same rows
     "q_singer_partitioned" -> ((s, dir) => singerPartitioned(s, dir)),
+
+    // BUG-4 close-out read path: mid-file SCHEMA change, two drifted
+    // parquet segments, ONE merged read (union-of-drift columns, typed
+    // NULLs, k widened long->double)
+    "q_singer_schema_merge" -> ((s, dir) => singerSchemaMerge(s, dir)),
 
     "q_projection" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2157,6 +2251,69 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WEIGHTED Viterbi at PRODUCTION vocab size — the full SentencePiece
+    // unigram-LM pipeline end to end: the 645-merge adaptive BPE vocab
+    // segments the name corpus, the SEGMENTED corpus's token frequencies
+    // train milli-surprisal costs (the unigram-LM EM statistic over the
+    // tokenizer's own output), and Viterbi RE-DECODES every name
+    // optimally under those trained costs. Vocab + costs are vocab-sized
+    // driver artifacts (the shipped-tokenizer pattern, ids = lexicographic
+    // rank so both engines agree); the decode itself is one codegen'd
+    // projection. Spaces are not vocab entries (subword tokens are
+    // within-word), so inter-word gaps decode as unks at the flat
+    // penalty — the unk path at production shape.
+    "q_tokenize_viterbi_vocab" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      val names = t(s, dir, "customer")
+        .select(col("c_custkey").as("doc_id"),
+          array_join(regexp_extract_all(lower(col("c_name")),
+            lit("[a-z]+|[0-9]+"), lit(0)), " ").as("text"))
+      val merges = TextAnalysis.bpeTrainAdaptive(names.select("text"),
+        rounds = BpeAdaptRounds, batch0 = BpeAdaptBatch0,
+        maxBatch = BpeAdaptMax)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val stats = TextAnalysis.bpeEncodeVocab(names, merges)
+        .select(explode(split(col("bpe_text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      // milli-surprisal quantized IN-ENGINE (the trainedTrapCosts rule:
+      // Spark round(log(...)) here, DuckDB round(ln(...)) in the oracle)
+      val vc = stats
+        .crossJoin(stats.agg(sum("c").cast("double").as("ct")))
+        .select(col("tok"),
+          round(log(col("ct") / col("c").cast("double")) * lit(1e3))
+            .cast("int").as("cost"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+      require(vc.nonEmpty, "empty trained vocab")
+      require(vc.forall(_._1.length <= ViterbiVocabWindow),
+        s"vocab entry over the oracle's cost-window depth $ViterbiVocabWindow: " +
+          vc.filter(_._1.length > ViterbiVocabWindow).map(_._1).mkString(","))
+      val maxDec = names.agg(max(length(col("text")))).collect()(0).getInt(0)
+      require(maxDec <= ViterbiVocabMaxLen,
+        s"decode string length $maxDec exceeds the oracle's $ViterbiVocabMaxLen unrolled steps")
+      val vocab = vc.map(_._1)
+      val costs = vc.map(_._2)
+      val unk = SparkEntry.trapUnkCostMilli
+      val carr = array(costs.map(c => lit(c.toLong)): _*)
+      names.select(
+        col("doc_id"),
+        graft.functions.ColumnOps.bind(
+          TextAnalysis.viterbiTokenizeIds(
+            col("text"), vocab, costs, unk, native)) { ids =>
+          struct(
+            size(ids).cast("long").as("n_tokens"),
+            size(filter(ids, x => x === -1)).cast("long").as("n_unk"),
+            array_join(transform(ids, x => x.cast("string")), " ")
+              .as("ids_str"),
+            aggregate(ids, lit(0L), (acc, id) =>
+              acc + when(id === -1, lit(unk.toLong))
+                .otherwise(element_at(carr, id + 1))).as("cost_milli"))
+        }.as("q"))
+        .select(col("doc_id"), col("q.n_tokens"), col("q.n_unk"),
+          col("q.ids_str"), col("q.cost_milli"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style bad-words gate: hits counted, keep flag at the threshold
     "q_blocklist" -> ((s, dir) =>
       TextAnalysis.blocklistFilter(
@@ -3305,7 +3462,22 @@ object SparkEntry {
     * [[bpeEncodeBatchedOracle]] shape over the adaptive chain) — the
     * full 645-merge tokenizer replayed against every document.
     */
-  private def bpeAdaptiveEncodeOracle(rounds: Int, batch0: Int, maxBatch: Int): String = {
+  private def bpeAdaptiveEncodeOracle(rounds: Int, batch0: Int, maxBatch: Int): String =
+    bpeAdaptiveEncCtes(rounds, batch0, maxBatch) +
+      s"""
+         |SELECT doc_id,
+         | CASE WHEN bpe_text = '' THEN CAST(0 AS BIGINT)
+         |  ELSE CAST(len(string_split(bpe_text, ' ')) AS BIGINT) END AS n_subwords,
+         | bpe_text
+         |FROM enc
+         |ORDER BY doc_id""".stripMargin
+
+  /** The adaptive chain THROUGH the encoded corpus — `enc(doc_id,
+    * bpe_text)` as a reusable CTE tail, shared by the encode oracle and
+    * the production-vocab Viterbi oracle (whose trained costs are token
+    * frequencies OVER this very segmentation).
+    */
+  private def bpeAdaptiveEncCtes(rounds: Int, batch0: Int, maxBatch: Int): String = {
     val rep0 =
       """array_to_string(list_transform(regexp_extract_all(lower(c_name), '[a-z]+|[0-9]+'),
         |   w -> '|' || array_to_string([substr(w, i, 1) for i in range(1, length(w)+1)], '||') || '|'), ' ')""".stripMargin
@@ -3326,14 +3498,103 @@ object SparkEntry {
       s""",
          |d0 AS MATERIALIZED (SELECT c_custkey AS doc_id, $rep0 AS rep FROM customer)""".stripMargin +
       docChain +
-      s"""
-         |SELECT doc_id,
-         | CASE WHEN bpe_text = '' THEN CAST(0 AS BIGINT)
-         |  ELSE CAST(len(string_split(bpe_text, ' ')) AS BIGINT) END AS n_subwords,
-         | bpe_text
-         |FROM (SELECT doc_id, replace(replace(rep, '||', ' '), '|', '') AS bpe_text FROM d$rounds)
-         |ORDER BY doc_id""".stripMargin
+      s""",
+         |enc AS MATERIALIZED (
+         | SELECT doc_id, replace(replace(rep, '||', ' '), '|', '') AS bpe_text FROM d$rounds)""".stripMargin
   }
+
+  /** Production-vocab weighted Viterbi oracle: the adaptive encode
+    * chain's segmentation trains the costs (token frequency →
+    * milli-surprisal, quantized once IN SQL — the trainedTrapCosts
+    * rule), ids are lexicographic rank (both engines sort the same
+    * ASCII tokens), and the DP replays at cost-window depth
+    * [[ViterbiVocabWindow]] over [[ViterbiVocabMaxLen]] UNROLLED
+    * steps (the Spark side REQUIRES both bounds, failing loudly).
+    *
+    * The forward pass is UNROLLED into plain CTE steps instead of the
+    * trap/weighted oracles' recursive form, and candidate matches come
+    * from one vectorized substring-extract hash-joined to the vocab
+    * (`m`) instead of a per-step LATERAL: DuckDB 1.0 silently evaluates
+    * a CTE as EMPTY inside a recursive part's LATERAL whenever its
+    * dependency chain crosses a MATERIALIZED or recursive CTE (measured
+    * this round — `v` here sits atop the materialized BPE chain, so the
+    * recursive-LATERAL shape decodes every position as unk). Plain
+    * unrolled CTEs evaluate the chain correctly; the backtrack
+    * recursion keeps the recursive form (a JOIN to a materialized CTE
+    * inside a recursive part works — only LATERAL mis-evaluates).
+    */
+  private def viterbiVocabOracle(rounds: Int, batch0: Int, maxBatch: Int): String = {
+    val L = ViterbiVocabWindow
+    val P = ViterbiVocabMaxLen
+    def caseLen = (1 until L).map(i => s"WHEN $i THEN f.c$i").mkString(" ") +
+      s" ELSE f.c$L"
+    def step(p: Int): String = {
+      val shifts = (2 to L).map(i =>
+        s"CASE WHEN slen < $p THEN c$i ELSE c${i - 1} END AS c$i").mkString(",\n |  ")
+      s""",
+         |x$p AS (
+         | SELECT f.*, m.len AS ml, m.id AS mi, (CASE m.len $caseLen END) + m.cost AS mc,
+         |  ROW_NUMBER() OVER (PARTITION BY f.doc_id
+         |    ORDER BY (CASE m.len $caseLen END) + m.cost ASC NULLS LAST, m.len DESC, m.id DESC) AS rn
+         | FROM fw${p - 1} f LEFT JOIN m ON m.doc_id = f.doc_id AND m.pos = $p AND f.slen >= $p),
+         |fw$p AS (
+         | SELECT doc_id, s, slen,
+         |  CASE WHEN slen < $p THEN c1
+         |       WHEN mi IS NOT NULL AND mc <= c1 + 20000 THEN mc
+         |       ELSE c1 + 20000 END AS c1,
+         |  $shifts,
+         |  CASE WHEN slen < $p THEN bplen
+         |       ELSE list_append(bplen, CASE WHEN mi IS NOT NULL AND mc <= c1 + 20000 THEN ml ELSE 1 END) END AS bplen,
+         |  CASE WHEN slen < $p THEN bpid
+         |       ELSE list_append(bpid, CASE WHEN mi IS NOT NULL AND mc <= c1 + 20000 THEN mi ELSE -1 END) END AS bpid
+         | FROM x$p WHERE rn = 1)""".stripMargin
+    }
+    val nulls = (2 to L).map(i => s"NULL::INT AS c$i").mkString(", ")
+    bpeAdaptiveEncCtes(rounds, batch0, maxBatch) + s""",
+      |cnt AS MATERIALIZED (
+      | SELECT tok, count(*) AS c FROM (
+      |  SELECT unnest(string_split(bpe_text, ' ')) AS tok FROM enc)
+      | WHERE tok <> '' GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS ct FROM cnt),
+      |v AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY tok) - 1 AS INT) AS id,
+      |  tok, CAST(length(tok) AS INT) AS len,
+      |  CAST(round(ln(tot.ct / CAST(c AS DOUBLE)) * 1000) AS INT) AS cost
+      | FROM cnt, tot),
+      |d AS (SELECT c_custkey AS doc_id,
+      |  array_to_string(regexp_extract_all(lower(c_name), '[a-z]+|[0-9]+'), ' ') AS s
+      | FROM customer),
+      |m AS MATERIALIZED (
+      | SELECT x.doc_id, x.p AS pos, v.len, v.id, v.cost
+      | FROM (SELECT d.doc_id, p.p, l.l, substring(d.s, CAST(p.p + 1 - l.l AS INT), CAST(l.l AS INT)) AS sub
+      |       FROM d, range(1, ${P + 1}) p(p), range(1, ${L + 1}) l(l)
+      |       WHERE l.l <= p.p AND p.p <= length(d.s)) x
+      | JOIN v ON v.tok = x.sub AND v.len = x.l),
+      |fw0 AS (SELECT doc_id, s, length(s) AS slen, 0 AS c1, $nulls, [0] AS bplen, [0] AS bpid FROM d)""".stripMargin +
+      (1 to P).map(step).mkString + s""",
+      |fin AS MATERIALIZED (
+      | SELECT doc_id, slen AS pos, bplen, bpid, c1 AS cbest FROM fw$P),
+      |bwd(doc_id, pos, ids) AS (
+      | SELECT doc_id, pos, CAST([] AS INT[]) FROM fin
+      | UNION ALL
+      | SELECT w.doc_id, w.pos - f.bplen[w.pos + 1], list_prepend(f.bpid[w.pos + 1], w.ids)
+      | FROM bwd w JOIN fin f ON f.doc_id = w.doc_id
+      | WHERE w.pos > 0)
+      |SELECT b2.doc_id,
+      | CAST(len(b2.ids) AS BIGINT) AS n_tokens,
+      | CAST(len(list_filter(b2.ids, x -> x = -1)) AS BIGINT) AS n_unk,
+      | array_to_string(b2.ids, ' ') AS ids_str,
+      | CAST(fin.cbest AS BIGINT) AS cost_milli
+      |FROM bwd b2 JOIN fin ON fin.doc_id = b2.doc_id
+      |WHERE b2.pos = 0 ORDER BY b2.doc_id""".stripMargin
+  }
+
+  /** Cost-window depth (max priced token length) and unrolled decode
+    * length of the production-vocab Viterbi oracle — the Spark query
+    * REQUIRES both bounds at train time, so a corpus that outgrows them
+    * fails loudly instead of silently truncating the replay.
+    */
+  private val ViterbiVocabWindow = 16
+  private val ViterbiVocabMaxLen = 24
 
   /** The shared adaptive-training CTE chain (the [[bpeBatchedCtes]]
     * discipline): used by BOTH the train and the encode oracle so the
@@ -3930,6 +4191,18 @@ object SparkEntry {
     "q_singer_stream_append" ->
       """SELECT event_id, event_type, value,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS created_epoch
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // union-of-drift merged read: segment membership by event_id parity,
+    // v1 rows carry value (and NULL source), merge-v2 rows the reverse;
+    // k comes out DOUBLE in both (v1's long widened, v2 coerced direct —
+    // the raw JSON integers make the two paths exactly equal)
+    "q_singer_schema_merge" ->
+      """SELECT event_id, event_type,
+        | CASE WHEN event_id % 2 = 0 THEN value END AS value,
+        | CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+        | CASE WHEN event_id % 2 = 1 THEN 's' || CAST(event_id % 7 AS VARCHAR) END AS source,
         | CAST(floor(epoch(ts)) AS BIGINT) AS created_epoch
         |FROM events ORDER BY event_id""".stripMargin,
 
@@ -7630,6 +7903,8 @@ object SparkEntry {
     "q_singer_schema_drift" -> schemaDriftOracle,
     "q_bpe_encode_adaptive" ->
       bpeAdaptiveEncodeOracle(BpeAdaptRounds, BpeAdaptBatch0, BpeAdaptMax),
+    "q_tokenize_viterbi_vocab" ->
+      viterbiVocabOracle(BpeAdaptRounds, BpeAdaptBatch0, BpeAdaptMax),
     "q_bpe_encode_batched" -> bpeEncodeBatchedOracle(BpeBatchRounds, BpeBatchSize),
 
     "q_bpe_encode" -> bpeEncodeOracle(BpeMerges),

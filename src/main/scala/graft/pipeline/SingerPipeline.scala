@@ -161,6 +161,68 @@ object SingerPipeline {
     rows.toDF("stream", "transition", "field", "kind", "before", "after")
   }
 
+  /** MERGED read over parquet segments written under DRIFTED schemas —
+    * the read-path close-out of the reference's BUG-4 boundary
+    * (`tests/README.md`: the reference corrupts the file on a mid-stream
+    * schema change; this rebuild writes each segment under its own
+    * schema and the READER unifies them):
+    *
+    *   - columns = union in first-seen order; a column missing from a
+    *     segment reads as typed NULLs (DuckDB `union_by_name`
+    *     semantics);
+    *   - a field typed differently across segments must sit on the SAFE
+    *     WIDENING ladder byte<short<int<long and float<double with
+    *     integer→floating allowed (exact for integers within mantissa
+    *     range and ENGINE-PORTABLE); anything else — notably
+    *     double→string, whose cast formatting is engine-specific —
+    *     fails LOUDLY: re-ingest under the merged schema instead of
+    *     silently casting;
+    *   - nullability merges as OR (and a field absent from any segment
+    *     is nullable by construction).
+    *
+    * Spark's own `mergeSchema` option rejects exactly these retyped
+    * columns (`Failed to merge fields`), which is why this is an
+    * operator and not a reader flag. Scale shape: one parquet scan per
+    * segment with an in-plan cast projection, then a zero-shuffle
+    * union — the same cost as reading the files at all.
+    */
+  def readMergedSegments(
+      spark: SparkSession,
+      segments: Seq[(String, StructType)]): DataFrame = {
+    require(segments.nonEmpty, "readMergedSegments: no segments")
+    import org.apache.spark.sql.types._
+    val rank: Map[DataType, Int] = Map(
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4,
+      FloatType -> 5, DoubleType -> 6)
+    def widen(a: DataType, b: DataType, field: String): DataType =
+      if (a == b) a
+      else (rank.get(a), rank.get(b)) match {
+        case (Some(ra), Some(rb)) => if (ra >= rb) a else b
+        case _ => sys.error(
+          s"readMergedSegments: field '$field' drifted $a -> $b, which is " +
+            "not a safe widening — re-ingest under the merged schema")
+      }
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    for ((_, sch) <- segments; f <- sch.fields) merged.get(f.name) match {
+      case None => merged(f.name) = f
+      case Some(prev) => merged(f.name) = StructField(
+        f.name, widen(prev.dataType, f.dataType, f.name),
+        prev.nullable || f.nullable)
+    }
+    // a field absent from any segment reads as NULL there -> nullable
+    for ((name, f) <- merged
+         if !segments.forall(_._2.fieldNames.contains(name)))
+      merged(name) = f.copy(nullable = true)
+    val out = merged.values.toSeq
+    segments.map { case (path, sch) =>
+      val present = sch.fieldNames.toSet
+      spark.read.schema(sch).parquet(path).select(out.map { f =>
+        if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** RECORD lines of one stream → typed DataFrame: `from_json` with an
     * all-string struct (P2: missing fields → null, extra fields dropped —
     * `sinks.py:165-166`) then the E1–E8 coercion projection

@@ -423,4 +423,55 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers
       SingerConfig(tmp(), strictValidation = true, fixedHeaders = Map("fh" -> Seq("id"))))
     spark.read.parquet(ok.paths("fh")).columns.toSeq shouldBe Seq("id")
   }
+
+  test("readMergedSegments: union-of-drift columns, typed NULLs for " +
+    "missing fields, safe integer widening, OR'd nullability") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmp()
+    val s1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", LongType, nullable = true),
+      StructField("value", DoubleType, nullable = true)))
+    val s2 = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("k", DoubleType, nullable = true),
+      StructField("source", StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 10L, 1.5),
+        org.apache.spark.sql.Row(2L, null, 2.5))), s1)
+      .write.parquet(s"$dir/seg1")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(3L, 30.25, "s3"))), s2)
+      .write.parquet(s"$dir/seg2")
+    val out = SingerPipeline.readMergedSegments(spark,
+      Seq(s"$dir/seg1" -> s1, s"$dir/seg2" -> s2))
+    // first-seen column order, widened k, OR'd nullability, and value/
+    // source nullable because each is absent from one segment
+    out.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq shouldBe Seq(
+      ("id", LongType, true),
+      ("k", DoubleType, true),
+      ("value", DoubleType, true),
+      ("source", StringType, true))
+    out.orderBy("id")
+      .as[(Long, Option[Double], Option[Double], Option[String])]
+      .collect().toSeq shouldBe Seq(
+      (1L, Some(10.0), Some(1.5), None),
+      (2L, None, Some(2.5), None),
+      (3L, Some(30.25), None, Some("s3")))
+  }
+
+  test("readMergedSegments: an unsafe retype (double -> string) fails " +
+    "loudly instead of casting with engine-specific formatting") {
+    import org.apache.spark.sql.types._
+    val s1 = StructType(Seq(StructField("v", DoubleType, nullable = true)))
+    val s2 = StructType(Seq(StructField("v", StringType, nullable = true)))
+    val e = intercept[RuntimeException] {
+      SingerPipeline.readMergedSegments(spark,
+        Seq("/nonexistent/a" -> s1, "/nonexistent/b" -> s2))
+    }
+    e.getMessage should include("not a safe widening")
+  }
 }
