@@ -2166,10 +2166,33 @@ object SparkEntry {
     // tokenizer EVALUATION: the per-language fertility/compression table
     // a pipeline reads before choosing a vocab — tokens per 1000 words
     // (fertility), bytes per token (compression), unknown rate — all
-    // exact integer floor divisions over one narrow projection pass
+    // exact integer floor divisions over one narrow projection pass.
+    // The synthetic corpus shares ONE word inventory across langs (r12
+    // measured ~uniform 5020–5099 milli fertility — a vacuous table),
+    // so the query DERIVES a distinct per-language character/word
+    // distribution in-engine (the q_text_redact fixture-synthesis
+    // pattern, BMP-only so UTF-16 walks == codepoint walks): de
+    // COMPOUNDS across e-final word boundaries (fewer, longer words)
+    // and gains umlauts (aou→äöü, 2-byte chars); fr ELIDES trailing r
+    // and accents every e (é); es takes an -os suffix per word plus
+    // ñ/ó; zh maps the alphabet into CJK (3-byte chars, zero vocab
+    // coverage) AND drops word boundaries — the real axes fertility
+    // tables rank languages by
     "q_tokenizer_fertility" -> ((s, dir) => {
       val native = graft.plans.GraftExtensions.available(s)
-      val txt = substring(col("text"), 1, 80)
+      val base = substring(col("text"), 1, 80)
+      val zhMap = (0 until 26).map(i => (0x4E00 + i).toChar).mkString
+      val txt = when(col("lang") === "de",
+          translate(replace(base, lit("e "), lit("e")),
+            "aou", "\u00e4\u00f6\u00fc"))
+        .when(col("lang") === "fr",
+          translate(replace(base, lit("r "), lit(" ")), "e", "\u00e9"))
+        .when(col("lang") === "es",
+          translate(replace(base, lit(" "), lit("os ")), "no", "\u00f1\u00f3"))
+        .when(col("lang") === "zh",
+          replace(translate(base, "abcdefghijklmnopqrstuvwxyz", zhMap),
+            lit(" "), lit("")))
+        .otherwise(base)
       t(s, dir, "documents").select(
         col("lang"),
         graft.functions.ColumnOps.bind(
@@ -6471,11 +6494,19 @@ object SparkEntry {
     // fertility table: the greedy walk per doc (demoVocab VALUES), word
     // counts from the normTokens split twin, exact floor divisions
     "q_tokenizer_fertility" ->
-      """WITH RECURSIVE v(id, tok, len) AS (
+      s"""WITH RECURSIVE v(id, tok, len) AS (
         | SELECT * FROM (VALUES (0,'the',3),(1,'of',2),(2,'and',3),(3,'ing',3),(4,'er',2),
         |  (5,'a',1),(6,'e',1),(7,'i',1),(8,'o',1),(9,'u',1),(10,'t',1),(11,'n',1),
         |  (12,'s',1),(13,'r',1),(14,'h',1),(15,'l',1),(16,'d',1),(17,' ',1))),
-        |d AS (SELECT doc_id, lang, substring(text, 1, 80) AS s FROM documents),
+        |d AS (SELECT doc_id, lang,
+        |  CASE lang
+        |   WHEN 'de' THEN translate(replace(s0, 'e ', 'e'), 'aou', chr(228) || chr(246) || chr(252))
+        |   WHEN 'fr' THEN translate(replace(s0, 'r ', ' '), 'e', chr(233))
+        |   WHEN 'es' THEN translate(replace(s0, ' ', 'os '), 'no', chr(241) || chr(243))
+        |   WHEN 'zh' THEN replace(translate(s0, 'abcdefghijklmnopqrstuvwxyz',
+        |    ${(0 until 26).map(i => s"chr(${19968 + i})").mkString(" || ")}), ' ', '')
+        |   ELSE s0 END AS s
+        | FROM (SELECT doc_id, lang, substring(text, 1, 80) AS s0 FROM documents)),
         |step(doc_id, pos, ids) AS (
         | SELECT doc_id, 1, CAST([] AS INT[]) FROM d
         | UNION ALL
@@ -6490,7 +6521,7 @@ object SparkEntry {
         | SELECT d.lang,
         |  CAST(len(g.ids) AS BIGINT) AS toks,
         |  CAST(len(list_filter(g.ids, x -> x = -1)) AS BIGINT) AS unks,
-        |  CAST(len(string_split(lower(regexp_replace(d.s, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS words,
+        |  CAST(len(string_split(lower(regexp_replace(d.s, '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS words,
         |  CAST(strlen(d.s) AS BIGINT) AS bytes
         | FROM step g JOIN d ON d.doc_id = g.doc_id WHERE g.pos > length(d.s)),
         |agg AS (
