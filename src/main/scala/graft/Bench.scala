@@ -84,7 +84,10 @@ object Bench {
     // production-vocab weighted Viterbi (BPE train → unigram-LM costs →
     // optimal re-decode, end to end); the BUG-4 merged-read close-out
     "q_semantic_chunks", "q_sim_margin_blocked",
-    "q_tokenize_viterbi_vocab", "q_singer_schema_merge")
+    "q_tokenize_viterbi_vocab", "q_singer_schema_merge",
+    // the index lifecycle's DELETE maintenance step (build + delete +
+    // search — only touched cells rewrite)
+    "q_sim_ivf_delete")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -250,7 +253,9 @@ object Bench {
     // cost, vocab-sized) + encode-derived costs + one decode projection
     "q_tokenize_viterbi_vocab" -> 13.500,
     // two pipeline ingests to scratch parquet + the merged union read
-    "q_singer_schema_merge" -> 2.200)
+    "q_singer_schema_merge" -> 2.200,
+    // build + semi-join + touched-cell rewrite + search (r13 warm)
+    "q_sim_ivf_delete" -> 5.500)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -352,6 +357,7 @@ object Bench {
     // ~flat at 10× (13.3→14.8 s): the vocab-sized BPE train dominates
     "q_tokenize_viterbi_vocab" -> 15.000,
     "q_singer_schema_merge" -> 11.000,
+    "q_sim_ivf_delete" -> 13.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

@@ -1907,6 +1907,39 @@ object SparkEntry {
       }
     }),
 
+    // the DELETE maintenance step (right-to-be-forgotten): build, delete
+    // every vec_id ending in 3, search — only the touched cells rewrite
+    // (IvfIndexSpec proves untouched cells byte-identical and delete ≡
+    // rebuild-without-deleted); the searched index no longer serves the
+    // deleted ids, which is exactly what the oracle's filtered cell set
+    // asserts
+    "q_sim_ivf_delete" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-del")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val emb = t(s, dir, "embeddings")
+        Similarity.writeIvfIndex(emb, tmp.toString, nCells = 0,
+          targetPerCell = 128L)
+        Similarity.deleteFromIvfIndex(tmp.toString,
+          emb.filter(pmod(col("vec_id"), lit(10L)) === 3L), s)
+        val out = Similarity.searchIvfIndex(
+          emb.filter(col("vec_id") < 10), tmp.toString, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+          .localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // SEARCH-ONLY against the persisted layout ([[persistedIvfIndex]]
     // builds once per JVM per sf dir, like the co-purchase shared
     // fixture): this is the "build once, query many" number
@@ -2295,7 +2328,8 @@ object SparkEntry {
         rounds = BpeAdaptRounds, batch0 = BpeAdaptBatch0,
         maxBatch = BpeAdaptMax)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val stats = TextAnalysis.bpeEncodeVocab(names, merges)
+      val enc = TextAnalysis.bpeEncodeVocab(names, merges)
+      val stats = enc
         .select(explode(split(col("bpe_text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("c"))
@@ -2307,6 +2341,11 @@ object SparkEntry {
           round(log(col("ct") / col("c").cast("double")) * lit(1e3))
             .cast("int").as("cost"))
         .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+      // the encode chain's fold checkpoint (merges > one chunk) is
+      // reachable only from `enc`, which dies with this collect — the
+      // returned decode plan reads literals, so release it HERE (the
+      // ownership protocol: nothing downstream can)
+      Dedup.releaseCheckpoints(enc)
       require(vc.nonEmpty, "empty trained vocab")
       require(vc.forall(_._1.length <= ViterbiVocabWindow),
         s"vocab entry over the oracle's cost-window depth $ViterbiVocabWindow: " +
@@ -5240,6 +5279,26 @@ object SparkEntry {
     // serving machinery changes WHERE the work happens, never the rows)
     "q_sim_ivf_search" -> ivfPersistedSearchSql,
     "q_sim_ivf_stream" -> ivfPersistedSearchSql,
+
+    // delete maintenance: the codebook (and the probes) stay the
+    // build-time ones — only the SERVED MEMBERS lose the deleted ids
+    "q_sim_ivf_delete" ->
+      s"""WITH ${hierAssignCtes("", 2)},
+        |cells AS (
+        | SELECT vec_id, cell_id, qv, qn FROM assign
+        | WHERE probe_rank = 1 AND vec_id % 10 <> 3),
+        |probed AS (
+        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id
+        | FROM assign WHERE vec_id < 10),
+        |scored AS (
+        | SELECT p.query_id, c.vec_id AS cand_id,
+        |  ${qcos("p.query_qv", "c.qv", "p.query_qn", "c.qn")} AS sim
+        | FROM probed p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id)
+        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // margin mining: exact micro-cosines (round(sim·1e6) of the scale-6
     // cosine is an exact long), top-k sums as integer sums, margin as

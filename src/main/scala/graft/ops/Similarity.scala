@@ -1510,6 +1510,74 @@ object Similarity {
     finally w2.close()
   }
 
+  /** DELETE vectors from a persisted [[writeIvfIndex]] layout — the
+    * right-to-be-forgotten maintenance step, completing the index
+    * lifecycle (build → append → compact → DELETE → serve): only the
+    * cells CONTAINING deleted ids are rewritten, so at 100 TB a
+    * deletion batch touches O(batch) partitions while the untouched
+    * cells' files are never read for rewrite or modified
+    * ([[graft.ops.IvfIndexSpec]] asserts untouched cells' data files
+    * are byte-identical, delete ≡ one-shot rebuild without the deleted
+    * rows for BOTH layout and search answers, and a fully-emptied cell
+    * disappears from the layout).
+    *
+    * Mechanics: one partition-pruned scan finds the touched cells
+    * (`cell_id IN` literals from a bounded deleted-batch collect is
+    * wrong here — the deleted ids' cells are unknown, so this is a
+    * vec_id semi-join over the index, the one full scan the operation
+    * fundamentally needs); the remainder of ONLY those cells rewrites
+    * under dynamic partition overwrite (untouched partitions are not
+    * in the written set, so the writer leaves them alone); cells whose
+    * every member was deleted emit no rows — their directories are
+    * removed explicitly. Returns the number of rows deleted.
+    */
+  def deleteFromIvfIndex(
+      dir: String,
+      deleteIds: DataFrame,
+      spark: SparkSession): Long = {
+    val ids = deleteIds.select(col("vec_id")).distinct()
+    val index = spark.read.parquet(s"$dir/index")
+    val touched = index.join(ids, Seq("vec_id"), "left_semi")
+      .select(col("cell_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return 0L
+    // raw (pre-cast) partition-column filter so pruning reaches the scan
+    val touchedRows = index
+      .filter(col("cell_id").isin(touched.map(c => lit(c)): _*))
+    val before = touchedRows.count()
+    val remainder = touchedRows
+      .join(ids, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("qv"), col("qn"),
+        col("cell_id").cast("long").as("cell_id"))
+      // one task per surviving touched cell -> one file, like compact
+      .repartition(col("cell_id"))
+      .localCheckpoint() // the write below must not re-read partitions
+                         // it is concurrently overwriting
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try remainder.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/index")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val survivors = remainder.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val after = remainder.count()
+    Dedup.releaseCheckpoints(remainder)
+    // fully-emptied cells wrote no partition -> remove their dirs
+    touched.filterNot(survivors).foreach { c =>
+      val p = java.nio.file.Paths.get(s"$dir/index/cell_id=$c")
+      if (java.nio.file.Files.isDirectory(p)) {
+        val w = java.nio.file.Files.walk(p)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+    }
+    before - after
+  }
+
   /** Search a persisted [[writeIvfIndex]] layout: assign the QUERY slice
     * against the persisted codebook (hier probe — per-vector
     * independent, so ranks 1..nProbe here equal what a full-corpus pass

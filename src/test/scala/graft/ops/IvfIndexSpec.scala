@@ -167,6 +167,79 @@ class IvfIndexSpec extends AnyFunSuite with Matchers
     search(dirInc) shouldBe search(dirOne)
   }
 
+  test("delete rewrites ONLY touched cells (untouched files byte-" +
+    "identical) and equals a one-shot rebuild without the deleted rows") {
+    val n = emb.count()
+    val kCells = Similarity.cellsFor(n, 128L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    Similarity.writeIvfIndex(emb, dir, nCells = kCells)
+    def layout(d: String) = spark.read.parquet(s"$d/index")
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val beforeLayout = layout(dir)
+    // delete HALF of one cell's members: exactly one touched cell, so
+    // the untouched-files property is observable (a corpus-wide delete
+    // predicate touches every cell at this fixture's 4-cell size)
+    val targetCell = beforeLayout.map(_._2).max
+    val cellMembers = beforeLayout.filter(_._2 == targetCell).map(_._1)
+      .toSeq.sorted
+    val delIds = cellMembers.take(cellMembers.size / 2).toSet
+    delIds should not be empty
+    val delPred = col("vec_id").isin(delIds.toSeq.map(Long.box): _*)
+    val touchedCells = Set(targetCell)
+    touchedCells.size should be < kCells // some cells stay untouched
+    def files(d: String) = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$d/index"))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p)))
+          .toMap
+      } finally w.close()
+    }
+    val beforeFiles = files(dir)
+    val deleted = Similarity.deleteFromIvfIndex(
+      dir, emb.filter(delPred).select("vec_id"), spark)
+    deleted shouldBe delIds.size.toLong
+    // untouched cells' data files: same paths, sizes AND mtimes
+    val afterFiles = files(dir)
+    val untouched = beforeFiles.filter { case (p, _) =>
+      !touchedCells.exists(c => p.contains(s"cell_id=$c/")) }
+    untouched.foreach { case (p, meta) => afterFiles.get(p) shouldBe Some(meta) }
+    // delete ≡ one-shot rebuild of the remainder under the SAME codebook
+    val dirOne = java.nio.file.Files.createTempDirectory("ivf-del-one").toString
+    val book = spark.read.parquet(s"$dir/codebook")
+    Similarity.writeIvfIndex(emb.filter(!delPred), dirOne, nCells = kCells,
+      centroids = Some(book))
+    layout(dir) shouldBe layout(dirOne)
+    def search(d: String) = Similarity.searchIvfIndex(
+      emb.filter(col("vec_id") < 10), d, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    search(dir) shouldBe search(dirOne)
+  }
+
+  test("deleting every member of a cell removes its partition directory") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del-all").toString
+    Similarity.writeIvfIndex(emb, dir, nCells = Similarity.cellsFor(emb.count(), 128L))
+    val onecell = spark.read.parquet(s"$dir/index")
+      .select(col("cell_id").cast("long")).orderBy("cell_id")
+      .limit(1).collect()(0).getLong(0)
+    val members = spark.read.parquet(s"$dir/index")
+      .filter(col("cell_id") === onecell).select("vec_id")
+    val m = members.count()
+    m should be > 0L
+    Similarity.deleteFromIvfIndex(dir, members, spark) shouldBe m
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$dir/index/cell_id=$onecell")) shouldBe false
+    // the layout still reads and serves the remaining cells
+    spark.read.parquet(s"$dir/index")
+      .select(col("cell_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)) should not contain onecell
+  }
+
   test("index layout: every corpus vector in exactly one cell partition") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx-layout").toString
     val cells = Similarity.writeIvfIndex(emb, dir, nCells = 0, targetPerCell = 128L)
