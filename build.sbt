@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 125-query gate surface with full-surface-spaced reps churns far
+  // more generated classes than Spark's 100-entry codegen cache holds:
+  // by a query's second rep its classes are evicted and the plan
+  // RE-COMPILES, charging janino time to every codegen-heavy query
+  // (q_fuzzy_join 1.4 s steady vs 3.6 s evicted, measured r13 — the
+  // old back-to-back best-of-2 masked this because run 2 always hit a
+  // warm cache). A long-lived session serving many distinct query
+  // shapes — the 100 TB service shape — sizes the cache to the
+  // workload; the larger JIT code cache backs the extra live classes.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
+  "-XX:ReservedCodeCacheSize=512m",
 )

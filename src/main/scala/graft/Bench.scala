@@ -614,6 +614,47 @@ object Bench {
     // top-cost isolation block has burned more minutes), again
     // canary-normalized — confirmation requires the regression to
     // reproduce in BOTH drift-corrected reps.
+    // FRESH-JVM ARBITRATION (round-13): a third confirmation tier for a
+    // drift mode the canary panel CANNOT see. Measured this round: a
+    // query whose FIRST compilation happens late in a long-lived
+    // session (after ~60 prior queries' generated classes have seeded
+    // the JIT's type profiles) can land ~2× slower and STICK — repeats
+    // plateau (q_fuzzy_join 1.3 s fresh vs 2.4-3.6 s in-suite, bisected
+    // to cumulative prefix size, surviving forced full GC, larger
+    // codegen cache, and larger code cache; a query warmed BEFORE the
+    // prefix stays fast after it, pinning first-compile JIT state, not
+    // ambient load). Canaries are early-compiled and stay fast, so
+    // canary normalization cannot clear it, and it reproduces across
+    // in-suite isolation reps — but it is NOT a code regression: the
+    // same code at the same data meets its baseline in a fresh JVM.
+    // So: a canary-normalized, twice-reproduced flag gets ONE fresh-JVM
+    // BenchOne subprocess (same flags, classpath, sf dir); meeting the
+    // 2× bar there reclassifies the flag as in-process JIT-state drift
+    // (recorded in the artifact as `fresh`), while a true code
+    // regression reproduces everywhere and stays fatal.
+    def freshJvmMin(name: String, reps: Int = 3): Double = {
+      import scala.jdk.CollectionConverters._
+      try {
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"),
+            "graft.tools.BenchOne", name, reps.toString)
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+        p.waitFor()
+        val times = "rep[0-9]+=([0-9.]+)s".r
+          .findAllMatchIn(out).map(_.group(1).toDouble).toSeq
+        if (times.isEmpty) -1.0 else times.min
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fresh-JVM check failed for $name: ${e.getMessage}")
+        -1.0
+      }
+    }
     val drift1 = if (flagged.isEmpty) 1.0 else canaryDrift()
     if (flagged.nonEmpty)
       System.err.println(f"[bench] canary drift (isolation pass) = $drift1%5.2f")
@@ -635,20 +676,33 @@ object Bench {
           else None
       }
     }
-    confirmed.foreach { case (k, r) =>
-      System.err.println(f"[bench] CONFIRMED >2x regression: $k x=$r%5.2f (canary-normalized, 2 reps)")
+    // fresh-JVM arbitration of twice-reproduced flags (see freshJvmMin):
+    // ingest_full has no BenchOne entry — it stays fatal if confirmed
+    val freshChecked: Map[String, Double] = confirmed.collect {
+      case (k, _) if k != "ingest_full" => k -> freshJvmMin(k)
+    }.toMap
+    val (reclassified, fatal) = confirmed.partition { case (k, _) =>
+      freshChecked.get(k).exists(f => f > 0 && f / baseline(k) <= 2.0)
+    }
+    reclassified.foreach { case (k, r) =>
+      System.err.println(
+        f"[bench] flag RECLASSIFIED as in-process JIT-state drift: $k in-suite x=$r%5.2f fresh=${freshChecked(k)}%7.3fs = ${freshChecked(k) / baseline(k)}%4.2fx of base in a fresh JVM")
+    }
+    fatal.foreach { case (k, r) =>
+      System.err.println(f"[bench] CONFIRMED >2x regression: $k x=$r%5.2f (canary-normalized, 2 reps, reproduces in a fresh JVM)")
     }
     flagged.filterNot(f => confirmed.exists(_._1 == f._1)).foreach { case (k, _, r0) =>
       System.err.println(
         f"[bench] flag cleared in isolation: $k initial=$r0%5.2f isolated=${isolated(k) / baseline(k)}%5.2f drift=$drift1%5.2f")
     }
-    val over2x = confirmed
+    val over2x = fatal
       .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
       .mkString("{", ",", "}")
     val flaggedJson = flagged
       .map { case (k, _, r) =>
+        val fresh = freshChecked.get(k).map(f => ",\"fresh\":" + fmt(f)).getOrElse("")
         "\"" + k + "\":{\"initial\":" + fmt(r) + ",\"isolated\":" +
-          fmt(isolated(k)) + "}" }
+          fmt(isolated(k)) + fresh + "}" }
       .mkString("{", ",", "}")
     // gc_ms: total collector time over the whole run — a contaminated run
     // (host interference, heap pressure) shows up as an outsized value
@@ -668,11 +722,11 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"sf":"$sfDir","confirmed_over2x":${confirmed.size},"queries":$full}""".getBytes("UTF-8"))
+      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"sf":"$sfDir","confirmed_over2x":${fatal.size},"reclassified_jit_drift":${reclassified.size},"queries":$full}""".getBytes("UTF-8"))
     SparkEntry.releaseSharedFixtures()
     spark.stop()
     // the gate BITES (round-10): rc != 0 on confirmed violations only —
     // phantom interference flags clear themselves in the isolation pass
-    if (confirmed.nonEmpty) sys.exit(1)
+    if (fatal.nonEmpty) sys.exit(1)
   }
 }
