@@ -38,4 +38,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // workload; the larger JIT code cache backs the extra live classes.
   "-Dspark.sql.codegen.cache.maxEntries=4096",
   "-XX:ReservedCodeCacheSize=512m",
+  // The SQL status store retains 1000 executions even with the UI off;
+  // at 126 gate queries × 2 reps × multi-job executions, each carrying
+  // this library's very large plan descriptions, the retained store
+  // grows to GBs of old-gen by the heavy tail (measured r13: old gen
+  // 84→900 MB over 40 queries; q_pagerank at sf1 then GC-thrashed at
+  // 6.9/8 GB heap, 225 s vs 28 s). A bench/verify session only ever
+  // reads the LAST execution; cap the history.
+  "-Dspark.sql.ui.retainedExecutions=25",
+  "-Dspark.ui.retainedJobs=200",
+  "-Dspark.ui.retainedStages=200",
 )

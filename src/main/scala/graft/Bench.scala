@@ -397,6 +397,17 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .filterNot(r => keep(r.id))
           .foreach(_.unpersist(blocking = true))
+        // DEAD-BROADCAST REAPING (round-13): finished queries' broadcast
+        // relations stay live until ContextCleaner sees their driver
+        // references COLLECTED — and an 8 GB heap under light allocation
+        // can go minutes without a full GC, so retained UnsafeRow arrays
+        // piled to ~2 GB by the heavy tail (measured via class
+        // histogram: 24M rows across 48 live broadcasts; q_pagerank at
+        // sf1 then GC-thrashed 225 s vs 28 s). One explicit GC whenever
+        // used heap crosses 3 GB lets the cleaner reap between queries
+        // instead of inside one.
+        val used = Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+        if (used > (3L << 30)) System.gc()
         sec
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
