@@ -1940,6 +1940,40 @@ object SparkEntry {
       }
     }),
 
+    // codebook RETRAIN migration (round-14): seeded build, then
+    // retrainIvfIndex rebuilds codebook+meta+index in place under a
+    // trained hier codebook of the current corpus (atomic multi-side
+    // swap; IvfIndexSpec kills the swap at each intermediate state and
+    // proves recovery), then search — the migrated answer must equal a
+    // fresh trained-auto build, which is exactly what the shared
+    // q_sim_ivf_trained_auto oracle asserts
+    "q_sim_ivf_retrain" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-retrain")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val emb = t(s, dir, "embeddings")
+        Similarity.writeIvfIndex(emb, tmp.toString, nCells = 0,
+          targetPerCell = 128L)
+        Similarity.retrainIvfIndex(tmp.toString, s, nCells = 0,
+          targetPerCell = 128L, iters = 1)
+        val out = Similarity.searchIvfIndex(
+          emb.filter(col("vec_id") < 10), tmp.toString, k = 5, nProbe = 2)
+          .orderBy("query_id", "rank")
+          .localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // SEARCH-ONLY against the persisted layout ([[persistedIvfIndex]]
     // builds once per JVM per sf dir, like the co-purchase shared
     // fixture): this is the "build once, query many" number
@@ -3979,6 +4013,30 @@ object SparkEntry {
       | FROM scored)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The trained-auto search oracle — the hierarchical TRAIN chain
+    * (hierTrainCtes → fine2) feeding the hier probe-2 search split.
+    * Shared verbatim by `q_sim_ivf_trained_auto` (in-session) and
+    * `q_sim_ivf_retrain` (persisted-layout migration): a retrain of a
+    * seeded layout must end at the same answer a fresh trained build
+    * gives.
+    */
+  private lazy val ivfTrainedAutoSearchSql: String =
+    s"""WITH ${hierAssignCtes("", 2, fineFrom = Some("fine2"), extraCtes = hierTrainCtes)},
+      |cells AS (
+      | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),
+      |probed AS (
+      | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id
+      | FROM assign WHERE vec_id < 10),
+      |scored AS (
+      | SELECT p.query_id, c.vec_id AS cand_id,
+      |  ${qcos("p.query_qv", "c.qv", "p.query_qn", "c.qn")} AS sim
+      | FROM probed p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id)
+      |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+      | SELECT query_id, cand_id, sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      | FROM scored)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def hierAssignCtes(
       where: String,
       nProbe: Int,
@@ -5400,22 +5458,15 @@ object SparkEntry {
     // trained search auto: the hierarchical TRAIN chain (hierTrainCtes →
     // fine2) feeding the same search split — train and assign both
     // replayed end to end
-    "q_sim_ivf_trained_auto" ->
-      s"""WITH ${hierAssignCtes("", 2, fineFrom = Some("fine2"), extraCtes = hierTrainCtes)},
-        |cells AS (
-        | SELECT vec_id, cell_id, qv, qn FROM assign WHERE probe_rank = 1),
-        |probed AS (
-        | SELECT vec_id AS query_id, qv AS query_qv, qn AS query_qn, cell_id
-        | FROM assign WHERE vec_id < 10),
-        |scored AS (
-        | SELECT p.query_id, c.vec_id AS cand_id,
-        |  ${qcos("p.query_qv", "c.qv", "p.query_qn", "c.qn")} AS sim
-        | FROM probed p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id)
-        |SELECT query_id, cand_id, sim, CAST(rank AS BIGINT) AS rank FROM (
-        | SELECT query_id, cand_id, sim,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
-        | FROM scored)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_sim_ivf_trained_auto" -> ivfTrainedAutoSearchSql,
+
+    // codebook retrain migration: seeded build → in-place retrain under
+    // the trained hier codebook at the same corpus-proportional k →
+    // search. The migrated layout must answer EXACTLY as a fresh
+    // trained-auto chain (quantized vectors dequantize exactly, so the
+    // retrain sees the same integers a fresh build would) — which is
+    // precisely what sharing the trained-auto oracle asserts
+    "q_sim_ivf_retrain" -> ivfTrainedAutoSearchSql,
 
     "q_sim_ivf" ->
       """WITH n AS (

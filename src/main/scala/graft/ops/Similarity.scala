@@ -1440,8 +1440,108 @@ object Similarity {
     else spark.read.parquet(s"$dir/codebook").count().toInt
   }
 
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val w = java.nio.file.Files.walk(p)
+    try w.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    finally w.close()
+  }
+
+  /** Finish or roll back an INTERRUPTED [[compactIvfIndex]] /
+    * [[retrainIvfIndex]] swap before touching the layout (ADVICE r13:
+    * a crash BETWEEN the two atomic renames leaves no `index/` at the
+    * path — the data stranded, complete, in `index_old` and
+    * `index_compacting` — and without recovery every later read fails
+    * at the initial parquet scan). Decision table, derived from the
+    * swap protocol's invariants:
+    *
+    *   - `index/` present → nothing to recover (a stale `index_old` /
+    *     `index_compacting` beside it is retired garbage; compact
+    *     clears it before its own swap).
+    *   - `index/` missing + `index_compacting/_SUCCESS` present → the
+    *     write finished and rename 1 retired the old tree, so the
+    *     aside tree is COMPLETE: finish the swap (rename it in, then
+    *     drop the retired tree).
+    *   - `index/` missing + no complete aside + `index_old/` present →
+    *     roll back: restore the retired tree, drop any partial aside.
+    *     (Unreachable under the protocol — rename 1 runs only after
+    *     `_SUCCESS` exists — but a defensive reader costs nothing.)
+    *
+    * Idempotent and called on entry by every lifecycle path (append /
+    * compact / retrain / delete / search), so one recovered process
+    * heals the layout for all ([[graft.ops.IvfIndexSpec]] kills the
+    * swap at each intermediate state and asserts search equality
+    * after recovery).
+    */
+  private[graft] def recoverIvfIndex(dir: String): Unit = {
+    val index = java.nio.file.Paths.get(s"$dir/index")
+    if (java.nio.file.Files.isDirectory(index)) return
+    val aside = java.nio.file.Paths.get(s"$dir/index_compacting")
+    val retired = java.nio.file.Paths.get(s"$dir/index_old")
+    val asideComplete = java.nio.file.Files.isDirectory(aside) &&
+      java.nio.file.Files.exists(aside.resolve("_SUCCESS"))
+    if (asideComplete) {
+      // a RETRAIN swap (complete `<side>_new` asides present) also swaps
+      // the codebook and meta — finish those first, so the index never
+      // serves under a codebook it was not assigned with
+      Seq("codebook", "meta").foreach(finishSideSwap(dir, _))
+      java.nio.file.Files.move(aside, index,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (java.nio.file.Files.isDirectory(retired)) deleteTree(retired)
+      Seq("codebook_old", "meta_old").foreach { n =>
+        val p = java.nio.file.Paths.get(s"$dir/$n")
+        if (java.nio.file.Files.isDirectory(p)) deleteTree(p)
+      }
+    } else if (java.nio.file.Files.isDirectory(retired)) {
+      java.nio.file.Files.move(retired, index,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (java.nio.file.Files.isDirectory(aside)) deleteTree(aside)
+      // retrain's tiny-side asides are written BEFORE its commit point,
+      // so a rollback also drops them (never half-adopts a new codebook)
+      Seq("codebook_new", "meta_new").foreach { n =>
+        val p = java.nio.file.Paths.get(s"$dir/$n")
+        if (java.nio.file.Files.isDirectory(p)) deleteTree(p)
+      }
+    }
+  }
+
+  /** Finish an interrupted `<name>` → `<name>_old`, `<name>_new` →
+    * `<name>` swap (the [[retrainIvfIndex]] codebook/meta steps) —
+    * called by [[recoverIvfIndex]] only past the retrain commit point,
+    * where a complete `<name>_new` MUST end up serving. Idempotent
+    * across every crash position: new+current (swap not started),
+    * new+old (crashed between the two renames), old only (finished).
+    */
+  private def finishSideSwap(dir: String, name: String): Unit = {
+    val neu = java.nio.file.Paths.get(s"$dir/${name}_new")
+    if (!java.nio.file.Files.isDirectory(neu) ||
+      !java.nio.file.Files.exists(neu.resolve("_SUCCESS"))) return
+    val cur = java.nio.file.Paths.get(s"$dir/$name")
+    val old = java.nio.file.Paths.get(s"$dir/${name}_old")
+    if (java.nio.file.Files.isDirectory(cur))
+      java.nio.file.Files.move(cur, old,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(neu, cur,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Clear every swap-aside a PRIOR crashed compact/retrain may have
+    * stranded BEFORE its commit point (recoverIvfIndex handles the
+    * post-commit states) — compact must clear retrain's asides too: a
+    * stale complete `codebook_new` beside a compact swap would
+    * otherwise be mis-adopted by recovery as a retrain codebook for an
+    * index assigned under the OLD book.
+    */
+  private def clearSwapAsides(dir: String): Unit =
+    Seq("index_compacting", "index_old",
+      "codebook_new", "codebook_old", "meta_new", "meta_old").foreach { n =>
+      val p = java.nio.file.Paths.get(s"$dir/$n")
+      if (java.nio.file.Files.isDirectory(p)) deleteTree(p)
+    }
+
   def appendIvfIndex(embeddings: DataFrame, dir: String): Unit = {
     val spark = embeddings.sparkSession
+    recoverIvfIndex(dir)
     val book = spark.read.parquet(s"$dir/codebook")
     ivfAssignHierProbe(embeddings, readIndexCells(spark, dir), 1,
       centroids = Some(book))
@@ -1475,6 +1575,12 @@ object Similarity {
     */
   def compactIvfIndex(dir: String, spark: SparkSession,
       onSwapStep: String => Unit = _ => ()): Long = {
+    recoverIvfIndex(dir)
+    // pre-commit strandings from ANY prior crashed swap (incl. a
+    // retrain's codebook/meta asides — see clearSwapAsides) must go
+    // before this swap begins, so the renames cannot collide and
+    // recovery cannot misread a stale aside as part of THIS swap
+    clearSwapAsides(dir)
     spark.read.parquet(s"$dir/index")
       .select(col("vec_id"), col("qv"), col("qn"),
         col("cell_id").cast("long").as("cell_id"))
@@ -1484,15 +1590,6 @@ object Similarity {
     val old = java.nio.file.Paths.get(s"$dir/index")
     val neu = java.nio.file.Paths.get(s"$dir/index_compacting")
     val retired = java.nio.file.Paths.get(s"$dir/index_old")
-    def deleteTree(p: java.nio.file.Path): Unit = {
-      val w = java.nio.file.Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-      finally w.close()
-    }
-    // a prior crash may have stranded a retired tree; clear it so the
-    // first rename cannot collide (data is never here mid-swap)
-    if (java.nio.file.Files.exists(retired)) deleteTree(retired)
     // onSwapStep: test-only observation points BETWEEN the atomic steps
     // ([[graft.ops.IvfIndexSpec]] asserts complete, lossless trees at
     // every intermediate state); production callers leave the default
@@ -1508,6 +1605,86 @@ object Similarity {
     try w2.iterator().asScala.count(p =>
       p.getFileName.toString.endsWith(".parquet"))
     finally w2.close()
+  }
+
+  /** RE-TRAIN a persisted [[writeIvfIndex]] layout's codebook and
+    * migrate the whole index under it — the lifecycle step that closes
+    * codebook DRIFT: after months of [[appendIvfIndex]] deltas the
+    * corpus distribution moves away from the build-time centroids
+    * ([[cellHealth]]'s skew audit is the trigger), and a pinned
+    * codebook then costs recall and cell balance. This rebuilds the
+    * layout as if freshly built under a hierarchically-TRAINED
+    * codebook of the CURRENT corpus ([[trainCentroidsHier]], the same
+    * O(N·√k) chain as every auto path), atomically.
+    *
+    * No raw-embedding re-read is needed: the persisted `qv` integers
+    * are `round(x·10000)` quantizations, and `qv/10000.0` re-quantizes
+    * to EXACTLY `qv` (double arithmetic is exact at this magnitude),
+    * so training and re-assignment from the index see the same integer
+    * vectors a fresh build over the original embeddings would —
+    * [[graft.ops.IvfIndexSpec]] proves retrain ≡ one-shot
+    * [[writeIvfIndex]] of the corpus under the same trained codebook,
+    * layout and search answers both.
+    *
+    * Swap protocol (extends the [[compactIvfIndex]] machinery to the
+    * codebook/meta sides): the new codebook, meta, and fully
+    * re-assigned index are ALL written aside first (`codebook_new`,
+    * `meta_new`, `index_compacting`); the commit point is the
+    * `index` → `index_old` rename — before it a crash strands only
+    * asides (cleared by the next maintenance call), after it
+    * [[recoverIvfIndex]] rolls the whole swap FORWARD (codebook and
+    * meta first, so the index never serves under the wrong book),
+    * from any lifecycle entry point. `nCells = 0` re-derives the
+    * corpus-proportional size ([[cellsFor]]) from the CURRENT corpus
+    * count — the usual choice, since growth is why retrain runs.
+    * Returns the new cell count.
+    *
+    * Scale shape: one full index read feeding train + re-assign (both
+    * O(N·√k)) + one partitioned write — the same O(index) pass class
+    * as compact, amortized against every post-drift probe.
+    */
+  def retrainIvfIndex(
+      dir: String,
+      spark: SparkSession,
+      nCells: Int = 0,
+      targetPerCell: Long = 4096L,
+      iters: Int = 1,
+      onSwapStep: String => Unit = _ => ()): Int = {
+    recoverIvfIndex(dir)
+    clearSwapAsides(dir)
+    val index = spark.read.parquet(s"$dir/index")
+    val emb = index.select(col("vec_id"),
+      transform(col("qv"), x => x.cast("double") / 10000.0).as("embedding"))
+    val k =
+      if (nCells == 0) cellsFor(index.count(), targetPerCell) else nCells
+    val book = trainCentroidsHier(emb, k, iters)
+    book.write.mode("overwrite").parquet(s"$dir/codebook_new")
+    Dedup.releaseCheckpoints(book)
+    spark.range(1).select(lit(k).cast("int").as("n_cells"))
+      .write.mode("overwrite").parquet(s"$dir/meta_new")
+    val bookBack = spark.read.parquet(s"$dir/codebook_new")
+    ivfAssignHierProbe(emb, k, 1, centroids = Some(bookBack))
+      .select("vec_id", "qv", "qn", "cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$dir/index_compacting")
+    onSwapStep("written")
+    def mv(from: String, to: String): Unit =
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/$from"),
+        java.nio.file.Paths.get(s"$dir/$to"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    mv("index", "index_old") // COMMIT: recovery rolls forward from here
+    onSwapStep("retired")
+    mv("codebook", "codebook_old"); mv("codebook_new", "codebook")
+    mv("meta", "meta_old"); mv("meta_new", "meta")
+    onSwapStep("sides-swapped")
+    mv("index_compacting", "index")
+    onSwapStep("swapped")
+    Seq("index_old", "codebook_old", "meta_old").foreach { n =>
+      val p = java.nio.file.Paths.get(s"$dir/$n")
+      if (java.nio.file.Files.isDirectory(p)) deleteTree(p)
+    }
+    k
   }
 
   /** DELETE vectors from a persisted [[writeIvfIndex]] layout — the
@@ -1535,6 +1712,7 @@ object Similarity {
       dir: String,
       deleteIds: DataFrame,
       spark: SparkSession): Long = {
+    recoverIvfIndex(dir)
     val ids = deleteIds.select(col("vec_id")).distinct()
     val index = spark.read.parquet(s"$dir/index")
     val touched = index.join(ids, Seq("vec_id"), "left_semi")
@@ -1553,14 +1731,14 @@ object Similarity {
       .repartition(col("cell_id"))
       .localCheckpoint() // the write below must not re-read partitions
                          // it is concurrently overwriting
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try remainder.write.mode("overwrite").partitionBy("cell_id")
+    // per-WRITE dynamic overwrite (ADVICE r13): the DataFrameWriter
+    // option scopes the mode to this one write — mutating the session
+    // conf would silently flip any concurrent overwrite in the same
+    // session into dynamic mode for the window
+    remainder.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell_id")
       .parquet(s"$dir/index")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
     val survivors = remainder.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toSet
     val after = remainder.count()
@@ -1602,6 +1780,7 @@ object Similarity {
       nProbe: Int = 2,
       pCoarse: Int = 2): DataFrame = {
     val spark = queries.sparkSession
+    recoverIvfIndex(dir)
     val native = graft.plans.GraftExtensions.available(spark)
     val book = spark.read.parquet(s"$dir/codebook")
     val cellCount = readIndexCells(spark, dir)

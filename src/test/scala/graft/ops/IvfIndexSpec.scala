@@ -240,6 +240,121 @@ class IvfIndexSpec extends AnyFunSuite with Matchers
       .collect().map(_.getLong(0)) should not contain onecell
   }
 
+  test("retrain migrates the layout to equal a fresh build under the " +
+    "trained codebook: identical codebook, layout rows, and search answers") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-retrain").toString
+    Similarity.writeIvfIndex(emb, dir, nCells = 0, targetPerCell = 128L)
+    val k = Similarity.retrainIvfIndex(dir, spark, nCells = 0,
+      targetPerCell = 128L, iters = 1)
+    k shouldBe Similarity.cellsFor(emb.count(), 128L)
+    spark.read.parquet(s"$dir/meta").collect()(0).getInt(0) shouldBe k
+    // fresh build under the same trained codebook, from the ORIGINAL
+    // embeddings — the dequantize round-trip must not move anything
+    val trainedDf = Similarity.trainCentroidsHier(emb, k, iters = 1)
+    val dirOne = java.nio.file.Files.createTempDirectory("ivf-retrain-one").toString
+    Similarity.writeIvfIndex(emb, dirOne, nCells = k,
+      centroids = Some(trainedDf))
+    Dedup.releaseCheckpoints(trainedDf)
+    def book(d: String) = spark.read.parquet(s"$d/codebook")
+      .select("cell_id", "cv", "cn").collect().map(_.toString).toSet
+    book(dir) shouldBe book(dirOne)
+    def layout(d: String) = spark.read.parquet(s"$d/index")
+      .select("vec_id", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    layout(dir) shouldBe layout(dirOne)
+    layout(dir).size shouldBe emb.count().toInt
+    def search(d: String) = Similarity.searchIvfIndex(
+      emb.filter(col("vec_id") < 10), d, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    search(dir) shouldBe search(dirOne)
+    // no swap residue
+    Seq("index_old", "index_compacting", "codebook_new", "codebook_old",
+      "meta_new", "meta_old").foreach { n =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/$n")) shouldBe false
+    }
+  }
+
+  test("retrain swap killed at any intermediate step recovers to a " +
+    "consistent layout on the next lifecycle entry") {
+    case class Killed(step: String) extends RuntimeException(step)
+    def search(d: String) = Similarity.searchIvfIndex(
+      emb.filter(col("vec_id") < 10), d, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    def freshDir(): String = {
+      val d = java.nio.file.Files.createTempDirectory("ivf-retrain-kill").toString
+      Similarity.writeIvfIndex(emb, d, nCells = 0, targetPerCell = 128L)
+      d
+    }
+    // the two reference answers: pre-retrain (seeded) and post-retrain
+    val seededDir = freshDir()
+    val preAnswer = search(seededDir)
+    val doneDir = freshDir()
+    Similarity.retrainIvfIndex(doneDir, spark, nCells = 0,
+      targetPerCell = 128L, iters = 1)
+    val postAnswer = search(doneDir)
+    postAnswer should not be preAnswer // the migration is observable
+    // kill BEFORE the commit point: the old layout keeps serving, and a
+    // later retrain completes from the stranded-asides state
+    val d1 = freshDir()
+    intercept[Killed] {
+      Similarity.retrainIvfIndex(d1, spark, nCells = 0,
+        targetPerCell = 128L, iters = 1,
+        onSwapStep = s => if (s == "written") throw Killed(s))
+    }
+    search(d1) shouldBe preAnswer
+    Similarity.retrainIvfIndex(d1, spark, nCells = 0,
+      targetPerCell = 128L, iters = 1)
+    search(d1) shouldBe postAnswer
+    // kill AT or AFTER the commit point: every later entry rolls the
+    // swap FORWARD — codebook and index can never serve mismatched
+    Seq("retired", "sides-swapped", "swapped").foreach { at =>
+      val d = freshDir()
+      intercept[Killed] {
+        Similarity.retrainIvfIndex(d, spark, nCells = 0,
+          targetPerCell = 128L, iters = 1,
+          onSwapStep = s => if (s == at) throw Killed(s))
+      }
+      withClue(s"killed at $at: ") {
+        search(d) shouldBe postAnswer // searchIvfIndex recovers on entry
+        search(d) shouldBe postAnswer // and recovery is idempotent
+      }
+    }
+  }
+
+  test("compaction swap killed between its renames recovers: the next " +
+    "entry finishes the swap and the answer is unchanged") {
+    case class Killed(step: String) extends RuntimeException(step)
+    val n = emb.count()
+    val half = n / 2
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact-kill").toString
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") < half), dir,
+      nCells = Similarity.cellsFor(half, 128L))
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= half), dir)
+    def search() = Similarity.searchIvfIndex(
+      emb.filter(col("vec_id") < 10), dir, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = search()
+    val rows = spark.read.parquet(s"$dir/index").count()
+    intercept[Killed] {
+      Similarity.compactIvfIndex(dir, spark,
+        onSwapStep = s => if (s == "retired") throw Killed(s))
+    }
+    // the ADVICE-r13 crash state: no index/ at the path, data stranded
+    // in index_old + index_compacting — recovery must roll forward
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/index")) shouldBe false
+    search() shouldBe before
+    spark.read.parquet(s"$dir/index").count() shouldBe rows
+    Seq("index_old", "index_compacting").foreach { s =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/$s")) shouldBe false
+    }
+    // and a fresh compact over the recovered layout still works
+    Similarity.compactIvfIndex(dir, spark)
+    search() shouldBe before
+  }
+
   test("index layout: every corpus vector in exactly one cell partition") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-idx-layout").toString
     val cells = Similarity.writeIvfIndex(emb, dir, nCells = 0, targetPerCell = 128L)
