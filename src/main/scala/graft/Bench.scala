@@ -87,7 +87,10 @@ object Bench {
     "q_tokenize_viterbi_vocab", "q_singer_schema_merge",
     // the index lifecycle's DELETE maintenance step (build + delete +
     // search — only touched cells rewrite)
-    "q_sim_ivf_delete")
+    "q_sim_ivf_delete",
+    // round-14: codebook RETRAIN migration (seeded build + trained
+    // re-train + full re-assign + atomic multi-side swap + search)
+    "q_sim_ivf_retrain")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -255,7 +258,10 @@ object Bench {
     // two pipeline ingests to scratch parquet + the merged union read
     "q_singer_schema_merge" -> 2.200,
     // build + semi-join + touched-cell rewrite + search (r13 warm)
-    "q_sim_ivf_delete" -> 5.500)
+    "q_sim_ivf_delete" -> 5.500,
+    // seeded build + hier re-train + full re-assign + swap + search
+    // (r14 steady-state BenchOne reps 6.3-7.1)
+    "q_sim_ivf_retrain" -> 6.500)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -358,6 +364,9 @@ object Bench {
     "q_tokenize_viterbi_vocab" -> 15.000,
     "q_singer_schema_merge" -> 11.000,
     "q_sim_ivf_delete" -> 13.000,
+    // sub-linear at 10× (6.5→13.3 s steady): train and re-assign are
+    // both O(N·√k), and the swap is rename-bound
+    "q_sim_ivf_retrain" -> 13.500,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)
@@ -493,6 +502,24 @@ object Bench {
     // runs the full surface
     val surface =
       if (isSf1) headline.filterNot(sf1Exclude) else headline
+    // PRE-WARM pass (round-14, the round-13 postmortem's fix): run every
+    // gated query ONCE, untimed, before any timed rep. The drift mode
+    // this kills: a query whose FIRST compilation lands late in a
+    // long-lived session (after ~60 prior queries' generated classes
+    // seeded the JIT's type profiles) can stick ~2× slower across all
+    // its reps (q_fuzzy_join 1.3 s fresh vs 2.4-3.6 s in-suite, bisected
+    // to cumulative prefix size) — but a query warmed BEFORE the prefix
+    // stays fast after it. Warming the whole surface up front pins every
+    // query's first-compile JIT state early, so the fresh-JVM
+    // arbitration tier should sit idle. Cost: one extra surface pass
+    // (~100 s clean at sf0.1), reported as warm_pass_sec.
+    val warmT0 = System.nanoTime()
+    surface.foreach { n =>
+      val t = execOnce(n)
+      if (t < 0) System.err.println(s"[bench] WARM-PASS FAILURE: $n")
+    }
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
+    System.err.println(f"[bench] warm_pass=$warmSec%.3fs (${surface.size} queries)")
     // Two SPACED full-surface reps (round-13): rep 2 of any query runs
     // after the ENTIRE remaining surface — minutes later — so a
     // sustained host-contention window covering one segment inflates at
@@ -647,19 +674,37 @@ object Bench {
       import scala.jdk.CollectionConverters._
       try {
         val javaBin = System.getProperty("java.home") + "/bin/java"
+        // cap the CHILD heap (ADVICE r13): the parent's -Xmx8g is live
+        // at ~16 GB process peak during arbitration, and a child
+        // inheriting the full cap can fail allocation under host memory
+        // pressure — returning -1 and leaving the flag fatal. One query
+        // + one warm query fit comfortably under the smaller cap.
+        val childMx = "-Xmx" + sys.env.getOrElse("SPARK_GRAFT_FRESHJVM_MEM", "4g")
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
-        val cmd = Seq(javaBin) ++ jvmArgs ++
+          .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
+        val repFile = java.nio.file.Files.createTempFile("benchone", ".json")
+        java.nio.file.Files.delete(repFile) // child recreates it on success
+        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(childMx) ++
           Seq("-cp", System.getProperty("java.class.path"),
             "graft.tools.BenchOne", name, reps.toString)
         val pb = new ProcessBuilder(cmd.asJava)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_BENCHONE_OUT", repFile.toString)
         pb.redirectErrorStream(true)
         val p = pb.start()
         val out = new String(p.getInputStream.readAllBytes, "UTF-8")
         p.waitFor()
-        val times = "rep[0-9]+=([0-9.]+)s".r
-          .findAllMatchIn(out).map(_.group(1).toDouble).toSeq
+        // primary channel: the child's rep-times JSON file (ADVICE r13 —
+        // stdout regex-scraping is fragile); stdout stays as fallback
+        // for an older BenchOne on the classpath
+        val times =
+          if (java.nio.file.Files.exists(repFile)) {
+            val s = new String(java.nio.file.Files.readAllBytes(repFile), "UTF-8")
+            java.nio.file.Files.delete(repFile)
+            "[0-9]+\\.[0-9]+".r.findAllIn(s).map(_.toDouble).toSeq
+          } else "rep[0-9]+=([0-9.]+)s".r
+            .findAllMatchIn(out).map(_.group(1).toDouble).toSeq
         if (times.isEmpty) -1.0 else times.min
       } catch { case e: Throwable =>
         System.err.println(s"[bench] fresh-JVM check failed for $name: ${e.getMessage}")
@@ -718,7 +763,7 @@ object Bench {
     // gc_ms: total collector time over the whole run — a contaminated run
     // (host interference, heap pressure) shows up as an outsized value
     // relative to the ~61 s clean-run shape.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"warm_pass_sec":${fmt(warmSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // full artifact for the repo: per-query seconds, plus base/ratio
     // where the scale's baseline map has an entry (new queries
@@ -733,7 +778,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"sf":"$sfDir","confirmed_over2x":${fatal.size},"reclassified_jit_drift":${reclassified.size},"queries":$full}""".getBytes("UTF-8"))
+      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"warm_pass_sec":${fmt(warmSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"sf":"$sfDir","confirmed_over2x":${fatal.size},"reclassified_jit_drift":${reclassified.size},"queries":$full}""".getBytes("UTF-8"))
     SparkEntry.releaseSharedFixtures()
     spark.stop()
     // the gate BITES (round-10): rc != 0 on confirmed violations only —

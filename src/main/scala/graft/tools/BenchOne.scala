@@ -12,6 +12,7 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.allQueries("q_stream_counts")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    var times = Seq.empty[Double]
     for (i <- 1 to reps) {
       val keepBefore = SparkEntry.sharedFixtureRddIds
       val persisted = spark.sparkContext.getPersistentRDDs.keySet
@@ -26,6 +27,17 @@ object BenchOne {
         .filterNot(r => keep(r.id))
         .foreach(_.unpersist(blocking = true))
       println(f"BENCHONE $name rep$i=$sec%.2fs keepAfter=$keep")
+      times :+= sec
+    }
+    // machine-readable rep times for Bench.freshJvmMin (ADVICE r13: the
+    // stdout-regex scrape is fragile — a truncated pipe or interleaved
+    // log line silently drops reps); human-readable stdout stays
+    sys.env.get("SPARK_GRAFT_BENCHONE_OUT").foreach { path =>
+      val json = times.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString(s"""{"name":"$name","reps":[""", ",", "]}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), json.getBytes("UTF-8"))
     }
     SparkEntry.releaseSharedFixtures()
     spark.stop()

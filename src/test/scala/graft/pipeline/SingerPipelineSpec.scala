@@ -474,4 +474,80 @@ class SingerPipelineSpec extends AnyFunSuite with Matchers
     }
     e.getMessage should include("not a safe widening")
   }
+
+  test("readMergedSegments: int -> bool and string -> long retypes are " +
+    "rejected (neither direction is on the widening ladder)") {
+    import org.apache.spark.sql.types._
+    val iToB = intercept[RuntimeException] {
+      SingerPipeline.readMergedSegments(spark, Seq(
+        "/nonexistent/a" -> StructType(Seq(StructField("v", LongType))),
+        "/nonexistent/b" -> StructType(Seq(StructField("v", BooleanType)))))
+    }
+    iToB.getMessage should include("not a safe widening")
+    // the reverse of the double->string case: a column that started as
+    // text must not silently become numeric either
+    val sToL = intercept[RuntimeException] {
+      SingerPipeline.readMergedSegments(spark, Seq(
+        "/nonexistent/a" -> StructType(Seq(StructField("v", StringType))),
+        "/nonexistent/b" -> StructType(Seq(StructField("v", LongType)))))
+    }
+    sToL.getMessage should include("not a safe widening")
+  }
+
+  test("readMergedSegments: many segments with a REVERT flip-flop " +
+    "(int -> double -> long -> absent -> float) widen to the ladder max " +
+    "and read every row back exactly") {
+    // real long-running ingest drift is N segments with repeated
+    // flip-flops, not one transition: a revert (v1 -> v2 -> v1) must
+    // keep the MAX widening ever seen (narrowing would corrupt the
+    // already-written wide segment), and a column absent from a middle
+    // segment must stay nullable. 12 segments here — the shape of a
+    // year of monthly drift, not a toy pair.
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmp()
+    // per-segment (type of k, k present?): int -> double -> long(REVERT)
+    // -> absent -> float -> ... cycling
+    val shapes: Seq[(DataType, Boolean)] = Seq(
+      (IntegerType, true), (DoubleType, true), (LongType, true),
+      (IntegerType, false), (FloatType, true), (LongType, true),
+      (DoubleType, true), (IntegerType, true), (IntegerType, false),
+      (FloatType, true), (LongType, true), (IntegerType, true))
+    val segments = shapes.zipWithIndex.map { case ((dt, present), i) =>
+      val fields = StructField("id", LongType, nullable = false) +:
+        (if (present) Seq(StructField("k", dt, nullable = true)) else Nil)
+      val sch = StructType(fields)
+      val kVal: Any = dt match {
+        case IntegerType => i + 100
+        case LongType => (i + 100).toLong
+        case FloatType => (i + 100).toFloat + 0.5f
+        case DoubleType => (i + 100).toDouble + 0.25
+      }
+      val row =
+        if (present) org.apache.spark.sql.Row(i.toLong, kVal)
+        else org.apache.spark.sql.Row(i.toLong)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row)), sch)
+        .write.parquet(s"$dir/seg$i")
+      s"$dir/seg$i" -> sch
+    }
+    val out = SingerPipeline.readMergedSegments(spark, segments)
+    // ladder max across ALL segments (double), nullable via the absences;
+    // the revert segments (long/int AFTER double) must not narrow it
+    // (id reads nullable: file sources force nullability on read)
+    out.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq shouldBe
+      Seq(("id", LongType, true), ("k", DoubleType, true))
+    val expected = shapes.zipWithIndex.map { case ((dt, present), i) =>
+      val k: Option[Double] =
+        if (!present) None
+        else dt match {
+          case IntegerType | LongType => Some((i + 100).toDouble)
+          case FloatType => Some(((i + 100).toFloat + 0.5f).toDouble)
+          case DoubleType => Some((i + 100).toDouble + 0.25)
+        }
+      (i.toLong, k)
+    }
+    out.orderBy("id").as[(Long, Option[Double])].collect().toSeq shouldBe
+      expected
+  }
 }
