@@ -89,8 +89,9 @@ object Bench {
     // search — only touched cells rewrite)
     "q_sim_ivf_delete",
     // round-14: codebook RETRAIN migration (seeded build + trained
-    // re-train + full re-assign + atomic multi-side swap + search)
-    "q_sim_ivf_retrain")
+    // re-train + full re-assign + atomic multi-side swap + search);
+    // PNG/JPEG/PPM/unknown header-tier triage (real magic-byte parsers)
+    "q_sim_ivf_retrain", "q_multimodal_decode_png")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -261,7 +262,9 @@ object Bench {
     "q_sim_ivf_delete" -> 5.500,
     // seeded build + hier re-train + full re-assign + swap + search
     // (r14 steady-state BenchOne reps 6.3-7.1)
-    "q_sim_ivf_retrain" -> 6.500)
+    "q_sim_ivf_retrain" -> 6.500,
+    // four synthesized payload tiers + the mapPartitions header walk
+    "q_multimodal_decode_png" -> 0.700)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -367,6 +370,7 @@ object Bench {
     // sub-linear at 10× (6.5→13.3 s steady): train and re-assign are
     // both O(N·√k), and the swap is rename-bound
     "q_sim_ivf_retrain" -> 13.500,
+    "q_multimodal_decode_png" -> 1.100,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

@@ -3430,6 +3430,49 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // PNG/JPEG HEADER tier (round-14): every doc synthesizes FOUR
+    // payloads — a valid PNG (signature + IHDR with doc-derived
+    // dimensions), a valid JPEG (SOI → APP0 → variable-content COM →
+    // SOF0 → EOI, so the segment walk actually walks), the 4×3 PPM, and
+    // a poisoned-unknown (0x00-prefixed text, unparseable by any tier) —
+    // and Multimodal.imageHeaderMeta must parse its way back to the
+    // synthesis facts: format, dimensions, bit depth, channels. The
+    // oracle replays the synthesis rule (the q_multimodal_wav pattern:
+    // Spark parses real bytes, DuckDB recomputes what was synthesized).
+    "q_multimodal_decode_png" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= 36)
+      val w = (pmod(col("doc_id"), lit(640L)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 3, lit(480L)) + 1).cast("int")
+      def be32(v: Column) = unhex(lpad(hex(v.cast("long")), 8, "0"))
+      def be16(v: Column) = unhex(lpad(hex(v.cast("long")), 4, "0"))
+      val text36 = expr("substring(encode(text, 'UTF-8'), 1, 36)")
+      val png = docs.select((col("doc_id") * 4).as("media_id"),
+        concat(
+          unhex(lit("89504E470D0A1A0A0000000D")), // signature + IHDR len 13
+          lit("IHDR").cast("binary"),
+          be32(w), be32(h),
+          // bit depth 8, color type 6 (RGBA), compression/filter/
+          // interlace 0, CRC (unvalidated) 0 — then trailing text bytes
+          unhex(lit("080600000000000000")),
+          text36).as("payload"))
+      val jpeg = docs.select((col("doc_id") * 4 + 1).as("media_id"),
+        concat(
+          unhex(lit("FFD8FFE000104A46494600010100004800480000")), // SOI+APP0
+          unhex(lit("FFFE000A")), // COM, length 10 = 2 + 8 content bytes
+          expr("substring(encode(text, 'UTF-8'), 1, 8)"),
+          unhex(lit("FFC0001108")), be16(h), be16(w), // SOF0: len 17, prec 8
+          unhex(lit("03012200021101031101FFD9"))).as("payload")) // 3 comps + EOI
+      val ppm = docs.select((col("doc_id") * 4 + 2).as("media_id"),
+        concat(lit("P6\n4 3\n255\n").cast("binary"), text36).as("payload"))
+      val unk = docs.select((col("doc_id") * 4 + 3).as("media_id"),
+        concat(unhex(lit("00")),
+          encode(col("text"), "UTF-8").cast("binary")).as("payload"))
+      Multimodal.imageHeaderMeta(
+        png.unionByName(jpeg).unionByName(ppm).unionByName(unk))
+        .orderBy("media_id")
+    }),
+
     // REAL 2-D resize through the PPM tier: the synthesized 4×3 rasters
     // resized to 2×2 on the actual pixel grid and re-encoded; DuckDB
     // replays the NN index map (and the re-encoded header) from the hex
@@ -4992,6 +5035,29 @@ object SparkEntry {
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 6)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f6,
         | CAST(round(CAST(len(list_filter(bs, x -> x // 32 = 7)) AS DOUBLE) / 36 * 1000000) AS BIGINT) AS f7
         |FROM by0 ORDER BY media_id""".stripMargin,
+
+    // header-tier triage: Spark PARSES the synthesized PNG/JPEG/PPM
+    // bytes back; the oracle recomputes the synthesis facts (dims from
+    // the doc_id rule, depth/channels from the fixed header constants,
+    // the poisoned tier as unknown/NULLs)
+    "q_multimodal_decode_png" ->
+      """WITH d AS (
+        | SELECT doc_id FROM documents
+        | WHERE octet_length(encode(text)) >= 36)
+        |SELECT media_id, format, width, height, depth, channels FROM (
+        | SELECT doc_id * 4 AS media_id, 'png' AS format,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST((doc_id * 3) % 480 + 1 AS INT) AS height,
+        |  CAST(8 AS INT) AS depth, CAST(4 AS INT) AS channels FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 1, 'jpeg', CAST(doc_id % 640 + 1 AS INT),
+        |  CAST((doc_id * 3) % 480 + 1 AS INT), CAST(8 AS INT), CAST(3 AS INT) FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 2, 'ppm', CAST(4 AS INT), CAST(3 AS INT),
+        |  CAST(8 AS INT), CAST(3 AS INT) FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 3, 'unknown', NULL, NULL, NULL, NULL FROM d)
+        |ORDER BY media_id""".stripMargin,
 
     // 2-D NN map: output pixel (y, x) ← source pixel (⌊y·3/2⌋, ⌊x·4/2⌋)
     // → raster byte triples [0,6,12,18]+c; header re-encodes to

@@ -141,6 +141,10 @@ object Multimodal {
         (w, h, hist)
       }
 
+    /** Header dimensions only — the [[imageHeaderMeta]] triage view. */
+    def dims(payload: Array[Byte]): Option[(Int, Int)] =
+      header(payload).map { case (w, h, _) => (w, h) }
+
     /** `Some((width, height, raster bytes))` — the full decoded pixel
       * buffer, for transforms that need the 2-D grid ([[resizePpm]]).
       */
@@ -157,6 +161,143 @@ object Multimodal {
         s"raster ${raster.length} != $w x $h x 3")
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ raster
     }
+  }
+
+  /** PNG header parser — magic-byte dimension/type extraction from the
+    * IHDR chunk (PNG spec §5.2/§11.2.2): 8-byte signature, then the
+    * FIRST chunk must be IHDR with data length 13; width/height are
+    * big-endian u32 at offsets 16/20, bit depth / color type at 24/25.
+    * Deterministic and dependency-free like [[PpmDecoder]] /
+    * [[WavDecoder]], and deliberately strict (valid depth/color-type
+    * combinations only) — the metadata tier that runs BEFORE any codec:
+    * at 100 TB, dimension/format triage must not pay a decompression.
+    */
+  object PngHeader {
+    private val sig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+    /** `Some((width, height, bitDepth, colorType))` for a structurally
+      * valid PNG signature + IHDR, `None` otherwise.
+      */
+    def parse(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (p == null || p.length < 29) return None
+      var i = 0
+      while (i < 8) { if ((p(i) & 0xff) != sig(i)) return None; i += 1 }
+      def u32(o: Int): Long =
+        ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+          ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+      if (u32(8) != 13L) return None // IHDR data length is always 13
+      if (p(12) != 'I' || p(13) != 'H' || p(14) != 'D' || p(15) != 'R')
+        return None
+      val w = u32(16); val h = u32(20)
+      val bitDepth = p(24) & 0xff; val colorType = p(25) & 0xff
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+      val depthOk = bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+        bitDepth == 8 || bitDepth == 16
+      val colorOk = colorType == 0 || colorType == 2 || colorType == 3 ||
+        colorType == 4 || colorType == 6
+      if (!depthOk || !colorOk) return None
+      Some((w.toInt, h.toInt, bitDepth, colorType))
+    }
+
+    /** Samples per pixel for a color type (PNG spec table 11.1). */
+    def channels(colorType: Int): Int = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case other => sys.error(s"invalid PNG color type $other")
+    }
+  }
+
+  /** JPEG header parser — the SOF segment walk (ITU T.81 §B.2.2): SOI,
+    * then length-prefixed segments skipped by their big-endian u16
+    * lengths until the first frame header (SOF0–SOF15 minus DHT/JPG/DAC,
+    * which share the 0xC class but are not frames); height/width/
+    * precision/component-count come from the SOF payload. Standalone
+    * markers (TEM, RSTn) have no length; fill 0xFF bytes before a
+    * marker are legal padding. Strict like the others: a stream whose
+    * scan starts before any SOF, or whose SOF length disagrees with its
+    * component count, is malformed → `None`, never half-real numbers.
+    */
+  object JpegHeader {
+    /** `Some((width, height, precision, nComponents))` from the first
+      * SOF segment, `None` for anything not a structurally valid JPEG.
+      */
+    def parse(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (p == null || p.length < 4 ||
+        (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+      def u8(o: Int) = p(o) & 0xff
+      def u16(o: Int) = (u8(o) << 8) | u8(o + 1)
+      var pos = 2
+      while (pos + 3 < p.length) {
+        if (u8(pos) != 0xff) return None // lost marker sync → malformed
+        // fill bytes: any run of 0xFF may pad before the marker code
+        while (u8(pos + 1) == 0xff && pos + 2 < p.length) pos += 1
+        val m = u8(pos + 1)
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          pos += 2 // standalone markers carry no length field
+        } else if (m == 0xd9 || m == 0xda) {
+          return None // EOI / start-of-scan before any frame header
+        } else {
+          if (pos + 3 >= p.length) return None
+          val len = u16(pos + 2)
+          if (len < 2 || pos + 2 + len > p.length) return None
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (len < 8) return None
+            val prec = u8(pos + 4)
+            val h = u16(pos + 5); val w = u16(pos + 7)
+            val ncomp = u8(pos + 9)
+            if (w <= 0 || h <= 0 || ncomp <= 0 || len != 8 + 3 * ncomp)
+              return None
+            return Some((w, h, prec, ncomp))
+          }
+          pos += 2 + len
+        }
+      }
+      None
+    }
+  }
+
+  private val headerMetaSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("depth", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
+
+  /** Format/dimension triage across the REAL header parsers — PPM
+    * ([[PpmDecoder]]), PNG ([[PngHeader]]), JPEG ([[JpegHeader]]) — with
+    * `unknown` (null dims) for everything else. `depth` is bits per
+    * sample (PPM single-byte → 8, PNG bit depth, JPEG precision);
+    * `channels` is samples per pixel (PPM 3, PNG from color type, JPEG
+    * component count). Same batch shape as [[extractFeatures]]
+    * (mapPartitions over pruned columns, payload bytes never shuffled);
+    * this is the layer a 100 TB ingest runs on EVERY image before
+    * deciding what to decode.
+    */
+  def imageHeaderMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val pruned = media.select(col("media_id"), col("payload"))
+    val out = pruned.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { ir =>
+        val id = ir.getLong(0)
+        val p = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        PpmDecoder.dims(p) match {
+          case Some((w, h)) => Row(id, "ppm", w, h, 8, 3)
+          case None => PngHeader.parse(p) match {
+            case Some((w, h, d, ct)) =>
+              Row(id, "png", w, h, d, PngHeader.channels(ct))
+            case None => JpegHeader.parse(p) match {
+              case Some((w, h, prec, ncomp)) =>
+                Row(id, "jpeg", w, h, prec, ncomp)
+              case None => Row(id, "unknown", null, null, null, null)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, headerMetaSchema)
   }
 
   private val featureSchema = StructType(Seq(
@@ -557,9 +698,13 @@ object Multimodal {
     * per partition/core, mirroring the batch shape of an Arrow/Pandas UDF.
     *
     * Decode order: the REAL [[PpmDecoder]] first (header-parsed
-    * dimensions, raster-byte features); any payload that is not a valid
-    * binary PPM falls back to the deterministic [[FakeDecoder]] stand-in
-    * — the tier a real deployment extends with further formats.
+    * dimensions, raster-byte features); then the PNG/JPEG HEADER tier
+    * ([[PngHeader]]/[[JpegHeader]]) — real parsed dimensions with the
+    * compressed-STREAM byte histogram as features (the raster needs a
+    * codec this container doesn't ship; the stream histogram is the
+    * standard entropy-profile triage feature, deterministic and
+    * oracle-replayable from the same bytes); any other payload falls
+    * back to the [[FakeDecoder]] stand-in entirely.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -569,6 +714,10 @@ object Multimodal {
         val id = ir.getLong(0)
         val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
         val (w, h, feats) = PpmDecoder.decode(payload)
+          .orElse(PngHeader.parse(payload).map { case (pw, ph, _, _) =>
+            (pw, ph, FakeDecoder.decode(payload)._3) })
+          .orElse(JpegHeader.parse(payload).map { case (jw, jh, _, _) =>
+            (jw, jh, FakeDecoder.decode(payload)._3) })
           .getOrElse(FakeDecoder.decode(payload))
         Row(id, w, h, feats.toSeq)
       }

@@ -253,4 +253,108 @@ class MultimodalSpec extends AnyFunSuite with Matchers
     // 'z' = 0x7a -> bin 3 for all bytes
     f(2L).getSeq[Double](f(2L).fieldIndex("features"))(3) shouldBe 1.0 +- 1e-9
   }
+
+  // --- PNG/JPEG header tier (round-14) ---
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2)
+      .map(s => Integer.parseInt(s, 16).toByte).toArray
+
+  private def pngBytes(w: Int, h: Int, depth: Int = 8, color: Int = 6) =
+    hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      f"$w%08X" + f"$h%08X" + f"$depth%02X$color%02X" + "000000" + "00000000")
+
+  private def jpegBytes(w: Int, h: Int, marker: String = "C0") =
+    hexBytes("FFD8" +
+      "FFE000104A46494600010100004800480000" + // APP0 JFIF
+      "FFFE0004ABCD" +                         // COM with 2 content bytes
+      s"FF${marker}001108" + f"$h%04X" + f"$w%04X" +
+      "03012200021101031101" + "FFD9")
+
+  test("PngHeader: IHDR dims/depth/color from real bytes; malformed rejected") {
+    Multimodal.PngHeader.parse(pngBytes(640, 480)) shouldBe Some((640, 480, 8, 6))
+    Multimodal.PngHeader.parse(pngBytes(1, 1, depth = 16, color = 0)) shouldBe
+      Some((1, 1, 16, 0))
+    Multimodal.PngHeader.channels(0) shouldBe 1
+    Multimodal.PngHeader.channels(2) shouldBe 3
+    Multimodal.PngHeader.channels(6) shouldBe 4
+    // rejections: truncated, bad signature, wrong first chunk, zero dim,
+    // invalid depth/color-type codes
+    Multimodal.PngHeader.parse(null) shouldBe None
+    Multimodal.PngHeader.parse(pngBytes(640, 480).take(20)) shouldBe None
+    Multimodal.PngHeader.parse("not a png at all, just text".getBytes) shouldBe None
+    val wrongChunk = pngBytes(640, 480)
+    wrongChunk(12) = 'p'.toByte
+    Multimodal.PngHeader.parse(wrongChunk) shouldBe None
+    Multimodal.PngHeader.parse(pngBytes(0, 480)) shouldBe None
+    Multimodal.PngHeader.parse(pngBytes(640, 480, depth = 7)) shouldBe None
+    Multimodal.PngHeader.parse(pngBytes(640, 480, color = 5)) shouldBe None
+  }
+
+  test("JpegHeader: SOF walk over length-skipped segments; progressive " +
+    "SOF2; fill bytes and RST standalone markers; malformed rejected") {
+    Multimodal.JpegHeader.parse(jpegBytes(640, 480)) shouldBe Some((640, 480, 8, 3))
+    // progressive (SOF2) and extended-sequential (SOF1) are frames too
+    Multimodal.JpegHeader.parse(jpegBytes(31, 7, marker = "C2")) shouldBe
+      Some((31, 7, 8, 3))
+    Multimodal.JpegHeader.parse(jpegBytes(31, 7, marker = "C1")) shouldBe
+      Some((31, 7, 8, 3))
+    // fill bytes before a marker and a standalone RST are legal padding
+    val padded = hexBytes("FFD8" + "FFFFFF" + "D0" +
+      "FFC0001108" + "0010" + "0020" + "03012200021101031101FFD9")
+    // (FF FF FF D0 = two fill bytes then RST0; then straight to SOF0)
+    Multimodal.JpegHeader.parse(padded) shouldBe Some((32, 16, 8, 3))
+    // rejections: DHT's C4 is NOT a frame (here with a frame-shaped body
+    // but followed by EOI -> no SOF found); SOS before SOF; truncated
+    // length; component-count/length mismatch
+    Multimodal.JpegHeader.parse(hexBytes(
+      "FFD8" + "FFC4001108" + "00100020" + "03012200021101031101" + "FFD9")) shouldBe None
+    Multimodal.JpegHeader.parse(hexBytes("FFD8FFDA0002")) shouldBe None
+    Multimodal.JpegHeader.parse(hexBytes("FFD8FFE0FFFF")) shouldBe None
+    Multimodal.JpegHeader.parse(hexBytes(
+      "FFD8" + "FFC0001008" + "00100020" + "0301220002110103" + "FFD9")) shouldBe None
+    Multimodal.JpegHeader.parse(null) shouldBe None
+    Multimodal.JpegHeader.parse("plain text".getBytes) shouldBe None
+  }
+
+  test("imageHeaderMeta: four-tier triage (ppm/png/jpeg/unknown) with " +
+    "dims and bits-per-sample from the real parsers") {
+    val ppm = ("P6\n4 3\n255\n".getBytes("US-ASCII") ++
+      Array.fill(36)('a'.toByte))
+    val rows = Seq(
+      (1L, pngBytes(123, 45)),
+      (2L, jpegBytes(77, 66)),
+      (3L, ppm),
+      (4L, "just some text".getBytes),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val media = spark.createDataFrame(rows).toDF("media_id", "payload")
+    val out = Multimodal.imageHeaderMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def tup(id: Long) = {
+      val r = out(id)
+      (r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1 else r.getInt(5))
+    }
+    tup(1L) shouldBe ("png", 123, 45, 8, 4)
+    tup(2L) shouldBe ("jpeg", 77, 66, 8, 3)
+    tup(3L) shouldBe ("ppm", 4, 3, 8, 3)
+    tup(4L) shouldBe ("unknown", -1, -1, -1, -1)
+    tup(5L) shouldBe ("unknown", -1, -1, -1, -1)
+  }
+
+  test("extractFeatures: PNG/JPEG payloads get header-parsed dims with " +
+    "the stream-histogram features") {
+    val rows = Seq((1L, pngBytes(123, 45)), (2L, jpegBytes(77, 66)))
+    val media = spark.createDataFrame(rows).toDF("media_id", "payload")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    f(1L).getAs[Int]("dec_width") shouldBe 123 // parsed, not n % 640
+    f(1L).getAs[Int]("dec_height") shouldBe 45
+    f(2L).getAs[Int]("dec_width") shouldBe 77
+    f(2L).getAs[Int]("dec_height") shouldBe 66
+    f(1L).getSeq[Double](f(1L).fieldIndex("features")).sum shouldBe 1.0 +- 1e-9
+  }
 }
