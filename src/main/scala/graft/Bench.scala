@@ -91,7 +91,9 @@ object Bench {
     // round-14: codebook RETRAIN migration (seeded build + trained
     // re-train + full re-assign + atomic multi-side swap + search);
     // PNG/JPEG/PPM/unknown header-tier triage (real magic-byte parsers)
-    "q_sim_ivf_retrain", "q_multimodal_decode_png")
+    "q_sim_ivf_retrain", "q_multimodal_decode_png",
+    // trained NB quality classifier (counting train + token-join score)
+    "q_quality_nb")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -264,7 +266,10 @@ object Bench {
     // (r14 steady-state BenchOne reps 6.3-7.1)
     "q_sim_ivf_retrain" -> 6.500,
     // four synthesized payload tiers + the mapPartitions header walk
-    "q_multimodal_decode_png" -> 0.700)
+    "q_multimodal_decode_png" -> 0.700,
+    // one counting aggregate (train) + token-keyed join + per-doc sum
+    // (r14 steady-state BenchOne reps 0.9-1.5)
+    "q_quality_nb" -> 1.600)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -371,6 +376,9 @@ object Bench {
     // both O(N·√k), and the swap is rename-bound
     "q_sim_ivf_retrain" -> 13.500,
     "q_multimodal_decode_png" -> 1.100,
+    // sub-linear at 10× (1.1-1.5 → 3.0-3.9 s steady): vocab-keyed
+    // aggregates + token join, both shuffle-bound on token volume
+    "q_quality_nb" -> 4.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

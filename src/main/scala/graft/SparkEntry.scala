@@ -2520,6 +2520,28 @@ object SparkEntry {
       TextAnalysis.qualityClassifier(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // TRAINED quality classifier (the half q_quality_model stubs with
+    // fixed weights): multinomial NB, CCNet-style curated-vs-boilerplate.
+    // The negative class is synthesized in-engine (q_tokenizer_fertility's
+    // localize pattern): doc_id%3==0 docs get deterministic spam tails of
+    // doc_id-varying length, training sees only the even-doc_id half, and
+    // every doc is scored — held-out docs exercise both the learned-vocab
+    // and the unseen-token paths, and separation is measurable, not
+    // assumed (ImportanceSpec asserts held-out precision/recall).
+    "q_quality_nb" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(coalesce(col("text"), lit("")),
+            repeat(lit(" free click winner prize claim now"),
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
+          .otherwise(col("text")).as("text"))
+      Importance.naiveBayesQuality(docs,
+        labelPred = pmod(col("doc_id"), lit(3)) =!= 0,
+        trainPred = pmod(col("doc_id"), lit(2)) === 0)
+        .orderBy("doc_id")
+    }),
+
     "q_unigram_ppl" -> ((s, dir) =>
       Importance.unigramSurprisal(t(s, dir, "documents"))
         .orderBy("doc_id")),
@@ -7481,6 +7503,59 @@ object SparkEntry {
         | (200000 + least(n_tokens, 400) * 1000 + stop_micro * 2 - sym_micro * 3
         |  - digit_micro * 2 - abs(mean_len_micro - 4500000) // 5) > 300000 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // every log-bearing value (llr per vocab token, unseen constant,
+    // prior) is ONE fixed double expression over exact integer counts,
+    // quantized to micro-units once per distinct key; per-doc scores are
+    // exact BIGINT sums (q_bigram_ppl's determinism argument)
+    "q_quality_nb" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |   THEN coalesce(text, '') ||
+        |    repeat(' free click winner prize claim now', CAST(doc_id % 4 AS INT) + 1)
+        |   ELSE text END AS text
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id,
+        |  CAST(doc_id % 3 <> 0 AS INT) AS label,
+        |  doc_id % 2 = 0 AS is_train,
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS ws
+        | FROM base),
+        |toks AS (SELECT doc_id, label, is_train, unnest(ws) AS w FROM d),
+        |vocab AS (
+        | SELECT w,
+        |  CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS c_pos,
+        |  CAST(sum(1 - CAST(label AS BIGINT)) AS BIGINT) AS c_neg
+        | FROM toks WHERE is_train GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos, CAST(sum(c_neg) AS BIGINT) AS n_neg,
+        |  CAST(count(*) AS BIGINT) AS v_size
+        | FROM vocab),
+        |dt AS (
+        | SELECT CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS d_pos,
+        |  CAST(sum(1 - CAST(label AS BIGINT)) AS BIGINT) AS d_neg
+        | FROM d WHERE is_train),
+        |llr AS (
+        | SELECT w,
+        |  CAST(round((ln(CAST(c_pos + 1 AS DOUBLE) / CAST(n_pos + v_size AS DOUBLE))
+        |    - ln(CAST(c_neg + 1 AS DOUBLE) / CAST(n_neg + v_size AS DOUBLE))) * 1e6) AS BIGINT) AS llr_micro
+        | FROM vocab, tot),
+        |consts AS (
+        | SELECT
+        |  CAST(round(ln(CAST(n_neg + v_size AS DOUBLE) / CAST(n_pos + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS unseen_micro,
+        |  CAST(round((ln(CAST(d_pos AS DOUBLE)) - ln(CAST(d_neg AS DOUBLE))) * 1e6) AS BIGINT) AS prior_micro
+        | FROM tot, dt),
+        |agg AS (
+        | SELECT t.doc_id, t.label, count(*) AS n_tokens,
+        |  CAST(sum(l.llr_micro) AS BIGINT) AS seen_micro,
+        |  CAST(sum(CASE WHEN l.llr_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+        | FROM toks t LEFT JOIN llr l USING (w)
+        | GROUP BY 1, 2)
+        |SELECT doc_id, label, n_tokens,
+        | coalesce(seen_micro, 0) + n_unseen * unseen_micro + prior_micro AS score_micro,
+        | CAST((coalesce(seen_micro, 0) + n_unseen * unseen_micro + prior_micro) > 0 AS INT) AS pred
+        |FROM agg, consts ORDER BY doc_id""".stripMargin,
 
     "q_unigram_ppl" ->
       """WITH toks AS (

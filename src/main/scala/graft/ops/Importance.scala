@@ -351,4 +351,95 @@ object Importance {
         graft.functions.ColumnOps.fdivCol(col("sum_micro"), col("n_tokens"))
           .as("avg_micro"))
   }
+
+  /** Trained quality classifier: multinomial Naive Bayes over word
+    * tokens, the CCNet/GPT-3 corpus-filtering shape (Wenzek et al. 2020
+    * "CCNet"; Brown et al. 2020 §A) — train a cheap linear classifier on
+    * a labeled slice (curated = positive, boilerplate/crawl = negative),
+    * then score every incoming document and keep what classifies as
+    * curated. fastText's supervised mode is the same log-linear family;
+    * multinomial NB is its closed-form, one-pass-trainable instance, so
+    * training is pure counting — no driver-iterated epochs.
+    *
+    * Per train-vocab token `w` (add-one smoothing over the SHARED train
+    * vocabulary `V` = distinct tokens across both classes):
+    *
+    *   llr(w) = ln((c_pos_w + 1)/(n_pos + V)) − ln((c_neg_w + 1)/(n_neg + V))
+    *
+    * a document's log-odds = ln(d_pos) − ln(d_neg) (train doc-count
+    * prior) + Σ llr over its token OCCURRENCES; tokens never seen in
+    * training score the constant `ln((n_neg+V)/(n_pos+V))` (both class
+    * likelihoods floor to 1/(n+V), so the ratio collapses — OOV is
+    * handled exactly, not dropped).
+    *
+    * Determinism: llr is quantized to micro-units ONCE PER DISTINCT
+    * TOKEN (vocab-sized roundings, each ONE fixed double expression over
+    * exact integer counts — [[bigramSurprisal]]'s argument); the prior
+    * and the unseen constant are each quantized once; per-doc scores are
+    * then exact long sums, independent of partitioning and engine.
+    *
+    * Plan shape at 100 TB: training is one groupBy over the train
+    * slice's tokens (map-side partials absorb per-doc repetition before
+    * the shuffle; the result is vocab-sized, NOT corpus-sized); scoring
+    * is the token stream left-joined to the vocab table and one per-doc
+    * sum — the only corpus-scale shuffles are token-keyed and
+    * doc_id-keyed, both inherent. No collect: the model stays a
+    * DataFrame end-to-end, so a 10⁹-token vocab would still distribute.
+    *
+    * Output: `doc_id, label, n_tokens, score_micro, pred` — `pred` is
+    * `1` where the doc classifies positive (score > 0), and `label` the
+    * supervised label (`1`/`0`) for downstream precision/recall.
+    */
+  def naiveBayesQuality(
+      df: DataFrame,
+      labelPred: Column,
+      trainPred: Column,
+      textCol: String = "text"): DataFrame = {
+    // coalesce: NULL text keeps its row (normTokens('') = ['']), same
+    // one-row-per-doc contract as unigramSurprisal
+    val docToks = df.select(
+      col("doc_id"), labelPred.cast("int").as("label"), trainPred.as("is_train"),
+      TextAnalysis.normTokens(coalesce(col(textCol), lit(""))).as("ws"))
+    val toks = docToks.select(
+      col("doc_id"), col("label"), col("is_train"), explode(col("ws")).as("w"))
+    // one aggregate produces both classes' counts (vocab-sized result)
+    val vocab = toks.filter(col("is_train")).groupBy("w").agg(
+      sum(col("label").cast("long")).as("c_pos"),
+      sum(lit(1L) - col("label").cast("long")).as("c_neg"))
+    val totals = vocab.agg(
+      sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"),
+      count(lit(1)).as("v_size"))
+    val docTotals = docToks.filter(col("is_train")).agg(
+      sum(col("label").cast("long")).as("d_pos"),
+      sum(lit(1L) - col("label").cast("long")).as("d_neg"))
+    // each scored value is ONE fixed double expression over exact integer
+    // counts, quantized once per distinct key
+    val llr = vocab.crossJoin(broadcast(totals)).select(
+      col("w"),
+      round((log((col("c_pos") + 1).cast("double")
+          / (col("n_pos") + col("v_size")).cast("double"))
+        - log((col("c_neg") + 1).cast("double")
+          / (col("n_neg") + col("v_size")).cast("double"))) * 1e6)
+        .cast("long").as("llr_micro"))
+    val consts = totals.crossJoin(docTotals).select(
+      round(log((col("n_neg") + col("v_size")).cast("double")
+          / (col("n_pos") + col("v_size")).cast("double")) * 1e6)
+        .cast("long").as("unseen_micro"),
+      round((log(col("d_pos").cast("double"))
+          - log(col("d_neg").cast("double"))) * 1e6)
+        .cast("long").as("prior_micro"))
+    toks.join(llr, Seq("w"), "left")
+      .groupBy("doc_id", "label")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("llr_micro").as("seen_micro"),
+        sum(when(col("llr_micro").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("label"), col("n_tokens"),
+        (coalesce(col("seen_micro"), lit(0L))
+          + col("n_unseen") * col("unseen_micro")
+          + col("prior_micro")).as("score_micro"))
+      .select(col("doc_id"), col("label"), col("n_tokens"), col("score_micro"),
+        (col("score_micro") > 0).cast("int").as("pred"))
+  }
 }

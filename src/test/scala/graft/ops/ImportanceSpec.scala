@@ -136,4 +136,53 @@ class ImportanceSpec extends AnyFunSuite with Matchers
     out(1L) shouldBe ((6L, 1098612L + 2931194L + 916291L + 4029806L))
   }
 
+  test("naive bayes quality: OOV-only doc scores prior + n*unseen " +
+    "(hand-computed micro constants)") {
+    // train: d1/d2 positive (6 tokens), d3 negative (3 tokens); shared
+    // vocab V=7. Held-out d4 is all-OOV: score must be exactly
+    // prior + 2*unseen with prior = round(ln(2/1)*1e6) = 693147 and
+    // unseen = round(ln((3+7)/(6+7))*1e6) = -262364.
+    val docs = Seq(
+      (1L, 1, true, "good clean prose"),
+      (2L, 1, true, "clean text here"),
+      (3L, 0, true, "spam spam offer"),
+      (4L, 1, false, "zzz yyy")).toDF("doc_id", "label", "is_train", "text")
+    val out = Importance.naiveBayesQuality(
+      docs, labelPred = col("label") === 1, trainPred = col("is_train"))
+      .orderBy("doc_id").collect()
+    val d4 = out.find(_.getLong(0) == 4L).get
+    d4.getAs[Long]("n_tokens") shouldBe 2L
+    d4.getAs[Long]("score_micro") shouldBe (693147L + 2L * -262364L)
+    d4.getAs[Int]("pred") shouldBe 1
+    // a train doc dominated by the spam marker classifies negative:
+    // llr("spam") = ln(1/13) - ln(3/10) < 0, twice, plus "offer"
+    out.find(_.getLong(0) == 3L).get.getAs[Int]("pred") shouldBe 0
+  }
+
+  test("naive bayes quality: held-out spam/clean separation is perfect " +
+    "on the synthesized-boilerplate shape") {
+    // mirrors q_quality_nb: every doc shares a clean base vocabulary;
+    // doc_id%3==0 docs get marker tails (negative class); train on the
+    // even half, judge ONLY the held-out odd half
+    val docs = (0L until 60L).map { i =>
+      val base = s"the quick brown fox tok${i % 7} jumps over the lazy dog"
+      val text =
+        if (i % 3 == 0) base + " free click winner prize" * (1 + (i % 4)).toInt
+        else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Importance.naiveBayesQuality(docs,
+      labelPred = pmod(col("doc_id"), lit(3)) =!= 0,
+      trainPred = pmod(col("doc_id"), lit(2)) === 0)
+      .filter(pmod(col("doc_id"), lit(2)) === 1) // held-out only
+      .collect()
+    out.length shouldBe 30
+    // perfect precision AND recall on held-out docs: marker tokens are
+    // decisive evidence, base tokens + the ln(2) prior keep clean docs
+    // positive
+    out.foreach { r =>
+      r.getAs[Int]("pred") shouldBe r.getAs[Int]("label")
+    }
+  }
+
 }
