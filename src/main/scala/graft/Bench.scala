@@ -93,7 +93,9 @@ object Bench {
     // PNG/JPEG/PPM/unknown header-tier triage (real magic-byte parsers)
     "q_sim_ivf_retrain", "q_multimodal_decode_png",
     // trained NB quality classifier (counting train + token-join score)
-    "q_quality_nb")
+    // and its multiclass char-bigram langid sibling (gram stream fanned
+    // out by |C| classes, argmax per doc)
+    "q_quality_nb", "q_langid_nb")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -269,7 +271,9 @@ object Bench {
     "q_multimodal_decode_png" -> 0.700,
     // one counting aggregate (train) + token-keyed join + per-doc sum
     // (r14 steady-state BenchOne reps 0.9-1.5)
-    "q_quality_nb" -> 1.600)
+    "q_quality_nb" -> 1.600,
+    // localization + ×|C| gram fanout + argmax window (r14 steady 1.8-2.2)
+    "q_langid_nb" -> 2.200)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -379,6 +383,9 @@ object Bench {
     // sub-linear at 10× (1.1-1.5 → 3.0-3.9 s steady): vocab-keyed
     // aggregates + token join, both shuffle-bound on token volume
     "q_quality_nb" -> 4.000,
+    // ~7× at 10× (1.8-2.2 → 13.5-19 s steady): the ×|C| gram fanout is
+    // the inherent multiclass cost, all joins vocab-broadcast
+    "q_langid_nb" -> 15.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

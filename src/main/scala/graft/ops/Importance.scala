@@ -442,4 +442,104 @@ object Importance {
       .select(col("doc_id"), col("label"), col("n_tokens"), col("score_micro"),
         (col("score_micro") > 0).cast("int").as("pred"))
   }
+
+  /** Trained multiclass language identifier: multinomial Naive Bayes
+    * over CHARACTER BIGRAMS — the langid.py / fastText-langid feature
+    * family (Lui & Baldwin 2012), where script and orthography
+    * (umlauts, accents, CJK codepoints, boundary loss) dominate and
+    * word-level features fail exactly when languages stop sharing
+    * whitespace conventions. [[naiveBayesQuality]] is the binary
+    * word-token instance of the same model; this one is per-class:
+    *
+    *   score_c(doc) = ln(d_c) + Σ_g ln((c_{g,c} + 1)/(n_c + V))
+    *
+    * over the doc's bigram occurrences (add-one smoothing over the
+    * shared train bigram vocabulary V); a (g, c) pair with zero train
+    * count collapses to the per-class constant `ln(1/(n_c + V))`, which
+    * also scores grams never seen in training — OOV is exact, and a
+    * doc too short to produce bigrams still classifies by prior alone.
+    * The prediction is the argmax over EXACT long micro-scores, ties
+    * broken by class name ascending — fully deterministic.
+    *
+    * Determinism: every log value (per-(gram, class) likelihood, each
+    * class's unseen constant and prior) is ONE fixed double expression
+    * over exact integer counts, micro-quantized once per distinct key;
+    * per-doc per-class scores are exact long sums ([[bigramSurprisal]]'s
+    * argument), so the argmax is engine- and partitioning-independent.
+    *
+    * Plan shape at 100 TB: training is one groupBy over the train
+    * slice's (gram, class) pairs — map-side partials absorb per-doc
+    * repetition, the result is vocab×classes-sized, never corpus-sized.
+    * Scoring fans the gram stream out by |C| classes (the inherent
+    * multiclass cost), joins the vocab table gram-keyed, and reduces
+    * per (doc, class); the argmax window partitions by doc_id (≤ |C|
+    * rows per partition key — no global sort). No collect anywhere.
+    *
+    * Output: `doc_id, lang, pred_lang, score_micro, ok` — `lang` is the
+    * supervised label, `score_micro` the winning class's score, `ok`
+    * 1 where they agree.
+    */
+  def naiveBayesLangId(
+      df: DataFrame,
+      labelCol: String = "lang",
+      trainPred: Column,
+      textCol: String = "text"): DataFrame = {
+    val base = df.select(
+      col("doc_id"), col(labelCol).as("lang"), trainPred.as("is_train"),
+      lower(coalesce(col(textCol), lit(""))).as("t"))
+    // sequence(1, 0) steps BACKWARD for sub-bigram text, so guard to an
+    // empty gram array (bigramSurprisal's pair-stream caveat)
+    val grams = base.select(
+      col("doc_id"), col("lang"), col("is_train"),
+      explode(
+        when(length(col("t")) >= 2,
+          transform(sequence(lit(1), length(col("t")) - 1),
+            i => col("t").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>")))
+        .as("g"))
+    val train = grams.filter(col("is_train"))
+    val counts = train.groupBy("g", "lang").agg(count(lit(1)).as("c"))
+    val classTotals = train.groupBy("lang").agg(count(lit(1)).as("n_c"))
+    val vsize = counts.select("g").distinct().agg(count(lit(1)).as("v_size"))
+    val docCounts = base.filter(col("is_train"))
+      .groupBy("lang").agg(count(lit(1)).as("d_c"))
+    // per-class constants, each quantized once (classes-sized table)
+    val classes = classTotals.join(docCounts, Seq("lang"))
+      .crossJoin(broadcast(vsize))
+      .select(
+        col("lang").as("cls"),
+        round(log(col("d_c").cast("double")) * 1e6)
+          .cast("long").as("prior_micro"),
+        round(log(lit(1.0) / (col("n_c") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("unseen_micro"))
+    // seen-(gram, class) likelihoods, each quantized once
+    val llr = counts.join(classTotals, Seq("lang")).crossJoin(broadcast(vsize))
+      .select(
+        col("g"), col("lang").as("cls"),
+        round(log((col("c") + 1).cast("double")
+            / (col("n_c") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("s_micro"))
+    // fan the gram stream out by class; a missing (g, cls) row IS the
+    // c=0 case, so coalescing to unseen_micro applies the same formula
+    val scored = grams.select("doc_id", "g")
+      .crossJoin(broadcast(classes.select("cls", "unseen_micro")))
+      .join(llr, Seq("g", "cls"), "left")
+      .select(col("doc_id"), col("cls"),
+        coalesce(col("s_micro"), col("unseen_micro")).as("s_micro"))
+      .groupBy("doc_id", "cls")
+      .agg(sum("s_micro").as("sum_micro"))
+    // doc spine keeps gram-less docs (prior-only classification)
+    val spine = base.select("doc_id", "lang")
+      .crossJoin(broadcast(classes.select("cls", "prior_micro")))
+      .join(scored, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("lang"), col("cls"),
+        (coalesce(col("sum_micro"), lit(0L)) + col("prior_micro"))
+          .as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("cls").asc)
+    spine.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cls").as("pred_lang"),
+        col("score_micro"), (col("cls") === col("lang")).cast("int").as("ok"))
+  }
 }

@@ -185,4 +185,53 @@ class ImportanceSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("naive bayes langid: hand-computed scores, OOV collapse, and " +
+    "prior-only tie-break") {
+    // train: one doc per class, one bigram each; V=2, n_aa=n_bb=1,
+    // priors ln(1)=0. Held-out doc 4 ("xy"): score_aa = ln(2/3) =
+    // -405465 beats score_bb = unseen ln(1/3) = -1098612. Doc 3 has no
+    // bigrams -> prior-only tie -> lexicographic tie-break picks "aa".
+    val docs = Seq(
+      (1L, "aa", true, "xy"),
+      (2L, "bb", true, "zw"),
+      (3L, "aa", false, "q"),
+      (4L, "aa", false, "xy")).toDF("doc_id", "lang", "is_train", "text")
+    val out = Importance.naiveBayesLangId(
+      docs, labelCol = "lang", trainPred = col("is_train"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getAs[Long]("score_micro"), r.getAs[Int]("ok")))).toMap
+    out(4L) shouldBe (("aa", -405465L, 1))
+    out(3L) shouldBe (("aa", 0L, 1))    // prior-only, tie broken to "aa"
+    out(1L)._1 shouldBe "aa"            // train docs classify themselves
+    out(2L)._1 shouldBe "bb"
+  }
+
+  test("naive bayes langid: orthography-localized classes separate on " +
+    "held-out docs") {
+    // mirrors q_langid_nb's shape: per-class orthography markers
+    // (umlauts vs CJK vs plain) make char bigrams decisive
+    val docs = (0L until 48L).map { i =>
+      val lang = Seq("de", "en", "zh")((i % 3).toInt)
+      val body = s"word tok${i % 5} line data"
+      val text = lang match {
+        case "de" => body.map {
+          case 'a' => 'ä'; case 'o' => 'ö'; case 'u' => 'ü'
+          case c => c
+        }
+        case "zh" => body.map(c =>
+          if (c >= 'a' && c <= 'z') (0x4E00 + (c - 'a')).toChar else c)
+          .filterNot(_ == ' ')
+        case _ => body
+      }
+      (i, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = Importance.naiveBayesLangId(docs, labelCol = "lang",
+      trainPred = pmod(col("doc_id"), lit(2)) === 0)
+      .filter(pmod(col("doc_id"), lit(2)) === 1)
+      .collect()
+    out.length shouldBe 24
+    out.foreach(r => r.getAs[Int]("ok") shouldBe 1)
+  }
+
 }
