@@ -92,10 +92,11 @@ object Bench {
     // re-train + full re-assign + atomic multi-side swap + search);
     // PNG/JPEG/PPM/unknown header-tier triage (real magic-byte parsers)
     "q_sim_ivf_retrain", "q_multimodal_decode_png",
-    // trained NB quality classifier (counting train + token-join score)
-    // and its multiclass char-bigram langid sibling (gram stream fanned
-    // out by |C| classes, argmax per doc)
-    "q_quality_nb", "q_langid_nb")
+    // trained NB quality classifier (counting train + token-join score),
+    // its multiclass char-bigram langid sibling (gram stream fanned
+    // out by |C| classes, argmax per doc), and the serving half (cached
+    // exported model, ONE codegen'd hash-lookup projection)
+    "q_quality_nb", "q_langid_nb", "q_quality_nb_stream")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -273,7 +274,11 @@ object Bench {
     // (r14 steady-state BenchOne reps 0.9-1.5)
     "q_quality_nb" -> 1.600,
     // localization + ×|C| gram fanout + argmax window (r14 steady 1.8-2.2)
-    "q_langid_nb" -> 2.200)
+    "q_langid_nb" -> 2.200,
+    // serving projection over the cached exported model (r14 steady
+    // 0.45-0.74; train absorbed into the per-dir cache like the viterbi
+    // vocab)
+    "q_quality_nb_stream" -> 0.900)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -386,6 +391,9 @@ object Bench {
     // ~7× at 10× (1.8-2.2 → 13.5-19 s steady): the ×|C| gram fanout is
     // the inherent multiclass cost, all joins vocab-broadcast
     "q_langid_nb" -> 15.000,
+    // ~4× at 10× (0.45-0.74 → 1.9-2.2 s steady): pure projection,
+    // corpus-linear
+    "q_quality_nb_stream" -> 2.600,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

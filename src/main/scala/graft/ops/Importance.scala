@@ -395,6 +395,31 @@ object Importance {
       labelPred: Column,
       trainPred: Column,
       textCol: String = "text"): DataFrame = {
+    val (toks, llr, consts) = nbTables(df, labelPred, trainPred, textCol)
+    toks.join(llr, Seq("w"), "left")
+      .groupBy("doc_id", "label")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("llr_micro").as("seen_micro"),
+        sum(when(col("llr_micro").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("label"), col("n_tokens"),
+        (coalesce(col("seen_micro"), lit(0L))
+          + col("n_unseen") * col("unseen_micro")
+          + col("prior_micro")).as("score_micro"))
+      .select(col("doc_id"), col("label"), col("n_tokens"), col("score_micro"),
+        (col("score_micro") > 0).cast("int").as("pred"))
+  }
+
+  /** The shared NB training tables ([[naiveBayesQuality]]'s math,
+    * factored so [[trainNbServing]] exports the identical model):
+    * `(token stream, vocab llr table, consts row)`.
+    */
+  private def nbTables(
+      df: DataFrame,
+      labelPred: Column,
+      trainPred: Column,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
     // coalesce: NULL text keeps its row (normTokens('') = ['']), same
     // one-row-per-doc contract as unigramSurprisal
     val docToks = df.select(
@@ -428,19 +453,93 @@ object Importance {
       round((log(col("d_pos").cast("double"))
           - log(col("d_neg").cast("double"))) * 1e6)
         .cast("long").as("prior_micro"))
-    toks.join(llr, Seq("w"), "left")
-      .groupBy("doc_id", "label")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum("llr_micro").as("seen_micro"),
-        sum(when(col("llr_micro").isNull, 1L).otherwise(0L)).as("n_unseen"))
-      .crossJoin(broadcast(consts))
-      .select(col("doc_id"), col("label"), col("n_tokens"),
-        (coalesce(col("seen_micro"), lit(0L))
-          + col("n_unseen") * col("unseen_micro")
-          + col("prior_micro")).as("score_micro"))
-      .select(col("doc_id"), col("label"), col("n_tokens"), col("score_micro"),
-        (col("score_micro") > 0).cast("int").as("pred"))
+    (toks, llr, consts)
+  }
+
+  /** An exported NB quality model — the SHIPPED-ARTIFACT half of the
+    * classifier lifecycle (train once, serve everywhere): the pruned
+    * vocab table as parallel arrays plus the two scoring constants.
+    * Bounded driver data (≤ `maxEntries` rows), like a BPE merge table
+    * or an IVF codebook.
+    */
+  final case class NbServing(
+      words: Seq[String],
+      scores: Seq[Long],
+      unseenMicro: Long,
+      priorMicro: Long)
+
+  /** Train [[naiveBayesQuality]]'s model and EXPORT it for serving,
+    * pruned to the `maxEntries` highest-|llr| tokens (ties by token
+    * ascending — deterministic). Pruning is the standard serving
+    * trade-off (fastText quantize/cutoff): dropped tokens score the
+    * OOV constant instead of their llr, so with `maxEntries` ≥ vocab
+    * size serving is EXACTLY the batch classifier ([[nbServingScored]]
+    * spec'd equal), and below it the agreement is measurable, not
+    * assumed.
+    *
+    * The collect is model-sized (≤ maxEntries rows) — the shipped-
+    * artifact pattern ([[graft.ops.TextAnalysis.bpeTrain]] merge
+    * tables), never corpus-sized.
+    */
+  def trainNbServing(
+      df: DataFrame,
+      labelPred: Column,
+      trainPred: Column,
+      textCol: String = "text",
+      maxEntries: Int = 4096): NbServing = {
+    require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
+    val (_, llr, consts) = nbTables(df, labelPred, trainPred, textCol)
+    val kept = llr
+      .orderBy(abs(col("llr_micro")).desc, col("w").asc)
+      .limit(maxEntries)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val c = consts.collect()(0)
+    NbServing(kept.map(_._1).toSeq, kept.map(_._2).toSeq,
+      c.getLong(0), c.getLong(1))
+  }
+
+  /** Serving-side scoring against an exported [[NbServing]] model: ONE
+    * stateless codegen'd projection per row — no join, no shuffle, no
+    * state — so the same call serves a batch DataFrame and a streaming
+    * micro-batch identically (the [[graft.streaming.EmbedStreamOps]]
+    * rule: mid-stream stages must be re-expressed stream-natively; here
+    * the model is a plan literal, so there is nothing to re-scan per
+    * batch at all). Output schema and values match [[naiveBayesQuality]]
+    * exactly when the model was exported un-pruned.
+    *
+    * `native` picks [[graft.plans.NbScore]] (hash-table lookups, O(tokens)
+    * per row) over the map-literal fallback (identical sums, O(tokens ×
+    * model) — Catalyst map literals scan linearly); pure speed knob.
+    */
+  def nbServingScored(
+      df: DataFrame,
+      model: NbServing,
+      labelPred: Column,
+      textCol: String = "text",
+      native: Boolean = false): DataFrame = {
+    val toksCol = TextAnalysis.normTokens(coalesce(col(textCol), lit("")))
+    val tokenSum: Column => Column =
+      if (native)
+        ws => call_function("graft_nb_score", ws,
+          array(model.words.map(lit): _*),
+          array(model.scores.map(lit): _*),
+          lit(model.unseenMicro))
+      else
+        ws => aggregate(ws, lit(0L), (acc, w) =>
+          acc + coalesce(
+            try_element_at(
+              typedlit(model.words.zip(model.scores).toMap), w),
+            lit(model.unseenMicro)))
+    df.select(
+        col("doc_id"), labelPred.cast("int").as("label"),
+        graft.functions.ColumnOps.bind(toksCol) { ws =>
+          struct(
+            size(ws).cast("long").as("n_tokens"),
+            (tokenSum(ws) + lit(model.priorMicro)).as("score_micro"))
+        }.as("q"))
+      .select(col("doc_id"), col("label"),
+        col("q.n_tokens"), col("q.score_micro"),
+        (col("q.score_micro") > 0).cast("int").as("pred"))
   }
 
   /** Trained multiclass language identifier: multinomial Naive Bayes

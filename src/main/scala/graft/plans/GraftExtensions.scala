@@ -182,6 +182,42 @@ object GraftExtensions {
         }
         ViterbiTokenize(children.head, vocab, costs, unk)
       }),
+    (FunctionIdentifier("graft_nb_score"),
+      new ExpressionInfo(classOf[NbScore].getName, "graft_nb_score"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_nb_score", children, 4)
+        def literalArray(e: Expression, what: String): Array[AnyRef] = e match {
+          case l if l.foldable && l.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType] =>
+            val et = l.dataType
+              .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+            val arr = l.eval(null)
+              .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(et)
+            if (arr.exists(_ == null))
+              sys.error(s"graft_nb_score $what must not contain NULLs")
+            arr
+          case _ => sys.error(s"graft_nb_score $what must be an array literal")
+        }
+        val words = literalArray(children(1), "words")
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+        val scores = literalArray(children(2), "scores").map {
+          case l: java.lang.Long    => l.longValue()
+          case i: Integer           => i.longValue()
+          case other                => sys.error(
+            s"graft_nb_score scores must be long literals, got $other")
+        }.toSeq
+        val unseen = children(3) match {
+          case e if e.foldable => e.eval(null) match {
+            case l: Long => l
+            case i: Int  => i.toLong
+            case other   => sys.error(
+              s"graft_nb_score unseen must be a long literal, got $other")
+          }
+          case _ => sys.error("graft_nb_score unseen must be a literal")
+        }
+        NbScore(children.head, words, scores, unseen)
+      }),
     (FunctionIdentifier("graft_roll_hash"),
       new ExpressionInfo(classOf[RollHash].getName, "graft_roll_hash"),
       (children: Seq[Expression]) => {

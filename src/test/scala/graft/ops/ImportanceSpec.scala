@@ -185,6 +185,81 @@ class ImportanceSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("nb serving: un-pruned export scores exactly like the batch " +
+    "classifier, native and fallback") {
+    val docs = (0L until 60L).map { i =>
+      val base = s"the quick brown fox tok${i % 7} jumps over the lazy dog"
+      val text =
+        if (i % 3 == 0) base + " free click winner prize" * (1 + (i % 4)).toInt
+        else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val label = pmod(col("doc_id"), lit(3)) =!= 0
+    val train = pmod(col("doc_id"), lit(2)) === 0
+    val batch = Importance.naiveBayesQuality(docs, label, train)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val model = Importance.trainNbServing(docs, label, train)
+    for (native <- Seq(false, true)) {
+      val served = Importance.nbServingScored(docs, model, label, native = native)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      withClue(s"native=$native: ") { served shouldBe batch }
+    }
+  }
+
+  test("nb serving: pruning drops weak tokens to the OOV constant " +
+    "(hand-computed)") {
+    // same counts as the OOV test: V=7, n_pos=6, n_neg=3, prior=693147,
+    // unseen=-262364. |llr| is maximal for "spam" (-1360977), so a
+    // 1-entry export keeps exactly it; every other token now scores the
+    // OOV constant.
+    val docs = Seq(
+      (1L, 1, true, "good clean prose"),
+      (2L, 1, true, "clean text here"),
+      (3L, 0, true, "spam spam offer"),
+      (4L, 1, false, "zzz yyy")).toDF("doc_id", "label", "is_train", "text")
+    val model = Importance.trainNbServing(
+      docs, labelPred = col("label") === 1, trainPred = col("is_train"),
+      maxEntries = 1)
+    model.words shouldBe Seq("spam")
+    model.scores shouldBe Seq(-1360977L)
+    model.unseenMicro shouldBe -262364L
+    model.priorMicro shouldBe 693147L
+    val out = Importance.nbServingScored(
+      docs, model, labelPred = col("label") === 1, native = true)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("score_micro")).toMap
+    out(1L) shouldBe (693147L + 3L * -262364L)   // all pruned -> OOV
+    out(3L) shouldBe (693147L + 2L * -1360977L + -262364L)
+  }
+
+  test("nb serving scores a memory stream identically to batch " +
+    "(one stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = Importance.NbServing(
+      Seq("good", "spam"), Seq(1000000L, -2000000L), -500000L, 100000L)
+    val rows = Seq((1L, "good spam"), (2L, "other stuff"), (3L, "good good"))
+    val mem = MemoryStream[(Long, String)](spark)
+    val stream = mem.toDF.toDF("doc_id", "text")
+    val q = Importance.nbServingScored(
+      stream, model, labelPred = lit(true), native = true)
+      .writeStream.format("memory").queryName("nb_serve")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("nb_serve").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS nb_serve")
+    val batch = Importance.nbServingScored(
+      rows.toDF("doc_id", "text"), model, labelPred = lit(true), native = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    streamed shouldBe batch
+    // hand-check one: doc 1 = good(+1e6) + spam(-2e6) + prior(1e5)
+    batch(0)(3) shouldBe -900000L
+  }
+
   test("naive bayes langid: hand-computed scores, OOV collapse, and " +
     "prior-only tie-break") {
     // train: one doc per class, one bigram each; V=2, n_aa=n_bb=1,
