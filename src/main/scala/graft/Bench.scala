@@ -96,7 +96,8 @@ object Bench {
     // its multiclass char-bigram langid sibling (gram stream fanned
     // out by |C| classes, argmax per doc), and the serving half (cached
     // exported model, ONE codegen'd hash-lookup projection)
-    "q_quality_nb", "q_langid_nb", "q_quality_nb_stream")
+    "q_quality_nb", "q_langid_nb", "q_quality_nb_stream",
+    "q_langid_nb_stream")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -278,7 +279,9 @@ object Bench {
     // serving projection over the cached exported model (r14 steady
     // 0.45-0.74; train absorbed into the per-dir cache like the viterbi
     // vocab)
-    "q_quality_nb_stream" -> 0.900)
+    "q_quality_nb_stream" -> 0.900,
+    // |C| per-class hash passes + in-row argmax (r14 steady 1.4-1.55)
+    "q_langid_nb_stream" -> 1.700)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -394,6 +397,9 @@ object Bench {
     // ~4× at 10× (0.45-0.74 → 1.9-2.2 s steady): pure projection,
     // corpus-linear
     "q_quality_nb_stream" -> 2.600,
+    // ~7× at 10× (1.4-1.55 → 9.3-11 s steady): localization + bigram
+    // extraction dominate; still one stateless map stage
+    "q_langid_nb_stream" -> 11.500,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

@@ -322,6 +322,45 @@ object SparkEntry {
             (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
         .otherwise(col("text")).as("text"))
 
+  /** The fertility-localized corpus shared by `q_langid_nb`
+    * (train+score in one plan) and `q_langid_nb_stream` (train → export
+    * → serve): per-language orthography derived in-engine —
+    * `q_tokenizer_fertility`'s exact transform.
+    */
+  private def langIdDocs(s: SparkSession, dir: String): DataFrame = {
+    val base0 = substring(col("text"), 1, 80)
+    val zhMap = (0 until 26).map(i => (0x4E00 + i).toChar).mkString
+    val txt = when(col("lang") === "de",
+        translate(replace(base0, lit("e "), lit("e")),
+          "aou", "\u00e4\u00f6\u00fc"))
+      .when(col("lang") === "fr",
+        translate(replace(base0, lit("r "), lit(" ")), "e", "\u00e9"))
+      .when(col("lang") === "es",
+        translate(replace(base0, lit(" "), lit("os ")), "no", "\u00f1\u00f3"))
+      .when(col("lang") === "zh",
+        replace(translate(base0, "abcdefghijklmnopqrstuvwxyz", zhMap),
+          lit(" "), lit("")))
+      .otherwise(base0)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), txt.as("text"))
+  }
+
+  /** JVM-lifetime multiclass NB langid-model cache, one exported model
+    * per sf dir — [[trainedNbServing]]'s pattern at |C| classes.
+    */
+  private val nbLangServingCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.Importance.NbLangServing]()
+  private def trainedNbLangServing(
+      s: SparkSession, dir: String): graft.ops.Importance.NbLangServing =
+    nbLangServingCache.computeIfAbsent(dir, _ => {
+      val m = graft.ops.Importance.trainNbLangServing(
+        langIdDocs(s, dir), labelCol = "lang",
+        trainPred = pmod(col("doc_id"), lit(2)) === 0,
+        maxEntriesPerClass = 1 << 20)
+      require(m.classes.forall(_._2.words.nonEmpty),
+        "empty trained langid class table")
+      m
+    })
+
   /** The STREAM-SERVING twin of the layout pin: the per-cell member-
     * array table ([[graft.streaming.EmbedStreamOps.loadServingIndex]])
     * checkpoint-pinned once per (session, dir) — a deployment's
@@ -2596,24 +2635,21 @@ object SparkEntry {
     // for es, CJK + boundary loss for zh), trained on the even-doc_id
     // half, every doc scored; argmax over exact micro-scores with
     // lexicographic tie-break
-    "q_langid_nb" -> ((s, dir) => {
-      val base0 = substring(col("text"), 1, 80)
-      val zhMap = (0 until 26).map(i => (0x4E00 + i).toChar).mkString
-      val txt = when(col("lang") === "de",
-          translate(replace(base0, lit("e "), lit("e")),
-            "aou", "\u00e4\u00f6\u00fc"))
-        .when(col("lang") === "fr",
-          translate(replace(base0, lit("r "), lit(" ")), "e", "\u00e9"))
-        .when(col("lang") === "es",
-          translate(replace(base0, lit(" "), lit("os ")), "no", "\u00f1\u00f3"))
-        .when(col("lang") === "zh",
-          replace(translate(base0, "abcdefghijklmnopqrstuvwxyz", zhMap),
-            lit(" "), lit("")))
-        .otherwise(base0)
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), txt.as("text"))
-      Importance.naiveBayesLangId(docs, labelCol = "lang",
+    "q_langid_nb" -> ((s, dir) =>
+      Importance.naiveBayesLangId(langIdDocs(s, dir), labelCol = "lang",
         trainPred = pmod(col("doc_id"), lit(2)) === 0)
+        .orderBy("doc_id")),
+
+    // the SERVING half of the multiclass classifier (q_quality_nb_stream's
+    // pattern at |C| classes): per-class pruned tables exported once per
+    // sf dir, scoring + argmax ONE stateless in-row projection
+    // (graft_nb_score per class + array_sort tie-break) — no join, no
+    // shuffle, stream-identical
+    "q_langid_nb_stream" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      Importance.nbLangServingScored(langIdDocs(s, dir),
+        trainedNbLangServing(s, dir),
+        labelCol = "lang", native = native)
         .orderBy("doc_id")
     }),
 
@@ -4521,6 +4557,57 @@ object SparkEntry {
         | coalesce(seen_micro, 0) + n_unseen * unseen_micro + prior_micro AS score_micro,
         | CAST((coalesce(seen_micro, 0) + n_unseen * unseen_micro + prior_micro) > 0 AS INT) AS pred
         |FROM agg, consts ORDER BY doc_id""".stripMargin
+
+  /** The multiclass langid oracle, shared verbatim by `q_langid_nb`
+    * and `q_langid_nb_stream`.
+    */
+  private val langIdNbOracleSql: String =
+      s"""WITH d AS (
+        | SELECT doc_id, lang,
+        |  lower(coalesce(CASE lang
+        |   WHEN 'de' THEN translate(replace(s0, 'e ', 'e'), 'aou', chr(228) || chr(246) || chr(252))
+        |   WHEN 'fr' THEN translate(replace(s0, 'r ', ' '), 'e', chr(233))
+        |   WHEN 'es' THEN translate(replace(s0, ' ', 'os '), 'no', chr(241) || chr(243))
+        |   WHEN 'zh' THEN replace(translate(s0, 'abcdefghijklmnopqrstuvwxyz',
+        |    ${(0 until 26).map(i => s"chr(${19968 + i})").mkString(" || ")}), ' ', '')
+        |   ELSE s0 END, '')) AS t,
+        |  doc_id % 2 = 0 AS is_train
+        | FROM (SELECT doc_id, lang, substring(text, 1, 80) AS s0 FROM documents)),
+        |grams AS (
+        | SELECT doc_id, lang, is_train,
+        |  unnest(list_transform(range(1, length(t)), i -> substr(t, CAST(i AS INT), 2))) AS g
+        | FROM d),
+        |counts AS (
+        | SELECT g, lang, CAST(count(*) AS BIGINT) AS c
+        | FROM grams WHERE is_train GROUP BY 1, 2),
+        |ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM grams WHERE is_train GROUP BY 1),
+        |vs AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v_size FROM counts),
+        |dc AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_c FROM d WHERE is_train GROUP BY 1),
+        |classes AS (
+        | SELECT ct.lang AS cls,
+        |  CAST(round(ln(CAST(d_c AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro,
+        |  CAST(round(ln(1.0 / CAST(n_c + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS unseen_micro
+        | FROM ct JOIN dc USING (lang), vs),
+        |llr AS (
+        | SELECT g, counts.lang AS cls,
+        |  CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_c + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS s_micro
+        | FROM counts JOIN ct USING (lang), vs),
+        |scored AS (
+        | SELECT gr.doc_id, cl.cls,
+        |  CAST(sum(coalesce(l.s_micro, cl.unseen_micro)) AS BIGINT) AS sum_micro
+        | FROM grams gr CROSS JOIN classes cl
+        | LEFT JOIN llr l ON l.g = gr.g AND l.cls = cl.cls
+        | GROUP BY 1, 2),
+        |spine AS (
+        | SELECT d.doc_id, d.lang, cl.cls,
+        |  coalesce(s.sum_micro, 0) + cl.prior_micro AS score_micro
+        | FROM d CROSS JOIN classes cl
+        | LEFT JOIN scored s ON s.doc_id = d.doc_id AND s.cls = cl.cls)
+        |SELECT doc_id, lang, cls AS pred_lang, score_micro,
+        | CAST(cls = lang AS INT) AS ok
+        |FROM spine
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, cls ASC) = 1
+        |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracles — one per [[queries]] entry, no omissions: the four
     * xxhash64-keyed native queries that used to be declared rows-only live
@@ -7645,53 +7732,10 @@ object SparkEntry {
     // multiclass char-bigram NB over the fertility-localized corpus;
     // q_bigram_ppl's determinism argument per (gram, class) key, argmax
     // over exact BIGINT scores with lexicographic tie-break
-    "q_langid_nb" ->
-      s"""WITH d AS (
-        | SELECT doc_id, lang,
-        |  lower(coalesce(CASE lang
-        |   WHEN 'de' THEN translate(replace(s0, 'e ', 'e'), 'aou', chr(228) || chr(246) || chr(252))
-        |   WHEN 'fr' THEN translate(replace(s0, 'r ', ' '), 'e', chr(233))
-        |   WHEN 'es' THEN translate(replace(s0, ' ', 'os '), 'no', chr(241) || chr(243))
-        |   WHEN 'zh' THEN replace(translate(s0, 'abcdefghijklmnopqrstuvwxyz',
-        |    ${(0 until 26).map(i => s"chr(${19968 + i})").mkString(" || ")}), ' ', '')
-        |   ELSE s0 END, '')) AS t,
-        |  doc_id % 2 = 0 AS is_train
-        | FROM (SELECT doc_id, lang, substring(text, 1, 80) AS s0 FROM documents)),
-        |grams AS (
-        | SELECT doc_id, lang, is_train,
-        |  unnest(list_transform(range(1, length(t)), i -> substr(t, CAST(i AS INT), 2))) AS g
-        | FROM d),
-        |counts AS (
-        | SELECT g, lang, CAST(count(*) AS BIGINT) AS c
-        | FROM grams WHERE is_train GROUP BY 1, 2),
-        |ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM grams WHERE is_train GROUP BY 1),
-        |vs AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS v_size FROM counts),
-        |dc AS (SELECT lang, CAST(count(*) AS BIGINT) AS d_c FROM d WHERE is_train GROUP BY 1),
-        |classes AS (
-        | SELECT ct.lang AS cls,
-        |  CAST(round(ln(CAST(d_c AS DOUBLE)) * 1e6) AS BIGINT) AS prior_micro,
-        |  CAST(round(ln(1.0 / CAST(n_c + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS unseen_micro
-        | FROM ct JOIN dc USING (lang), vs),
-        |llr AS (
-        | SELECT g, counts.lang AS cls,
-        |  CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_c + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS s_micro
-        | FROM counts JOIN ct USING (lang), vs),
-        |scored AS (
-        | SELECT gr.doc_id, cl.cls,
-        |  CAST(sum(coalesce(l.s_micro, cl.unseen_micro)) AS BIGINT) AS sum_micro
-        | FROM grams gr CROSS JOIN classes cl
-        | LEFT JOIN llr l ON l.g = gr.g AND l.cls = cl.cls
-        | GROUP BY 1, 2),
-        |spine AS (
-        | SELECT d.doc_id, d.lang, cl.cls,
-        |  coalesce(s.sum_micro, 0) + cl.prior_micro AS score_micro
-        | FROM d CROSS JOIN classes cl
-        | LEFT JOIN scored s ON s.doc_id = d.doc_id AND s.cls = cl.cls)
-        |SELECT doc_id, lang, cls AS pred_lang, score_micro,
-        | CAST(cls = lang AS INT) AS ok
-        |FROM spine
-        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, cls ASC) = 1
-        |ORDER BY doc_id""".stripMargin,
+    "q_langid_nb" -> langIdNbOracleSql,
+
+    // un-pruned multiclass serving is answer-equal by construction
+    "q_langid_nb_stream" -> langIdNbOracleSql,
 
     "q_unigram_ppl" ->
       """WITH toks AS (

@@ -583,41 +583,8 @@ object Importance {
       labelCol: String = "lang",
       trainPred: Column,
       textCol: String = "text"): DataFrame = {
-    val base = df.select(
-      col("doc_id"), col(labelCol).as("lang"), trainPred.as("is_train"),
-      lower(coalesce(col(textCol), lit(""))).as("t"))
-    // sequence(1, 0) steps BACKWARD for sub-bigram text, so guard to an
-    // empty gram array (bigramSurprisal's pair-stream caveat)
-    val grams = base.select(
-      col("doc_id"), col("lang"), col("is_train"),
-      explode(
-        when(length(col("t")) >= 2,
-          transform(sequence(lit(1), length(col("t")) - 1),
-            i => col("t").substr(i, lit(2))))
-          .otherwise(array().cast("array<string>")))
-        .as("g"))
-    val train = grams.filter(col("is_train"))
-    val counts = train.groupBy("g", "lang").agg(count(lit(1)).as("c"))
-    val classTotals = train.groupBy("lang").agg(count(lit(1)).as("n_c"))
-    val vsize = counts.select("g").distinct().agg(count(lit(1)).as("v_size"))
-    val docCounts = base.filter(col("is_train"))
-      .groupBy("lang").agg(count(lit(1)).as("d_c"))
-    // per-class constants, each quantized once (classes-sized table)
-    val classes = classTotals.join(docCounts, Seq("lang"))
-      .crossJoin(broadcast(vsize))
-      .select(
-        col("lang").as("cls"),
-        round(log(col("d_c").cast("double")) * 1e6)
-          .cast("long").as("prior_micro"),
-        round(log(lit(1.0) / (col("n_c") + col("v_size")).cast("double")) * 1e6)
-          .cast("long").as("unseen_micro"))
-    // seen-(gram, class) likelihoods, each quantized once
-    val llr = counts.join(classTotals, Seq("lang")).crossJoin(broadcast(vsize))
-      .select(
-        col("g"), col("lang").as("cls"),
-        round(log((col("c") + 1).cast("double")
-            / (col("n_c") + col("v_size")).cast("double")) * 1e6)
-          .cast("long").as("s_micro"))
+    val (base, grams, classes, llr) =
+      nbLangTables(df, labelCol, trainPred, textCol)
     // fan the gram stream out by class; a missing (g, cls) row IS the
     // c=0 case, so coalescing to unseen_micro applies the same formula
     val scored = grams.select("doc_id", "g")
@@ -640,5 +607,149 @@ object Importance {
     spine.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("cls").as("pred_lang"),
         col("score_micro"), (col("cls") === col("lang")).cast("int").as("ok"))
+  }
+
+  /** In-row char-bigram extraction shared by [[naiveBayesLangId]] and
+    * its serving twin. `sequence(1, 0)` steps BACKWARD for sub-bigram
+    * text, so guard to an empty gram array (bigramSurprisal's
+    * pair-stream caveat).
+    */
+  private def charBigrams(t: Column): Column =
+    when(length(t) >= 2,
+      transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The shared multiclass NB training tables ([[naiveBayesLangId]]'s
+    * math, factored so [[trainNbLangServing]] exports the identical
+    * model): `(doc spine, gram stream, per-class consts, per-(gram,
+    * class) likelihood table)`.
+    */
+  private def nbLangTables(
+      df: DataFrame,
+      labelCol: String,
+      trainPred: Column,
+      textCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = df.select(
+      col("doc_id"), col(labelCol).as("lang"), trainPred.as("is_train"),
+      lower(coalesce(col(textCol), lit(""))).as("t"))
+    val grams = base.select(
+      col("doc_id"), col("lang"), col("is_train"),
+      explode(charBigrams(col("t"))).as("g"))
+    val train = grams.filter(col("is_train"))
+    val counts = train.groupBy("g", "lang").agg(count(lit(1)).as("c"))
+    val classTotals = train.groupBy("lang").agg(count(lit(1)).as("n_c"))
+    val vsize = counts.select("g").distinct().agg(count(lit(1)).as("v_size"))
+    val docCounts = base.filter(col("is_train"))
+      .groupBy("lang").agg(count(lit(1)).as("d_c"))
+    // per-class constants, each quantized once (classes-sized table)
+    val classes = classTotals.join(docCounts, Seq("lang"))
+      .crossJoin(broadcast(vsize))
+      .select(
+        col("lang").as("cls"),
+        round(log(col("d_c").cast("double")) * 1e6)
+          .cast("long").as("prior_micro"),
+        round(log(lit(1.0) / (col("n_c") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("unseen_micro"))
+    // seen-(gram, class) likelihoods, each quantized once
+    val llr = counts.join(classTotals, Seq("lang")).crossJoin(broadcast(vsize))
+      .select(
+        col("g"), col("lang").as("cls"),
+        round(log((col("c") + 1).cast("double")
+            / (col("n_c") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("s_micro"))
+    (base, grams, classes, llr)
+  }
+
+  /** An exported multiclass NB language-ID model: per class, its pruned
+    * (gram → micro-likelihood) table plus the two scoring constants —
+    * the shipped-artifact form of [[naiveBayesLangId]]'s model, bounded
+    * driver data like [[NbServing]].
+    */
+  final case class NbLangServing(classes: Seq[(String, NbServing)]) {
+    require(classes.nonEmpty, "NbLangServing needs at least one class")
+  }
+
+  /** Train [[naiveBayesLangId]]'s model and EXPORT it for serving,
+    * pruned per class to the `maxEntriesPerClass` HIGHEST-likelihood
+    * grams (= most frequent in that class; ties by gram ascending).
+    * Dropping a rare gram floors it to the class's OOV constant — the
+    * value it already sits near (`ln((c+1)/(n+V))` → `ln(1/(n+V))` as
+    * c→0) — so pruning degrades smoothly; with `maxEntriesPerClass` ≥
+    * every class's seen-gram count, serving is EXACTLY the batch
+    * classifier (spec'd equal). Collects are model-sized, never
+    * corpus-sized.
+    */
+  def trainNbLangServing(
+      df: DataFrame,
+      labelCol: String = "lang",
+      trainPred: Column,
+      textCol: String = "text",
+      maxEntriesPerClass: Int = 4096): NbLangServing = {
+    require(maxEntriesPerClass > 0,
+      s"maxEntriesPerClass must be positive, got $maxEntriesPerClass")
+    val (_, _, classes, llr) = nbLangTables(df, labelCol, trainPred, textCol)
+    val consts = classes.orderBy("cls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls")
+      .orderBy(col("s_micro").desc, col("g").asc)
+    val kept = llr.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxEntriesPerClass)
+      .orderBy("cls", "rn")
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2)))
+      .groupBy(_._1)
+    NbLangServing(consts.map { case (cls, prior, unseen) =>
+      val rows = kept.getOrElse(cls, Array.empty)
+      cls -> NbServing(
+        rows.map(_._2).toSeq, rows.map(_._3).toSeq, unseen, prior)
+    }.toSeq)
+  }
+
+  /** Serving-side language ID against an exported [[NbLangServing]]
+    * model: ONE stateless projection per row — per class, a
+    * [[graft.plans.NbScore]] hash-table pass over the in-row bigram
+    * array (map-literal fallback identical), then an in-row argmax via
+    * `array_sort` over `(-score, class)` structs — exactly the batch
+    * classifier's (score DESC, class ASC) tie-break. No join, no
+    * shuffle, no state: serves batch and micro-batch streams
+    * identically, like [[nbServingScored]].
+    *
+    * Every trained class carries ≥1 table entry (a class exists only if
+    * its train slice produced grams, and pruning keeps at least one),
+    * satisfying [[graft.plans.NbScore]]'s non-empty requirement.
+    */
+  def nbLangServingScored(
+      df: DataFrame,
+      model: NbLangServing,
+      labelCol: String = "lang",
+      textCol: String = "text",
+      native: Boolean = false): DataFrame = {
+    val gramsCol = charBigrams(lower(coalesce(col(textCol), lit(""))))
+    def tokenSum(ws: Column, m: NbServing): Column =
+      if (native)
+        call_function("graft_nb_score", ws,
+          array(m.words.map(lit): _*),
+          array(m.scores.map(lit): _*),
+          lit(m.unseenMicro))
+      else
+        aggregate(ws, lit(0L), (acc, w) =>
+          acc + coalesce(
+            try_element_at(typedlit(m.words.zip(m.scores).toMap), w),
+            lit(m.unseenMicro)))
+    df.select(
+        col("doc_id"), col(labelCol).as("lang"),
+        graft.functions.ColumnOps.bind(gramsCol) { ws =>
+          // ascending struct sort on (-score, cls) == (score DESC, cls
+          // ASC) — the batch argmax's window order
+          element_at(array_sort(array(model.classes.map { case (cls, m) =>
+            struct(
+              (-(tokenSum(ws, m) + lit(m.priorMicro))).as("ns"),
+              lit(cls).as("cls"))
+          }: _*)), 1)
+        }.as("top"))
+      .select(col("doc_id"), col("lang"),
+        col("top.cls").as("pred_lang"),
+        (-col("top.ns")).as("score_micro"),
+        (col("top.cls") === col("lang")).cast("int").as("ok"))
   }
 }

@@ -282,6 +282,72 @@ class ImportanceSpec extends AnyFunSuite with Matchers
     out(2L)._1 shouldBe "bb"
   }
 
+  test("nb langid serving: un-pruned export matches the batch " +
+    "classifier, native and fallback, and streams identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0L until 36L).map { i =>
+      val lang = Seq("de", "en", "zh")((i % 3).toInt)
+      val body = s"word tok${i % 5} line data"
+      val text = lang match {
+        case "de" => body.map {
+          case 'a' => 'ä'; case 'o' => 'ö'; case 'u' => 'ü'
+          case c => c
+        }
+        case "zh" => body.map(c =>
+          if (c >= 'a' && c <= 'z') (0x4E00 + (c - 'a')).toChar else c)
+          .filterNot(_ == ' ')
+        case _ => body
+      }
+      (i, lang, text)
+    }
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val train = pmod(col("doc_id"), lit(2)) === 0
+    val batch = Importance.naiveBayesLangId(docs, "lang", train)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val model = Importance.trainNbLangServing(docs, "lang", train)
+    model.classes.map(_._1) shouldBe Seq("de", "en", "zh")
+    for (native <- Seq(false, true)) {
+      val served = Importance.nbLangServingScored(
+        docs, model, "lang", native = native)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      withClue(s"native=$native: ") { served shouldBe batch }
+    }
+    // the same projection over a MemoryStream emits the same rows
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = Importance.nbLangServingScored(
+      mem.toDF.toDF("doc_id", "lang", "text"), model, "lang", native = true)
+      .writeStream.format("memory").queryName("nb_lang_serve")
+      .outputMode("append").start()
+    mem.addData(rows.take(5): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("nb_lang_serve").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS nb_lang_serve")
+    streamed shouldBe batch.take(5)
+  }
+
+  test("nb langid serving: per-class pruning floors dropped grams to " +
+    "the class OOV constant") {
+    // two classes, tiny vocab; prune to ONE gram per class (the most
+    // frequent, ties by gram asc) and hand-check a served score
+    val docs = Seq(
+      (1L, "aa", true, "xyxy"),   // grams xy,yx,xy -> xy c=2, yx c=1
+      (2L, "bb", true, "zwzw"),
+      (3L, "aa", false, "yx")).toDF("doc_id", "lang", "is_train", "text")
+    val model = Importance.trainNbLangServing(
+      docs, "lang", col("is_train"), maxEntriesPerClass = 1)
+    val aa = model.classes.toMap.apply("aa")
+    aa.words shouldBe Seq("xy") // kept: highest likelihood in class
+    // doc 3 "yx": its one gram was pruned from aa's table -> scores
+    // aa's OOV constant; batch would have scored yx's real llr
+    val out = Importance.nbLangServingScored(docs, model, "lang", native = true)
+      .filter(col("doc_id") === 3).collect()(0)
+    // n_aa=3 grams, V=4 distinct -> unseen_aa = ln(1/7); prior ln(1)=0
+    out.getAs[Long]("score_micro") shouldBe
+      math.round(math.log(1.0 / 7.0) * 1e6)
+  }
+
   test("naive bayes langid: orthography-localized classes separate on " +
     "held-out docs") {
     // mirrors q_langid_nb's shape: per-class orthography markers
