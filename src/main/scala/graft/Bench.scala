@@ -97,7 +97,9 @@ object Bench {
     // out by |C| classes, argmax per doc), and the serving half (cached
     // exported model, ONE codegen'd hash-lookup projection)
     "q_quality_nb", "q_langid_nb", "q_quality_nb_stream",
-    "q_langid_nb_stream")
+    "q_langid_nb_stream",
+    // artifact persistence leg: read the parquet-shipped model + serve
+    "q_quality_nb_persist")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -281,7 +283,10 @@ object Bench {
     // vocab)
     "q_quality_nb_stream" -> 0.900,
     // |C| per-class hash passes + in-row argmax (r14 steady 1.4-1.55)
-    "q_langid_nb_stream" -> 1.700)
+    "q_langid_nb_stream" -> 1.700,
+    // model read-back + the same serving projection (r14 steady
+    // 0.74-0.84; train+write absorbed into the per-dir cache)
+    "q_quality_nb_persist" -> 1.100)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -400,6 +405,9 @@ object Bench {
     // ~7× at 10× (1.4-1.55 → 9.3-11 s steady): localization + bigram
     // extraction dominate; still one stateless map stage
     "q_langid_nb_stream" -> 11.500,
+    // ~3× at 10× (0.74-0.84 → 2.3-2.4 s steady): read-back is
+    // model-sized, serving corpus-linear
+    "q_quality_nb_persist" -> 2.900,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

@@ -752,4 +752,96 @@ object Importance {
         (-col("top.ns")).as("score_micro"),
         (col("top.cls") === col("lang")).cast("int").as("ok"))
   }
+
+  /** Persist an exported [[NbServing]] model as a parquet artifact —
+    * the step that makes the classifier outlive its training session
+    * (the [[graft.ops.Similarity]] persisted-IVF-layout rule: a 100 TB
+    * deployment trains in one job and serves from many; the JVM cache
+    * alone cannot cross that boundary). Layout under `dir`:
+    *
+    *   - `entries/` — (rank, w, s_micro), ONE file, rank preserving the
+    *     pruning order so the round-trip restores the exact Seq (the
+    *     model is already bounded driver data, so coalesce(1) is free);
+    *   - `meta/` — one row (unseen_micro, prior_micro, n_entries).
+    *
+    * `n_entries` cross-checks the read ([[readNbModel]] fails loudly on
+    * a truncated entries file rather than serving a silently weaker
+    * model).
+    */
+  def writeNbModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: NbServing,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.words.indices.map(i => (i, model.words(i), model.scores(i)))
+      .toDF("rank", "w", "s_micro")
+      .coalesce(1).sortWithinPartitions("rank")
+      .write.mode("overwrite").parquet(s"$dir/entries")
+    Seq((model.unseenMicro, model.priorMicro, model.words.size.toLong))
+      .toDF("unseen_micro", "prior_micro", "n_entries")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read back a [[writeNbModel]] artifact; the result is EQUAL to the
+    * written model (spec'd), so serve-after-read ≡ serve-before.
+    */
+  def readNbModel(
+      spark: org.apache.spark.sql.SparkSession, dir: String): NbServing = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val rows = spark.read.parquet(s"$dir/entries")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    require(rows.length.toLong == meta.getLong(2),
+      s"NB model at $dir is truncated: ${rows.length} entries, " +
+        s"meta says ${meta.getLong(2)}")
+    NbServing(rows.map(_._1).toSeq, rows.map(_._2).toSeq,
+      meta.getLong(0), meta.getLong(1))
+  }
+
+  /** Persist an exported [[NbLangServing]] model: `entries/` carries
+    * (cls, rank, w, s_micro) and `meta/` one row per class
+    * (cls, unseen_micro, prior_micro, n_entries); class order restores
+    * from the meta table's `cls` sort (training emits classes sorted,
+    * so the round-trip is exact).
+    */
+  def writeNbLangModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: NbLangServing,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.classes.flatMap { case (cls, m) =>
+      m.words.indices.map(i => (cls, i, m.words(i), m.scores(i)))
+    }.toDF("cls", "rank", "w", "s_micro")
+      .coalesce(1).sortWithinPartitions("cls", "rank")
+      .write.mode("overwrite").parquet(s"$dir/entries")
+    model.classes.map { case (cls, m) =>
+      (cls, m.unseenMicro, m.priorMicro, m.words.size.toLong)
+    }.toDF("cls", "unseen_micro", "prior_micro", "n_entries")
+      .coalesce(1).sortWithinPartitions("cls")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read back a [[writeNbLangModel]] artifact (equal to the written
+    * model, spec'd — serve-after-read ≡ serve-before).
+    */
+  def readNbLangModel(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): NbLangServing = {
+    val metas = spark.read.parquet(s"$dir/meta")
+      .orderBy("cls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCls = spark.read.parquet(s"$dir/entries")
+      .orderBy("cls", "rank").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    NbLangServing(metas.map { case (cls, unseen, prior, n) =>
+      val rows = byCls.getOrElse(cls, Array.empty)
+      require(rows.length.toLong == n,
+        s"NB langid model at $dir: class '$cls' truncated " +
+          s"(${rows.length} entries, meta says $n)")
+      cls -> NbServing(rows.map(_._2).toSeq, rows.map(_._3).toSeq,
+        unseen, prior)
+    }.toSeq)
+  }
 }

@@ -348,6 +348,39 @@ class ImportanceSpec extends AnyFunSuite with Matchers
       math.round(math.log(1.0 / 7.0) * 1e6)
   }
 
+  test("nb model persistence: parquet round-trip restores both model " +
+    "kinds exactly; truncation fails loudly") {
+    val docs = Seq(
+      (1L, "aa", true, "xy xy zz"),
+      (2L, "bb", true, "pq rs tt"),
+      (3L, "aa", false, "xy")).toDF("doc_id", "lang", "is_train", "text")
+    val dir = java.nio.file.Files.createTempDirectory("nb-model").toString
+    val m = Importance.trainNbServing(
+      docs, labelPred = col("lang") === "aa", trainPred = col("is_train"))
+    Importance.writeNbModel(spark, m, dir)
+    Importance.readNbModel(spark, dir) shouldBe m
+    // serve-after-read ≡ serve-before (same artifact, same projection)
+    val before = Importance.nbServingScored(
+      docs, m, labelPred = col("lang") === "aa", native = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val after = Importance.nbServingScored(
+      docs, Importance.readNbModel(spark, dir),
+      labelPred = col("lang") === "aa", native = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    after shouldBe before
+    val lm = Importance.trainNbLangServing(docs, "lang", col("is_train"))
+    val ldir = java.nio.file.Files.createTempDirectory("nb-langmodel").toString
+    Importance.writeNbLangModel(spark, lm, ldir)
+    Importance.readNbLangModel(spark, ldir) shouldBe lm
+    // a truncated entries file must not serve a silently weaker model
+    import spark.implicits._
+    Seq((m.unseenMicro, m.priorMicro, m.words.size.toLong + 1))
+      .toDF("unseen_micro", "prior_micro", "n_entries")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    an[IllegalArgumentException] should be thrownBy
+      Importance.readNbModel(spark, dir)
+  }
+
   test("naive bayes langid: orthography-localized classes separate on " +
     "held-out docs") {
     // mirrors q_langid_nb's shape: per-class orthography markers
