@@ -99,7 +99,9 @@ object Bench {
     "q_quality_nb", "q_langid_nb", "q_quality_nb_stream",
     "q_langid_nb_stream",
     // artifact persistence leg: read the parquet-shipped model + serve
-    "q_quality_nb_persist")
+    "q_quality_nb_persist",
+    // mergeable Misra-Gries heavy hitters (custom TypedImperativeAggregate)
+    "q_heavy_hitters")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -286,7 +288,9 @@ object Bench {
     "q_langid_nb_stream" -> 1.700,
     // model read-back + the same serving projection (r14 steady
     // 0.74-0.84; train+write absorbed into the per-dir cache)
-    "q_quality_nb_persist" -> 1.100)
+    "q_quality_nb_persist" -> 1.100,
+    // one MG-summary aggregation pass (r14 steady 0.49-0.76)
+    "q_heavy_hitters" -> 1.000)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -408,6 +412,9 @@ object Bench {
     // ~3× at 10× (0.74-0.84 → 2.3-2.4 s steady): read-back is
     // model-sized, serving corpus-linear
     "q_quality_nb_persist" -> 2.900,
+    // ~3× at 10× (0.49-0.76 → 1.6-2.2 s steady): summary size is fixed,
+    // the pass is token-linear
+    "q_heavy_hitters" -> 2.700,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Importance, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CorpusOps, Dedup, Importance, Multimodal, Similarity, TextAnalysis}
 import graft.pipeline.SingerPipeline
 import graft.schema.SchemaMapper
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2576,6 +2576,24 @@ object SparkEntry {
 
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(t(s, dir, "documents")).orderBy("lang", "rank")),
+
+    // per-lang token heavy hitters via the mergeable Misra-Gries
+    // AGGREGATE (graft_heavy_hitters, a TypedImperativeAggregate): one
+    // ≤capacity-entry summary per partition per group crosses the
+    // shuffle — O(partitions × capacity) wire volume vs groupBy(token)'s
+    // every-distinct-key. Exact regime here (≤ a few hundred distinct
+    // tokens « 4096), so the summary IS the count table and the exact
+    // groupBy twin (the vanilla-session fallback) returns identical rows
+    "q_heavy_hitters" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      val toks = t(s, dir, "documents").select(
+        col("lang"),
+        explode(TextAnalysis.normTokens(coalesce(col("text"), lit(""))))
+          .as("w"))
+      CorpusOps.heavyHitters(toks, keyCol = "w", groupCol = "lang",
+        k = 5, capacity = 4096, native = native)
+        .orderBy("lang", "rank")
+    }),
 
     "q_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(t(s, dir, "documents")).orderBy("lang")),
@@ -7433,6 +7451,22 @@ object SparkEntry {
         | quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens,
         | quantile_cont(len(string_split(text, ' ')), 0.99) AS p99_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // exact regime: the MG summary is the exact per-(lang, token) count
+    // table, so the oracle is plain counts + the same (cnt DESC, key ASC)
+    // rank rule
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        | SELECT lang,
+        |  unnest(string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ')) AS w
+        | FROM documents),
+        |c AS (SELECT lang, w AS key, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2)
+        |SELECT lang,
+        | CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, key ASC) AS INT) AS rank,
+        | key, cnt
+        |FROM c
+        |QUALIFY rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH sh AS (

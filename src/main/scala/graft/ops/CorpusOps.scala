@@ -693,4 +693,54 @@ object CorpusOps {
       .filter(Sampling.bucket1000(Sampling.SampleSalt, keyCol) < col("__keep_pm"))
       .drop(s"__t_$groupCol", "__keep_pm")
   }
+
+  /** Per-group heavy hitters: the top-`k` most frequent values of
+    * `keyCol` within each `groupCol` group, as
+    * `(groupCol, rank, key, cnt)`.
+    *
+    * `native = true` aggregates with [[graft.plans.HeavyHittersAgg]]
+    * (mergeable Misra-Gries): ONE ≤`capacity`-entry summary per
+    * partition per group crosses the shuffle — O(partitions × capacity)
+    * wire volume, independent of how many distinct keys the corpus
+    * holds, which is THE difference at 100 TB where `groupBy(key)`
+    * ships every distinct token. In the exact regime (distinct keys per
+    * group ≤ capacity) the summary is the exact count table, so both
+    * paths return IDENTICAL rows (spec'd) and the oracle pins them; the
+    * sub-capacity approximation guarantees (undercount ≤ N/(capacity+1),
+    * no true heavy hitter missing) are spec'd separately.
+    *
+    * `native = false` is the exact `groupBy(group, key)` + rank window
+    * twin — the portable path for sessions without the extensions.
+    *
+    * Ranking ties break by key ascending in BOTH paths (the aggregate's
+    * eval sort and the window's ORDER BY are the same (cnt DESC, key
+    * ASC) rule), so the output is deterministic.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      k: Int,
+      capacity: Int = 4096,
+      native: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(capacity >= k, s"capacity $capacity must be >= k $k")
+    if (native) {
+      df.groupBy(col(groupCol))
+        .agg(call_function("graft_heavy_hitters",
+          col(keyCol), lit(capacity)).as("__hh"))
+        .select(col(groupCol), posexplode(col("__hh")).as(Seq("__pos", "__e")))
+        .filter(col("__pos") < k)
+        .select(col(groupCol), (col("__pos") + 1).cast("int").as("rank"),
+          col("__e.key").as("key"), col("__e.cnt").as("cnt"))
+    } else {
+      val w = Window.partitionBy(groupCol)
+        .orderBy(col("cnt").desc, col("key").asc)
+      df.groupBy(col(groupCol), col(keyCol).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(groupCol), col("rank"), col("key"), col("cnt"))
+    }
+  }
 }

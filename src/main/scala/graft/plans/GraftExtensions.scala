@@ -236,6 +236,21 @@ object GraftExtensions {
     // keys produced by an explode — see Dedup.decontaminateBloom). Both
     // take ALREADY-HASHED longs (`xxhash64(value)`), exactly as the
     // injected runtime filters do.
+    (FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_heavy_hitters", children, 2)
+        val capacity = children(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(
+              s"graft_heavy_hitters capacity must be an int literal, got $other")
+          }
+          case _ => sys.error("graft_heavy_hitters capacity must be a literal")
+        }
+        HeavyHittersAgg(children.head, capacity)
+      }),
     (FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -25,7 +25,10 @@ object VanillaCheck {
       "q_text_tokens", "q_tokenize_greedy", "q_tokenize_viterbi",
       // exercises FuzzyMatch.ensureRegistered: the edit-similarity
       // expressions must self-register into a plain session's registry
-      "q_fuzzy_join", "q_text_nfc", "q_dedup_nfc")) {
+      "q_fuzzy_join", "q_text_nfc", "q_dedup_nfc",
+      // exact-groupBy fallback for the MG heavy-hitters aggregate and
+      // map-literal fallback for the NB serving projections
+      "q_heavy_hitters", "q_quality_nb_stream", "q_langid_nb_stream")) {
       val c = graft.SparkEntry.allQueries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"VANILLA $q rows: $c (fallback path)")
       require(c > 0, s"$q must return rows without extensions")

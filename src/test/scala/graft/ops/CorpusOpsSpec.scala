@@ -371,4 +371,41 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers
     an[Exception] should be thrownBy CorpusOps.applyMixture(
       docs.withColumn("__keep_pm", lit(1)), budgetTokens = 400L)
   }
+
+  test("heavy hitters: exact regime — native MG aggregate ≡ exact " +
+    "groupBy twin across partitions (serialize + merge path exercised)") {
+    // skewed keys over two groups, scattered over 7 partitions so the
+    // aggregate's serialize/deserialize/merge all fire
+    val rows = for {
+      g <- Seq("g1", "g2")
+      (key, n) <- Seq("a" -> 40, "b" -> 25, "c" -> 25, "d" -> 7, "e" -> 3)
+      i <- 0 until n
+    } yield (g, s"$key${if (g == "g2") "2" else ""}", i)
+    val df = rows.toDF("lang", "w", "i").repartition(7).select("lang", "w")
+    val exact = CorpusOps.heavyHitters(df, "w", "lang", k = 4, native = false)
+      .orderBy("lang", "rank").collect().map(_.toSeq)
+    val native = CorpusOps.heavyHitters(df, "w", "lang", k = 4, native = true)
+      .orderBy("lang", "rank").collect().map(_.toSeq)
+    native shouldBe exact
+    exact.length shouldBe 8
+    // b/c tie at 25 breaks by key ascending in both paths
+    exact(1)(2) shouldBe "b"
+    exact(2)(2) shouldBe "c"
+  }
+
+  test("heavy hitters: sub-capacity regime keeps every true heavy " +
+    "hitter with undercount <= N/(capacity+1)") {
+    // N=20: 'a' x10 + ten singletons; capacity 2 -> error bound
+    // floor(20/3) = 6: 'a' (true 10 > bound) MUST survive with
+    // count >= 10 - 6 = 4 and never overcount
+    val rows = Seq.fill(10)("a") ++ (0 until 10).map(i => s"s$i")
+    val df = rows.map(("g", _)).toDF("lang", "w").repartition(5)
+    val out = CorpusOps.heavyHitters(
+      df, "w", "lang", k = 2, capacity = 2, native = true).collect()
+    val a = out.find(_.getString(2) == "a")
+    a.isDefined shouldBe true
+    val cnt = a.get.getLong(3)
+    cnt should be >= 4L
+    cnt should be <= 10L
+  }
 }
