@@ -393,6 +393,30 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers
     exact(2)(2) shouldBe "c"
   }
 
+  test("heavy hitters: the aggregate serves a complete-mode stream — " +
+    "summaries accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, String)](spark)
+    val agg = mem.toDF.toDF("lang", "w")
+      .groupBy("lang")
+      .agg(call_function("graft_heavy_hitters", col("w"), lit(16)).as("hh"))
+    val q = agg.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    mem.addData(("g", "a"), ("g", "a"), ("g", "b"))
+    q.processAllAvailable()
+    mem.addData(("g", "a"), ("g", "c"), ("g", "b"), ("g", "b"))
+    q.processAllAvailable()
+    val rows = spark.table("hh_stream").collect()
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS hh_stream")
+    rows.length shouldBe 1
+    // exact regime across BOTH batches: a=3, b=3, c=1 — state
+    // round-trips the MG buffer through the store between batches
+    val hh = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    hh shouldBe Seq(("a", 3L), ("b", 3L), ("c", 1L))
+  }
+
   test("heavy hitters: sub-capacity regime keeps every true heavy " +
     "hitter with undercount <= N/(capacity+1)") {
     // N=20: 'a' x10 + ten singletons; capacity 2 -> error bound
