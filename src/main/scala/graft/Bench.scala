@@ -101,7 +101,11 @@ object Bench {
     // artifact persistence leg: read the parquet-shipped model + serve
     "q_quality_nb_persist",
     // mergeable Misra-Gries heavy hitters (custom TypedImperativeAggregate)
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    // mergeable MRL/KLL quantile sketch (custom TypedImperativeAggregate)
+    "q_quantile_sketch",
+    // CCNet head/middle/tail terciles (trigram LM + sketch thresholds)
+    "q_ppl_buckets")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -290,7 +294,13 @@ object Bench {
     // 0.74-0.84; train+write absorbed into the per-dir cache)
     "q_quality_nb_persist" -> 1.100,
     // one MG-summary aggregation pass (r14 steady 0.49-0.76)
-    "q_heavy_hitters" -> 1.000)
+    "q_heavy_hitters" -> 1.000,
+    // one compactor-summary aggregation pass (r14 steady 0.68-1.0)
+    "q_quantile_sketch" -> 1.200,
+    // trigram scoring + sketch thresholds + broadcast bucket join
+    // (r14 steady 3.2-4.5; ~2.2× q_trigram_ppl, the extra leg is the
+    // lang join + tercile split)
+    "q_ppl_buckets" -> 4.500)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -415,6 +425,13 @@ object Bench {
     // ~3× at 10× (0.49-0.76 → 1.6-2.2 s steady): summary size is fixed,
     // the pass is token-linear
     "q_heavy_hitters" -> 2.700,
+    // ~2× at 10× (0.68-1.0 → 1.0-3.1 s): summary size is fixed, the
+    // pass is row-linear (one long per doc vs heavy hitters' per-token)
+    "q_quantile_sketch" -> 3.000,
+    // ~3× at 10× (3.2-4.5 → 8.6-16.6 s): LM-table joins are train-
+    // vocab-sized, the sketch summary fixed — the growth is the scored
+    // token stream, same slope as q_trigram_ppl's 2.1→7.3
+    "q_ppl_buckets" -> 17.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

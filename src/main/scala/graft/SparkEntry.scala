@@ -2595,6 +2595,27 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // per-lang token-length quantiles via the mergeable compactor
+    // SKETCH (graft_quantile_sketch, MRL/KLL ladder with deterministic
+    // alternating offsets): one bounded summary per partition per group
+    // crosses the shuffle vs the exact path's every-distinct-value.
+    // Exact regime here (≤ ~21k values per lang at sf1 « 32768
+    // capacity), so the summary IS the value multiset and the exact
+    // cumulative-window twin (the vanilla-session fallback) returns
+    // identical rows; the p‰ rule (smallest value with cum·1000 ≥
+    // p·total) is integer-exact and replays verbatim in the oracle
+    "q_quantile_sketch" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      val vals = t(s, dir, "documents").select(
+        col("lang"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+          .as("n_toks"))
+      CorpusOps.quantileSketch(vals, valueCol = "n_toks", groupCol = "lang",
+        probsPermille = Seq(500, 900, 990), capacity = 32768,
+        native = native)
+        .orderBy("lang")
+    }),
+
     "q_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(t(s, dir, "documents")).orderBy("lang")),
 
@@ -2720,6 +2741,18 @@ object SparkEntry {
       Importance.trigramBackoffSurprisal(
         t(s, dir, "documents"), trainPred = pmod(col("doc_id"), lit(2)) === 0)
         .orderBy("doc_id")),
+
+    // CCNet §4.1's head/middle/tail split: the trigram-LM scores above,
+    // cut into per-language perplexity TERCILES — thresholds from the
+    // mergeable quantile sketch (one bounded summary per partition per
+    // language crosses the shuffle; the languages-sized threshold table
+    // broadcasts back, so the scored corpus is never re-shuffled)
+    "q_ppl_buckets" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      Importance.perplexityBuckets(t(s, dir, "documents"),
+        trainPred = pmod(col("doc_id"), lit(2)) === 0, native = native)
+        .orderBy("doc_id")
+    }),
 
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
@@ -3803,6 +3836,75 @@ object SparkEntry {
     * (`rr{k}`) and the global rank offsets are the batched oracle's,
     * verbatim.
     */
+  /** The Stupid-Backoff trigram-LM CTE chain shared by the
+    * `q_trigram_ppl` and `q_ppl_buckets` oracles: ends at the
+    * per-(doc, position) `stream` of micro-quantized scores.
+    */
+  private def trigramPplCtes: String =
+    """WITH d AS (
+        | SELECT doc_id,
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS ws
+        | FROM documents),
+        |alpht AS (SELECT CAST(400000 AS DOUBLE) / 1000000.0 AS alpha),
+        |train AS (SELECT ws FROM d WHERE doc_id % 2 = 0),
+        |uni AS (SELECT w, count(*) AS c_w FROM (SELECT unnest(ws) AS w FROM train) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size FROM uni),
+        |big AS (
+        | SELECT u, w, count(*) AS c_uw FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i AS INT)])) AS u,
+        |   unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i + 1 AS INT)])) AS w
+        |  FROM train WHERE len(ws) >= 2) GROUP BY 1, 2),
+        |tri AS (
+        | SELECT u, v, w, count(*) AS c_uvw FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
+        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS v,
+        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 2 AS INT)])) AS w
+        |  FROM train WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+        |tstream AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
+        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS v,
+        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 2 AS INT)])) AS w
+        | FROM d WHERE len(ws) >= 3),
+        |tscored AS (
+        | SELECT k.u, k.v, k.w,
+        |  CAST(round(-ln(CASE
+        |    WHEN t.c_uvw IS NOT NULL THEN CAST(t.c_uvw AS DOUBLE) / buv.c_uw
+        |    WHEN bvw.c_uw IS NOT NULL THEN alpha * (CAST(bvw.c_uw AS DOUBLE) / uv.c_w)
+        |    ELSE (alpha * alpha) * ((CAST(coalesce(uw.c_w, 0) AS DOUBLE) + 1.0)
+        |      / CAST(n_total + v_size AS DOUBLE)) END) * 1e6) AS BIGINT) AS s_micro
+        | FROM (SELECT DISTINCT u, v, w FROM tstream) k
+        | LEFT JOIN tri t ON k.u = t.u AND k.v = t.v AND k.w = t.w
+        | LEFT JOIN big buv ON k.u = buv.u AND k.v = buv.w
+        | LEFT JOIN big bvw ON k.v = bvw.u AND k.w = bvw.w
+        | LEFT JOIN uni uv ON k.v = uv.w
+        | LEFT JOIN uni uw ON k.w = uw.w, tot, alpht),
+        |sstream AS (
+        | SELECT doc_id, ws[1] AS u, ws[2] AS w FROM d WHERE len(ws) >= 2),
+        |sscored AS (
+        | SELECT k.u, k.w,
+        |  CAST(round(-ln(CASE
+        |    WHEN b.c_uw IS NOT NULL THEN CAST(b.c_uw AS DOUBLE) / uu.c_w
+        |    ELSE alpha * ((CAST(coalesce(uw.c_w, 0) AS DOUBLE) + 1.0)
+        |      / CAST(n_total + v_size AS DOUBLE)) END) * 1e6) AS BIGINT) AS s_micro
+        | FROM (SELECT DISTINCT u, w FROM sstream) k
+        | LEFT JOIN big b ON k.u = b.u AND k.w = b.w
+        | LEFT JOIN uni uu ON k.u = uu.w
+        | LEFT JOIN uni uw ON k.w = uw.w, tot, alpht),
+        |fstream AS (SELECT doc_id, ws[1] AS w FROM d),
+        |fscored AS (
+        | SELECT k.w,
+        |  CAST(round(-ln((CAST(coalesce(u.c_w, 0) AS DOUBLE) + 1.0)
+        |    / CAST(n_total + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS s_micro
+        | FROM (SELECT DISTINCT w FROM fstream) k
+        | LEFT JOIN uni u ON k.w = u.w, tot),
+        |stream AS (
+        | SELECT f.doc_id, s.s_micro FROM fstream f JOIN fscored s USING (w)
+        | UNION ALL
+        | SELECT p.doc_id, s.s_micro FROM sstream p JOIN sscored s USING (u, w)
+        | UNION ALL
+        | SELECT t.doc_id, s.s_micro FROM tstream t JOIN tscored s USING (u, v, w))""".stripMargin
+
   private def bpeAdaptiveOracle(rounds: Int, batch0: Int, maxBatch: Int): String = {
     def offs(k: Int): String =
       if (k == 1) "0"
@@ -7468,6 +7570,26 @@ object SparkEntry {
         |QUALIFY rank <= 5
         |ORDER BY lang, rank""".stripMargin,
 
+    // exact regime: the compactor sketch holds the exact value multiset,
+    // so the oracle is plain per-(lang, value) counts + the same
+    // integer-exact lower-quantile rule (smallest value with
+    // cum·1000 ≥ p·total)
+    "q_quantile_sketch" ->
+      """WITH v AS (
+        | SELECT lang,
+        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS value
+        | FROM documents),
+        |c AS (SELECT lang, value, CAST(count(*) AS BIGINT) AS weight
+        |      FROM v GROUP BY 1, 2),
+        |cc AS (SELECT lang, value, weight,
+        |  sum(weight) OVER (PARTITION BY lang ORDER BY value) AS cum,
+        |  sum(weight) OVER (PARTITION BY lang) AS total FROM c)
+        |SELECT lang, CAST(max(total) AS BIGINT) AS n_values,
+        | min(CASE WHEN cum * 1000 >= total * 500 THEN value END) AS p500,
+        | min(CASE WHEN cum * 1000 >= total * 900 THEN value END) AS p900,
+        | min(CASE WHEN cum * 1000 >= total * 990 THEN value END) AS p990
+        |FROM cc GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_top_ngrams" ->
       """WITH sh AS (
         | SELECT doc_id, lang, list_distinct(sh0) AS sh FROM (
@@ -7859,74 +7981,39 @@ object SparkEntry {
     // every tier's probability is ONE fixed double expression over exact
     // integer counts, quantized once per distinct key (q_bigram_ppl's
     // determinism argument)
-    "q_trigram_ppl" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS ws
-        | FROM documents),
-        |alpht AS (SELECT CAST(400000 AS DOUBLE) / 1000000.0 AS alpha),
-        |train AS (SELECT ws FROM d WHERE doc_id % 2 = 0),
-        |uni AS (SELECT w, count(*) AS c_w FROM (SELECT unnest(ws) AS w FROM train) GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size FROM uni),
-        |big AS (
-        | SELECT u, w, count(*) AS c_uw FROM (
-        |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i AS INT)])) AS u,
-        |   unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i + 1 AS INT)])) AS w
-        |  FROM train WHERE len(ws) >= 2) GROUP BY 1, 2),
-        |tri AS (
-        | SELECT u, v, w, count(*) AS c_uvw FROM (
-        |  SELECT unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
-        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS v,
-        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 2 AS INT)])) AS w
-        |  FROM train WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
-        |tstream AS (
-        | SELECT doc_id,
-        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
-        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS v,
-        |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 2 AS INT)])) AS w
-        | FROM d WHERE len(ws) >= 3),
-        |tscored AS (
-        | SELECT k.u, k.v, k.w,
-        |  CAST(round(-ln(CASE
-        |    WHEN t.c_uvw IS NOT NULL THEN CAST(t.c_uvw AS DOUBLE) / buv.c_uw
-        |    WHEN bvw.c_uw IS NOT NULL THEN alpha * (CAST(bvw.c_uw AS DOUBLE) / uv.c_w)
-        |    ELSE (alpha * alpha) * ((CAST(coalesce(uw.c_w, 0) AS DOUBLE) + 1.0)
-        |      / CAST(n_total + v_size AS DOUBLE)) END) * 1e6) AS BIGINT) AS s_micro
-        | FROM (SELECT DISTINCT u, v, w FROM tstream) k
-        | LEFT JOIN tri t ON k.u = t.u AND k.v = t.v AND k.w = t.w
-        | LEFT JOIN big buv ON k.u = buv.u AND k.v = buv.w
-        | LEFT JOIN big bvw ON k.v = bvw.u AND k.w = bvw.w
-        | LEFT JOIN uni uv ON k.v = uv.w
-        | LEFT JOIN uni uw ON k.w = uw.w, tot, alpht),
-        |sstream AS (
-        | SELECT doc_id, ws[1] AS u, ws[2] AS w FROM d WHERE len(ws) >= 2),
-        |sscored AS (
-        | SELECT k.u, k.w,
-        |  CAST(round(-ln(CASE
-        |    WHEN b.c_uw IS NOT NULL THEN CAST(b.c_uw AS DOUBLE) / uu.c_w
-        |    ELSE alpha * ((CAST(coalesce(uw.c_w, 0) AS DOUBLE) + 1.0)
-        |      / CAST(n_total + v_size AS DOUBLE)) END) * 1e6) AS BIGINT) AS s_micro
-        | FROM (SELECT DISTINCT u, w FROM sstream) k
-        | LEFT JOIN big b ON k.u = b.u AND k.w = b.w
-        | LEFT JOIN uni uu ON k.u = uu.w
-        | LEFT JOIN uni uw ON k.w = uw.w, tot, alpht),
-        |fstream AS (SELECT doc_id, ws[1] AS w FROM d),
-        |fscored AS (
-        | SELECT k.w,
-        |  CAST(round(-ln((CAST(coalesce(u.c_w, 0) AS DOUBLE) + 1.0)
-        |    / CAST(n_total + v_size AS DOUBLE)) * 1e6) AS BIGINT) AS s_micro
-        | FROM (SELECT DISTINCT w FROM fstream) k
-        | LEFT JOIN uni u ON k.w = u.w, tot),
-        |stream AS (
-        | SELECT f.doc_id, s.s_micro FROM fstream f JOIN fscored s USING (w)
-        | UNION ALL
-        | SELECT p.doc_id, s.s_micro FROM sstream p JOIN sscored s USING (u, w)
-        | UNION ALL
-        | SELECT t.doc_id, s.s_micro FROM tstream t JOIN tscored s USING (u, v, w))
-        |SELECT doc_id, count(*) AS n_tokens,
+    "q_trigram_ppl" -> (trigramPplCtes + "\n" +
+      """SELECT doc_id, count(*) AS n_tokens,
         | CAST(sum(s_micro) AS BIGINT) AS sum_micro,
         | CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
-        |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // CCNet §4.1 terciles: the trigram-LM scores above, split per
+    // language by the integer-exact lower-quantile rule (smallest
+    // observed avg_micro with cum·1000 ≥ p·total) — exact regime for
+    // the sketch, so the oracle replays the thresholds verbatim
+    "q_ppl_buckets" -> (trigramPplCtes + "," + "\n" +
+      """ppl0 AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
+        | FROM stream GROUP BY 1),
+        |ppl AS (
+        | SELECT p.doc_id, d2.lang, p.n_tokens, p.avg_micro
+        | FROM ppl0 p JOIN documents d2 USING (doc_id)),
+        |grp AS (SELECT lang, avg_micro, CAST(count(*) AS BIGINT) AS wgt
+        |        FROM ppl GROUP BY 1, 2),
+        |cum_t AS (SELECT lang, avg_micro,
+        |  sum(wgt) OVER (PARTITION BY lang ORDER BY avg_micro) AS cum,
+        |  sum(wgt) OVER (PARTITION BY lang) AS total FROM grp),
+        |thr AS (SELECT lang,
+        |  min(CASE WHEN cum * 1000 >= total * 333 THEN avg_micro END) AS t333,
+        |  min(CASE WHEN cum * 1000 >= total * 667 THEN avg_micro END) AS t667
+        | FROM cum_t GROUP BY lang)
+        |SELECT p.doc_id, p.lang, p.n_tokens, p.avg_micro,
+        | CASE WHEN p.avg_micro <= t.t333 THEN 'head'
+        |      WHEN p.avg_micro <= t.t667 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM ppl p JOIN thr t USING (lang) ORDER BY p.doc_id""".stripMargin),
+
 
     "q_tfidf" ->
       """WITH toks AS (

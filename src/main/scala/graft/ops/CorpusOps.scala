@@ -743,4 +743,68 @@ object CorpusOps {
         .select(col(groupCol), col("rank"), col("key"), col("cnt"))
     }
   }
+
+  /** Per-group quantiles from a MERGEABLE sketch — the bounded-memory
+    * rank primitive completing the sketch family (HLL cardinality, CMS
+    * frequency, KMV distinct-sample, Misra-Gries heavy hitters,
+    * quantiles HERE).
+    *
+    * `native = true` aggregates with [[graft.plans.QuantileSketchAgg]]
+    * (MRL/KLL compactor ladder, deterministic alternating offsets): ONE
+    * bounded summary per partition per group crosses the shuffle —
+    * O(partitions × capacity × log(N/capacity)) wire volume vs the
+    * exact path's every-distinct-value, which is THE difference at
+    * 100 TB. In the exact regime (values per group < capacity) no
+    * compaction fires, the summary is the exact value multiset, and
+    * both paths return IDENTICAL rows (spec'd; the oracle pins them);
+    * past capacity the MRL rank-error bound is spec'd separately.
+    *
+    * `native = false` is the exact `groupBy(group, value)` + cumulative
+    * window twin — the portable path for sessions without the
+    * extensions.
+    *
+    * Quantile rule, shared by both paths and integer-exact: `p‰` is the
+    * smallest value whose cumulative weight `cum` satisfies
+    * `cum·1000 ≥ p·total` (the lower/discrete quantile — no
+    * interpolation, so the result is always an observed value and the
+    * rule replays verbatim in ANSI SQL). The windows run over the
+    * summary table (≤ capacity·levels rows per group), not the corpus.
+    *
+    * Output: one row per group — `n_values` (total aggregated weight;
+    * = exact count in the exact regime) and one `p{permille}` column
+    * per requested quantile.
+    */
+  def quantileSketch(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      probsPermille: Seq[Int] = Seq(500, 900, 990),
+      capacity: Int = 32768,
+      native: Boolean = false): DataFrame = {
+    require(probsPermille.nonEmpty, "need at least one quantile")
+    require(probsPermille.forall(p => p > 0 && p <= 1000),
+      s"quantiles are permille in (0, 1000], got $probsPermille")
+    val summary =
+      if (native)
+        df.groupBy(col(groupCol))
+          .agg(call_function("graft_quantile_sketch",
+            col(valueCol).cast("long"), lit(capacity)).as("__qs"))
+          .select(col(groupCol), explode(col("__qs")).as("__e"))
+          .select(col(groupCol), col("__e.value").as("value"),
+            col("__e.weight").as("weight"))
+      else
+        df.groupBy(col(groupCol), col(valueCol).cast("long").as("value"))
+          .agg(count(lit(1)).as("weight"))
+    val cumW = Window.partitionBy(groupCol).orderBy(col("value").asc)
+    val allW = Window.partitionBy(groupCol)
+    val ranked = summary
+      .withColumn("cum", sum("weight").over(cumW))
+      .withColumn("total", sum("weight").over(allW))
+    ranked.groupBy(col(groupCol))
+      .agg(
+        max(col("total")).as("n_values"),
+        probsPermille.map(p =>
+          min(when(col("cum") * 1000 >= col("total") * p, col("value")))
+            .as(s"p$p")): _*)
+  }
 }

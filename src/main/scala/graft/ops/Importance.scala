@@ -352,6 +352,57 @@ object Importance {
           .as("avg_micro"))
   }
 
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.1):
+    * score every document with the held-out Stupid-Backoff trigram LM
+    * ([[trigramBackoffSurprisal]]), then split EACH language into
+    * perplexity terciles against its own distribution — the
+    * self-calibrating cut that makes "well-written" mean the same thing
+    * in every language (an absolute threshold tuned on English would
+    * discard half of Chinese). `head` feeds pretraining as-is, `middle`
+    * survives with sampling, `tail` is the candidate discard — the
+    * labels downstream mixture planning consumes.
+    *
+    * The tercile thresholds come from [[CorpusOps.quantileSketch]] (the
+    * mergeable compactor sketch): ONE bounded summary per partition per
+    * language crosses the shuffle, and the languages-sized threshold
+    * table broadcasts back onto the scored stream — the corpus is never
+    * re-shuffled for the split. In the exact regime (docs per language
+    * < capacity) the thresholds are the exact lower terciles and the
+    * whole split replays verbatim in SQL; past capacity they carry the
+    * sketch's ε-rank guarantee.
+    *
+    * Bucket rule, integer-exact on the micro-quantized surprisal:
+    * `head` iff `avg_micro ≤ t333`, `middle` iff `≤ t667`, else `tail`,
+    * where `t_p` is the smallest observed avg_micro whose cumulative
+    * doc count reaches `p`‰ of the language (ties share a bucket — the
+    * rule depends on the VALUE, never on row order).
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      trainPred: Column,
+      groupCol: String = "lang",
+      alphaMicro: Long = 400000L,
+      textCol: String = "text",
+      capacity: Int = 32768,
+      native: Boolean = false): DataFrame = {
+    // the scored table feeds BOTH the threshold sketch and the final
+    // bucket join — without the (docs-sized, 4-column) checkpoint each
+    // consumer re-derives the whole 5-join LM scoring pass from scratch
+    // (the distributionDrift rule); callers free the blocks with
+    // Dedup.releaseCheckpoints like every checkpointing operator here
+    val ppl = trigramBackoffSurprisal(df, trainPred, alphaMicro, textCol)
+      .join(df.select(col("doc_id"), col(groupCol)), Seq("doc_id"))
+      .localCheckpoint()
+    val thr = CorpusOps.quantileSketch(ppl, "avg_micro", groupCol,
+        probsPermille = Seq(333, 667), capacity = capacity, native = native)
+      .select(col(groupCol), col("p333").as("__t333"), col("p667").as("__t667"))
+    ppl.join(broadcast(thr), Seq(groupCol))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"), col("avg_micro"),
+        when(col("avg_micro") <= col("__t333"), lit("head"))
+          .when(col("avg_micro") <= col("__t667"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Trained quality classifier: multinomial Naive Bayes over word
     * tokens, the CCNet/GPT-3 corpus-filtering shape (Wenzek et al. 2020
     * "CCNet"; Brown et al. 2020 §A) — train a cheap linear classifier on

@@ -251,6 +251,21 @@ object GraftExtensions {
         }
         HeavyHittersAgg(children.head, capacity)
       }),
+    (FunctionIdentifier("graft_quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "graft_quantile_sketch"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_quantile_sketch", children, 2)
+        val capacity = children(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(
+              s"graft_quantile_sketch capacity must be an int literal, got $other")
+          }
+          case _ => sys.error("graft_quantile_sketch capacity must be a literal")
+        }
+        QuantileSketchAgg(children.head, capacity)
+      }),
     (FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -432,4 +432,70 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers
     cnt should be >= 4L
     cnt should be <= 10L
   }
+
+  test("quantile sketch: exact regime — native compactor aggregate ≡ " +
+    "exact cumulative-window twin across partitions") {
+    // two groups with different shapes, scattered over 7 partitions so
+    // the aggregate's serialize/deserialize/merge all fire; duplicates
+    // exercise the weight-summing eval
+    val rows = (0 until 500).map(i => ("g1", (i % 97).toLong)) ++
+      (0 until 300).map(i => ("g2", (i * i % 41).toLong))
+    val df = rows.toDF("lang", "v").repartition(7)
+    val probs = Seq(10, 250, 500, 900, 1000)
+    val exact = CorpusOps.quantileSketch(df, "v", "lang", probs,
+      capacity = 1024, native = false).orderBy("lang").collect().map(_.toSeq)
+    val native = CorpusOps.quantileSketch(df, "v", "lang", probs,
+      capacity = 1024, native = true).orderBy("lang").collect().map(_.toSeq)
+    native shouldBe exact
+    exact.length shouldBe 2
+    exact.head(1) shouldBe 500L                    // n_values
+    exact.head(probs.length + 1) shouldBe 96L      // p1000 = max observed
+  }
+
+  test("quantile sketch: the aggregate serves a complete-mode stream — " +
+    "summaries accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, Long)](spark)
+    val agg = mem.toDF.toDF("lang", "v")
+      .groupBy("lang")
+      .agg(call_function("graft_quantile_sketch", col("v"), lit(64)).as("qs"))
+    val q = agg.writeStream.format("memory").queryName("qs_stream")
+      .outputMode("complete").start()
+    mem.addData(("g", 5L), ("g", 1L), ("g", 5L))
+    q.processAllAvailable()
+    mem.addData(("g", 9L), ("g", 1L))
+    q.processAllAvailable()
+    val rows = spark.table("qs_stream").collect()
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS qs_stream")
+    rows.length shouldBe 1
+    // exact regime across BOTH batches: the buffer round-trips the
+    // store between batches and eval sums weights per distinct value
+    val qs = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    qs shouldBe Seq((1L, 2L), (5L, 2L), (9L, 1L))
+  }
+
+  test("quantile sketch: compaction regime stays within the MRL rank-" +
+    "error bound and keeps total weight ~N") {
+    // 20k distinct values 0..N-1 hashed across partitions, capacity 256
+    // -> ~6 compaction levels; the value returned for p‰ has true rank
+    // value+1, so the rank error is directly observable. The MRL bound
+    // is N·levels/capacity ≈ 625; assert the looser 0.05·N and the
+    // within-summary invariants
+    val n = 20000
+    val df = (0 until n).map(i => ("g", i.toLong)).toDF("lang", "v")
+      .repartition(8, col("v"))
+    val out = CorpusOps.quantileSketch(df, "v", "lang",
+      Seq(500, 900, 990), capacity = 256, native = true).collect()
+    out.length shouldBe 1
+    val row = out.head
+    row.getLong(1).toDouble shouldBe n.toDouble +- (n * 0.01)
+    val (p500, p900, p990) = (row.getLong(2), row.getLong(3), row.getLong(4))
+    p500.toDouble shouldBe (n * 0.500) +- (n * 0.05)
+    p900.toDouble shouldBe (n * 0.900) +- (n * 0.05)
+    p990.toDouble shouldBe (n * 0.990) +- (n * 0.05)
+    p500 should be <= p900
+    p900 should be <= p990
+  }
 }

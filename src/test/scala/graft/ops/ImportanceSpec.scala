@@ -136,6 +136,55 @@ class ImportanceSpec extends AnyFunSuite with Matchers
     out(1L) shouldBe ((6L, 1098612L + 2931194L + 916291L + 4029806L))
   }
 
+  test("perplexity buckets: per-language terciles follow the value " +
+    "rule, native sketch ≡ portable twin, gibberish lands in tail") {
+    // two "languages" with six docs each (evens train); within each,
+    // fluent docs repeat trained phrases, gibberish docs carry unseen
+    // tokens — surprisal must separate them and the tercile thresholds
+    // must follow the integer-exact value rule
+    val docs = Seq(
+      (0L, "aa", "the cat sat on the mat the cat sat on the mat"),
+      (2L, "aa", "the dog sat on the mat the dog sat on the rug"),
+      (4L, "aa", "a cat and a dog sat on a mat and a rug"),
+      (1L, "aa", "the cat sat on the mat the cat sat on the mat"),
+      (3L, "aa", "zq wx kj qq zz plor gnar blip"),
+      (5L, "aa", "the cat zq wx on kj mat"),
+      (10L, "bb", "alpha beta gamma alpha beta gamma alpha beta"),
+      (12L, "bb", "beta gamma delta beta gamma delta beta gamma"),
+      (14L, "bb", "alpha delta beta gamma alpha delta"),
+      (11L, "bb", "alpha beta gamma alpha beta gamma"),
+      (13L, "bb", "xx yy zz ww vv uu"),
+      (15L, "bb", "alpha xx beta yy gamma")).toDF("doc_id", "lang", "text")
+    val even = pmod(col("doc_id"), lit(2)) === 0
+    val exact = Importance.perplexityBuckets(docs, even, native = false)
+      .orderBy("doc_id").collect()
+    val nat = Importance.perplexityBuckets(docs, even, native = true)
+      .orderBy("doc_id").collect()
+    nat.map(_.toSeq) shouldBe exact.map(_.toSeq)
+    exact.length shouldBe 12
+    val byLang = exact.groupBy(_.getString(1))
+    byLang.keySet shouldBe Set("aa", "bb")
+    for ((_, rows) <- byLang) {
+      // replay the threshold rule: t_p = smallest observed avg_micro
+      // whose cumulative row count reaches p‰ of the language
+      val n = rows.length
+      val sorted = rows.map(_.getLong(3)).sorted
+      def thr(p: Int): Long = sorted.distinct
+        .find(v => sorted.count(_ <= v).toLong * 1000 >= p.toLong * n).get
+      val (t333, t667) = (thr(333), thr(667))
+      rows.foreach { r =>
+        val v = r.getLong(3)
+        val expect =
+          if (v <= t333) "head" else if (v <= t667) "middle" else "tail"
+        r.getString(4) shouldBe expect
+      }
+      rows.map(_.getString(4)).toSet shouldBe Set("head", "middle", "tail")
+    }
+    // the all-unseen docs must be their language's worst bucket
+    exact.find(_.getLong(0) == 3L).get.getString(4) shouldBe "tail"
+    exact.find(_.getLong(0) == 13L).get.getString(4) shouldBe "tail"
+  }
+
   test("naive bayes quality: OOV-only doc scores prior + n*unseen " +
     "(hand-computed micro constants)") {
     // train: d1/d2 positive (6 tokens), d3 negative (3 tokens); shared
