@@ -105,7 +105,12 @@ object Bench {
     // mergeable MRL/KLL quantile sketch (custom TypedImperativeAggregate)
     "q_quantile_sketch",
     // CCNet head/middle/tail terciles (trigram LM + sketch thresholds)
-    "q_ppl_buckets")
+    "q_ppl_buckets",
+    // the remaining TPC-H shapes (fixture has no partsupp; each notes
+    // its stand-in): correlated-min, profit rollup, share HAVING,
+    // anti-join distinct count, nested-IN decorrelation
+    "q2_min_cost_supplier", "q9_nation_profit", "q11_important_parts",
+    "q16_supplier_cnt", "q20_part_promotion")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -300,7 +305,12 @@ object Bench {
     // trigram scoring + sketch thresholds + broadcast bucket join
     // (r14 steady 3.2-4.5; ~2.2× q_trigram_ppl, the extra leg is the
     // lang join + tercile split)
-    "q_ppl_buckets" -> 4.500)
+    "q_ppl_buckets" -> 4.500,
+    // TPC-H-shape additions (r14 steady, broadcast-dim star joins; q2/
+    // q11 carry an eager scan-once checkpoint, priced in)
+    "q2_min_cost_supplier" -> 2.000, "q9_nation_profit" -> 1.100,
+    "q11_important_parts" -> 1.200, "q16_supplier_cnt" -> 0.800,
+    "q20_part_promotion" -> 0.900)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -432,6 +442,11 @@ object Bench {
     // vocab-sized, the sketch summary fixed — the growth is the scored
     // token stream, same slope as q_trigram_ppl's 2.1→7.3
     "q_ppl_buckets" -> 17.000,
+    // ~2-4× at 10×: dims broadcast at both scales, fact-side shuffles
+    // grow linearly (r14 steady 1.1-4.2)
+    "q2_min_cost_supplier" -> 4.300, "q9_nation_profit" -> 4.300,
+    "q11_important_parts" -> 2.200, "q16_supplier_cnt" -> 2.600,
+    "q20_part_promotion" -> 1.700,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

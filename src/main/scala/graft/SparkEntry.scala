@@ -1044,6 +1044,160 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // TPC-H Q2 shape (no partsupp in the fixture: lineitem is the
+    // part×supplier price relation): for mid-size STANDARD parts, the
+    // EUROPE suppliers offering the part's global minimum price. The
+    // correlated min subquery decorrelates into a per-part min joined
+    // back on equality (the q15 pattern); every dim broadcasts — the
+    // only corpus-scale shuffle is the (part, supplier) price aggregate
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val cost = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_size").between(10, 20) &&
+              col("p_type") === "STANDARD")
+            .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost"))
+        // the price table feeds BOTH the per-part min and the equality
+        // join back — without the ((part × supplier)-sized) checkpoint
+        // each consumer re-scans lineitem (the distributionDrift rule);
+        // the driver releases the blocks after the run
+        .localCheckpoint()
+      val minc = cost.groupBy(col("p_partkey").as("mp_key"))
+        .agg(min("cost").as("min_cost"))
+      cost.join(minc, col("p_partkey") === col("mp_key") &&
+          col("cost") === col("min_cost"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          col("cost").cast("double").as("cost"))
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+          asc("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape (supply cost stood in by p_retailprice/10): profit
+    // by supplier nation × order year over name-filtered parts. Exact
+    // decimal arithmetic throughout via the ×10 trick (rev×10 − qty×
+    // retail, one double division at the very end), so both engines sum
+    // identical integers; part/supplier/nation broadcast, the fact
+    // stream shuffles once for orders and once for the group-by
+    "q9_nation_profit" -> ((s, dir) => {
+      val rev10 = ((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+        * lit(10)).cast("decimal(28,4)")
+      val cost10 = (col("l_quantity").cast("decimal(18,2)") *
+        col("p_retailprice").cast("decimal(18,2)")).cast("decimal(28,4)")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(rev10 - cost10).cast("double") / lit(10)).as("sum_profit"))
+        .orderBy(asc("n_name"), desc("o_year"))
+    }),
+
+    // TPC-H Q11 shape (stock value stood in by one nation's shipped
+    // revenue per part): parts whose value exceeds 2× the MEAN part
+    // value — the HAVING-over-global-aggregate shape. TPC-H's own
+    // fraction scales by 1/SF because a fixed share empties as the part
+    // count grows; comparing to the mean self-calibrates instead (the
+    // quantileGate argument). The per-part value table is parts-sized,
+    // so the scalar total and the filter run over the aggregate, never
+    // the corpus
+    "q11_important_parts" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      val value = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+            .select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(rev).as("value"))
+        // feeds the scalar total AND the output filter — checkpoint the
+        // parts-sized aggregate so lineitem scans once (q2's rule)
+        .localCheckpoint()
+      val tot = value.agg(sum("value").cast("double").as("total"),
+        count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(tot))
+        // both engines derive the doubles from the SAME exact decimal
+        // sums, so the mean comparison is engine-portable
+        .filter(col("value").cast("double") * col("n_parts") >
+          lit(2.0d) * col("total"))
+        .select(col("p_partkey"), col("value").cast("double").as("value"))
+        .orderBy(desc("value"), asc("p_partkey"))
+    }),
+
+    // TPC-H Q16 shape (complaint suppliers stood in by negative account
+    // balance): distinct supplier count per (brand, type, size) over
+    // filtered parts, excluding the bad-supplier set via a broadcast
+    // ANTI join (the NOT IN decorrelation — no null key in the fixture,
+    // so anti ≡ NOT IN)
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val bad = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#1" &&
+              col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 5, 10, 15, 20, 25))
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+          asc("p_size"))
+    }),
+
+    // TPC-H Q20 shape (availability stood in by shipped volume): ASIA
+    // suppliers who moved > 30 units of some 'small%' part in 1997 —
+    // the nested-IN chain decorrelated into one filtered aggregate with
+    // HAVING, then broadcast-joined to the dims; DISTINCT collapses the
+    // per-part multiplicity before the (tiny) dim joins
+    "q20_part_promotion" -> ((s, dir) => {
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").like("small%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .filter(col("qty") > 30)
+      shipped
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_name", "n_name").distinct()
+        .orderBy("s_name")
+    }),
+
     // TPC-H Q14 shape: promo revenue share for one month — conditional
     // aggregation over a broadcast part join, decimal-exact both legs
     "q14_promo" -> ((s, dir) => {
@@ -5101,6 +5255,78 @@ object SparkEntry {
         |      WHERE l.late = 1 AND f.n_supp >= 2 AND f.n_late = 1) w
         |JOIN supplier ON s_suppkey = w.l_suppkey
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        | SELECT p_partkey, p_brand, l_suppkey,
+        |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+        | GROUP BY 1, 2, 3),
+        |minc AS (SELECT p_partkey, min(cost) AS min_cost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, c.p_partkey, p_brand,
+        | CAST(cost AS DOUBLE) AS cost
+        |FROM cost c JOIN minc m ON c.p_partkey = m.p_partkey AND c.cost = m.min_cost
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, c.p_partkey LIMIT 100""".stripMargin,
+
+    "q9_nation_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    AS DECIMAL(28,4)) * 10 AS DECIMAL(28,4))
+        |  - CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |    CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |  AS DOUBLE) / 10 AS sum_profit
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH val AS (
+        | SELECT l_partkey AS p_partkey,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   AS DECIMAL(28,4))) AS value
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_3' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value) AS DOUBLE) AS total,
+        |        CAST(count(*) AS BIGINT) AS n_parts FROM val)
+        |SELECT p_partkey, CAST(value AS DOUBLE) AS value FROM val, tot
+        |WHERE CAST(value AS DOUBLE) * n_parts > 2.0 * total
+        |ORDER BY 2 DESC, p_partkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        | AND p_size IN (1, 5, 10, 15, 20, 25)
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_part_promotion" ->
+      """WITH shipped AS (
+        | SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_name LIKE 'small%'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1, 2 HAVING SUM(CAST(l_quantity AS BIGINT)) > 30)
+        |SELECT DISTINCT s_name, n_name
+        |FROM shipped JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY s_name""".stripMargin,
 
     "q15_top_supplier" ->
       """WITH rev AS (
