@@ -294,6 +294,32 @@ object SparkEntry {
     * [[trainedViterbiVocab]] makes `q_tokenize_viterbi_vocab` the
     * decode. Bounded: one model per distinct sf dir.
     */
+  /** JVM-lifetime trained-LM cache — the trainedNbServing pattern on
+    * the perplexity axis: train + export once per sf dir so
+    * `q_ppl_serving` times the SCORING projection, not the train.
+    *
+    * The prune caps BIND the shipped artifact (the point of KenLM-style
+    * pruning — the full trigram table is corpus-sized at 100 TB, the
+    * served model must not be): trigram pruning is ACTIVE at sf0.01
+    * (9964 train trigrams) and sf0.1 (26893), so the oracle's
+    * rank-capped replay is exercised by the hash compare, not just
+    * asserted; bigram pruning binds from sf1 up (9310 > 4096).
+    */
+  private[graft] val lmServeMaxTri = 8192
+  private[graft] val lmServeMaxBig = 4096
+  private val lmServingCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.Importance.LmServing]()
+  private def trainedLmServing(
+      s: SparkSession, dir: String): graft.ops.Importance.LmServing =
+    lmServingCache.computeIfAbsent(dir, _ => {
+      val m = graft.ops.Importance.trainLmServing(
+        t(s, dir, "documents"),
+        trainPred = pmod(col("doc_id"), lit(2)) === 0,
+        maxTri = lmServeMaxTri, maxBig = lmServeMaxBig)
+      require(m.keys.nonEmpty, "empty trained LM model")
+      m
+    })
+
   private val nbServingCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.ops.Importance.NbServing]()
   private def trainedNbServing(
@@ -2908,6 +2934,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the SERVING half of the CCNet LM filter — train → export → serve,
+    // the nbServing lifecycle on the perplexity axis: the Stupid-Backoff
+    // tables export once per sf dir as a PRUNED bounded driver artifact
+    // (the KenLM shape CCNet ships to filter workers — the full trigram
+    // table is corpus-sized at 100 TB, the served model must not be; a
+    // pruned n-gram falls to the next backoff tier, never the OOV
+    // cliff), and scoring is ONE stateless projection with the whole
+    // backoff chain in-row (graft_lm_score hash lookups) — no train
+    // joins, no shuffle, stream ≡ batch. The oracle replays the prune
+    // caps rank-exactly from the same constants
+    "q_ppl_serving" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      Importance.lmServingScored(t(s, dir, "documents"),
+        trainedLmServing(s, dir), native = native)
+        .orderBy("doc_id")
+    }),
+
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 5)
         .orderBy("doc_id", "rank")),
@@ -3994,26 +4037,51 @@ object SparkEntry {
     * `q_trigram_ppl` and `q_ppl_buckets` oracles: ends at the
     * per-(doc, position) `stream` of micro-quantized scores.
     */
-  private def trigramPplCtes: String =
-    """WITH d AS (
+  private def trigramPplCtes: String = trigramPplCtesCapped(None, None)
+
+  /** The Stupid-Backoff trigram-LM CTE chain shared by the
+    * `q_trigram_ppl`, `q_ppl_buckets` and `q_ppl_serving` oracles:
+    * ends at the per-(doc, position) `stream` of micro-quantized
+    * scores. With `triCap`/`bigCap` set, KenLM-style pruning is
+    * replayed: an n-gram outside the top-cap (count DESC, key ASC —
+    * `trainLmServing`'s exact prune order) scores as if ABSENT,
+    * falling to the next backoff tier.
+    */
+  private def trigramPplCtesCapped(
+      triCap: Option[Int], bigCap: Option[Int]): String = {
+    val ranked = triCap.isDefined || bigCap.isDefined
+    val triCond = triCap.map(c => s" AND t.trk <= $c").getOrElse("")
+    val bvwCond = bigCap.map(c => s" AND bvw.brk <= $c").getOrElse("")
+    val bCond = bigCap.map(c => s" AND b.brk <= $c").getOrElse("")
+    val bigInner =
+      """ SELECT u, w, count(*) AS c_uw FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i AS INT)])) AS u,
+        |   unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i + 1 AS INT)])) AS w
+        |  FROM train WHERE len(ws) >= 2) GROUP BY 1, 2""".stripMargin
+    val triInner =
+      """ SELECT u, v, w, count(*) AS c_uvw FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
+        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS v,
+        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 2 AS INT)])) AS w
+        |  FROM train WHERE len(ws) >= 3) GROUP BY 1, 2, 3""".stripMargin
+    val bigCte =
+      if (!ranked) s"big AS (\n$bigInner)"
+      else "big AS (\n SELECT u, w, c_uw, row_number() OVER " +
+        s"(ORDER BY c_uw DESC, u, w) AS brk FROM (\n$bigInner))"
+    val triCte =
+      if (!ranked) s"tri AS (\n$triInner)"
+      else "tri AS (\n SELECT u, v, w, c_uvw, row_number() OVER " +
+        s"(ORDER BY c_uvw DESC, u, v, w) AS trk FROM (\n$triInner))"
+    s"""WITH d AS (
         | SELECT doc_id,
-        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS ws
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') AS ws
         | FROM documents),
         |alpht AS (SELECT CAST(400000 AS DOUBLE) / 1000000.0 AS alpha),
         |train AS (SELECT ws FROM d WHERE doc_id % 2 = 0),
         |uni AS (SELECT w, count(*) AS c_w FROM (SELECT unnest(ws) AS w FROM train) GROUP BY 1),
         |tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v_size FROM uni),
-        |big AS (
-        | SELECT u, w, count(*) AS c_uw FROM (
-        |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i AS INT)])) AS u,
-        |   unnest(list_transform(range(1, len(ws)), i -> ws[CAST(i + 1 AS INT)])) AS w
-        |  FROM train WHERE len(ws) >= 2) GROUP BY 1, 2),
-        |tri AS (
-        | SELECT u, v, w, count(*) AS c_uvw FROM (
-        |  SELECT unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
-        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 1 AS INT)])) AS v,
-        |   unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i + 2 AS INT)])) AS w
-        |  FROM train WHERE len(ws) >= 3) GROUP BY 1, 2, 3),
+        |$bigCte,
+        |$triCte,
         |tstream AS (
         | SELECT doc_id,
         |  unnest(list_transform(range(1, len(ws) - 1), i -> ws[CAST(i AS INT)])) AS u,
@@ -4023,8 +4091,8 @@ object SparkEntry {
         |tscored AS (
         | SELECT k.u, k.v, k.w,
         |  CAST(round(-ln(CASE
-        |    WHEN t.c_uvw IS NOT NULL THEN CAST(t.c_uvw AS DOUBLE) / buv.c_uw
-        |    WHEN bvw.c_uw IS NOT NULL THEN alpha * (CAST(bvw.c_uw AS DOUBLE) / uv.c_w)
+        |    WHEN t.c_uvw IS NOT NULL$triCond THEN CAST(t.c_uvw AS DOUBLE) / buv.c_uw
+        |    WHEN bvw.c_uw IS NOT NULL$bvwCond THEN alpha * (CAST(bvw.c_uw AS DOUBLE) / uv.c_w)
         |    ELSE (alpha * alpha) * ((CAST(coalesce(uw.c_w, 0) AS DOUBLE) + 1.0)
         |      / CAST(n_total + v_size AS DOUBLE)) END) * 1e6) AS BIGINT) AS s_micro
         | FROM (SELECT DISTINCT u, v, w FROM tstream) k
@@ -4038,7 +4106,7 @@ object SparkEntry {
         |sscored AS (
         | SELECT k.u, k.w,
         |  CAST(round(-ln(CASE
-        |    WHEN b.c_uw IS NOT NULL THEN CAST(b.c_uw AS DOUBLE) / uu.c_w
+        |    WHEN b.c_uw IS NOT NULL$bCond THEN CAST(b.c_uw AS DOUBLE) / uu.c_w
         |    ELSE alpha * ((CAST(coalesce(uw.c_w, 0) AS DOUBLE) + 1.0)
         |      / CAST(n_total + v_size AS DOUBLE)) END) * 1e6) AS BIGINT) AS s_micro
         | FROM (SELECT DISTINCT u, w FROM sstream) k
@@ -4058,6 +4126,7 @@ object SparkEntry {
         | SELECT p.doc_id, s.s_micro FROM sstream p JOIN sscored s USING (u, w)
         | UNION ALL
         | SELECT t.doc_id, s.s_micro FROM tstream t JOIN tscored s USING (u, v, w))""".stripMargin
+  }
 
   private def bpeAdaptiveOracle(rounds: Int, batch0: Int, maxBatch: Int): String = {
     def offs(k: Int): String =
@@ -8208,6 +8277,17 @@ object SparkEntry {
     // integer counts, quantized once per distinct key (q_bigram_ppl's
     // determinism argument)
     "q_trigram_ppl" -> (trigramPplCtes + "\n" +
+      """SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(s_micro) AS BIGINT) AS sum_micro,
+        | CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
+        |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the serving leg shares the trigram CTE chain with the prune caps
+    // REPLAYED (rank-capped tiers, same (count DESC, key ASC) order as
+    // trainLmServing) — interpolated from the same constants as the
+    // query, so they cannot desynchronize
+    "q_ppl_serving" -> (trigramPplCtesCapped(
+      Some(lmServeMaxTri), Some(lmServeMaxBig)) + "\n" +
       """SELECT doc_id, count(*) AS n_tokens,
         | CAST(sum(s_micro) AS BIGINT) AS sum_micro,
         | CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro

@@ -403,6 +403,205 @@ object Importance {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Exported Stupid-Backoff serving model: six score tables in ONE
+    * prefixed key space (see [[graft.plans.LmScore]]) + the three
+    * per-position OOV constants. A bounded driver artifact like
+    * [[NbServing]] — the KenLM shape CCNet ships to its filter workers.
+    */
+  final case class LmServing(
+      keys: Seq[String], scores: Seq[Long],
+      oov1: Long, oov2: Long, oov3: Long) {
+    require(keys.size == scores.size, "one score per key")
+  }
+
+  /** Train the Stupid-Backoff trigram LM and EXPORT it for serving —
+    * the train half of the train → export → serve lifecycle the NB
+    * classifiers already have, applied to the CCNet perplexity filter.
+    * Counting and quantization replicate [[trigramBackoffSurprisal]]
+    * EXACTLY (same count tables, same one-double-per-distinct-key
+    * micro rounding, computed in-engine before the vocab-sized
+    * collect), so un-pruned serving is answer-equal to the in-plan
+    * scorer by construction.
+    *
+    * Pruning (`maxTri`/`maxBig`, most-frequent-first, ties by key) is
+    * KenLM-style: a DROPPED n-gram is simply absent, so serving falls
+    * to the NEXT BACKOFF TIER — the model degrades smoothly, never
+    * cliffs to the OOV constant (contrast [[trainNbServing]], where
+    * dropped tokens floor to OOV because NB has no lower tier).
+    *
+    * At 100 TB the full trigram table is corpus-sized — pruning is what
+    * makes the artifact shippable, exactly as in the deployed systems.
+    */
+  def trainLmServing(
+      df: DataFrame,
+      trainPred: Column,
+      alphaMicro: Long = 400000L,
+      textCol: String = "text",
+      maxTri: Int = 1 << 20,
+      maxBig: Int = 1 << 20): LmServing = {
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L,
+      s"alphaMicro must be in [0, 1e6], got $alphaMicro")
+    require(maxTri > 0 && maxBig > 0, "prune budgets must be positive")
+    val alpha = alphaMicro / 1e6
+    val sep = graft.plans.LmScore.Sep
+    val trainToks = df.filter(trainPred).select(
+      TextAnalysis.normTokens(coalesce(col(textCol), lit(""))).as("ws"))
+
+    val uni = trainToks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = uni.agg(
+      sum("c_w").as("n_total"), count(lit(1)).as("v_size"))
+    val big = trainToks.select(explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(
+              element_at(col("ws"), i).as("u"),
+              element_at(col("ws"), i + 1).as("w"))))
+          .otherwise(array().cast("array<struct<u:string,w:string>>")))
+        .as("p"))
+      .select(col("p.u"), col("p.w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val tri = trainToks.select(explode(
+        when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2), i =>
+            struct(
+              element_at(col("ws"), i).as("u"),
+              element_at(col("ws"), i + 1).as("v"),
+              element_at(col("ws"), i + 2).as("w"))))
+          .otherwise(array().cast("array<struct<u:string,v:string,w:string>>")))
+        .as("p"))
+      .select(col("p.u"), col("p.v"), col("p.w"))
+      .groupBy("u", "v", "w").agg(count(lit(1)).as("c_uvw"))
+
+    // the one fixed double per distinct key, quantized IN-ENGINE — the
+    // EXACT expressions trigramBackoffSurprisal scores with
+    def uniFloor(cw: Column) =
+      (coalesce(cw, lit(0L)).cast("double") + 1.0) /
+        (col("n_total") + col("v_size")).cast("double")
+    val uniRows = uni.crossJoin(broadcast(totals)).select(col("w"),
+        round(-log(uniFloor(col("c_w"))) * 1e6).cast("long").as("s_u"),
+        round(-log(lit(alpha) * uniFloor(col("c_w"))) * 1e6).cast("long")
+          .as("s_f"),
+        round(-log(lit(alpha * alpha) * uniFloor(col("c_w"))) * 1e6)
+          .cast("long").as("s_g"))
+      .collect()
+    val bigRows = big
+      .join(uni.select(col("w").as("u"), col("c_w").as("c_u")), Seq("u"))
+      .select(col("u"), col("w"),
+        round(-log(col("c_uw").cast("double") / col("c_u")) * 1e6)
+          .cast("long").as("s_b"),
+        round(-log(lit(alpha) * (col("c_uw").cast("double") / col("c_u")))
+          * 1e6).cast("long").as("s_c"),
+        col("c_uw"))
+      .orderBy(desc("c_uw"), asc("u"), asc("w"))
+      .limit(maxBig).collect()
+    val triRows = tri
+      .join(big.select(col("u"), col("w").as("v"), col("c_uw").as("c_uv")),
+        Seq("u", "v"))
+      .select(col("u"), col("v"), col("w"),
+        round(-log(col("c_uvw").cast("double") / col("c_uv")) * 1e6)
+          .cast("long").as("s_t"),
+        col("c_uvw"))
+      .orderBy(desc("c_uvw"), asc("u"), asc("v"), asc("w"))
+      .limit(maxTri).collect()
+    val consts = totals.select(
+        round(-log(uniFloor(lit(null).cast("long"))) * 1e6).cast("long")
+          .as("o1"),
+        round(-log(lit(alpha) * uniFloor(lit(null).cast("long"))) * 1e6)
+          .cast("long").as("o2"),
+        round(-log(lit(alpha * alpha) * uniFloor(lit(null).cast("long")))
+          * 1e6).cast("long").as("o3"))
+      .collect().head
+    require(!consts.isNullAt(0),
+      "trainLmServing: empty train slice — no tokens to count")
+
+    val keys = Seq.newBuilder[String]
+    val scores = Seq.newBuilder[Long]
+    uniRows.foreach { r =>
+      keys += s"U$sep${r.getString(0)}"; scores += r.getLong(1)
+      keys += s"F$sep${r.getString(0)}"; scores += r.getLong(2)
+      keys += s"G$sep${r.getString(0)}"; scores += r.getLong(3)
+    }
+    bigRows.foreach { r =>
+      keys += s"B$sep${r.getString(0)}$sep${r.getString(1)}"
+      scores += r.getLong(2)
+      keys += s"C$sep${r.getString(0)}$sep${r.getString(1)}"
+      scores += r.getLong(3)
+    }
+    triRows.foreach { r =>
+      keys += s"T$sep${r.getString(0)}$sep${r.getString(1)}$sep${r.getString(2)}"
+      scores += r.getLong(3)
+    }
+    LmServing(keys.result(), scores.result(),
+      consts.getLong(0), consts.getLong(1), consts.getLong(2))
+  }
+
+  /** Serving-side LM scoring against an exported [[LmServing]] model:
+    * ONE stateless projection per document — no train-table joins, no
+    * shuffle beyond the scan, so it runs unchanged over a micro-batch
+    * stream (each batch is a pure map stage with nothing to re-derive).
+    * Output schema matches [[trigramBackoffSurprisal]] exactly —
+    * un-pruned, the rows are EQUAL (shared oracle).
+    *
+    * `native` picks [[graft.plans.LmScore]] (one hash table per task,
+    * O(tokens)/row with the backoff chain in-row); the fallback chains
+    * `try_element_at` lookups on a map literal — identical sums,
+    * linear-scan lookups (Catalyst map literals are array-backed).
+    */
+  def lmServingScored(
+      df: DataFrame,
+      model: LmServing,
+      textCol: String = "text",
+      native: Boolean = false): DataFrame = {
+    val scoreOf: Column => Column =
+      if (native) ws => call_function("graft_lm_score", ws,
+        array(model.keys.map(lit): _*),
+        array(model.scores.map(s => lit(s)): _*),
+        lit(model.oov1), lit(model.oov2), lit(model.oov3))
+      else ws => portableLmScore(ws, model)
+    df.select(col("doc_id"),
+      graft.functions.ColumnOps.bind(
+        TextAnalysis.normTokens(coalesce(col(textCol), lit("")))) { ws =>
+        struct(
+          size(ws).cast("long").as("n_tokens"),
+          scoreOf(ws).as("sum_micro"))
+      }.as("q"))
+      .select(col("doc_id"), col("q.n_tokens"), col("q.sum_micro"),
+        graft.functions.ColumnOps.fdivCol(col("q.sum_micro"),
+          col("q.n_tokens")).as("avg_micro"))
+  }
+
+  /** The map-literal twin of [[graft.plans.LmScore]] for sessions
+    * without the extensions: same prefixed key space, same backoff
+    * chain via `coalesce`, exact long sums. `concat` (NOT `concat_ws`)
+    * builds the lookup keys so a NULL part keeps propagating to a miss,
+    * mirroring the native table's null rule.
+    */
+  private def portableLmScore(ws: Column, m: LmServing): Column = {
+    val sep = lit(graft.plans.LmScore.Sep)
+    val mapLit = map_from_arrays(
+      array(m.keys.map(lit): _*), array(m.scores.map(s => lit(s)): _*))
+    def lk(parts: Column*): Column =
+      try_element_at(mapLit, concat(parts: _*))
+    graft.functions.ColumnOps.bind(ws) { t =>
+      val n = size(t)
+      val p1 = coalesce(lk(lit("U"), sep, element_at(t, 1)), lit(m.oov1))
+      val p2 = coalesce(
+        lk(lit("B"), sep, element_at(t, 1), sep, element_at(t, 2)),
+        lk(lit("F"), sep, element_at(t, 2)), lit(m.oov2))
+      val rest = aggregate(sequence(lit(3), n), lit(0L), (acc, i) =>
+        acc + coalesce(
+          lk(lit("T"), sep, element_at(t, i - 2), sep,
+            element_at(t, i - 1), sep, element_at(t, i)),
+          lk(lit("C"), sep, element_at(t, i - 1), sep, element_at(t, i)),
+          lk(lit("G"), sep, element_at(t, i)),
+          lit(m.oov3)))
+      when(n === 0, lit(0L)).otherwise(
+        p1 + when(n >= 2, p2).otherwise(lit(0L)) +
+          when(n >= 3, rest).otherwise(lit(0L)))
+    }
+  }
+
   /** Trained quality classifier: multinomial Naive Bayes over word
     * tokens, the CCNet/GPT-3 corpus-filtering shape (Wenzek et al. 2020
     * "CCNet"; Brown et al. 2020 §A) — train a cheap linear classifier on

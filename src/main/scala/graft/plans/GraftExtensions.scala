@@ -266,6 +266,42 @@ object GraftExtensions {
         }
         QuantileSketchAgg(children.head, capacity)
       }),
+    (FunctionIdentifier("graft_lm_score"),
+      new ExpressionInfo(classOf[LmScore].getName, "graft_lm_score"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_lm_score", children, 6)
+        def literalArray(e: Expression, what: String): Array[AnyRef] = e match {
+          case a if a.foldable => a.eval(null) match {
+            case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+              arr.toObjectArray(a.dataType
+                .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+            case other => sys.error(
+              s"graft_lm_score $what must be an array literal, got $other")
+          }
+          case _ => sys.error(s"graft_lm_score $what must be an array literal")
+        }
+        val keys = literalArray(children(1), "keys")
+          .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          .toSeq
+        val scores = literalArray(children(2), "scores").map {
+          case l: java.lang.Long => l.longValue()
+          case i: Integer        => i.longValue()
+          case other             => sys.error(
+            s"graft_lm_score scores must be long literals, got $other")
+        }.toSeq
+        def longLit(e: Expression, what: String): Long = e match {
+          case x if x.foldable => x.eval(null) match {
+            case l: Long => l
+            case i: Int  => i.toLong
+            case other   => sys.error(
+              s"graft_lm_score $what must be a long literal, got $other")
+          }
+          case _ => sys.error(s"graft_lm_score $what must be a literal")
+        }
+        LmScore(children.head, keys, scores,
+          longLit(children(3), "oov1"), longLit(children(4), "oov2"),
+          longLit(children(5), "oov3"))
+      }),
     (FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

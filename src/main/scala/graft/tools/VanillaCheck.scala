@@ -30,8 +30,9 @@ object VanillaCheck {
       // map-literal fallback for the NB serving projections
       "q_heavy_hitters", "q_quality_nb_stream", "q_langid_nb_stream",
       // exact cumulative-window fallback for the compactor quantile
-      // sketch, alone and under the CCNet tercile split
-      "q_quantile_sketch", "q_ppl_buckets")) {
+      // sketch, alone and under the CCNet tercile split; map-literal
+      // fallback for the LM serving projection
+      "q_quantile_sketch", "q_ppl_buckets", "q_ppl_serving")) {
       val c = graft.SparkEntry.allQueries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"VANILLA $q rows: $c (fallback path)")
       require(c > 0, s"$q must return rows without extensions")

@@ -234,6 +234,71 @@ class ImportanceSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("lm serving: un-pruned export scores exactly like the batch " +
+    "trigram scorer, native and fallback") {
+    // the trigram spec's corpus: train = doc 0; doc 1 exercises every
+    // tier (tri hit, bigram tier, unigram floor, OOV); doc 2 is all-OOV
+    val docs = Seq(
+      (0L, "a b c a b c"),
+      (1L, "a b c b c x"),
+      (2L, "zz yy")).toDF("doc_id", "text")
+    val train = col("doc_id") === 0
+    val batch = Importance.trigramBackoffSurprisal(docs, train)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val model = Importance.trainLmServing(docs, train)
+    for (native <- Seq(false, true)) {
+      val served = Importance.lmServingScored(docs, model, native = native)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      withClue(s"native=$native: ") { served shouldBe batch }
+    }
+  }
+
+  test("lm serving: a pruned trigram falls to the NEXT backoff tier, " +
+    "never the OOV cliff (hand-computed)") {
+    // train trigrams of "a b c a b c": abc ×2, bca ×1, cab ×1. maxTri=2
+    // keeps abc (count 2) and bca (count-1 tie broken by key: b < c);
+    // cab is DROPPED, so position 5 of doc 0 must score the C tier
+    // α·c_ab/c_a = 0.4 → 916291 micro — NOT an OOV constant.
+    //   pos1 a: -ln(3/9) = 1098612;  pos2 (a,b): -ln(2/2) = 0
+    //   abc: 0;  bca: -ln(1/2) = 693147;  cab→C(a,b): 916291;  abc: 0
+    val docs = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val model = Importance.trainLmServing(docs, lit(true), maxTri = 2)
+    model.keys.count(_.startsWith("T")) shouldBe 2
+    for (native <- Seq(false, true)) {
+      val out = Importance.lmServingScored(docs, model, native = native)
+        .collect().head
+      withClue(s"native=$native: ") {
+        out.getLong(1) shouldBe 6L
+        out.getLong(2) shouldBe (1098612L + 693147L + 916291L)
+      }
+    }
+  }
+
+  test("lm serving scores a memory stream identically to batch " +
+    "(one stateless projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (0L, "a b c a b c"),
+      (1L, "a b c b c x")).toDF("doc_id", "text")
+    val model = Importance.trainLmServing(corpus, col("doc_id") === 0)
+    val batch = Importance.lmServingScored(corpus, model, native = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Importance.lmServingScored(
+      mem.toDF.toDF("doc_id", "text"), model, native = true)
+      .writeStream.format("memory").queryName("lm_serve")
+      .outputMode("append").start()
+    mem.addData((0L, "a b c a b c"))
+    q.processAllAvailable()
+    mem.addData((1L, "a b c b c x"))
+    q.processAllAvailable()
+    val streamed = spark.table("lm_serve").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS lm_serve")
+    streamed shouldBe batch
+  }
+
   test("nb serving: un-pruned export scores exactly like the batch " +
     "classifier, native and fallback") {
     val docs = (0L until 60L).map { i =>
