@@ -112,8 +112,9 @@ object Bench {
     "q2_min_cost_supplier", "q9_nation_profit", "q11_important_parts",
     "q16_supplier_cnt", "q20_part_promotion",
     // LM-filter serving leg: pruned Stupid-Backoff artifact, in-row
-    // backoff chain (graft_lm_score), model cached per sf dir
-    "q_ppl_serving")
+    // backoff chain (graft_lm_score), model cached per sf dir — plus
+    // the parquet artifact-persistence leg (read + serve)
+    "q_ppl_serving", "q_ppl_persist")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -316,7 +317,9 @@ object Bench {
     "q20_part_promotion" -> 0.900,
     // one stateless scoring projection over the cached pruned model
     // (r14 steady 1.3; the train is a per-dir cached artifact)
-    "q_ppl_serving" -> 1.600)
+    "q_ppl_serving" -> 1.600,
+    // model read-back + the same projection (r14 steady 1.2-1.4)
+    "q_ppl_persist" -> 1.700)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -458,6 +461,8 @@ object Bench {
     // so the growth is the scored token stream; beats the in-plan
     // batch scorer's 7.3 s with zero train-table joins
     "q_ppl_serving" -> 8.500,
+    // read-back is model-sized, serving corpus-linear (1.2 → 5.0 s)
+    "q_ppl_persist" -> 7.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

@@ -320,6 +320,19 @@ object SparkEntry {
       m
     })
 
+  /** JVM-lifetime persisted-LM-model dir cache — train + write ONCE per
+    * sf dir, so `q_ppl_persist` times the READ + SERVE side.
+    */
+  private val lmModelDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def persistedLmModel(s: SparkSession, dir: String): String =
+    lmModelDirCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-lm-model").toString
+      graft.ops.Importance.writeLmModel(s, trainedLmServing(s, dir), tmp)
+      tmp
+    })
+
   private val nbServingCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.ops.Importance.NbServing]()
   private def trainedNbServing(
@@ -2948,6 +2961,18 @@ object SparkEntry {
       val native = graft.plans.GraftExtensions.available(s)
       Importance.lmServingScored(t(s, dir, "documents"),
         trainedLmServing(s, dir), native = native)
+        .orderBy("doc_id")
+    }),
+
+    // LM artifact-persistence leg (q_quality_nb_persist's shape on the
+    // perplexity axis): train + write cached per sf dir, the gated
+    // number is READ + SERVE — what a deployment pays per corpus pass
+    // after shipping the pruned model
+    "q_ppl_persist" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      Importance.lmServingScored(t(s, dir, "documents"),
+        Importance.readLmModel(s, persistedLmModel(s, dir)),
+        native = native)
         .orderBy("doc_id")
     }),
 
@@ -8287,6 +8312,15 @@ object SparkEntry {
     // trainLmServing) — interpolated from the same constants as the
     // query, so they cannot desynchronize
     "q_ppl_serving" -> (trigramPplCtesCapped(
+      Some(lmServeMaxTri), Some(lmServeMaxBig)) + "\n" +
+      """SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(s_micro) AS BIGINT) AS sum_micro,
+        | CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
+        |FROM stream GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the parquet round-trip restores the exact model (spec'd), so the
+    // persisted leg shares the capped serving oracle verbatim
+    "q_ppl_persist" -> (trigramPplCtesCapped(
       Some(lmServeMaxTri), Some(lmServeMaxBig)) + "\n" +
       """SELECT doc_id, count(*) AS n_tokens,
         | CAST(sum(s_micro) AS BIGINT) AS sum_micro,

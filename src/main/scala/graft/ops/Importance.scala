@@ -1049,6 +1049,44 @@ object Importance {
       meta.getLong(0), meta.getLong(1))
   }
 
+  /** Persist an exported [[LmServing]] model — the artifact-shipping
+    * leg of the LM-filter lifecycle ([[writeNbModel]]'s layout on the
+    * perplexity axis): `entries/` carries the rank-ordered prefixed
+    * keys, `meta/` the three OOV constants plus an `n_entries`
+    * cross-check so a truncated artifact fails LOUDLY instead of
+    * serving a silently weaker model.
+    */
+  def writeLmModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: LmServing,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.keys.indices.map(i => (i, model.keys(i), model.scores(i)))
+      .toDF("rank", "k", "s_micro")
+      .coalesce(1).sortWithinPartitions("rank")
+      .write.mode("overwrite").parquet(s"$dir/entries")
+    Seq((model.oov1, model.oov2, model.oov3, model.keys.size.toLong))
+      .toDF("oov1_micro", "oov2_micro", "oov3_micro", "n_entries")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read back a [[writeLmModel]] artifact; the result is EQUAL to the
+    * written model (spec'd), so serve-after-read ≡ serve-before.
+    */
+  def readLmModel(
+      spark: org.apache.spark.sql.SparkSession, dir: String): LmServing = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val rows = spark.read.parquet(s"$dir/entries")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    require(rows.length.toLong == meta.getLong(3),
+      s"LM model at $dir is truncated: ${rows.length} entries, " +
+        s"meta says ${meta.getLong(3)}")
+    LmServing(rows.map(_._1).toSeq, rows.map(_._2).toSeq,
+      meta.getLong(0), meta.getLong(1), meta.getLong(2))
+  }
+
   /** Persist an exported [[NbLangServing]] model: `entries/` carries
     * (cls, rank, w, s_micro) and `meta/` one row per class
     * (cls, unseen_micro, prior_micro, n_entries); class order restores

@@ -32,7 +32,8 @@ object VanillaCheck {
       // exact cumulative-window fallback for the compactor quantile
       // sketch, alone and under the CCNet tercile split; map-literal
       // fallback for the LM serving projection
-      "q_quantile_sketch", "q_ppl_buckets", "q_ppl_serving")) {
+      "q_quantile_sketch", "q_ppl_buckets", "q_ppl_serving",
+      "q_ppl_persist")) {
       val c = graft.SparkEntry.allQueries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"VANILLA $q rows: $c (fallback path)")
       require(c > 0, s"$q must return rows without extensions")

@@ -495,6 +495,31 @@ class ImportanceSpec extends AnyFunSuite with Matchers
       Importance.readNbModel(spark, dir)
   }
 
+  test("lm model persistence: parquet round-trip restores the exact " +
+    "model; truncation fails loudly") {
+    val docs = Seq(
+      (0L, "a b c a b c"),
+      (1L, "a b c b c x")).toDF("doc_id", "text")
+    val m = Importance.trainLmServing(docs, col("doc_id") === 0)
+    val dir = java.nio.file.Files.createTempDirectory("lm-model").toString
+    Importance.writeLmModel(spark, m, dir)
+    Importance.readLmModel(spark, dir) shouldBe m
+    // serve-after-read ≡ serve-before (same artifact, same projection)
+    val before = Importance.lmServingScored(docs, m, native = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val after = Importance.lmServingScored(
+      docs, Importance.readLmModel(spark, dir), native = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    after shouldBe before
+    // a truncated entries file must not serve a silently weaker model
+    import spark.implicits._
+    Seq((m.oov1, m.oov2, m.oov3, m.keys.size.toLong + 1))
+      .toDF("oov1_micro", "oov2_micro", "oov3_micro", "n_entries")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    an[IllegalArgumentException] should be thrownBy
+      Importance.readLmModel(spark, dir)
+  }
+
   test("naive bayes langid: orthography-localized classes separate on " +
     "held-out docs") {
     // mirrors q_langid_nb's shape: per-class orthography markers
