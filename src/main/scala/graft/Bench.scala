@@ -114,7 +114,9 @@ object Bench {
     // LM-filter serving leg: pruned Stupid-Backoff artifact, in-row
     // backoff chain (graft_lm_score), model cached per sf dir — plus
     // the parquet artifact-persistence leg (read + serve)
-    "q_ppl_serving", "q_ppl_persist")
+    "q_ppl_serving", "q_ppl_persist",
+    // ColBERT MaxSim late-interaction retrieval (bit-packed sign masks)
+    "q_late_interaction")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -319,7 +321,11 @@ object Bench {
     // (r14 steady 1.3; the train is a per-dir cached artifact)
     "q_ppl_serving" -> 1.600,
     // model read-back + the same projection (r14 steady 1.2-1.4)
-    "q_ppl_persist" -> 1.700)
+    "q_ppl_persist" -> 1.700,
+    // inverted-index candidates + in-row bit-packed MaxSim (r14 steady
+    // 4.0-4.2; the fixture's flat 31-token vocabulary makes candidates
+    // near-all-pairs — a real corpus's df cap bounds them)
+    "q_late_interaction" -> 5.000)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -463,6 +469,11 @@ object Bench {
     "q_ppl_serving" -> 8.500,
     // read-back is model-sized, serving corpus-linear (1.2 → 5.0 s)
     "q_ppl_persist" -> 7.000,
+    // ~4× at 10× (4.0 → 16.3-18.4 s): candidate volume scales with the
+    // corpus HERE because the fixture's degenerate vocabulary defeats
+    // the df cap; the per-pair cost is already one XOR+popcount per
+    // token pair
+    "q_late_interaction" -> 20.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

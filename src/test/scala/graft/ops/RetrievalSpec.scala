@@ -77,4 +77,46 @@ class RetrievalSpec extends AnyFunSuite with Matchers
     // at least one document should be found by both retrievers
     out.map(_._3) should contain(2L)
   }
+
+  test("late interaction: the stopword gate prunes candidates and the " +
+    "bit-packed MaxSim replays in plain scala") {
+    // 'common' is in 4/5 docs (800‰ > cap 700): doc 2, which shares
+    // ONLY the stopword with the query, must generate NO candidate;
+    // docs 1/4 qualify through their rare shared token
+    val docs = Seq(
+      (0L, "alpha beta common"),
+      (1L, "alpha gamma common"),
+      (2L, "common common common"),
+      (3L, "delta epsilon zeta"),
+      (4L, "beta common zeta")).toDF("doc_id", "text")
+    val plan = Retrieval.lateInteractionTopK(
+      docs, queryMaxId = 1, k = 10, dfCapPermille = 700)
+    val out = plan.orderBy("rank").collect()
+    Dedup.releaseCheckpoints(plan) // ownership: the caller frees the pin
+    out.map(_.getLong(1)).sorted.toSeq shouldBe Seq(1L, 4L)
+    // independent replay: portable hash family in plain JVM arithmetic
+    def mask(tok: String): Long = {
+      val p = graft.functions.PortableHash.h28Local(tok)
+      (0 until 16).foldLeft(0L) { (acc, j) =>
+        val mixed = (p * (2L * j + 1) + j * graft.functions.PortableHash.Salt) %
+          graft.functions.PortableHash.Prime
+        acc | (if (mixed % 2 == 0) 1L << j else 0L)
+      }
+    }
+    def maxSim(q: Seq[String], c: Seq[String]): Long =
+      q.map { qt =>
+        16L - 2L * c.map(ct =>
+          java.lang.Long.bitCount(mask(qt) ^ mask(ct)).toLong).min
+      }.sum
+    val qtoks = Seq("alpha", "beta", "common")
+    val expect = Map(
+      1L -> maxSim(qtoks, Seq("alpha", "gamma", "common")),
+      4L -> maxSim(qtoks, Seq("beta", "common", "zeta")))
+    out.foreach { r =>
+      r.getLong(2) shouldBe expect(r.getLong(1))
+    }
+    // rank order: score DESC, cand_id ASC
+    out.map(r => (-r.getLong(2), r.getLong(1))).toSeq shouldBe
+      out.map(r => (-r.getLong(2), r.getLong(1))).sorted.toSeq
+  }
 }
