@@ -116,7 +116,9 @@ object Bench {
     // the parquet artifact-persistence leg (read + serve)
     "q_ppl_serving", "q_ppl_persist",
     // ColBERT MaxSim late-interaction retrieval (bit-packed sign masks)
-    "q_late_interaction")
+    "q_late_interaction",
+    // SQ8 scalar-quantized search (compressed-domain scan + exact rerank)
+    "q_sim_sq8")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -325,7 +327,10 @@ object Bench {
     // inverted-index candidates + in-row bit-packed MaxSim (r14 steady
     // 4.0-4.2; the fixture's flat 31-token vocabulary makes candidates
     // near-all-pairs — a real corpus's df cap bounds them)
-    "q_late_interaction" -> 5.000)
+    "q_late_interaction" -> 5.000,
+    // per-dim stats + compressed-domain scan + 32-row exact rerank
+    // (r14 steady 1.1-1.4)
+    "q_sim_sq8" -> 1.700)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -474,6 +479,9 @@ object Bench {
     // the df cap; the per-pair cost is already one XOR+popcount per
     // token pair
     "q_late_interaction" -> 20.000,
+    // ~3× at 10× (1.1-1.4 → 3.7-5.0 s): stats/codes corpus-linear,
+    // rerank fixed at 32 rows per query
+    "q_sim_sq8" -> 6.000,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

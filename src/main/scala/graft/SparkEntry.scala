@@ -2199,6 +2199,17 @@ object SparkEntry {
       Similarity.bruteTopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5)
         .orderBy("query_id", "rank")),
 
+    // SQ8 scalar-quantized search — the scalar rung of the compression
+    // ladder (pqTopK isolates the product axis, this the per-dim affine
+    // axis): candidates score in the COMPRESSED domain (integer dot
+    // against 255·reconstruction from 1-byte codes — the 8× scan-
+    // bandwidth lever), only the top-rerank shortlist pays exact
+    // vectors; every step integer-exact and replayed
+    "q_sim_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(t(s, dir, "embeddings"), queryMaxId = 10L, k = 5,
+        rerank = 32)
+        .orderBy("query_id", "rank")),
+
     // all-corpus neighbor graph (vs. the query-set searches below)
     "q_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, nCells = 8)
@@ -7264,6 +7275,51 @@ object SparkEntry {
         | SELECT query_id, cand_id, sim,
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
         | FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // SQ8 replay: per-dim corpus [lo, hi] via parallel unnest, codes by
+    // the round-half-up integer division (2a + d) // (2d), compressed-
+    // domain rank on the 255-scaled reconstruction dot, exact cosine
+    // rerank on the shortlist
+    "q_sim_sq8" ->
+      """WITH b AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |st AS (
+        | SELECT j, min(x) AS lo, max(x) AS hi FROM (
+        |  SELECT unnest(qv) AS x, unnest(range(1, len(qv) + 1)) AS j FROM b)
+        | GROUP BY j),
+        |sta AS (SELECT list(lo ORDER BY j) AS los, list(hi ORDER BY j) AS his FROM st),
+        |coded AS (
+        | SELECT vec_id AS cand_id,
+        |  list_transform(range(1, len(qv) + 1), i ->
+        |   los[CAST(i AS INT)] * 255 +
+        |   (CASE WHEN his[CAST(i AS INT)] = los[CAST(i AS INT)] THEN 0
+        |         ELSE ((qv[CAST(i AS INT)] - los[CAST(i AS INT)]) * 255 * 2
+        |               + (his[CAST(i AS INT)] - los[CAST(i AS INT)]))
+        |              // ((his[CAST(i AS INT)] - los[CAST(i AS INT)]) * 2) END)
+        |   * (his[CAST(i AS INT)] - los[CAST(i AS INT)])) AS rv255
+        | FROM b, sta),
+        |q AS (SELECT vec_id AS query_id, qv AS quv FROM b WHERE vec_id < 10),
+        |shortlist AS (
+        | SELECT query_id, cand_id, quv FROM (
+        |  SELECT q.query_id, c.cand_id, q.quv,
+        |   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |    list_sum(list_transform(list_zip(q.quv, c.rv255), p -> p[1] * p[2])) DESC,
+        |    c.cand_id) AS arank
+        |  FROM coded c JOIN q ON c.cand_id <> q.query_id)
+        | WHERE arank <= 32),
+        |rer AS (
+        | SELECT s.query_id, s.cand_id,
+        |  round(list_sum(list_transform(list_zip(s.quv, b.qv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(list_sum(list_transform(list_zip(s.quv, s.quv), p -> p[1] * p[2])) AS DOUBLE)
+        |        * CAST(list_sum(list_transform(list_zip(b.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
+        | FROM shortlist s JOIN b ON b.vec_id = s.cand_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM rer)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_sim_topk" ->

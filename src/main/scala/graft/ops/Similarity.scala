@@ -1121,6 +1121,82 @@ object Similarity {
     }
   }
 
+  /** SQ8 scalar-quantized search — the SCALAR rung of the compression
+    * ladder next to [[pqTopK]]/[[ivfPqTopK]] (faiss's
+    * `ScalarQuantizer`): each dimension affine-maps to an 8-bit code
+    * against per-dimension corpus [lo, hi] bounds, candidates score in
+    * the COMPRESSED domain against the reconstruction, and only the
+    * top-`rerank` shortlist pays an exact-vector rerank.
+    *
+    * Why it matters at 100 TB: the codes are what a deployment STORES
+    * and SCANS — 1 byte/dim vs the 8-byte quantized longs (8× scan
+    * bandwidth) — while IVF bounds WHICH vectors are read; the two
+    * compose (this operator isolates the scalar-quantization axis the
+    * way pqTopK isolates the product-quantization axis).
+    *
+    * Exact-integer end to end: codes via round-half-up integer division
+    * `(2a + d) div 2d` (never a float), the compressed-domain score is
+    * the integer dot against `255·reconstruction` (`rv255_j = lo_j·255
+    * + code_j·(hi_j − lo_j)`), and the final rerank is the standard
+    * exact quantized cosine — every step replays in the oracle.
+    * Constant-dimension degenerate case (`hi == lo`) codes to 0 and
+    * reconstructs `lo` exactly.
+    */
+  def sq8TopK(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      rerank: Int = 32): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // feeds the per-dim stats, the coded corpus AND the exact rerank
+    // side — checkpoint so the corpus quantizes once
+    val base = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .localCheckpoint()
+    val stats = base
+      .select(posexplode(col("qv")).as(Seq("j", "x")))
+      .groupBy("j").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(array_sort(collect_list(
+        struct(col("j"), col("lo"), col("hi")))).as("st"))
+      .select(
+        transform(col("st"), s => s.getField("lo")).as("los"),
+        transform(col("st"), s => s.getField("hi")).as("his"))
+    // one pass codes + 255-scaled reconstruction (what a deployment
+    // stores is the 1-byte code; rv255 is derived at scan time)
+    val coded = base.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("cand_id"),
+        transform(sequence(lit(1), size(col("qv"))), i => {
+          val x = element_at(col("qv"), i)
+          val lo = element_at(col("los"), i)
+          val hi = element_at(col("his"), i)
+          val code = when(hi === lo, lit(0L)).otherwise(
+            graft.functions.ColumnOps.fdivCol(
+              (x - lo) * 255L * 2L + (hi - lo), (hi - lo) * 2L))
+          lo * 255L + code * (hi - lo)
+        }).as("rv255"))
+    val q = base.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+      .withColumn("qn", qdot(col("quv"), col("quv"), native))
+    val wA = Window.partitionBy("query_id").orderBy(desc("adot"), asc("cand_id"))
+    val shortlist = coded
+      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("quv"), col("qn"),
+        qdot(col("quv"), col("rv255"), native).as("adot"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+    val cands = base.select(col("vec_id").as("cand_id"), col("qv").as("cv"))
+      .withColumn("cn", qdot(col("cv"), col("cv"), native))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    shortlist.join(cands, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        qcosinePre(qdot(col("quv"), col("cv"), native),
+          col("qn"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   def pqTopK(
       embeddings: DataFrame,
       queryMaxId: Long,

@@ -119,6 +119,36 @@ class SimilaritySpec extends AnyFunSuite with Matchers
     pqFull shouldBe bruteFull
   }
 
+  test("SQ8 top-k: high recall vs brute force; full-corpus rerank " +
+    "equals brute; constant dims code to zero harmlessly") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val sq = withReleased(Similarity.sq8TopK(real, queryMaxId = 5L, k = 5))(
+      _.select("query_id", "cand_id").as[(Long, Long)].collect().toSet)
+    sq.size shouldBe 25
+    // 8-bit affine reconstruction is tight: near-perfect shortlisting
+    val recall = (brute intersect sq).size.toDouble / brute.size
+    recall should be >= 0.9
+    // rerank >= corpus: the shortlist covers everything -> exact answer
+    val n = real.count().toInt
+    val sqFull = withReleased(
+      Similarity.sq8TopK(real, queryMaxId = 5L, k = 5, rerank = n))(
+      _.select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet)
+    val bruteFull = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    sqFull shouldBe bruteFull
+    // a constant dimension (hi == lo) must not divide by zero and must
+    // reconstruct exactly
+    val const = Seq(
+      (0L, Array(0.5f, 1.0f, 0.2f), 0),
+      (1L, Array(0.5f, 0.9f, 0.3f), 0),
+      (2L, Array(0.5f, -0.4f, 0.9f), 0)).toDF("vec_id", "embedding", "label")
+    val out = withReleased(Similarity.sq8TopK(const, queryMaxId = 1L, k = 2))(
+      _.orderBy("rank").collect())
+    out.map(_.getLong(1)).toSeq shouldBe Seq(1L, 2L)
+  }
+
   test("trained PQ: per-subspace L2 Lloyd's codebook is deterministic, " +
     "well-shaped, and the full-rerank cascade still equals brute force") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
