@@ -793,8 +793,15 @@ object Bench {
         // at ~16 GB process peak during arbitration, and a child
         // inheriting the full cap can fail allocation under host memory
         // pressure — returning -1 and leaving the flag fatal. One query
-        // + one warm query fit comfortably under the smaller cap.
-        val childMx = "-Xmx" + sys.env.getOrElse("SPARK_GRAFT_FRESHJVM_MEM", "4g")
+        // + one warm query fit comfortably under the smaller cap at
+        // sf0.1 — but NOT at the sf1 checkpoint, where a 4g child GC-
+        // thrashes iterative queries into phantom confirmations (r14:
+        // q_pagerank fresh=90 s at 4g vs ~30 s cold at a proper heap,
+        // while the gate itself documents needing SPARK_DRIVER_MEM=14g).
+        // Scale the default with the data instead of the parent's peak.
+        val childDefault = if (isSf1) "10g" else "4g"
+        val childMx = "-Xmx" +
+          sys.env.getOrElse("SPARK_GRAFT_FRESHJVM_MEM", childDefault)
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
           .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
