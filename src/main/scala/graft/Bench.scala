@@ -118,7 +118,10 @@ object Bench {
     // ColBERT MaxSim late-interaction retrieval (bit-packed sign masks)
     "q_late_interaction",
     // SQ8 scalar-quantized search (compressed-domain scan + exact rerank)
-    "q_sim_sq8")
+    "q_sim_sq8",
+    // deployed CCNet filter: pruned LM + shipped thresholds, one
+    // stateless projection
+    "q_ppl_buckets_serve")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -330,7 +333,10 @@ object Bench {
     "q_late_interaction" -> 5.000,
     // per-dim stats + compressed-domain scan + 32-row exact rerank
     // (r14 steady 1.1-1.4)
-    "q_sim_sq8" -> 1.700)
+    "q_sim_sq8" -> 1.700,
+    // scoring projection + literal threshold CASE (r14 steady 1.0-1.1;
+    // model + thresholds are per-dir cached artifacts)
+    "q_ppl_buckets_serve" -> 1.400)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -482,6 +488,9 @@ object Bench {
     // ~3× at 10× (1.1-1.4 → 3.7-5.0 s): stats/codes corpus-linear,
     // rerank fixed at 32 rows per query
     "q_sim_sq8" -> 6.000,
+    // ~5× at 10× (1.0-1.1 → 5.5-5.9 s): same slope as q_ppl_serving —
+    // the bucket CASE adds nothing measurable
+    "q_ppl_buckets_serve" -> 7.500,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
     "q_embed_dups" -> 1.400)

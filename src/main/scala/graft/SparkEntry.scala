@@ -333,6 +333,22 @@ object SparkEntry {
       tmp
     })
 
+  /** JVM-lifetime per-dir tercile-threshold cache (the shipped side
+    * table of the deployed CCNet filter, trained on the SERVED
+    * distribution).
+    */
+  private val pplThrCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long)]]()
+  private def trainedPplThresholds(
+      s: SparkSession, dir: String): Seq[(String, Long, Long)] =
+    pplThrCache.computeIfAbsent(dir, _ => {
+      val thr = graft.ops.Importance.trainPplThresholds(
+        t(s, dir, "documents"), trainedLmServing(s, dir),
+        native = graft.plans.GraftExtensions.available(s))
+      require(thr.nonEmpty, "empty ppl thresholds")
+      thr
+    })
+
   private val nbServingCache = new java.util.concurrent.ConcurrentHashMap[
     String, graft.ops.Importance.NbServing]()
   private def trainedNbServing(
@@ -2975,6 +2991,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the DEPLOYED CCNet filter end-to-end: pruned LM + SHIPPED per-
+    // language tercile thresholds (trained once per sf dir on the
+    // served distribution — the offline reference-corpus pass), bucket
+    // assignment in ONE stateless projection per doc: no join, no
+    // aggregation, no state — stream ≡ batch, the plan a 100 TB filter
+    // fleet executes per document
+    "q_ppl_buckets_serve" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      Importance.perplexityBucketsServing(t(s, dir, "documents"),
+        trainedLmServing(s, dir), trainedPplThresholds(s, dir),
+        native = native)
+        .orderBy("doc_id")
+    }),
+
     // LM artifact-persistence leg (q_quality_nb_persist's shape on the
     // perplexity axis): train + write cached per sf dir, the gated
     // number is READ + SERVE — what a deployment pays per corpus pass
@@ -4092,6 +4122,34 @@ object SparkEntry {
     * per-(doc, position) `stream` of micro-quantized scores.
     */
   private def trigramPplCtes: String = trigramPplCtesCapped(None, None)
+
+  /** The per-language tercile tail shared by `q_ppl_buckets` (over the
+    * un-capped scorer) and `q_ppl_buckets_serve` (over the rank-capped
+    * serving chain): per-doc averages, value-rule thresholds, bucket
+    * CASE.
+    */
+  private def pplBucketsTail: String =
+    """ppl0 AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
+      | FROM stream GROUP BY 1),
+      |ppl AS (
+      | SELECT p.doc_id, d2.lang, p.n_tokens, p.avg_micro
+      | FROM ppl0 p JOIN documents d2 USING (doc_id)),
+      |grp AS (SELECT lang, avg_micro, CAST(count(*) AS BIGINT) AS wgt
+      |        FROM ppl GROUP BY 1, 2),
+      |cum_t AS (SELECT lang, avg_micro,
+      |  sum(wgt) OVER (PARTITION BY lang ORDER BY avg_micro) AS cum,
+      |  sum(wgt) OVER (PARTITION BY lang) AS total FROM grp),
+      |thr AS (SELECT lang,
+      |  min(CASE WHEN cum * 1000 >= total * 333 THEN avg_micro END) AS t333,
+      |  min(CASE WHEN cum * 1000 >= total * 667 THEN avg_micro END) AS t667
+      | FROM cum_t GROUP BY lang)
+      |SELECT p.doc_id, p.lang, p.n_tokens, p.avg_micro,
+      | CASE WHEN p.avg_micro <= t.t333 THEN 'head'
+      |      WHEN p.avg_micro <= t.t667 THEN 'middle'
+      |      ELSE 'tail' END AS bucket
+      |FROM ppl p JOIN thr t USING (lang) ORDER BY p.doc_id""".stripMargin
 
   /** The Stupid-Backoff trigram-LM CTE chain shared by the
     * `q_trigram_ppl`, `q_ppl_buckets` and `q_ppl_serving` oracles:
@@ -8405,28 +8463,14 @@ object SparkEntry {
     // language by the integer-exact lower-quantile rule (smallest
     // observed avg_micro with cum·1000 ≥ p·total) — exact regime for
     // the sketch, so the oracle replays the thresholds verbatim
-    "q_ppl_buckets" -> (trigramPplCtes + "," + "\n" +
-      """ppl0 AS (
-        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(s_micro) AS BIGINT) // count(*) AS avg_micro
-        | FROM stream GROUP BY 1),
-        |ppl AS (
-        | SELECT p.doc_id, d2.lang, p.n_tokens, p.avg_micro
-        | FROM ppl0 p JOIN documents d2 USING (doc_id)),
-        |grp AS (SELECT lang, avg_micro, CAST(count(*) AS BIGINT) AS wgt
-        |        FROM ppl GROUP BY 1, 2),
-        |cum_t AS (SELECT lang, avg_micro,
-        |  sum(wgt) OVER (PARTITION BY lang ORDER BY avg_micro) AS cum,
-        |  sum(wgt) OVER (PARTITION BY lang) AS total FROM grp),
-        |thr AS (SELECT lang,
-        |  min(CASE WHEN cum * 1000 >= total * 333 THEN avg_micro END) AS t333,
-        |  min(CASE WHEN cum * 1000 >= total * 667 THEN avg_micro END) AS t667
-        | FROM cum_t GROUP BY lang)
-        |SELECT p.doc_id, p.lang, p.n_tokens, p.avg_micro,
-        | CASE WHEN p.avg_micro <= t.t333 THEN 'head'
-        |      WHEN p.avg_micro <= t.t667 THEN 'middle'
-        |      ELSE 'tail' END AS bucket
-        |FROM ppl p JOIN thr t USING (lang) ORDER BY p.doc_id""".stripMargin),
+    "q_ppl_buckets" -> (trigramPplCtes + "," + "\n" + pplBucketsTail),
+
+    // the deployed serving twin: same tercile tail over the rank-CAPPED
+    // score chain (the thresholds a deployment trains on the served
+    // distribution and ships with the pruned model)
+    "q_ppl_buckets_serve" -> (trigramPplCtesCapped(
+      Some(lmServeMaxTri), Some(lmServeMaxBig)) + "," + "\n" +
+      pplBucketsTail),
 
 
     "q_tfidf" ->

@@ -552,23 +552,25 @@ object Importance {
       df: DataFrame,
       model: LmServing,
       textCol: String = "text",
-      native: Boolean = false): DataFrame = {
+      native: Boolean = false,
+      keep: Seq[String] = Nil): DataFrame = {
     val scoreOf: Column => Column =
       if (native) ws => call_function("graft_lm_score", ws,
         array(model.keys.map(lit): _*),
         array(model.scores.map(s => lit(s)): _*),
         lit(model.oov1), lit(model.oov2), lit(model.oov3))
       else ws => portableLmScore(ws, model)
-    df.select(col("doc_id"),
+    df.select(col("doc_id") +: keep.map(col) :+
       graft.functions.ColumnOps.bind(
         TextAnalysis.normTokens(coalesce(col(textCol), lit("")))) { ws =>
         struct(
           size(ws).cast("long").as("n_tokens"),
           scoreOf(ws).as("sum_micro"))
-      }.as("q"))
-      .select(col("doc_id"), col("q.n_tokens"), col("q.sum_micro"),
+      }.as("q"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
+        col("q.n_tokens") :+ col("q.sum_micro") :+
         graft.functions.ColumnOps.fdivCol(col("q.sum_micro"),
-          col("q.n_tokens")).as("avg_micro"))
+          col("q.n_tokens")).as("avg_micro"): _*)
   }
 
   /** The map-literal twin of [[graft.plans.LmScore]] for sessions
@@ -1047,6 +1049,66 @@ object Importance {
         s"meta says ${meta.getLong(2)}")
     NbServing(rows.map(_._1).toSeq, rows.map(_._2).toSeq,
       meta.getLong(0), meta.getLong(1))
+  }
+
+  /** Train the per-group perplexity tercile thresholds over the SERVED
+    * score distribution (the deployed CCNet shape: thresholds are
+    * computed once on a reference corpus and shipped with the pruned
+    * model, so filter workers never aggregate). Value rule identical to
+    * [[perplexityBuckets]] (smallest observed avg_micro with cum·1000 ≥
+    * p·total), but over [[lmServingScored]]'s pruned-model scores — the
+    * distribution the filter will actually see.
+    */
+  def trainPplThresholds(
+      df: DataFrame,
+      model: LmServing,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      capacity: Int = 32768,
+      native: Boolean = false): Seq[(String, Long, Long)] = {
+    val ppl = lmServingScored(df, model, textCol, native,
+      keep = Seq(groupCol))
+    CorpusOps.quantileSketch(ppl, "avg_micro", groupCol,
+        probsPermille = Seq(333, 667), capacity = capacity, native = native)
+      .select(col(groupCol), col("p333"), col("p667"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+  }
+
+  /** The SERVING form of [[perplexityBuckets]] — the complete deployed
+    * CCNet filter in ONE stateless projection: score with the shipped
+    * pruned LM ([[lmServingScored]] — the whole backoff chain in-row)
+    * and bucket against the shipped per-group thresholds (a
+    * languages-sized literal CASE chain; groups absent from the
+    * threshold table bucket as `tail`, the conservative default for an
+    * unknown language). No joins, no aggregation, no state — batch and
+    * micro-batch streams run the same plan, so this is what a 100 TB
+    * filter fleet executes per document.
+    */
+  def perplexityBucketsServing(
+      df: DataFrame,
+      model: LmServing,
+      thresholds: Seq[(String, Long, Long)],
+      groupCol: String = "lang",
+      textCol: String = "text",
+      native: Boolean = false): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one group threshold")
+    require(thresholds.map(_._1).distinct.size == thresholds.size,
+      "one threshold row per group")
+    val t333 = thresholds.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, lo, _)) =>
+        when(col(groupCol) === g, lit(lo)).otherwise(acc)
+    }
+    val t667 = thresholds.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, _, hi)) =>
+        when(col(groupCol) === g, lit(hi)).otherwise(acc)
+    }
+    lmServingScored(df, model, textCol, native, keep = Seq(groupCol))
+      .select(col("doc_id"), col(groupCol), col("n_tokens"), col("avg_micro"),
+        when(col("avg_micro") <= t333, lit("head"))
+          .when(col("avg_micro") <= t667, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   /** Persist an exported [[LmServing]] model — the artifact-shipping

@@ -495,6 +495,58 @@ class ImportanceSpec extends AnyFunSuite with Matchers
       Importance.readNbModel(spark, dir)
   }
 
+  test("ppl bucket serving: shipped thresholds bucket a stream exactly " +
+    "like batch; unknown groups fall to tail") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (0L, "aa", "a b c a b c"),
+      (1L, "aa", "a b c b c x"),
+      (2L, "aa", "zz yy zz yy"),
+      (3L, "bb", "p q r p q r"),
+      (4L, "bb", "p q r q r s"),
+      (5L, "bb", "ww vv ww vv")).toDF("doc_id", "lang", "text")
+    val model = Importance.trainLmServing(corpus, pmod(col("doc_id"), lit(2)) === 0)
+    val thr = Importance.trainPplThresholds(corpus, model, native = true)
+    thr.map(_._1) shouldBe Seq("aa", "bb")
+    val batch = Importance.perplexityBucketsServing(
+      corpus, model, thr, native = true)
+      .orderBy("doc_id").collect()
+    batch.length shouldBe 6
+    // replay the value rule against the served scores
+    val scores = Importance.lmServingScored(corpus, model,
+        native = true, keep = Seq("lang"))
+      .select("doc_id", "lang", "avg_micro").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = scores.groupBy(_._2)
+    batch.foreach { r =>
+      val (lang, v) = (r.getString(1), r.getLong(3))
+      val vals = byLang(lang).map(_._3).sorted
+      def t(p: Int) = vals.distinct.find(x =>
+        vals.count(_ <= x).toLong * 1000 >= p.toLong * vals.length).get
+      val expect =
+        if (v <= t(333)) "head" else if (v <= t(667)) "middle" else "tail"
+      r.getString(4) shouldBe expect
+    }
+    // a group with NO shipped threshold buckets conservatively as tail
+    val zz = Importance.perplexityBucketsServing(
+      Seq((9L, "zz", "a b c")).toDF("doc_id", "lang", "text"),
+      model, thr, native = true).collect()
+    zz.head.getString(4) shouldBe "tail"
+    // the same projection over a MemoryStream emits the same rows
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val q = Importance.perplexityBucketsServing(
+      mem.toDF.toDF("doc_id", "lang", "text"), model, thr, native = true)
+      .writeStream.format("memory").queryName("ppl_serve")
+      .outputMode("append").start()
+    mem.addData((0L, "aa", "a b c a b c"), (3L, "bb", "p q r p q r"))
+    q.processAllAvailable()
+    val streamed = spark.table("ppl_serve").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS ppl_serve")
+    streamed shouldBe batch.filter(r => Set(0L, 3L)(r.getLong(0))).map(_.toSeq)
+  }
+
   test("lm model persistence: parquet round-trip restores the exact " +
     "model; truncation fails loudly") {
     val docs = Seq(
