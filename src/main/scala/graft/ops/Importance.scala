@@ -423,11 +423,24 @@ object Importance {
     * collect), so un-pruned serving is answer-equal to the in-plan
     * scorer by construction.
     *
-    * Pruning (`maxTri`/`maxBig`, most-frequent-first, ties by key) is
-    * KenLM-style: a DROPPED n-gram is simply absent, so serving falls
-    * to the NEXT BACKOFF TIER — the model degrades smoothly, never
-    * cliffs to the OOV constant (contrast [[trainNbServing]], where
-    * dropped tokens floor to OOV because NB has no lower tier).
+    * Pruning (`maxTri`/`maxBig`/`maxUni`, most-frequent-first, ties by
+    * key) is KenLM-style: a DROPPED n-gram is simply absent, so serving
+    * falls to the NEXT BACKOFF TIER — the model degrades smoothly,
+    * never cliffs to the OOV constant (contrast [[trainNbServing]],
+    * where dropped tokens floor to OOV because NB has no lower tier —
+    * a pruned unigram here likewise floors to the per-position OOV
+    * constants, which IS its next tier). `maxUni` bounds the unigram
+    * tier too, so the driver artifact is genuinely cap-bounded
+    * (`3·maxUni + 2·maxBig + maxTri` entries), not vocab-sized.
+    *
+    * Training FAILS LOUDLY if any train token contains the key
+    * separator [[graft.plans.LmScore.Sep]] (U+0001 — not whitespace, so
+    * a hostile document could smuggle it through the whitespace split):
+    * such a token would let two distinct n-grams share a composite key.
+    * Serving-side the check is unnecessary — with a Sep-free trained
+    * vocabulary, a Sep-carrying query token builds a key whose part
+    * count matches no trained key in its tier, so it can only MISS and
+    * fall through the backoff chain like any unseen token.
     *
     * At 100 TB the full trigram table is corpus-sized — pruning is what
     * makes the artifact shippable, exactly as in the deployed systems.
@@ -438,10 +451,12 @@ object Importance {
       alphaMicro: Long = 400000L,
       textCol: String = "text",
       maxTri: Int = 1 << 20,
-      maxBig: Int = 1 << 20): LmServing = {
+      maxBig: Int = 1 << 20,
+      maxUni: Int = 1 << 20): LmServing = {
     require(alphaMicro >= 0 && alphaMicro <= 1000000L,
       s"alphaMicro must be in [0, 1e6], got $alphaMicro")
-    require(maxTri > 0 && maxBig > 0, "prune budgets must be positive")
+    require(maxTri > 0 && maxBig > 0 && maxUni > 0,
+      "prune budgets must be positive")
     val alpha = alphaMicro / 1e6
     val sep = graft.plans.LmScore.Sep
     val trainToks = df.filter(trainPred).select(
@@ -483,8 +498,10 @@ object Importance {
         round(-log(lit(alpha) * uniFloor(col("c_w"))) * 1e6).cast("long")
           .as("s_f"),
         round(-log(lit(alpha * alpha) * uniFloor(col("c_w"))) * 1e6)
-          .cast("long").as("s_g"))
-      .collect()
+          .cast("long").as("s_g"),
+        col("c_w"))
+      .orderBy(desc("c_w"), asc("w"))
+      .limit(maxUni).collect()
     val bigRows = big
       .join(uni.select(col("w").as("u"), col("c_w").as("c_u")), Seq("u"))
       .select(col("u"), col("w"),
@@ -515,21 +532,35 @@ object Importance {
     require(!consts.isNullAt(0),
       "trainLmServing: empty train slice — no tokens to count")
 
+    // loud train-time rejection of separator-carrying tokens: every key
+    // part must be Sep-free or two distinct n-grams could share a
+    // composite key (a serving-only collision would be SILENT)
+    def ck(w: String): String = {
+      require(!w.contains(sep),
+        s"trainLmServing: train token ${w.replace(sep, "<U+0001>")} " +
+          "contains the key separator U+0001 — composite model keys " +
+          "would collide; clean the train slice")
+      w
+    }
     val keys = Seq.newBuilder[String]
     val scores = Seq.newBuilder[Long]
     uniRows.foreach { r =>
-      keys += s"U$sep${r.getString(0)}"; scores += r.getLong(1)
-      keys += s"F$sep${r.getString(0)}"; scores += r.getLong(2)
-      keys += s"G$sep${r.getString(0)}"; scores += r.getLong(3)
+      val w = ck(r.getString(0))
+      keys += s"U$sep$w"; scores += r.getLong(1)
+      keys += s"F$sep$w"; scores += r.getLong(2)
+      keys += s"G$sep$w"; scores += r.getLong(3)
     }
     bigRows.foreach { r =>
-      keys += s"B$sep${r.getString(0)}$sep${r.getString(1)}"
+      val (u, w) = (ck(r.getString(0)), ck(r.getString(1)))
+      keys += s"B$sep$u$sep$w"
       scores += r.getLong(2)
-      keys += s"C$sep${r.getString(0)}$sep${r.getString(1)}"
+      keys += s"C$sep$u$sep$w"
       scores += r.getLong(3)
     }
     triRows.foreach { r =>
-      keys += s"T$sep${r.getString(0)}$sep${r.getString(1)}$sep${r.getString(2)}"
+      val (u, v, w) =
+        (ck(r.getString(0)), ck(r.getString(1)), ck(r.getString(2)))
+      keys += s"T$sep$u$sep$v$sep$w"
       scores += r.getLong(3)
     }
     LmServing(keys.result(), scores.result(),
@@ -578,6 +609,14 @@ object Importance {
     * chain via `coalesce`, exact long sums. `concat` (NOT `concat_ws`)
     * builds the lookup keys so a NULL part keeps propagating to a miss,
     * mirroring the native table's null rule.
+    *
+    * Scale note: the model ships as `map_from_arrays` LITERALS in the
+    * expression tree — each `try_element_at` on a Catalyst map literal
+    * is a LINEAR scan, and the analyzed plan carries O(model) literals.
+    * That is fine for the capped fixtures this path serves; for large
+    * vocabularies use the native [[graft.plans.LmScore]] path, which
+    * ships the table once per task as a codegen reference object
+    * (hash lookups, no plan-embedded literals).
     */
   private def portableLmScore(ws: Column, m: LmServing): Column = {
     val sep = lit(graft.plans.LmScore.Sep)
@@ -1058,6 +1097,11 @@ object Importance {
     * [[perplexityBuckets]] (smallest observed avg_micro with cum·1000 ≥
     * p·total), but over [[lmServingScored]]'s pruned-model scores — the
     * distribution the filter will actually see.
+    *
+    * NULL group values are dropped from the threshold table (a null key
+    * has no String ordering and [[perplexityBucketsServing]]'s equality
+    * CASE could never match it anyway — null groups bucket as `tail`
+    * at serving, the conservative unknown-language default).
     */
   def trainPplThresholds(
       df: DataFrame,
@@ -1068,6 +1112,7 @@ object Importance {
       native: Boolean = false): Seq[(String, Long, Long)] = {
     val ppl = lmServingScored(df, model, textCol, native,
       keep = Seq(groupCol))
+      .filter(col(groupCol).isNotNull)
     CorpusOps.quantileSketch(ppl, "avg_micro", groupCol,
         probsPermille = Seq(333, 667), capacity = capacity, native = native)
       .select(col(groupCol), col("p333"), col("p667"))

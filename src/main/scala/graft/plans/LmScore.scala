@@ -78,8 +78,14 @@ case class LmScore(
 }
 
 object LmScore {
-  /** Key-part separator (U+0001): never appears in whitespace-split
-    * tokens, so composite keys cannot collide across tiers.
+  /** Key-part separator (U+0001). NOT whitespace, so a hostile
+    * document CAN smuggle it through the whitespace split —
+    * [[graft.ops.Importance.trainLmServing]] therefore REJECTS
+    * Sep-carrying train tokens loudly at train time. With a Sep-free
+    * trained vocabulary, a Sep-carrying serving token builds a key
+    * whose part count matches no trained key in its tier, so it can
+    * only miss (scores like any unseen token) — never silently hit
+    * another n-gram's score.
     */
   val Sep: String = "\u0001"
 

@@ -274,6 +274,68 @@ class ImportanceSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("lm serving: maxUni prunes the unigram tier to a cap-bounded " +
+    "artifact; dropped words floor to the per-position OOV constants") {
+    // train "a a a b": uni a×3, b×1. maxUni=1 keeps only a (most
+    // frequent); maxBig=1 keeps (a,a)×2 over (a,b)×1. b is absent from
+    // every unigram-tier table (U/F/G), so a b-only doc scores pure OOV
+    // at each position — the unigram tier's "next tier" IS the OOV
+    // constant, by design.
+    val docs = Seq((0L, "a a a b")).toDF("doc_id", "text")
+    val model = Importance.trainLmServing(docs, lit(true),
+      maxUni = 1, maxBig = 1)
+    model.keys.count(_.startsWith("U")) shouldBe 1
+    model.keys.size shouldBe (3 + 2 + model.keys.count(_.startsWith("T")))
+    val probe = Seq((0L, "b b b")).toDF("doc_id", "text")
+    for (native <- Seq(false, true)) {
+      val out = Importance.lmServingScored(probe, model, native = native)
+        .collect().head
+      withClue(s"native=$native: ") {
+        out.getLong(2) shouldBe (model.oov1 + model.oov2 + model.oov3)
+      }
+    }
+  }
+
+  test("lm serving: a train token carrying the U+0001 key separator " +
+    "fails LOUDLY at train time; at serve time it can only miss") {
+    val sep = graft.plans.LmScore.Sep
+    val bad = Seq((0L, s"a x${sep}y a")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Importance.trainLmServing(bad, lit(true))
+    }
+    ex.getMessage should include("U+0001")
+    // clean model + Sep-carrying QUERY token: the composite key's part
+    // count matches no trained key in its tier, so it scores exactly
+    // like any unseen token — never another n-gram's score
+    val clean = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val model = Importance.trainLmServing(clean, lit(true))
+    for (native <- Seq(false, true)) {
+      val smuggled = Importance.lmServingScored(
+        Seq((0L, s"a${sep}b qq rr")).toDF("doc_id", "text"),
+        model, native = native).collect().head.getLong(2)
+      val unseen = Importance.lmServingScored(
+        Seq((0L, "pp qq rr")).toDF("doc_id", "text"),
+        model, native = native).collect().head.getLong(2)
+      withClue(s"native=$native: ") { smuggled shouldBe unseen }
+    }
+  }
+
+  test("ppl thresholds: NULL group rows are dropped from the shipped " +
+    "table (no NPE) and bucket as tail at serving") {
+    val corpus = Seq(
+      (0L, Some("aa"), "a b c a b c"),
+      (1L, Some("aa"), "a b c b c x"),
+      (2L, None, "zz yy zz yy"),
+      (3L, Some("aa"), "p q r p q r")).toDF("doc_id", "lang", "text")
+    val model = Importance.trainLmServing(corpus, col("doc_id") === 0)
+    val thr = Importance.trainPplThresholds(corpus, model, native = true)
+    thr.map(_._1) shouldBe Seq("aa") // null group absent, no NPE
+    val served = Importance.perplexityBucketsServing(
+      corpus, model, thr, native = true).orderBy("doc_id").collect()
+    served(2).getString(1) shouldBe null
+    served(2).getString(4) shouldBe "tail"
+  }
+
   test("lm serving scores a memory stream identically to batch " +
     "(one stateless projection)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
