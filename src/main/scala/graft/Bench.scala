@@ -121,7 +121,12 @@ object Bench {
     "q_sim_sq8",
     // deployed CCNet filter: pruned LM + shipped thresholds, one
     // stateless projection
-    "q_ppl_buckets_serve")
+    "q_ppl_buckets_serve",
+    // round-15: persisted BM25 postings index — build (tokenize/explode
+    // + one (term,doc) shuffle + bucket-partitioned write) + pruned
+    // search; and the maintenance lifecycle (half-build + delta-segment
+    // append + compact + search) under the same oracle
+    "q_bm25_persisted", "q_bm25_index_append")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -336,7 +341,14 @@ object Bench {
     "q_sim_sq8" -> 1.700,
     // scoring projection + literal threshold CASE (r14 steady 1.0-1.1;
     // model + thresholds are per-dir cached artifacts)
-    "q_ppl_buckets_serve" -> 1.400)
+    "q_ppl_buckets_serve" -> 1.400,
+    // round-15: persisted BM25 index build (explode + (term,doc)
+    // shuffle + bucket-partitioned write) + pruned search (r15 steady
+    // 2.8-3.5)
+    "q_bm25_persisted" -> 4.000,
+    // half-build + delta-segment append + compact rewrite + search
+    // (r15 steady 6.3)
+    "q_bm25_index_append" -> 7.500)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -493,7 +505,14 @@ object Bench {
     "q_ppl_buckets_serve" -> 7.500,
     // capped didactic baseline, back on the sf1 surface as a
     // constant-size row (input = the sf0.1 slice at every scale)
-    "q_embed_dups" -> 1.400)
+    "q_embed_dups" -> 1.400,
+    // ~3.5× at 10× (2.8-3.5 → 10.0-10.3 s steady): the one-pass index
+    // BUILD is corpus-linear; the pruned search stays ~flat (the
+    // q_sim_ivf_persisted shape on the lexical axis)
+    "q_bm25_persisted" -> 11.500,
+    // ~2× at 10× (6.3 → 14.0-14.9 s steady): build + append + compact
+    // are each one corpus-linear pass, searches flat
+    "q_bm25_index_append" -> 16.500)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

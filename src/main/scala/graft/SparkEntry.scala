@@ -3574,6 +3574,67 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents"), Seq("dup", "spark", "join"))),
 
+    // PERSISTED lexical index (round-15): the tokenize/count pass runs
+    // ONCE at write time into a term-bucket-partitioned postings layout
+    // (dl denormalized into each posting, df as summable partials); the
+    // search reads back only the queried terms' bucket directories
+    // (PartitionFilters + term PushedFilters — Bm25IndexSpec carries the
+    // pruning proof). Result ≡ q_bm25, which is exactly what the shared
+    // oracle asserts: persistence must not change the answer.
+    "q_bm25_persisted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-index")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        ops.Bm25Index.writeBm25Index(t(s, dir, "documents"), tmp.toString)
+        // pin before the scratch layout is deleted: the plan reads it
+        val out = ops.Bm25Index.searchBm25Index(
+          s, tmp.toString, Seq("dup", "spark", "join")).localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
+    // the index-MAINTENANCE lifecycle under the same oracle: build on
+    // half the corpus, append the rest as a commit-marked delta segment,
+    // compact the accumulated partials/small files — and the answer must
+    // STILL be exactly q_bm25's (append ≡ rebuild, compact ≡ no-op on
+    // answers; Bm25IndexSpec adds the crash-window proofs)
+    "q_bm25_index_append" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-app")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val d = t(s, dir, "documents")
+        val half = d.agg(max("doc_id")).collect()(0).getLong(0) / 2
+        ops.Bm25Index.writeBm25Index(d.filter(col("doc_id") <= half),
+          tmp.toString)
+        ops.Bm25Index.appendBm25Index(d.filter(col("doc_id") > half),
+          tmp.toString)
+        ops.Bm25Index.compactBm25Index(tmp.toString, s)
+        val out = ops.Bm25Index.searchBm25Index(
+          s, tmp.toString, Seq("dup", "spark", "join")).localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // hybrid retrieval: the BM25 ranking above + a dense hash-embedding
     // cosine ranking of the same query, reciprocal-rank-fused in integer
     // micro-points — both legs and the fusion replayed by the oracle
@@ -9163,6 +9224,10 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q_bm25" -> bm25OracleSql,
+    // persistence/maintenance must not change the answer: the persisted
+    // index and the build+append+compact lifecycle share q_bm25's oracle
+    "q_bm25_persisted" -> bm25OracleSql,
+    "q_bm25_index_append" -> bm25OracleSql,
 
     "q_bool_search" ->
       """WITH d AS (SELECT doc_id,

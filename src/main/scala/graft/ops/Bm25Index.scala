@@ -1,0 +1,343 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Persisted lexical (BM25) retrieval index — the "build once, query
+  * many" serving shape for [[TextAnalysis.bm25]], completing the
+  * retrieval symmetry with the dense side's persisted IVF layout
+  * ([[Similarity.writeIvfIndex]]): there the assignment pass runs once
+  * at write time and a probe becomes a partition filter; here the
+  * tokenize/explode/count pass runs once at write time and a query's
+  * terms become a `term_bucket IN (...)` partition filter plus a
+  * `term IN (...)` parquet data filter — a search reads only the
+  * buckets its terms hash to, never the corpus.
+  *
+  * Layout under `dir` (versioned — see the swap protocol below):
+  *
+  *   - `v<N>/postings/term_bucket=<b>/` — `(term, doc_id, tf, dl, seg)`
+  *     rows, Hive-partitioned by `pmod(hash(term), nBuckets)`. `dl` is
+  *     DENORMALIZED into every posting (the impact-file trick real
+  *     engines use) so scoring needs NO join with a doc-length table —
+  *     one broadcast of the per-term df rows is the only non-scan step.
+  *   - `v<N>/df/term_bucket=<b>/` — `(term, df, seg)` PARTIAL counts;
+  *     the true document frequency is `sum(df)` per term, which makes
+  *     the table append-only (a delta segment appends its own partials;
+  *     the search sums the handful of committed rows per queried term).
+  *   - `v<N>/meta/` — `(n_docs, sum_dl, n_buckets, seg)` PARTIAL
+  *     corpus stats, summed the same way. `n_buckets` must agree across
+  *     segments (checked loudly — a mismatched append would route the
+  *     same term to two buckets).
+  *   - `v<N>/commits/<seg>.pending|.commit` — per-segment commit
+  *     markers (empty files; `createFile` is atomic).
+  *
+  * Crash-safety, two levels:
+  *
+  *   1. SEGMENT commits make [[appendBm25Index]] atomic even though it
+  *      writes three sides: every row carries its segment id, readers
+  *      filter to `seg IN (committed)`, and the `.commit` marker is
+  *      created LAST — a crash at any earlier point strands invisible
+  *      rows (vacuumed by the next compact) and burns the id (the
+  *      `.pending` marker, created FIRST, keeps a later append from
+  *      reusing it and accidentally committing the strandings).
+  *   2. VERSION directories make [[compactBm25Index]] atomic: the
+  *      merged layout is written COMPLETELY into `v<N+1>/` and the
+  *      `_COMMITTED` marker is the single commit point; readers always
+  *      serve the highest committed version, so a crash anywhere
+  *      strands only a partial `v<N+1>` beside an intact `v<N>`
+  *      (cleared by the next compact). This replaces the IVF layout's
+  *      two-rename dance because a BM25 compact rewrites FOUR sides —
+  *      a multi-side swap wants one commit point, not a rename chain.
+  *
+  * Like the IVF lifecycle, compaction is an OFFLINE maintenance step:
+  * it retires the previous version after committing, so it must not
+  * race an in-flight reader of that version.
+  *
+  * Scale shape at 100 TB: the build is one explode + one (term,doc)
+  * shuffle with map-side partial aggregation — the standard inverted-
+  * index pass. A search lists and reads only `|query terms|` bucket
+  * directories regardless of corpus size ([[graft.ops.Bm25IndexSpec]]
+  * asserts `PartitionFilters` reaches the scan and unprobed buckets are
+  * never read), scores in-row, and top-ks via TakeOrderedAndProject.
+  */
+object Bm25Index {
+
+  private val VerRe = "v(\\d+)".r
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val w = java.nio.file.Files.walk(p)
+    try w.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    finally w.close()
+  }
+
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(p)) Nil
+    else {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+
+  /** All version numbers present under `dir`, committed or not. */
+  private def versions(dir: String): Seq[(Long, Boolean)] =
+    listDir(java.nio.file.Paths.get(dir)).flatMap { p =>
+      p.getFileName.toString match {
+        case VerRe(n) => Some((n.toLong,
+          java.nio.file.Files.exists(p.resolve("_COMMITTED"))))
+        case _ => None
+      }
+    }
+
+  /** The serving version root — highest `_COMMITTED` version. Every
+    * read/maintenance path resolves through this one function, so a
+    * crashed compact (stranded uncommitted `v<N+1>`) is invisible
+    * everywhere by construction.
+    */
+  private[graft] def currentVersionDir(dir: String): String = {
+    val committed = versions(dir).collect { case (n, true) => n }
+    require(committed.nonEmpty,
+      s"no committed BM25 index at $dir (missing or never built)")
+    s"$dir/v${committed.max}"
+  }
+
+  /** Committed segment ids in a version root (markers, not a scan). */
+  private def committedSegs(ver: String): Seq[Long] =
+    listDir(java.nio.file.Paths.get(s"$ver/commits")).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".commit")) Some(n.stripSuffix(".commit").toLong)
+      else None
+    }
+
+  /** All BURNED segment ids (pending or committed) — the next append
+    * must skip these even when uncommitted, or it would adopt a crashed
+    * append's stranded rows at its own commit.
+    */
+  private def burnedSegs(ver: String): Seq[Long] =
+    listDir(java.nio.file.Paths.get(s"$ver/commits")).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".commit")) Some(n.stripSuffix(".commit").toLong)
+      else if (n.endsWith(".pending")) Some(n.stripSuffix(".pending").toLong)
+      else None
+    }
+
+  /** The per-doc frame shared by build and append — EXACTLY the token
+    * frame [[TextAnalysis.bm25]] derives its stats from, so persisted
+    * search can never drift from the in-session scorer on tokenization
+    * or corpus statistics.
+    */
+  private def perDoc(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+      TextAnalysis.normTokens(col(textCol)).as("toks"))
+
+  /** Write one segment's three data sides into `ver` (append mode). */
+  private def writeSegment(
+      docs: DataFrame, ver: String, nBuckets: Int, seg: Long,
+      textCol: String): Unit = {
+    val pd = perDoc(docs, textCol)
+    pd.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("sum_dl"))
+      .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)).as("sum_dl"),
+        lit(nBuckets).as("n_buckets"), lit(seg).as("seg"))
+      .write.mode("append").parquet(s"$ver/meta")
+    pd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(seg).as("seg"),
+        pmod(hash(col("term")), lit(nBuckets)).as("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$ver/postings")
+    // df partials derive from the segment's own postings read BACK, so
+    // the two sides can never disagree (the writeIvfIndex codebook rule)
+    docs.sparkSession.read.parquet(s"$ver/postings")
+      .filter(col("seg") === seg)
+      .groupBy("term_bucket", "term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), lit(seg).as("seg"), col("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$ver/df")
+  }
+
+  /** Build a BM25 index over `df` at `dir` — one tokenize/explode pass
+    * plus one (term, doc) shuffle with map-side combine, written as
+    * version `v0`, segment 0. `nBuckets` bounds the partition count
+    * (64 default: a query of tens of terms reads tens of directories;
+    * at 100 TB raise it so one bucket's postings stay a few GB).
+    */
+  def writeBm25Index(
+      df: DataFrame,
+      dir: String,
+      nBuckets: Int = 64,
+      textCol: String = "text"): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val ver = s"$dir/v0"
+    val vp = java.nio.file.Paths.get(ver)
+    if (java.nio.file.Files.isDirectory(vp)) deleteTree(vp)
+    java.nio.file.Files.createDirectories(vp.resolve("commits"))
+    java.nio.file.Files.createFile(
+      vp.resolve("commits").resolve("0.pending"))
+    writeSegment(df, ver, nBuckets, 0L, textCol)
+    java.nio.file.Files.createFile(
+      vp.resolve("commits").resolve("0.commit"))
+    java.nio.file.Files.createFile(vp.resolve("_COMMITTED"))
+  }
+
+  /** The committed `n_buckets` for a version root (loud on drift). */
+  private def readBuckets(spark: SparkSession, ver: String,
+      segs: Seq[Long]): Int = {
+    val rows = spark.read.parquet(s"$ver/meta")
+      .filter(col("seg").isin(segs: _*))
+      .select("n_buckets").distinct().collect().map(_.getInt(0))
+    require(rows.length == 1,
+      s"BM25 index at $ver has inconsistent n_buckets: ${rows.mkString(",")}")
+    rows.head
+  }
+
+  /** INCREMENTALLY add new documents (UNSEEN doc_ids — re-adding an
+    * indexed id would double its postings, as in any inverted index) as
+    * one commit-marked delta segment. Crash-atomic: rows become visible
+    * only at the final `.commit` marker, so a search concurrent with —
+    * or after a crash of — an append serves exactly the pre-append
+    * answer ([[graft.ops.Bm25IndexSpec]] kills the append at each stage
+    * and asserts search equality). Cost is O(new docs): existing
+    * postings files are never rewritten; the delta's files land beside
+    * them in the same bucket directories.
+    */
+  def appendBm25Index(
+      df: DataFrame, dir: String, textCol: String = "text"): Unit = {
+    val ver = currentVersionDir(dir)
+    val spark = df.sparkSession
+    val nBuckets = readBuckets(spark, ver, committedSegs(ver))
+    val seg = burnedSegs(ver).max + 1
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$ver/commits/$seg.pending"))
+    writeSegment(df, ver, nBuckets, seg, textCol)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$ver/commits/$seg.commit"))
+  }
+
+  /** COMPACT the index: merge every committed segment's partials into
+    * ONE segment, one file per bucket (each append adds at least one
+    * file per touched bucket — the same small-file debt
+    * [[Similarity.compactIvfIndex]] pays down), drop any uncommitted
+    * strandings, and retire older versions. The rewrite lands complete
+    * in `v<N+1>` before the single `_COMMITTED` commit point, so every
+    * crash window strands only an invisible partial version. Returns
+    * the post-compact postings data-file count.
+    */
+  def compactBm25Index(dir: String, spark: SparkSession,
+      onStep: String => Unit = _ => ()): Long = {
+    val ver = currentVersionDir(dir)
+    val segs = committedSegs(ver)
+    val nBuckets = readBuckets(spark, ver, segs)
+    // clear stranded uncommitted versions from a prior crashed compact
+    // BEFORE picking the target id, so the write cannot collide
+    versions(dir).collect { case (n, false) => n }.foreach { n =>
+      deleteTree(java.nio.file.Paths.get(s"$dir/v$n"))
+    }
+    val next = s"$dir/v${versions(dir).map(_._1).max + 1}"
+    val np = java.nio.file.Paths.get(next)
+    java.nio.file.Files.createDirectories(np.resolve("commits"))
+    java.nio.file.Files.createFile(np.resolve("commits").resolve("0.pending"))
+    spark.read.parquet(s"$ver/postings")
+      .filter(col("seg").isin(segs: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        lit(0L).as("seg"), col("term_bucket").cast("int").as("term_bucket"))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$next/postings")
+    spark.read.parquet(s"$ver/df")
+      .filter(col("seg").isin(segs: _*))
+      .groupBy("term_bucket", "term").agg(sum("df").as("df"))
+      .select(col("term"), col("df"), lit(0L).as("seg"),
+        col("term_bucket").cast("int").as("term_bucket"))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$next/df")
+    spark.read.parquet(s"$ver/meta")
+      .filter(col("seg").isin(segs: _*))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"),
+        lit(nBuckets).as("n_buckets"), lit(0L).as("seg"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$next/meta")
+    java.nio.file.Files.createFile(np.resolve("commits").resolve("0.commit"))
+    onStep("written")
+    java.nio.file.Files.createFile(np.resolve("_COMMITTED"))
+    onStep("committed")
+    versions(dir).collect { case (n, true) => n }
+      .filter(v => s"$dir/v$v" != next)
+      .foreach(n => deleteTree(java.nio.file.Paths.get(s"$dir/v$n")))
+    onStep("retired")
+    val w = java.nio.file.Files.walk(np.resolve("postings"))
+    try w.iterator().asScala.count(p =>
+      p.getFileName.toString.endsWith(".parquet"))
+    finally w.close()
+  }
+
+  /** Search the persisted index: top-k docs for a bag of query terms,
+    * EXACTLY [[TextAnalysis.bm25]]'s answer (same tokenizer, same
+    * Robertson idf, same per-(doc,term) micro quantization, same
+    * (score DESC, doc_id) ties — the shared oracle asserts persistence
+    * never changes the answer; duplicate query terms weight their
+    * term's contribution by multiplicity, as bm25's per-column sum
+    * does). The plan: two pruned scans (postings + df, each
+    * `term_bucket IN` partition-filtered and `term IN`
+    * parquet-pushed), one broadcast of the per-term df/multiplicity
+    * rows, one (doc_id) partial-aggregated sum, one
+    * TakeOrderedAndProject — never a corpus scan.
+    */
+  def searchBm25Index(
+      spark: SparkSession,
+      dir: String,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "searchBm25Index needs at least one query term")
+    val ver = currentVersionDir(dir)
+    val segs = committedSegs(ver)
+    val metas = spark.read.parquet(s"$ver/meta")
+      .filter(col("seg").isin(segs: _*))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .collect()(0)
+    val nDocs = metas.getLong(0)
+    val sumDl = metas.getLong(1)
+    val nBuckets = readBuckets(spark, ver, segs)
+    // normalize exactly as bm25 does; multiplicity keeps duplicate
+    // query terms contributing like bm25's duplicated score columns
+    val normed = terms.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+    val mult = normed.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    import spark.implicits._
+    // buckets via the ENGINE's own hash on a terms-sized frame, so the
+    // probe can never disagree with the write-time routing
+    val termFrame = mult.toDF("term", "mult")
+      .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
+    val probed = termFrame.select("term_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val distinctTerms = mult.map(_._1)
+    def pruned(side: String): DataFrame =
+      spark.read.parquet(s"$ver/$side")
+        .filter(col("term_bucket").isin(probed: _*) &&
+          col("term").isin(distinctTerms: _*) && col("seg").isin(segs: _*))
+    val dfTab = pruned("df").groupBy("term").agg(sum("df").as("df"))
+      .join(termFrame.select("term", "mult"), "term")
+    // the EXACT bm25 score expression over the same long/double types:
+    // idf from long df and long n_docs, tf cast to double, avgdl as
+    // long/long division — identical operand values and op tree give
+    // bit-identical doubles, hence identical micro quantization
+    val avgdl = lit(sumDl) / lit(nDocs)
+    val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val tf = col("tf").cast("double")
+    val s = idf * tf * (k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    pruned("postings")
+      .join(broadcast(dfTab), "term")
+      .select(col("doc_id"),
+        (round(s * 1e6, 0).cast("long") * col("mult")).as("m"))
+      .groupBy("doc_id").agg(sum("m").as("bm25_micro"))
+      .orderBy(desc("bm25_micro"), asc("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The persisted-BM25-index contract ([[Bm25Index]]): persistence moves
+  * the tokenize/count pass to write time and turns a query into pruned
+  * bucket reads — it never changes [[TextAnalysis.bm25]]'s answer, not
+  * through appends, compactions, or crashes at any commit-protocol
+  * stage.
+  */
+class Bm25IndexSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
+  private lazy val spark = TestSpark.init()
+
+  private def docs =
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  private val terms = Seq("dup", "spark", "join")
+
+  private def direct(q: Seq[String]) =
+    TextAnalysis.bm25(docs, q).collect().toSeq
+
+  private def search(dir: String, q: Seq[String] = terms) =
+    Bm25Index.searchBm25Index(spark, dir, q).collect().toSeq
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"bm25-$tag").toString
+
+  test("persisted search equals the in-session scorer exactly " +
+    "(scores, order, ties)") {
+    val dir = tmp("eq")
+    Bm25Index.writeBm25Index(docs, dir)
+    search(dir) shouldBe direct(terms)
+    // mixed-case/whitespace query terms normalize identically
+    Bm25Index.searchBm25Index(spark, dir, Seq(" DUP", "Spark", "join "))
+      .collect().toSeq shouldBe direct(terms)
+  }
+
+  test("duplicate query terms weight by multiplicity, exactly like " +
+    "bm25's duplicated score columns") {
+    val dir = tmp("mult")
+    Bm25Index.writeBm25Index(docs, dir)
+    val dup = Seq("dup", "dup", "spark")
+    search(dir, dup) shouldBe direct(dup)
+  }
+
+  test("append equals a one-shot build: identical corpus stats and " +
+    "identical search answers; base postings files never rewritten") {
+    val half = docs.count() / 2
+    val dirInc = tmp("inc")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") < half), dirInc)
+    val baseFiles = spark.read.parquet(s"$dirInc/v0/postings")
+      .inputFiles.toSet
+    Bm25Index.appendBm25Index(docs.filter(col("doc_id") >= half), dirInc)
+    // delta lands BESIDE the base files — none rewritten or removed
+    val afterFiles = spark.read.parquet(s"$dirInc/v0/postings")
+      .inputFiles.toSet
+    baseFiles.subsetOf(afterFiles) shouldBe true
+    afterFiles.size should be > baseFiles.size
+    val dirOne = tmp("one")
+    Bm25Index.writeBm25Index(docs, dirOne)
+    search(dirInc) shouldBe search(dirOne)
+    search(dirInc) shouldBe direct(terms)
+  }
+
+  test("append is crash-atomic: without its .commit marker the delta " +
+    "is invisible, its seg id is burned, and a retry lands clean") {
+    val half = docs.count() / 2
+    val dir = tmp("crash")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") < half), dir)
+    val before = search(dir)
+    // worst-case crash: ALL of the delta's data written, only the
+    // final .commit marker missing (every earlier crash strands less)
+    Bm25Index.appendBm25Index(docs.filter(col("doc_id") >= half), dir)
+    val commit = java.nio.file.Paths.get(s"$dir/v0/commits/1.commit")
+    java.nio.file.Files.delete(commit)
+    search(dir) shouldBe before
+    // the burned .pending keeps the retry off seg 1, so the retry can
+    // never adopt the stranded rows at its own commit
+    Bm25Index.appendBm25Index(docs.filter(col("doc_id") >= half), dir)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v0/commits/2.commit")) shouldBe true
+    search(dir) shouldBe direct(terms)
+    // compact vacuums the seg-1 strandings and preserves the answer
+    Bm25Index.compactBm25Index(dir, spark)
+    val segs = spark.read.parquet(
+      s"${Bm25Index.currentVersionDir(dir)}/postings")
+      .select("seg").distinct().collect().map(_.getLong(0)).toSeq
+    segs shouldBe Seq(0L)
+    search(dir) shouldBe direct(terms)
+  }
+
+  test("compact collapses small files to one per bucket, serves the " +
+    "old version until its single commit point, and never changes " +
+    "the answer") {
+    val n = docs.count()
+    val dir = tmp("compact")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") < n / 3), dir)
+    Bm25Index.appendBm25Index(
+      docs.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3), dir)
+    Bm25Index.appendBm25Index(docs.filter(col("doc_id") >= 2 * n / 3), dir)
+    val expect = direct(terms)
+    search(dir) shouldBe expect
+    val preFiles = spark.read.parquet(s"$dir/v0/postings").inputFiles.length
+    var stages = List.empty[String]
+    val fileCount = Bm25Index.compactBm25Index(dir, spark, step => {
+      stages ::= step
+      // at "written" the new version exists but is NOT committed: a
+      // reader still resolves v0 and serves the exact old answer — a
+      // crash here strands only the invisible partial version
+      if (step == "written") {
+        Bm25Index.currentVersionDir(dir) shouldBe s"$dir/v0"
+        search(dir) shouldBe expect
+      }
+      if (step == "committed")
+        Bm25Index.currentVersionDir(dir) shouldBe s"$dir/v1"
+    })
+    stages.reverse shouldBe List("written", "committed", "retired")
+    fileCount should be < preFiles.toLong
+    // one file per populated bucket (repartition on the partition key)
+    val buckets = spark.read.parquet(s"$dir/v1/postings")
+      .select("term_bucket").distinct().count()
+    fileCount shouldBe buckets
+    // the retired version is gone; the answer is unchanged
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v0")) shouldBe false
+    search(dir) shouldBe expect
+    // a crashed compact's stranded UNCOMMITTED version is cleared by
+    // the next compact and never serves
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/v7/commits"))
+    Bm25Index.currentVersionDir(dir) shouldBe s"$dir/v1"
+    Bm25Index.compactBm25Index(dir, spark)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v7")) shouldBe false
+    search(dir) shouldBe expect
+  }
+
+  test("searches are bucket-pruned: the term_bucket filter reaches the " +
+    "scan as a partition filter and unprobed buckets are never read") {
+    val dir = tmp("prune")
+    Bm25Index.writeBm25Index(docs, dir, nBuckets = 16)
+    val out = Bm25Index.searchBm25Index(spark, dir, Seq("dup"))
+    val plan = out.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("term_bucket")
+    // the term equality itself pushes into the parquet row-group scan
+    plan should include("PushedFilters")
+    plan should include("term")
+    out.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case sc: FileSourceScanExec => Seq(sc)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allScans(r.child)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(out.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+    scans should not be empty
+    // ONE query term hashes to ONE bucket: exactly one of the 16
+    // partition directories is listed and read
+    val readParts = scans.map(sc =>
+      sc.relation.location.listFiles(sc.partitionFilters, Nil).length).max
+    readParts shouldBe 1
+  }
+
+  test("a never-built or uncommitted dir fails loudly; mismatched " +
+    "bucket counts across segments fail loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      Bm25Index.searchBm25Index(spark, tmp("missing"), terms)
+    an[IllegalArgumentException] should be thrownBy
+      Bm25Index.searchBm25Index(spark, tmp("empty"), Seq.empty)
+  }
+}
