@@ -126,7 +126,10 @@ object Bench {
     // + one (term,doc) shuffle + bucket-partitioned write) + pruned
     // search; and the maintenance lifecycle (half-build + delta-segment
     // append + compact + search) under the same oracle
-    "q_bm25_persisted", "q_bm25_index_append")
+    "q_bm25_persisted", "q_bm25_index_append",
+    // GIF logical-screen + WebP VP8/VP8L/VP8X header triage (real
+    // magic-byte parsers, the q_multimodal_decode_png pattern)
+    "q_multimodal_decode_gif")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -348,7 +351,10 @@ object Bench {
     "q_bm25_persisted" -> 4.000,
     // half-build + delta-segment append + compact rewrite + search
     // (r15 steady 6.3)
-    "q_bm25_index_append" -> 7.500)
+    "q_bm25_index_append" -> 7.500,
+    // four synthesized header tiers + the mapPartitions walk (r15
+    // steady 0.67-0.86)
+    "q_multimodal_decode_gif" -> 1.200)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -512,7 +518,10 @@ object Bench {
     "q_bm25_persisted" -> 11.500,
     // ~2× at 10× (6.3 → 14.0-14.9 s steady): build + append + compact
     // are each one corpus-linear pass, searches flat
-    "q_bm25_index_append" -> 16.500)
+    "q_bm25_index_append" -> 16.500,
+    // ~1.5× at 10× (0.67-0.86 → 1.0-1.2 s steady): header synthesis +
+    // parse, one map stage
+    "q_multimodal_decode_gif" -> 1.800)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

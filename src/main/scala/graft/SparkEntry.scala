@@ -4028,6 +4028,63 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // GIF/WebP HEADER tier (round-15): the two remaining formats a web
+    // crawl actually contains, same pattern as q_multimodal_decode_png —
+    // every doc synthesizes FOUR payloads (a valid GIF logical screen
+    // descriptor; a lossy WebP VP8 frame with the 0x9D012A sync code; a
+    // lossless VP8L with the packed width/height/alpha bits, alpha on
+    // even doc_ids; an extended VP8X with u24le canvas dims and the
+    // alpha flag on even doc_ids) and Multimodal.imageHeaderMeta must
+    // parse its way back to the synthesis facts. Little-endian fields
+    // throughout (the q_multimodal_wav le-emitter pattern).
+    "q_multimodal_decode_gif" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= 36)
+      val w = (pmod(col("doc_id"), lit(640L)) + 1).cast("long")
+      val h = (pmod(col("doc_id") * 3, lit(480L)) + 1).cast("long")
+      val alpha = pmod(col("doc_id"), lit(2L)) === 0
+      def leN(v: Column, bytes: Int) = unhex(concat(
+        (0 until bytes).map(i =>
+          lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255))), 2, "0")): _*))
+      val text36 = expr("substring(encode(text, 'UTF-8'), 1, 36)")
+      val gif = docs.select((col("doc_id") * 4).as("media_id"),
+        concat(
+          lit("GIF89a").cast("binary"), leN(w, 2), leN(h, 2),
+          // packed 0x70: GCT off, color resolution 7 → 8 bits/primary
+          unhex(lit("700000")),
+          text36).as("payload"))
+      val vp8 = docs.select((col("doc_id") * 4 + 1).as("media_id"),
+        concat(
+          lit("RIFF").cast("binary"), leN(lit(58L), 4), // 4+8+46
+          lit("WEBP").cast("binary"),
+          lit("VP8 ").cast("binary"), leN(lit(46L), 4), // tag+sync+dims+36
+          unhex(lit("0000009D012A")), // frame tag + sync code
+          leN(w, 2), leN(h, 2),
+          text36).as("payload"))
+      val vp8l = docs.select((col("doc_id") * 4 + 2).as("media_id"),
+        concat(
+          lit("RIFF").cast("binary"), leN(lit(53L), 4), // 4+8+41
+          lit("WEBP").cast("binary"),
+          lit("VP8L").cast("binary"), leN(lit(41L), 4), // sig+bits+36
+          unhex(lit("2F")),
+          // bits: (w−1) | (h−1)<<14 | alpha<<28, version 0
+          leN((w - 1) + (h - 1) * 16384 +
+            when(alpha, 268435456L).otherwise(0L), 4),
+          text36).as("payload"))
+      val vp8x = docs.select((col("doc_id") * 4 + 3).as("media_id"),
+        concat(
+          lit("RIFF").cast("binary"), leN(lit(58L), 4), // 4+8+10+36
+          lit("WEBP").cast("binary"),
+          lit("VP8X").cast("binary"), leN(lit(10L), 4),
+          when(alpha, unhex(lit("10"))).otherwise(unhex(lit("00"))),
+          unhex(lit("000000")), // reserved
+          leN(w - 1, 3), leN(h - 1, 3),
+          text36).as("payload"))
+      Multimodal.imageHeaderMeta(
+        gif.unionByName(vp8).unionByName(vp8l).unionByName(vp8x))
+        .orderBy("media_id")
+    }),
+
     // REAL 2-D resize through the PPM tier: the synthesized 4×3 rasters
     // resized to 2×2 on the actual pixel grid and re-encoded; DuckDB
     // replays the NN index map (and the re-encoded header) from the hex
@@ -5911,6 +5968,33 @@ object SparkEntry {
         |  CAST(8 AS INT), CAST(3 AS INT) FROM d
         | UNION ALL
         | SELECT doc_id * 4 + 3, 'unknown', NULL, NULL, NULL, NULL FROM d)
+        |ORDER BY media_id""".stripMargin,
+
+    // GIF/WebP triage: Spark PARSES the synthesized headers back; the
+    // oracle recomputes the synthesis facts (dims from the doc_id rule,
+    // GIF depth 8 / palette channel 1 from the packed-byte constant,
+    // WebP channels from the per-variant alpha rule)
+    "q_multimodal_decode_gif" ->
+      """WITH d AS (
+        | SELECT doc_id FROM documents
+        | WHERE octet_length(encode(text)) >= 36)
+        |SELECT media_id, format, width, height, depth, channels FROM (
+        | SELECT doc_id * 4 AS media_id, 'gif' AS format,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST((doc_id * 3) % 480 + 1 AS INT) AS height,
+        |  CAST(8 AS INT) AS depth, CAST(1 AS INT) AS channels FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 1, 'webp', CAST(doc_id % 640 + 1 AS INT),
+        |  CAST((doc_id * 3) % 480 + 1 AS INT), CAST(8 AS INT),
+        |  CAST(3 AS INT) FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 2, 'webp', CAST(doc_id % 640 + 1 AS INT),
+        |  CAST((doc_id * 3) % 480 + 1 AS INT), CAST(8 AS INT),
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 3, 'webp', CAST(doc_id % 640 + 1 AS INT),
+        |  CAST((doc_id * 3) % 480 + 1 AS INT), CAST(8 AS INT),
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) FROM d)
         |ORDER BY media_id""".stripMargin,
 
     // 2-D NN map: output pixel (y, x) ← source pixel (⌊y·3/2⌋, ⌊x·4/2⌋)

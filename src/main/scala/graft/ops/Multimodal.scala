@@ -258,6 +258,90 @@ object Multimodal {
     }
   }
 
+  /** GIF header parser — the logical screen descriptor walk (GIF89a
+    * spec §17/§18): 6-byte magic (`GIF87a`/`GIF89a`), then canvas
+    * width/height as LITTLE-endian u16 at offsets 6/8 and the packed
+    * byte at 10 whose bits 6–4 carry `color resolution − 1` (bits per
+    * primary). Palette-indexed like PNG color type 3, so one sample
+    * per pixel. Dependency-free and strict like the other parsers —
+    * the pre-codec triage tier.
+    */
+  object GifHeader {
+    /** `Some((width, height, bitsPerPrimary))` for a structurally
+      * valid GIF logical screen descriptor, `None` otherwise.
+      */
+    def parse(p: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (p == null || p.length < 13) return None
+      val m = "GIF8"
+      var i = 0
+      while (i < 4) { if ((p(i) & 0xff) != m(i)) return None; i += 1 }
+      if ((p(4) != '7' && p(4) != '9') || p(5) != 'a') return None
+      def u16le(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      val w = u16le(6); val h = u16le(8)
+      if (w <= 0 || h <= 0) return None
+      Some((w, h, ((p(10) >> 4) & 7) + 1))
+    }
+  }
+
+  /** WebP header parser — the RIFF chunk walk for all three container
+    * variants (WebP container spec): `RIFF <size> WEBP`, then
+    *
+    *   - `VP8 ` (lossy): 3-byte frame tag, the 0x9D012A sync code,
+    *     then 14-bit width/height in little-endian u16s;
+    *   - `VP8L` (lossless): 0x2F signature, then one u32le packing
+    *     `width−1` (bits 0–13), `height−1` (14–27), `alpha_is_used`
+    *     (28) and a version field (29–31) that must be 0;
+    *   - `VP8X` (extended): a flags byte (bit 0x10 = alpha), then
+    *     canvas `width−1`/`height−1` as u24le.
+    *
+    * Strict like the others: wrong sync/signature/version, dims of 0,
+    * or a chunk size overrunning the payload → `None`.
+    */
+  object WebpHeader {
+    /** `Some((width, height, depth, channels))` — depth is 8 for every
+      * variant; channels 3, or 4 when the variant carries alpha.
+      */
+    def parse(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (p == null || p.length < 25) return None
+      def fcc(o: Int, s: String): Boolean = {
+        var i = 0
+        while (i < s.length) {
+          if ((p(o + i) & 0xff) != s(i)) return false
+          i += 1
+        }
+        true
+      }
+      if (!fcc(0, "RIFF") || !fcc(8, "WEBP")) return None
+      def u16le(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def u24le(o: Int) = u16le(o) | ((p(o + 2) & 0xff) << 16)
+      def u32le(o: Int) = u24le(o).toLong | ((p(o + 3) & 0xffL) << 24)
+      val chunkSize = u32le(16)
+      def fits(min: Long): Boolean =
+        chunkSize >= min && 20L + chunkSize <= p.length
+      if (fcc(12, "VP8 ")) {
+        if (p.length < 30 || !fits(10L)) return None
+        if ((p(23) & 0xff) != 0x9d || (p(24) & 0xff) != 0x01 ||
+          (p(25) & 0xff) != 0x2a) return None
+        val w = u16le(26) & 0x3fff; val h = u16le(28) & 0x3fff
+        if (w <= 0 || h <= 0) return None
+        Some((w, h, 8, 3))
+      } else if (fcc(12, "VP8L")) {
+        if (!fits(5L) || (p(20) & 0xff) != 0x2f) return None
+        val bits = u32le(21)
+        if (((bits >>> 29) & 7L) != 0L) return None // version must be 0
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >>> 14) & 0x3fff).toInt + 1
+        val channels = if (((bits >>> 28) & 1L) == 1L) 4 else 3
+        Some((w, h, 8, channels))
+      } else if (fcc(12, "VP8X")) {
+        if (p.length < 30 || !fits(10L)) return None
+        val channels = if ((p(20) & 0x10) != 0) 4 else 3
+        val w = u24le(24) + 1; val h = u24le(27) + 1
+        Some((w, h, 8, channels))
+      } else None
+    }
+  }
+
   private val headerMetaSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
@@ -267,11 +351,14 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = true)))
 
   /** Format/dimension triage across the REAL header parsers — PPM
-    * ([[PpmDecoder]]), PNG ([[PngHeader]]), JPEG ([[JpegHeader]]) — with
-    * `unknown` (null dims) for everything else. `depth` is bits per
-    * sample (PPM single-byte → 8, PNG bit depth, JPEG precision);
-    * `channels` is samples per pixel (PPM 3, PNG from color type, JPEG
-    * component count). Same batch shape as [[extractFeatures]]
+    * ([[PpmDecoder]]), PNG ([[PngHeader]]), JPEG ([[JpegHeader]]), GIF
+    * ([[GifHeader]]), WebP ([[WebpHeader]], all three container
+    * variants) — with `unknown` (null dims) for everything else.
+    * `depth` is bits per sample (PPM single-byte → 8, PNG bit depth,
+    * JPEG precision, GIF color resolution, WebP 8); `channels` is
+    * samples per pixel (PPM 3, PNG from color type, JPEG component
+    * count, GIF 1 — palette-indexed like PNG color type 3, WebP 3 or
+    * 4 with alpha). Same batch shape as [[extractFeatures]]
     * (mapPartitions over pruned columns, payload bytes never shuffled);
     * this is the layer a 100 TB ingest runs on EVERY image before
     * deciding what to decode.
@@ -291,7 +378,13 @@ object Multimodal {
             case None => JpegHeader.parse(p) match {
               case Some((w, h, prec, ncomp)) =>
                 Row(id, "jpeg", w, h, prec, ncomp)
-              case None => Row(id, "unknown", null, null, null, null)
+              case None => GifHeader.parse(p) match {
+                case Some((w, h, d)) => Row(id, "gif", w, h, d, 1)
+                case None => WebpHeader.parse(p) match {
+                  case Some((w, h, d, ch)) => Row(id, "webp", w, h, d, ch)
+                  case None => Row(id, "unknown", null, null, null, null)
+                }
+              }
             }
           }
         }

@@ -345,6 +345,94 @@ class MultimodalSpec extends AnyFunSuite with Matchers
     tup(5L) shouldBe ("unknown", -1, -1, -1, -1)
   }
 
+  // --- GIF/WebP header tier (round-15) ---
+
+  private def gifBytes(w: Int, h: Int, packed: Int = 0x70,
+      magic: String = "GIF89a") =
+    magic.getBytes("US-ASCII") ++ hexBytes(
+      f"${w & 0xff}%02X${(w >> 8) & 0xff}%02X" +
+        f"${h & 0xff}%02X${(h >> 8) & 0xff}%02X" + f"$packed%02X0000")
+
+  private def riff(variant: String, data: Array[Byte]) =
+    "RIFF".getBytes("US-ASCII") ++ hexBytes(
+      f"${(data.length + 12) & 0xff}%02X${((data.length + 12) >> 8) & 0xff}%02X0000") ++
+      "WEBP".getBytes("US-ASCII") ++ variant.getBytes("US-ASCII") ++
+      hexBytes(f"${data.length & 0xff}%02X${(data.length >> 8) & 0xff}%02X0000") ++
+      data
+
+  private def vp8Bytes(w: Int, h: Int) = riff("VP8 ", hexBytes(
+    "0000009D012A" + f"${w & 0xff}%02X${(w >> 8) & 0xff}%02X" +
+      f"${h & 0xff}%02X${(h >> 8) & 0xff}%02X"))
+
+  private def vp8lBytes(w: Int, h: Int, alpha: Boolean = false,
+      version: Int = 0) = {
+    val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+      (if (alpha) 1L << 28 else 0L) | (version.toLong << 29)
+    riff("VP8L", hexBytes("2F" + (0 until 4).map(i =>
+      f"${(bits >> (8 * i)) & 0xff}%02X").mkString))
+  }
+
+  private def vp8xBytes(w: Int, h: Int, flags: Int = 0) =
+    riff("VP8X", hexBytes(f"$flags%02X000000" +
+      (0 until 3).map(i => f"${((w - 1) >> (8 * i)) & 0xff}%02X").mkString +
+      (0 until 3).map(i => f"${((h - 1) >> (8 * i)) & 0xff}%02X").mkString))
+
+  test("GifHeader: logical screen descriptor from real bytes " +
+    "(little-endian dims, packed color resolution); malformed rejected") {
+    Multimodal.GifHeader.parse(gifBytes(640, 480)) shouldBe Some((640, 480, 8))
+    Multimodal.GifHeader.parse(gifBytes(300, 200, packed = 0x20,
+      magic = "GIF87a")) shouldBe Some((300, 200, 3))
+    Multimodal.GifHeader.parse(null) shouldBe None
+    Multimodal.GifHeader.parse(gifBytes(640, 480).take(12)) shouldBe None
+    Multimodal.GifHeader.parse(gifBytes(0, 480)) shouldBe None
+    Multimodal.GifHeader.parse(
+      gifBytes(640, 480, magic = "GIF88a")) shouldBe None
+    Multimodal.GifHeader.parse("not a gif, just text".getBytes) shouldBe None
+  }
+
+  test("WebpHeader: VP8 sync-code dims, VP8L packed bits with the alpha " +
+    "bit, VP8X u24le canvas with the alpha flag; malformed rejected") {
+    Multimodal.WebpHeader.parse(vp8Bytes(640, 480)) shouldBe
+      Some((640, 480, 8, 3))
+    Multimodal.WebpHeader.parse(vp8lBytes(123, 45)) shouldBe
+      Some((123, 45, 8, 3))
+    Multimodal.WebpHeader.parse(vp8lBytes(123, 45, alpha = true)) shouldBe
+      Some((123, 45, 8, 4))
+    Multimodal.WebpHeader.parse(vp8xBytes(70000, 3)) shouldBe
+      Some((70000, 3, 8, 3)) // u24 canvas dims exceed u16
+    Multimodal.WebpHeader.parse(vp8xBytes(16, 9, flags = 0x10)) shouldBe
+      Some((16, 9, 8, 4))
+    // rejections: bad sync code, nonzero VP8L version, zero VP8 dim,
+    // unknown variant fourcc, chunk size overrunning the payload,
+    // truncated, not RIFF at all
+    val badSync = vp8Bytes(640, 480); badSync(23) = 0x00
+    Multimodal.WebpHeader.parse(badSync) shouldBe None
+    Multimodal.WebpHeader.parse(vp8lBytes(123, 45, version = 1)) shouldBe None
+    Multimodal.WebpHeader.parse(vp8Bytes(0, 480)) shouldBe None
+    Multimodal.WebpHeader.parse(riff("ANMF", Array.fill(10)(0x00.toByte))) shouldBe None
+    Multimodal.WebpHeader.parse(vp8Bytes(640, 480).dropRight(2)) shouldBe None
+    Multimodal.WebpHeader.parse(vp8lBytes(123, 45).take(20)) shouldBe None
+    Multimodal.WebpHeader.parse(null) shouldBe None
+    Multimodal.WebpHeader.parse("RIFFxxxxNOTW".getBytes) shouldBe None
+  }
+
+  test("imageHeaderMeta: gif and webp tiers triage beside the others") {
+    val rows = Seq(
+      (1L, gifBytes(11, 22)),
+      (2L, vp8Bytes(33, 44)),
+      (3L, vp8lBytes(55, 66, alpha = true)),
+      (4L, vp8xBytes(77, 88)))
+    val media = spark.createDataFrame(rows).toDF("media_id", "payload")
+    val out = Multimodal.imageHeaderMeta(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    out(1L) shouldBe ("gif", 11, 22, 8, 1)
+    out(2L) shouldBe ("webp", 33, 44, 8, 3)
+    out(3L) shouldBe ("webp", 55, 66, 8, 4)
+    out(4L) shouldBe ("webp", 77, 88, 8, 3)
+  }
+
   test("extractFeatures: PNG/JPEG payloads get header-parsed dims with " +
     "the stream-histogram features") {
     val rows = Seq((1L, pngBytes(123, 45)), (2L, jpegBytes(77, 66)))
