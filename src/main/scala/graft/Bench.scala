@@ -129,7 +129,11 @@ object Bench {
     "q_bm25_persisted", "q_bm25_index_append",
     // GIF logical-screen + WebP VP8/VP8L/VP8X header triage (real
     // magic-byte parsers, the q_multimodal_decode_png pattern)
-    "q_multimodal_decode_gif")
+    "q_multimodal_decode_gif",
+    // the exact-percentile dashboards routed through the mergeable
+    // compactor sketch (one bounded summary per partition per group
+    // crosses the shuffle) + the HLL-distinct scale profile
+    "q_length_quantiles_sketch", "q_profile_sketch")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -354,7 +358,12 @@ object Bench {
     "q_bm25_index_append" -> 7.500,
     // four synthesized header tiers + the mapPartitions walk (r15
     // steady 0.67-0.86)
-    "q_multimodal_decode_gif" -> 1.200)
+    "q_multimodal_decode_gif" -> 1.200,
+    // one sketch-aggregated pass over per-doc lengths (r15 steady 0.65)
+    "q_length_quantiles_sketch" -> 1.000,
+    // 4-column unpivot → sketch pass + portable-HLL pass (r15 steady
+    // 2.3-2.6)
+    "q_profile_sketch" -> 3.200)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -521,7 +530,14 @@ object Bench {
     "q_bm25_index_append" -> 16.500,
     // ~1.5× at 10× (0.67-0.86 → 1.0-1.2 s steady): header synthesis +
     // parse, one map stage
-    "q_multimodal_decode_gif" -> 1.800)
+    "q_multimodal_decode_gif" -> 1.800,
+    // ~1.4× at 10× (0.65 → 0.86-0.94 s steady): summary size fixed,
+    // the pass row-linear
+    "q_length_quantiles_sketch" -> 1.500,
+    // ~7× at 10× (2.25-2.6 → 16.5-18 s steady): 24M unpivoted values
+    // through the compactor + HLL passes — value-linear, summaries
+    // still fixed-size on the wire
+    "q_profile_sketch" -> 19.000)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2839,6 +2839,17 @@ object SparkEntry {
     "q_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(t(s, dir, "documents")).orderBy("lang")),
 
+    // the length dashboard ROUTED THROUGH the mergeable compactor
+    // sketch (round-15): one bounded summary per partition per language
+    // crosses the shuffle instead of percentile's every-length sort;
+    // exact regime at these scales, so the discrete quantile rule reads
+    // exact observed lengths and the oracle replays it verbatim
+    "q_length_quantiles_sketch" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      TextAnalysis.lengthQuantilesSketch(
+        t(s, dir, "documents"), native = native).orderBy("lang")
+    }),
+
     "q_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2).orderBy("doc_id")),
 
@@ -3352,6 +3363,25 @@ object SparkEntry {
       ops.CorpusOps.profileNumeric(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_name")),
+
+    // the profile's SCALE form (round-15): exact countDistinct → the
+    // 64-register portable HLL, plus the quantiles the exact profile
+    // cannot afford, via the compactor sketch — every post-shuffle
+    // table O(columns · capacity). Money columns quantize ×100 into
+    // exact centi-longs, so both sketches replay bit-exactly in the
+    // oracle (the q_hll_distinct + q_quantile_sketch CTE chains joined
+    // per column)
+    "q_profile_sketch" -> ((s, dir) => {
+      val native = graft.plans.GraftExtensions.available(s)
+      // capacity 2^20 pins the EXACT regime through sf0.1 (600k values
+      // per column-group < capacity, so no compaction fires and the
+      // discrete quantiles are exact); the compaction regime's rank
+      // bound is QuantileSketchAggSpec's job, not the oracle's
+      ops.CorpusOps.profileNumericSketch(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        scale = 100L, capacity = 1 << 20, native = native)
+        .orderBy("col_name")
+    }),
 
     "q_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(t(s, dir, "documents"), minCount = 5L, k = 50)),
@@ -8150,6 +8180,78 @@ object SparkEntry {
         | quantile_cont(len(string_split(text, ' ')), 0.9) AS p90_tokens,
         | quantile_cont(len(string_split(text, ' ')), 0.99) AS p99_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same value rule and discrete-quantile replay as q_quantile_sketch
+    // (the sketch variant of the length dashboard shares its CTE shape)
+    "q_length_quantiles_sketch" ->
+      """WITH v AS (
+        | SELECT lang,
+        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS value
+        | FROM documents),
+        |c AS (SELECT lang, value, CAST(count(*) AS BIGINT) AS weight
+        |      FROM v GROUP BY 1, 2),
+        |cc AS (SELECT lang, value, weight,
+        |  sum(weight) OVER (PARTITION BY lang ORDER BY value) AS cum,
+        |  sum(weight) OVER (PARTITION BY lang) AS total FROM c)
+        |SELECT lang, CAST(max(total) AS BIGINT) AS n_docs,
+        | min(CASE WHEN cum * 1000 >= total * 500 THEN value END) AS p500_tokens,
+        | min(CASE WHEN cum * 1000 >= total * 900 THEN value END) AS p900_tokens,
+        | min(CASE WHEN cum * 1000 >= total * 990 THEN value END) AS p990_tokens
+        |FROM cc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the sketch profile replays per column: exact counts/min/max on
+    // the ×100 centi-long view, the discrete-rule quantiles
+    // (q_quantile_sketch's CTE), and the 64-register portable HLL
+    // (q_hll_distinct's CTE) — joined on col_name
+    "q_profile_sketch" ->
+      """WITH u AS (
+        | SELECT 'l_quantity' AS col_name, CAST(round(l_quantity * 100) AS BIGINT) AS value FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_discount', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_tax', CAST(round(l_tax * 100) AS BIGINT) FROM lineitem),
+        |base AS (
+        | SELECT col_name, count(*) AS n_rows, count(value) AS n_present,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  min(value) AS min_val, max(value) AS max_val
+        | FROM u GROUP BY 1),
+        |p AS (SELECT col_name, value FROM u WHERE value IS NOT NULL),
+        |c AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS weight
+        |      FROM p GROUP BY 1, 2),
+        |cc AS (SELECT col_name, value, weight,
+        |  sum(weight) OVER (PARTITION BY col_name ORDER BY value) AS cum,
+        |  sum(weight) OVER (PARTITION BY col_name) AS total FROM c),
+        |q AS (SELECT col_name,
+        |  min(CASE WHEN cum * 1000 >= total * 500 THEN value END) AS p500,
+        |  min(CASE WHEN cum * 1000 >= total * 900 THEN value END) AS p900,
+        |  min(CASE WHEN cum * 1000 >= total * 990 THEN value END) AS p990
+        | FROM cc GROUP BY 1),
+        |hashed AS (
+        | SELECT col_name, ('0x' || substr(md5(value::VARCHAR), 1, 7))::BIGINT AS h
+        | FROM p),
+        |rho AS (
+        | SELECT col_name, h >> 22 AS bucket,
+        |  CASE WHEN (h & 4194303) = 0 THEN 23
+        |       ELSE 22 - CAST(floor(log2(h & 4194303)) AS BIGINT) END AS r
+        | FROM hashed),
+        |reg AS (SELECT col_name, bucket, max(r) AS m FROM rho GROUP BY 1, 2),
+        |agg AS (
+        | SELECT col_name,
+        |  CAST(sum(CAST(power(2, 23 - m) AS BIGINT)) AS BIGINT)
+        |    + (64 - count(*)) * 8388608 AS s,
+        |  64 - count(*) AS v
+        | FROM reg GROUP BY 1),
+        |d AS (SELECT col_name,
+        | round(CASE WHEN (0.709 * 64 * 64 * 8388608) / s <= 160 AND v > 0
+        |   THEN 64 * ln(64 / CAST(v AS DOUBLE))
+        |   ELSE (0.709 * 64 * 64 * 8388608) / s END, 3) AS est_distinct
+        | FROM agg)
+        |SELECT base.col_name, n_rows, n_present, n_null, min_val, max_val,
+        | p500, p900, p990, est_distinct
+        |FROM base JOIN q USING (col_name) JOIN d USING (col_name)
+        |ORDER BY col_name""".stripMargin,
 
     // exact regime: the MG summary is the exact per-(lang, token) count
     // table, so the oracle is plain counts + the same (cnt DESC, key ASC)

@@ -265,6 +265,62 @@ object CorpusOps {
         col("p.n_null"), col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
   }
 
+  /** The SCALE form of [[profileNumeric]] — the same per-column profile
+    * with every corpus-sized aggregate replaced by a bounded mergeable
+    * sketch, plus the quantiles the exact profile cannot afford at all:
+    *
+    *   - `n_distinct` (exact `countDistinct` ships every distinct value
+    *     through the shuffle) → the 64-register portable HLL
+    *     ([[hllRegisters]]: fixed 64 longs of state per column,
+    *     register max-merge across shards);
+    *   - quantiles → [[quantileSketch]] (one
+    *     O(capacity·log(N/capacity)) compactor summary per partition
+    *     per column crosses the wire — the `q_heavy_hitters` in-plan
+    *     partial-agg proof pattern — instead of `percentile`'s
+    *     every-value shuffle + per-group sort);
+    *   - count/null/min/max keep their exact O(1)-state aggregates
+    *     (already mergeable — nothing to trade).
+    *
+    * Columns unpivot into ONE narrow `(col_name, value)` frame (one
+    * projection, no per-column passes); values quantize by
+    * `round(value·scale)` into exact longs (100 for two-decimal money
+    * columns), which is what makes both sketches integer-exact and
+    * oracle-replayable — the ROUND is load-bearing on double-typed
+    * columns, where `x·100` lands at `…99999998` and a bare cast's
+    * truncation disagrees across engines.
+    * Two aggregation passes total, both map-side combined; every
+    * post-shuffle table is O(columns · capacity), never corpus-sized.
+    */
+  def profileNumericSketch(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Long = 1L,
+      probsPermille: Seq[Int] = Seq(500, 900, 990),
+      capacity: Int = 32768,
+      native: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val unpivoted = df
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        round(col(c) * scale).cast("long").as("value"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.value"))
+    val base = unpivoted.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("value")).as("n_present"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+      min("value").as("min_val"),
+      max("value").as("max_val"))
+    val present = unpivoted.filter(col("value").isNotNull)
+    val quants = quantileSketch(present, "value", "col_name",
+      probsPermille, capacity, native).drop("n_values")
+    val distinct = hllEstimate(present, "value", Seq("col_name"))
+    // both right sides are columns-sized — broadcast by construction
+    base
+      .join(broadcast(quants), Seq("col_name"), "left")
+      .join(broadcast(distinct), Seq("col_name"), "left")
+  }
+
   /** One-pass approximate quantiles by fixed-width binning: count rows
     * per `floor(value / binWidth)` bin, then read each requested
     * permille off the cumulative bin histogram. The answer is exact to

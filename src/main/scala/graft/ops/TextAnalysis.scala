@@ -879,6 +879,40 @@ object TextAnalysis {
         percentile(nTok, lit(0.99)).as("p99_tokens"))
   }
 
+  /** The SCALE form of [[lengthQuantiles]] — same dashboard (per-language
+    * document-length quantiles), routed through the mergeable
+    * [[graft.plans.QuantileSketchAgg]] compactor instead of the exact
+    * `percentile` sort. The wire-volume difference is the point at
+    * 100 TB: `percentile` ships EVERY per-document length through the
+    * shuffle and sorts per group; the sketch ships one bounded
+    * O(capacity·log(N/capacity)) summary per partition per group
+    * (partial aggregation verified in-plan, the `q_heavy_hitters`
+    * proof pattern), then reads the quantiles off the merged summary.
+    *
+    * Quantile rule is the sketch family's integer-exact DISCRETE one
+    * (smallest observed value with cum·1000 ≥ p·total) — always an
+    * observed length, replayable verbatim in ANSI SQL — where
+    * [[lengthQuantiles]] interpolates; in the exact regime (lengths per
+    * language < capacity) the summary is the exact multiset, so the
+    * discrete answers are exact, not approximate. NULL text counts as
+    * the empty document (1 whitespace token), same as the exact twin's
+    * grouping sees through `coalesce`.
+    */
+  def lengthQuantilesSketch(
+      df: DataFrame,
+      textCol: String = "text",
+      capacity: Int = 32768,
+      native: Boolean = false): DataFrame = {
+    val vals = df.select(col("lang"),
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("__n"))
+    CorpusOps.quantileSketch(vals, valueCol = "__n", groupCol = "lang",
+      probsPermille = Seq(500, 900, 990), capacity = capacity,
+      native = native)
+      .select(col("lang"), col("n_values").as("n_docs"),
+        col("p500").as("p500_tokens"), col("p900").as("p900_tokens"),
+        col("p990").as("p990_tokens"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): hash each k-gram, slide a window of `w` consecutive
     * hashes, keep each window's minimum — guaranteeing any match of

@@ -498,4 +498,58 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers
     p500 should be <= p900
     p900 should be <= p990
   }
+
+  test("profileNumericSketch: exact regime equals a hand-computed exact " +
+    "profile (counts/min/max/discrete quantiles) with the HLL estimate " +
+    "for distinct; nulls counted, never sketched") {
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (i % 5 == 0) None else Some(i.toDouble / 100.0)))
+    val df = rows.toDF("a", "b").repartition(7)
+    for (native <- Seq(false, true)) {
+      val out = CorpusOps.profileNumericSketch(df, Seq("a", "b"),
+        scale = 100L, capacity = 4096, native = native)
+        .orderBy("col_name").collect()
+      withClue(s"native=$native: ") {
+        out.length shouldBe 2
+        val a = out.head
+        a.getString(0) shouldBe "a"
+        a.getLong(1) shouldBe 400L // n_rows
+        a.getLong(2) shouldBe 400L // n_present
+        a.getLong(3) shouldBe 0L   // n_null
+        a.getLong(4) shouldBe 0L   // min = 0·100
+        a.getLong(5) shouldBe 39900L
+        a.getLong(6) shouldBe 19900L // p500: the 200th of 0,100,…,39900
+        val b = out(1)
+        b.getLong(1) shouldBe 400L
+        b.getLong(2) shouldBe 320L // 80 nulls skipped
+        b.getLong(3) shouldBe 80L
+        b.getLong(4) shouldBe 1L   // min present: i=1 → 0.01·100
+        b.getLong(5) shouldBe 399L
+        // HLL over 400 (resp. 320) distinct values: 13% relative error
+        a.getDouble(9) shouldBe 400.0 +- 160.0
+        b.getDouble(9) shouldBe 320.0 +- 130.0
+      }
+    }
+  }
+
+  test("sketch routing ships summaries, not values: the quantile " +
+    "aggregate partial-aggregates BEFORE the exchange in " +
+    "lengthQuantilesSketch and profileNumericSketch plans") {
+    val docs = (0 until 100).map(i =>
+      (i.toLong, "w " * (i % 17 + 1), if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val lq = TextAnalysis.lengthQuantilesSketch(docs, native = true)
+    lq.collect()
+    val lqPlan = lq.queryExecution.executedPlan.toString
+    // the MAP-SIDE (partial) sketch must sit below the shuffle: the
+    // whole wire-volume claim — O(capacity) summaries cross, values
+    // don't — is false without it
+    lqPlan should include("partial_graft_quantile_sketch")
+    val pf = CorpusOps.profileNumericSketch(
+      docs.withColumn("n", col("doc_id") * 2), Seq("doc_id", "n"),
+      native = true)
+    pf.collect()
+    pf.queryExecution.executedPlan.toString should
+      include("partial_graft_quantile_sketch")
+  }
 }
