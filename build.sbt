@@ -37,7 +37,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shapes — the 100 TB service shape — sizes the cache to the
   // workload; the larger JIT code cache backs the extra live classes.
   "-Dspark.sql.codegen.cache.maxEntries=4096",
-  "-XX:ReservedCodeCacheSize=512m",
+  // 1g (r15, was 512m): the sf1 gate's remaining drift mode — iterative
+  // queries 2-3.5x in-suite yet clean in a fresh JVM, surviving the r14
+  // warm pass — fits code-cache pressure late in the 149-query session:
+  // a near-full cache stalls/flushes C2 exactly where sf1's 10x-longer
+  // hot loops need it, while sf0.1's short loops coast on C1 (which is
+  // why the warm pass cured only that scale). Reservation is virtual
+  // address space, not RSS, so the only cost is paid when used;
+  // Bench's per-rep cc= telemetry records what actually is.
+  "-XX:ReservedCodeCacheSize=1g",
   // The SQL status store retains 1000 executions even with the UI off;
   // at 126 gate queries × 2 reps × multi-job executions, each carrying
   // this library's very large plan descriptions, the retained store

@@ -548,6 +548,21 @@ object Bench {
     val gcBeans =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
     def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    // JIT code-cache telemetry (round-15, the r14 sf1 postmortem lead):
+    // the suspected driver of the sf1-only in-process drift on iterative
+    // queries (q_pagerank/q_triangles — fresh-JVM clean, in-suite 2-3.5x)
+    // is code-cache pressure late in a 149-query session: a full cache
+    // stalls/flushes C2 compilation exactly where sf1's 10x-longer hot
+    // loops need it (sf0.1's shorter loops coast on C1, which is why the
+    // warm pass cured that scale but not this one). Record usage per rep
+    // and the peak in the artifact, so the diagnosis is a number.
+    val codePools =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+    def codeCacheMb(): Long =
+      codePools.map(_.getUsage.getUsed).sum >> 20
+    def codeCachePeakMb(): Long =
+      codePools.map(_.getPeakUsage.getUsed).sum >> 20
     // Force FULL materialization through the noop sink: count() would let
     // Catalyst prune away the very projections being measured (md5/minhash/
     // cosine columns don't survive column pruning under a count).
@@ -700,7 +715,8 @@ object Bench {
       val heapMb =
         (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
       System.err.println(
-        f"[bench] rep$rep $n%-24s t=$t%7.3fs gc=${g1 - g0}%4dms heap=${heapMb}MB")
+        f"[bench] rep$rep $n%-24s t=$t%7.3fs gc=${g1 - g0}%4dms " +
+          f"heap=${heapMb}MB cc=${codeCacheMb()}MB")
       t
     }
     val pass1 = repPass(1)
@@ -938,22 +954,25 @@ object Bench {
     // gc_ms: total collector time over the whole run — a contaminated run
     // (host interference, heap pressure) shows up as an outsized value
     // relative to the ~61 s clean-run shape.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"warm_pass_sec":${fmt(warmSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":2,"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"warm_pass_sec":${fmt(warmSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"code_cache_peak_mb":${codeCachePeakMb()},"over2x":$over2x,"flagged":$flaggedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // full artifact for the repo: per-query seconds, plus base/ratio
     // where the scale's baseline map has an entry (new queries
     // re-baseline on their first gated run), plus the isolation
-    // re-measurement for flagged queries
+    // re-measurement for flagged queries AND the fresh-JVM arbitration
+    // time when it ran (r14 VERDICT task 7: a reader of a >2x raw row
+    // must see the adjudication inside the artifact, not in PLANS.md)
     val full = results.map { case (k, v) =>
       val base = baseline.get(k).map(b =>
         s""","base":${fmt(b)},"ratio":${fmt(v / b)}""").getOrElse("")
       val iso = isolated.get(k).map(i => s""","isolated":${fmt(i)}""").getOrElse("")
-      s""""$k":{"sec":${fmt(v)}$base$iso}"""
+      val fr = freshChecked.get(k).map(f => s""","fresh":${fmt(f)}""").getOrElse("")
+      s""""$k":{"sec":${fmt(v)}$base$iso$fr}"""
     }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"warm_pass_sec":${fmt(warmSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"sf":"$sfDir","confirmed_over2x":${fatal.size},"reclassified_jit_drift":${reclassified.size},"queries":$full}""".getBytes("UTF-8"))
+      s"""{"total":${fmt(total)},"gc_ms":${gcMs()},"fixture_build_sec":${fmt(fixtureSec)},"warm_pass_sec":${fmt(warmSec)},"canary_drift":${fmt(drift1)},"leaked_blocks":$leakedBlocks,"code_cache_peak_mb":${codeCachePeakMb()},"sf":"$sfDir","confirmed_over2x":${fatal.size},"reclassified_jit_drift":${reclassified.size},"queries":$full}""".getBytes("UTF-8"))
     SparkEntry.releaseSharedFixtures()
     spark.stop()
     // the gate BITES (round-10): rc != 0 on confirmed violations only —
