@@ -133,7 +133,10 @@ object Bench {
     // the exact-percentile dashboards routed through the mergeable
     // compactor sketch (one bounded summary per partition per group
     // crosses the shuffle) + the HLL-distinct scale profile
-    "q_length_quantiles_sketch", "q_profile_sketch")
+    "q_length_quantiles_sketch", "q_profile_sketch",
+    // streaming late-interaction serving twin (build-once postings+
+    // masks index, per-batch scoring — run as its batch twin)
+    "q_late_interaction_stream")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -363,7 +366,11 @@ object Bench {
     "q_length_quantiles_sketch" -> 1.000,
     // 4-column unpivot → sketch pass + portable-HLL pass (r15 steady
     // 2.3-2.6)
-    "q_profile_sketch" -> 3.200)
+    "q_profile_sketch" -> 3.200,
+    // index build (3 checkpointed corpus passes) + one served batch
+    // (r15 steady 3.8-4.0; ~q_late_interaction's shape, the split adds
+    // the mask/postings pins)
+    "q_late_interaction_stream" -> 4.800)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -537,7 +544,11 @@ object Bench {
     // ~7× at 10× (2.25-2.6 → 16.5-18 s steady): 24M unpivoted values
     // through the compactor + HLL passes — value-linear, summaries
     // still fixed-size on the wire
-    "q_profile_sketch" -> 19.000)
+    "q_profile_sketch" -> 19.000,
+    // ~3.4× at 10× (3.8-4.0 → 13-14 s steady): candidate volume grows
+    // with the flat-vocab fixture's near-all-pairs postings, the served
+    // batch itself is query-sized
+    "q_late_interaction_stream" -> 15.500)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3690,6 +3690,23 @@ object SparkEntry {
         dfCapPermille = 750)
         .orderBy("query_id", "rank")),
 
+    // STREAMING late-interaction serving twin (round-15): the
+    // postings+masks index builds once, query micro-batches score
+    // against it via foreachBatch (lateInteractionServeStream;
+    // RetrievalSpec proves MemoryStream ≡ batch across two batches).
+    // Runs here as its batch twin — the per-batch transform is the
+    // shared lateInteractionServe — under q_late_interaction's oracle:
+    // the serving split must not change the ranking.
+    "q_late_interaction_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = ops.Retrieval.lateInteractionIndex(docs, dfCapPermille = 750)
+      ops.Retrieval.lateInteractionServe(
+        docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text")),
+        idx, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // boolean AND retrieval: one narrow conjunction filter, no explode
     "q_bool_search" -> ((s, dir) =>
       ops.Retrieval.booleanSearch(
@@ -4759,6 +4776,64 @@ object SparkEntry {
        |FROM (SELECT doc_id, replace(replace($mergedRep, '||', ' '), '|', '') AS bpe_text FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Late-interaction MaxSim oracle, shared verbatim by
+    * `q_late_interaction` and `q_late_interaction_stream` (the serving
+    * split must not change the ranking).
+    */
+  private val lateInteractionOracleSql =
+    """WITH d0 AS (
+        | SELECT doc_id,
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
+        | FROM documents),
+        |base AS (SELECT doc_id, toks[1:64] AS ctoks FROM d0),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+        |  SELECT doc_id, unnest(list_distinct(ctoks)) AS tok FROM base)
+        | GROUP BY 1),
+        |keep AS (SELECT tok FROM dfx, nd WHERE df * 1000 <= 750 * n_docs),
+        |qbase AS (
+        | SELECT doc_id AS query_id, ctoks[1:16] AS qtoks
+        | FROM base WHERE doc_id < 8),
+        |cand AS (
+        | SELECT DISTINCT q.query_id, b.doc_id AS cand_id
+        | FROM (SELECT query_id, unnest(list_distinct(qtoks)) AS tok FROM qbase) q
+        | JOIN keep USING (tok)
+        | JOIN (SELECT doc_id, unnest(list_distinct(ctoks)) AS tok FROM base) b USING (tok)
+        | WHERE b.doc_id <> q.query_id),
+        |tokens AS (SELECT DISTINCT tok FROM (SELECT unnest(ctoks) AS tok FROM base)),
+        |sv AS (
+        | SELECT tok, CAST(list_sum(list_transform(range(0, 16), j ->
+        |  (CASE WHEN (CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) * (2 * j + 1)
+        |             + j * 40503) % 268435399 % 2 = 0
+        |        THEN 1 ELSE 0 END) * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS m
+        | FROM tokens),
+        |qsv AS (
+        | SELECT query_id, i AS qi, m
+        | FROM (SELECT query_id, i, qtoks[CAST(i AS INT)] AS tok
+        |       FROM qbase, unnest(range(1, len(qtoks) + 1)) AS t(i))
+        | JOIN sv USING (tok)),
+        |csv AS (
+        | SELECT cand_id, ci, m
+        | FROM (SELECT doc_id AS cand_id, j AS ci, ctoks[CAST(j AS INT)] AS tok
+        |       FROM base, unnest(range(1, len(ctoks) + 1)) AS t(j))
+        | JOIN sv USING (tok)),
+        |pairdots AS (
+        | SELECT c.query_id, c.cand_id, q.qi,
+        |  16 - 2 * min(bit_count(xor(q.m, d.m))) AS mx
+        | FROM cand c
+        | JOIN qsv q USING (query_id)
+        | JOIN csv d USING (cand_id)
+        | GROUP BY 1, 2, 3),
+        |scores AS (
+        | SELECT query_id, cand_id, CAST(sum(mx) AS BIGINT) AS score
+        | FROM pairdots GROUP BY 1, 2)
+        |SELECT query_id, cand_id, score,
+        | CAST(row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+        |FROM scores
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
 
   /** BM25 oracle, shared verbatim by `q_bm25` and (as the lexical leg)
     * `q_hybrid_rrf`, so the two can never drift.
@@ -9442,59 +9517,11 @@ object SparkEntry {
     // MaxSim replay: positional caps as list slices, the df stopword
     // gate, the md5-prefix seeded-mix sign family, pair dots via
     // unnest×unnest with max-per-query-token then sum — all integer
-    "q_late_interaction" ->
-      """WITH d0 AS (
-        | SELECT doc_id,
-        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
-        | FROM documents),
-        |base AS (SELECT doc_id, toks[1:64] AS ctoks FROM d0),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
-        |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
-        |  SELECT doc_id, unnest(list_distinct(ctoks)) AS tok FROM base)
-        | GROUP BY 1),
-        |keep AS (SELECT tok FROM dfx, nd WHERE df * 1000 <= 750 * n_docs),
-        |qbase AS (
-        | SELECT doc_id AS query_id, ctoks[1:16] AS qtoks
-        | FROM base WHERE doc_id < 8),
-        |cand AS (
-        | SELECT DISTINCT q.query_id, b.doc_id AS cand_id
-        | FROM (SELECT query_id, unnest(list_distinct(qtoks)) AS tok FROM qbase) q
-        | JOIN keep USING (tok)
-        | JOIN (SELECT doc_id, unnest(list_distinct(ctoks)) AS tok FROM base) b USING (tok)
-        | WHERE b.doc_id <> q.query_id),
-        |tokens AS (SELECT DISTINCT tok FROM (SELECT unnest(ctoks) AS tok FROM base)),
-        |sv AS (
-        | SELECT tok, CAST(list_sum(list_transform(range(0, 16), j ->
-        |  (CASE WHEN (CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) * (2 * j + 1)
-        |             + j * 40503) % 268435399 % 2 = 0
-        |        THEN 1 ELSE 0 END) * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS m
-        | FROM tokens),
-        |qsv AS (
-        | SELECT query_id, i AS qi, m
-        | FROM (SELECT query_id, i, qtoks[CAST(i AS INT)] AS tok
-        |       FROM qbase, unnest(range(1, len(qtoks) + 1)) AS t(i))
-        | JOIN sv USING (tok)),
-        |csv AS (
-        | SELECT cand_id, ci, m
-        | FROM (SELECT doc_id AS cand_id, j AS ci, ctoks[CAST(j AS INT)] AS tok
-        |       FROM base, unnest(range(1, len(ctoks) + 1)) AS t(j))
-        | JOIN sv USING (tok)),
-        |pairdots AS (
-        | SELECT c.query_id, c.cand_id, q.qi,
-        |  16 - 2 * min(bit_count(xor(q.m, d.m))) AS mx
-        | FROM cand c
-        | JOIN qsv q USING (query_id)
-        | JOIN csv d USING (cand_id)
-        | GROUP BY 1, 2, 3),
-        |scores AS (
-        | SELECT query_id, cand_id, CAST(sum(mx) AS BIGINT) AS score
-        | FROM pairdots GROUP BY 1, 2)
-        |SELECT query_id, cand_id, score,
-        | CAST(row_number() OVER (PARTITION BY query_id
-        |   ORDER BY score DESC, cand_id) AS BIGINT) AS rank
-        |FROM scores
-        |QUALIFY rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    // the serving split (build-once index + per-batch scoring) must not
+    // change the ranking: the streaming twin shares the oracle verbatim
+    "q_late_interaction_stream" -> lateInteractionOracleSql,
+
+    "q_late_interaction" -> lateInteractionOracleSql,
 
     "q_hybrid_rrf" ->
       s"""WITH lexr AS (

@@ -170,6 +170,45 @@ object Retrieval {
       maxDocToks: Int = 64,
       dfCapPermille: Int = 200,
       textCol: String = "text"): DataFrame = {
+    val idx = lateInteractionIndex(docs, dim, maxQueryToks, maxDocToks,
+      dfCapPermille, textCol)
+    lateInteractionServe(
+      docs.filter(col("doc_id") < queryMaxId)
+        .select(col("doc_id").as("query_id"), col(textCol)),
+      idx, k, textCol)
+  }
+
+  /** The SERVING structures behind [[lateInteractionTopK]], built ONCE
+    * from the corpus and reused across query batches (the
+    * [[graft.ops.Similarity.writeIvfIndex]] "build once, query many"
+    * split applied to late interaction): the df-capped token whitelist,
+    * the inverted `(tok, cand_id)` candidate postings, and the per-doc
+    * bit-packed sign masks. All three are pinned with `localCheckpoint`
+    * so a stream of query micro-batches re-reads cached blocks instead
+    * of re-deriving the corpus pass per batch; release via
+    * [[Dedup.releaseCheckpoints]] on any serve output (the pins sit in
+    * its plan) when the serving session retires the index.
+    */
+  final case class LateInteractionIndex(
+      keep: DataFrame,
+      ctok: DataFrame,
+      masks: DataFrame,
+      dim: Int,
+      maxQueryToks: Int,
+      maxDocToks: Int)
+
+  /** Build a [[LateInteractionIndex]] — one corpus pass feeding the df
+    * counts, the candidate postings, and the scoring masks (parameter
+    * semantics exactly [[lateInteractionTopK]]'s, which now builds one
+    * of these per call).
+    */
+  def lateInteractionIndex(
+      docs: DataFrame,
+      dim: Int = 16,
+      maxQueryToks: Int = 16,
+      maxDocToks: Int = 64,
+      dfCapPermille: Int = 200,
+      textCol: String = "text"): LateInteractionIndex = {
     require(dim > 0 && maxQueryToks > 0 && maxDocToks > 0,
       "dims and caps must be positive")
     val toks = TextAnalysis.normTokens(coalesce(col(textCol), lit("")))
@@ -185,30 +224,51 @@ object Retrieval {
       .crossJoin(broadcast(base.agg(count(lit(1)).as("n_docs"))))
       .filter(col("df") * 1000 <= lit(dfCapPermille.toLong) * col("n_docs"))
       .select("tok")
-    val qbase = base.filter(col("doc_id") < queryMaxId)
-      .select(col("doc_id").as("query_id"),
-        slice(col("ctoks"), 1, maxQueryToks).as("qtoks"))
-    val qtok = qbase
-      .select(col("query_id"), explode(array_distinct(col("qtoks"))).as("tok"))
-      .join(keep, Seq("tok"))
+      .localCheckpoint()
     val ctok = base
       .select(col("doc_id").as("cand_id"),
         explode(array_distinct(col("ctoks"))).as("tok"))
       .join(keep, Seq("tok"))
-    val cand = qtok.join(ctok, Seq("tok"))
+      .localCheckpoint()
+    val masks = base.select(col("doc_id").as("cand_id"),
+      tokenSignMasks(col("ctoks"), dim).as("csv"))
+      .localCheckpoint()
+    LateInteractionIndex(keep, ctok, masks, dim, maxQueryToks, maxDocToks)
+  }
+
+  /** Score a batch of queries `(query_id, <textCol>)` against a built
+    * [[LateInteractionIndex]] — the per-batch half of the serving
+    * split, and exactly [[lateInteractionTopK]]'s ranking (shared
+    * oracle): inverted-index candidates from the query's kept tokens,
+    * in-row bit-packed MaxSim, (score DESC, cand_id ASC) top-k.
+    * Query token lists cap at `min(maxQueryToks, maxDocToks)` — the
+    * identical positional slice the self-query batch path takes.
+    * A candidate equal to the query id is excluded (self-match).
+    */
+  def lateInteractionServe(
+      queries: DataFrame,
+      idx: LateInteractionIndex,
+      k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = TextAnalysis.normTokens(coalesce(col(textCol), lit("")))
+    val qbase = queries.select(col("query_id"),
+      slice(toks, 1, math.min(idx.maxQueryToks, idx.maxDocToks)).as("qtoks"))
+    val qtok = qbase
+      .select(col("query_id"), explode(array_distinct(col("qtoks"))).as("tok"))
+      .join(idx.keep, Seq("tok"))
+    val cand = qtok.join(idx.ctok, Seq("tok"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
     val qv = qbase.select(col("query_id"),
-      tokenSignMasks(col("qtoks"), dim).as("qsv"))
-    val cv = base.select(col("doc_id").as("cand_id"),
-      tokenSignMasks(col("ctoks"), dim).as("csv"))
+      tokenSignMasks(col("qtoks"), idx.dim).as("qsv"))
     // max dot = dim − 2·min hamming: one XOR + popcount per token pair
     val scored = cand
       .join(broadcast(qv), Seq("query_id"))
-      .join(cv, Seq("cand_id"))
+      .join(idx.masks, Seq("cand_id"))
       .select(col("query_id"), col("cand_id"),
         aggregate(col("qsv"), lit(0L), (acc, q) =>
-          acc + lit(dim.toLong) - lit(2L) *
+          acc + lit(idx.dim.toLong) - lit(2L) *
             array_min(transform(col("csv"), c =>
               bit_count(q.bitwiseXOR(c)).cast("long")))).as("score"))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("cand_id"))
@@ -217,4 +277,29 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "score", "rank")
   }
+
+  /** STREAMING serving twin: queries arrive as a micro-batch stream and
+    * each batch scores against the cached postings+masks index through
+    * `foreachBatch` — the standard Structured Streaming shape when the
+    * per-batch plan needs batch-only operators (the candidate
+    * `distinct` and the per-query rank window here), and the same
+    * at-least-once contract as [[graft.streaming.SingerStream]]:
+    * serving is STATELESS and pure in the batch, so a crash-replayed
+    * batch hands `sink` identical rows — idempotent for any
+    * keyed/overwrite sink. Batch ≡ stream is spec'd
+    * ([[graft.ops.RetrievalSpec]], MemoryStream across two batches) and
+    * the batch twin `q_late_interaction_stream` shares
+    * `q_late_interaction`'s oracle.
+    */
+  def lateInteractionServeStream(
+      queryStream: DataFrame,
+      idx: LateInteractionIndex,
+      k: Int,
+      textCol: String = "text")(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sink(lateInteractionServe(batch, idx, k, textCol), batchId)
+    }
 }

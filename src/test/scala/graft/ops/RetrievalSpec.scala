@@ -119,4 +119,43 @@ class RetrievalSpec extends AnyFunSuite with Matchers
     out.map(r => (-r.getLong(2), r.getLong(1))).toSeq shouldBe
       out.map(r => (-r.getLong(2), r.getLong(1))).sorted.toSeq
   }
+
+  test("late interaction serving: a query micro-batch stream against " +
+    "the cached postings+masks index scores identically to batch, " +
+    "across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (0L, "alpha beta common"),
+      (1L, "alpha gamma common"),
+      (2L, "common common common"),
+      (3L, "delta epsilon zeta"),
+      (4L, "beta common zeta")).toDF("doc_id", "text")
+    val idx = Retrieval.lateInteractionIndex(corpus, dfCapPermille = 700)
+    val queries = Seq((0L, "alpha beta common"), (3L, "delta zeta beta"))
+    val batch = Retrieval.lateInteractionServe(
+      queries.toDF("query_id", "text"), idx, k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    // the split itself must preserve the one-shot path's ranking
+    val oneShot = Retrieval.lateInteractionTopK(
+      corpus, queryMaxId = 1, k = 10, dfCapPermille = 700)
+      .orderBy("rank").collect().map(_.toSeq)
+    batch.filter(_.head == 0L) shouldBe oneShot
+    // stream the same queries in TWO micro-batches through foreachBatch
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Retrieval.lateInteractionServeStream(
+      mem.toDF.toDF("query_id", "text"), idx, k = 10) { (scored, _) =>
+        got ++= scored.collect().map(_.toSeq)
+      }.start()
+    mem.addData(queries.head)
+    q.processAllAvailable()
+    mem.addData(queries(1))
+    q.processAllAvailable()
+    q.stop()
+    got.sortBy(r => (r.head.asInstanceOf[Long],
+      r(3).asInstanceOf[Long])).toSeq shouldBe batch.toSeq
+    Dedup.releaseCheckpoints(
+      Retrieval.lateInteractionServe(
+        queries.toDF("query_id", "text"), idx, k = 10))
+  }
 }
