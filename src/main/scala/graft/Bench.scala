@@ -136,7 +136,10 @@ object Bench {
     "q_length_quantiles_sketch", "q_profile_sketch",
     // streaming late-interaction serving twin (build-once postings+
     // masks index, per-batch scoring — run as its batch twin)
-    "q_late_interaction_stream")
+    "q_late_interaction_stream",
+    // BM25 index DELETE: tombstone segment + negative meta partials,
+    // postings files untouched until compact (build + delete + search)
+    "q_bm25_index_delete")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -370,7 +373,10 @@ object Bench {
     // index build (3 checkpointed corpus passes) + one served batch
     // (r15 steady 3.8-4.0; ~q_late_interaction's shape, the split adds
     // the mask/postings pins)
-    "q_late_interaction_stream" -> 4.800)
+    "q_late_interaction_stream" -> 4.800,
+    // build + tombstone-delete (one pruned adjustment scan) + search
+    // (r15 steady 4.2-4.3)
+    "q_bm25_index_delete" -> 5.200)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -548,7 +554,10 @@ object Bench {
     // ~3.4× at 10× (3.8-4.0 → 13-14 s steady): candidate volume grows
     // with the flat-vocab fixture's near-all-pairs postings, the served
     // batch itself is query-sized
-    "q_late_interaction_stream" -> 15.500)
+    "q_late_interaction_stream" -> 15.500,
+    // ~2.4× at 10× (4.2-4.3 → 9.8-10.5 s steady): build corpus-linear,
+    // the delete itself one postings pass, the search pruned
+    "q_bm25_index_delete" -> 11.500)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3633,6 +3633,36 @@ object SparkEntry {
       }
     }),
 
+    // the DELETE maintenance step (right-to-be-forgotten on the lexical
+    // side): build, tombstone-delete every doc_id ending in 3 (postings
+    // files untouched — a doc's terms hash across every bucket, so the
+    // rewrite defers to compact), search — and the answer must equal a
+    // rebuild WITHOUT the deleted docs, which is exactly what the
+    // filtered oracle asserts (df/n_docs/sum_dl all adjust exactly)
+    "q_bm25_index_delete" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-del")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val d = t(s, dir, "documents")
+        ops.Bm25Index.writeBm25Index(d, tmp.toString)
+        ops.Bm25Index.deleteFromBm25Index(tmp.toString,
+          d.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"), s)
+        val out = ops.Bm25Index.searchBm25Index(
+          s, tmp.toString, Seq("dup", "spark", "join")).localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // the index-MAINTENANCE lifecycle under the same oracle: build on
     // half the corpus, append the rest as a commit-marked delta segment,
     // compact the accumulated partials/small files — and the answer must
@@ -4838,10 +4868,17 @@ object SparkEntry {
   /** BM25 oracle, shared verbatim by `q_bm25` and (as the lexical leg)
     * `q_hybrid_rrf`, so the two can never drift.
     */
-  private val bm25OracleSql =
-    """WITH d AS (SELECT doc_id,
-      |  string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-      | FROM documents),
+  private val bm25OracleSql = bm25OracleSqlFor("")
+
+  /** The same BM25 replay over a bounded corpus — `q_bm25_index_delete`
+    * pins delete ≡ rebuild-without-deleted by running it WHERE the
+    * deleted ids are excluded.
+    */
+  private def bm25OracleSqlFor(docWhere: String): String =
+    s"""WITH d AS (SELECT doc_id,
+      |  string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+      |    AS tk
+      | FROM documents $docWhere),
       |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM d),
       |wd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM d),
       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM wd
@@ -9486,9 +9523,11 @@ object SparkEntry {
 
     "q_bm25" -> bm25OracleSql,
     // persistence/maintenance must not change the answer: the persisted
-    // index and the build+append+compact lifecycle share q_bm25's oracle
+    // index and the build+append+compact lifecycle share q_bm25's
+    // oracle; delete must equal a rebuild WITHOUT the deleted docs
     "q_bm25_persisted" -> bm25OracleSql,
     "q_bm25_index_append" -> bm25OracleSql,
+    "q_bm25_index_delete" -> bm25OracleSqlFor("WHERE doc_id % 10 <> 3"),
 
     "q_bool_search" ->
       """WITH d AS (SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -20,27 +20,33 @@ import scala.jdk.CollectionConverters._
   *   - `v<N>/postings/term_bucket=<b>/` — `(term, doc_id, tf, dl, seg)`
   *     rows, Hive-partitioned by `pmod(hash(term), nBuckets)`. `dl` is
   *     DENORMALIZED into every posting (the impact-file trick real
-  *     engines use) so scoring needs NO join with a doc-length table —
-  *     one broadcast of the per-term df rows is the only non-scan step.
-  *   - `v<N>/df/term_bucket=<b>/` — `(term, df, seg)` PARTIAL counts;
-  *     the true document frequency is `sum(df)` per term, which makes
-  *     the table append-only (a delta segment appends its own partials;
-  *     the search sums the handful of committed rows per queried term).
-  *   - `v<N>/meta/` — `(n_docs, sum_dl, n_buckets, seg)` PARTIAL
-  *     corpus stats, summed the same way. `n_buckets` must agree across
-  *     segments (checked loudly — a mismatched append would route the
-  *     same term to two buckets).
+  *     engines use) so scoring needs NO join with a doc-length table;
+  *     per-term document frequency is NOT stored — a search reads a
+  *     queried term's ENTIRE posting list anyway, so `df` is one
+  *     map-side-combined count over the already-pruned scan, and
+  *     deriving it there (instead of a side table) is what makes
+  *     deletes exact for free.
+  *   - `v<N>/meta/` — `(n_docs, sum_dl, n_buckets, seg)` PARTIAL corpus
+  *     stats; the true values are the SUMS over committed segments,
+  *     which makes the table append-only (an append adds positive
+  *     partials, a delete adds NEGATIVE ones). `n_buckets` must agree
+  *     across segments (checked loudly — a mismatched append would
+  *     route the same term to two buckets).
+  *   - `v<N>/deletes/` — `(doc_id, seg)` tombstones; searches and
+  *     compaction anti-join them (deletes since the last compact are
+  *     deletion-sized, a broadcast).
   *   - `v<N>/commits/<seg>.pending|.commit` — per-segment commit
   *     markers (empty files; `createFile` is atomic).
   *
   * Crash-safety, two levels:
   *
-  *   1. SEGMENT commits make [[appendBm25Index]] atomic even though it
-  *      writes three sides: every row carries its segment id, readers
-  *      filter to `seg IN (committed)`, and the `.commit` marker is
-  *      created LAST — a crash at any earlier point strands invisible
-  *      rows (vacuumed by the next compact) and burns the id (the
-  *      `.pending` marker, created FIRST, keeps a later append from
+  *   1. SEGMENT commits make [[appendBm25Index]] AND
+  *      [[deleteFromBm25Index]] atomic even though each writes more
+  *      than one side: every row carries its segment id, readers filter
+  *      to `seg IN (committed)`, and the `.commit` marker is created
+  *      LAST — a crash at any earlier point strands invisible rows
+  *      (vacuumed by the next compact) and burns the id (the
+  *      `.pending` marker, created FIRST, keeps a later writer from
   *      reusing it and accidentally committing the strandings).
   *   2. VERSION directories make [[compactBm25Index]] atomic: the
   *      merged layout is written COMPLETELY into `v<N+1>/` and the
@@ -48,7 +54,7 @@ import scala.jdk.CollectionConverters._
   *      serve the highest committed version, so a crash anywhere
   *      strands only a partial `v<N+1>` beside an intact `v<N>`
   *      (cleared by the next compact). This replaces the IVF layout's
-  *      two-rename dance because a BM25 compact rewrites FOUR sides —
+  *      two-rename dance because a BM25 compact rewrites EVERY side —
   *      a multi-side swap wants one commit point, not a rename chain.
   *
   * Like the IVF lifecycle, compaction is an OFFLINE maintenance step:
@@ -60,7 +66,8 @@ import scala.jdk.CollectionConverters._
   * index pass. A search lists and reads only `|query terms|` bucket
   * directories regardless of corpus size ([[graft.ops.Bm25IndexSpec]]
   * asserts `PartitionFilters` reaches the scan and unprobed buckets are
-  * never read), scores in-row, and top-ks via TakeOrderedAndProject.
+  * never read), derives df and scores over that pruned slice, and
+  * top-ks via TakeOrderedAndProject.
   */
 object Bm25Index {
 
@@ -110,9 +117,9 @@ object Bm25Index {
       else None
     }
 
-  /** All BURNED segment ids (pending or committed) — the next append
+  /** All BURNED segment ids (pending or committed) — the next writer
     * must skip these even when uncommitted, or it would adopt a crashed
-    * append's stranded rows at its own commit.
+    * writer's stranded rows at its own commit.
     */
   private def burnedSegs(ver: String): Seq[Long] =
     listDir(java.nio.file.Paths.get(s"$ver/commits")).flatMap { p =>
@@ -121,6 +128,29 @@ object Bm25Index {
       else if (n.endsWith(".pending")) Some(n.stripSuffix(".pending").toLong)
       else None
     }
+
+  /** Claim the next segment id (atomic `.pending` marker first). */
+  private def claimSeg(ver: String): Long = {
+    val seg = burnedSegs(ver).max + 1
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$ver/commits/$seg.pending"))
+    seg
+  }
+
+  private def commitSeg(ver: String, seg: Long): Unit =
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$ver/commits/$seg.commit"))
+
+  /** Committed tombstones `(doc_id)` — empty frame if none written. */
+  private def committedDeletes(
+      spark: SparkSession, ver: String, segs: Seq[Long]): DataFrame = {
+    val path = java.nio.file.Paths.get(s"$ver/deletes")
+    if (!java.nio.file.Files.isDirectory(path))
+      spark.range(0).select(col("id").as("doc_id"))
+    else spark.read.parquet(path.toString)
+      .filter(col("seg").isin(segs: _*))
+      .select("doc_id").distinct()
+  }
 
   /** The per-doc frame shared by build and append — EXACTLY the token
     * frame [[TextAnalysis.bm25]] derives its stats from, so persisted
@@ -131,7 +161,7 @@ object Bm25Index {
     df.select(col("doc_id"),
       TextAnalysis.normTokens(col(textCol)).as("toks"))
 
-  /** Write one segment's three data sides into `ver` (append mode). */
+  /** Write one segment's postings + meta partials into `ver`. */
   private def writeSegment(
       docs: DataFrame, ver: String, nBuckets: Int, seg: Long,
       textCol: String): Unit = {
@@ -149,14 +179,6 @@ object Bm25Index {
         pmod(hash(col("term")), lit(nBuckets)).as("term_bucket"))
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$ver/postings")
-    // df partials derive from the segment's own postings read BACK, so
-    // the two sides can never disagree (the writeIvfIndex codebook rule)
-    docs.sparkSession.read.parquet(s"$ver/postings")
-      .filter(col("seg") === seg)
-      .groupBy("term_bucket", "term").agg(count(lit(1)).as("df"))
-      .select(col("term"), col("df"), lit(seg).as("seg"), col("term_bucket"))
-      .write.mode("append").partitionBy("term_bucket")
-      .parquet(s"$ver/df")
   }
 
   /** Build a BM25 index over `df` at `dir` — one tokenize/explode pass
@@ -178,8 +200,7 @@ object Bm25Index {
     java.nio.file.Files.createFile(
       vp.resolve("commits").resolve("0.pending"))
     writeSegment(df, ver, nBuckets, 0L, textCol)
-    java.nio.file.Files.createFile(
-      vp.resolve("commits").resolve("0.commit"))
+    commitSeg(ver, 0L)
     java.nio.file.Files.createFile(vp.resolve("_COMMITTED"))
   }
 
@@ -209,22 +230,75 @@ object Bm25Index {
     val ver = currentVersionDir(dir)
     val spark = df.sparkSession
     val nBuckets = readBuckets(spark, ver, committedSegs(ver))
-    val seg = burnedSegs(ver).max + 1
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(
-      s"$ver/commits/$seg.pending"))
+    val seg = claimSeg(ver)
     writeSegment(df, ver, nBuckets, seg, textCol)
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(
-      s"$ver/commits/$seg.commit"))
+    commitSeg(ver, seg)
   }
 
-  /** COMPACT the index: merge every committed segment's partials into
-    * ONE segment, one file per bucket (each append adds at least one
-    * file per touched bucket — the same small-file debt
-    * [[Similarity.compactIvfIndex]] pays down), drop any uncommitted
-    * strandings, and retire older versions. The rewrite lands complete
-    * in `v<N+1>` before the single `_COMMITTED` commit point, so every
-    * crash window strands only an invisible partial version. Returns
-    * the post-compact postings data-file count.
+  /** DELETE documents from the index — the right-to-be-forgotten
+    * maintenance step ([[Similarity.deleteFromIvfIndex]]'s slot on the
+    * lexical side), as one commit-marked TOMBSTONE segment: no postings
+    * file is rewritten (a doc's terms hash across ~every bucket, so an
+    * eager rewrite would be a full-index rewrite — tombstones defer
+    * that to the next compact). The segment carries
+    *
+    *   - `deletes/` rows for the ids (searches anti-join them), and
+    *   - a NEGATIVE meta partial `(−n_deleted, −Σ dl)` derived from the
+    *     ids' own surviving postings, so `n_docs`/`sum_dl` — hence idf
+    *     and avgdl — adjust EXACTLY to the rebuild-without-deleted
+    *     corpus (per-term df adjusts for free because the search
+    *     derives df from surviving postings).
+    *
+    * Both become visible atomically at the `.commit` marker; a crash at
+    * any earlier point serves exactly the pre-delete answer. Deleting
+    * an already-deleted or absent id is a no-op (adjustments derive
+    * from SURVIVING postings only, so double-deletes cannot
+    * double-subtract). Returns the number of documents newly deleted.
+    *
+    * One caveat, documented not hidden: a doc that produced NO postings
+    * (only possible for NULL text — empty text still posts the one
+    * empty-string token) contributes to `n_docs` at build but cannot be
+    * found here, so deleting it leaves `n_docs` one high until a
+    * rebuild; every real document deletes exactly.
+    */
+  def deleteFromBm25Index(
+      dir: String, deleteIds: DataFrame, spark: SparkSession): Long = {
+    val ver = currentVersionDir(dir)
+    val segs = committedSegs(ver)
+    val nBuckets = readBuckets(spark, ver, segs)
+    val ids = deleteIds.select(col("doc_id")).distinct()
+    val surviving = spark.read.parquet(s"$ver/postings")
+      .filter(col("seg").isin(segs: _*))
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
+    // one row per doc actually present: its dl (constant across its
+    // postings) and a count, negated into a meta partial
+    val adj = surviving.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("s"))
+      .collect()(0)
+    val nDeleted = adj.getLong(0)
+    val seg = claimSeg(ver)
+    import spark.implicits._
+    ids.select(col("doc_id"), lit(seg).as("seg"))
+      .write.mode("append").parquet(s"$ver/deletes")
+    Seq((-nDeleted, -(if (adj.isNullAt(1)) 0L else adj.getLong(1)),
+        nBuckets, seg))
+      .toDF("n_docs", "sum_dl", "n_buckets", "seg")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$ver/meta")
+    commitSeg(ver, seg)
+    nDeleted
+  }
+
+  /** COMPACT the index: apply tombstones, merge every committed
+    * segment's partials into ONE segment, one file per bucket (each
+    * append adds at least one file per touched bucket — the same
+    * small-file debt [[Similarity.compactIvfIndex]] pays down), drop
+    * any uncommitted strandings, and retire older versions. The rewrite
+    * lands complete in `v<N+1>` before the single `_COMMITTED` commit
+    * point, so every crash window strands only an invisible partial
+    * version. Returns the post-compact postings data-file count.
     */
   def compactBm25Index(dir: String, spark: SparkSession,
       onStep: String => Unit = _ => ()): Long = {
@@ -242,19 +316,15 @@ object Bm25Index {
     java.nio.file.Files.createFile(np.resolve("commits").resolve("0.pending"))
     spark.read.parquet(s"$ver/postings")
       .filter(col("seg").isin(segs: _*))
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         lit(0L).as("seg"), col("term_bucket").cast("int").as("term_bucket"))
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$next/postings")
-    spark.read.parquet(s"$ver/df")
-      .filter(col("seg").isin(segs: _*))
-      .groupBy("term_bucket", "term").agg(sum("df").as("df"))
-      .select(col("term"), col("df"), lit(0L).as("seg"),
-        col("term_bucket").cast("int").as("term_bucket"))
-      .repartition(col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$next/df")
+    // meta partials SUM to the post-delete truth (delete segments wrote
+    // negative rows), so the merged single row is already tombstone-free
     spark.read.parquet(s"$ver/meta")
       .filter(col("seg").isin(segs: _*))
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
@@ -262,7 +332,7 @@ object Bm25Index {
         lit(nBuckets).as("n_buckets"), lit(0L).as("seg"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$next/meta")
-    java.nio.file.Files.createFile(np.resolve("commits").resolve("0.commit"))
+    commitSeg(next, 0L)
     onStep("written")
     java.nio.file.Files.createFile(np.resolve("_COMMITTED"))
     onStep("committed")
@@ -277,16 +347,19 @@ object Bm25Index {
   }
 
   /** Search the persisted index: top-k docs for a bag of query terms,
-    * EXACTLY [[TextAnalysis.bm25]]'s answer (same tokenizer, same
-    * Robertson idf, same per-(doc,term) micro quantization, same
-    * (score DESC, doc_id) ties — the shared oracle asserts persistence
-    * never changes the answer; duplicate query terms weight their
-    * term's contribution by multiplicity, as bm25's per-column sum
-    * does). The plan: two pruned scans (postings + df, each
-    * `term_bucket IN` partition-filtered and `term IN`
-    * parquet-pushed), one broadcast of the per-term df/multiplicity
-    * rows, one (doc_id) partial-aggregated sum, one
-    * TakeOrderedAndProject — never a corpus scan.
+    * EXACTLY [[TextAnalysis.bm25]]'s answer over the index's LIVE
+    * corpus (same tokenizer, same Robertson idf, same per-(doc,term)
+    * micro quantization, same (score DESC, doc_id) ties — the shared
+    * oracle asserts persistence never changes the answer, and after
+    * deletes the answer equals a rebuild without the deleted docs;
+    * duplicate query terms weight their term's contribution by
+    * multiplicity, as bm25's per-column sum does). The plan: one pruned
+    * postings scan (`term_bucket IN` partition-filtered, `term IN`
+    * parquet-pushed) anti-joined against the (deletion-sized,
+    * broadcast) tombstones, df derived from that surviving slice by a
+    * map-side-combined count, one broadcast of the per-term
+    * df/multiplicity rows back onto it, one (doc_id) partial-aggregated
+    * sum, one TakeOrderedAndProject — never a corpus scan.
     */
   def searchBm25Index(
       spark: SparkSession,
@@ -317,11 +390,16 @@ object Bm25Index {
     val probed = termFrame.select("term_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     val distinctTerms = mult.map(_._1)
-    def pruned(side: String): DataFrame =
-      spark.read.parquet(s"$ver/$side")
-        .filter(col("term_bucket").isin(probed: _*) &&
-          col("term").isin(distinctTerms: _*) && col("seg").isin(segs: _*))
-    val dfTab = pruned("df").groupBy("term").agg(sum("df").as("df"))
+    val surviving = spark.read.parquet(s"$ver/postings")
+      .filter(col("term_bucket").isin(probed: _*) &&
+        col("term").isin(distinctTerms: _*) && col("seg").isin(segs: _*))
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
+    // df over the SURVIVING pruned slice: the search reads each queried
+    // term's whole posting list anyway, so this is one extra map-side-
+    // combined count over rows already in hand — and it makes the
+    // post-delete df exact by construction
+    val dfTab = surviving.groupBy("term").agg(count(lit(1)).as("df"))
       .join(termFrame.select("term", "mult"), "term")
     // the EXACT bm25 score expression over the same long/double types:
     // idf from long df and long n_docs, tf cast to double, avgdl as
@@ -332,8 +410,8 @@ object Bm25Index {
     val tf = col("tf").cast("double")
     val s = idf * tf * (k1 + 1.0) /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-    pruned("postings")
-      .join(broadcast(dfTab), "term")
+    surviving
+      .join(broadcast(dfTab), Seq("term"))
       .select(col("doc_id"),
         (round(s * 1e6, 0).cast("long") * col("mult")).as("m"))
       .groupBy("doc_id").agg(sum("m").as("bm25_micro"))

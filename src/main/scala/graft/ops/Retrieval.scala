@@ -233,6 +233,10 @@ object Retrieval {
     val masks = base.select(col("doc_id").as("cand_id"),
       tokenSignMasks(col("ctoks"), dim).as("csv"))
       .localCheckpoint()
+    // base fed the three eager checkpoints above and appears in NO
+    // serve plan — release it here or the pin outlives every caller's
+    // releaseCheckpoints (which only sees LogicalRDDs in the final plan)
+    Dedup.releaseCheckpoints(base)
     LateInteractionIndex(keep, ctok, masks, dim, maxQueryToks, maxDocToks)
   }
 

@@ -139,6 +139,52 @@ class Bm25IndexSpec extends AnyFunSuite with Matchers
     search(dir) shouldBe expect
   }
 
+  test("delete equals a rebuild without the deleted docs: tombstones " +
+    "adjust df/n_docs/sum_dl exactly; no postings file rewrites; " +
+    "double-delete is a no-op; compact materializes the tombstones") {
+    val dir = tmp("del")
+    Bm25Index.writeBm25Index(docs, dir)
+    val files = spark.read.parquet(s"$dir/v0/postings").inputFiles.toSet
+    val ids = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select("doc_id")
+    val n = Bm25Index.deleteFromBm25Index(dir, ids, spark)
+    n shouldBe ids.count()
+    // deferred delete: the postings files are untouched (tombstones)
+    spark.read.parquet(s"$dir/v0/postings").inputFiles.toSet shouldBe files
+    val expect = TextAnalysis.bm25(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 3), terms)
+      .collect().toSeq
+    search(dir) shouldBe expect
+    // idempotent: re-deleting subtracts nothing (adjustments derive
+    // from SURVIVING postings only)
+    Bm25Index.deleteFromBm25Index(dir, ids, spark) shouldBe 0L
+    search(dir) shouldBe expect
+    // compact drops the tombstoned rows and the answer is unchanged
+    Bm25Index.compactBm25Index(dir, spark)
+    val ver = Bm25Index.currentVersionDir(dir)
+    spark.read.parquet(s"$ver/postings")
+      .join(ids, Seq("doc_id"), "left_semi").count() shouldBe 0L
+    search(dir) shouldBe expect
+    // post-compact appends and deletes still work on the new version
+    Bm25Index.deleteFromBm25Index(dir,
+      docs.filter(col("doc_id") === 0).select("doc_id"), spark)
+    search(dir) shouldBe TextAnalysis.bm25(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 3 && col("doc_id") =!= 0),
+      terms).collect().toSeq
+  }
+
+  test("delete is crash-atomic: without its .commit marker both the " +
+    "tombstones and the negative meta partial stay invisible") {
+    val dir = tmp("delcrash")
+    Bm25Index.writeBm25Index(docs, dir)
+    val before = search(dir)
+    Bm25Index.deleteFromBm25Index(dir,
+      docs.filter(pmod(col("doc_id"), lit(10)) === 3).select("doc_id"), spark)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/v0/commits/1.commit"))
+    search(dir) shouldBe before
+  }
+
   test("searches are bucket-pruned: the term_bucket filter reaches the " +
     "scan as a partition filter and unprobed buckets are never read") {
     val dir = tmp("prune")

@@ -136,9 +136,10 @@ class RetrievalSpec extends AnyFunSuite with Matchers
       queries.toDF("query_id", "text"), idx, k = 10)
       .orderBy("query_id", "rank").collect().map(_.toSeq)
     // the split itself must preserve the one-shot path's ranking
-    val oneShot = Retrieval.lateInteractionTopK(
+    val oneShotDf = Retrieval.lateInteractionTopK(
       corpus, queryMaxId = 1, k = 10, dfCapPermille = 700)
-      .orderBy("rank").collect().map(_.toSeq)
+    val oneShot = oneShotDf.orderBy("rank").collect().map(_.toSeq)
+    Dedup.releaseCheckpoints(oneShotDf) // it built its own index pins
     batch.filter(_.head == 0L) shouldBe oneShot
     // stream the same queries in TWO micro-batches through foreachBatch
     val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
