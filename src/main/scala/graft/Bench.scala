@@ -139,7 +139,10 @@ object Bench {
     "q_late_interaction_stream",
     // BM25 index DELETE: tombstone segment + negative meta partials,
     // postings files untouched until compact (build + delete + search)
-    "q_bm25_index_delete")
+    "q_bm25_index_delete",
+    // SEARCH-ONLY against the cached persisted BM25 layout (the
+    // q_sim_ivf_search pattern: the gated number is serving latency)
+    "q_bm25_search")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -376,7 +379,10 @@ object Bench {
     "q_late_interaction_stream" -> 4.800,
     // build + tombstone-delete (one pruned adjustment scan) + search
     // (r15 steady 4.2-4.3)
-    "q_bm25_index_delete" -> 5.200)
+    "q_bm25_index_delete" -> 5.200,
+    // SEARCH-ONLY serving latency against the cached layout (build
+    // absorbed into the per-dir cache; r15 steady 1.16-1.41)
+    "q_bm25_search" -> 1.800)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -557,7 +563,12 @@ object Bench {
     "q_late_interaction_stream" -> 15.500,
     // ~2.4× at 10× (4.2-4.3 → 9.8-10.5 s steady): build corpus-linear,
     // the delete itself one postings pass, the search pruned
-    "q_bm25_index_delete" -> 11.500)
+    "q_bm25_index_delete" -> 11.500,
+    // ~FLAT at 10× (1.16-1.41 → 1.47-1.69 s steady): the probe is a
+    // partition filter — serving cost tracks posting-list length of the
+    // queried terms, not corpus size (the q_sim_ivf_search story on the
+    // lexical axis)
+    "q_bm25_search" -> 2.200)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

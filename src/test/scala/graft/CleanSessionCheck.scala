@@ -27,13 +27,24 @@ trait CleanSessionCheck extends BeforeAndAfterAll { this: Suite =>
   override def afterAll(): Unit =
     try super.afterAll()
     finally {
-      val residue =
+      def residue: Set[Int] =
         TestSpark.spark.sparkContext.getPersistentRDDs.keySet.toSet --
           preexisting -- SparkEntry.sharedFixtureRddIds
-      if (residue.nonEmpty)
+      var left = residue
+      if (left.nonEmpty) {
+        // releaseCheckpoints unpersists with blocking = false, so an id
+        // can legitimately still be in flight when the suite's last test
+        // returns; one grace window separates that transient from a real
+        // leak (a genuine ownership-protocol miss pins FOREVER, so it
+        // survives any wait — observed as a rare order-dependent abort
+        // at full-suite scale, r15)
+        Thread.sleep(2000)
+        left = residue
+      }
+      if (left.nonEmpty)
         throw new IllegalStateException(
           s"${getClass.getName} leaked persistent RDD blocks " +
-            residue.toSeq.sorted.mkString("[", ", ", "]") +
+            left.toSeq.sorted.mkString("[", ", ", "]") +
             " — a test materialized a checkpointing operator's result " +
             "without Dedup.releaseCheckpoints (ownership protocol: the " +
             "caller frees what the returned plan pins)")
