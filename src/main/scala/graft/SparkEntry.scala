@@ -2813,6 +2813,17 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(t(s, dir, "documents")).orderBy("lang", "rank")),
 
+    // the same dashboard selected by the EXACT mergeable top-k
+    // AGGREGATE (graft_top_k, a k-bounded heap inside
+    // ObjectHashAggregate) instead of the rank window: identical rows
+    // under the shared oracle, but no per-partition sort of the
+    // corpus-sized gram table and — being an ordinary aggregate — it
+    // also serves complete-mode streams where rank windows can't
+    "q_top_ngrams_agg" -> ((s, dir) =>
+      TextAnalysis.topNgrams(t(s, dir, "documents"),
+          native = graft.plans.GraftExtensions.available(s))
+        .orderBy("lang", "rank")),
+
     // per-lang token heavy hitters via the mergeable Misra-Gries
     // AGGREGATE (graft_heavy_hitters, a TypedImperativeAggregate): one
     // ≤capacity-entry summary per partition per group crosses the
@@ -4890,6 +4901,31 @@ object SparkEntry {
         |FROM scores
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin
+
+  /** Per-language top-bigram replay, shared verbatim by `q_top_ngrams`
+    * (rank window) and `q_top_ngrams_agg` (the graft_top_k mergeable
+    * aggregate) — the two selection paths must return identical rows.
+    */
+  private val topNgramsOracleSql =
+    """WITH sh AS (
+      | SELECT doc_id, lang, list_distinct(sh0) AS sh FROM (
+      |  SELECT doc_id, lang,
+      |   CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+      |        ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+      |   END AS sh0
+      |  FROM (SELECT doc_id, lang, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
+      | )
+      |),
+      |counts AS (
+      | SELECT lang, gram, count(*) AS n_docs
+      | FROM (SELECT lang, unnest(sh) AS gram FROM sh)
+      | GROUP BY lang, gram
+      |)
+      |SELECT lang, rank, gram, n_docs FROM (
+      | SELECT lang, gram, n_docs,
+      |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs DESC, gram) AS rank
+      | FROM counts)
+      |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
 
   /** BM25 oracle, shared verbatim by `q_bm25` and (as the lexical leg)
     * `q_hybrid_rrf`, so the two can never drift.
@@ -8427,26 +8463,11 @@ object SparkEntry {
         | min(CASE WHEN cum * 1000 >= total * 990 THEN value END) AS p990
         |FROM cc GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q_top_ngrams" ->
-      """WITH sh AS (
-        | SELECT doc_id, lang, list_distinct(sh0) AS sh FROM (
-        |  SELECT doc_id, lang,
-        |   CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-        |        ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
-        |   END AS sh0
-        |  FROM (SELECT doc_id, lang, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents)
-        | )
-        |),
-        |counts AS (
-        | SELECT lang, gram, count(*) AS n_docs
-        | FROM (SELECT lang, unnest(sh) AS gram FROM sh)
-        | GROUP BY lang, gram
-        |)
-        |SELECT lang, rank, gram, n_docs FROM (
-        | SELECT lang, gram, n_docs,
-        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_docs DESC, gram) AS rank
-        | FROM counts)
-        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    "q_top_ngrams" -> topNgramsOracleSql,
+
+    // shared VERBATIM with q_top_ngrams: the graft_top_k aggregate
+    // must select exactly the rank window's rows
+    "q_top_ngrams_agg" -> topNgramsOracleSql,
 
     "q_text_chunk" ->
       """WITH tk AS (

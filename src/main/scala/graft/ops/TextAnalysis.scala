@@ -746,17 +746,38 @@ object TextAnalysis {
     * via `WindowGroupLimit` — the per-partition rank filter prunes before
     * the final shuffle, so the full gram distribution never sorts
     * globally. Ties break lexicographically for cross-engine determinism.
+    *
+    * `native = true` replaces the rank window with the EXACT mergeable
+    * [[graft.plans.TopKAgg]] aggregate (`graft_top_k`): identical rows
+    * under the same (n_docs DESC, gram ASC) order — spec'd, and the
+    * shared oracle pins both — but selection runs as a k-bounded heap
+    * inside ObjectHashAggregate instead of WindowGroupLimit's full
+    * per-partition sort of the gram table (O(D log k) vs O(D log D)
+    * per partition over corpus-sized distinct grams), and as an
+    * ordinary aggregate it also serves complete-mode streams where
+    * rank windows are unsupported.
     */
-  def topNgrams(df: DataFrame, n: Int = 2, k: Int = 10, textCol: String = "text"): DataFrame = {
+  def topNgrams(df: DataFrame, n: Int = 2, k: Int = 10, textCol: String = "text",
+      native: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy(desc("n_docs"), asc("gram"))
-    df.select(col("lang"),
+    val counts = df.select(col("lang"),
         explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
       .groupBy("lang", "gram")
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("lang", "rank", "gram", "n_docs")
+    if (native) {
+      counts.groupBy("lang")
+        .agg(call_function("graft_top_k",
+          col("gram"), col("n_docs"), lit(k)).as("__tk"))
+        .select(col("lang"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("lang"), (col("__pos") + 1).cast("long").as("rank"),
+          col("__e.key").as("gram"), col("__e.cnt").as("n_docs"))
+    } else {
+      val w = Window.partitionBy("lang").orderBy(desc("n_docs"), asc("gram"))
+      counts
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("lang", "rank", "gram", "n_docs")
+    }
   }
 
   /** PII redaction: mask emails, URLs, and long digit runs (phone/account

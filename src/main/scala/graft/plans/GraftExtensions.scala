@@ -251,6 +251,21 @@ object GraftExtensions {
         }
         HeavyHittersAgg(children.head, capacity)
       }),
+    (FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_top_k", children, 3)
+        val k = children(2) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(
+              s"graft_top_k k must be an int literal, got $other")
+          }
+          case _ => sys.error("graft_top_k k must be a literal")
+        }
+        TopKAgg(children.head, children(1), k)
+      }),
     (FunctionIdentifier("graft_quantile_sketch"),
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "graft_quantile_sketch"),
       (children: Seq[Expression]) => {

@@ -532,6 +532,89 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("top-k aggregate: exact — native graft_top_k ≡ rank window " +
+    "across partitions, ties at the k boundary break by key ASC") {
+    // g1: a>b=c(tie)>d>e; k=3 cuts INSIDE the b/c tie region at rank
+    // 2-3 and excludes d/e; g2 has fewer keys than k (returns all).
+    // repartition(7) scatters rows so serialize/merge both fire.
+    val rows = Seq(
+      ("g1", "a", 40L), ("g1", "d", 7L), ("g1", "c", 25L),
+      ("g1", "b", 25L), ("g1", "e", 3L),
+      ("g2", "x", 5L), ("g2", "y", 9L))
+    val counts = rows.toDF("lang", "gram", "n_docs").repartition(7)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(desc("n_docs"), asc("gram"))
+    val win = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("lang", "rank", "gram", "n_docs")
+      .orderBy("lang", "rank").collect().map(_.toSeq)
+    val agg = counts.groupBy("lang")
+      .agg(call_function("graft_top_k", col("gram"), col("n_docs"), lit(3))
+        .as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.key").as("gram"), col("e.cnt").as("n_docs"))
+      .orderBy("lang", "rank").collect().map(_.toSeq)
+    agg shouldBe win
+    agg.length shouldBe 5 // 3 for g1, all 2 for g2
+    // the b/c tie at 25: both in, b before c (key ASC)
+    agg(1)(2) shouldBe "b"
+    agg(2)(2) shouldBe "c"
+  }
+
+  test("top-k aggregate: boundary tie BEYOND k drops the larger key — " +
+    "exactly row_number's choice") {
+    // three keys tied at the k=2 boundary value: only the two smallest
+    // survive, regardless of partition layout
+    val rows = Seq(("g", "z", 10L), ("g", "m", 10L), ("g", "q", 10L),
+      ("g", "top", 99L))
+    val out = rows.toDF("g", "k", "v").repartition(5).groupBy("g")
+      .agg(call_function("graft_top_k", col("k"), col("v"), lit(3)).as("tk"))
+      .select(explode(col("tk")).as("e")).select("e.key").as[String]
+      .collect()
+    out shouldBe Array("top", "m", "q")
+  }
+
+  test("top-k aggregate partial-aggregates BEFORE the exchange in the " +
+    "native topNgrams plan, and both paths return identical rows") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"w${i % 13} w${(i * 7) % 13} end tok", // shared bigrams
+        if (i % 2 == 0) "en" else "de")).toDF("doc_id", "text", "lang")
+    val win = TextAnalysis.topNgrams(docs, k = 5)
+      .orderBy("lang", "rank").collect().map(_.toSeq)
+    val agg = TextAnalysis.topNgrams(docs, k = 5, native = true)
+    val rows = agg.orderBy("lang", "rank").collect().map(_.toSeq)
+    rows shouldBe win
+    // the k-bounded heap must sit below the shuffle — the no-sort /
+    // bounded-wire claim is false without the partial
+    agg.queryExecution.executedPlan.toString should
+      include("partial_graft_top_k")
+  }
+
+  test("top-k aggregate serves a complete-mode stream — rank windows " +
+    "can't; selection accumulates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, String, Long)](spark)
+    val agg = mem.toDF.toDF("lang", "k", "v")
+      .groupBy("lang")
+      .agg(call_function("graft_top_k", col("k"), col("v"), lit(2)).as("tk"))
+    val q = agg.writeStream.format("memory").queryName("tk_stream")
+      .outputMode("complete").start()
+    mem.addData(("g", "a", 3L), ("g", "b", 1L))
+    q.processAllAvailable()
+    mem.addData(("g", "c", 2L), ("g", "d", 9L))
+    q.processAllAvailable()
+    val rows = spark.table("tk_stream").collect()
+    q.stop()
+    spark.sql("DROP TABLE IF EXISTS tk_stream")
+    rows.length shouldBe 1
+    // across both batches: d=9, a=3 are the true top-2 (b dropped once
+    // c and d arrived — state round-trips the heap between batches)
+    val tk = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    tk shouldBe Seq(("d", 9L), ("a", 3L))
+  }
+
   test("sketch routing ships summaries, not values: the quantile " +
     "aggregate partial-aggregates BEFORE the exchange in " +
     "lengthQuantilesSketch and profileNumericSketch plans") {
