@@ -3732,6 +3732,36 @@ object SparkEntry {
       }
     }),
 
+    // PHRASE search over the POSITIONAL index (round-15 second wave):
+    // postings carry per-term token offsets (the Lucene-style
+    // positional-inverted-index extension), a phrase query prunes to
+    // its distinct terms' buckets and intersects position lists IN-ROW
+    // — every start offset counts, overlapping included, which the
+    // repeated-term phrase "batch batch" exercises (it matches twice
+    // inside "batch batch batch"). Oracle replays the same tokenize +
+    // consecutive-window count in DuckDB list algebra.
+    "q_bm25_phrase" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-pos")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        ops.Bm25Index.writeBm25Index(t(s, dir, "documents"), tmp.toString,
+          positional = true)
+        val out = ops.Bm25Index.searchPhraseIndex(
+          s, tmp.toString, Seq("batch", "batch"), k = 20).localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // hybrid retrieval: the BM25 ranking above + a dense hash-embedding
     // cosine ranking of the same query, reciprocal-rank-fused in integer
     // micro-points — both legs and the fusion replayed by the oracle
@@ -9575,6 +9605,22 @@ object SparkEntry {
     "q_bm25_persisted" -> bm25OracleSql,
     "q_bm25_search" -> bm25OracleSql,
     "q_bm25_index_append" -> bm25OracleSql,
+
+    // phrase occurrences = consecutive-window equality count over the
+    // SAME tokenization (every start offset, overlapping included —
+    // range() is 1-based exclusive-end, list indexing 1-based)
+    "q_bm25_phrase" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |    AS tk
+        | FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(list_filter(range(1, len(tk)),
+        |    i -> tk[i] = 'batch' AND tk[i+1] = 'batch')) AS BIGINT)
+        |    AS n_matches
+        | FROM d)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin,
     "q_bm25_index_delete" -> bm25OracleSqlFor("WHERE doc_id % 10 <> 3"),
 
     "q_bool_search" ->

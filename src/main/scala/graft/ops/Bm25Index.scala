@@ -17,8 +17,11 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under `dir` (versioned — see the swap protocol below):
   *
-  *   - `v<N>/postings/term_bucket=<b>/` — `(term, doc_id, tf, dl, seg)`
-  *     rows, Hive-partitioned by `pmod(hash(term), nBuckets)`. `dl` is
+  *   - `v<N>/postings/term_bucket=<b>/` — `(term, doc_id, tf, dl[,
+  *     positions], seg)` rows, Hive-partitioned by
+  *     `pmod(hash(term), nBuckets)` (`positions` — the term's sorted
+  *     token offsets, present when built `positional = true` — feeds
+  *     [[searchPhraseIndex]]; append/compact preserve it). `dl` is
   *     DENORMALIZED into every posting (the impact-file trick real
   *     engines use) so scoring needs NO join with a doc-length table;
   *     per-term document frequency is NOT stored — a search reads a
@@ -161,25 +164,50 @@ object Bm25Index {
     df.select(col("doc_id"),
       TextAnalysis.normTokens(col(textCol)).as("toks"))
 
-  /** Write one segment's postings + meta partials into `ver`. */
+  /** Write one segment's postings + meta partials into `ver`. With
+    * `positional = true` each posting additionally carries `positions`
+    * — the term's sorted 0-based token offsets in the doc (the classic
+    * positional-inverted-index extension; Lucene stores the same per
+    * posting) — enabling [[searchPhraseIndex]] at the cost of
+    * position-proportional bytes in exactly the buckets a query term
+    * prunes to.
+    */
   private def writeSegment(
       docs: DataFrame, ver: String, nBuckets: Int, seg: Long,
-      textCol: String): Unit = {
+      textCol: String, positional: Boolean): Unit = {
     val pd = perDoc(docs, textCol)
     pd.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("sum_dl"))
       .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)).as("sum_dl"),
         lit(nBuckets).as("n_buckets"), lit(seg).as("seg"))
       .write.mode("append").parquet(s"$ver/meta")
-    pd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        lit(seg).as("seg"),
+    val exploded =
+      if (positional)
+        pd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            posexplode(col("toks")).as(Seq("pos", "term")))
+          .groupBy("term", "doc_id", "dl")
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("pos"))).as("positions"))
+      else
+        pd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val cols = Seq(col("term"), col("doc_id"), col("tf"), col("dl")) ++
+      (if (positional) Seq(col("positions")) else Nil) ++
+      Seq(lit(seg).as("seg"),
         pmod(hash(col("term")), lit(nBuckets)).as("term_bucket"))
+    exploded.select(cols: _*)
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$ver/postings")
   }
+
+  /** Whether a committed version's postings carry positions — inferred
+    * from the parquet schema (the build wrote every bucket under one
+    * schema), so append/compact preserve the layout kind without a
+    * side flag.
+    */
+  private def isPositional(spark: SparkSession, ver: String): Boolean =
+    spark.read.parquet(s"$ver/postings").columns.contains("positions")
 
   /** Build a BM25 index over `df` at `dir` — one tokenize/explode pass
     * plus one (term, doc) shuffle with map-side combine, written as
@@ -191,7 +219,8 @@ object Bm25Index {
       df: DataFrame,
       dir: String,
       nBuckets: Int = 64,
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      positional: Boolean = false): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val ver = s"$dir/v0"
     val vp = java.nio.file.Paths.get(ver)
@@ -199,7 +228,7 @@ object Bm25Index {
     java.nio.file.Files.createDirectories(vp.resolve("commits"))
     java.nio.file.Files.createFile(
       vp.resolve("commits").resolve("0.pending"))
-    writeSegment(df, ver, nBuckets, 0L, textCol)
+    writeSegment(df, ver, nBuckets, 0L, textCol, positional)
     commitSeg(ver, 0L)
     java.nio.file.Files.createFile(vp.resolve("_COMMITTED"))
   }
@@ -230,8 +259,9 @@ object Bm25Index {
     val ver = currentVersionDir(dir)
     val spark = df.sparkSession
     val nBuckets = readBuckets(spark, ver, committedSegs(ver))
+    val positional = isPositional(spark, ver)
     val seg = claimSeg(ver)
-    writeSegment(df, ver, nBuckets, seg, textCol)
+    writeSegment(df, ver, nBuckets, seg, textCol, positional)
     commitSeg(ver, seg)
   }
 
@@ -314,12 +344,15 @@ object Bm25Index {
     val np = java.nio.file.Paths.get(next)
     java.nio.file.Files.createDirectories(np.resolve("commits"))
     java.nio.file.Files.createFile(np.resolve("commits").resolve("0.pending"))
+    val compactCols =
+      Seq(col("term"), col("doc_id"), col("tf"), col("dl")) ++
+        (if (isPositional(spark, ver)) Seq(col("positions")) else Nil) ++
+        Seq(lit(0L).as("seg"), col("term_bucket").cast("int").as("term_bucket"))
     spark.read.parquet(s"$ver/postings")
       .filter(col("seg").isin(segs: _*))
       .join(broadcast(committedDeletes(spark, ver, segs)),
         Seq("doc_id"), "left_anti")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        lit(0L).as("seg"), col("term_bucket").cast("int").as("term_bucket"))
+      .select(compactCols: _*)
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$next/postings")
@@ -416,6 +449,74 @@ object Bm25Index {
         (round(s * 1e6, 0).cast("long") * col("mult")).as("m"))
       .groupBy("doc_id").agg(sum("m").as("bm25_micro"))
       .orderBy(desc("bm25_micro"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** PHRASE search over a POSITIONAL index (built with
+    * `positional = true`): top-k docs containing the exact consecutive
+    * token sequence `phrase`, scored by occurrence count — every start
+    * offset counts, including overlapping ones ("a a" occurs TWICE in
+    * "a a a"), which is what a position-list intersection naturally
+    * yields and what substring-replace counting gets wrong.
+    *
+    * The plan is the positional-inverted-index intersection every
+    * lexical engine runs: ONE pruned postings scan of the phrase's
+    * DISTINCT terms (`term_bucket IN` partition filter + `term IN`
+    * parquet pushdown + committed-seg filter, tombstones anti-joined —
+    * the corpus is never scanned), pivoted per doc into a term →
+    * positions map (each (term, doc) has exactly ONE surviving posting:
+    * appends require unseen doc_ids), docs missing any distinct term
+    * dropped by a map-size check, then ONE in-row `filter` over the
+    * FIRST term's offsets keeping starts `p` where every later term `j`
+    * has `p + j` in its own list — O(occurrences) per doc, no join, no
+    * explode. Repeated phrase terms ("batch batch") need no special
+    * case: position j probes the shared list at `p + j`.
+    *
+    * Output: `(doc_id, n_matches)` with `n_matches >= 1`, ordered
+    * (n_matches DESC, doc_id ASC), limit k. Loud on a non-positional
+    * index — silently returning zero matches would read as "phrase
+    * absent".
+    */
+  def searchPhraseIndex(
+      spark: SparkSession,
+      dir: String,
+      phrase: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty, "searchPhraseIndex needs at least one term")
+    val ver = currentVersionDir(dir)
+    require(isPositional(spark, ver),
+      s"BM25 index at $dir was not built with positional = true; " +
+        "phrase search needs per-posting positions")
+    val segs = committedSegs(ver)
+    val nBuckets = readBuckets(spark, ver, segs)
+    val normed = phrase.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+    val distinctTerms = normed.distinct
+    import spark.implicits._
+    val probed = distinctTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tp = spark.read.parquet(s"$ver/postings")
+      .filter(col("term_bucket").isin(probed: _*) &&
+        col("term").isin(distinctTerms: _*) && col("seg").isin(segs: _*))
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
+      .groupBy("doc_id")
+      .agg(map_from_entries(
+        collect_list(struct(col("term"), col("positions")))).as("tp"))
+      // docs missing any distinct phrase term can't match — drop before
+      // the intersection (each surviving (term, doc) contributed one
+      // map entry)
+      .filter(size(col("tp")) === distinctTerms.size)
+    // starts = offsets p of the FIRST term where each later term j sits
+    // at p + j; head term at offset 0 makes `p + 0` trivially true
+    val starts = filter(
+      element_at(col("tp"), lit(normed.head)),
+      p => normed.zipWithIndex.drop(1).map { case (t, j) =>
+        array_contains(element_at(col("tp"), lit(t)), p + j)
+      }.foldLeft(lit(true))(_ && _))
+    tp.select(col("doc_id"), size(starts).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(desc("n_matches"), asc("doc_id"))
       .limit(k)
   }
 }

@@ -225,4 +225,125 @@ class Bm25IndexSpec extends AnyFunSuite with Matchers
     an[IllegalArgumentException] should be thrownBy
       Bm25Index.searchBm25Index(spark, tmp("empty"), Seq.empty)
   }
+
+  // ---- positional index / phrase search ----
+
+  private def phrase(dir: String, p: Seq[String], k: Int = 20) =
+    Bm25Index.searchPhraseIndex(spark, dir, p, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("phrase search: crafted truths — overlapping starts count, " +
+    "repeated-term phrases need no special case, adjacency is " +
+    "required, docs missing a term are dropped") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "a a a"),          // "a a" overlaps: starts 0 and 1
+      (2L, "a b a b a"),      // "a b" twice; "a b a" twice (overlap at 0, 2)
+      (3L, "a c b"),          // a and b present but never adjacent
+      (4L, "b b"),            // missing 'a' entirely for "a b"
+      (5L, "x a b y a b z")   // two clean occurrences
+    ).toDF("doc_id", "text")
+    val dir = tmp("crafted")
+    Bm25Index.writeBm25Index(crafted, dir, nBuckets = 8, positional = true)
+    phrase(dir, Seq("a", "a")) shouldBe Seq((1L, 2L))
+    phrase(dir, Seq("a", "b")) shouldBe Seq((2L, 2L), (5L, 2L))
+    phrase(dir, Seq("a", "b", "a")) shouldBe Seq((2L, 2L))
+    phrase(dir, Seq("b", "a")) shouldBe Seq((2L, 2L))
+    phrase(dir, Seq("c", "a")) shouldBe Seq.empty
+    // single-term phrase degenerates to term occurrences (= tf)
+    phrase(dir, Seq("b")) shouldBe Seq((2L, 2L), (4L, 2L), (3L, 1L), (5L, 2L))
+      .sortBy { case (id, n) => (-n, id) }
+    // k cuts after the deterministic (n_matches DESC, doc_id) order
+    phrase(dir, Seq("b"), k = 2) shouldBe Seq((2L, 2L), (4L, 2L))
+  }
+
+  test("phrase search equals an in-session consecutive-window count " +
+    "over the corpus, and mixed-case phrase terms normalize") {
+    val dir = tmp("phrase-corpus")
+    Bm25Index.writeBm25Index(docs, dir, positional = true)
+    // direct truth: count starts i (1-based element_at) where both
+    // window tokens equal the phrase, guarded against len < 2
+    // (functions.size qualified: scalatest Matchers shadows `size`)
+    val fsize = org.apache.spark.sql.functions.size _
+    val tk = docs.select(col("doc_id"),
+      TextAnalysis.normTokens(col("text")).as("tk"))
+    val starts = filter(
+      sequence(lit(1), fsize(col("tk")) - 1),
+      i => element_at(col("tk"), i) === "batch" &&
+        element_at(col("tk"), i + 1) === "batch")
+    val expect = tk.filter(fsize(col("tk")) >= 2)
+      .select(col("doc_id"), fsize(starts).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .orderBy(desc("n"), asc("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    phrase(dir, Seq("batch", "batch")) shouldBe expect
+    phrase(dir, Seq(" BATCH", "Batch ")) shouldBe expect
+  }
+
+  test("positional lifecycle: append preserves positions (phrase after " +
+    "append ≡ one-shot positional build), compact keeps the positions " +
+    "column, and BM25 term search is unaffected by it") {
+    val half = docs.count() / 2
+    val dirInc = tmp("pos-inc")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") < half), dirInc,
+      positional = true)
+    Bm25Index.appendBm25Index(docs.filter(col("doc_id") >= half), dirInc)
+    val dirOne = tmp("pos-one")
+    Bm25Index.writeBm25Index(docs, dirOne, positional = true)
+    val expect = phrase(dirOne, Seq("batch", "batch"))
+    phrase(dirInc, Seq("batch", "batch")) shouldBe expect
+    // the positional layout serves plain BM25 identically (positions
+    // are pruned out of the term-search scan)
+    search(dirInc) shouldBe direct(terms)
+    Bm25Index.compactBm25Index(dirInc, spark)
+    spark.read.parquet(
+      s"${Bm25Index.currentVersionDir(dirInc)}/postings")
+      .columns should contain("positions")
+    phrase(dirInc, Seq("batch", "batch")) shouldBe expect
+    search(dirInc) shouldBe direct(terms)
+    // delete flows through phrase search too: tombstoned docs vanish
+    // and the freed k-slot refills — ≡ a rebuild without the doc
+    val dropped = expect.head._1
+    Bm25Index.deleteFromBm25Index(dirInc,
+      docs.filter(col("doc_id") === dropped).select("doc_id"), spark)
+    val dirReb = tmp("pos-reb")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") =!= dropped), dirReb,
+      positional = true)
+    phrase(dirInc, Seq("batch", "batch")) shouldBe
+      phrase(dirReb, Seq("batch", "batch"))
+  }
+
+  test("phrase search prunes to the phrase's distinct terms' buckets — " +
+    "a repeated-term phrase reads ONE of 16 partition directories") {
+    val dir = tmp("pos-prune")
+    Bm25Index.writeBm25Index(docs, dir, nBuckets = 16, positional = true)
+    val out = Bm25Index.searchPhraseIndex(spark, dir, Seq("batch", "batch"))
+    out.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case sc: FileSourceScanExec => Seq(sc)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allScans(r.child)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(out.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+    scans should not be empty
+    val readParts = scans.map(sc =>
+      sc.relation.location.listFiles(sc.partitionFilters, Nil).length).max
+    readParts shouldBe 1
+  }
+
+  test("phrase search on a non-positional index fails loudly") {
+    val dir = tmp("pos-missing")
+    Bm25Index.writeBm25Index(docs, dir)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.searchPhraseIndex(spark, dir, Seq("batch", "batch"))
+    }
+    e.getMessage should include("positional")
+  }
 }
