@@ -3732,6 +3732,23 @@ object SparkEntry {
       }
     }),
 
+    // MULTI-QUERY serving against the cached persisted layout (round-15
+    // second wave): one pruned scan of the batch's term union serves
+    // every query — the per-batch half of searchBm25IndexStream (the
+    // MemoryStream ≡ batch proof lives in Bm25IndexSpec), run here as
+    // its batch twin. Query 0 is exactly q_bm25's bag so the oracle
+    // cross-pins the two forms; query 2 repeats a term (multiplicity)
+    "q_bm25_multi" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("dup", "spark", "join")),
+        (1L, Seq("batch", "merge")),
+        (2L, Seq("window", "window", "scan"))).toDF("query_id", "terms")
+      ops.Bm25Index.searchBm25IndexMany(
+        s, persistedBm25Index(s, dir), queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // PHRASE search over the POSITIONAL index (round-15 second wave):
     // postings carry per-term token offsets (the Lucene-style
     // positional-inverted-index extension), a phrase query prunes to
@@ -9605,6 +9622,37 @@ object SparkEntry {
     "q_bm25_persisted" -> bm25OracleSql,
     "q_bm25_search" -> bm25OracleSql,
     "q_bm25_index_append" -> bm25OracleSql,
+
+    // the whole query batch replayed in one chain: per-query (term,
+    // mult) VALUES rows, tf over the term union, df per term, the
+    // exact bm25 micro quantization times multiplicity, per-query rank
+    "q_bm25_multi" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |    AS tk
+        | FROM documents),
+        |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM d),
+        |wd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM d),
+        |qq(query_id, term, mult) AS (VALUES
+        | (CAST(0 AS BIGINT), 'dup', CAST(1 AS BIGINT)), (0, 'spark', 1), (0, 'join', 1),
+        | (1, 'batch', 1), (1, 'merge', 1),
+        | (2, 'window', 2), (2, 'scan', 1)),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM wd
+        | WHERE term IN (SELECT DISTINCT term FROM qq) GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT qq.query_id, t.doc_id,
+        | CAST(round(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) * t.tf * 2.2
+        |  / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (s.sum_dl / s.n_docs))) * 1000000.0) AS BIGINT)
+        |  * qq.mult AS m
+        | FROM tf t JOIN dfq q USING (term) JOIN qq ON qq.term = t.term
+        | CROSS JOIN stats s),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro
+        | FROM sc GROUP BY 1, 2)
+        |SELECT query_id, doc_id, bm25_micro, rank FROM (
+        | SELECT query_id, doc_id, bm25_micro,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id) AS rank
+        | FROM agg)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // phrase occurrences = consecutive-window equality count over the
     // SAME tokenization (every start offset, overlapping included —

@@ -452,6 +452,107 @@ object Bm25Index {
       .limit(k)
   }
 
+  /** Score a BATCH of queries against the persisted index — the
+    * many-query serving form of [[searchBm25Index]], and the per-batch
+    * half of [[searchBm25IndexStream]]. `queries` is
+    * `(query_id: long, terms: array<string>)`; the result is the top-k
+    * `(query_id, doc_id, bm25_micro, rank)` per query, each query's
+    * ranking EXACTLY [[searchBm25Index]]'s for the same bag of terms
+    * (identical score expression over identical operand types; spec'd,
+    * and the oracle replays the whole batch).
+    *
+    * Plan: the batch's normalized `(query_id, term, mult)` rows collect
+    * to the driver (a QUERY-BATCH-sized artifact — it must: the probed
+    * bucket list that prunes the scan is driver-side by nature, exactly
+    * like the single-query form's term list), then ONE pruned postings
+    * scan of the batch's distinct terms (`term_bucket IN` partition
+    * filter + `term IN` pushdown + tombstone anti-join) serves every
+    * query: df derives per term from the shared surviving slice, the
+    * broadcast query frame fans each posting out to the queries that
+    * want its term, one (query_id, doc_id) partial-agg sum, one
+    * per-query rank window over rows already capped by the scan's
+    * selectivity. Corpus cost is |union of query terms| posting lists —
+    * independent of batch size beyond the term union.
+    */
+  def searchBm25IndexMany(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val ver = currentVersionDir(dir)
+    val segs = committedSegs(ver)
+    val metas = spark.read.parquet(s"$ver/meta")
+      .filter(col("seg").isin(segs: _*))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .collect()(0)
+    val nDocs = metas.getLong(0)
+    val sumDl = metas.getLong(1)
+    val nBuckets = readBuckets(spark, ver, segs)
+    val qRows = queries
+      .select(col("query_id"),
+        explode(col("terms")).as("t"))
+      .select(col("query_id"), lower(trim(col("t"))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("mult"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    require(qRows.nonEmpty, "searchBm25IndexMany needs at least one query term")
+    import spark.implicits._
+    val qFrame = qRows.toDF("query_id", "term", "mult")
+    val distinctTerms = qRows.map(_._2).distinct
+    val probed = distinctTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val surviving = spark.read.parquet(s"$ver/postings")
+      .filter(col("term_bucket").isin(probed: _*) &&
+        col("term").isin(distinctTerms: _*) && col("seg").isin(segs: _*))
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
+    val dfTab = surviving.groupBy("term").agg(count(lit(1)).as("df"))
+    // the EXACT single-query expression tree (bit-identical doubles,
+    // hence identical micro quantization) — see searchBm25Index
+    val avgdl = lit(sumDl) / lit(nDocs)
+    val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val tf = col("tf").cast("double")
+    val s = idf * tf * (k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("bm25_micro"), asc("doc_id"))
+    surviving
+      .join(broadcast(dfTab.join(qFrame, Seq("term"))), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (round(s * 1e6, 0).cast("long") * col("mult")).as("m"))
+      .groupBy("query_id", "doc_id").agg(sum("m").as("bm25_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "bm25_micro", "rank")
+  }
+
+  /** STREAMING serving twin: query micro-batches score against the
+    * persisted index through `foreachBatch` — the
+    * [[Retrieval.lateInteractionServeStream]] shape (the per-batch plan
+    * needs batch-only operators: the driver-side probe collection and
+    * the per-query rank window). Each batch resolves the CURRENTLY
+    * COMMITTED version, so concurrent appends/deletes/compacts land
+    * between batches atomically (a batch never sees a half-committed
+    * segment). Serving is stateless and pure in the batch — a
+    * crash-replayed batch hands `sink` identical rows, idempotent for
+    * any keyed/overwrite sink. Stream ≡ batch is spec'd (MemoryStream
+    * across two batches against [[searchBm25IndexMany]]).
+    */
+  def searchBm25IndexStream(
+      queryStream: DataFrame,
+      dir: String,
+      k: Int = 10)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        // an empty micro-batch is a no-op, not an error
+        if (!batch.isEmpty)
+          sink(searchBm25IndexMany(batch.sparkSession, dir, batch, k), batchId)
+    }
+
   /** PHRASE search over a POSITIONAL index (built with
     * `positional = true`): top-k docs containing the exact consecutive
     * token sequence `phrase`, scored by occurrence count — every start

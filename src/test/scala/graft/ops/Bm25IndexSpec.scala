@@ -226,6 +226,84 @@ class Bm25IndexSpec extends AnyFunSuite with Matchers
       Bm25Index.searchBm25Index(spark, tmp("empty"), Seq.empty)
   }
 
+  // ---- multi-query serving / streaming twin ----
+
+  test("multi-query serving: each query's ranking in the shared-scan " +
+    "batch equals its own single-query search, duplicate terms " +
+    "weighting by multiplicity") {
+    import spark.implicits._
+    val dir = tmp("many")
+    Bm25Index.writeBm25Index(docs, dir)
+    val queries = Seq(
+      (0L, Seq("dup", "spark", "join")),
+      (1L, Seq("batch", "merge")),
+      (2L, Seq("window", "window", "scan"))).toDF("query_id", "terms")
+    val many = Bm25Index.searchBm25IndexMany(spark, dir, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    for ((qid, qTerms) <- Seq(0L -> Seq("dup", "spark", "join"),
+        1L -> Seq("batch", "merge"), 2L -> Seq("window", "window", "scan"))) {
+      val single = Bm25Index.searchBm25Index(spark, dir, qTerms, k = 10)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1))).toSeq
+      many(qid).sortBy(t => (-t._3, t._2)).toSeq shouldBe single
+    }
+  }
+
+  test("streaming serving twin: query micro-batches against the " +
+    "persisted index score identically to the one-shot batch, across " +
+    "two batches; an empty batch is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmp("serve-stream")
+    Bm25Index.writeBm25Index(docs, dir)
+    val q0 = (0L, Seq("dup", "spark", "join"))
+    val q1 = (1L, Seq("batch", "merge"))
+    val batch = Bm25Index.searchBm25IndexMany(
+      spark, dir, Seq(q0, q1).toDF("query_id", "terms"), k = 5)
+      .collect().map(_.toSeq)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val mem = MemoryStream[(Long, Seq[String])](spark)
+    val q = Bm25Index.searchBm25IndexStream(
+      mem.toDF.toDF("query_id", "terms"), dir, k = 5) { (scored, _) =>
+        got ++= scored.collect().map(_.toSeq)
+      }.start()
+    mem.addData(q0)
+    q.processAllAvailable()
+    mem.addData(q1)
+    q.processAllAvailable()
+    q.stop()
+    got.sortBy(r => (r.head.asInstanceOf[Long], r(3).asInstanceOf[Long]))
+      .toSeq shouldBe batch.toSeq
+      .sortBy(r => (r.head.asInstanceOf[Long], r(3).asInstanceOf[Long]))
+  }
+
+  test("multi-query serving prunes to the BATCH's term union: a " +
+    "one-term batch reads one of 16 bucket directories") {
+    import spark.implicits._
+    val dir = tmp("many-prune")
+    Bm25Index.writeBm25Index(docs, dir, nBuckets = 16)
+    val out = Bm25Index.searchBm25IndexMany(spark, dir,
+      Seq((0L, Seq("dup"))).toDF("query_id", "terms"), k = 5)
+    out.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case sc: FileSourceScanExec => Seq(sc)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        allScans(r.child)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(out.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/postings")))
+    scans should not be empty
+    scans.map(sc =>
+      sc.relation.location.listFiles(sc.partitionFilters, Nil).length)
+      .max shouldBe 1
+  }
+
   // ---- positional index / phrase search ----
 
   private def phrase(dir: String, p: Seq[String], k: Int = 20) =
