@@ -4246,6 +4246,76 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // AUDIO-container triage tier (round-15 second wave): the audio
+    // twin of the image header tiers — every doc synthesizes FIVE
+    // payloads (a FLAC STREAMINFO with the 20/3/5/36-bit packed stream
+    // facts; an MP3 first frame BEHIND an ID3v2 tag, exercising the
+    // synchsafe skip, with table-driven bitrate/rate indices; an Ogg
+    // Vorbis BOS page + identification packet; a 16-bit PCM WAV; an
+    // unknown) and Multimodal.audioHeaderMeta must parse its way back
+    // to the synthesis facts, durations integer-exact where the
+    // container states them.
+    "q_multimodal_decode_audio" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= 36)
+      def leN(v: Column, bytes: Int) = unhex(concat(
+        (0 until bytes).map(i =>
+          lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255))), 2, "0")): _*))
+      def beN(v: Column, bytes: Int) =
+        unhex(lpad(hex(v), bytes * 2, "0"))
+      val text36 = expr("substring(encode(text, 'UTF-8'), 1, 36)")
+      val rate = pmod(col("doc_id"), lit(40000L)) + 8000L
+      val ch = pmod(col("doc_id"), lit(2L)) + 1
+      val total = pmod(col("doc_id"), lit(100000L)) + 1
+      // STREAMINFO packed u64: rate(20) | channels−1(3) | bps−1(5) |
+      // totalSamples(36); bps fixed 16
+      val packed = shiftleft(rate, 44) + shiftleft(ch - 1, 41) +
+        shiftleft(lit(15L), 36) + total
+      val flac = docs.select((col("doc_id") * 5).as("media_id"),
+        concat(
+          lit("fLaC").cast("binary"),
+          unhex(lit("00000022")), // STREAMINFO block, length 34
+          unhex(lit("10001000000000000000")), // min/max block, min/max frame
+          beN(packed, 8),
+          unhex(lit(("00" * 16))), // MD5 zeros
+          text36).as("payload"))
+      val brIdx = pmod(col("doc_id"), lit(14L)) + 1
+      val srIdx = pmod(col("doc_id"), lit(3L))
+      val mono = pmod(col("doc_id"), lit(2L)) === 0
+      val mp3 = docs.select((col("doc_id") * 5 + 1).as("media_id"),
+        concat(
+          lit("ID3").cast("binary"), unhex(lit("0400" + "00" + "00000006")),
+          unhex(lit("00" * 6)), // 6 tag bytes (synchsafe size above)
+          unhex(lit("FFFB")), // sync + MPEG1 + Layer III + no CRC
+          leN(shiftleft(brIdx, 4) + shiftleft(srIdx, 2), 1),
+          when(mono, unhex(lit("C0"))).otherwise(unhex(lit("00"))),
+          text36).as("payload"))
+      val ogg = docs.select((col("doc_id") * 5 + 2).as("media_id"),
+        concat(
+          lit("OggS").cast("binary"), unhex(lit("0002")), // v0, BOS
+          unhex(lit("00" * 20)), // granule + serial + seq + crc
+          unhex(lit("011E")),    // one segment of 30 bytes
+          unhex(lit("01")), lit("vorbis").cast("binary"),
+          unhex(lit("00000000")), // vorbis version 0
+          leN(ch, 1), leN(rate, 4),
+          unhex(lit("00" * 12)),  // bitrate fields
+          unhex(lit("0001")),     // blocksizes + framing
+          text36).as("payload"))
+      val wav = docs.select((col("doc_id") * 5 + 3).as("media_id"),
+        concat(
+          lit("RIFF").cast("binary"), leN(lit(72L), 4), // 36 + data 36
+          lit("WAVE").cast("binary"), lit("fmt ").cast("binary"),
+          unhex(lit("1000000001000100401F0000803E000002001000")),
+          lit("data").cast("binary"), leN(lit(36L), 4),
+          text36).as("payload"))
+      val unk = docs.select((col("doc_id") * 5 + 4).as("media_id"),
+        concat(unhex(lit("00")), text36).as("payload"))
+      Multimodal.audioHeaderMeta(
+        flac.unionByName(mp3).unionByName(ogg).unionByName(wav)
+          .unionByName(unk))
+        .orderBy("media_id")
+    }),
+
     // REAL 2-D resize through the PPM tier: the synthesized 4×3 rasters
     // resized to 2×2 on the actual pixel grid and re-encoded; DuckDB
     // replays the NN index map (and the re-encoded header) from the hex
@@ -6246,6 +6316,45 @@ object SparkEntry {
         | SELECT doc_id * 4 + 3, 'webp', CAST(doc_id % 640 + 1 AS INT),
         |  CAST((doc_id * 3) % 480 + 1 AS INT), CAST(8 AS INT),
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) FROM d)
+        |ORDER BY media_id""".stripMargin,
+
+    // audio triage replay: the synthesis facts per tier — FLAC duration
+    // = totalSamples*1000 // rate, MP3 duration = audioBytes*8 // kbps
+    // with the MPEG1-Layer-III bitrate table, WAV = dataLen*1000 //
+    // (rate*ch*2); lossy depths and Ogg duration are NULL by design
+    "q_multimodal_decode_audio" ->
+      """WITH d AS (
+        | SELECT doc_id FROM documents
+        | WHERE octet_length(encode(text)) >= 36),
+        |br AS (SELECT [32,40,48,56,64,80,96,112,128,160,192,224,256,320] AS t)
+        |SELECT media_id, format, sample_rate, channels, depth, duration_ms FROM (
+        | SELECT doc_id * 5 AS media_id, 'flac' AS format,
+        |  CAST(doc_id % 40000 + 8000 AS INT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS depth,
+        |  CAST((doc_id % 100000 + 1) * 1000 // (doc_id % 40000 + 8000) AS BIGINT) AS duration_ms
+        | FROM d
+        | UNION ALL
+        | SELECT doc_id * 5 + 1, 'mp3',
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS INT),
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT),
+        |  CAST(NULL AS INT),
+        |  CAST(320 // t[CAST(doc_id % 14 + 1 AS INT)] AS BIGINT)
+        | FROM d, br
+        | UNION ALL
+        | SELECT doc_id * 5 + 2, 'ogg',
+        |  CAST(doc_id % 40000 + 8000 AS INT),
+        |  CAST(doc_id % 2 + 1 AS INT),
+        |  CAST(NULL AS INT), CAST(NULL AS BIGINT)
+        | FROM d
+        | UNION ALL
+        | SELECT doc_id * 5 + 3, 'wav', CAST(8000 AS INT), CAST(1 AS INT),
+        |  CAST(16 AS INT), CAST(2 AS BIGINT)
+        | FROM d
+        | UNION ALL
+        | SELECT doc_id * 5 + 4, 'unknown', CAST(NULL AS INT),
+        |  CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT)
+        | FROM d)
         |ORDER BY media_id""".stripMargin,
 
     // 2-D NN map: output pixel (y, x) ← source pixel (⌊y·3/2⌋, ⌊x·4/2⌋)

@@ -650,6 +650,183 @@ object Multimodal {
     }
   }
 
+  /** FLAC STREAMINFO parser (flac format spec: 4-byte `fLaC` magic, a
+    * metadata block header whose first block MUST be STREAMINFO — type
+    * 0, u24be length 34 — then the packed stream facts). Strict:
+    * wrong magic, a non-STREAMINFO first block, a non-34 length, zero
+    * sample rate, or truncation → `None`. Dependency-free like
+    * [[PngHeader]]/[[WavDecoder]].
+    */
+  object FlacHeader {
+    /** `Some((sampleRate, channels, bitsPerSample, totalSamples))` —
+      * totalSamples is the 36-bit count (0 = unknown, per the spec).
+      */
+    def parse(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (p == null || p.length < 42) return None
+      if (p(0) != 'f' || p(1) != 'L' || p(2) != 'a' || p(3) != 'C') return None
+      def u8(o: Int) = p(o) & 0xff
+      if ((u8(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+      val blockLen = (u8(5) << 16) | (u8(6) << 8) | u8(7)
+      if (blockLen != 34) return None
+      // STREAMINFO at 8: rate 20 bits / channels−1 3 / bps−1 5 /
+      // totalSamples 36, packed from byte 18
+      val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      if (rate <= 0) return None
+      val channels = ((u8(20) >> 1) & 7) + 1
+      val bps = (((u8(20) & 1) << 4) | ((u8(21) >> 4) & 0xf)) + 1
+      val total = ((u8(21) & 0x0fL) << 32) |
+        ((u8(22).toLong << 24) | (u8(23) << 16) | (u8(24) << 8) | u8(25))
+      Some((rate, channels, bps, total))
+    }
+  }
+
+  /** MP3 frame-header parser (MPEG audio frame header bit layout):
+    * optional ID3v2 tag skip (synchsafe 28-bit size), then the 11-bit
+    * sync, version/layer fields, and the bitrate/sample-rate table
+    * lookups. Strict: reserved version (1), reserved layer (0), `free`
+    * (0) or invalid (15) bitrate index, invalid (3) sample-rate index,
+    * an ID3 size overrunning the payload, or truncation → `None`.
+    */
+  object Mp3Header {
+    private val RatesV1 = Array(44100, 48000, 32000)
+    private val RatesV2 = Array(22050, 24000, 16000)
+    private val RatesV25 = Array(11025, 12000, 8000)
+    // kbps by [table][index−1]; index 0 (free) and 15 are rejected
+    private val BrV1L1 = Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    private val BrV1L2 = Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    private val BrV1L3 = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val BrV2L1 = Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    private val BrV2L23 = Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+    /** `Some((sampleRate, channels, bitrateKbps, frameOffset))` —
+      * frameOffset is where the first frame starts (past any ID3v2
+      * tag), so callers can estimate duration from the audio bytes.
+      */
+    def parse(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (p == null || p.length < 4) return None
+      def u8(o: Int) = p(o) & 0xff
+      var off = 0
+      if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+        // synchsafe: 7 bits per byte, high bit must be clear
+        if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return None
+        val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+        off = 10 + size
+        if (off + 4 > p.length) return None
+      }
+      if (u8(off) != 0xff || (u8(off + 1) & 0xe0) != 0xe0) return None
+      val ver = (u8(off + 1) >> 3) & 3   // 0=2.5, 2=2, 3=1; 1 reserved
+      val layer = (u8(off + 1) >> 1) & 3 // 1=III, 2=II, 3=I; 0 reserved
+      if (ver == 1 || layer == 0) return None
+      val brIdx = (u8(off + 2) >> 4) & 15
+      val srIdx = (u8(off + 2) >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val rate = (ver match {
+        case 3 => RatesV1
+        case 2 => RatesV2
+        case _ => RatesV25
+      })(srIdx)
+      val kbps = (if (ver == 3) layer match {
+        case 3 => BrV1L1
+        case 2 => BrV1L2
+        case _ => BrV1L3
+      } else layer match {
+        case 3 => BrV2L1
+        case _ => BrV2L23
+      })(brIdx - 1)
+      val channels = if (((u8(off + 3) >> 6) & 3) == 3) 1 else 2
+      Some((rate, channels, kbps, off))
+    }
+  }
+
+  /** Ogg Vorbis identification-header parser (Ogg page framing +
+    * Vorbis I spec §4.2.2): an `OggS` version-0 beginning-of-stream
+    * page, its segment table skipped, then the `\x01vorbis` packet
+    * with version 0, channel count and u32le sample rate. Strict:
+    * wrong capture pattern, non-BOS page, wrong packet type, nonzero
+    * vorbis version, zero rate/channels, or truncation → `None`.
+    */
+  object OggVorbisHeader {
+    /** `Some((sampleRate, channels))`. */
+    def parse(p: Array[Byte]): Option[(Int, Int)] = {
+      if (p == null || p.length < 27) return None
+      def u8(o: Int) = p(o) & 0xff
+      if (p(0) != 'O' || p(1) != 'g' || p(2) != 'g' || p(3) != 'S') return None
+      if (u8(4) != 0) return None          // stream structure version
+      if ((u8(5) & 0x02) == 0) return None // must be beginning-of-stream
+      val nsegs = u8(26)
+      val o = 27 + nsegs
+      if (o + 16 > p.length) return None
+      if (u8(o) != 1) return None          // identification packet type
+      val v = "vorbis"
+      var i = 0
+      while (i < 6) { if (u8(o + 1 + i) != v(i)) return None; i += 1 }
+      def u32le(x: Int): Long = (u8(x).toLong) | (u8(x + 1).toLong << 8) |
+        (u8(x + 2).toLong << 16) | (u8(x + 3).toLong << 24)
+      if (u32le(o + 7) != 0L) return None  // vorbis version must be 0
+      val channels = u8(o + 11)
+      val rate = u32le(o + 12)
+      if (channels <= 0 || rate <= 0L || rate > Int.MaxValue) return None
+      Some((rate.toInt, channels))
+    }
+  }
+
+  private val audioMetaSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("depth", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Audio-container triage across the REAL header parsers — WAV
+    * ([[WavDecoder]]), FLAC ([[FlacHeader]]), MP3 ([[Mp3Header]], ID3v2
+    * tags skipped), Ogg Vorbis ([[OggVorbisHeader]]) — the audio twin
+    * of [[imageHeaderMeta]], with `unknown` (null fields) for
+    * everything else. `depth` is bits per sample where the container
+    * states one (WAV 16, FLAC STREAMINFO; null for the lossy codecs).
+    * `duration_ms` is integer-exact where derivable: WAV from the data
+    * chunk length, FLAC from the 36-bit total-samples field (0 =
+    * unknown → null), MP3 a CBR estimate from the audio byte count at
+    * the first frame's bitrate (how every tag-less scanner estimates
+    * it), Ogg null (duration lives in the LAST page's granule, not the
+    * header). Same batch shape as [[imageHeaderMeta]]: mapPartitions
+    * over pruned columns, payload bytes never shuffled — the layer a
+    * 100 TB crawl runs on every audio payload before deciding what to
+    * transcode.
+    */
+  def audioHeaderMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val pruned = media.select(col("media_id"), col("payload"))
+    val out = pruned.queryExecution.toRdd.mapPartitions { rows =>
+      rows.map { ir =>
+        val id = ir.getLong(0)
+        val p = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        WavDecoder.parse(p) match {
+          case Some(w) =>
+            val bytesPerMs = w.sampleRate.toLong * w.channels * 2
+            Row(id, "wav", w.sampleRate, w.channels, w.bitsPerSample,
+              w.dataLen.toLong * 1000L / bytesPerMs)
+          case None => FlacHeader.parse(p) match {
+            case Some((rate, ch, bps, total)) =>
+              Row(id, "flac", rate, ch, bps,
+                if (total == 0L) null else total * 1000L / rate)
+            case None => Mp3Header.parse(p) match {
+              case Some((rate, ch, kbps, off)) =>
+                Row(id, "mp3", rate, ch, null,
+                  (p.length - off).toLong * 8L / kbps)
+              case None => OggVorbisHeader.parse(p) match {
+                case Some((rate, ch)) =>
+                  Row(id, "ogg", rate, ch, null, null)
+                case None => Row(id, "unknown", null, null, null, null)
+              }
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, audioMetaSchema)
+  }
+
   /** WAV triage: [[WavDecoder]] header facts + the [[pcmStats]] features
     * over the data chunk's samples — the full "parse the container, then
     * triage the PCM" shape an audio corpus runs before transcription.

@@ -433,6 +433,145 @@ class MultimodalSpec extends AnyFunSuite with Matchers
     out(4L) shouldBe ("webp", 77, 88, 8, 3)
   }
 
+  // --- audio container tier (round-15) ---
+
+  private def flacBytes(rate: Int, ch: Int, bps: Int, total: Long,
+      blockType: Int = 0, blockLen: Int = 34): Array[Byte] = {
+    val packed = (rate.toLong << 44) | ((ch - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | total
+    "fLaC".getBytes("US-ASCII") ++
+      Array(blockType.toByte, ((blockLen >> 16) & 0xff).toByte,
+        ((blockLen >> 8) & 0xff).toByte, (blockLen & 0xff).toByte) ++
+      hexBytes("10001000000000000000") ++
+      (0 until 8).map(i => ((packed >>> (8 * (7 - i))) & 0xff).toByte) ++
+      Array.fill(16)(0.toByte)
+  }
+
+  private def mp3Bytes(brIdx: Int, srIdx: Int, mono: Boolean,
+      b1: Int = 0xFB, id3Size: Int = -1, tail: Int = 0): Array[Byte] = {
+    val id3 = if (id3Size < 0) Array.emptyByteArray
+      else "ID3".getBytes("US-ASCII") ++
+        hexBytes("040000") ++
+        Array(((id3Size >> 21) & 0x7f).toByte, ((id3Size >> 14) & 0x7f).toByte,
+          ((id3Size >> 7) & 0x7f).toByte, (id3Size & 0x7f).toByte) ++
+        Array.fill(id3Size)(0.toByte)
+    id3 ++ Array(0xFF.toByte, b1.toByte,
+      ((brIdx << 4) | (srIdx << 2)).toByte,
+      (if (mono) 0xC0 else 0x00).toByte) ++ Array.fill(tail)(0.toByte)
+  }
+
+  private def oggBytes(rate: Long, ch: Int, headerType: Int = 0x02,
+      ptype: Int = 1, vver: Int = 0): Array[Byte] =
+    "OggS".getBytes("US-ASCII") ++ Array(0.toByte, headerType.toByte) ++
+      Array.fill(20)(0.toByte) ++ Array(1.toByte, 30.toByte) ++
+      Array(ptype.toByte) ++ "vorbis".getBytes("US-ASCII") ++
+      Array(vver.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      Array(ch.toByte) ++
+      (0 until 4).map(i => ((rate >> (8 * i)) & 0xff).toByte) ++
+      Array.fill(12)(0.toByte) ++ Array(0.toByte, 1.toByte)
+
+  test("FlacHeader: STREAMINFO packed facts from real bytes; " +
+    "malformed rejected") {
+    Multimodal.FlacHeader.parse(flacBytes(44100, 2, 16, 1234567L)) shouldBe
+      Some((44100, 2, 16, 1234567L))
+    Multimodal.FlacHeader.parse(flacBytes(8000, 1, 24, 0L)) shouldBe
+      Some((8000, 1, 24, 0L))
+    // rejections: wrong magic, non-STREAMINFO first block, wrong block
+    // length, zero rate, truncated, null
+    Multimodal.FlacHeader.parse("fLaX".getBytes ++
+      flacBytes(8000, 1, 16, 1L).drop(4)) shouldBe None
+    Multimodal.FlacHeader.parse(
+      flacBytes(8000, 1, 16, 1L, blockType = 4)) shouldBe None
+    Multimodal.FlacHeader.parse(
+      flacBytes(8000, 1, 16, 1L, blockLen = 33)) shouldBe None
+    Multimodal.FlacHeader.parse(flacBytes(0, 1, 16, 1L)) shouldBe None
+    Multimodal.FlacHeader.parse(flacBytes(8000, 1, 16, 1L).take(40)) shouldBe None
+    Multimodal.FlacHeader.parse(null) shouldBe None
+  }
+
+  test("Mp3Header: table-driven rate/bitrate, ID3v2 synchsafe skip, " +
+    "mono/stereo mode; reserved fields rejected") {
+    // MPEG1 Layer III, brIdx 9 -> 128 kbps, srIdx 1 -> 48000, stereo
+    Multimodal.Mp3Header.parse(mp3Bytes(9, 1, mono = false)) shouldBe
+      Some((48000, 2, 128, 0))
+    // behind a 6-byte ID3v2 tag: frame offset 16
+    Multimodal.Mp3Header.parse(mp3Bytes(9, 0, mono = true, id3Size = 6)) shouldBe
+      Some((44100, 1, 128, 16))
+    // a >127-byte tag exercises the multi-byte synchsafe encoding
+    Multimodal.Mp3Header.parse(mp3Bytes(1, 2, mono = false,
+      id3Size = 300)) shouldBe Some((32000, 2, 32, 310))
+    // MPEG2 Layer III (b1 0xF3): the V2 rate and bitrate tables
+    Multimodal.Mp3Header.parse(mp3Bytes(14, 0, mono = true, b1 = 0xF3)) shouldBe
+      Some((22050, 1, 160, 0))
+    // MPEG1 Layer I (b1 0xFF is sync-extension... layer I = bits 11 ->
+    // b1 0xFF would set all; use 0xFE + layer I bits: ver 3, layer 3)
+    Multimodal.Mp3Header.parse(mp3Bytes(14, 0, mono = false, b1 = 0xFE)) shouldBe
+      Some((44100, 2, 448, 0))
+    // rejections: reserved version (b1 0xEB), reserved layer (b1 0xF9),
+    // free bitrate (0), invalid bitrate (15), invalid sample-rate index
+    // (3), ID3 size overrunning the payload, bad sync, truncated, null
+    Multimodal.Mp3Header.parse(mp3Bytes(9, 1, mono = false, b1 = 0xEB)) shouldBe None
+    Multimodal.Mp3Header.parse(mp3Bytes(9, 1, mono = false, b1 = 0xF9)) shouldBe None
+    Multimodal.Mp3Header.parse(mp3Bytes(0, 1, mono = false)) shouldBe None
+    Multimodal.Mp3Header.parse(mp3Bytes(15, 1, mono = false)) shouldBe None
+    Multimodal.Mp3Header.parse(mp3Bytes(9, 3, mono = false)) shouldBe None
+    val overrun = mp3Bytes(9, 1, mono = false, id3Size = 6).take(18)
+    Multimodal.Mp3Header.parse(overrun) shouldBe None
+    Multimodal.Mp3Header.parse(hexBytes("FE FB 94 00")) shouldBe None
+    Multimodal.Mp3Header.parse(mp3Bytes(9, 1, mono = false).take(3)) shouldBe None
+    Multimodal.Mp3Header.parse(null) shouldBe None
+  }
+
+  test("OggVorbisHeader: BOS page + identification packet; " +
+    "malformed rejected") {
+    Multimodal.OggVorbisHeader.parse(oggBytes(44100L, 2)) shouldBe
+      Some((44100, 2))
+    Multimodal.OggVorbisHeader.parse(oggBytes(8000L, 1)) shouldBe
+      Some((8000, 1))
+    // rejections: non-BOS page, wrong packet type, nonzero vorbis
+    // version, zero rate, zero channels, bad capture, truncated, null
+    Multimodal.OggVorbisHeader.parse(
+      oggBytes(44100L, 2, headerType = 0)) shouldBe None
+    Multimodal.OggVorbisHeader.parse(
+      oggBytes(44100L, 2, ptype = 3)) shouldBe None
+    Multimodal.OggVorbisHeader.parse(
+      oggBytes(44100L, 2, vver = 1)) shouldBe None
+    Multimodal.OggVorbisHeader.parse(oggBytes(0L, 2)) shouldBe None
+    Multimodal.OggVorbisHeader.parse(oggBytes(44100L, 0)) shouldBe None
+    Multimodal.OggVorbisHeader.parse(
+      "OggX".getBytes ++ oggBytes(44100L, 2).drop(4)) shouldBe None
+    Multimodal.OggVorbisHeader.parse(oggBytes(44100L, 2).take(30)) shouldBe None
+    Multimodal.OggVorbisHeader.parse(null) shouldBe None
+  }
+
+  test("audioHeaderMeta: the five tiers triage with integer-exact " +
+    "durations where the container states them") {
+    val pcm = Array.fill(32000)(0.toByte) // 16000 samples @ 8000 Hz = 2 s
+    val rows = Seq(
+      (1L, wav(pcm)),
+      (2L, flacBytes(44100, 2, 16, 88200L)),   // 88200 samples = 2000 ms
+      (3L, flacBytes(44100, 2, 16, 0L)),       // unknown total -> null
+      (4L, mp3Bytes(9, 1, mono = false, id3Size = 6, tail = 3996)),
+      (5L, oggBytes(22050L, 1)),
+      (6L, "just text".getBytes))
+    val media = spark.createDataFrame(rows).toDF("media_id", "payload")
+    val out = Multimodal.audioHeaderMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(r: org.apache.spark.sql.Row) = (r.getString(1),
+      if (r.isNullAt(2)) null else r.getInt(2),
+      if (r.isNullAt(3)) null else r.getInt(3),
+      if (r.isNullAt(4)) null else r.getInt(4),
+      if (r.isNullAt(5)) null else r.getLong(5))
+    f(out(1L)) shouldBe ("wav", 8000, 1, 16, 2000L)
+    f(out(2L)) shouldBe ("flac", 44100, 2, 16, 2000L)
+    f(out(3L)) shouldBe ("flac", 44100, 2, 16, null)
+    // mp3: 16-byte ID3 skipped, 4 + 3996 audio bytes at 128 kbps ->
+    // 4000*8/128 = 250 ms
+    f(out(4L)) shouldBe ("mp3", 48000, 2, null, 250L)
+    f(out(5L)) shouldBe ("ogg", 22050, 1, null, null)
+    f(out(6L)) shouldBe ("unknown", null, null, null, null)
+  }
+
   test("extractFeatures: PNG/JPEG payloads get header-parsed dims with " +
     "the stream-histogram features") {
     val rows = Seq((1L, pngBytes(123, 45)), (2L, jpegBytes(77, 66)))
