@@ -73,76 +73,11 @@ import scala.jdk.CollectionConverters._
   * top-ks via TakeOrderedAndProject.
   */
 object Bm25Index {
+  import SegmentStore.{claimSeg, commitSeg, committedSegs, deleteTree, versions}
 
-  private val VerRe = "v(\\d+)".r
-
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    val w = java.nio.file.Files.walk(p)
-    try w.iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
-    finally w.close()
-  }
-
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
-    if (!java.nio.file.Files.isDirectory(p)) Nil
-    else {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.toSeq finally s.close()
-    }
-
-  /** All version numbers present under `dir`, committed or not. */
-  private def versions(dir: String): Seq[(Long, Boolean)] =
-    listDir(java.nio.file.Paths.get(dir)).flatMap { p =>
-      p.getFileName.toString match {
-        case VerRe(n) => Some((n.toLong,
-          java.nio.file.Files.exists(p.resolve("_COMMITTED"))))
-        case _ => None
-      }
-    }
-
-  /** The serving version root — highest `_COMMITTED` version. Every
-    * read/maintenance path resolves through this one function, so a
-    * crashed compact (stranded uncommitted `v<N+1>`) is invisible
-    * everywhere by construction.
-    */
-  private[graft] def currentVersionDir(dir: String): String = {
-    val committed = versions(dir).collect { case (n, true) => n }
-    require(committed.nonEmpty,
-      s"no committed BM25 index at $dir (missing or never built)")
-    s"$dir/v${committed.max}"
-  }
-
-  /** Committed segment ids in a version root (markers, not a scan). */
-  private def committedSegs(ver: String): Seq[Long] =
-    listDir(java.nio.file.Paths.get(s"$ver/commits")).flatMap { p =>
-      val n = p.getFileName.toString
-      if (n.endsWith(".commit")) Some(n.stripSuffix(".commit").toLong)
-      else None
-    }
-
-  /** All BURNED segment ids (pending or committed) — the next writer
-    * must skip these even when uncommitted, or it would adopt a crashed
-    * writer's stranded rows at its own commit.
-    */
-  private def burnedSegs(ver: String): Seq[Long] =
-    listDir(java.nio.file.Paths.get(s"$ver/commits")).flatMap { p =>
-      val n = p.getFileName.toString
-      if (n.endsWith(".commit")) Some(n.stripSuffix(".commit").toLong)
-      else if (n.endsWith(".pending")) Some(n.stripSuffix(".pending").toLong)
-      else None
-    }
-
-  /** Claim the next segment id (atomic `.pending` marker first). */
-  private def claimSeg(ver: String): Long = {
-    val seg = burnedSegs(ver).max + 1
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(
-      s"$ver/commits/$seg.pending"))
-    seg
-  }
-
-  private def commitSeg(ver: String, seg: Long): Unit =
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(
-      s"$ver/commits/$seg.commit"))
+  /** The serving version root (see [[SegmentStore.currentVersionDir]]). */
+  private[graft] def currentVersionDir(dir: String): String =
+    SegmentStore.currentVersionDir(dir, "BM25 index")
 
   /** Committed tombstones `(doc_id)` — empty frame if none written. */
   private def committedDeletes(

@@ -450,7 +450,25 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      maxBucket: Int = 100000): DataFrame = {
+      maxBucket: Int = 100000): DataFrame =
+    incrementalNearDedupCore(newDocs, corpus,
+      minHashBandsPortable(newDocs, numHashes, bands, shingleSize),
+      minHashBandsPortable(corpus, numHashes, bands, shingleSize),
+      threshold, shingleSize, maxBucket)
+
+  /** The post-signing half of the incremental decision, shared with the
+    * PERSISTED band layout ([[BandIndex.dedupAgainstBandIndex]], which
+    * reads `corpusBands` back from disk instead of re-signing): the
+    * shared code IS the equality argument between the two paths.
+    */
+  private[ops] def incrementalNearDedupCore(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      newBands: DataFrame,
+      corpusBands: DataFrame,
+      threshold: Double,
+      shingleSize: Int,
+      maxBucket: Int): DataFrame = {
     // the bucket-frequency cap counts the COMBINED population, exactly as
     // the full-union batch pipeline would — capping each side separately
     // could keep a bucket that is over cap only jointly, making the
@@ -459,11 +477,8 @@ object Dedup {
     // sides below consume it, and without the materialization both
     // signature pipelines would run once per side
     val bandsAll = capBuckets(
-      minHashBandsPortable(newDocs, numHashes, bands, shingleSize)
-        .withColumn("_new", lit(true))
-        .unionByName(
-          minHashBandsPortable(corpus, numHashes, bands, shingleSize)
-            .withColumn("_new", lit(false))),
+      newBands.withColumn("_new", lit(true))
+        .unionByName(corpusBands.withColumn("_new", lit(false))),
       Seq("band", "bucket"), maxBucket)
       .localCheckpoint()
     val newB = bandsAll.filter(col("_new")).drop("_new")

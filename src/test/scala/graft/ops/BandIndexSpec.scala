@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The persisted-band-index contract ([[BandIndex]]): persistence moves
+  * the corpus signing pass to write time — it never changes
+  * [[Dedup.dropNearDuplicatesIncrementalPortable]]'s decision, not
+  * through appends, deletes, compactions, or crashes at any
+  * commit-protocol stage.
+  */
+class BandIndexSpec extends AnyFunSuite with Matchers
+    with graft.CleanSessionCheck {
+  private lazy val spark = TestSpark.init()
+
+  private def docs =
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  private def corpus = docs.filter(col("doc_id") < 250L)
+  private def batch = docs.filter(col("doc_id") >= 250L)
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"band-$tag").toString
+
+  private def survivors(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    val out = df.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    Dedup.releaseCheckpoints(df) // the core pins its capped band table
+    out
+  }
+
+  private def decide(dir: String,
+      corpusTexts: org.apache.spark.sql.DataFrame = corpus): Seq[Long] =
+    survivors(BandIndex.dedupAgainstBandIndex(batch, dir, corpusTexts))
+
+  test("persisted decision equals the in-session incremental twin " +
+    "exactly, and some batch docs ARE dropped (non-vacuous)") {
+    val dir = tmp("eq")
+    BandIndex.writeBandIndex(corpus, dir)
+    val twin = survivors(
+      Dedup.dropNearDuplicatesIncrementalPortable(batch, corpus))
+    val got = decide(dir)
+    got shouldBe twin
+    got.size should be < batch.count().toInt
+  }
+
+  test("the layout is self-describing: nondefault signing parameters " +
+    "are stored in meta and both append and query sign with them") {
+    val dir = tmp("params")
+    BandIndex.writeBandIndex(docs.filter(col("doc_id") < 200L), dir,
+      numHashes = 16, bands = 4, shingleSize = 2)
+    BandIndex.appendBandIndex(
+      docs.filter(col("doc_id") >= 200L && col("doc_id") < 250L), dir)
+    val twin = survivors(Dedup.dropNearDuplicatesIncrementalPortable(
+      batch, corpus, numHashes = 16, bands = 4, shingleSize = 2))
+    decide(dir) shouldBe twin
+  }
+
+  test("append equals a one-shot build; base band files never " +
+    "rewritten; crash window (missing .commit) serves the pre-append " +
+    "decision and the retry lands clean") {
+    val dirInc = tmp("inc")
+    BandIndex.writeBandIndex(docs.filter(col("doc_id") < 200L), dirInc)
+    val preAppend = decide(dirInc)
+    val baseFiles = spark.read.parquet(s"$dirInc/v0/bands").inputFiles.toSet
+    val delta = docs.filter(col("doc_id") >= 200L && col("doc_id") < 250L)
+    BandIndex.appendBandIndex(delta, dirInc)
+    val afterFiles = spark.read.parquet(s"$dirInc/v0/bands").inputFiles.toSet
+    baseFiles.subsetOf(afterFiles) shouldBe true
+    afterFiles.size should be > baseFiles.size
+    val dirOne = tmp("one")
+    BandIndex.writeBandIndex(corpus, dirOne)
+    val expect = decide(dirOne)
+    decide(dirInc) shouldBe expect
+    // kill the append at its worst crash window: all rows written, only
+    // the final .commit missing — the delta must be invisible
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dirInc/v0/commits/1.commit"))
+    decide(dirInc) shouldBe preAppend
+    // the burned .pending keeps the retry off seg 1
+    BandIndex.appendBandIndex(delta, dirInc)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dirInc/v0/commits/2.commit")) shouldBe true
+    decide(dirInc) shouldBe expect
+  }
+
+  test("delete equals a rebuild without the deleted docs — a " +
+    "sole-partner near-dup RESURRECTS; idempotent; crash-atomic; " +
+    "compact materializes the tombstones and preserves the decision") {
+    val dir = tmp("del")
+    BandIndex.writeBandIndex(corpus, dir)
+    val before = decide(dir)
+    // doc 263's only corpus partner is 229 (measured at sf0.001):
+    // deleting 229 must resurrect 263 in the surviving batch
+    before should not contain 263L
+    val ids = docs.filter(col("doc_id") === 229L).select("doc_id")
+    val bandFiles = spark.read.parquet(s"$dir/v0/bands").inputFiles.toSet
+    BandIndex.deleteFromBandIndex(dir, ids, spark) shouldBe 1L
+    // deferred delete: band files untouched (tombstones only)
+    spark.read.parquet(s"$dir/v0/bands").inputFiles.toSet shouldBe bandFiles
+    val live = docs.filter(col("doc_id") < 250L && col("doc_id") =!= 229L)
+    val expect = survivors(
+      Dedup.dropNearDuplicatesIncrementalPortable(batch, live))
+    expect should contain(263L)
+    decide(dir, live) shouldBe expect
+    // idempotent: re-delete subtracts nothing
+    BandIndex.deleteFromBandIndex(dir, ids, spark) shouldBe 0L
+    // crash-atomic: a tombstone segment without its .commit is invisible
+    BandIndex.deleteFromBandIndex(dir,
+      docs.filter(col("doc_id") === 5L).select("doc_id"), spark)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/v0/commits/3.commit"))
+    decide(dir, live) shouldBe expect
+    // compact drops tombstoned rows; the decision is unchanged and the
+    // crashed seg-3 strandings are vacuumed
+    var stages = List.empty[String]
+    val fileCount = BandIndex.compactBandIndex(dir, spark, step => {
+      stages ::= step
+      if (step == "written") {
+        BandIndex.currentVersionDir(dir) shouldBe s"$dir/v0"
+        decide(dir, live) shouldBe expect
+      }
+    })
+    stages.reverse shouldBe List("written", "committed", "retired")
+    val ver = BandIndex.currentVersionDir(dir)
+    ver shouldBe s"$dir/v1"
+    spark.read.parquet(s"$ver/bands")
+      .filter(col("doc_id") === 229L).count() shouldBe 0L
+    // one file per band partition after the compact
+    fileCount shouldBe spark.read.parquet(s"$ver/bands")
+      .select("band").distinct().count()
+    decide(dir, live) shouldBe expect
+  }
+
+  test("a never-built dir fails loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      BandIndex.dedupAgainstBandIndex(batch, tmp("missing"), corpus)
+  }
+}
