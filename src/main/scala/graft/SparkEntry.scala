@@ -2325,6 +2325,16 @@ object SparkEntry {
         rerank = 32)
         .orderBy("query_id", "rank")),
 
+    // IVF×SQ8 — FAISS's `IVF…,SQ8` composition, completing the
+    // quantization matrix (IVF×PQ = q_sim_ivf_pq, flat×SQ8 = q_sim_sq8):
+    // coarse cells bound WHICH candidates (probe equi-join, never the
+    // corpus), the global per-dim scalar codes bound WHAT is read per
+    // candidate, exact integer cosine reranks the shortlist
+    "q_sim_ivf_sq8" -> ((s, dir) =>
+      Similarity.ivfSq8TopK(t(s, dir, "embeddings"), queryMaxId = 10L,
+        k = 5, nCells = 8, nProbe = 2, rerank = 32)
+        .orderBy("query_id", "rank")),
+
     // all-corpus neighbor graph (vs. the query-set searches below)
     "q_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), k = 3, nCells = 8)
@@ -7980,6 +7990,67 @@ object SparkEntry {
         |   / sqrt(CAST(list_sum(list_transform(list_zip(s.quv, s.quv), p -> p[1] * p[2])) AS DOUBLE)
         |        * CAST(list_sum(list_transform(list_zip(b.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)), 6) AS sim
         | FROM shortlist s JOIN b ON b.vec_id = s.cand_id)
+        |SELECT query_id, cand_id, sim, rank FROM (
+        | SELECT query_id, cand_id, sim,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        | FROM rer)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q_sim_ivf's assign/probe CTEs composed with q_sim_sq8's coded/
+    // shortlist/rerank chain — candidates restricted to the query's two
+    // probed cells before the compressed-domain ranking
+    "q_sim_ivf_sq8" ->
+      """WITH n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])) AS qn
+        | FROM (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |),
+        |c AS (SELECT vec_id AS cell_id, qv AS cv, qn AS cn FROM n WHERE vec_id < 8),
+        |sims AS (
+        | SELECT n.vec_id, n.qv, n.qn, c.cell_id,
+        |  round(list_sum(list_transform(list_zip(n.qv, c.cv), p -> p[1] * p[2]))
+        |   / sqrt(CAST(n.qn AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6) AS cell_sim
+        | FROM n CROSS JOIN c),
+        |assign AS (
+        | SELECT vec_id, cell_id FROM (
+        |  SELECT vec_id, cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS rn
+        |  FROM sims) WHERE rn = 1),
+        |probe AS (
+        | SELECT vec_id AS query_id, qv AS quv, qn AS query_qn, cell_id FROM (
+        |  SELECT vec_id, qv, qn, cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell_id) AS rn
+        |  FROM sims WHERE vec_id < 10) WHERE rn <= 2),
+        |st AS (
+        | SELECT j, min(x) AS lo, max(x) AS hi FROM (
+        |  SELECT unnest(qv) AS x, unnest(range(1, len(qv) + 1)) AS j FROM n)
+        | GROUP BY j),
+        |sta AS (SELECT list(lo ORDER BY j) AS los, list(hi ORDER BY j) AS his FROM st),
+        |coded AS (
+        | SELECT n.vec_id AS cand_id, a.cell_id,
+        |  list_transform(range(1, len(qv) + 1), i ->
+        |   los[CAST(i AS INT)] * 255 +
+        |   (CASE WHEN his[CAST(i AS INT)] = los[CAST(i AS INT)] THEN 0
+        |         ELSE ((qv[CAST(i AS INT)] - los[CAST(i AS INT)]) * 255 * 2
+        |               + (his[CAST(i AS INT)] - los[CAST(i AS INT)]))
+        |              // ((his[CAST(i AS INT)] - los[CAST(i AS INT)]) * 2) END)
+        |   * (his[CAST(i AS INT)] - los[CAST(i AS INT)])) AS rv255
+        | FROM n JOIN assign a ON a.vec_id = n.vec_id CROSS JOIN sta),
+        |shortlist AS (
+        | SELECT query_id, cand_id, quv, query_qn FROM (
+        |  SELECT p.query_id, cd.cand_id, p.quv, p.query_qn,
+        |   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+        |    list_sum(list_transform(list_zip(p.quv, cd.rv255), pr -> pr[1] * pr[2])) DESC,
+        |    cd.cand_id) AS arank
+        |  FROM probe p JOIN coded cd ON cd.cell_id = p.cell_id AND cd.cand_id <> p.query_id)
+        | WHERE arank <= 32),
+        |rer AS (
+        | SELECT s.query_id, s.cand_id,
+        |  round(list_sum(list_transform(list_zip(s.quv, n.qv), pr -> pr[1] * pr[2]))
+        |   / sqrt(CAST(s.query_qn AS DOUBLE) * CAST(n.qn AS DOUBLE)), 6) AS sim
+        | FROM shortlist s JOIN n ON n.vec_id = s.cand_id)
         |SELECT query_id, cand_id, sim, rank FROM (
         | SELECT query_id, cand_id, sim,
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank

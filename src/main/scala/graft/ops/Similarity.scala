@@ -1197,6 +1197,94 @@ object Similarity {
       .select("query_id", "cand_id", "sim", "rank")
   }
 
+  /** IVF-SQ8: coarse cells bound WHICH candidates are scored, the
+    * global per-dimension scalar codes bound WHAT is read per candidate
+    * — FAISS's `IVF…,SQ8` composition, completing the quantization
+    * matrix beside [[ivfPqTopK]] (IVF×PQ) and [[sq8TopK]] (flat×SQ8).
+    * Where PQ trains per-subspace codebooks, SQ8 keeps one (lo, hi)
+    * pair per dimension over the whole corpus — a cheaper, higher-
+    * fidelity code at 1 byte/dim that needs no training pass, which is
+    * why it is the default first stop when PQ's recall loss is not
+    * affordable.
+    *
+    * Plan: one corpus quantization pass feeds the per-dim stats, the
+    * coarse assignment and both rerank sides (pinned once); candidates
+    * = the query's top-`nProbe` cells' members (cell equi-join — never
+    * the corpus); the compressed-domain approx dot over the 255-scaled
+    * reconstruction ranks a per-query shortlist of `rerank`; the exact
+    * integer cosine reranks to top-k. All-integer until the one final
+    * cosine, so the oracle replays every bit. At 100 TB the cell join
+    * reads ~nProbe/nCells of the codes and the exact side touches
+    * `rerank` rows per query.
+    */
+  def ivfSq8TopK(
+      embeddings: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      nCells: Int = 8,
+      nProbe: Int = 2,
+      rerank: Int = 32): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"bad IVF spec: nCells=$nCells nProbe=$nProbe")
+    val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
+    // feeds stats, assignment, probes AND both rerank sides — pin once
+    val vecs = quantizedWithNorms(embeddings, native).localCheckpoint()
+    val cents = seedCentroids(vecs, nCells)
+    val assigned = assignCore(vecs, cents, native) // (vec_id, cell_id, qv, qn)
+    val probeW =
+      Window.partitionBy("query_id").orderBy(desc("cell_sim"), asc("cell_id"))
+    val probes = withCellSims(vecs.filter(col("vec_id") < queryMaxId), cents, native)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("cell_id"), col("qv").as("quv"),
+        col("qn"))
+    // global per-dim scalar stats — ONE (lo, hi) pair per dimension
+    val stats = vecs
+      .select(posexplode(col("qv")).as(Seq("j", "x")))
+      .groupBy("j").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(array_sort(collect_list(
+        struct(col("j"), col("lo"), col("hi")))).as("st"))
+      .select(
+        transform(col("st"), s => s.getField("lo")).as("los"),
+        transform(col("st"), s => s.getField("hi")).as("his"))
+    // 255-scaled reconstruction per candidate, cell id carried for the
+    // probe join (a deployment stores the 1-byte code per dim; rv255
+    // derives at scan time — the sq8TopK contract)
+    val coded = assigned.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("cand_id"), col("cell_id"),
+        transform(sequence(lit(1), size(col("qv"))), i => {
+          val x = element_at(col("qv"), i)
+          val lo = element_at(col("los"), i)
+          val hi = element_at(col("his"), i)
+          val code = when(hi === lo, lit(0L)).otherwise(
+            graft.functions.ColumnOps.fdivCol(
+              (x - lo) * 255L * 2L + (hi - lo), (hi - lo) * 2L))
+          lo * 255L + code * (hi - lo)
+        }).as("rv255"))
+    val wA = Window.partitionBy("query_id").orderBy(desc("adot"), asc("cand_id"))
+    // candidates ONLY from probed cells: the cell equi-join replaces
+    // sq8TopK's corpus-wide scan
+    val shortlist = coded
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("quv"), col("qn"),
+        qdot(col("quv"), col("rv255"), native).as("adot"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+    val cands = vecs.select(col("vec_id").as("cand_id"), col("qv").as("cv"),
+      col("qn").as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    shortlist.join(cands, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        qcosinePre(qdot(col("quv"), col("cv"), native),
+          col("qn"), col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "sim", "rank")
+  }
+
   def pqTopK(
       embeddings: DataFrame,
       queryMaxId: Long,

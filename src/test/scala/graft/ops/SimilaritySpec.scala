@@ -207,6 +207,30 @@ class SimilaritySpec extends AnyFunSuite with Matchers
     full shouldBe bruteFull
   }
 
+  test("IVF-SQ8: cell-bounded compressed-domain candidates with SQ8's " +
+    "high recall; full probe + full rerank equals brute force") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivfsq = withReleased(
+      Similarity.ivfSq8TopK(real, queryMaxId = 5L, k = 5))(
+      _.select("query_id", "cand_id").as[(Long, Long)].collect().toSet)
+    ivfsq.size shouldBe 25
+    // recall bounded by the 2-of-8 probe, not the tight SQ8 codes —
+    // the IVF twin's regime (cells decide candidates, codes only rank)
+    val recall = (brute intersect ivfsq).size.toDouble / brute.size
+    recall should be >= 0.4
+    // probing EVERY cell with rerank >= corpus covers all candidates ->
+    // the exact answer, regardless of the scalar approximation
+    val n = real.count().toInt
+    val full = withReleased(Similarity.ivfSq8TopK(real, queryMaxId = 5L,
+      k = 5, nCells = 4, nProbe = 4, rerank = n))(
+      _.select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet)
+    val bruteFull = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
+      .select("query_id", "cand_id", "sim").collect().map(_.toSeq).toSet
+    full shouldBe bruteFull
+  }
+
   test("IVF with full probe equals brute force; partial probe is a subset") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val brute = Similarity.bruteTopK(real, queryMaxId = 5L, k = 5)
