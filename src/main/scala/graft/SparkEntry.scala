@@ -1772,6 +1772,23 @@ object SparkEntry {
       }
     }),
 
+    // Jaccard TOP-K SEARCH over the persisted band index (round-15
+    // third wave): the layout's retrieval face — per query doc, the 5
+    // most-similar live corpus docs by EXACT Jaccard among LSH
+    // collisions, ranked on micro-quantized similarity. Runs against
+    // the JVM-cached corpus layout (the q_bm25_search pattern: the
+    // gated number is the query-side cost — sign the batch, join the
+    // stored bands, verify colliding texts only).
+    "q_dedup_index_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ops.BandIndex.searchBandIndex(
+        queries = docs.filter(col("doc_id") >= 250L),
+        dir = persistedBandIndex(s, dir),
+        corpusTexts = docs.filter(col("doc_id") < 250L),
+        k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH quality measurement: recall of the banded MinHash pipeline
     // against the exact all-pairs Jaccard truth on a bounded doc block —
     // the check you run before trusting the bands/rows trade-off on the
@@ -2001,6 +2018,49 @@ object SparkEntry {
       ops.Sampling.weightedSample(
         t(s, dir, "documents"), "doc_id", "n_chars", k = 50)
         .select(col("doc_id"), col("n_chars"), col("priority"))),
+
+    // PER-STRATUM weighted sampling (round-15 third wave): the same
+    // A-Res draw selected top-20 within each language through the
+    // graft_top_k MERGEABLE heap — per-partition ≤ k entries per
+    // stratum cross the shuffle instead of the rank window's full sort
+    // (the q_top_ngrams_agg lever applied to sampling); the window twin
+    // is cross-pinned in SamplingSpec and the oracle replays the
+    // micro-quantized priorities verbatim
+    "q_weighted_sample_strat" -> ((s, dir) =>
+      ops.Sampling.weightedSampleStratified(
+        t(s, dir, "documents"), "doc_id", "n_chars", "lang", k = 20,
+        native = graft.plans.GraftExtensions.availableOrWarn(
+          s, "weightedSampleStratified"))
+        .orderBy("stratum", "rank")),
+
+    // ROBUST per-language outlier gate (round-15 third wave):
+    // median/MAD instead of mean/stddev — the quality filter a spam doc
+    // cannot drag — flagging docs with 1000·|len − median| >
+    // 2000·MAD(len) per language; integer-exact end to end (discrete
+    // median rule), two broadcast joins of language-sized tables, never
+    // a corpus window
+    "q_outlier_mad" -> ((s, dir) =>
+      ops.CorpusOps.robustOutliers(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars", "lang", cMilli = 2000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+          col("mad"), col("dev"))
+        .orderBy("doc_id")),
+
+    // the SKETCH-ROUTED scale form of the same gate: both median passes
+    // through the mergeable compactor sketch (one bounded summary per
+    // partition per language crosses each shuffle — the
+    // q_length_quantiles_sketch lever, applied twice); exact regime at
+    // gate scales, so the oracle is shared VERBATIM with q_outlier_mad
+    "q_outlier_mad_sketch" -> ((s, dir) =>
+      ops.CorpusOps.robustOutliers(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "n_chars", "lang", cMilli = 2000L, capacity = 1 << 20,
+        native = graft.plans.GraftExtensions.availableOrWarn(
+          s, "robustOutliers"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+          col("mad"), col("dev"))
+        .orderBy("doc_id")),
 
     // train/val leakage audit: near-dup pairs that CROSS the split
     // boundary on a bounded doc block — the check that keeps a held-out
@@ -3763,6 +3823,79 @@ object SparkEntry {
       ops.Bm25Index.searchBm25Index(
         s, persistedBm25Index(s, dir), Seq("dup", "spark", "join"))),
 
+    // IMPACT-ORDERED pruned search (round-15 third wave, the Anh &
+    // Moffat early-termination form): each query term contributes only
+    // its `quota` highest-impact postings — `imp_rank <= quota` is a
+    // pushed parquet predicate over the write-time impact order, and df
+    // comes from the `terms/` dictionary partials instead of the full
+    // list scan, so serving bytes are O(quota·|terms|) regardless of
+    // posting-list length. Gated in the GENUINELY PRUNED regime
+    // (quota = 8 ≪ the fixture's df), with the oracle replaying the
+    // per-term micro-quantized impact ranking and the quota cutoff
+    // verbatim — the exact-regime ≡ searchBm25Index identity is spec'd
+    // separately in Bm25IndexSpec.
+    "q_bm25_pruned" -> ((s, dir) =>
+      ops.Bm25Index.searchBm25IndexPruned(
+        s, persistedBm25Index(s, dir), Seq("dup", "spark", "join"),
+        k = 20, quota = 8)),
+
+    // STREAMING INGEST (round-15 third wave): the index-build half of
+    // the lexical streaming story — half the corpus builds the index,
+    // the other half arrives as a REAL file-source stream (two
+    // micro-batches via maxFilesPerTrigger = 1), each batch landing as
+    // one commit-marked delta segment whose batch id rides IN the
+    // commit marker (SegmentStore.commitSegTagged — exactly-once by
+    // construction: a crash-replayed batch finds its tag and no-ops).
+    // The post-stream search must equal the FULL-corpus q_bm25 answer,
+    // which is exactly what the shared oracle asserts.
+    "q_bm25_stream_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-stream")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        ops.Bm25Index.writeBm25Index(
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), tmp.toString)
+        // the streamed half lands as two single-file parquet drops so
+        // maxFilesPerTrigger = 1 yields two genuine micro-batches —
+        // no driver-side collect of corpus rows anywhere
+        val in = tmp.resolve("in")
+        java.nio.file.Files.createDirectories(in)
+        Seq(1L, 3L).zipWithIndex.foreach { case (m, i) =>
+          val part = tmp.resolve(s"h$i")
+          docs.filter(pmod(col("doc_id"), lit(4L)) === m)
+            .coalesce(1).write.parquet(part.toString)
+          val listing = java.nio.file.Files.list(part)
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach(p => java.nio.file.Files.move(p, in.resolve(s"b$i.parquet")))
+          finally listing.close()
+        }
+        val stream = s.readStream
+          .schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+        ops.Bm25Index.appendBm25IndexStream(stream, tmp.toString)
+          .option("checkpointLocation", tmp.resolve("chk").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        // pin before the scratch layout is deleted: the plan reads it
+        val out = ops.Bm25Index.searchBm25Index(
+          s, tmp.toString, Seq("dup", "spark", "join")).localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // the DELETE maintenance step (right-to-be-forgotten on the lexical
     // side): build, tombstone-delete every doc_id ending in 3 (postings
     // files untouched — a doc's terms hash across every bucket, so the
@@ -4406,6 +4539,77 @@ object SparkEntry {
       Multimodal.audioHeaderMeta(
         flac.unionByName(mp3).unionByName(ogg).unionByName(wav)
           .unionByName(unk))
+        .orderBy("media_id")
+    }),
+
+    // TIFF/BMP HEADER tier (round-15 third wave): the archival/scan
+    // formats completing the image triage to eight. Every doc
+    // synthesizes FOUR payloads — a little-endian TIFF (II, magic 42, a
+    // REAL 4-entry IFD: ImageWidth/ImageLength as inline SHORTs,
+    // BitsPerSample 8, SamplesPerPixel from the doc parity) so the IFD
+    // walk actually walks; the SAME IFD in big-endian (MM) proving the
+    // byte-order mark is honored; a BITMAPINFOHEADER BMP with a
+    // NEGATIVE height (top-down rows — magnitude must be reported) and
+    // parity-driven bpp 8/24; and a BITMAPCOREHEADER BMP with u16le
+    // dims — and Multimodal.imageHeaderMeta must parse its way back to
+    // the synthesis facts.
+    "q_multimodal_decode_tiff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(octet_length(encode(col("text"), "UTF-8")) >= 36)
+      val w = (pmod(col("doc_id"), lit(640L)) + 1).cast("long")
+      val h = (pmod(col("doc_id") * 3, lit(480L)) + 1).cast("long")
+      val spp = when(pmod(col("doc_id"), lit(2L)) === 0, lit(1L))
+        .otherwise(lit(3L))
+      def leN(v: Column, bytes: Int) = unhex(concat(
+        (0 until bytes).map(i =>
+          lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255))), 2, "0")): _*))
+      def beN(v: Column, bytes: Int) =
+        unhex(lpad(hex(v), bytes * 2, "0"))
+      val text36 = expr("substring(encode(text, 'UTF-8'), 1, 36)")
+      // one inline-SHORT IFD entry: tag, type 3, count 1, value + pad
+      def entLe(tag: Long, v: Column) = concat(
+        leN(lit(tag), 2), unhex(lit("03000100" + "0000")), leN(v, 2),
+        unhex(lit("0000")))
+      def entBe(tag: Long, v: Column) = concat(
+        beN(lit(tag), 2), unhex(lit("00030000" + "0001")), beN(v, 2),
+        unhex(lit("0000")))
+      val tiffLe = docs.select((col("doc_id") * 4).as("media_id"),
+        concat(
+          unhex(lit("49492A0008000000")), // II, 42, IFD at 8
+          unhex(lit("0400")),             // 4 entries
+          entLe(256, w), entLe(257, h), entLe(258, lit(8L)),
+          entLe(277, spp),
+          unhex(lit("00000000")),         // next-IFD terminator
+          text36).as("payload"))
+      val tiffBe = docs.select((col("doc_id") * 4 + 1).as("media_id"),
+        concat(
+          unhex(lit("4D4D002A00000008")), // MM, 42, IFD at 8
+          unhex(lit("0004")),
+          entBe(256, w), entBe(257, h), entBe(258, lit(8L)),
+          entBe(277, spp),
+          unhex(lit("00000000")),
+          text36).as("payload"))
+      val bpp = when(pmod(col("doc_id"), lit(2L)) === 0, lit(8L))
+        .otherwise(lit(24L))
+      val negH = (lit(4294967296L) - h) // two's-complement s32le(−h)
+      val bmpInfo = docs.select((col("doc_id") * 4 + 2).as("media_id"),
+        concat(
+          lit("BM").cast("binary"), leN(lit(90L), 4),
+          unhex(lit("00000000")), leN(lit(54L), 4), // reserved, data off
+          leN(lit(40L), 4), leN(w, 4), leN(negH, 4), // INFO, w, −h
+          leN(lit(1L), 2), leN(bpp, 2),
+          unhex(lit("00" * 24)), // compression..colors-important
+          text36).as("payload"))
+      val bmpCore = docs.select((col("doc_id") * 4 + 3).as("media_id"),
+        concat(
+          lit("BM").cast("binary"), leN(lit(62L), 4),
+          unhex(lit("00000000")), leN(lit(26L), 4),
+          leN(lit(12L), 4), leN(w, 2), leN(h, 2), // CORE, u16 dims
+          leN(lit(1L), 2), leN(lit(24L), 2),
+          text36).as("payload"))
+      Multimodal.imageHeaderMeta(
+        tiffLe.unionByName(tiffBe).unionByName(bmpInfo)
+          .unionByName(bmpCore))
         .orderBy("media_id")
     }),
 
@@ -5155,6 +5359,34 @@ object SparkEntry {
     * `q_hybrid_rrf`, so the two can never drift.
     */
   private val bm25OracleSql = bm25OracleSqlFor("")
+
+  /** The MAD robust-outlier replay, shared verbatim by `q_outlier_mad`
+    * (exact distinct-value path) and `q_outlier_mad_sketch` (the
+    * compactor-sketch route) — in the exact regime the two return
+    * identical rows, so one integer-exact oracle pins both.
+    */
+  private val outlierMadOracleSql =
+    """WITH v AS (SELECT doc_id, lang, n_chars FROM documents),
+      |cw AS (SELECT lang, n_chars AS value, count(*) AS w FROM v GROUP BY 1, 2),
+      |cm AS (SELECT lang, value,
+      |  sum(w) OVER (PARTITION BY lang ORDER BY value) AS cum,
+      |  sum(w) OVER (PARTITION BY lang) AS total FROM cw),
+      |med AS (SELECT lang,
+      |  min(CASE WHEN cum * 1000 >= total * 500 THEN value END) AS med
+      | FROM cm GROUP BY 1),
+      |dv AS (SELECT v.doc_id, v.lang, v.n_chars, m.med,
+      |  abs(v.n_chars - m.med) AS dev FROM v JOIN med m USING (lang)),
+      |dw AS (SELECT lang, dev AS value, count(*) AS w FROM dv GROUP BY 1, 2),
+      |dm AS (SELECT lang, value,
+      |  sum(w) OVER (PARTITION BY lang ORDER BY value) AS cum,
+      |  sum(w) OVER (PARTITION BY lang) AS total FROM dw),
+      |mad AS (SELECT lang,
+      |  min(CASE WHEN cum * 1000 >= total * 500 THEN value END) AS mad
+      | FROM dm GROUP BY 1)
+      |SELECT d.doc_id, d.lang, d.n_chars, d.med, mad.mad AS mad, d.dev
+      |FROM dv d JOIN mad USING (lang)
+      |WHERE d.dev * 1000 > 2000 * mad.mad
+      |ORDER BY d.doc_id""".stripMargin
 
   /** The same BM25 replay over a bounded corpus — `q_bm25_index_delete`
     * pins delete ≡ rebuild-without-deleted by running it WHERE the
@@ -6425,6 +6657,35 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) FROM d)
         |ORDER BY media_id""".stripMargin,
 
+    // TIFF/BMP triage replay: the synthesis facts per tier — both TIFF
+    // endiannesses carry the same IFD values (SamplesPerPixel from the
+    // parity rule), the INFO BMP's negative height reports its
+    // magnitude with parity-driven bpp (8 → palette/1ch, 24 → 3ch,
+    // depth 8 both ways), the CORE BMP is 24-bit
+    "q_multimodal_decode_tiff" ->
+      """WITH d AS (
+        | SELECT doc_id FROM documents
+        | WHERE octet_length(encode(text)) >= 36)
+        |SELECT media_id, format, width, height, depth, channels FROM (
+        | SELECT doc_id * 4 AS media_id, 'tiff' AS format,
+        |  CAST(doc_id % 640 + 1 AS INT) AS width,
+        |  CAST((doc_id * 3) % 480 + 1 AS INT) AS height,
+        |  CAST(8 AS INT) AS depth,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 1, 'tiff', CAST(doc_id % 640 + 1 AS INT),
+        |  CAST((doc_id * 3) % 480 + 1 AS INT), CAST(8 AS INT),
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 2, 'bmp', CAST(doc_id % 640 + 1 AS INT),
+        |  CAST((doc_id * 3) % 480 + 1 AS INT), CAST(8 AS INT),
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) FROM d
+        | UNION ALL
+        | SELECT doc_id * 4 + 3, 'bmp', CAST(doc_id % 640 + 1 AS INT),
+        |  CAST((doc_id * 3) % 480 + 1 AS INT), CAST(8 AS INT),
+        |  CAST(3 AS INT) FROM d)
+        |ORDER BY media_id""".stripMargin,
+
     // audio triage replay: the synthesis facts per tier — FLAC duration
     // = totalSamples*1000 // rate, MP3 duration = audioBytes*8 // kbps
     // with the MPEG1-Layer-III bitrate table, WAV = dataLen*1000 //
@@ -6641,6 +6902,20 @@ object SparkEntry {
     "q_dedup_index_lifecycle" ->
       dedupIncrNearOracleSql("WHERE NOT (doc_id < 250 AND doc_id % 50 = 7)"),
 
+    // Jaccard top-k search replay: the SAME portable LSH CTE chain
+    // yields the collision candidates (j already carries exact Jaccard
+    // per colliding pair, a_id < b_id — corpus ids < query ids by the
+    // fixture split), micro-quantized and ranked per query
+    "q_dedup_index_search" ->
+      s"""WITH ${minhashPortableCtes("")}
+        |SELECT query_id, cand_id, jaccard_micro, rank FROM (
+        | SELECT b_id AS query_id, a_id AS cand_id,
+        |  CAST(round(jaccard * 1000000) AS BIGINT) AS jaccard_micro,
+        |  CAST(row_number() OVER (PARTITION BY b_id
+        |    ORDER BY round(jaccard * 1000000) DESC, a_id) AS BIGINT) AS rank
+        | FROM j WHERE a_id < 250 AND b_id >= 250)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_minhash_recall" ->
       s"""WITH ${minhashPortableCtes("WHERE doc_id < 200")},
         |found AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.5),
@@ -6672,6 +6947,29 @@ object SparkEntry {
         | FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, round(pr, 6) AS priority
         |FROM p ORDER BY pr DESC, doc_id LIMIT 50""".stripMargin,
+
+    // the per-stratum draw replayed on micro-quantized priorities: the
+    // SAME A-Res rule, ranked within language, string-key tie-break
+    // (graft_top_k's key type — both engine paths match it)
+    "q_weighted_sample_strat" ->
+      """WITH p AS (SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS key,
+        |  CAST(round(ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)
+        |     / 268435456.0) / n_chars * 1000000.0) AS BIGINT) AS prio_micro
+        | FROM documents WHERE n_chars > 0)
+        |SELECT stratum, rank, key, prio_micro FROM (
+        | SELECT stratum, key, prio_micro,
+        |  CAST(row_number() OVER (PARTITION BY stratum
+        |    ORDER BY prio_micro DESC, key) AS BIGINT) AS rank
+        | FROM p)
+        |WHERE rank <= 20 ORDER BY stratum, rank""".stripMargin,
+
+    // the robust gate replayed integer-exact: discrete median per
+    // language (smallest value with cum·1000 ≥ 500·total), the same
+    // rule again over absolute deviations for the MAD, then the
+    // 1000·dev > c·MAD inequality — shared VERBATIM by the exact and
+    // sketch-routed forms (identical rows in the exact regime)
+    "q_outlier_mad" -> outlierMadOracleSql,
+    "q_outlier_mad_sketch" -> outlierMadOracleSql,
 
     "q_split_leakage" ->
       s"""WITH ${minhashPortableCtes("")},
@@ -9903,6 +10201,39 @@ object SparkEntry {
     "q_bm25_persisted" -> bm25OracleSql,
     "q_bm25_search" -> bm25OracleSql,
     "q_bm25_index_append" -> bm25OracleSql,
+
+    // streaming ingest ≡ one-shot build over the full corpus: two
+    // tagged micro-batch segments + the build half must serve exactly
+    // the full-corpus answer
+    "q_bm25_stream_ingest" -> bm25OracleSql,
+
+    // the impact-ordered pruned search replayed verbatim: per-term
+    // micro-quantized impact (tf_norm at the corpus avgdl, the frozen
+    // (k1, b) = (1.2, 0.75)), rank cutoff at quota 8, then the exact
+    // bm25 scoring over the pruned slice with the DICTIONARY df (= the
+    // true df here: one segment, no deletes)
+    "q_bm25_pruned" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |    AS tk
+        | FROM documents),
+        |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM d),
+        |wd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM wd
+        | WHERE term IN ('dup', 'spark', 'join') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |imp AS (SELECT t.doc_id, t.dl, t.term, t.tf,
+        |  CAST(round(t.tf / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (s.sum_dl / s.n_docs))) * 1000000.0) AS BIGINT) AS imp
+        | FROM tf t CROSS JOIN stats s),
+        |pruned AS (SELECT * FROM (
+        | SELECT *, row_number() OVER (PARTITION BY term ORDER BY imp DESC, doc_id) AS r FROM imp)
+        | WHERE r <= 8),
+        |sc AS (SELECT p.doc_id,
+        | CAST(round(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) * p.tf * 2.2
+        |  / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.sum_dl / s.n_docs))) * 1000000.0) AS BIGINT) AS m
+        | FROM pruned p JOIN dfq q USING (term) CROSS JOIN stats s)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro FROM sc
+        |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     // the whole query batch replayed in one chain: per-query (term,
     // mult) VALUES rows, tf over the term union, df per term, the

@@ -187,6 +187,80 @@ object BandIndex {
     * only to verify colliding ids. New-side doc ids must be strictly
     * greater than every corpus id (the batch twin's contract).
     */
+  /** Jaccard TOP-K SEARCH over the persisted index — the layout's
+    * retrieval face: for each query document, the k most-similar LIVE
+    * corpus documents by EXACT n-gram Jaccard among LSH-colliding
+    * candidates. This is "find the near-duplicates of X" as a ranked
+    * answer rather than a keep/drop decision — the triage view a
+    * curation UI or a contamination investigation actually wants —
+    * and it reuses the dedup pipeline's exact pieces: queries sign
+    * with the layout's STORED parameters (a mismatched family would
+    * silently never collide), candidates come from the stored band
+    * rows (tombstones anti-joined, so deleted docs stop surfacing
+    * immediately), and `corpusTexts` is read only for COLLIDING ids
+    * ([[Dedup.jaccardVerify]]'s semi-join). Jaccard is micro-quantized
+    * (`round(j, 6) · 1e6` as a long — the embedding oracles' rule) so
+    * ranking ties break integer-deterministically by cand_id.
+    *
+    * Scale shape: signing is O(queries); the candidate join carries
+    * band-collision rows only (the combined-population `maxBucket` cap
+    * bounds degenerate buckets exactly as the dedup decision does);
+    * verification touches colliding texts only; the rank window
+    * partitions by query. Recall is LSH's: a neighbor colliding in no
+    * band is not returned — the standard banded trade, measured by the
+    * dedup family's recall queries.
+    *
+    * `queries` is `(doc_id, text)` like the corpus; query ids must not
+    * collide with LIVE corpus ids (self-pairs would rank first).
+    * Output: `(query_id, cand_id, jaccard_micro, rank)`, rank 1..k per
+    * query with ≥1 collision.
+    */
+  def searchBandIndex(
+      queries: DataFrame,
+      dir: String,
+      corpusTexts: DataFrame,
+      k: Int = 5,
+      maxBucket: Int = 100000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = queries.sparkSession
+    val ver = currentVersionDir(dir)
+    val segs = committedSegs(ver)
+    val (nh, nb, sh) = readParams(spark, ver, segs)
+    val corpusBands = spark.read.parquet(s"$ver/bands")
+      .filter(col("seg").isin(segs: _*))
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "band", "bucket")
+    // the combined-population bucket cap, exactly the dedup decision's
+    // ([[Dedup.incrementalNearDedupCore]]): a bucket degenerate only
+    // jointly must cap here too, or search and dedup would disagree on
+    // which collisions exist
+    val bandsAll = Dedup.capBuckets(
+      Dedup.minHashBandsPortable(queries, nh, nb, sh)
+        .withColumn("_new", lit(true))
+        .unionByName(corpusBands.withColumn("_new", lit(false))),
+      Seq("band", "bucket"), maxBucket)
+      .localCheckpoint()
+    val cand = bandsAll.filter(col("_new")).drop("_new")
+      .join(bandsAll.filter(!col("_new")).drop("_new")
+        .withColumnRenamed("doc_id", "a_id"), Seq("band", "bucket"))
+      .select(col("a_id"), col("doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // threshold 0: every colliding pair verifies, ranking decides
+    val verified = Dedup.jaccardVerify(
+      corpusTexts.unionByName(queries), cand, 0.0, sh)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("jaccard_micro"), asc("cand_id"))
+    val out = verified
+      .select(col("b_id").as("query_id"), col("a_id").as("cand_id"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("jaccard_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .localCheckpoint()
+    Dedup.releaseCheckpoints(bandsAll)
+    out
+  }
+
   def dedupAgainstBandIndex(
       newDocs: DataFrame,
       dir: String,

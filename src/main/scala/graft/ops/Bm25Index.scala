@@ -99,23 +99,60 @@ object Bm25Index {
     df.select(col("doc_id"),
       TextAnalysis.normTokens(col(textCol)).as("toks"))
 
-  /** Write one segment's postings + meta partials into `ver`. With
-    * `positional = true` each posting additionally carries `positions`
-    * — the term's sorted 0-based token offsets in the doc (the classic
-    * positional-inverted-index extension; Lucene stores the same per
-    * posting) — enabling [[searchPhraseIndex]] at the cost of
-    * position-proportional bytes in exactly the buckets a query term
-    * prunes to.
+  /** BM25 parameters FROZEN into the write-time impact ordering (see
+    * [[impactNorm]]) — queries may score with any (k1, b), but the
+    * stored `imp_rank` order is this pair's.
+    */
+  private val ImpK1 = 1.2
+  private val ImpB = 0.75
+
+  /** Micro-quantized within-term impact `round(tf_norm · 1e6)` where
+    * `tf_norm = tf / (tf + k1·(1−b + b·dl/avgdl))` at the DEFAULT
+    * (k1, b) — within one term BM25's score is `idf·(k1+1)·tf_norm`,
+    * so ordering a term's postings by `tf_norm` DESC is ordering them
+    * by score DESC: the classic impact-ordered-index invariant
+    * (Anh & Moffat 2006). Quantized to a long so the rank's tie-break
+    * (imp DESC, doc_id ASC) is integer-deterministic and replayable
+    * verbatim in the oracle's SQL.
+    */
+  private def impactNorm(avgdl: Double): org.apache.spark.sql.Column = {
+    val tf = col("tf").cast("double")
+    round(tf / (tf + lit(ImpK1) * (lit(1.0 - ImpB) +
+      lit(ImpB) * col("dl") / lit(avgdl))) * 1e6, 0).cast("long")
+  }
+
+  /** Write one segment's postings + term dictionary + meta partials
+    * into `ver`. With `positional = true` each posting additionally
+    * carries `positions` — the term's sorted 0-based token offsets in
+    * the doc (the classic positional-inverted-index extension; Lucene
+    * stores the same per posting) — enabling [[searchPhraseIndex]] at
+    * the cost of position-proportional bytes in exactly the buckets a
+    * query term prunes to.
+    *
+    * Every posting also carries `imp_rank` — its 1-based rank within
+    * (term, segment) by [[impactNorm]] DESC, doc_id ASC, frozen at the
+    * segment's own avgdl — and the segment writes a `terms/` dictionary
+    * row `(term, df, seg, term_bucket)` per distinct term. Together
+    * they feed [[searchBm25IndexPruned]]: `imp_rank <= quota` is a
+    * plain pushed parquet predicate selecting each term's top postings
+    * without reading the rest, and the dictionary supplies df without
+    * the full-list scan the exact search derives it from. The rank
+    * window at write is partitioned by term (parallel across terms) —
+    * a one-time build cost, amortized over every pruned query.
     */
   private def writeSegment(
       docs: DataFrame, ver: String, nBuckets: Int, seg: Long,
       textCol: String, positional: Boolean): Unit = {
     val pd = perDoc(docs, textCol)
-    pd.agg(count(lit(1)).as("n_docs"),
+    val statRow = pd.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("sum_dl"))
-      .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)).as("sum_dl"),
-        lit(nBuckets).as("n_buckets"), lit(seg).as("seg"))
-      .write.mode("append").parquet(s"$ver/meta")
+      .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)).as("sum_dl"))
+      .collect()(0)
+    val (segDocs, segDl) = (statRow.getLong(0), statRow.getLong(1))
+    import docs.sparkSession.implicits._
+    Seq((segDocs, segDl, nBuckets, seg))
+      .toDF("n_docs", "sum_dl", "n_buckets", "seg")
+      .coalesce(1).write.mode("append").parquet(s"$ver/meta")
     val exploded =
       if (positional)
         pd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
@@ -127,13 +164,28 @@ object Bm25Index {
         pd.select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
             explode(col("toks")).as("term"))
           .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    // an empty segment (zero docs) has avgdl 0/0; no posting rows exist
+    // to rank, so any finite stand-in keeps the expression NaN-free
+    val avgdl = if (segDocs == 0L) 1.0 else segDl.toDouble / segDocs
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
     val cols = Seq(col("term"), col("doc_id"), col("tf"), col("dl")) ++
       (if (positional) Seq(col("positions")) else Nil) ++
-      Seq(lit(seg).as("seg"),
+      Seq(col("imp_rank"), lit(seg).as("seg"),
         pmod(hash(col("term")), lit(nBuckets)).as("term_bucket"))
-    exploded.select(cols: _*)
+    val ranked = exploded
+      .withColumn("imp", impactNorm(avgdl))
+      .withColumn("imp_rank", row_number().over(rankW))
+      .localCheckpoint()
+    ranked.select(cols: _*)
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$ver/postings")
+    ranked.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), lit(seg).as("seg"),
+        pmod(hash(col("term")), lit(nBuckets)).as("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$ver/terms")
+    Dedup.releaseCheckpoints(ranked)
   }
 
   /** Whether a committed version's postings carry positions — inferred
@@ -190,15 +242,52 @@ object Bm25Index {
     * them in the same bucket directories.
     */
   def appendBm25Index(
-      df: DataFrame, dir: String, textCol: String = "text"): Unit = {
+      df: DataFrame, dir: String, textCol: String = "text",
+      tag: Option[String] = None): Unit = {
     val ver = currentVersionDir(dir)
     val spark = df.sparkSession
     val nBuckets = readBuckets(spark, ver, committedSegs(ver))
     val positional = isPositional(spark, ver)
     val seg = claimSeg(ver)
     writeSegment(df, ver, nBuckets, seg, textCol, positional)
-    commitSeg(ver, seg)
+    tag match {
+      case Some(t) => SegmentStore.commitSegTagged(ver, seg, t)
+      case None => commitSeg(ver, seg)
+    }
   }
+
+  /** STREAMING INGEST: document micro-batches append to the index
+    * through `foreachBatch`, each non-empty batch landing as one
+    * commit-marked delta segment — the ingest twin of
+    * [[searchBm25IndexStream]], completing the lexical index's
+    * build/append/search/stream symmetry with the IVF side.
+    *
+    * EXACTLY-ONCE, not at-least-once: the batch id rides IN the
+    * segment's commit marker ([[SegmentStore.commitSegTagged]] — one
+    * atomic `createFile` commits the rows and records the tag), so a
+    * crash-replayed micro-batch finds its tag among
+    * [[SegmentStore.committedTags]] and no-ops instead of double-
+    * posting its documents; a crash BEFORE the marker strands invisible
+    * rows (vacuumed at compact, seg id burned) and the replay ingests
+    * cleanly. Compact carries tags forward (`_tags/`, committed with
+    * the new version), so the guarantee survives maintenance — though,
+    * as with every rewrite here, compaction must not race an in-flight
+    * batch. Searches between batches serve the currently committed
+    * prefix of the stream. Batch docs must carry unseen doc_ids (the
+    * append contract).
+    */
+  def appendBm25IndexStream(
+      docStream: DataFrame,
+      dir: String,
+      textCol: String = "text"):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val tag = s"b$batchId"
+        if (!batch.isEmpty &&
+          !SegmentStore.committedTags(currentVersionDir(dir)).contains(tag))
+          appendBm25Index(batch, dir, textCol, tag = Some(tag))
+    }
 
   /** DELETE documents from the index — the right-to-be-forgotten
     * maintenance step ([[Similarity.deleteFromIvfIndex]]'s slot on the
@@ -279,28 +368,53 @@ object Bm25Index {
     val np = java.nio.file.Paths.get(next)
     java.nio.file.Files.createDirectories(np.resolve("commits"))
     java.nio.file.Files.createFile(np.resolve("commits").resolve("0.pending"))
+    // meta partials SUM to the post-delete truth (delete segments wrote
+    // negative rows) — collected first because the compacted avgdl also
+    // re-freezes the impact ordering below
+    val metaRow = spark.read.parquet(s"$ver/meta")
+      .filter(col("seg").isin(segs: _*))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .collect()(0)
+    val (mDocs, mDl) = (metaRow.getLong(0), metaRow.getLong(1))
     val compactCols =
       Seq(col("term"), col("doc_id"), col("tf"), col("dl")) ++
         (if (isPositional(spark, ver)) Seq(col("positions")) else Nil) ++
-        Seq(lit(0L).as("seg"), col("term_bucket").cast("int").as("term_bucket"))
-    spark.read.parquet(s"$ver/postings")
+        Seq(col("imp_rank"), lit(0L).as("seg"),
+          col("term_bucket").cast("int").as("term_bucket"))
+    // impact ranks re-freeze GLOBALLY (one segment, post-delete avgdl):
+    // per-segment quotas collapse back to one exact top-quota per term,
+    // and the delete-stale dictionary df rebuilds exact from survivors
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
+    val survivors = spark.read.parquet(s"$ver/postings")
       .filter(col("seg").isin(segs: _*))
       .join(broadcast(committedDeletes(spark, ver, segs)),
         Seq("doc_id"), "left_anti")
+      .drop("imp_rank")
+      .withColumn("imp",
+        impactNorm(if (mDocs == 0L) 1.0 else mDl.toDouble / mDocs))
+      .withColumn("imp_rank", row_number().over(rankW))
+      .localCheckpoint()
+    survivors
       .select(compactCols: _*)
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$next/postings")
-    // meta partials SUM to the post-delete truth (delete segments wrote
-    // negative rows), so the merged single row is already tombstone-free
-    spark.read.parquet(s"$ver/meta")
-      .filter(col("seg").isin(segs: _*))
-      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-      .select(col("n_docs"), col("sum_dl"),
-        lit(nBuckets).as("n_buckets"), lit(0L).as("seg"))
+    survivors.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), lit(0L).as("seg"),
+        pmod(hash(col("term")), lit(nBuckets)).as("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$next/terms")
+    Dedup.releaseCheckpoints(survivors)
+    import spark.implicits._
+    Seq((mDocs, mDl, nBuckets, 0L))
+      .toDF("n_docs", "sum_dl", "n_buckets", "seg")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$next/meta")
     commitSeg(next, 0L)
+    // ingest tags carry into the rewrite BEFORE its commit point, so a
+    // replayed streaming batch can never re-ingest across a compact
+    SegmentStore.carryTags(ver, next)
     onStep("written")
     java.nio.file.Files.createFile(np.resolve("_COMMITTED"))
     onStep("committed")
@@ -379,6 +493,104 @@ object Bm25Index {
     val s = idf * tf * (k1 + 1.0) /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
     surviving
+      .join(broadcast(dfTab), Seq("term"))
+      .select(col("doc_id"),
+        (round(s * 1e6, 0).cast("long") * col("mult")).as("m"))
+      .groupBy("doc_id").agg(sum("m").as("bm25_micro"))
+      .orderBy(desc("bm25_micro"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** IMPACT-ORDERED pruned search — the early-termination serving form
+    * of [[searchBm25Index]] (Anh & Moffat's impact-sorted index, the
+    * WAND family's candidate-generation half): instead of reading each
+    * query term's ENTIRE posting list, read only its `quota` highest-
+    * impact postings — `imp_rank <= quota` is an ordinary pushed
+    * parquet predicate over the already bucket-pruned scan, so with
+    * postings impact-ordered at write time the bytes a query reads are
+    * O(quota · |terms| · segments) REGARDLESS of posting-list length.
+    * That is the lever the exact search cannot have: at 100 TB a stop-
+    * word-adjacent term's list is corpus-sized, and serving latency is
+    * bounded by the quota, not the corpus.
+    *
+    * What is traded, stated loudly rather than hidden:
+    *
+    *   - CANDIDATES are pruned: a doc outside every query term's
+    *     top-quota cannot be returned even if its SUMMED score belongs
+    *     in the top-k (scores of returned docs use only their pruned
+    *     postings). With `quota` ≥ every queried list's length the
+    *     answer is EXACTLY [[searchBm25Index]]'s — the oracle regime —
+    *     and the spec measures overlap@k in the genuinely pruned one.
+    *   - df comes from the write-time `terms/` DICTIONARY (summed
+    *     per-segment partials), not the surviving postings: after a
+    *     DELETE the dictionary is stale until the next compact —
+    *     exactly Lucene's `docFreq` semantics, which counts deleted
+    *     docs until segment merge. Compact rebuilds it exact (spec'd).
+    *   - the stored order froze (k1, b) = (1.2, 0.75) and each
+    *     segment's own avgdl; scoring honors the caller's (k1, b), but
+    *     a query scored under a different pair selects by the frozen
+    *     order (exact regime unaffected — it reads everything).
+    *
+    * Requires a layout written since the dictionary existed — loud
+    * otherwise (a silent fallback to full reads would defeat the point).
+    */
+  def searchBm25IndexPruned(
+      spark: SparkSession,
+      dir: String,
+      terms: Seq[String],
+      k: Int = 20,
+      quota: Int = 8,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty,
+      "searchBm25IndexPruned needs at least one query term")
+    require(quota > 0, s"quota must be positive, got $quota")
+    val ver = currentVersionDir(dir)
+    require(
+      spark.read.parquet(s"$ver/postings").columns.contains("imp_rank") &&
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$ver/terms")),
+      s"BM25 index at $dir predates impact ordering (no imp_rank/terms " +
+        "dictionary); rebuild or compact it before pruned search")
+    val segs = committedSegs(ver)
+    val metas = spark.read.parquet(s"$ver/meta")
+      .filter(col("seg").isin(segs: _*))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .collect()(0)
+    val nDocs = metas.getLong(0)
+    val sumDl = metas.getLong(1)
+    val nBuckets = readBuckets(spark, ver, segs)
+    val normed = terms.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+    val mult = normed.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    import spark.implicits._
+    val termFrame = mult.toDF("term", "mult")
+      .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
+    val probed = termFrame.select("term_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val distinctTerms = mult.map(_._1)
+    // the pruned scan: partition filter + term pushdown + the impact
+    // cutoff — rowgroups past a term's top-quota never decompress
+    val pruned = spark.read.parquet(s"$ver/postings")
+      .filter(col("term_bucket").isin(probed: _*) &&
+        col("term").isin(distinctTerms: _*) &&
+        col("seg").isin(segs: _*) && col("imp_rank") <= quota)
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
+    // df from the dictionary partials (same pruned directories), NOT
+    // from the posting scan — the quota caps what the scan can count
+    val dfTab = spark.read.parquet(s"$ver/terms")
+      .filter(col("term_bucket").isin(probed: _*) &&
+        col("term").isin(distinctTerms: _*) && col("seg").isin(segs: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+      .join(termFrame.select("term", "mult"), "term")
+    // the EXACT searchBm25Index score tree (bit-identical doubles,
+    // identical micro quantization) — only the df SOURCE differs
+    val avgdl = lit(sumDl) / lit(nDocs)
+    val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val tf = col("tf").cast("double")
+    val s = idf * tf * (k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    pruned
       .join(broadcast(dfTab), Seq("term"))
       .select(col("doc_id"),
         (round(s * 1e6, 0).cast("long") * col("mult")).as("m"))

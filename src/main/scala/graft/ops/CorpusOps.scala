@@ -863,4 +863,58 @@ object CorpusOps {
           min(when(col("cum") * 1000 >= col("total") * p, col("value")))
             .as(s"p$p")): _*)
   }
+
+  /** Per-group ROBUST outlier gate — median/MAD instead of mean/stddev,
+    * the filter a quality pipeline wants when the contamination it is
+    * hunting would corrupt a moment-based threshold (one 10M-token spam
+    * doc moves a language's mean length; it cannot move the median).
+    * A row is an outlier when
+    *
+    *   `1000 · |value − median| > cMilli · MAD`
+    *
+    * with median and MAD (the median absolute deviation,
+    * `median(|value − median|)`) per `groupCol` under the sketch
+    * family's integer-exact DISCRETE quantile rule (smallest observed
+    * value with cum·1000 ≥ 500·total — see [[quantileSketch]]), so the
+    * whole gate is integer arithmetic end to end and replays verbatim
+    * in ANSI SQL. `cMilli` is the robust-z cutoff in milli-units
+    * (3500 ≈ the classic 3.5·MAD rule, Iglewicz & Hoaglin's
+    * recommendation up to the 1.4826 consistency constant, which a
+    * threshold-only use can fold into c). A degenerate group
+    * (MAD = 0: over half the mass on the median) flags every
+    * off-median row — the inequality yields that with no special case.
+    *
+    * Scale shape: two grouped quantile passes (each `native = true` →
+    * one bounded [[graft.plans.QuantileSketchAgg]] summary per
+    * partition per group across the shuffle; `native = false` → the
+    * exact distinct-value twin) and two broadcast joins of
+    * group-cardinality tables back onto the rows — never a window over
+    * the corpus, never a corpus-sized collect. In the exact regime the
+    * two paths return identical rows (the [[quantileSketch]]
+    * guarantee), which is what lets one oracle pin both.
+    *
+    * Output: the OUTLIER rows only — `df`'s columns plus `med`, `mad`,
+    * `dev` (= |value − median|).
+    */
+  def robustOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      cMilli: Long = 3500L,
+      capacity: Int = 32768,
+      native: Boolean = false): DataFrame = {
+    require(cMilli >= 0, s"cMilli must be non-negative, got $cMilli")
+    val med = quantileSketch(df.select(col(groupCol), col(valueCol)),
+      valueCol, groupCol, probsPermille = Seq(500),
+      capacity = capacity, native = native)
+      .select(col(groupCol), col("p500").as("med"))
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", abs(col(valueCol).cast("long") - col("med")))
+    val mad = quantileSketch(withDev.select(col(groupCol), col("dev")),
+      "dev", groupCol, probsPermille = Seq(500),
+      capacity = capacity, native = native)
+      .select(col(groupCol), col("p500").as("mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("dev") * 1000 > lit(cMilli) * col("mad"))
+  }
 }

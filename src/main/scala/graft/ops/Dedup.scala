@@ -352,7 +352,7 @@ object Dedup {
     * candidate-generation pipeline would execute twice (pairs are tiny —
     * the one thing in this pipeline that is ALWAYS cheap to hold).
     */
-  private def jaccardVerify(
+  private[ops] def jaccardVerify(
       docs: DataFrame,
       candidates0: DataFrame,
       threshold: Double,

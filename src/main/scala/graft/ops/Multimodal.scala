@@ -342,6 +342,111 @@ object Multimodal {
     }
   }
 
+  /** TIFF header parser — the real IFD (Image File Directory) walk
+    * (TIFF 6.0 spec): a 2-byte byte-order mark (`II` little-endian /
+    * `MM` big-endian) that every later integer honors, the magic 42,
+    * a u32 offset to the first IFD, then `count` 12-byte entries
+    * `(tag u16, type u16, count u32, value-or-offset u32)`. Dimensions
+    * are tags 256 (ImageWidth) / 257 (ImageLength), either SHORT(3) or
+    * LONG(4); BitsPerSample (258) and SamplesPerPixel (277) default to
+    * 1 per the spec when absent. A count-1 value sits INLINE in the
+    * value field (left-justified, so a SHORT reads as the first two
+    * bytes in file order); BitsPerSample with count > 1 lives at its
+    * offset — followed with bounds checks, first sample read (the
+    * triage convention: one depth per image). Strict: wrong BOM/magic,
+    * an IFD or value offset overrunning the payload, zero/negative
+    * dims, or missing dimension tags → `None`.
+    */
+  object TiffHeader {
+    /** `Some((width, height, bitsPerSample, samplesPerPixel))`. */
+    def parse(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (p == null || p.length < 8) return None
+      val le =
+        if (p(0) == 'I' && p(1) == 'I') true
+        else if (p(0) == 'M' && p(1) == 'M') false
+        else return None
+      def u8(o: Int) = p(o) & 0xff
+      def u16(o: Int) =
+        if (le) u8(o) | (u8(o + 1) << 8) else (u8(o) << 8) | u8(o + 1)
+      def u32(o: Int): Long =
+        if (le) u16(o).toLong | (u16(o + 2).toLong << 16)
+        else (u16(o).toLong << 16) | u16(o + 2).toLong
+      if (u16(2) != 42) return None
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > p.length) return None
+      val n = u16(ifd.toInt)
+      if (ifd + 2 + 12L * n > p.length) return None
+      var w = -1; var h = -1; var bits = 1; var spp = 1
+      var i = 0
+      while (i < n) {
+        val e = ifd.toInt + 2 + 12 * i
+        val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+        // a count-1 SHORT/LONG value is inline (left-justified in the
+        // 4-byte field); anything else we need lives behind the offset
+        def inline: Option[Int] =
+          if (cnt == 1L && typ == 3) Some(u16(e + 8))
+          else if (cnt == 1L && typ == 4) {
+            val v = u32(e + 8); if (v > Int.MaxValue) None else Some(v.toInt)
+          } else None
+        tag match {
+          case 256 => w = inline.getOrElse(return None)
+          case 257 => h = inline.getOrElse(return None)
+          case 258 =>
+            bits = inline.getOrElse {
+              // count > 1 SHORTs at the offset: first sample, bounded
+              if (typ != 3) return None
+              val off = u32(e + 8)
+              if (off + 2 > p.length) return None
+              u16(off.toInt)
+            }
+          case 277 => spp = inline.getOrElse(return None)
+          case _ => ()
+        }
+        i += 1
+      }
+      if (w <= 0 || h <= 0 || bits <= 0 || spp <= 0) None
+      else Some((w, h, bits, spp))
+    }
+  }
+
+  /** BMP header parser — `BM`, the 14-byte file header's u32le pixel-
+    * data offset, then the DIB header: BITMAPCOREHEADER (size 12,
+    * u16le dims) or the BITMAPINFOHEADER family (size 40/52/56/108/124,
+    * s32le dims — height NEGATIVE for top-down rows, reported as its
+    * magnitude — planes must be 1). `bpp` ≤ 8 is palette-indexed
+    * (1 channel, depth = bpp, like GIF/PNG color type 3); 16/24 → 3
+    * channels, 32 → 4, depth 8. Strict: wrong magic, an unknown DIB
+    * size, zero dims, planes ≠ 1, or a bpp outside
+    * {1, 4, 8, 16, 24, 32} → `None`.
+    */
+  object BmpHeader {
+    /** `Some((width, height, depth, channels))`. */
+    def parse(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (p == null || p.length < 26) return None
+      if (p(0) != 'B' || p(1) != 'M') return None
+      def u8(o: Int) = p(o) & 0xff
+      def u16le(o: Int) = u8(o) | (u8(o + 1) << 8)
+      def u32le(o: Int): Long = u16le(o).toLong | (u16le(o + 2).toLong << 16)
+      def s32le(o: Int): Int = u32le(o).toInt
+      val dib = u32le(14)
+      val (w, h, planes, bpp) =
+        if (dib == 12L) (u16le(18), u16le(20), u16le(22), u16le(24))
+        else if (dib == 40L || dib == 52L || dib == 56L ||
+          dib == 108L || dib == 124L) {
+          if (p.length < 30) return None
+          (s32le(18), s32le(22), u16le(26), u16le(28))
+        } else return None
+      if (w <= 0 || h == 0 || planes != 1) return None
+      val channels = bpp match {
+        case 1 | 4 | 8 => 1
+        case 16 | 24 => 3
+        case 32 => 4
+        case _ => return None
+      }
+      Some((w, math.abs(h), if (bpp <= 8) bpp else 8, channels))
+    }
+  }
+
   private val headerMetaSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
@@ -353,12 +458,15 @@ object Multimodal {
   /** Format/dimension triage across the REAL header parsers — PPM
     * ([[PpmDecoder]]), PNG ([[PngHeader]]), JPEG ([[JpegHeader]]), GIF
     * ([[GifHeader]]), WebP ([[WebpHeader]], all three container
-    * variants) — with `unknown` (null dims) for everything else.
+    * variants), TIFF ([[TiffHeader]], the IFD walk in either byte
+    * order), BMP ([[BmpHeader]], CORE + INFO DIB families) — with
+    * `unknown` (null dims) for everything else.
     * `depth` is bits per sample (PPM single-byte → 8, PNG bit depth,
-    * JPEG precision, GIF color resolution, WebP 8); `channels` is
-    * samples per pixel (PPM 3, PNG from color type, JPEG component
-    * count, GIF 1 — palette-indexed like PNG color type 3, WebP 3 or
-    * 4 with alpha). Same batch shape as [[extractFeatures]]
+    * JPEG precision, GIF color resolution, WebP 8, TIFF BitsPerSample,
+    * BMP bpp capped at 8); `channels` is samples per pixel (PPM 3, PNG
+    * from color type, JPEG component count, GIF 1 — palette-indexed
+    * like PNG color type 3, WebP 3 or 4 with alpha, TIFF
+    * SamplesPerPixel, BMP from bpp). Same batch shape as [[extractFeatures]]
     * (mapPartitions over pruned columns, payload bytes never shuffled);
     * this is the layer a 100 TB ingest runs on EVERY image before
     * deciding what to decode.
@@ -382,7 +490,13 @@ object Multimodal {
                 case Some((w, h, d)) => Row(id, "gif", w, h, d, 1)
                 case None => WebpHeader.parse(p) match {
                   case Some((w, h, d, ch)) => Row(id, "webp", w, h, d, ch)
-                  case None => Row(id, "unknown", null, null, null, null)
+                  case None => TiffHeader.parse(p) match {
+                    case Some((w, h, d, ch)) => Row(id, "tiff", w, h, d, ch)
+                    case None => BmpHeader.parse(p) match {
+                      case Some((w, h, d, ch)) => Row(id, "bmp", w, h, d, ch)
+                      case None => Row(id, "unknown", null, null, null, null)
+                    }
+                  }
                 }
               }
             }

@@ -169,6 +169,64 @@ object Sampling {
       .drop("_h", "_b", "_rk", "_off")
   }
 
+  /** PER-STRATUM deterministic weighted sampling without replacement —
+    * [[weightedSample]]'s A-Res priorities (`ln(u)/w`, hash-derived `u`,
+    * no RNG) selected top-k WITHIN each value of `stratumCol`: the
+    * "sample 10k docs per language, length-proportionally" rebalancing
+    * draw, replayable by any engine.
+    *
+    * Two selection paths, identical rows (the [[graft.ops.TextAnalysis.topNgrams]]
+    * twin pattern):
+    *
+    *   - `native = true` — ONE [[graft.plans.TopKAgg]] (`graft_top_k`)
+    *     pass: a k-bounded heap per stratum inside ObjectHashAggregate,
+    *     partial-aggregated below the exchange, so the shuffle carries
+    *     ≤ k entries per partition per stratum instead of the window
+    *     path's every-row sort — the difference between "sample each
+    *     language" being a top-k heap and being a per-language sort of
+    *     the corpus at 100 TB;
+    *   - `native = false` — the rank-window twin for vanilla sessions.
+    *
+    * Priorities are micro-quantized (`round(ln(u)/w · 1e6)` as a long)
+    * so both paths and the oracle rank by integers; ties break by the
+    * key's STRING form ASC ([[graft.plans.TopKAgg]]'s key type — the
+    * window twin matches it so the two paths stay row-identical).
+    * Rows with `w ≤ 0` are dropped exactly as [[weightedSample]] drops
+    * them. Output: `(stratum, rank, key, prio_micro)`, rank 1..k per
+    * stratum — join `key` back to fetch sampled rows.
+    */
+  def weightedSampleStratified(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      stratumCol: String,
+      k: Int,
+      native: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (PortableHash.h28(concat(lit(WeightedSalt),
+      col(keyCol).cast("string"))) + 1L) / lit(268435456.0d) // 2^28
+    val base = df.filter(col(weightCol) > 0)
+      .select(col(stratumCol).as("stratum"),
+        col(keyCol).cast("string").as("key"),
+        round(log(u) / col(weightCol) * 1e6, 0).cast("long")
+          .as("prio_micro"))
+    if (native) {
+      base.groupBy("stratum")
+        .agg(call_function("graft_top_k",
+          col("key"), col("prio_micro"), lit(k)).as("__tk"))
+        .select(col("stratum"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+        .select(col("stratum"), (col("__pos") + 1).cast("long").as("rank"),
+          col("__e.key").as("key"), col("__e.cnt").as("prio_micro"))
+    } else {
+      val w = Window.partitionBy("stratum")
+        .orderBy(desc("prio_micro"), asc("key"))
+      base.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("stratum", "rank", "key", "prio_micro")
+    }
+  }
+
   /** Curriculum staging: split each group's documents into `stages`
     * equal-ish buckets by descending score (stage 1 = highest quality) —
     * the "train on clean data first" ordering. `ntile` over a TOTAL

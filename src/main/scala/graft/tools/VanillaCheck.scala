@@ -33,7 +33,10 @@ object VanillaCheck {
       // sketch, alone and under the CCNet tercile split; map-literal
       // fallback for the LM serving projection
       "q_quantile_sketch", "q_ppl_buckets", "q_ppl_serving",
-      "q_ppl_persist", "q_ppl_buckets_serve")) {
+      "q_ppl_persist", "q_ppl_buckets_serve",
+      // round-15 third wave: the graft_top_k sample and the sketch-
+      // routed MAD gate must fall back on a plain session
+      "q_weighted_sample_strat", "q_outlier_mad_sketch")) {
       val c = graft.SparkEntry.allQueries(q)(spark, "/root/testdata/sf0.001").count()
       println(s"VANILLA $q rows: $c (fallback path)")
       require(c > 0, s"$q must return rows without extensions")
