@@ -163,7 +163,26 @@ object Bench {
     "q_dedup_index_lifecycle",
     // IVF×SQ8: coarse cells bound candidates, per-dim scalar codes
     // bound bytes per candidate (FAISS IVF...,SQ8), exact rerank
-    "q_sim_ivf_sq8")
+    "q_sim_ivf_sq8",
+    // round-15 third wave: impact-ordered pruned BM25 serving (each
+    // term reads only its top-quota postings via a pushed imp_rank
+    // predicate; df from the terms/ dictionary)
+    "q_bm25_pruned",
+    // exactly-once streaming index ingest (batch id rides in the
+    // segment commit marker; build half + two file-source micro-batch
+    // segments + search ≡ the full-corpus answer)
+    "q_bm25_stream_ingest",
+    // Jaccard top-k search over the cached persisted band index (the
+    // layout's retrieval face; serving-side cost like q_bm25_search)
+    "q_dedup_index_search",
+    // TIFF (both byte orders, real IFD walk) + BMP (CORE/INFO) tiers
+    "q_multimodal_decode_tiff",
+    // per-stratum A-Res weighted sampling through the graft_top_k
+    // mergeable heap (≤ k entries per partition per stratum shuffle)
+    "q_weighted_sample_strat",
+    // median/MAD robust outlier gate: exact path and the
+    // compactor-sketch-routed scale form
+    "q_outlier_mad", "q_outlier_mad_sketch")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -425,7 +444,16 @@ object Bench {
     "q_dedup_index_lifecycle" -> 9.000,
     // assignment (corpus x 8 cells) + stats + coded probe-join +
     // rerank (fresh-JVM steady 4.0-4.2)
-    "q_sim_ivf_sq8" -> 5.000)
+    "q_sim_ivf_sq8" -> 5.000,
+    // round-15 third wave, seeded from clean-host BenchSeq steady reps
+    // (rep2, the cached-layout regime the best-of-2 gate lands in):
+    // pruned serving 1.35, stream ingest 8.2 (builds its index every
+    // run by design), band search 3.1, tiff/bmp triage 0.47, stratified
+    // draw 0.27, MAD gate 0.66/0.59
+    "q_bm25_pruned" -> 1.800, "q_bm25_stream_ingest" -> 10.000,
+    "q_dedup_index_search" -> 4.000, "q_multimodal_decode_tiff" -> 0.700,
+    "q_weighted_sample_strat" -> 0.450, "q_outlier_mad" -> 0.900,
+    "q_outlier_mad_sketch" -> 0.800)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -638,7 +666,25 @@ object Bench {
     // ~FLAT at 10× (4.0 → 3.6-4.6 fresh-JVM): candidates bounded by
     // the probed cells; the corpus-linear stats/coding passes are the
     // cheap part
-    "q_sim_ivf_sq8" -> 6.000)
+    "q_sim_ivf_sq8" -> 6.000,
+    // round-15 third wave, clean-host BenchSeq steady reps at /tmp/sf1.
+    // ~FLAT at 10× (1.35 → 1.60): the whole point — quota bounds the
+    // bytes a pruned query reads, not the posting lists
+    "q_bm25_pruned" -> 2.500,
+    // ~1.8× at 10× (8.2 → 14.6): build + two micro-batch segments are
+    // each one corpus-linear pass (the q_bm25_persisted slope)
+    "q_bm25_stream_ingest" -> 18.000,
+    // ~7× at 10× (3.1 → 21.5): signing the 10×-bigger query batch is
+    // the corpus-linear md5+mix chain (the q_dedup_index slope); the
+    // stored-layout side stays a join
+    "q_dedup_index_search" -> 27.000,
+    // ~4× at 10× (0.47 → 2.0): synthesis + one mapPartitions parse
+    "q_multimodal_decode_tiff" -> 3.000,
+    // ~FLAT at 10× (0.27 → 0.41): the k-bounded heap per stratum
+    "q_weighted_sample_strat" -> 0.700,
+    // ~FLAT at 10× (0.66 → 0.78, 0.59 → 0.77): group-sized quantile
+    // tables, never a corpus window
+    "q_outlier_mad" -> 1.200, "q_outlier_mad_sketch" -> 1.200)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -251,12 +251,18 @@ object BandIndex {
       corpusTexts.unionByName(queries), cand, 0.0, sh)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("jaccard_micro"), asc("cand_id"))
+    // the eager checkpoint truncates the returned plan, which HIDES the
+    // verify stage's internal candidate pin from the caller's
+    // releaseCheckpoints (the q_dedup_index_lifecycle lesson) — free
+    // both it and the capped band table here, while the untruncated
+    // `verified` plan still reaches them
     val out = verified
       .select(col("b_id").as("query_id"), col("a_id").as("cand_id"),
         round(col("jaccard") * 1e6, 0).cast("long").as("jaccard_micro"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .localCheckpoint()
+    Dedup.releaseCheckpoints(verified)
     Dedup.releaseCheckpoints(bandsAll)
     out
   }

@@ -283,11 +283,23 @@ object Bm25Index {
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val tag = s"b$batchId"
-        if (!batch.isEmpty &&
-          !SegmentStore.committedTags(currentVersionDir(dir)).contains(tag))
-          appendBm25Index(batch, dir, textCol, tag = Some(tag))
+        ingestBm25Batch(batch, dir, textCol, batchId): Unit
     }
+
+  /** One streaming micro-batch's ingest — the [[appendBm25IndexStream]]
+    * body, visible so the exactly-once contract is directly testable:
+    * returns true when the batch ingested, false when it no-op'd (empty
+    * batch, or its tag already committed — the crash-replay case).
+    */
+  private[ops] def ingestBm25Batch(
+      batch: DataFrame, dir: String, textCol: String,
+      batchId: Long): Boolean = {
+    val tag = s"b$batchId"
+    val fresh = !batch.isEmpty &&
+      !SegmentStore.committedTags(currentVersionDir(dir)).contains(tag)
+    if (fresh) appendBm25Index(batch, dir, textCol, tag = Some(tag))
+    fresh
+  }
 
   /** DELETE documents from the index — the right-to-be-forgotten
     * maintenance step ([[Similarity.deleteFromIvfIndex]]'s slot on the

@@ -138,4 +138,61 @@ class BandIndexSpec extends AnyFunSuite with Matchers
     an[IllegalArgumentException] should be thrownBy
       BandIndex.dedupAgainstBandIndex(batch, tmp("missing"), corpus)
   }
+
+  private def searchRows(dir: String,
+      corpusTexts: org.apache.spark.sql.DataFrame = corpus,
+      queries: org.apache.spark.sql.DataFrame = batch)
+      : Seq[(Long, Long, Long, Long)] = {
+    val got = BandIndex.searchBandIndex(queries, dir, corpusTexts, k = 5)
+    val rows = got.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    Dedup.releaseCheckpoints(got)
+    rows
+  }
+
+  test("top-k search ranks the LSH collisions' EXACT Jaccard — " +
+    "cross-pinned against the one-shot pair pipeline over the union") {
+    val dir = tmp("search")
+    BandIndex.writeBandIndex(corpus, dir)
+    val rows = searchRows(dir)
+    rows should not be empty
+    // independent truth: the one-shot banded pipeline over the union
+    // produces the same collisions (same signing family, same combined
+    // bucket cap); rank its cross-boundary pairs per query
+    val pairs = Dedup.minHashLshPortable(docs, threshold = 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("jaccard_micro"), asc("cand_id"))
+    val truthDf = pairs
+      .filter(col("a_id") < 250L && col("b_id") >= 250L)
+      .select(col("b_id").as("query_id"), col("a_id").as("cand_id"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("jaccard_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("query_id", "rank")
+    val truth = truthDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    Dedup.releaseCheckpoints(pairs)
+    rows shouldBe truth
+  }
+
+  test("a deleted corpus doc stops surfacing in search immediately, " +
+    "and the ranking equals a rebuild without it") {
+    val dir = tmp("search-del")
+    BandIndex.writeBandIndex(corpus, dir)
+    val before = searchRows(dir)
+    before should not be empty
+    val victim = before.head._2 // a cand_id known to surface
+    import spark.implicits._
+    BandIndex.deleteFromBandIndex(
+      dir, Seq(victim).toDF("doc_id"), spark) shouldBe 1L
+    val after = searchRows(dir, corpus.filter(col("doc_id") =!= victim))
+    after.map(_._2) should not contain victim
+    val rebuilt = tmp("search-rebuild")
+    BandIndex.writeBandIndex(
+      corpus.filter(col("doc_id") =!= victim), rebuilt)
+    after shouldBe searchRows(rebuilt,
+      corpus.filter(col("doc_id") =!= victim))
+  }
 }

@@ -424,4 +424,121 @@ class Bm25IndexSpec extends AnyFunSuite with Matchers
     }
     e.getMessage should include("positional")
   }
+
+  test("pruned search in the EXACT regime (quota >= every list) equals " +
+    "the full search and the in-session scorer — including across an " +
+    "append's per-segment ranks") {
+    val dir = tmp("pruned-eq")
+    Bm25Index.writeBm25Index(docs, dir)
+    Bm25Index.searchBm25IndexPruned(spark, dir, terms, quota = 1000000)
+      .collect().toSeq shouldBe direct(terms)
+    // per-segment ranks: each segment's top-quota is a superset of its
+    // share of the truth, so the exact regime survives an append
+    val half = docs.count() / 2
+    val dirInc = tmp("pruned-inc")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") < half), dirInc)
+    Bm25Index.appendBm25Index(docs.filter(col("doc_id") >= half), dirInc)
+    Bm25Index.searchBm25IndexPruned(spark, dirInc, terms, quota = 1000000)
+      .collect().toSeq shouldBe direct(terms)
+  }
+
+  test("pruned search reads only the impact prefix: the imp_rank cutoff " +
+    "and term filter reach the parquet scan as pushed predicates over " +
+    "the bucket-pruned directories") {
+    val dir = tmp("pruned-plan")
+    Bm25Index.writeBm25Index(docs, dir)
+    val plan = Bm25Index.searchBm25IndexPruned(spark, dir, terms, quota = 2)
+      .queryExecution.executedPlan.toString
+    // the executed plan elides long PushedFilters lists ("...") — the
+    // data-filter condition carries the same cutoff un-elided
+    plan should include regex "imp_rank#\\d+ <= 2"
+    plan should include("In(term, [")
+    // quota 2 caps each term's contribution at 2 postings per segment:
+    // candidate docs number at most |terms| * quota
+    Bm25Index.searchBm25IndexPruned(spark, dir, terms, quota = 2)
+      .count() should be <= (terms.size * 2).toLong
+  }
+
+  test("pruned search's dictionary df is STALE after a delete (Lucene " +
+    "docFreq semantics) and compact rebuilds it exact") {
+    val dir = tmp("pruned-del")
+    Bm25Index.writeBm25Index(docs, dir)
+    val victims = docs.filter(col("text").contains("dup"))
+      .select("doc_id").limit(3)
+    val nDel = Bm25Index.deleteFromBm25Index(dir, victims, spark)
+    nDel shouldBe 3L
+    def dictDf: Long = spark.read
+      .parquet(s"${Bm25Index.currentVersionDir(dir)}/terms")
+      .filter(col("term") === "dup")
+      .agg(sum("df")).collect()(0).getLong(0)
+    def liveDf: Long = spark.read
+      .parquet(s"${Bm25Index.currentVersionDir(dir)}/postings")
+      .filter(col("term") === "dup")
+      .join(victims.hint("broadcast"), Seq("doc_id"), "left_anti")
+      .count()
+    // the dictionary still counts the tombstoned docs...
+    dictDf shouldBe (liveDf + 3)
+    // ...until compact rebuilds it from survivors, after which the
+    // pruned search (exact regime) equals the full search again
+    Bm25Index.compactBm25Index(dir, spark)
+    dictDf shouldBe liveDf
+    Bm25Index.searchBm25IndexPruned(spark, dir, terms, quota = 1000000)
+      .collect().toSeq shouldBe search(dir)
+  }
+
+  test("streaming ingest is exactly-once: a replayed batch id no-ops — " +
+    "even across a crash window and across a compact") {
+    val n = docs.count()
+    val dir = tmp("ingest-once")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") < n / 2), dir)
+    val b7 = docs.filter(col("doc_id") >= n / 2)
+    Bm25Index.ingestBm25Batch(b7, dir, "text", batchId = 7L) shouldBe true
+    val after = search(dir)
+    after shouldBe direct(terms)
+    // replay: the tag rides in the commit marker, so the batch no-ops
+    Bm25Index.ingestBm25Batch(b7, dir, "text", batchId = 7L) shouldBe false
+    search(dir) shouldBe after
+    // crash BEFORE the tagged marker: rows invisible, tag absent, the
+    // replay ingests cleanly on a fresh burned-id segment
+    val dir2 = tmp("ingest-crash")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") < n / 2), dir2)
+    val before2 = search(dir2)
+    Bm25Index.ingestBm25Batch(b7, dir2, "text", batchId = 3L) shouldBe true
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir2/v0/commits/1.commit-b3"))
+    search(dir2) shouldBe before2
+    Bm25Index.ingestBm25Batch(b7, dir2, "text", batchId = 3L) shouldBe true
+    search(dir2) shouldBe direct(terms)
+    // compact carries tags forward: the replay still no-ops after the
+    // rewrite (and an empty batch is always a no-op)
+    Bm25Index.compactBm25Index(dir2, spark)
+    Bm25Index.ingestBm25Batch(b7, dir2, "text", batchId = 3L) shouldBe false
+    Bm25Index.ingestBm25Batch(
+      docs.filter(lit(false)), dir2, "text", batchId = 99L) shouldBe false
+    search(dir2) shouldBe direct(terms)
+  }
+
+  test("streaming ingest twin: document micro-batches build the same " +
+    "index as a one-shot write (MemoryStream, two batches)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val n = docs.count()
+    val dir = tmp("ingest-stream")
+    Bm25Index.writeBm25Index(docs.filter(col("doc_id") < n / 2), dir)
+    // NULL text survives the tuple round-trip, so the streamed corpus
+    // is byte-identical to the one-shot build's
+    val rows = docs.filter(col("doc_id") >= n / 2)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Bm25Index.appendBm25IndexStream(
+      mem.toDF.toDF("doc_id", "text"), dir).start()
+    mem.addData(h1: _*)
+    q.processAllAvailable()
+    mem.addData(h2: _*)
+    q.processAllAvailable()
+    q.stop()
+    search(dir) shouldBe direct(terms)
+  }
 }

@@ -635,4 +635,34 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers
     pf.queryExecution.executedPlan.toString should
       include("partial_graft_quantile_sketch")
   }
+
+  test("robustOutliers: hand-computed discrete median/MAD truth — " +
+    "exact path ≡ sketch route, MAD = 0 flags every off-median row, " +
+    "and the sketch route partial-aggregates before the exchange") {
+    // group a: values 1..7 and 100. Discrete median (cum·1000 ≥
+    // 500·total, total 8 → cum ≥ 4) = 4; devs {3,2,1,0,1,2,3,96},
+    // MAD (4th smallest of sorted devs {0,1,1,2,2,3,3,96}) = 2;
+    // 1000·dev > 3500·2 = 7000 → only the 100 (dev 96) flags.
+    // group b: seven 5s and one 6 → med 5, devs {0×7, 1}, MAD 0 —
+    // the degenerate group: every off-median row flags (the 6).
+    import spark.implicits._
+    val rows = ((1L to 7L) :+ 100L).map(v => (v, "a", v)) ++
+      (Seq.fill(7)(5L) :+ 6L).zipWithIndex
+        .map { case (v, i) => (200L + i, "b", v) }
+    val df = rows.toDF("doc_id", "grp", "v")
+    def run(native: Boolean) =
+      CorpusOps.robustOutliers(df, "v", "grp", cMilli = 3500L,
+        native = native)
+        .select("doc_id", "grp", "v", "med", "mad", "dev")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val exact = run(native = false)
+    exact shouldBe Seq(
+      Seq(100L, "a", 100L, 4L, 2L, 96L),
+      Seq(207L, "b", 6L, 5L, 0L, 1L))
+    run(native = true) shouldBe exact
+    val sk = CorpusOps.robustOutliers(df, "v", "grp", native = true)
+    sk.collect()
+    sk.queryExecution.executedPlan.toString should
+      include("partial_graft_quantile_sketch")
+  }
 }

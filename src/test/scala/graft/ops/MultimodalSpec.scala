@@ -584,4 +584,162 @@ class MultimodalSpec extends AnyFunSuite with Matchers
     f(2L).getAs[Int]("dec_height") shouldBe 66
     f(1L).getSeq[Double](f(1L).fieldIndex("features")).sum shouldBe 1.0 +- 1e-9
   }
+
+  /** A minimal single-IFD TIFF: inline SHORT entries for dims/bits/spp
+    * in either byte order (the shared builder keeps the two tests'
+    * layouts honest — only the BOM and integer order differ).
+    */
+  private def tiffBytes(w: Int, h: Int, le: Boolean = true,
+      spp: Int = 3): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(128).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (le) "II" else "MM").getBytes)
+    bb.putShort(42); bb.putInt(8)
+    bb.putShort(4)
+    def ent(tag: Int, v: Int): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(3); bb.putInt(1)
+      bb.putShort(v.toShort); bb.putShort(0)
+    }
+    ent(256, w); ent(257, h); ent(258, 8); ent(277, spp)
+    bb.putInt(0)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** TIFF exercising the non-inline paths: LONG-typed height and a
+    * count-2 BitsPerSample behind a value offset.
+    */
+  private def tiffOffsetBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(128).order(
+      java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("II".getBytes); bb.putShort(42); bb.putInt(8)
+    bb.putShort(4)
+    bb.putShort(256); bb.putShort(3); bb.putInt(1)
+    bb.putShort(w.toShort); bb.putShort(0)
+    bb.putShort(257); bb.putShort(4); bb.putInt(1); bb.putInt(h) // LONG
+    // BitsPerSample count 2 -> the value field is an offset (62: header
+    // 8 + count 2 + 4 entries * 12 + terminator 4)
+    bb.putShort(258); bb.putShort(3); bb.putInt(2); bb.putInt(62)
+    bb.putShort(277); bb.putShort(3); bb.putInt(1)
+    bb.putShort(2); bb.putShort(0)
+    bb.putInt(0)
+    bb.putShort(16); bb.putShort(16) // the two SHORTs at offset 62
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  private def bmpBytes(w: Int, h: Int, bpp: Int = 24,
+      dib: Int = 40): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(70).order(
+      java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("BM".getBytes); bb.putInt(70); bb.putInt(0); bb.putInt(54)
+    bb.putInt(dib)
+    if (dib == 12) {
+      bb.putShort(w.toShort); bb.putShort(h.toShort)
+      bb.putShort(1); bb.putShort(bpp.toShort)
+    } else {
+      bb.putInt(w); bb.putInt(h); bb.putShort(1); bb.putShort(bpp.toShort)
+    }
+    java.util.Arrays.copyOf(bb.array(), math.max(bb.position(), 30))
+  }
+
+  test("TiffHeader: IFD walk in both byte orders, LONG dims, offset " +
+    "BitsPerSample, spec defaults; malformed rejected") {
+    Multimodal.TiffHeader.parse(tiffBytes(640, 480)) shouldBe
+      Some((640, 480, 8, 3))
+    Multimodal.TiffHeader.parse(tiffBytes(123, 45, le = false, spp = 1))
+      .shouldBe(Some((123, 45, 8, 1)))
+    // LONG height + count-2 BitsPerSample behind its offset (first
+    // sample read), SamplesPerPixel 2
+    Multimodal.TiffHeader.parse(tiffOffsetBytes(77, 70000)) shouldBe
+      Some((77, 70000, 16, 2))
+    // absent 258/277 default to 1 per the spec: build with dims only
+    val dimsOnly = {
+      val bb = java.nio.ByteBuffer.allocate(64).order(
+        java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("II".getBytes); bb.putShort(42); bb.putInt(8)
+      bb.putShort(2)
+      bb.putShort(256); bb.putShort(3); bb.putInt(1)
+      bb.putShort(9); bb.putShort(0)
+      bb.putShort(257); bb.putShort(3); bb.putInt(1)
+      bb.putShort(7); bb.putShort(0)
+      bb.putInt(0)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    Multimodal.TiffHeader.parse(dimsOnly) shouldBe Some((9, 7, 1, 1))
+    // rejections: wrong BOM, wrong magic, IFD offset overrun, zero
+    // width, missing dims, entry table overrunning the payload,
+    // value offset overrunning the payload, truncation, null
+    val badBom = tiffBytes(640, 480); badBom(0) = 'X'
+    Multimodal.TiffHeader.parse(badBom) shouldBe None
+    val badMagic = tiffBytes(640, 480); badMagic(2) = 0x2b
+    Multimodal.TiffHeader.parse(badMagic) shouldBe None
+    val farIfd = tiffBytes(640, 480); farIfd(4) = 0x7f.toByte
+    Multimodal.TiffHeader.parse(farIfd) shouldBe None
+    Multimodal.TiffHeader.parse(tiffBytes(0, 480)) shouldBe None
+    val noDims = {
+      val bb = java.nio.ByteBuffer.allocate(32).order(
+        java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("II".getBytes); bb.putShort(42); bb.putInt(8)
+      bb.putShort(1)
+      bb.putShort(277); bb.putShort(3); bb.putInt(1)
+      bb.putShort(3); bb.putShort(0)
+      bb.putInt(0)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    Multimodal.TiffHeader.parse(noDims) shouldBe None
+    val shortTable = tiffBytes(640, 480); shortTable(8) = 0x7f.toByte
+    Multimodal.TiffHeader.parse(shortTable) shouldBe None
+    val farBits = tiffOffsetBytes(77, 70000)
+    farBits(8 + 2 + 2 * 12 + 8) = 0x7f.toByte // the 258 entry's offset
+    Multimodal.TiffHeader.parse(farBits) shouldBe None
+    Multimodal.TiffHeader.parse(tiffBytes(640, 480).take(20)) shouldBe None
+    Multimodal.TiffHeader.parse(null) shouldBe None
+  }
+
+  test("BmpHeader: INFO family s32le dims with top-down negative " +
+    "height, CORE u16le dims, palette vs truecolor channels; " +
+    "malformed rejected") {
+    Multimodal.BmpHeader.parse(bmpBytes(640, 480)) shouldBe
+      Some((640, 480, 8, 3))
+    Multimodal.BmpHeader.parse(bmpBytes(33, -44)) shouldBe
+      Some((33, 44, 8, 3)) // top-down: magnitude reported
+    Multimodal.BmpHeader.parse(bmpBytes(10, 20, bpp = 8)) shouldBe
+      Some((10, 20, 8, 1)) // palette-indexed
+    Multimodal.BmpHeader.parse(bmpBytes(10, 20, bpp = 4)) shouldBe
+      Some((10, 20, 4, 1))
+    Multimodal.BmpHeader.parse(bmpBytes(10, 20, bpp = 32)) shouldBe
+      Some((10, 20, 8, 4))
+    Multimodal.BmpHeader.parse(bmpBytes(10, 20, dib = 108)) shouldBe
+      Some((10, 20, 8, 3)) // V4 header accepted
+    Multimodal.BmpHeader.parse(bmpBytes(11, 22, dib = 12)) shouldBe
+      Some((11, 22, 8, 3)) // BITMAPCOREHEADER
+    // rejections: unknown DIB size, planes != 1, bad bpp, zero height,
+    // wrong magic, truncation, null
+    Multimodal.BmpHeader.parse(bmpBytes(10, 20, dib = 64)) shouldBe None
+    val badPlanes = bmpBytes(10, 20); badPlanes(26) = 2
+    Multimodal.BmpHeader.parse(badPlanes) shouldBe None
+    Multimodal.BmpHeader.parse(bmpBytes(10, 20, bpp = 13)) shouldBe None
+    Multimodal.BmpHeader.parse(bmpBytes(10, 0)) shouldBe None
+    Multimodal.BmpHeader.parse("XXlooks nothing like a bitmap".getBytes)
+      .shouldBe(None)
+    Multimodal.BmpHeader.parse(bmpBytes(10, 20).take(20)) shouldBe None
+    Multimodal.BmpHeader.parse(null) shouldBe None
+  }
+
+  test("imageHeaderMeta: tiff and bmp tiers triage beside the others") {
+    val rows = Seq(
+      (1L, tiffBytes(11, 22)),
+      (2L, tiffBytes(33, 44, le = false, spp = 1)),
+      (3L, bmpBytes(55, -66, bpp = 8)),
+      (4L, bmpBytes(77, 88, dib = 12)))
+    val media = spark.createDataFrame(rows).toDF("media_id", "payload")
+    val out = Multimodal.imageHeaderMeta(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    out(1L) shouldBe ("tiff", 11, 22, 8, 3)
+    out(2L) shouldBe ("tiff", 33, 44, 8, 1)
+    out(3L) shouldBe ("bmp", 55, 66, 8, 1)
+    out(4L) shouldBe ("bmp", 77, 88, 8, 3)
+  }
 }

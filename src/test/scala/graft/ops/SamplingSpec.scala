@@ -81,4 +81,37 @@ class SamplingSpec extends AnyFunSuite with Matchers
       .select("k").as[Long].collect().sorted
     got.toSeq shouldBe Seq(1L, 4L)
   }
+
+  test("weightedSampleStratified: native graft_top_k ≡ rank-window " +
+    "twin row-for-row; per-stratum k; non-positive weights dropped") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i =>
+      (i, (i % 13) + 1L, Seq("en", "de", "fr")((i % 3).toInt)))
+      .toDF("k", "w", "lang")
+    def draw(native: Boolean) =
+      Sampling.weightedSampleStratified(df, "k", "w", "lang", k = 10,
+        native = native)
+        .orderBy("stratum", "rank").collect().map(_.toSeq).toSeq
+    val nat = draw(native = true)
+    nat shouldBe draw(native = false)
+    nat.groupBy(_.head).values.foreach(_.size shouldBe 10)
+    nat.map(_(1)).grouped(10).foreach(_ shouldBe (1L to 10L))
+    val dirty = Seq((1L, 10L, "en"), (2L, -1L, "en"), (3L, 0L, "en"))
+      .toDF("k", "w", "lang")
+    Sampling.weightedSampleStratified(dirty, "k", "w", "lang", k = 5)
+      .select("key").as[String].collect().toSeq shouldBe Seq("1")
+  }
+
+  test("weightedSampleStratified's native heap partial-aggregates " +
+    "BEFORE the exchange — per-partition ≤ k entries per stratum " +
+    "cross, not every row") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, 5L, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "w", "lang")
+    val out = Sampling.weightedSampleStratified(
+      df, "k", "w", "lang", k = 3, native = true)
+    out.collect()
+    out.queryExecution.executedPlan.toString should
+      include("partial_graft_top_k")
+  }
 }
