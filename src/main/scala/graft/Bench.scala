@@ -182,7 +182,13 @@ object Bench {
     "q_weighted_sample_strat",
     // median/MAD robust outlier gate: exact path and the
     // compactor-sketch-routed scale form
-    "q_outlier_mad", "q_outlier_mad_sketch")
+    "q_outlier_mad", "q_outlier_mad_sketch",
+    // round-15 fourth wave: streaming continuous-ingest dedup (decide →
+    // tagged append → sink, exactly-once; two real file-source batches)
+    "q_dedup_stream_ingest",
+    // pruned multi-query serving (one impact-prefix scan of the batch's
+    // term union) and the layout-derived index health row
+    "q_bm25_pruned_multi", "q_bm25_index_health")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -453,7 +459,12 @@ object Bench {
     "q_bm25_pruned" -> 1.800, "q_bm25_stream_ingest" -> 10.000,
     "q_dedup_index_search" -> 4.000, "q_multimodal_decode_tiff" -> 0.700,
     "q_weighted_sample_strat" -> 0.450, "q_outlier_mad" -> 0.900,
-    "q_outlier_mad_sketch" -> 0.800)
+    "q_outlier_mad_sketch" -> 0.800,
+    // fourth wave (clean-host BenchSeq steady reps): the ingest loop
+    // builds + decides + appends twice per run (11.2); pruned batch
+    // serving 1.2 cached; health row 0.56
+    "q_dedup_stream_ingest" -> 14.000, "q_bm25_pruned_multi" -> 1.800,
+    "q_bm25_index_health" -> 0.800)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -684,7 +695,14 @@ object Bench {
     "q_weighted_sample_strat" -> 0.700,
     // ~FLAT at 10× (0.66 → 0.78, 0.59 → 0.77): group-sized quantile
     // tables, never a corpus window
-    "q_outlier_mad" -> 1.200, "q_outlier_mad_sketch" -> 1.200)
+    "q_outlier_mad" -> 1.200, "q_outlier_mad_sketch" -> 1.200,
+    // ~3.3× at 10× (11.2 → 36.9): build + two decide/sign/append
+    // passes, each corpus-linear (the q_dedup_index_lifecycle slope)
+    "q_dedup_stream_ingest" -> 45.000,
+    // ~FLAT at 10× (1.2 → 1.9 post-build): quota bounds the batch scan
+    "q_bm25_pruned_multi" -> 3.000,
+    // ~FLAT at 10× (0.56 → 0.74): dictionary-sized aggregates
+    "q_bm25_index_health" -> 1.200)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1789,6 +1789,74 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // STREAMING CONTINUOUS-INGEST DEDUP (round-15 fourth wave): the
+    // production crawl loop — per micro-batch, decide survivors against
+    // the index's LIVE corpus (the layout's own stored texts), append
+    // survivors as one TAGGED delta segment (exactly-once: batch id in
+    // the commit marker; a crash-replay recovers survivors FROM the
+    // segment), sink them, and the next batch dedups against the grown
+    // corpus. Two REAL file-source micro-batches in id order; oracle =
+    // the two-step sequential decision replayed in SQL.
+    "q_dedup_stream_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-band-stream")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        val mid = (250L + maxId) / 2L + 1L // corpus < 250 <= b1 < mid <= b2
+        val idx = tmp.resolve("idx").toString
+        ops.BandIndex.writeBandIndex(
+          docs.filter(col("doc_id") < 250L), idx, storeTexts = true)
+        val in = tmp.resolve("in")
+        java.nio.file.Files.createDirectories(in)
+        // batch order is load-bearing (b2 dedups against b1's
+        // survivors): the file source feeds oldest-mtime first, so
+        // stamp explicit times
+        Seq(
+          (col("doc_id") >= 250L && col("doc_id") < mid, 0),
+          (col("doc_id") >= mid, 1)).foreach { case (pred, i) =>
+          val part = tmp.resolve(s"h$i")
+          docs.filter(pred).coalesce(1).write.parquet(part.toString)
+          val listing = java.nio.file.Files.list(part)
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach { p =>
+              val dst = in.resolve(s"b$i.parquet")
+              java.nio.file.Files.move(p, dst)
+              java.nio.file.Files.setLastModifiedTime(dst,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  1000000000000L + i * 60000L))
+            }
+          finally listing.close()
+        }
+        val outDir = tmp.resolve("out").toString
+        ops.BandIndex.dedupBandIndexStream(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in.toString),
+          idx) { (survivors, _) =>
+          survivors.select("doc_id")
+            .write.mode("append").parquet(outDir)
+        }
+          .option("checkpointLocation", tmp.resolve("chk").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        val out = s.read.parquet(outDir)
+          .orderBy("doc_id").localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // LSH quality measurement: recall of the banded MinHash pipeline
     // against the exact all-pairs Jaccard truth on a bounded doc block —
     // the check you run before trusting the bands/rows trade-off on the
@@ -3838,6 +3906,30 @@ object SparkEntry {
       ops.Bm25Index.searchBm25IndexPruned(
         s, persistedBm25Index(s, dir), Seq("dup", "spark", "join"),
         k = 20, quota = 8)),
+
+    // pruned MULTI-QUERY serving (round-15 fourth wave): the production
+    // serving shape — one pruned scan of the batch's term union reads
+    // each term's top-quota postings, df from the dictionary, broadcast
+    // query fan-out, per-query rank; q_bm25_multi's batch at quota 8
+    "q_bm25_pruned_multi" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("dup", "spark", "join")),
+        (1L, Seq("batch", "merge")),
+        (2L, Seq("window", "window", "scan"))).toDF("query_id", "terms")
+      ops.Bm25Index.searchBm25IndexPrunedMany(
+        s, persistedBm25Index(s, dir), queries, k = 10, quota = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // index HEALTH/STATS (round-15 fourth wave): the lexical twin of
+    // q_index_health — corpus/dictionary facts (doc count, total
+    // length, vocabulary size, posting count, discrete df quantiles,
+    // hottest list) derived entirely from the LAYOUT, equal by
+    // construction to corpus-derived truth on a clean index — which is
+    // exactly what the oracle recomputes from the documents table
+    "q_bm25_index_health" -> ((s, dir) =>
+      ops.Bm25Index.bm25IndexStats(s, persistedBm25Index(s, dir))),
 
     // STREAMING INGEST (round-15 third wave): the index-build half of
     // the lexical streaming story — half the corpus builds the index,
@@ -6901,6 +6993,26 @@ object SparkEntry {
     // tombstoned corpus ids from the signing universe
     "q_dedup_index_lifecycle" ->
       dedupIncrNearOracleSql("WHERE NOT (doc_id < 250 AND doc_id % 50 = 7)"),
+
+    // the continuous-ingest loop replayed as the two-step sequential
+    // decision: batch 1 survivors dedup against the corpus, batch 2
+    // against corpus ∪ batch-1 survivors (ids ascend across batches, so
+    // j's a_id < b_id orientation covers every pair)
+    "q_dedup_stream_ingest" ->
+      s"""WITH ${minhashPortableCtes("")},
+        |mx AS (SELECT (250 + max(doc_id)) // 2 + 1 AS mid FROM documents),
+        |s1 AS (SELECT doc_id FROM documents, mx
+        | WHERE doc_id >= 250 AND doc_id < mid
+        |  AND doc_id NOT IN (
+        |   SELECT b_id FROM j WHERE jaccard >= 0.5 AND a_id < 250)),
+        |s2 AS (SELECT d.doc_id FROM documents d, mx
+        | WHERE d.doc_id >= mid
+        |  AND d.doc_id NOT IN (
+        |   SELECT b_id FROM j WHERE jaccard >= 0.5
+        |    AND (a_id < 250 OR a_id IN (SELECT doc_id FROM s1))))
+        |SELECT doc_id FROM s1
+        |UNION ALL SELECT doc_id FROM s2
+        |ORDER BY doc_id""".stripMargin,
 
     // Jaccard top-k search replay: the SAME portable LSH CTE chain
     // yields the collision candidates (j already carries exact Jaccard
@@ -10234,6 +10346,70 @@ object SparkEntry {
         | FROM pruned p JOIN dfq q USING (term) CROSS JOIN stats s)
         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro FROM sc
         |GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the pruned batch replay: q_bm25_multi's query VALUES over
+    // q_bm25_pruned's impact cutoff — per-term micro-quantized impact
+    // ranking, quota 8, dictionary df, per-query rank
+    "q_bm25_pruned_multi" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |    AS tk
+        | FROM documents),
+        |stats AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM d),
+        |wd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS term FROM d),
+        |qq(query_id, term, mult) AS (VALUES
+        | (CAST(0 AS BIGINT), 'dup', CAST(1 AS BIGINT)), (0, 'spark', 1), (0, 'join', 1),
+        | (1, 'batch', 1), (1, 'merge', 1),
+        | (2, 'window', 2), (2, 'scan', 1)),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM wd
+        | WHERE term IN (SELECT DISTINCT term FROM qq) GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |imp AS (SELECT t.doc_id, t.dl, t.term, t.tf,
+        |  CAST(round(t.tf / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (s.sum_dl / s.n_docs))) * 1000000.0) AS BIGINT) AS imp
+        | FROM tf t CROSS JOIN stats s),
+        |pruned AS (SELECT * FROM (
+        | SELECT *, row_number() OVER (PARTITION BY term ORDER BY imp DESC, doc_id) AS r FROM imp)
+        | WHERE r <= 8),
+        |sc AS (SELECT qq.query_id, p.doc_id,
+        | CAST(round(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5)) * p.tf * 2.2
+        |  / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / (s.sum_dl / s.n_docs))) * 1000000.0) AS BIGINT)
+        |  * qq.mult AS m
+        | FROM pruned p JOIN dfq q USING (term) JOIN qq ON qq.term = p.term
+        | CROSS JOIN stats s),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro
+        | FROM sc GROUP BY 1, 2)
+        |SELECT query_id, doc_id, bm25_micro, rank FROM (
+        | SELECT query_id, doc_id, bm25_micro,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank
+        | FROM agg)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the health row recomputed from the corpus: vocabulary size,
+    // posting count, discrete df quantiles, hottest list — the layout-
+    // derived facts must equal corpus truth on a clean index
+    "q_bm25_index_health" ->
+      """WITH d AS (SELECT doc_id,
+        |  string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |    AS tk
+        | FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(tk)) AS BIGINT) AS sum_dl FROM d),
+        |wd AS (SELECT doc_id, unnest(tk) AS term FROM d),
+        |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        | FROM wd GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(df) AS BIGINT) AS n_postings,
+        |  CAST(max(df) AS BIGINT) AS df_max FROM dfq),
+        |cw AS (SELECT df AS value, count(*) AS w FROM dfq GROUP BY 1),
+        |cm AS (SELECT value, sum(w) OVER (ORDER BY value) AS cum,
+        |  sum(w) OVER () AS total FROM cw),
+        |q AS (SELECT
+        |  min(CASE WHEN cum * 1000 >= total * 500 THEN value END) AS df_p500,
+        |  min(CASE WHEN cum * 1000 >= total * 990 THEN value END) AS df_p990
+        | FROM cm)
+        |SELECT s.n_docs, s.sum_dl, t.n_terms, t.n_postings,
+        | q.df_p500, q.df_p990, t.df_max
+        |FROM stats s CROSS JOIN tot t CROSS JOIN q""".stripMargin,
 
     // the whole query batch replayed in one chain: per-query (term,
     // mult) VALUES rows, tf over the term union, df per term, the

@@ -67,7 +67,8 @@ object BandIndex {
   }
 
   private def writeSegment(docs: DataFrame, ver: String, seg: Long,
-      numHashes: Int, bands: Int, shingleSize: Int): Unit = {
+      numHashes: Int, bands: Int, shingleSize: Int,
+      storeTexts: Boolean): Unit = {
     import docs.sparkSession.implicits._
     Seq((numHashes, bands, shingleSize, seg))
       .toDF("n_hashes", "bands", "shingle_size", "seg")
@@ -76,38 +77,81 @@ object BandIndex {
       .select(col("bucket"), col("doc_id"), lit(seg).as("seg"),
         col("band").cast("int").as("band"))
       .write.mode("append").partitionBy("band").parquet(s"$ver/bands")
+    if (storeTexts)
+      docs.select(col("doc_id"), col("text"), lit(seg).as("seg"))
+        .write.mode("append").parquet(s"$ver/texts")
+  }
+
+  /** Whether the layout stores document texts beside the fingerprints
+    * (the SELF-CONTAINED form continuous ingest needs: verification of
+    * colliding ids reads the layout's own `texts/` instead of a
+    * caller-supplied corpus frame). Inferred from the directory, so
+    * appends inherit the choice like the signing parameters.
+    */
+  private def isTextStored(ver: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$ver/texts"))
+
+  /** The layout's own live corpus texts `(doc_id, text)` — committed
+    * segments only, tombstones anti-joined. Loud if the layout was
+    * built without `storeTexts`.
+    */
+  def storedTexts(spark: SparkSession, dir: String): DataFrame = {
+    val ver = currentVersionDir(dir)
+    require(isTextStored(ver),
+      s"band index at $dir stores no texts (build with storeTexts = " +
+        "true for self-contained verification)")
+    val segs = committedSegs(ver)
+    spark.read.parquet(s"$ver/texts")
+      .filter(col("seg").isin(segs: _*))
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
   }
 
   /** Build the band index over `corpus` at `dir` — the one corpus
-    * signing pass, written as version `v0`, segment 0.
+    * signing pass, written as version `v0`, segment 0. With
+    * `storeTexts = true` the layout also carries `(doc_id, text)` rows
+    * per segment, making it SELF-CONTAINED for continuous ingest
+    * ([[dedupBandIndexStream]]): collision verification reads the
+    * stored texts, and only colliding ids' text bytes ever leave the
+    * scan.
     */
   def writeBandIndex(
       corpus: DataFrame,
       dir: String,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleSize: Int = 3): Unit = {
+      shingleSize: Int = 3,
+      storeTexts: Boolean = false): Unit = {
     val ver = s"$dir/v0"
     SegmentStore.initVersion(ver)
-    writeSegment(corpus, ver, 0L, numHashes, bands, shingleSize)
+    writeSegment(corpus, ver, 0L, numHashes, bands, shingleSize, storeTexts)
     commitSeg(ver, 0L)
     SegmentStore.markCommitted(ver)
   }
 
   /** INCREMENTALLY index new documents (UNSEEN doc_ids) as one
     * commit-marked delta segment, signed with the layout's OWN stored
-    * parameters. Crash-atomic exactly like [[Bm25Index.appendBm25Index]]
-    * (rows invisible until the final `.commit`; a crashed retry's seg id
-    * is burned). Cost is O(new docs) signing + write — existing band
-    * files are never rewritten.
+    * parameters (texts stored iff the layout stores them). Crash-atomic
+    * exactly like [[Bm25Index.appendBm25Index]] (rows invisible until
+    * the final `.commit`; a crashed retry's seg id is burned); with
+    * `tag` the commit marker also records the ingest tag atomically
+    * ([[SegmentStore.commitSegTagged]]). Cost is O(new docs) signing +
+    * write — existing band files are never rewritten. Returns the
+    * segment id.
     */
-  def appendBandIndex(newDocs: DataFrame, dir: String): Unit = {
+  def appendBandIndex(newDocs: DataFrame, dir: String,
+      tag: Option[String] = None): Long = {
     val ver = currentVersionDir(dir)
     val spark = newDocs.sparkSession
     val (nh, nb, sh) = readParams(spark, ver, committedSegs(ver))
     val seg = claimSeg(ver)
-    writeSegment(newDocs, ver, seg, nh, nb, sh)
-    commitSeg(ver, seg)
+    writeSegment(newDocs, ver, seg, nh, nb, sh, isTextStored(ver))
+    tag match {
+      case Some(t) => SegmentStore.commitSegTagged(ver, seg, t)
+      case None => commitSeg(ver, seg)
+    }
+    seg
   }
 
   /** DELETE documents — right-to-be-forgotten on the dedup side: one
@@ -160,10 +204,21 @@ object BandIndex {
         col("band").cast("int").as("band"))
       .repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$next/bands")
+    if (isTextStored(ver))
+      spark.read.parquet(s"$ver/texts")
+        .filter(col("seg").isin(segs: _*))
+        .join(broadcast(committedDeletes(spark, ver, segs)),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"), lit(0L).as("seg"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$next/texts")
     import spark.implicits._
     Seq((nh, nb, sh, 0L)).toDF("n_hashes", "bands", "shingle_size", "seg")
       .coalesce(1).write.mode("overwrite").parquet(s"$next/meta")
     commitSeg(next, 0L)
+    // ingest tags carry into the rewrite before its commit point, so a
+    // replayed streaming batch can never re-ingest across a compact
+    SegmentStore.carryTags(ver, next)
     onStep("written")
     SegmentStore.markCommitted(next)
     onStep("committed")
@@ -265,6 +320,89 @@ object BandIndex {
     Dedup.releaseCheckpoints(verified)
     Dedup.releaseCheckpoints(bandsAll)
     out
+  }
+
+  /** STREAMING CONTINUOUS-INGEST DEDUP — the production loop a crawl
+    * pipeline actually runs: per document micro-batch, DECIDE survivors
+    * against the index's live corpus
+    * ([[dedupAgainstBandIndex]] over the layout's own stored texts),
+    * APPEND the survivors as one tagged delta segment (the corpus the
+    * NEXT batch dedups against now includes them — never re-signing
+    * anything older), and hand the survivor rows to `sink`.
+    *
+    * EXACTLY-ONCE end to end, by ordering around the one atomic commit:
+    *
+    *   1. decide (pure — reads only committed state);
+    *   2. append survivors, batch id riding IN the segment's commit
+    *      marker ([[SegmentStore.commitSegTagged]]);
+    *   3. sink(survivors).
+    *
+    * A crash before the marker leaves the index unchanged (stranded
+    * rows invisible, id burned) — the replayed batch re-decides against
+    * the same corpus and lands clean. A crash AFTER the marker but
+    * before/inside `sink` replays into the recovery path: the tag maps
+    * back to its segment ([[SegmentStore.segForTag]]) and the survivors
+    * are re-read FROM the layout (they are exactly the batch docs the
+    * segment indexed), so `sink` receives identical rows and the index
+    * is not touched — re-deciding instead would self-collide against
+    * the batch's own fingerprints and drop everything. Compaction merges
+    * segments (tags carry, seg identity does not), so — as with every
+    * rewrite here — it must not race an in-flight batch.
+    *
+    * Requires a text-stored layout (`storeTexts = true` at build):
+    * verification reads the layout's own `texts/`, keeping the loop
+    * self-contained. Batch doc_ids must be unseen and (per the
+    * incremental contract) greater than every indexed id.
+    */
+  def dedupBandIndexStream(
+      docStream: DataFrame,
+      dir: String,
+      threshold: Double = 0.5,
+      maxBucket: Int = 100000)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ingestBandBatch(batch, dir, batchId, threshold, maxBucket)(sink): Unit
+    }
+
+  /** One micro-batch of [[dedupBandIndexStream]] — visible so the
+    * exactly-once ladder is directly testable. Returns true when the
+    * batch decided + appended, false when it recovered or no-op'd.
+    */
+  private[ops] def ingestBandBatch(
+      batch: DataFrame, dir: String, batchId: Long,
+      threshold: Double = 0.5, maxBucket: Int = 100000)(
+      sink: (DataFrame, Long) => Unit): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    val ver = currentVersionDir(dir)
+    val tag = s"b$batchId"
+    SegmentStore.segForTag(ver, tag) match {
+      case Some(seg) =>
+        // recovery: the segment already holds this batch's survivors —
+        // deliver them from the layout, bit-identical to the lost send
+        sink(storedTexts(spark, dir)
+          .join(spark.read.parquet(s"$ver/texts")
+            .filter(col("seg") === seg).select("doc_id").distinct(),
+            Seq("doc_id"), "left_semi"), batchId)
+        false
+      case None if SegmentStore.committedTags(ver).contains(tag) =>
+        // tag survives only as a carried _tags/ entry: the sink was
+        // already served before the compact (the quiesce rule), no-op
+        false
+      case None =>
+        val decision = dedupAgainstBandIndex(
+          batch, dir, storedTexts(spark, dir), threshold, maxBucket)
+        // pin the decision once (append + sink both consume it), then
+        // free the core's internal band pin via the UNtruncated plan
+        val survivors = decision.localCheckpoint()
+        Dedup.releaseCheckpoints(decision)
+        appendBandIndex(survivors, dir, tag = Some(tag))
+        sink(survivors, batchId)
+        Dedup.releaseCheckpoints(survivors)
+        true
+    }
   }
 
   def dedupAgainstBandIndex(

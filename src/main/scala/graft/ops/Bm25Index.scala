@@ -687,6 +687,127 @@ object Bm25Index {
       .select("query_id", "doc_id", "bm25_micro", "rank")
   }
 
+  /** The pruned MULTI-QUERY serving form — [[searchBm25IndexMany]]'s
+    * shared-scan batch over [[searchBm25IndexPruned]]'s impact prefix:
+    * ONE pruned scan of the batch's term union reads each term's
+    * top-`quota` postings (`imp_rank <= quota` pushed beside the
+    * partition filter), df comes from the `terms/` dictionary, and the
+    * broadcast query frame fans the prefix out per query. This is the
+    * production serving shape at 100 TB: bytes per batch are
+    * O(quota · |term union| · segments) — independent of both corpus
+    * size and posting-list length — with [[searchBm25IndexPruned]]'s
+    * stated trades (pruned candidates; dictionary df stale between a
+    * delete and the next compact). Per-query ranking in the EXACT
+    * regime equals [[searchBm25IndexMany]]'s (spec'd).
+    */
+  def searchBm25IndexPrunedMany(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      quota: Int = 8,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val ver = currentVersionDir(dir)
+    require(
+      spark.read.parquet(s"$ver/postings").columns.contains("imp_rank") &&
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$ver/terms")),
+      s"BM25 index at $dir predates impact ordering (no imp_rank/terms " +
+        "dictionary); rebuild or compact it before pruned search")
+    val segs = committedSegs(ver)
+    val metas = spark.read.parquet(s"$ver/meta")
+      .filter(col("seg").isin(segs: _*))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .collect()(0)
+    val nDocs = metas.getLong(0)
+    val sumDl = metas.getLong(1)
+    val nBuckets = readBuckets(spark, ver, segs)
+    val qRows = queries
+      .select(col("query_id"), explode(col("terms")).as("t"))
+      .select(col("query_id"), lower(trim(col("t"))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("mult"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    require(qRows.nonEmpty,
+      "searchBm25IndexPrunedMany needs at least one query term")
+    import spark.implicits._
+    val qFrame = qRows.toDF("query_id", "term", "mult")
+    val distinctTerms = qRows.map(_._2).distinct
+    val probed = distinctTerms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(s"$ver/postings")
+      .filter(col("term_bucket").isin(probed: _*) &&
+        col("term").isin(distinctTerms: _*) &&
+        col("seg").isin(segs: _*) && col("imp_rank") <= quota)
+      .join(broadcast(committedDeletes(spark, ver, segs)),
+        Seq("doc_id"), "left_anti")
+    val dfTab = spark.read.parquet(s"$ver/terms")
+      .filter(col("term_bucket").isin(probed: _*) &&
+        col("term").isin(distinctTerms: _*) && col("seg").isin(segs: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    val avgdl = lit(sumDl) / lit(nDocs)
+    val idf = log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val tf = col("tf").cast("double")
+    val s = idf * tf * (k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("bm25_micro"), asc("doc_id"))
+    pruned
+      .join(broadcast(dfTab.join(qFrame, Seq("term"))), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (round(s * 1e6, 0).cast("long") * col("mult")).as("m"))
+      .groupBy("query_id", "doc_id").agg(sum("m").as("bm25_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "bm25_micro", "rank")
+  }
+
+  /** Index HEALTH/STATS — the lexical twin of the IVF side's
+    * `cellHealth` (`q_index_health`): one row of corpus and dictionary
+    * facts a maintenance loop alerts on, derived entirely from the
+    * LAYOUT (meta partials, dictionary, postings — never the corpus),
+    * yet equal by construction to corpus-derived truth on a clean
+    * index, which is exactly what the oracle replays. df quantiles use
+    * the family's integer-exact discrete rule (smallest df with
+    * cum·1000 ≥ p·total over dictionary entries), so "are a few terms
+    * degenerate-hot" — the question behind posting-list skew — is one
+    * replayable number (`df_max` vs `df_p500`).
+    */
+  def bm25IndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val ver = currentVersionDir(dir)
+    val segs = committedSegs(ver)
+    // dictionary partials sum per term (delete staleness applies as in
+    // the pruned search — stats are exact on a clean/compacted index)
+    val byTerm = spark.read.parquet(s"$ver/terms")
+      .filter(col("seg").isin(segs: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+    // unpartitioned window over the DISTINCT-df table — bounded (df
+    // magnitudes, not terms), the Sampling bucket-offset pattern
+    val cumW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").asc)
+    val ranked = byTerm
+      .groupBy("df").agg(count(lit(1)).as("w"))
+      .withColumn("cum", sum("w").over(cumW))
+      .crossJoin(broadcast(
+        byTerm.agg(count(lit(1)).as("n_terms"),
+          sum("df").as("n_postings"),
+          max("df").as("df_max"))))
+    val qs = ranked.groupBy("n_terms", "n_postings", "df_max")
+      .agg(
+        min(when(col("cum") * 1000 >= col("n_terms") * 500, col("df")))
+          .as("df_p500"),
+        min(when(col("cum") * 1000 >= col("n_terms") * 990, col("df")))
+          .as("df_p990"))
+    spark.read.parquet(s"$ver/meta")
+      .filter(col("seg").isin(segs: _*))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .crossJoin(broadcast(qs))
+      .select("n_docs", "sum_dl", "n_terms", "n_postings",
+        "df_p500", "df_p990", "df_max")
+  }
+
   /** STREAMING serving twin: query micro-batches score against the
     * persisted index through `foreachBatch` — the
     * [[Retrieval.lateInteractionServeStream]] shape (the per-batch plan

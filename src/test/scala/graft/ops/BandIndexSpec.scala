@@ -177,6 +177,66 @@ class BandIndexSpec extends AnyFunSuite with Matchers
     rows shouldBe truth
   }
 
+  test("continuous-ingest ladder: per-batch decisions equal the " +
+    "sequential incremental twins, survivors grow the corpus, replays " +
+    "recover from the segment, crash windows land clean, and tags " +
+    "survive a compact") {
+    import spark.implicits._
+    val n = docs.count()
+    val mid = (250L + (n - 1)) / 2L + 1L
+    val b1 = docs.filter(col("doc_id") >= 250L && col("doc_id") < mid)
+      .select("doc_id", "text")
+    val b2 = docs.filter(col("doc_id") >= mid).select("doc_id", "text")
+    val dir = tmp("ingest")
+    BandIndex.writeBandIndex(corpus, dir, storeTexts = true)
+    var sunk = Map.empty[Long, Seq[Long]]
+    def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      sunk += id -> df.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    BandIndex.ingestBandBatch(b1, dir, 0L)(sink) shouldBe true
+    val twin1 = survivors(
+      Dedup.dropNearDuplicatesIncrementalPortable(
+        b1, corpus.select("doc_id", "text")))
+    sunk(0L) shouldBe twin1
+    BandIndex.ingestBandBatch(b2, dir, 1L)(sink) shouldBe true
+    // batch 2's corpus is corpus ∪ batch-1 SURVIVORS
+    val grown = corpus.select("doc_id", "text").unionByName(
+      b1.join(twin1.toDF("doc_id"), Seq("doc_id"), "left_semi"))
+    val twin2 = survivors(
+      Dedup.dropNearDuplicatesIncrementalPortable(b2, grown))
+    sunk(1L) shouldBe twin2
+    // replay of batch 0: no re-decide (the grown index would
+    // self-collide) — survivors recovered FROM the tagged segment,
+    // identical to the original send
+    sunk -= 0L
+    BandIndex.ingestBandBatch(b1, dir, 0L)(sink) shouldBe false
+    sunk(0L) shouldBe twin1
+    // compact carries the tags: replay still no-ops (and by then the
+    // sink was served — the quiesce rule), sink NOT invoked
+    BandIndex.compactBandIndex(dir, spark)
+    sunk = Map.empty
+    BandIndex.ingestBandBatch(b1, dir, 0L)(sink) shouldBe false
+    sunk shouldBe empty
+    // crash window on a fresh layout: all rows written, tagged marker
+    // missing — index serves the pre-batch state and the replay
+    // ingests cleanly on a burned id
+    val dir2 = tmp("ingest-crash")
+    BandIndex.writeBandIndex(corpus, dir2, storeTexts = true)
+    BandIndex.ingestBandBatch(b1, dir2, 5L)(sink) shouldBe true
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir2/v0/commits/1.commit-b5"))
+    BandIndex.storedTexts(spark, dir2).count() shouldBe corpus.count()
+    BandIndex.ingestBandBatch(b1, dir2, 5L)(sink) shouldBe true
+    sunk(5L) shouldBe twin1
+    // a text-less layout fails loudly before deciding anything
+    val dir3 = tmp("ingest-notext")
+    BandIndex.writeBandIndex(corpus, dir3)
+    val e = intercept[IllegalArgumentException] {
+      BandIndex.ingestBandBatch(b1, dir3, 0L)(sink)
+    }
+    e.getMessage should include("storeTexts")
+  }
+
   test("a deleted corpus doc stops surfacing in search immediately, " +
     "and the ranking equals a rebuild without it") {
     val dir = tmp("search-del")

@@ -518,6 +518,66 @@ class Bm25IndexSpec extends AnyFunSuite with Matchers
     search(dir2) shouldBe direct(terms)
   }
 
+  test("pruned multi-query serving in the exact regime equals the " +
+    "full-scan batch, and each query's ranking equals its own pruned " +
+    "single-query search") {
+    import spark.implicits._
+    val dir = tmp("pruned-many")
+    Bm25Index.writeBm25Index(docs, dir)
+    val queries = Seq(
+      (0L, Seq("dup", "spark", "join")),
+      (1L, Seq("batch", "merge")),
+      (2L, Seq("window", "window", "scan"))).toDF("query_id", "terms")
+    Bm25Index.searchBm25IndexPrunedMany(
+      spark, dir, queries, k = 10, quota = 1000000)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe
+      Bm25Index.searchBm25IndexMany(spark, dir, queries, k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+    // pruned regime: query 0's slice of the batch ≡ the single-query
+    // pruned search's ranking (same expression tree, same quota)
+    val single = Bm25Index.searchBm25IndexPruned(
+      spark, dir, Seq("dup", "spark", "join"), k = 10, quota = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Bm25Index.searchBm25IndexPrunedMany(
+      spark, dir, queries, k = 10, quota = 2)
+      .filter(col("query_id") === 0L).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq shouldBe single
+  }
+
+  test("index stats equal corpus-derived truth on a clean index — " +
+    "vocabulary size, posting count, discrete df quantiles, hottest " +
+    "list") {
+    val dir = tmp("stats")
+    Bm25Index.writeBm25Index(docs, dir)
+    val row = Bm25Index.bm25IndexStats(spark, dir).collect()(0)
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.normTokens(col("text")).as("tk"))
+    row.getLong(0) shouldBe docs.count() // n_docs
+    val sumDl = toks
+      .agg(coalesce(
+        sum(org.apache.spark.sql.functions.size(col("tk")).cast("long")),
+        lit(0L)).as("s"))
+      .collect()(0).getLong(0)
+    row.getLong(1) shouldBe sumDl
+    val dfByTerm = toks
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+      .collect().map(_.getLong(1)).sorted
+    row.getLong(2) shouldBe dfByTerm.length.toLong // n_terms
+    row.getLong(3) shouldBe dfByTerm.sum // n_postings
+    def disc(p: Int): Long = {
+      val total = dfByTerm.length.toLong
+      var cum = 0L
+      dfByTerm.foldLeft(Option.empty[Long]) { (acc, v) =>
+        cum += 1
+        if (acc.isEmpty && cum * 1000 >= total * p) Some(v) else acc
+      }.get
+    }
+    row.getLong(4) shouldBe disc(500) // df_p500
+    row.getLong(5) shouldBe disc(990) // df_p990
+    row.getLong(6) shouldBe dfByTerm.max // df_max
+  }
+
   test("streaming ingest twin: document micro-batches build the same " +
     "index as a one-shot write (MemoryStream, two batches)") {
     import spark.implicits._
