@@ -188,7 +188,11 @@ object Bench {
     "q_dedup_stream_ingest",
     // pruned multi-query serving (one impact-prefix scan of the batch's
     // term union) and the layout-derived index health row
-    "q_bm25_pruned_multi", "q_bm25_index_health")
+    "q_bm25_pruned_multi", "q_bm25_index_health",
+    // round-15 fifth wave: the persisted ColBERT (late-interaction)
+    // index — build+search, search-only serving against the cached
+    // layout, and the append/delete/compact lifecycle
+    "q_colbert_persisted", "q_colbert_search", "q_colbert_lifecycle")
 
   /** Queries EXCLUDED from the sf1 (10×-data) checkpoint surface.
     * EMPTY since round 12: `q_embed_dups` — the one former member, the
@@ -464,7 +468,11 @@ object Bench {
     // builds + decides + appends twice per run (11.2); pruned batch
     // serving 1.2 cached; health row 0.56
     "q_dedup_stream_ingest" -> 14.000, "q_bm25_pruned_multi" -> 1.800,
-    "q_bm25_index_health" -> 0.800)
+    "q_bm25_index_health" -> 0.800,
+    // fifth wave (clean-host steady reps): build+search 6.7, cached
+    // serving 3.4, full lifecycle 9.3
+    "q_colbert_persisted" -> 8.500, "q_colbert_search" -> 4.500,
+    "q_colbert_lifecycle" -> 12.000)
 
   /** First-seen per-query seconds at the sf1 (10× data) checkpoint —
     * r9 BENCH_sf1.json values, plus the round-10 additions seeded from
@@ -702,7 +710,16 @@ object Bench {
     // ~FLAT at 10× (1.2 → 1.9 post-build): quota bounds the batch scan
     "q_bm25_pruned_multi" -> 3.000,
     // ~FLAT at 10× (0.56 → 0.74): dictionary-sized aggregates
-    "q_bm25_index_health" -> 1.200)
+    "q_bm25_index_health" -> 1.200,
+    // ~3.2× at 10× (6.7 → 21.2): build is one corpus-linear
+    // tokenize/write pass
+    "q_colbert_persisted" -> 27.000,
+    // ~1.6× at 10× (3.4 → 5.5 cached): pruned df/candidate reads;
+    // candidate volume grows with matching docs, not the corpus scan
+    "q_colbert_search" -> 7.000,
+    // 41-76 at 10× across heap states (corpus-linear build + append +
+    // compact rewrite; the q_dedup_index_lifecycle noise family)
+    "q_colbert_lifecycle" -> 55.000)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

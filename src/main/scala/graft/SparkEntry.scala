@@ -248,6 +248,24 @@ object SparkEntry {
       tmp
     })
 
+  /** JVM-lifetime cache of the persisted ColBERT layout per sf dir —
+    * the late-interaction twin of [[persistedBm25Index]]:
+    * `q_colbert_search`'s gated number is the SERVING latency (pruned
+    * df read → pruned candidate scan → shared MaxSim serve), not the
+    * build `q_colbert_persisted` already prices. Bounded: one layout
+    * per distinct sf dir, /tmp for the JVM's lifetime.
+    */
+  private val colbertIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def persistedColbertIndex(s: SparkSession, dir: String): String =
+    colbertIndexCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-colbert-layout").toString
+      ops.ColbertIndex.writeColbertIndex(
+        t(s, dir, "documents"), tmp, dfCapPermille = 750)
+      tmp
+    })
+
   /** JVM-lifetime cache of the persisted band-index layout per sf dir —
     * the dedup twin of [[persistedBm25Index]]: `q_dedup_index`'s gated
     * number is the INCREMENT cost (sign the batch + join the stored
@@ -4122,6 +4140,94 @@ object SparkEntry {
         dfCapPermille = 750)
         .orderBy("query_id", "rank")),
 
+    // PERSISTED ColBERT index (round-15 fifth wave): the disk layout
+    // for the late-interaction index — bucketed UNCAPPED postings + df
+    // partials (the cap applies at QUERY time from the summed partials,
+    // so appends keep it exact) + bit-packed masks; search assembles a
+    // LateInteractionIndex from two pruned reads and scores through the
+    // SHARED serve, so persisted and in-memory ranking cannot drift —
+    // which is exactly what the shared oracle asserts
+    "q_colbert_persisted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-colbert")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val docs = t(s, dir, "documents")
+        ops.ColbertIndex.writeColbertIndex(docs, tmp.toString,
+          dfCapPermille = 750)
+        val out = ops.ColbertIndex.searchColbertIndex(
+          s, tmp.toString,
+          docs.filter(col("doc_id") < 8)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5)
+          .orderBy("query_id", "rank").localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
+    // SEARCH-ONLY against the cached persisted ColBERT layout (the
+    // q_bm25_search pattern: the gated number is serving latency —
+    // pruned df/candidate reads + the shared MaxSim serve)
+    "q_colbert_search" -> ((s, dir) =>
+      ops.ColbertIndex.searchColbertIndex(
+        s, persistedColbertIndex(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text")),
+        k = 5)
+        .orderBy("query_id", "rank")),
+
+    // the MAINTENANCE lifecycle: half-build + tagged delta append +
+    // tombstone DELETE of every doc_id ending in 3 + COMPACT (which
+    // recomputes the df partials exactly from survivors — restoring
+    // delete ≡ rebuild for the query-time cap) + search; the filtered
+    // oracle asserts the final answer equals a rebuild without the
+    // deleted docs
+    "q_colbert_lifecycle" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-colbert-life")
+      def deleteTree(): Unit = {
+        val w = java.nio.file.Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      try {
+        val docs = t(s, dir, "documents")
+        val half = docs.count() / 2
+        ops.ColbertIndex.writeColbertIndex(
+          docs.filter(col("doc_id") < half), tmp.toString,
+          dfCapPermille = 750)
+        ops.ColbertIndex.appendColbertIndex(
+          docs.filter(col("doc_id") >= half), tmp.toString,
+          tag = Some("b0"))
+        ops.ColbertIndex.deleteFromColbertIndex(tmp.toString,
+          docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+            .select("doc_id"), s)
+        ops.ColbertIndex.compactColbertIndex(tmp.toString, s)
+        val out = ops.ColbertIndex.searchColbertIndex(
+          s, tmp.toString,
+          docs.filter(col("doc_id") < 8 &&
+              pmod(col("doc_id"), lit(10L)) =!= 3L)
+            .select(col("doc_id").as("query_id"), col("text")),
+          k = 5)
+          .orderBy("query_id", "rank").localCheckpoint()
+        deleteTree()
+        out
+      } catch {
+        case e: Throwable =>
+          try deleteTree() catch { case _: Throwable => () }
+          throw e
+      }
+    }),
+
     // STREAMING late-interaction serving twin (round-15): the
     // postings+masks index builds once, query micro-batches score
     // against it via foreachBatch (lateInteractionServeStream;
@@ -5354,12 +5460,19 @@ object SparkEntry {
     * `q_late_interaction` and `q_late_interaction_stream` (the serving
     * split must not change the ranking).
     */
-  private val lateInteractionOracleSql =
-    """WITH d0 AS (
+  private val lateInteractionOracleSql = lateInteractionOracleSqlFor("")
+
+  /** The late-interaction replay over a bounded corpus — the persisted
+    * ColBERT lifecycle's delete leg pins delete ≡ rebuild-without-
+    * deleted by running it WHERE the deleted ids are excluded (the
+    * [[bm25OracleSqlFor]] pattern).
+    */
+  private def lateInteractionOracleSqlFor(docWhere: String) =
+    s"""WITH d0 AS (
         | SELECT doc_id,
-        |  string_split(lower(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')), ' ') AS toks
-        | FROM documents),
-        |base AS (SELECT doc_id, toks[1:64] AS ctoks FROM d0),
+        |  string_split(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ') AS toks
+        | FROM documents $docWhere),""".stripMargin + "\n" +
+    """base AS (SELECT doc_id, toks[1:64] AS ctoks FROM d0),
         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
         |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
         |  SELECT doc_id, unnest(list_distinct(ctoks)) AS tok FROM base)
@@ -10489,6 +10602,16 @@ object SparkEntry {
     // the serving split (build-once index + per-batch scoring) must not
     // change the ranking: the streaming twin shares the oracle verbatim
     "q_late_interaction_stream" -> lateInteractionOracleSql,
+
+    // persisted ≡ in-memory (shared oracle — persistence must not
+    // change the ranking); search-only rides the same replay
+    "q_colbert_persisted" -> lateInteractionOracleSql,
+    "q_colbert_search" -> lateInteractionOracleSql,
+
+    // lifecycle: append ≡ one-shot build and (post-compact) delete ≡
+    // rebuild-without-deleted — the replay just excludes the ids
+    "q_colbert_lifecycle" ->
+      lateInteractionOracleSqlFor("WHERE doc_id % 10 <> 3"),
 
     "q_late_interaction" -> lateInteractionOracleSql,
 
