@@ -241,4 +241,43 @@ class OpsPropSpec extends AnyFunSuite with Matchers
       withClue(s"seed=$seed: ")(batOne.toSeq shouldBe seqTrain.toSeq)
     }
   }
+
+  test("media triage is total: arbitrary, magic-prefixed, truncated, " +
+    "and null payloads all yield exactly one row and never throw") {
+    // the triage parsers run inside mapPartitions over whatever bytes a
+    // crawl actually contains — adversarial garbage must classify (as
+    // `unknown` at worst), not kill the task. Magic prefixes steer the
+    // fuzz INTO each parser's deep path instead of bouncing off the
+    // first signature check.
+    val magics: Seq[Array[Byte]] = Seq(
+      "II", "MM", "BM", "GIF89a", "GIF87a", "RIFF", "P6", "fLaC",
+      "ID3", "OggS").map(_.getBytes("ISO-8859-1")) ++ Seq(
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      Array(0xff.toByte, 0xfb.toByte),
+      "RIFF1234WEBPVP8 ".getBytes("ISO-8859-1"),
+      "RIFF1234WEBPVP8L".getBytes("ISO-8859-1"),
+      "RIFF1234WEBPVP8X".getBytes("ISO-8859-1"),
+      "RIFF1234WAVEfmt ".getBytes("ISO-8859-1"))
+    val tail = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
+    val payloadGen: Gen[Array[Byte]] = Gen.oneOf(
+      tail, // pure garbage
+      Gen.zip(Gen.oneOf(magics), tail).map { case (m, t) => m ++ t },
+      Gen.zip(Gen.oneOf(magics), tail, Gen.chooseNum(0, 130))
+        .map { case (m, t, cut) => (m ++ t).take(cut) })
+    for (seed <- Seq(7L, 99L)) {
+      val payloads = samples(payloadGen, 300, seed) :+ null :+
+        Array.empty[Byte]
+      val media = spark.createDataFrame(
+        payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) })
+        .toDF("media_id", "payload")
+      withClue(s"seed=$seed image: ")(
+        Multimodal.imageHeaderMeta(media).count() shouldBe
+          payloads.length.toLong)
+      withClue(s"seed=$seed audio: ")(
+        Multimodal.audioHeaderMeta(media).count() shouldBe
+          payloads.length.toLong)
+    }
+  }
 }
