@@ -242,6 +242,40 @@ class OpsPropSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("graft_top_k is partitioning-invariant: the k-bounded heap over " +
+    "randomized data and partition counts equals the rank window for " +
+    "every k — the mergeability claim as a property, not a point case") {
+    for (seed <- Seq(3L, 77L); parts <- Seq(1, 3, 13)) {
+      val rows = samples(
+        Gen.zip(Gen.oneOf("a", "b"), word, Gen.chooseNum(1L, 20L)),
+        400, seed)
+      // duplicate (grp, key) pairs collapse first (the aggregate's
+      // documented input is an already-aggregated table)
+      val df = rows.toDF("grp", "key", "v")
+        .groupBy("grp", "key").agg(sum("v").as("v"))
+        .repartition(parts)
+        .localCheckpoint() // pin ONE layout for both selection paths
+      for (k <- Seq(1, 3, 8)) {
+        val heap = df.groupBy("grp")
+          .agg(call_function("graft_top_k", col("key"), col("v"), lit(k))
+            .as("tk"))
+          .select(col("grp"), posexplode(col("tk")).as(Seq("p", "e")))
+          .select(col("grp"), (col("p") + 1).cast("long").as("rank"),
+            col("e.key").as("key"), col("e.cnt").as("v"))
+          .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(desc("v"), asc("key"))
+        val window = df
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select("grp", "rank", "key", "v")
+          .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+        withClue(s"seed=$seed parts=$parts k=$k: ")(heap shouldBe window)
+      }
+      Dedup.releaseCheckpoints(df)
+    }
+  }
+
   test("media triage is total: arbitrary, magic-prefixed, truncated, " +
     "and null payloads all yield exactly one row and never throw") {
     // the triage parsers run inside mapPartitions over whatever bytes a
