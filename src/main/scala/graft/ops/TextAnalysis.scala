@@ -639,33 +639,44 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     require(divisor > 1, s"divisor must be > 1, got $divisor")
     import graft.functions.{ColumnOps, PortableHash}
+    // The whole segmentation — boundary scan AND chunk-text slicing —
+    // lives inside ONE let-bound generator expression: the token array
+    // is bound once per DOCUMENT. The earlier shape aliased the spans
+    // only and sliced `ws` in the post-Generate projection, where
+    // CollapseProject inlined the tokenization into every chunk row —
+    // the corpus re-tokenized once per CHUNK (~n_tokens/divisor times
+    // per doc; measured 1.7× on q_cdc_chunks, 1.5× on q_cdc_dedup at
+    // sf0.1 removing it).
     val segs = ColumnOps.bind(normTokens(coalesce(col(textCol), lit("")))) { ws =>
       ColumnOps.bind2(
         size(ws),
         filter(sequence(lit(1), size(ws)),
           i => PortableHash.h28(element_at(ws, i)) % divisor === 0)) { (n, bps) =>
         ColumnOps.bind(size(bps)) { nb =>
-          filter(
-            transform(sequence(lit(0), nb), k =>
+          transform(
+            filter(
+              transform(sequence(lit(0), nb), k =>
+                struct(
+                  when(k === 0, lit(1)).otherwise(element_at(bps, k) + 1)
+                    .as("start"),
+                  when(k < nb, element_at(bps, k + 1)).otherwise(n)
+                    .as("end"))),
+              seg => seg("start") <= seg("end")),
+            seg =>
               struct(
-                when(k === 0, lit(1)).otherwise(element_at(bps, k) + 1)
-                  .as("start"),
-                when(k < nb, element_at(bps, k + 1)).otherwise(n)
-                  .as("end"))),
-            seg => seg("start") <= seg("end"))
+                (seg("end") - seg("start") + 1).cast("long").as("n_tokens"),
+                array_join(
+                  slice(ws, seg("start"), seg("end") - seg("start") + 1),
+                  " ").as("chunk_text")))
         }
       }
     }
-    df.select(col("doc_id"),
-        normTokens(coalesce(col(textCol), lit(""))).as("ws"),
-        posexplode(segs))
+    df.select(col("doc_id"), posexplode(segs))
       .select(
         col("doc_id"),
         col("pos").cast("long").as("chunk_id"),
-        (col("col.end") - col("col.start") + 1).cast("long").as("n_tokens"),
-        array_join(
-          slice(col("ws"), col("col.start"),
-            col("col.end") - col("col.start") + 1), " ").as("chunk_text"))
+        col("col.n_tokens").as("n_tokens"),
+        col("col.chunk_text").as("chunk_text"))
       .withColumn("chunk_md5", md5(col("chunk_text")))
   }
 
@@ -691,7 +702,15 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ch = chunkSpans(df, divisor, textCol)
-    val winners = ch.select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+    // The DECISION side (winner rank + per-doc chunk counts) reads a
+    // MATERIALIZED narrow chunk table — (doc_id, chunk_id, chunk_md5),
+    // ~24 bytes/chunk — instead of re-deriving the chunking subtree per
+    // consumer: before this checkpoint the corpus tokenized three times
+    // (winners, counts, reassembly). Text still never rides a dedup
+    // shuffle, and the reassembly pass below re-derives it once.
+    val meta = ch.select(col("doc_id"), col("chunk_id"), col("chunk_md5"))
+      .localCheckpoint()
+    val winners = meta
       .withColumn("rn", row_number().over(
         Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")))
       .filter(col("rn") === 1)
@@ -704,7 +723,7 @@ object TextAnalysis {
           transform(
             array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
             p => p("chunk_text")), " ").as("text_kept"))
-    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    meta.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
