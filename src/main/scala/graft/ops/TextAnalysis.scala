@@ -1611,11 +1611,23 @@ object TextAnalysis {
     // materialize the new generation first, then release only the
     // generation THIS loop superseded.
     var lastCkpt = words
-    val checkpointEvery = 4
+    // EVERY round (round-15, was every 4): the count job's data is
+    // vocab-sized either way, but between checkpoints each round's plan
+    // re-carries every unfolded replace projection — re-analyzed,
+    // re-optimized and re-codegen'd per round on the driver. At 32
+    // rounds the depth-capped cadence measured 7.1 s vs 9.5 s (Prof
+    // steady reps, sf0.1); the per-round materialization it adds is one
+    // vocab-sized job. Driver-paced rounds are the scaling bottleneck
+    // for production merge counts, so plan depth — a per-round driver
+    // cost — is the honest lever (AQE/codegen toggles inside the loop
+    // were measured ~4% each locally and rejected: they only make
+    // sense at local vocab sizes).
+    val checkpointEvery = 1
     var k = 1
     var exhausted = false
     var prevSurvivors = 0
     while (k <= rounds && !exhausted) {
+      val roundT0 = System.nanoTime()
       val syms = split(
         col("rep").substr(lit(2), length(col("rep")) - 2), "\\|\\|")
       // ONE distributed job per ROUND: the full ranked top-`batch`
@@ -1634,6 +1646,7 @@ object TextAnalysis {
         .limit(batchFor(k, prevSurvivors))
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val countSec = (System.nanoTime() - roundT0) / 1e9
       if (top.isEmpty) exhausted = true
       else {
         // intra-round conflict rule: candidate-blocked (order-free NOT
@@ -1642,8 +1655,9 @@ object TextAnalysis {
         val survivors = selectSurvivors(top)
         if (sys.env.contains("GRAFT_BPE_DEBUG"))
           System.err.println(
-            s"[bpe] round=$k batch=${batchFor(k, prevSurvivors)} " +
-              s"candidates=${top.length} survivors=${survivors.length}")
+            f"[bpe] round=$k batch=${batchFor(k, prevSurvivors)} " +
+              f"candidates=${top.length} survivors=${survivors.length} " +
+              f"count=$countSec%.3fs")
         survivors.foreach { case (a, b, cnt) =>
           merges += ((merges.size + 1, a, b, cnt))
         }
