@@ -830,10 +830,14 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers
       (2L, "small group sort data data"),
       (3L, "small group sort line batch")
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.cdcDedupChunks(docs, divisor = 8)
+    val outDf = TextAnalysis.cdcDedupChunks(docs, divisor = 8)
+    val out = outDf
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
       .toMap
+    // ownership protocol: the caller frees the decision-side checkpoint
+    // the returned plan pins (CleanSessionCheck asserts no leaked blocks)
+    Dedup.releaseCheckpoints(outDf)
     out(1L) shouldBe ((2L, 2L, "small group sort line batch"))
     // doc 2: chunk [small group sort] seen in doc 1 -> only the tail survives
     out(2L) shouldBe ((2L, 1L, "data data"))
