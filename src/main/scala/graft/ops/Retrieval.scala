@@ -266,15 +266,26 @@ object Retrieval {
       .select("query_id", "cand_id").distinct()
     val qv = qbase.select(col("query_id"),
       tokenSignMasks(col("qtoks"), idx.dim).as("qsv"))
-    // max dot = dim − 2·min hamming: one XOR + popcount per token pair
-    val scored = cand
-      .join(broadcast(qv), Seq("query_id"))
-      .join(idx.masks, Seq("cand_id"))
-      .select(col("query_id"), col("cand_id"),
+    // max dot = dim − 2·min hamming: one XOR + popcount per token pair.
+    // Native path: the higher-order-function form below is
+    // CodegenFallback — interpreted lambda closures per candidate pair
+    // owned ~2 s of every serve at sf0.1 (profiled r15-opt); the
+    // registered [[graft.plans.MaxSimScore]] computes the identical
+    // integer as one codegen'd loop. Fallback keeps vanilla sessions
+    // working (same exact semantics, either engine).
+    val native = graft.plans.GraftExtensions.available(queries.sparkSession)
+    val maxSim: Column =
+      if (native)
+        call_function("graft_maxsim", col("qsv"), col("csv"), lit(idx.dim))
+      else
         aggregate(col("qsv"), lit(0L), (acc, q) =>
           acc + lit(idx.dim.toLong) - lit(2L) *
             array_min(transform(col("csv"), c =>
-              bit_count(q.bitwiseXOR(c)).cast("long")))).as("score"))
+              bit_count(q.bitwiseXOR(c)).cast("long"))))
+    val scored = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(idx.masks, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"), maxSim.as("score"))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("cand_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -90,6 +90,12 @@ object GraftExtensions {
         expectArity("graft_qdot", children, 2)
         LongDotProduct(children.head, children(1))
       }),
+    (FunctionIdentifier("graft_maxsim"),
+      new ExpressionInfo(classOf[MaxSimScore].getName, "graft_maxsim"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_maxsim", children, 3)
+        MaxSimScore(children.head, children(1), children(2))
+      }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => {
