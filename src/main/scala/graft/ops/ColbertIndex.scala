@@ -116,7 +116,8 @@ object ColbertIndex {
       .write.mode("append").partitionBy("tok_bucket")
       .parquet(s"$ver/df")
     base.select(col("doc_id").as("cand_id"),
-        Retrieval.tokenSignMasks(col("ctoks"), dim).as("csv"),
+        Retrieval.tokenSignMasks(col("ctoks"), dim,
+          graft.plans.GraftExtensions.available(docs.sparkSession)).as("csv"),
         lit(seg).as("seg"))
       .write.mode("append").parquet(s"$ver/masks")
     Dedup.releaseCheckpoints(exploded)

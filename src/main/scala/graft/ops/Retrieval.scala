@@ -127,9 +127,21 @@ object Retrieval {
     * The mask accumulates high-bit-first (`acc·2 + bit`), numerically
     * equal to `Σ bit_j·2^j` — the form the oracle computes with `<<`.
     */
-  def tokenSignMasks(toks: Column, dim: Int): Column = {
+  def tokenSignMasks(toks: Column, dim: Int): Column =
+    tokenSignMasks(toks, dim, native = false)
+
+  /** `native = true` routes through the registered
+    * [[graft.plans.SignMasks]] expression — the identical md5-prefix +
+    * seeded-mix arithmetic as one static loop instead of this
+    * CodegenFallback transform→aggregate chain (interpreted boxed
+    * lambdas per token×bit; profiled as the ColBERT build's hot path
+    * at sf0.1). Same hash family, same bits, same oracle replay —
+    * only the evaluation engine differs, like [[Similarity.qdot]].
+    */
+  def tokenSignMasks(toks: Column, dim: Int, native: Boolean): Column = {
     require(dim >= 1 && dim <= 62, s"dim must be in [1, 62], got $dim")
-    transform(toks, t =>
+    if (native) call_function("graft_sign_masks", toks, lit(dim))
+    else transform(toks, t =>
       graft.functions.ColumnOps.bind(graft.functions.PortableHash.h28(t)) {
         p =>
           aggregate(sequence(lit(dim - 1), lit(0), lit(-1)), lit(0L),
@@ -231,7 +243,8 @@ object Retrieval {
       .join(keep, Seq("tok"))
       .localCheckpoint()
     val masks = base.select(col("doc_id").as("cand_id"),
-      tokenSignMasks(col("ctoks"), dim).as("csv"))
+      tokenSignMasks(col("ctoks"), dim,
+        graft.plans.GraftExtensions.available(docs.sparkSession)).as("csv"))
       .localCheckpoint()
     // base fed the three eager checkpoints above and appears in NO
     // serve plan — release it here or the pin outlives every caller's
@@ -264,8 +277,9 @@ object Retrieval {
     val cand = qtok.join(idx.ctok, Seq("tok"))
       .filter(col("cand_id") =!= col("query_id"))
       .select("query_id", "cand_id").distinct()
+    val native = graft.plans.GraftExtensions.available(queries.sparkSession)
     val qv = qbase.select(col("query_id"),
-      tokenSignMasks(col("qtoks"), idx.dim).as("qsv"))
+      tokenSignMasks(col("qtoks"), idx.dim, native).as("qsv"))
     // max dot = dim − 2·min hamming: one XOR + popcount per token pair.
     // Native path: the higher-order-function form below is
     // CodegenFallback — interpreted lambda closures per candidate pair
@@ -273,7 +287,6 @@ object Retrieval {
     // registered [[graft.plans.MaxSimScore]] computes the identical
     // integer as one codegen'd loop. Fallback keeps vanilla sessions
     // working (same exact semantics, either engine).
-    val native = graft.plans.GraftExtensions.available(queries.sparkSession)
     val maxSim: Column =
       if (native)
         call_function("graft_maxsim", col("qsv"), col("csv"), lit(idx.dim))

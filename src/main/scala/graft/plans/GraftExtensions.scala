@@ -96,6 +96,21 @@ object GraftExtensions {
         expectArity("graft_maxsim", children, 3)
         MaxSimScore(children.head, children(1), children(2))
       }),
+    (FunctionIdentifier("graft_sign_masks"),
+      new ExpressionInfo(classOf[SignMasks].getName, "graft_sign_masks"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_sign_masks", children, 2)
+        val dim = children(1) match {
+          case e if e.foldable => e.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(
+              s"graft_sign_masks dim must be an int literal, got $other")
+          }
+          case _ => sys.error("graft_sign_masks dim must be a literal")
+        }
+        SignMasks(children.head, dim)
+      }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => {
