@@ -1110,7 +1110,19 @@ object Dedup {
     val b = q.select(
       col("label"), col("vec_id").as("b_id"),
       col("qv").as("b_qv"), col("qn").as("b_qn"))
-    a.join(b, Seq("label"))
+    // BROADCAST the b side and spread a by id: the callers pass a
+    // single constant label (the bounded exact-truth slices), so a
+    // shuffle join on `label` hash-partitions BOTH sides into ONE
+    // partition and a single task scores the whole quadratic pair
+    // volume — measured as the dominant stage of every q_embed_recall*
+    // row (10.3 s single-task, StageProf). The b side is bounded by
+    // this operator's own contract (didactic exact baseline over a
+    // capped slice), so the broadcast is small. The repartition width
+    // is EXPLICIT: with a bare repartition(col) AQE coalesces the
+    // ~0.5 MB exchange back to one partition and the single-task stage
+    // returns (measured).
+    val width = embeddings.sparkSession.sparkContext.defaultParallelism
+    a.repartition(width, col("a_id")).join(broadcast(b), Seq("label"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim",
         Similarity.qcosinePre(
@@ -1194,6 +1206,15 @@ object Dedup {
     // q_sim_ivf → q_sim_ivf_trained ladder, applied to dedup blocking.
     val cells = capBuckets(assigned, Seq("cell_id"), maxBucket)
       .localCheckpoint()
+    // The pair verify stays INLINE in the cell join (payloads stream
+    // through the join stage; the only pair-keyed exchange below is
+    // the post-filter groupBy over SURVIVORS — small rows). Two
+    // restructures were A/B-measured and REJECTED here (r15-opt):
+    // ids-only candidates + payload re-attach joins (probe-5 1.8→3.0s —
+    // the attach exchanges cost more than the streamed duplication,
+    // which never crosses a shuffle), and pair-dedup before verify
+    // (probe-5 →5.4s — the threshold filter is the selective step and
+    // must precede any candidate-volume shuffle).
     val a = cells.select(
       col("cell_id"), col("vec_id").as("a_id"),
       col("qv").as("a_qv"), col("qn").as("a_qn"))
@@ -1242,6 +1263,16 @@ object Dedup {
     val banded = Similarity
       .rhpBandedPortable(embeddings, bands, bandBits, maxBucket)
       .localCheckpoint()
+    // VERIFY EARLY, DEDUP LAST (guide §8 / §2.3): the cross-band pair
+    // dedup used to run BEFORE the cosine verify, so the dropDuplicates
+    // exchange shuffled every candidate pair WITH both payload vectors —
+    // measured 303 MB (3-task map stage) for a 10 MB corpus slice
+    // (StageProf, q_embed_recall_union). Scoring inside the join stage
+    // (payloads stream, never crossing a pair-keyed exchange) and
+    // deduping the (a_id, b_id, sim) SURVIVORS moves the selective
+    // filter in front of the shuffle; sim is a pure function of the
+    // pair, so the multi-band re-verify returns the identical value and
+    // the deduped rows are unchanged. Same pairs, same sims, same oracle.
     val a = banded.select(
       col("band"), col("bucket"), col("vec_id").as("a_id"),
       col("qv").as("a_qv"), col("qn").as("a_qn"))
@@ -1250,14 +1281,13 @@ object Dedup {
       col("qv").as("b_qv"), col("qn").as("b_qn"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_qv", "a_qn", "b_qv", "b_qn")
-      .dropDuplicates("a_id", "b_id")
       .withColumn("sim",
         Similarity.qcosinePre(
           Similarity.qdot(col("a_qv"), col("b_qv"), native),
           col("a_qn"), col("b_qn")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** Union of the two semantic blocking axes — IVF cell probes

@@ -190,7 +190,22 @@ object Similarity {
     * embedding width (ragged corpora would need the per-row form).
     */
   private[ops] def rhpSignaturePortablePre(
-      qv: Column, planes: Int, dim: Int): Column = {
+      qv: Column, planes: Int, dim: Int): Column =
+    rhpSignaturePortablePre(qv, planes, dim, native = false)
+
+  /** `native = true` routes through the registered
+    * [[graft.plans.RhpSigPortable]] expression — the identical folded
+    * ±1 matrix and integer projections as one primitive loop instead
+    * of this CodegenFallback transform→zip_with→aggregate chain
+    * (interpreted boxed lambdas per row×plane×component; profiled as
+    * the LSH-portable pair path's dominant stage at sf0.1). Same bits,
+    * same oracle replay — only the evaluation engine differs.
+    */
+  private[ops] def rhpSignaturePortablePre(
+      qv: Column, planes: Int, dim: Int, native: Boolean): Column = {
+    if (native)
+      return call_function("graft_rhp_sig_portable", qv,
+        lit(planes), lit(dim))
     val signs: Seq[Seq[Long]] = (0 until planes).map { p =>
       (0 until dim).map { j =>
         if (graft.functions.PortableHash.h28Local(s"$p,$j") % 2 == 0) 1L
@@ -223,8 +238,9 @@ object Similarity {
       bandBits: Int,
       maxBucket: Int): DataFrame = {
     val planes = bands * bandBits
-    // portable buckets never depend on the native family; native here is
-    // only the qdot speed knob (identical integer semantics)
+    // portable buckets never depend on the xxhash64 family; native here
+    // is only a speed knob (qdot, and the graft_rhp_sig_portable loop —
+    // the SAME folded md5 matrix, identical integer semantics)
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)
     import graft.functions.ColumnOps
     // O(1) driver peek for the fixed embedding width — the plane matrix
@@ -244,7 +260,7 @@ object Similarity {
           lit(" at vec_id "), col("vec_id").cast("string"))).cast("boolean"))
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val buckets =
-      ColumnOps.bind(rhpSignaturePortablePre(col("qv"), planes, dim)) { s =>
+      ColumnOps.bind(rhpSignaturePortablePre(col("qv"), planes, dim, native)) { s =>
         transform(
           sequence(lit(0), lit(bands - 1)),
           b =>

@@ -111,6 +111,22 @@ object GraftExtensions {
         }
         SignMasks(children.head, dim)
       }),
+    (FunctionIdentifier("graft_rhp_sig_portable"),
+      new ExpressionInfo(classOf[RhpSigPortable].getName, "graft_rhp_sig_portable"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_rhp_sig_portable", children, 3)
+        def intLit(e: Expression, what: String): Int = e match {
+          case x if x.foldable => x.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(
+              s"graft_rhp_sig_portable $what must be an int literal, got $other")
+          }
+          case _ => sys.error(s"graft_rhp_sig_portable $what must be a literal")
+        }
+        RhpSigPortable(children.head,
+          intLit(children(1), "planes"), intLit(children(2), "dim"))
+      }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => {
