@@ -25,9 +25,17 @@ object TimeQuery {
     for (name <- names) {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.allQueries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val df = graft.SparkEntry.allQueries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // release pinned checkpoints + sweep residue between reps
+        // (the Bench.execOnce hygiene) — checkpointing queries would
+        // otherwise accumulate pins across reps and skew later ones
+        graft.ops.Dedup.releaseCheckpoints(df)
+        val keep = graft.SparkEntry.sharedFixtureRddIds
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(r => keep(r.id)).foreach(_.unpersist(blocking = true))
+        sec
       }
       println(f"TIME $name best=${times.min}%.2f reps=${times.map(t => f"$t%.2f").mkString(",")}")
     }
