@@ -69,23 +69,27 @@ object ColbertIndex {
 
   /** Stored parameters (loud on drift across segments). */
   private def readParams(spark: SparkSession, ver: String,
-      segs: Seq[Long]): (Int, Int, Int, Int, Int) = {
+      segs: Seq[Long]): (Int, Int, Int, Int, Int) =
+    readParamsNDocs(spark, ver, segs)._1
+
+  /** Parameters AND the live doc count from ONE meta read/collect —
+    * the search path needs both, and two separate tiny jobs double the
+    * driver round-trips on every serving call (search is the latency-
+    * gated face of this layout).
+    */
+  private def readParamsNDocs(spark: SparkSession, ver: String,
+      segs: Seq[Long]): ((Int, Int, Int, Int, Int), Long) = {
     val rows = spark.read.parquet(s"$ver/meta")
       .filter(col("seg").isin(segs: _*))
-      .select("dim", "max_query_toks", "max_doc_toks",
+      .groupBy("dim", "max_query_toks", "max_doc_toks",
         "df_cap_permille", "n_buckets")
-      .distinct().collect()
+      .agg(sum("n_docs").as("n_docs"))
+      .collect()
     require(rows.length == 1,
       s"ColBERT index at $ver has inconsistent parameters")
-    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2),
-      rows(0).getInt(3), rows(0).getInt(4))
+    ((rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2),
+      rows(0).getInt(3), rows(0).getInt(4)), rows(0).getLong(5))
   }
-
-  private def liveNDocs(spark: SparkSession, ver: String,
-      segs: Seq[Long]): Long =
-    spark.read.parquet(s"$ver/meta")
-      .filter(col("seg").isin(segs: _*))
-      .agg(sum("n_docs")).collect()(0).getLong(0)
 
   private def writeSegment(docs: DataFrame, ver: String, seg: Long,
       dim: Int, maxQueryToks: Int, maxDocToks: Int, dfCapPermille: Int,
@@ -291,20 +295,22 @@ object ColbertIndex {
     require(k >= 1, s"k must be >= 1, got $k")
     val ver = currentVersionDir(dir)
     val segs = committedSegs(ver)
-    val (dim, mqt, mdt, cap, nb) = readParams(spark, ver, segs)
-    val nDocs = liveNDocs(spark, ver, segs)
-    val qtoks = queries
+    val ((dim, mqt, mdt, cap, nb), nDocs) = readParamsNDocs(spark, ver, segs)
+    // ONE job collects the query tokens WITH their engine-hashed
+    // buckets (was three: tokens, bucketsOf(qtoks), bucketsOf(kept) —
+    // tiny jobs, but each is a driver round-trip on the latency-gated
+    // serving call; kept ⊆ qtoks, so its buckets come from this map)
+    val qtokBuckets = queries
       .select(explode(array_distinct(slice(
         TextAnalysis.normTokens(coalesce(col(textCol), lit(""))),
         1, math.min(mqt, mdt)))).as("tok"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .distinct()
+      .select(col("tok"), pmod(hash(col("tok")), lit(nb)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val qtoks = qtokBuckets.keys.toSeq
     require(qtoks.nonEmpty, "searchColbertIndex needs at least one query token")
     import spark.implicits._
-    def bucketsOf(toks: Seq[String]): Seq[Int] =
-      toks.toDF("tok")
-        .select(pmod(hash(col("tok")), lit(nb)).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-    val probed = bucketsOf(qtoks)
+    val probed = qtokBuckets.values.toSeq.distinct
     val kept = spark.read.parquet(s"$ver/df")
       .filter(col("tok_bucket").isin(probed: _*) &&
         col("tok").isin(qtoks: _*) && col("seg").isin(segs: _*))
@@ -319,7 +325,7 @@ object ColbertIndex {
           spark.range(0).select(col("id").cast("string").as("tok"),
             col("id").as("cand_id")))
       else {
-        val kb = bucketsOf(kept)
+        val kb = kept.map(qtokBuckets).distinct
         (kept.toDF("tok"),
           spark.read.parquet(s"$ver/ctok")
             .filter(col("tok_bucket").isin(kb: _*) &&
