@@ -55,25 +55,47 @@ object BandIndex {
       .select("doc_id").distinct()
   }
 
-  /** The stored signing parameters (loud on drift across segments). */
-  private def readParams(spark: SparkSession, ver: String,
-      segs: Seq[Long]): (Int, Int, Int) = {
-    val rows = spark.read.parquet(s"$ver/meta")
-      .filter(col("seg").isin(segs: _*))
-      .select("n_hashes", "bands", "shingle_size").distinct().collect()
-    require(rows.length == 1,
-      s"band index at $ver has inconsistent signing parameters")
-    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2))
-  }
+  /** The stored signing parameters (loud on drift across segments).
+    * Cached per VERSION dir for the life of the JVM: parameters are
+    * constant within a version by construction — the build writes them
+    * once and every append re-writes exactly the values it read — so
+    * one read (with the cross-segment consistency check) serves every
+    * later call on the same version. A compact/retrain writes a NEW
+    * version dir, which is a new cache key; the ~2 driver jobs this
+    * saves per streaming micro-batch are the point
+    * ([[dedupBandIndexStream]] reads params twice per batch otherwise).
+    */
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
 
+  private def readParams(spark: SparkSession, ver: String,
+      segs: Seq[Long]): (Int, Int, Int) =
+    paramsCache.computeIfAbsent(ver, _ => {
+      val rows = spark.read.parquet(s"$ver/meta")
+        .filter(col("seg").isin(segs: _*))
+        .select("n_hashes", "bands", "shingle_size").distinct().collect()
+      require(rows.length == 1,
+        s"band index at $ver has inconsistent signing parameters")
+      (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2))
+    })
+
+  /** `preBands`: the docs' `(doc_id, band, bucket)` rows when the caller
+    * already signed them (the streaming ingest signs ONCE and reuses the
+    * pin for both the decision and this write — signing is a
+    * deterministic per-row function of `(doc_id, text)`, so pre-signed
+    * rows filtered to `docs`' ids are identical to re-signing `docs`).
+    */
   private def writeSegment(docs: DataFrame, ver: String, seg: Long,
       numHashes: Int, bands: Int, shingleSize: Int,
-      storeTexts: Boolean): Unit = {
+      storeTexts: Boolean, preBands: Option[DataFrame] = None): Unit = {
     import docs.sparkSession.implicits._
     Seq((numHashes, bands, shingleSize, seg))
       .toDF("n_hashes", "bands", "shingle_size", "seg")
       .coalesce(1).write.mode("append").parquet(s"$ver/meta")
-    Dedup.minHashBandsPortable(docs, numHashes, bands, shingleSize)
+    preBands
+      .map(_.join(broadcast(docs.select("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(
+        Dedup.minHashBandsPortable(docs, numHashes, bands, shingleSize))
       .select(col("bucket"), col("doc_id"), lit(seg).as("seg"),
         col("band").cast("int").as("band"))
       .write.mode("append").partitionBy("band").parquet(s"$ver/bands")
@@ -124,6 +146,9 @@ object BandIndex {
       shingleSize: Int = 3,
       storeTexts: Boolean = false): Unit = {
     val ver = s"$dir/v0"
+    // a re-build at the same path replaces the layout — drop any stale
+    // cached parameters for it
+    paramsCache.remove(ver)
     SegmentStore.initVersion(ver)
     writeSegment(corpus, ver, 0L, numHashes, bands, shingleSize, storeTexts)
     commitSeg(ver, 0L)
@@ -141,12 +166,12 @@ object BandIndex {
     * segment id.
     */
   def appendBandIndex(newDocs: DataFrame, dir: String,
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None, preBands: Option[DataFrame] = None): Long = {
     val ver = currentVersionDir(dir)
     val spark = newDocs.sparkSession
     val (nh, nb, sh) = readParams(spark, ver, committedSegs(ver))
     val seg = claimSeg(ver)
-    writeSegment(newDocs, ver, seg, nh, nb, sh, isTextStored(ver))
+    writeSegment(newDocs, ver, seg, nh, nb, sh, isTextStored(ver), preBands)
     tag match {
       case Some(t) => SegmentStore.commitSegTagged(ver, seg, t)
       case None => commitSeg(ver, seg)
@@ -392,15 +417,25 @@ object BandIndex {
         // already served before the compact (the quiesce rule), no-op
         false
       case None =>
-        val decision = dedupAgainstBandIndex(
-          batch, dir, storedTexts(spark, dir), threshold, maxBucket)
+        // sign the batch ONCE: the decision and the survivor segment
+        // write both consume the pin (signing is the batch's dominant
+        // per-increment cost — re-signing survivors inside the append
+        // was a second full md5+mix pass over ~the same rows)
+        val (nh, nb, sh) = readParams(spark, ver, committedSegs(ver))
+        val batchBands = Dedup.minHashBandsPortable(batch, nh, nb, sh)
+          .localCheckpoint()
+        val decision = dedupAgainstBandIndexCore(
+          spark, ver, batch, batchBands, storedTexts(spark, dir),
+          threshold, maxBucket, sh)
         // pin the decision once (append + sink both consume it), then
         // free the core's internal band pin via the UNtruncated plan
         val survivors = decision.localCheckpoint()
         Dedup.releaseCheckpoints(decision)
-        appendBandIndex(survivors, dir, tag = Some(tag))
+        appendBandIndex(survivors, dir, tag = Some(tag),
+          preBands = Some(batchBands))
         sink(survivors, batchId)
         Dedup.releaseCheckpoints(survivors)
+        Dedup.releaseCheckpoints(batchBands)
         true
     }
   }
@@ -413,15 +448,27 @@ object BandIndex {
       maxBucket: Int = 100000): DataFrame = {
     val spark = newDocs.sparkSession
     val ver = currentVersionDir(dir)
+    val (nh, nb, sh) = readParams(spark, ver, committedSegs(ver))
+    dedupAgainstBandIndexCore(spark, ver, newDocs,
+      Dedup.minHashBandsPortable(newDocs, nh, nb, sh),
+      corpusTexts, threshold, maxBucket, sh)
+  }
+
+  /** The decision body with the batch's bands supplied by the caller —
+    * [[ingestBandBatch]] signs once and shares the pin between this and
+    * the segment write; [[dedupAgainstBandIndex]] signs inline.
+    */
+  private def dedupAgainstBandIndexCore(
+      spark: SparkSession, ver: String, newDocs: DataFrame,
+      newBands: DataFrame, corpusTexts: DataFrame,
+      threshold: Double, maxBucket: Int, shingleSize: Int): DataFrame = {
     val segs = committedSegs(ver)
-    val (nh, nb, sh) = readParams(spark, ver, segs)
     val corpusBands = spark.read.parquet(s"$ver/bands")
       .filter(col("seg").isin(segs: _*))
       .join(broadcast(committedDeletes(spark, ver, segs)),
         Seq("doc_id"), "left_anti")
       .select("doc_id", "band", "bucket")
     Dedup.incrementalNearDedupCore(newDocs, corpusTexts,
-      Dedup.minHashBandsPortable(newDocs, nh, nb, sh),
-      corpusBands, threshold, sh, maxBucket)
+      newBands, corpusBands, threshold, shingleSize, maxBucket)
   }
 }

@@ -194,7 +194,21 @@ object Bm25Index {
     * side flag.
     */
   private def isPositional(spark: SparkSession, ver: String): Boolean =
-    spark.read.parquet(s"$ver/postings").columns.contains("positions")
+    positionalCache.computeIfAbsent(ver, _ =>
+      spark.read.parquet(s"$ver/postings").columns.contains("positions"))
+
+  /** Per-VERSION metadata caches (JVM lifetime): a version's layout
+    * kind and `n_buckets` are constant by construction — the build
+    * decides them, every append re-writes the values it read, and a
+    * compact/rewrite lands under a NEW version dir (a new cache key).
+    * The schema probe behind [[isPositional]] lists the whole postings
+    * directory and [[readBuckets]] is a read+collect job; both sat on
+    * every append/search/delete path (two per streaming micro-batch).
+    */
+  private val positionalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val bucketsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Build a BM25 index over `df` at `dir` — one tokenize/explode pass
     * plus one (term, doc) shuffle with map-side combine, written as
@@ -210,6 +224,10 @@ object Bm25Index {
       positional: Boolean = false): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val ver = s"$dir/v0"
+    // a re-build at the same path replaces the layout — drop any stale
+    // cached metadata for it
+    positionalCache.remove(ver)
+    bucketsCache.remove(ver)
     val vp = java.nio.file.Paths.get(ver)
     if (java.nio.file.Files.isDirectory(vp)) deleteTree(vp)
     java.nio.file.Files.createDirectories(vp.resolve("commits"))
@@ -222,14 +240,15 @@ object Bm25Index {
 
   /** The committed `n_buckets` for a version root (loud on drift). */
   private def readBuckets(spark: SparkSession, ver: String,
-      segs: Seq[Long]): Int = {
-    val rows = spark.read.parquet(s"$ver/meta")
-      .filter(col("seg").isin(segs: _*))
-      .select("n_buckets").distinct().collect().map(_.getInt(0))
-    require(rows.length == 1,
-      s"BM25 index at $ver has inconsistent n_buckets: ${rows.mkString(",")}")
-    rows.head
-  }
+      segs: Seq[Long]): Int =
+    bucketsCache.computeIfAbsent(ver, _ => {
+      val rows = spark.read.parquet(s"$ver/meta")
+        .filter(col("seg").isin(segs: _*))
+        .select("n_buckets").distinct().collect().map(_.getInt(0))
+      require(rows.length == 1,
+        s"BM25 index at $ver has inconsistent n_buckets: ${rows.mkString(",")}")
+      rows.head
+    }).intValue()
 
   /** INCREMENTALLY add new documents (UNSEEN doc_ids — re-adding an
     * indexed id would double its postings, as in any inverted index) as

@@ -67,10 +67,19 @@ object ColbertIndex {
       .select("doc_id").distinct()
   }
 
-  /** Stored parameters (loud on drift across segments). */
+  /** Stored parameters (loud on drift across segments). Cached per
+    * VERSION dir for the JVM's lifetime: parameters are constant within
+    * a version by construction (the build writes them, appends re-write
+    * the values they read, a compact lands under a new version dir =
+    * new key) — only the LIVE `n_docs` changes, which is why
+    * [[readParamsNDocs]] (the search path) is NOT cached.
+    */
+  private val paramsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Int, Int, Int, Int)]()
+
   private def readParams(spark: SparkSession, ver: String,
       segs: Seq[Long]): (Int, Int, Int, Int, Int) =
-    readParamsNDocs(spark, ver, segs)._1
+    paramsCache.computeIfAbsent(ver, _ => readParamsNDocs(spark, ver, segs)._1)
 
   /** Parameters AND the live doc count from ONE meta read/collect —
     * the search path needs both, and two separate tiny jobs double the
@@ -145,6 +154,9 @@ object ColbertIndex {
     require(dim > 0 && maxQueryToks > 0 && maxDocToks > 0 && nBuckets > 0,
       "dims, caps, and bucket count must be positive")
     val ver = s"$dir/v0"
+    // a re-build at the same path replaces the layout — drop any stale
+    // cached parameters for it
+    paramsCache.remove(ver)
     SegmentStore.initVersion(ver)
     writeSegment(docs, ver, 0L, dim, maxQueryToks, maxDocToks,
       dfCapPermille, nBuckets, textCol)
