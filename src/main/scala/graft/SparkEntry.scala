@@ -621,11 +621,14 @@ object SparkEntry {
         lit("}")).as("value"))
 
   /** events table → Singer RECORD JSON lines (the shared setup of the
-    * batch round-trip and the streaming-append parity query).
+    * batch round-trip and the streaming-append parity query). `extra`
+    * columns ride beside `value` (the parity query's partition key, so
+    * its two source files come from ONE serialize pass).
     */
-  private def singerRecordLines(ev: DataFrame): DataFrame =
+  private def singerRecordLines(
+      ev: DataFrame, extra: Seq[Column] = Nil): DataFrame =
     ev.select(
-      concat(
+      (concat(
         lit("""{"type": "RECORD", "stream": "events", "record": """),
         to_json(struct(
           col("event_id"),
@@ -633,7 +636,7 @@ object SparkEntry {
           col("value"),
           get_json_object(col("props"), "$.k").as("k"),
           from_unixtime(unix_timestamp(col("ts"))).as("created_at"))),
-        lit("}")).as("value"))
+        lit("}")).as("value") +: extra): _*)
 
   /** The typed projection both Singer parity queries compare on. */
   private def singerTypedView(typed: DataFrame): DataFrame =
@@ -772,20 +775,28 @@ object SparkEntry {
     }
     try {
       val in = tmp.resolve("in")
-      // two halves → two text files → two append micro-batches
+      // two halves → two source files → two append micro-batches. ONE
+      // partitioned write (was: two separate filter+serialize jobs, each
+      // a full events scan — §2.4's "share one pass" applied to setup);
+      // explicit mtimes pin the file-source batch order (h0 first),
+      // exactly as the two sequential writes used to
       val ev = t(s, dir, "events")
-      singerRecordLines(ev.filter(pmod(col("event_id"), lit(2L)) === 0L))
-        .coalesce(1).write.text(tmp.resolve("h0").toString)
-      singerRecordLines(ev.filter(pmod(col("event_id"), lit(2L)) === 1L))
-        .coalesce(1).write.text(tmp.resolve("h1").toString)
+      singerRecordLines(ev,
+        Seq(pmod(col("event_id"), lit(2L)).as("_half")))
+        .coalesce(1).write.partitionBy("_half")
+        .text(tmp.resolve("h").toString)
       java.nio.file.Files.createDirectories(in)
-      Seq("h0", "h1").foreach { h =>
-        val src = tmp.resolve(h)
+      Seq(0, 1).foreach { h =>
+        val src = tmp.resolve("h").resolve(s"_half=$h")
         val listing = java.nio.file.Files.list(src)
         try listing.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".txt"))
           .zipWithIndex.foreach { case (p, i) =>
-            java.nio.file.Files.move(p, in.resolve(s"$h-$i.jsonl"))
+            val dst = in.resolve(s"h$h-$i.jsonl")
+            java.nio.file.Files.move(p, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000000000L + h * 60000L))
           }
         finally listing.close()
       }
