@@ -143,7 +143,12 @@ object Bm25Index {
   private def writeSegment(
       docs: DataFrame, ver: String, nBuckets: Int, seg: Long,
       textCol: String, positional: Boolean): Unit = {
-    val pd = perDoc(docs, textCol)
+    // tokenize ONCE: the stats aggregate and the postings explode both
+    // consume the pin (the segment's dominant cost is the tokenize pass
+    // — running it twice doubled every build/append/ingest leg); the
+    // pin is released as soon as the ranked postings are their own
+    // checkpoint below
+    val pd = perDoc(docs, textCol).localCheckpoint()
     val statRow = pd.agg(count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("long")).as("sum_dl"))
       .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)).as("sum_dl"))
@@ -177,6 +182,8 @@ object Bm25Index {
       .withColumn("imp", impactNorm(avgdl))
       .withColumn("imp_rank", row_number().over(rankW))
       .localCheckpoint()
+    // the token pin's only consumers (stats + explode) have materialized
+    Dedup.releaseCheckpoints(pd)
     ranked.select(cols: _*)
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$ver/postings")
