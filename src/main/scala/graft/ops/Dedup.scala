@@ -407,24 +407,44 @@ object Dedup {
       docs: DataFrame,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame =
+    minHashBandsPortable(docs, numHashes, bands, shingleSize,
+      graft.plans.GraftExtensions.available(docs.sparkSession))
+
+  /** Explicit-dispatch form (the spec pins native ≡ HOF with it). */
+  private[graft] def minHashBandsPortable(
+      docs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      native: Boolean): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): trailing signature " +
         "components outside a full band would silently never join")
     import graft.functions.PortableHash._
     val rowsPerBand = numHashes / bands
-    val bandBuckets = ColumnOps.bind(shingles(col("text"), shingleSize)) { sh =>
-      ColumnOps.bind(transform(sh, s => h28(s))) { hs =>
-        ColumnOps.bind(
-          transform(
-            sequence(lit(0), lit(numHashes - 1)),
-            i => array_min(transform(hs, p => mix(p, i))))) { sig =>
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ","))
+    // native fast path (the graft_maxsim pattern): one codegen'd
+    // MessageDigest + k-mix loop per document replaces the interpreted
+    // transform→array_min→array_join chain — IDENTICAL buckets
+    // (MinHashBucketsPortableSpec pins native ≡ HOF bit-for-bit), so
+    // the portable family's oracle replay is unchanged; vanilla
+    // sessions keep the HOF form
+    val bandBuckets =
+      if (native)
+        call_function("graft_minhash_buckets",
+          shingles(col("text"), shingleSize), lit(numHashes), lit(bands))
+      else ColumnOps.bind(shingles(col("text"), shingleSize)) { sh =>
+        ColumnOps.bind(transform(sh, s => h28(s))) { hs =>
+          ColumnOps.bind(
+            transform(
+              sequence(lit(0), lit(numHashes - 1)),
+              i => array_min(transform(hs, p => mix(p, i))))) { sig =>
+            transform(
+              sequence(lit(0), lit(bands - 1)),
+              b => array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ","))
+          }
         }
       }
-    }
     docs.select(col("doc_id"), posexplode(bandBuckets))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
   }

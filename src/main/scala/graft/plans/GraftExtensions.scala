@@ -127,6 +127,23 @@ object GraftExtensions {
         RhpSigPortable(children.head,
           intLit(children(1), "planes"), intLit(children(2), "dim"))
       }),
+    (FunctionIdentifier("graft_minhash_buckets"),
+      new ExpressionInfo(
+        classOf[MinHashBucketsPortable].getName, "graft_minhash_buckets"),
+      (children: Seq[Expression]) => {
+        expectArity("graft_minhash_buckets", children, 3)
+        def intLit(e: Expression, what: String): Int = e match {
+          case x if x.foldable => x.eval(null) match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other   => sys.error(
+              s"graft_minhash_buckets $what must be an int literal, got $other")
+          }
+          case _ => sys.error(s"graft_minhash_buckets $what must be a literal")
+        }
+        MinHashBucketsPortable(children.head,
+          intLit(children(1), "numHashes"), intLit(children(2), "bands"))
+      }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => {
