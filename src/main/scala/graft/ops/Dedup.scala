@@ -1112,6 +1112,15 @@ object Dedup {
     * key (here `label`, standing in for a cluster id). Blocking bounds the
     * pair count; at scale the blocking key comes from coarse clustering or
     * LSH ([[Similarity.rhpSignature]]).
+    *
+    * BOUNDED-INPUT REQUIREMENT (ADVICE r15): the join below BROADCASTS
+    * the entire b side — the right call for this function's actual
+    * callers (bounded exact-truth slices passing one constant label,
+    * where a label-hash shuffle join collapsed to a single partition),
+    * but a corpus-scale input would hit the broadcast relation cap /
+    * driver memory where a shuffle join worked. For large blocked
+    * corpora use [[embeddingDupsByCell]] (cell-blocked, shuffle-join)
+    * instead.
     */
   def embeddingDups(embeddings: DataFrame, threshold: Double): DataFrame = {
     val native = graft.plans.GraftExtensions.available(embeddings.sparkSession)

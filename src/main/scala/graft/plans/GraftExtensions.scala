@@ -21,6 +21,13 @@ object GraftExtensions {
     * Dispatch must key on the session that will analyze the plan (the
     * DataFrame's own), not `getActiveSession` — with two sessions in one
     * JVM the thread-active one can differ from the one resolving the query.
+    *
+    * `graft_qdot` is probed as a PROXY for the whole function set
+    * (ADVICE r15): every registration path (`spark.sql.extensions` and
+    * [[ensureRegistered]]) installs all of [[functions]] together, so
+    * qdot-present ⇒ the full set is present. A session that somehow
+    * held qdot alone (jar/version skew) would fail analysis at the
+    * dispatching call site — loudly, not with wrong results.
     */
   def available(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_qdot"))
@@ -104,10 +111,10 @@ object GraftExtensions {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_sign_masks dim must be an int literal, got $other")
           }
-          case _ => sys.error("graft_sign_masks dim must be a literal")
+          case _ => throw new IllegalArgumentException("graft_sign_masks dim must be a literal")
         }
         SignMasks(children.head, dim)
       }),
@@ -119,10 +126,10 @@ object GraftExtensions {
           case x if x.foldable => x.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_rhp_sig_portable $what must be an int literal, got $other")
           }
-          case _ => sys.error(s"graft_rhp_sig_portable $what must be a literal")
+          case _ => throw new IllegalArgumentException(s"graft_rhp_sig_portable $what must be a literal")
         }
         RhpSigPortable(children.head,
           intLit(children(1), "planes"), intLit(children(2), "dim"))
@@ -136,10 +143,10 @@ object GraftExtensions {
           case x if x.foldable => x.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_minhash_buckets $what must be an int literal, got $other")
           }
-          case _ => sys.error(s"graft_minhash_buckets $what must be a literal")
+          case _ => throw new IllegalArgumentException(s"graft_minhash_buckets $what must be a literal")
         }
         MinHashBucketsPortable(children.head,
           intLit(children(1), "numHashes"), intLit(children(2), "bands"))
@@ -158,9 +165,9 @@ object GraftExtensions {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(s"graft_minhash k must be an int literal, got $other")
+            case other   => throw new IllegalArgumentException(s"graft_minhash k must be an int literal, got $other")
           }
-          case _ => sys.error("graft_minhash k must be a literal")
+          case _ => throw new IllegalArgumentException("graft_minhash k must be a literal")
         }
         MinHashSig(children.head, k)
       }),
@@ -170,12 +177,12 @@ object GraftExtensions {
         expectArity("graft_token_count", children, 2)
         val mode = children(1) match {
           case e if e.foldable => e.eval(null).toString
-          case _ => sys.error("graft_token_count mode must be a literal")
+          case _ => throw new IllegalArgumentException("graft_token_count mode must be a literal")
         }
         mode match {
           case "bpe"   => TokenCount(children.head, bpe = true)
           case "punct" => TokenCount(children.head, bpe = false)
-          case other   => sys.error(
+          case other   => throw new IllegalArgumentException(
             s"graft_token_count mode must be 'bpe' or 'punct', got '$other'")
         }
       }),
@@ -194,9 +201,9 @@ object GraftExtensions {
               .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
               .toObjectArray(org.apache.spark.sql.types.StringType)
             if (arr.exists(_ == null))
-              sys.error("graft_greedy_tokenize vocab must not contain NULL entries")
+              throw new IllegalArgumentException("graft_greedy_tokenize vocab must not contain NULL entries")
             arr.map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
-          case _ => sys.error("graft_greedy_tokenize vocab must be an array<string> literal")
+          case _ => throw new IllegalArgumentException("graft_greedy_tokenize vocab must be an array<string> literal")
         }
         GreedyTokenize(children.head, vocab)
       }),
@@ -213,26 +220,26 @@ object GraftExtensions {
               .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
               .toObjectArray(et)
             if (arr.exists(_ == null))
-              sys.error(s"graft_viterbi_tokenize $what must not contain NULLs")
+              throw new IllegalArgumentException(s"graft_viterbi_tokenize $what must not contain NULLs")
             arr
-          case _ => sys.error(s"graft_viterbi_tokenize $what must be an array literal")
+          case _ => throw new IllegalArgumentException(s"graft_viterbi_tokenize $what must be an array literal")
         }
         val vocab = literalArray(children(1), "vocab")
           .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
         val costs = literalArray(children(2), "costs").map {
           case i: Integer            => i.intValue()
           case l: java.lang.Long     => l.toInt
-          case other                 => sys.error(
+          case other                 => throw new IllegalArgumentException(
             s"graft_viterbi_tokenize costs must be int literals, got $other")
         }.toSeq
         val unk = children(3) match {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_viterbi_tokenize unkCost must be an int literal, got $other")
           }
-          case _ => sys.error("graft_viterbi_tokenize unkCost must be a literal")
+          case _ => throw new IllegalArgumentException("graft_viterbi_tokenize unkCost must be a literal")
         }
         ViterbiTokenize(children.head, vocab, costs, unk)
       }),
@@ -249,26 +256,26 @@ object GraftExtensions {
               .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
               .toObjectArray(et)
             if (arr.exists(_ == null))
-              sys.error(s"graft_nb_score $what must not contain NULLs")
+              throw new IllegalArgumentException(s"graft_nb_score $what must not contain NULLs")
             arr
-          case _ => sys.error(s"graft_nb_score $what must be an array literal")
+          case _ => throw new IllegalArgumentException(s"graft_nb_score $what must be an array literal")
         }
         val words = literalArray(children(1), "words")
           .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
         val scores = literalArray(children(2), "scores").map {
           case l: java.lang.Long    => l.longValue()
           case i: Integer           => i.longValue()
-          case other                => sys.error(
+          case other                => throw new IllegalArgumentException(
             s"graft_nb_score scores must be long literals, got $other")
         }.toSeq
         val unseen = children(3) match {
           case e if e.foldable => e.eval(null) match {
             case l: Long => l
             case i: Int  => i.toLong
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_nb_score unseen must be a long literal, got $other")
           }
-          case _ => sys.error("graft_nb_score unseen must be a literal")
+          case _ => throw new IllegalArgumentException("graft_nb_score unseen must be a literal")
         }
         NbScore(children.head, words, scores, unseen)
       }),
@@ -298,10 +305,10 @@ object GraftExtensions {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_heavy_hitters capacity must be an int literal, got $other")
           }
-          case _ => sys.error("graft_heavy_hitters capacity must be a literal")
+          case _ => throw new IllegalArgumentException("graft_heavy_hitters capacity must be a literal")
         }
         HeavyHittersAgg(children.head, capacity)
       }),
@@ -313,10 +320,10 @@ object GraftExtensions {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_top_k k must be an int literal, got $other")
           }
-          case _ => sys.error("graft_top_k k must be a literal")
+          case _ => throw new IllegalArgumentException("graft_top_k k must be a literal")
         }
         TopKAgg(children.head, children(1), k)
       }),
@@ -328,10 +335,10 @@ object GraftExtensions {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_quantile_sketch capacity must be an int literal, got $other")
           }
-          case _ => sys.error("graft_quantile_sketch capacity must be a literal")
+          case _ => throw new IllegalArgumentException("graft_quantile_sketch capacity must be a literal")
         }
         QuantileSketchAgg(children.head, capacity)
       }),
@@ -344,10 +351,10 @@ object GraftExtensions {
             case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
               arr.toObjectArray(a.dataType
                 .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
-            case other => sys.error(
+            case other => throw new IllegalArgumentException(
               s"graft_lm_score $what must be an array literal, got $other")
           }
-          case _ => sys.error(s"graft_lm_score $what must be an array literal")
+          case _ => throw new IllegalArgumentException(s"graft_lm_score $what must be an array literal")
         }
         val keys = literalArray(children(1), "keys")
           .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
@@ -355,17 +362,17 @@ object GraftExtensions {
         val scores = literalArray(children(2), "scores").map {
           case l: java.lang.Long => l.longValue()
           case i: Integer        => i.longValue()
-          case other             => sys.error(
+          case other             => throw new IllegalArgumentException(
             s"graft_lm_score scores must be long literals, got $other")
         }.toSeq
         def longLit(e: Expression, what: String): Long = e match {
           case x if x.foldable => x.eval(null) match {
             case l: Long => l
             case i: Int  => i.toLong
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_lm_score $what must be a long literal, got $other")
           }
-          case _ => sys.error(s"graft_lm_score $what must be a literal")
+          case _ => throw new IllegalArgumentException(s"graft_lm_score $what must be a literal")
         }
         LmScore(children.head, keys, scores,
           longLit(children(3), "oov1"), longLit(children(4), "oov2"),
@@ -396,10 +403,10 @@ object GraftExtensions {
         val form = children(1) match {
           case e if e.foldable => e.eval(null) match {
             case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-            case other => sys.error(
+            case other => throw new IllegalArgumentException(
               s"graft_unicode_normalize form must be a string literal, got $other")
           }
-          case _ => sys.error("graft_unicode_normalize form must be a literal")
+          case _ => throw new IllegalArgumentException("graft_unicode_normalize form must be a literal")
         }
         UnicodeNormalize(children.head, form)
       }),
@@ -419,10 +426,10 @@ object GraftExtensions {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(
+            case other   => throw new IllegalArgumentException(
               s"graft_damerau_levenshtein maxDist must be an int literal, got $other")
           }
-          case _ => sys.error("graft_damerau_levenshtein maxDist must be a literal")
+          case _ => throw new IllegalArgumentException("graft_damerau_levenshtein maxDist must be a literal")
         }
         DamerauLevenshtein(children.head, children(1), maxDist)
       }),
@@ -434,9 +441,9 @@ object GraftExtensions {
           case e if e.foldable => e.eval(null) match {
             case i: Int  => i
             case l: Long => l.toInt
-            case other   => sys.error(s"graft_rhp_sig planes must be an int literal, got $other")
+            case other   => throw new IllegalArgumentException(s"graft_rhp_sig planes must be an int literal, got $other")
           }
-          case _ => sys.error("graft_rhp_sig planes must be a literal")
+          case _ => throw new IllegalArgumentException("graft_rhp_sig planes must be a literal")
         }
         RhpSig(children.head, planes)
       }))
